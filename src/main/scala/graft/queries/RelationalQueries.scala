@@ -1,0 +1,282 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.RelationalOps._
+
+/** The relational superset the engine gets from Spark built-ins — operators
+  * with *no instance* in the reference (SURVEY.md §2.6) but part of a
+  * complete engine: sort/limit/top-k, set ops, distinct, analytic windows,
+  * session windows, rollup, semi/anti/theta/full joins, TPC-H-style
+  * aggregation pipelines.
+  *
+  * All aggregates use exact integer cents (RelationalOps.cents) so hashes
+  * can't drift on float summation order.
+  */
+object RelationalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q10_topk" -> ((s, d) => {
+      // ORDER BY ... LIMIT k. At scale this is TakeOrderedAndProject —
+      // per-partition heaps + driver merge of k rows, no global sort.
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), cents(col("c_acctbal")).as("acct_cents"))
+        .orderBy(col("acct_cents").desc, col("c_custkey"))
+        .limit(10)
+    }),
+    "q11_intersect" -> ((s, d) => {
+      // INTERSECT (set semantics) — distinct keys seen both as event actors
+      // and as customers.
+      Tables.events(s, d).select(col("user_id").as("id"))
+        .intersect(Tables.customer(s, d).select(col("c_custkey").as("id")))
+        .orderBy(col("id"))
+    }),
+    "q12_except" -> ((s, d) => {
+      // EXCEPT (set semantics) — customers that never produced an event.
+      Tables.customer(s, d).select(col("c_custkey").as("id"))
+        .except(Tables.events(s, d).select(col("user_id").as("id")))
+        .orderBy(col("id"))
+    }),
+    "q13_union_agg" -> ((s, d) => {
+      // UNION ALL + re-aggregation across heterogeneous sources.
+      Tables.events(s, d).select(col("user_id").as("id"))
+        .union(Tables.customer(s, d).select(col("c_custkey").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("n"))
+        .orderBy(col("id"))
+    }),
+    "q14_distinct" -> ((s, d) => {
+      // dropDuplicates == SELECT DISTINCT (hash aggregate, map-side partial).
+      Tables.events(s, d).select(col("user_id"), col("event_type"))
+        .dropDuplicates()
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+    "q15_analytic_window" -> ((s, d) => {
+      // Ranking + offset + running-frame analytic functions.
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("price_cents", cents(col("o_totalprice")))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("prev_price_cents", lag(col("price_cents"), 1).over(w))
+        .withColumn("running_cents",
+          sum(col("price_cents")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("o_custkey"), col("o_orderkey"), col("price_cents"),
+          col("rn"), col("prev_price_cents"), col("running_cents"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+    "q16_session_window" -> ((s, d) => {
+      // Session (gap-based) windows — the windowing kind Kafka Streams has
+      // as SessionWindows but the reference never uses. 2h inactivity gap
+      // per user; one shuffle on user_id, sessions merged within partition.
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "2 hours").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("sum_cents"))
+        .select(
+          col("user_id"),
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"), col("sum_cents"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+    "q17_rollup" -> ((s, d) => {
+      // ROLLUP grouping sets with subtotal + grand-total rows.
+      Tables.events(s, d)
+        .rollup(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"), col("n"), col("sum_cents"))
+        .orderBy(col("event_type"))
+    }),
+    "q18_semi_join" -> ((s, d) => {
+      // LEFT SEMI (EXISTS): customers having at least one order.
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+    "q19_anti_join" -> ((s, d) => {
+      // LEFT ANTI (NOT EXISTS): customers who never produced an event.
+      val c = Tables.customer(s, d)
+      val e = Tables.events(s, d)
+      c.join(e, c("c_custkey") === e("user_id"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+    "q20_theta_join" -> ((s, d) => {
+      // Equi + theta conjunct: orders costlier than the buyer's balance.
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey") && cents(o("o_totalprice")) > cents(c("c_acctbal")))
+        .select(col("o_orderkey"), col("o_custkey"),
+          cents(col("o_totalprice")).as("price_cents"),
+          cents(col("c_acctbal")).as("acct_cents"))
+        .orderBy(col("o_orderkey"))
+    }),
+    "q21_full_outer" -> ((s, d) => {
+      // FULL OUTER join over partially-overlapping key spaces.
+      val c = Tables.customer(s, d)
+      val su = Tables.supplier(s, d)
+      c.join(su, c("c_custkey") === su("s_suppkey"), "full_outer")
+        .select(
+          coalesce(c("c_custkey"), su("s_suppkey")).as("id"),
+          coalesce(c("c_name"), lit("no-customer")).as("cust_name"),
+          coalesce(su("s_name"), lit("no-supplier")).as("supp_name"))
+        .orderBy(col("id"))
+    }),
+    "q22_pricing_summary" -> ((s, d) => {
+      // TPC-H Q1-shaped pricing summary (bench headliner): wide scan +
+      // grouped aggregate; partial aggregation makes the shuffle carry only
+      // group rows. Exact integer math: cents and cent-percent units.
+      val li = Tables.lineitem(s, d).filter(col("l_shipdate") <= lit("1998-09-02"))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(asLong(col("l_quantity"))).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+          sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("sum_disc_c2"),
+          count(lit(1)).as("count_order"),
+          intAvg(sum(asLong(col("l_quantity"))), count(lit(1))).as("avg_qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    "q23_top_revenue" -> ((s, d) => {
+      // TPC-H Q3-shaped: selective filters on both sides of a 3-way join,
+      // grouped revenue, top-10. Filters push to the scans; the customer
+      // dimension broadcasts.
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-01-01"))
+      val li = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1998-01-01"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("revenue_c2"))
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          col("revenue_c2"))
+        .orderBy(col("revenue_c2").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+    "q24_grouped_join_agg" -> ((s, d) => {
+      // Star-join rollup across 4 tables (bench headliner): revenue per
+      // nation; dimensions broadcast, fact shuffles once on the group key.
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("revenue_c2"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q10_topk" ->
+      """SELECT c_custkey, c_name, CAST(ROUND(c_acctbal*100) AS BIGINT) AS acct_cents
+        |FROM customer ORDER BY acct_cents DESC, c_custkey LIMIT 10""".stripMargin,
+    "q11_intersect" ->
+      """SELECT user_id AS id FROM events
+        |INTERSECT SELECT c_custkey AS id FROM customer ORDER BY id""".stripMargin,
+    "q12_except" ->
+      """SELECT c_custkey AS id FROM customer
+        |EXCEPT SELECT user_id AS id FROM events ORDER BY id""".stripMargin,
+    "q13_union_agg" ->
+      """SELECT id, COUNT(*) AS n FROM (
+        |  SELECT user_id AS id FROM events
+        |  UNION ALL SELECT c_custkey AS id FROM customer)
+        |GROUP BY id ORDER BY id""".stripMargin,
+    "q14_distinct" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q15_analytic_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents,
+        |       ROW_NUMBER() OVER w AS rn,
+        |       LAG(CAST(ROUND(o_totalprice*100) AS BIGINT), 1) OVER w AS prev_price_cents,
+        |       SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+        |         OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q16_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |                OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 2 HOUR
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM flagged)
+        |SELECT user_id,
+        |       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       COUNT(*) AS n_events,
+        |       SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_cents
+        |FROM sess GROUP BY user_id, sess_id
+        |ORDER BY user_id, session_start""".stripMargin,
+    "q17_rollup" ->
+      """SELECT COALESCE(event_type, 'ALL') AS event_type, COUNT(*) AS n,
+        |       SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_cents
+        |FROM events GROUP BY ROLLUP(event_type)
+        |ORDER BY event_type""".stripMargin,
+    "q18_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q19_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q20_theta_join" ->
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents,
+        |       CAST(ROUND(c_acctbal*100) AS BIGINT) AS acct_cents
+        |FROM orders JOIN customer
+        |  ON o_custkey = c_custkey
+        | AND CAST(ROUND(o_totalprice*100) AS BIGINT) > CAST(ROUND(c_acctbal*100) AS BIGINT)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q21_full_outer" ->
+      """SELECT COALESCE(c_custkey, s_suppkey) AS id,
+        |       COALESCE(c_name, 'no-customer') AS cust_name,
+        |       COALESCE(s_name, 'no-supplier') AS supp_name
+        |FROM customer FULL OUTER JOIN supplier ON c_custkey = s_suppkey
+        |ORDER BY id""".stripMargin,
+    "q22_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty,
+        |       SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_base_cents,
+        |       SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        |           * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS sum_disc_c2,
+        |       COUNT(*) AS count_order,
+        |       CAST(FLOOR(SUM(CAST(ROUND(l_quantity) AS BIGINT)) / COUNT(*)) AS BIGINT) AS avg_qty
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q23_top_revenue" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |       SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        |           * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS revenue_c2
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue_c2 DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q24_grouped_join_agg" ->
+      """SELECT n_name,
+        |       SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        |           * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS revenue_c2,
+        |       COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+  )
+}
