@@ -26,8 +26,8 @@ object SparkEntry {
     CallsPipeline.callsEnriched(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ReferenceQueries.queries ++ RelationalQueries.queries
+    ReferenceQueries.queries ++ RelationalQueries.queries ++ NorthStarQueries.queries
 
   def oracleSql: Map[String, String] =
-    ReferenceQueries.oracleSql ++ RelationalQueries.oracleSql
+    ReferenceQueries.oracleSql ++ RelationalQueries.oracleSql ++ NorthStarQueries.oracleSql
 }

@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * tokenization, token counting, language ID, quality scoring, document
+  * fingerprinting, shingling, and a portable 60-bit hash.
+  *
+  * Everything here is a pure Catalyst expression tree built from
+  * `org.apache.spark.sql.functions` — codegen'd, no UDFs, so the whole
+  * pipeline stays inside WholeStageCodegen and scales linearly with input
+  * splits (no shuffle is introduced by any function in this file).
+  *
+  * Engine-portability convention: hashes are derived from `md5` hex (same
+  * bytes on any engine) so DuckDB oracles can reproduce them exactly —
+  * `hash60` ≡ DuckDB `('0x'||substr(md5(x),1,15))::BIGINT`.
+  */
+object TextFunctions {
+
+  /** 60-bit deterministic hash: first 15 hex chars of md5 as a long.
+    * Positive, portable across engines; used by minhash/simhash/fingerprint. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Whitespace tokens, empties dropped. */
+  def tokens(c: Column): Column =
+    filter(split(c, " "), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count: runs of letters, runs of digits, or single
+    * other non-space chars — the pre-tokenization regex shape used by
+    * byte-pair encoders, kept POSIX-simple so Java and RE2 agree. */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  /** Distinct word n-gram shingles (the unit for Jaccard/minhash dedup). */
+  def wordShingles(c: Column, n: Int): Column = {
+    val ws = tokens(c)
+    val grams = transform(sequence(lit(0), size(ws) - n), i =>
+      concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*))
+    array_distinct(
+      when(size(ws) >= n, grams).otherwise(array().cast("array<string>")))
+  }
+
+  /** Stopword profiles for the n-gram/stopword language heuristic. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "a", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un"))
+
+  private def profileHits(ws: Column, profile: Seq[String]): Column =
+    size(filter(ws, t => t.isin(profile.map(lit): _*)))
+
+  /** Language ID: most stopword hits wins; earlier profile wins ties;
+    * zero hits everywhere → "unknown". Deterministic, oracle-replicable. */
+  def langId(c: Column): Column = {
+    val ws = tokens(c)
+    val scores = langProfiles.map { case (lang, prof) => lang -> profileHits(ws, prof) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("unknown")) { case ((lang, score), el) =>
+      when(score === best && score > 0, lit(lang)).otherwise(el)
+    }
+  }
+
+  /** Quality heuristics, all exact-integer (per-mille) so results hash
+    * identically across engines:
+    *   - stop_permille: stopword tokens / tokens
+    *   - alpha_permille: purely alphabetic tokens / tokens
+    *   - avg_token_len_permille: 1000 * Σ len(token) / n_tokens
+    *   - quality: 500 if token count in a sane band, plus stopword signal
+    */
+  def stopPermille(c: Column): Column = {
+    val ws = tokens(c)
+    val hits = profileHits(ws, langProfiles.flatMap(_._2).distinct)
+    floor(lit(1000) * hits / greatest(size(ws), lit(1))).cast("long")
+  }
+
+  def alphaPermille(c: Column): Column = {
+    val ws = tokens(c)
+    val alpha = size(filter(ws, t => t.rlike("^[a-z]+$")))
+    floor(lit(1000) * alpha / greatest(size(ws), lit(1))).cast("long")
+  }
+
+  def avgTokenLenPermille(c: Column): Column = {
+    val ws = tokens(c)
+    val total = aggregate(ws, lit(0L), (acc, t) => acc + length(t).cast("long"))
+    floor(lit(1000) * total / greatest(size(ws), lit(1))).cast("long")
+  }
+
+  def qualityScore(c: Column): Column = {
+    val nt = tokenCount(c)
+    // stepwise integer division (floor each term) so an engine computing
+    // with integer `//` gets the identical value
+    (when(nt.between(10, 10000), lit(500L)).otherwise(lit(0L))
+      + floor(stopPermille(c) / 2).cast("long")
+      + floor(alphaPermille(c) / 4).cast("long"))
+  }
+
+  /** Rolling-hash document fingerprint: position-weighted token hashes,
+    * folded mod p = 1e9+7. Equals `(Σ (hash60(t_i) mod p) * ((i mod 31)+1))
+    * mod p` — mod distributes over the fold, so an engine summing first and
+    * reducing once gets the same value. */
+  val FpMod = 1000000007L
+  def fingerprint(c: Column): Column = {
+    val ws = tokens(c)
+    val terms = transform(ws, (t, i) =>
+      pmod(hash60(t), lit(FpMod)) * (pmod(i.cast("long"), lit(31L)) + 1L))
+    pmod(aggregate(terms, lit(0L), (acc, x) => pmod(acc + x, lit(FpMod))), lit(FpMod))
+  }
+
+  /** 32-bit SimHash over whitespace tokens (term frequency implicitly
+    * weighted: repeated tokens vote repeatedly). Bit j is the sign of
+    * Σ_tokens (±1 by bit j of hash60(token)). */
+  def simhash32(c: Column): Column = {
+    val th = transform(tokens(c), t => hash60(t))
+    (0 until 32).map { j =>
+      val votes = aggregate(th, lit(0L), (acc, h) =>
+        acc + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1))
+      when(votes > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+}

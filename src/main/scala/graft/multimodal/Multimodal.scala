@@ -1,0 +1,88 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed record for an opaque media payload: the engine's multimodal column
+  * convention is `binary` payload + typed metadata, so image/audio/video
+  * travel through shuffles/scans as plain columns with no codec coupling. */
+case class MediaRecord(
+    doc_id: Long,
+    kind: String, // "image" | "audio" | "video" (derived deterministically here)
+    payload: Array[Byte],
+    n_bytes: Long)
+
+/** Decoded-feature record produced by the (stubbed) decoder. */
+case class MediaFeatures(
+    doc_id: Long,
+    kind: String,
+    width: Int,
+    height: Int,
+    n_frames: Int,
+    feature: Array[Float])
+
+/** Multimodal column plumbing: binary payloads with typed metadata, a
+  * batched decode/feature-extract stage, and frame sampling.
+  *
+  * The decode step itself is a STUB — this container has no image/audio
+  * codecs — but everything Spark-cares-about is real: the schema
+  * (BinaryType + metadata), the partition-parallel `mapPartitions` decode
+  * (the Scala analogue of a `mapInPandas` batch UDF: one iterator per
+  * partition, amortizing per-batch decoder setup), and the explode-based
+  * frame sampling. Swapping `decodeStub` for a real codec changes no plan
+  * shape.
+  *
+  * Scale notes: payloads are opaque bytes, so Parquet stores them
+  * untouched; decode is embarrassingly parallel per partition with no
+  * shuffle; `spark.sql.files.maxPartitionBytes` bounds decoder memory.
+  */
+object Multimodal {
+
+  /** Manufacture a media table from the documents corpus: the text bytes
+    * stand in for an encoded payload (deterministic fake). kind cycles by
+    * doc_id so all three modalities appear. */
+  def mediaFromDocs(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("payload"),
+      octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+
+  /** STUB decoder: derives deterministic pseudo-features from the payload
+    * bytes in place of a real codec. Batched per partition — the decoder
+    * "session" (here: nothing) is set up once per partition, exactly where
+    * a real libjpeg/ffmpeg handle would live. */
+  def decodeStub(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition decoder init would go here (??? in a real codec build)
+      it.map { m =>
+        val b0 = if (m.payload.nonEmpty) m.payload(0) & 0xff else 0
+        val b1 = if (m.payload.length > 1) m.payload(1) & 0xff else 0
+        val feature = Array.tabulate(8)(i =>
+          ((m.payload.length * (i + 1) + b0 * 31 + b1 * 7) % 1000) / 1000.0f)
+        MediaFeatures(
+          doc_id = m.doc_id,
+          kind = m.kind,
+          width = 16 + b0 % 64,
+          height = 16 + b1 % 64,
+          n_frames = if (m.kind == "video") 1 + (m.payload.length % 30) else 1,
+          feature = feature)
+      }
+    }
+  }
+
+  /** Deterministic frame sampling: every `stride`-th frame index of each
+    * video, exploded to one row per sampled frame. */
+  def sampleFrames(features: Dataset[MediaFeatures], stride: Int): DataFrame = {
+    val df = features.toDF()
+    df.select(col("doc_id"), col("kind"), col("n_frames"),
+      explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+  }
+
+  def mediaDataset(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    mediaFromDocs(docs).as[MediaRecord]
+  }
+}

@@ -1,0 +1,289 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Similarity}
+import graft.multimodal.Multimodal
+
+/** North-star extensions (BASELINE.json): dedup family, similarity search,
+  * text analysis, multimodal columns — each exposed as an oracle-checked
+  * query over `documents` / `embeddings` (except m02, whose mapPartitions
+  * decode stub is checked rows-only + by spec).
+  *
+  * The DuckDB oracles reproduce the md5-derived hashes exactly
+  * (`hash60` ≡ `('0x'||substr(md5(x),1,15))::BIGINT`) and all floats are
+  * either exact integers (permille/cents) or micro-rounded doubles computed
+  * with the identical left-to-right fold.
+  */
+object NorthStarQueries {
+
+  // ---- shared DuckDB SQL fragments ----
+
+  /** tokens: whitespace split, empties dropped (≡ TextFunctions.tokens). */
+  private val WsSql = "list_filter(string_split(text, ' '), t -> len(t) > 0)"
+
+  /** hash60 of a SQL string expression. */
+  private def h60(e: String): String =
+    s"('0x'||substr(md5($e),1,15))::BIGINT"
+
+  /** distinct word-3-gram shingles of token list `w`. */
+  private val Shingles3Sql =
+    "list_distinct(list_transform(range(greatest(len(w)-2, 0)), i -> w[i+1]||' '||w[i+2]||' '||w[i+3]))"
+
+  /** cosine(a, b) over equal-length float lists, element-cast to double,
+    * summed in list order (≡ Similarity.cosine). */
+  private def cosSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(range(len($a)), i -> $x[i+1]::DOUBLE * $y[i+1]::DOUBLE))"
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+
+  private def cosE6Sql(a: String, b: String): String =
+    s"CAST(ROUND(1e6 * ${cosSql(a, b)}) AS BIGINT)"
+
+  /** 32-bit simhash of token-hash list `th` (≡ TextFunctions.simhash32). */
+  private val SimhashSql: String = (0 until 32).map { j =>
+    s"CASE WHEN list_sum(list_transform(th, h -> ((h >> $j) & 1)*2 - 1)) > 0 THEN ${1L << j} ELSE 0 END"
+  }.mkString("(", " + ", ")")
+
+  // ---- queries ----
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_exact_dedup" -> ((s, d) => {
+      // Exact dedup over a corpus with manufactured exact copies.
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val doubled = docs.union(docs.select(col("doc_id") + 1000000, col("text")))
+      Dedup.exactDedup(doubled).orderBy(col("keep_id"))
+    }),
+    "d02_minhash_lsh" -> ((s, d) => {
+      Dedup.minhashLshPairs(Tables.documents(s, d))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+    "d03_simhash" -> ((s, d) => {
+      Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+    "d04_ngram_jaccard" -> ((s, d) => {
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), minPermille = 500)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+    "d05_embedding_neardup" -> ((s, d) => {
+      Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), minCosE6 = 400000L)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "s01_knn_brute" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 20), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "s02_knn_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 20), k = 5, nCells = 16, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "t01_token_count" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+    "t02_lang_id" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang").as("declared_lang"),
+        langId(col("text")).as("predicted_lang"))
+        .orderBy(col("doc_id"))
+    }),
+    "t03_quality_score" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        stopPermille(col("text")).as("stop_permille"),
+        alphaPermille(col("text")).as("alpha_permille"),
+        avgTokenLenPermille(col("text")).as("avg_token_len_permille"),
+        qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+    "t04_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"), fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+    "m01_media_meta" -> ((s, d) => {
+      Multimodal.mediaFromDocs(Tables.documents(s, d))
+        .select(col("doc_id"), col("kind"), col("n_bytes"),
+          md5(col("payload")).as("digest"))
+        .orderBy(col("doc_id"))
+    }),
+    "m02_media_features" -> ((s, d) => {
+      // mapPartitions decode stub — not SQL-expressible; rows-only check
+      // here, exactness covered by MultimodalSpec.
+      Multimodal.decodeStub(Multimodal.mediaDataset(s, Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("kind"), col("width"), col("height"),
+          col("n_frames"), size(col("feature")).as("feature_dim"))
+        .orderBy(col("doc_id"))
+    }),
+    "m03_frame_sample" -> ((s, d) => {
+      val feats = Multimodal.decodeStub(Multimodal.mediaDataset(s, Tables.documents(s, d)))
+      Multimodal.sampleFrames(feats, stride = 5)
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+  )
+
+  // ---- oracles ----
+
+  val oracleSql: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM (SELECT doc_id, text FROM documents
+        |      UNION ALL SELECT doc_id + 1000000, text FROM documents)
+        |GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "d02_minhash_lsh" ->
+      s"""WITH ws AS (SELECT doc_id, $WsSql AS w FROM documents),
+         |sh AS (SELECT doc_id, $Shingles3Sql AS s FROM ws),
+         |ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+         |mh AS (SELECT doc_id, i, MIN(${h60("CAST(i AS VARCHAR)||':'||sh")}) AS mh
+         |       FROM ex, range(12) t(i) GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, i // 3 AS band,
+         |                 md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bh
+         |          FROM mh GROUP BY doc_id, i // 3),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+         |inter AS (SELECT ea.doc_id AS doc_a, eb.doc_id AS doc_b, COUNT(*) AS inter_cnt
+         |          FROM ex ea JOIN ex eb ON ea.sh = eb.sh AND ea.doc_id < eb.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT c.doc_a, c.doc_b, i.inter_cnt,
+         |       sa.n + sb.n - i.inter_cnt AS union_cnt,
+         |       (1000 * i.inter_cnt) // (sa.n + sb.n - i.inter_cnt) AS jac_permille
+         |FROM cand c
+         |JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |JOIN sz sa ON sa.doc_id = c.doc_a
+         |JOIN sz sb ON sb.doc_id = c.doc_b
+         |WHERE 1000 * i.inter_cnt >= 800 * (sa.n + sb.n - i.inter_cnt)
+         |ORDER BY c.doc_a, c.doc_b""".stripMargin,
+    "d03_simhash" ->
+      s"""WITH ws AS (SELECT doc_id, $WsSql AS w FROM documents),
+         |th AS (SELECT doc_id, list_transform(w, t -> ${h60("t")}) AS th FROM ws),
+         |sims AS (SELECT doc_id, $SimhashSql AS sim FROM th)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sim AS sim_a, b.sim AS sim_b,
+         |       CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+         |FROM sims a JOIN sims b
+         |  ON a.doc_id < b.doc_id AND bit_count(xor(a.sim, b.sim)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d04_ngram_jaccard" ->
+      s"""WITH ws AS (SELECT doc_id, $WsSql AS w FROM documents),
+         |sh AS (SELECT doc_id, $Shingles3Sql AS s FROM ws),
+         |ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+         |inter AS (SELECT ea.doc_id AS doc_a, eb.doc_id AS doc_b, COUNT(*) AS inter_cnt
+         |          FROM ex ea JOIN ex eb ON ea.sh = eb.sh AND ea.doc_id < eb.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT i.doc_a, i.doc_b, i.inter_cnt,
+         |       sa.n + sb.n - i.inter_cnt AS union_cnt,
+         |       (1000 * i.inter_cnt) // (sa.n + sb.n - i.inter_cnt) AS jac_permille
+         |FROM inter i
+         |JOIN sz sa ON sa.doc_id = i.doc_a
+         |JOIN sz sb ON sb.doc_id = i.doc_b
+         |WHERE 1000 * i.inter_cnt >= 500 * (sa.n + sb.n - i.inter_cnt)
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d05_embedding_neardup" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       ${cosE6Sql("a.embedding", "b.embedding")} AS cos_e6
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${cosE6Sql("a.embedding", "b.embedding")} >= 400000
+         |ORDER BY id_a, id_b""".stripMargin,
+    "s01_knn_brute" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+         |scored AS (SELECT query_id, neighbor_id, ${cosE6Sql("qv", "nv")} AS cos_e6
+         |           FROM q, c WHERE query_id <> neighbor_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY cos_e6 DESC, neighbor_id) AS rank FROM scored)
+         |SELECT query_id, rank, neighbor_id, cos_e6 FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+    "s02_knn_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         |asg AS (SELECT vec_id, v, cid AS cell FROM (
+         |          SELECT e.vec_id, e.v, cent.cid,
+         |                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |                   ORDER BY ${cosSql("e.v", "cent.cv")} DESC, cent.cid) AS rn
+         |          FROM e, cent) WHERE rn = 1),
+         |probes AS (SELECT query_id, qv, cell FROM (
+         |          SELECT q.vec_id AS query_id, q.v AS qv, cent.cid AS cell,
+         |                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |                   ORDER BY ${cosSql("q.v", "cent.cv")} DESC, cent.cid) AS rn
+         |          FROM e q, cent WHERE q.vec_id < 20) WHERE rn <= 2),
+         |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+         |                  ${cosE6Sql("p.qv", "a.v")} AS cos_e6
+         |           FROM probes p JOIN asg a ON p.cell = a.cell AND p.query_id <> a.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY cos_e6 DESC, neighbor_id) AS rank FROM scored)
+         |SELECT query_id, rank, neighbor_id, cos_e6 FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+    "t01_token_count" ->
+      s"""SELECT doc_id,
+         |       CAST(len($WsSql) AS BIGINT) AS n_tokens,
+         |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t02_lang_id" -> {
+      val profs = TextFunctions.langProfiles.map { case (lang, words) =>
+        lang -> s"len(list_filter(w, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t)))"
+      }
+      s"""WITH ws AS (SELECT doc_id, lang, $WsSql AS w FROM documents),
+         |sc AS (SELECT doc_id, lang, ${profs.map { case (l, e) => s"$e AS s_$l" }.mkString(", ")} FROM ws)
+         |SELECT doc_id, lang AS declared_lang,
+         |       CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+         |            WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+         |            WHEN s_fr > 0 THEN 'fr'
+         |            ELSE 'unknown' END AS predicted_lang
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+    "t03_quality_score" -> {
+      val allStops = TextFunctions.langProfiles.flatMap(_._2).distinct
+        .map(w => s"'$w'").mkString(",")
+      s"""WITH ws AS (SELECT doc_id, $WsSql AS w FROM documents),
+         |m AS (SELECT doc_id,
+         |        CAST(len(w) AS BIGINT) AS n_tokens,
+         |        (1000 * len(list_filter(w, t -> list_contains([$allStops], t))))
+         |          // greatest(len(w), 1) AS stop_permille,
+         |        (1000 * len(list_filter(w, t -> regexp_matches(t, '^[a-z]+$$'))))
+         |          // greatest(len(w), 1) AS alpha_permille,
+         |        (1000 * list_sum(list_transform(w, t -> len(t))))
+         |          // greatest(len(w), 1) AS avg_token_len_permille
+         |      FROM ws)
+         |SELECT doc_id, n_tokens, stop_permille, alpha_permille, avg_token_len_permille,
+         |       (CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 500 ELSE 0 END
+         |        + stop_permille // 2 + alpha_permille // 4) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+    "t04_fingerprint" ->
+      s"""WITH ws AS (SELECT doc_id, $WsSql AS w FROM documents)
+         |SELECT doc_id,
+         |       COALESCE(list_sum(list_transform(range(len(w)), i ->
+         |         ((${h60("w[i+1]")} % ${TextFunctions.FpMod}) * ((i % 31) + 1)))), 0)
+         |         % ${TextFunctions.FpMod} AS fp
+         |FROM ws ORDER BY doc_id""".stripMargin,
+    "m01_media_meta" ->
+      """SELECT doc_id,
+        |       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m03_frame_sample" ->
+      """WITH m AS (SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    octet_length(encode(text)) AS nb FROM documents),
+        |f AS (SELECT doc_id, kind,
+        |    CASE WHEN kind = 'video' THEN 1 + nb % 30 ELSE 1 END AS n_frames FROM m)
+        |SELECT doc_id, kind, CAST(n_frames AS INT) AS n_frames,
+        |       CAST(unnest(range(0, n_frames, 5)) AS INT) AS frame_idx
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+  )
+}

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Similarity}
+import graft.multimodal.{MediaRecord, Multimodal}
+
+class NorthStarSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("exactDedup groups identical texts and keeps the min doc_id") {
+    val d = docs((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+    val got = Dedup.exactDedup(d).select("keep_id", "n_copies")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH finds near-identical docs and skips unrelated ones") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val nearDup = base + " extra"
+    val other = (1 to 30).map(i => s"other$i").mkString(" ")
+    val pairs = Dedup.minhashLshPairs(docs((1L, base), (2L, nearDup), (3L, other)))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("simhash: identical docs collide at hamming 0; disjoint docs don't pair") {
+    val t = "spark window batch stream table join"
+    val o = "zzz yyy xxx www vvv uuu"
+    val got = Dedup.simhashPairs(docs((1L, t), (2L, t), (3L, o)))
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("hamming")))
+    assert(got.toSeq === Seq((1L, 2L, 0L)))
+  }
+
+  test("ngram jaccard computes exact intersection/union counts") {
+    // shingles(1): {a b c, b c d, c d e}; shingles(2): {a b c, b c d, c d x}
+    // inter=2 union=4 → 500 permille
+    val got = Dedup.ngramJaccardPairs(
+      docs((1L, "a b c d e"), (2L, "a b c d x")), minPermille = 500).collect()(0)
+    assert(got.getAs[Long]("inter_cnt") === 2L)
+    assert(got.getAs[Long]("union_cnt") === 4L)
+    assert(got.getAs[Long]("jac_permille") === 500L)
+  }
+
+  private def vecs(rows: (Long, Seq[Float])*) =
+    rows.map { case (id, v) => (id, v.toArray) }.toDF("vec_id", "embedding")
+
+  test("bruteForceKnn ranks by exact cosine") {
+    val e = vecs(
+      (0L, Seq(1f, 0f)), (1L, Seq(1f, 0.1f)), (2L, Seq(0.5f, 0.5f)), (3L, Seq(0f, 1f)))
+    val got = Similarity.bruteForceKnn(e, e.filter($"vec_id" === 0), k = 3)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(got === Seq(1L, 2L, 3L))
+  }
+
+  test("ivfKnn returns exact top-k when every cell is probed") {
+    val e = vecs(
+      (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(-1f, 0f)), (3L, Seq(-0.9f, -0.2f)),
+      (4L, Seq(0.95f, 0.05f)))
+    val brute = Similarity.bruteForceKnn(e, e.filter($"vec_id" === 4), k = 2)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    val ivf = Similarity.ivfKnn(e, e.filter($"vec_id" === 4), k = 2, nCells = 2, nprobe = 2)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(ivf === brute)
+  }
+
+  test("cosine matches a hand-computed value in micro-units") {
+    val e = vecs((0L, Seq(3f, 4f)), (1L, Seq(4f, 3f)))
+    val got = Similarity.embeddingNearDupPairs(e, minCosE6 = 0L).collect()(0)
+    assert(got.getAs[Long]("cos_e6") === 960000L) // cos = 24/25
+  }
+
+  test("text functions: tokens, bpe count, langId, fingerprint determinism") {
+    val d = Seq(
+      (1L, "the quick fox is in the barn"),
+      (2L, "el que la de y en los dias"),
+      (3L, "xq zz"),
+      (4L, "a1b2 c!")
+    ).toDF("doc_id", "text")
+    val got = d.select(
+      col("doc_id"),
+      tokenCount(col("text")).as("nt"),
+      bpeTokenCount(col("text")).as("bpe"),
+      langId(col("text")).as("lang"),
+      fingerprint(col("text")).as("fp")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3), r.getLong(4))).toList
+    assert(got.map(_._2) === List(7, 8, 2, 2))
+    // "a1b2 c!" → a,1,b,2,c,! = 6 BPE-ish pieces
+    assert(got.find(_._1 == 4L).get._3 === 6)
+    assert(got.map(_._4) === List("en", "es", "unknown", "unknown"))
+    val again = d.select(fingerprint(col("text"))).collect().map(_.getLong(0)).toList
+    assert(got.map(_._5) === again)
+    assert(got.map(_._5).distinct.size === 4)
+  }
+
+  test("quality score favors stopword-bearing prose in the token band") {
+    val good = "the cat and the dog ran to the park in the sun and back again"
+    val bad = "zz"
+    val q = Seq((1L, good), (2L, bad)).toDF("doc_id", "text")
+      .select(col("doc_id"), qualityScore(col("text")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(q(1L) > q(2L))
+    assert(q(1L) >= 500L)
+  }
+
+  test("multimodal: stub decode is deterministic and batch-shaped; frame sampling strides") {
+    val media = Seq(
+      MediaRecord(2L, "video", "hello world payload".getBytes("UTF-8"), 19L),
+      MediaRecord(1L, "image", "img".getBytes("UTF-8"), 3L)).toDS()
+    val f1 = Multimodal.decodeStub(media).collect().sortBy(_.doc_id)
+    val f2 = Multimodal.decodeStub(media).collect().sortBy(_.doc_id)
+    assert(f1.map(_.feature.toSeq).toSeq === f2.map(_.feature.toSeq).toSeq)
+    assert(f1.forall(_.feature.length === 8))
+    val video = f1.find(_.kind == "video").get
+    assert(video.n_frames === 1 + 19 % 30)
+    val frames = Multimodal.sampleFrames(Multimodal.decodeStub(media), stride = 5)
+      .filter(col("kind") === "video").select("frame_idx")
+      .collect().map(_.getInt(0)).toSeq.sorted
+    assert(frames === (0 until video.n_frames by 5).toSeq)
+  }
+
+  test("media table keeps payload bytes intact through the binary column") {
+    val docs = Seq((7L, "payload-text-αβ")).toDF("doc_id", "text")
+    val row = Multimodal.mediaFromDocs(docs).collect()(0)
+    assert(new String(row.getAs[Array[Byte]]("payload"), "UTF-8") === "payload-text-αβ")
+    assert(row.getAs[Long]("n_bytes") === "payload-text-αβ".getBytes("UTF-8").length.toLong)
+  }
+}
