@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -10,11 +11,15 @@ import graft.functions.TextFunctions._
   *
   * Scale design (the point of these shapes at 100 TB):
   *   - No operator ever materializes the O(n²) pair space. Candidates come
-  *     from equi-joins on hash buckets (LSH bands, simhash bands, shared
-  *     shingles) — Catalyst plans them as shuffle hash joins keyed on the
-  *     bucket, so cost tracks the number of *colliding* pairs, not n².
-  *   - Everything is expression-only (no UDFs): shingling/minhashing run
-  *     inside WholeStageCodegen on the scan side of the shuffle.
+  *     from equi-joins on hash buckets (LSH bands, simhash chunks) or from
+  *     prefix-filtered rare shingles (AllPairs/PPJoin-style), so cost
+  *     tracks *colliding* pairs, not n².
+  *   - Signatures are computed with map-side-combinable aggregates
+  *     (`min`/`sum` per group), never per-row interpreted lambdas — the
+  *     hashing stays inside WholeStageCodegen and the shuffle carries one
+  *     signature row per doc.
+  *   - Exact verification runs only on candidate pairs, via
+  *     `array_intersect` on the per-doc shingle sets.
   *   - Hashes are md5-derived (`hash60`) — deterministic across engines and
   *     runs, so results are reproducible and oracle-checkable.
   */
@@ -26,50 +31,39 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct word-3-gram shingles per doc, exploded: (doc_id, sh). */
+  /** Distinct word-n-gram shingles per doc, exploded: (doc_id, sh). */
   private def explodedShingles(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"), explode(wordShingles(col("text"), n)).as("sh"))
 
-  /** Exact pairwise intersection counts via inverted-index self-join: only
-    * pairs sharing ≥1 shingle ever exist. This is also the MinHash verify
-    * step — candidates are a subset of these pairs by construction. */
-  private def pairIntersections(ex: DataFrame): DataFrame = {
-    val a = ex.as("a")
-    val b = ex.as("b")
-    a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter_cnt"))
-  }
+  /** Per-doc distinct shingle arrays (the verify-side representation). */
+  private def shingleSets(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), wordShingles(col("text"), n).as("s"))
 
-  private def shingleSizes(ex: DataFrame): DataFrame =
-    ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-
-  /** Attach union size + integer jaccard-permille and filter by threshold.
-    * The filter compares `1000*inter >= permille*union` in exact integer
-    * math — no float boundary can flip membership. */
-  private def jaccardFilter(pairs: DataFrame, ex: DataFrame, minPermille: Int): DataFrame = {
-    val sz = shingleSizes(ex)
-    pairs
-      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .withColumn("union_cnt", col("sa.n_sh") + col("sb.n_sh") - col("inter_cnt"))
+  /** Exact-verify candidate pairs against a Jaccard threshold: intersect the
+    * two shingle sets (both distinct), compare in exact integer math —
+    * `1000*inter >= permille*union` — no float boundary can flip
+    * membership. Runs only on candidates, so the intersect cost is
+    * |candidates|·|avg set|, not pairwise. */
+  private def verifyJaccard(cand: DataFrame, sets: DataFrame, minPermille: Int): DataFrame =
+    cand
+      .join(sets.as("xa"), col("doc_a") === col("xa.doc_id"))
+      .join(sets.as("xb"), col("doc_b") === col("xb.doc_id"))
+      .withColumn("inter_cnt", size(array_intersect(col("xa.s"), col("xb.s"))).cast("long"))
+      .withColumn("union_cnt",
+        size(col("xa.s")).cast("long") + size(col("xb.s")).cast("long") - col("inter_cnt"))
       .filter(lit(1000) * col("inter_cnt") >= lit(minPermille) * col("union_cnt"))
       .select(col("doc_a"), col("doc_b"), col("inter_cnt"), col("union_cnt"),
         floor(lit(1000) * col("inter_cnt") / col("union_cnt")).cast("long").as("jac_permille"))
-  }
 
   /** MinHash + LSH banding near-dup pairs.
     *
-    * numHashes minhash values (min over shingles of hash60(i++":"++sh)),
-    * grouped into bands of `rowsPerBand`; docs colliding on any full band
-    * become candidates; candidates are then *exactly* verified against the
-    * jaccard threshold. With 12 hashes / 4 bands of 3 the capture
-    * probability at j=0.8 is 1-(1-0.8³)⁴ ≈ 0.94.
-    *
-    * At scale the only shuffles are: shingle explode → groupBy(doc,i) for
-    * signatures (combiner-friendly min), band groupBy, band-bucket join,
-    * and the shared-shingle verify join — all keyed equi-joins, never a
-    * cross product.
+    * The signature is one `groupBy(doc_id)` with `numHashes` min-aggregates
+    * (mh_i = min over shingles of hash60(i:shingle)) — codegen'd, partial
+    * aggregation on the map side, one shuffle, no hash-index explode. Bands
+    * hash `rowsPerBand` adjacent signature columns; docs colliding on any
+    * band become candidates (equi-join on (band, hash)); candidates are then
+    * exactly verified against the Jaccard threshold. With 12 hashes /
+    * 4 bands of 3 the capture probability at j=0.8 is 1-(1-0.8³)⁴ ≈ 0.94.
     */
   def minhashLshPairs(
       docs: DataFrame,
@@ -77,42 +71,54 @@ object Dedup {
       numHashes: Int = 12,
       rowsPerBand: Int = 3,
       minJaccardPermille: Int = 800): DataFrame = {
-    val ex = explodedShingles(docs, shingleN)
-    val mh = ex
-      .crossJoin(spark_range_df(ex, numHashes))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min(hash60(concat(col("i").cast("string"), lit(":"), col("sh")))).as("mh"))
-    val bands = mh
-      .groupBy(col("doc_id"), (col("i") / rowsPerBand).cast("long").as("band"))
-      .agg(md5(array_join(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-        s => s.getField("mh").cast("string")), ",")).as("bh"))
+    require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
+    val numBands = numHashes / rowsPerBand
+    val mhCols = (0 until numHashes).map(i =>
+      min(hash60(concat(lit(i.toString), lit(":"), col("sh")))).as(s"mh$i"))
+    val sig = explodedShingles(docs, shingleN)
+      .groupBy(col("doc_id"))
+      .agg(mhCols.head, mhCols.tail: _*)
+    val bandStructs = (0 until numBands).map { b =>
+      val rows = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i").cast("string"))
+      struct(lit(b.toLong).as("band"), md5(concat_ws(",", rows: _*)).as("bh"))
+    }
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val verified = pairIntersections(ex)
-      .join(cand, Seq("doc_a", "doc_b"), "left_semi")
-    jaccardFilter(verified, ex, minJaccardPermille)
+    verifyJaccard(cand, shingleSets(docs, shingleN), minJaccardPermille)
   }
-
-  // A 0..n-1 integer DataFrame sharing docs' session (for the hash-index
-  // cross join — n rows, broadcast, negligible).
-  private def spark_range_df(ref: DataFrame, n: Int): DataFrame =
-    ref.sparkSession.range(0, n).toDF("i")
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
     *
-    * Banded exactly: the 32-bit simhash splits into `maxHamming + 1` chunks;
-    * by pigeonhole any pair within the distance budget collides on ≥1 whole
-    * chunk, so the chunk-equality join loses nothing while replacing the
-    * O(n²) comparison with an equi-join on (chunk_idx, chunk_value).
+    * The 32-bit simhash is aggregated, not computed per row: tokens explode
+    * once, then one groupBy(doc_id) with 32 codegen'd ±1-vote sums — same
+    * value as TextFunctions.simhash32 (votes are commutative integers) at a
+    * fraction of the cost, and the shuffle carries 32 longs per doc.
+    *
+    * Banded exactly: the simhash splits into `maxHamming + 1` chunks; by
+    * pigeonhole any pair within the distance budget collides on ≥1 whole
+    * chunk, so the chunk equi-join loses nothing vs the O(n²) scan.
+    * Docs with zero tokens have no simhash and are excluded.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val nChunks = maxHamming + 1
     val bitsPerChunk = 32 / nChunks
-    val sh = docs.select(col("doc_id"), simhash32(col("text")).as("sim"))
+    val voteCols = (0 until 32).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$j"))
+    val sh = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .withColumn("h", hash60(col("t")))
+      .groupBy(col("doc_id"))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sim"))
     val chunks = sh.select(col("doc_id"), col("sim"),
       explode(array((0 until nChunks).map { k =>
         struct(lit(k).as("k"),
@@ -132,11 +138,46 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"), col("hamming"))
   }
 
-  /** Exact n-gram Jaccard similarity join via inverted index: pairs sharing
-    * ≥1 shingle, filtered to jaccard ≥ threshold. The candidate space is
-    * bounded by shingle co-occurrence, not n². */
+  /** Exact n-gram Jaccard similarity join with AllPairs/PPJoin-style prefix
+    * filtering (Bayardo et al., WWW'07; Xiao et al., PPJoin).
+    *
+    * Shingles get a global rarity order (document frequency asc, shingle
+    * asc). A doc with |S| shingles keeps its `|S| - ceil(τ|S|) + 1` rarest
+    * as its prefix; any pair with jaccard ≥ τ must collide on a prefix
+    * shingle of both sides (pigeonhole), so the candidate join runs only
+    * over prefixes — exactly excluding the high-df shingles that make a
+    * naive inverted-index join quadratic. Candidates are then verified
+    * exactly. Same output as the naive join, asserted by spec.
+    */
   def ngramJaccardPairs(docs: DataFrame, shingleN: Int = 3, minPermille: Int = 500): DataFrame = {
     val ex = explodedShingles(docs, shingleN)
-    jaccardFilter(pairIntersections(ex), ex, minPermille)
+    val dfreq = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // prefix length L = n_sh - ceil(p*n_sh/1000) + 1, exact integer ceil
+    val prefix = ex.join(dfreq, "sh")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+      .join(sizes, "doc_id")
+      .filter(col("pos") <=
+        col("n_sh") - floor((col("n_sh") * minPermille + 999) / 1000).cast("long") + 1)
+      .select(col("doc_id"), col("sh"))
+    val cand = prefix.as("x")
+      .join(prefix.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, shingleSets(docs, shingleN), minPermille)
+  }
+
+  /** The naive inverted-index jaccard join (reference implementation used by
+    * the prefix-filter equivalence spec; also fine when the corpus has no
+    * hot shingles). */
+  def ngramJaccardPairsNaive(docs: DataFrame, shingleN: Int = 3, minPermille: Int = 500): DataFrame = {
+    val ex = explodedShingles(docs, shingleN)
+    val cand = ex.as("a")
+      .join(ex.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, shingleSets(docs, shingleN), minPermille)
   }
 }

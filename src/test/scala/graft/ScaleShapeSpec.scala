@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+import graft.expressions.VectorExpressions
+
+/** Equivalence tests for the scale-optimized operator shapes: each fast
+  * path must produce byte-identical results to its naive reference form,
+  * on the real sf0.001 corpus where available. */
+class ScaleShapeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("prefix-filtered jaccard join ≡ naive inverted-index join on real docs") {
+    val docs = Tables.documents(spark, sf)
+    val fast = Dedup.ngramJaccardPairs(docs, minPermille = 500)
+      .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
+    val naive = Dedup.ngramJaccardPairsNaive(docs, minPermille = 500)
+      .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
+    assert(fast.nonEmpty)
+    assert(fast === naive)
+  }
+
+  test("codegen'd dotFF ≡ interpreted HOF dot on real embeddings") {
+    val emb = Tables.embeddings(spark, sf).limit(50)
+    val hof = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val pairs = emb.select($"vec_id".as("ia"), $"embedding".as("a"))
+      .crossJoin(emb.select($"vec_id".as("ib"), $"embedding".as("b")))
+    val diffs = pairs
+      .select(VectorExpressions.dotFF($"a", $"b").as("fast"), hof.as("slow"))
+      .filter($"fast" =!= $"slow") // bit-identical, not just close
+      .count()
+    assert(diffs === 0L)
+  }
+
+  test("aggregated simhash ≡ per-row expression simhash") {
+    val docs = Tables.documents(spark, sf).limit(100)
+    val perRow = docs.select($"doc_id",
+      graft.functions.TextFunctions.simhash32($"text").as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // recover the aggregated form's per-doc simhash through simhashPairs'
+    // internal path by pairing each doc with an exact copy (hamming 0 rows
+    // expose sim_a for every doc that has a pair)
+    val doubled = docs.select($"doc_id", $"text")
+      .union(docs.select($"doc_id" + 1000000, $"text"))
+    val agg = Dedup.simhashPairs(doubled, maxHamming = 0)
+      .filter($"doc_b" === $"doc_a" + 1000000)
+      .select($"doc_a", $"sim_a")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(agg.keySet === perRow.keySet)
+    assert(agg.forall { case (k, v) => perRow(k) === v })
+  }
+}
