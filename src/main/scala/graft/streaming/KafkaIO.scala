@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.Row
+
+/** Kafka source/sink adapters — the engine's analogue of the reference's
+  * topic plumbing (`builder.stream(topic, Consumed.with(...))`,
+  * CallsAggregationApp.java:51; `.to(topic, Produced.with(...))`,
+  * CallsAggregationApp.java:85).
+  *
+  * Format/options are the stock `spark-sql-kafka` data source strings, so
+  * this compiles against core Spark and runs wherever the Kafka connector
+  * jar is on the cluster classpath (it is not in this test container —
+  * covered by option-shape unit tests + MemoryStream for the semantics).
+  *
+  * Serde: the reference uses Avro + Schema Registry (SURVEY.md §2.1 S6).
+  * Registry interop is runtime plumbing, not query semantics (§7.6); here
+  * JSON is the tested wire codec (`payloadToColumns`/`columnsToPayload`),
+  * and `stripConfluentHeader` handles the registry's 5-byte
+  * magic/schema-id prefix so an Avro decoder (`from_avro`, available via
+  * the spark-avro module on a real cluster) can be dropped in.
+  */
+object KafkaIO {
+
+  /** Append-only stream from a topic (reference S1/S2). */
+  def source(
+      spark: SparkSession,
+      bootstrapServers: String,
+      topic: String,
+      startingOffsets: String = "earliest"): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+
+  /** Batch (bounded replay) read of a topic — earliest-to-latest, the
+    * reference's AUTO_OFFSET_RESET=earliest full-history replay. */
+  def batchSource(spark: SparkSession, bootstrapServers: String, topic: String): DataFrame =
+    spark.read
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .option("endingOffsets", "latest")
+      .load()
+
+  /** Kafka sink (reference S4): expects `key`/`value` columns; everything
+    * else is dropped by the connector. */
+  def sink(
+      df: DataFrame,
+      bootstrapServers: String,
+      topic: String,
+      checkpointDir: String): DataStreamWriter[Row] =
+    df.writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpointDir)
+
+  /** Confluent wire format: 1 magic byte + 4-byte schema id before the Avro
+    * body (SURVEY.md §7.5). Returns the bare payload for a decoder. */
+  def stripConfluentHeader(value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    substring(value, 6, Int.MaxValue)
+
+  /** Decode a JSON `value` payload into typed columns next to the key —
+    * the container-testable serde path (Avro's `from_avro` slot-in is the
+    * same shape: value → struct → star-expand). */
+  def payloadToColumns(df: DataFrame, schema: StructType): DataFrame =
+    df.select(
+      col("key").cast("string").as("key"),
+      from_json(col("value").cast("string"), schema).as("v"))
+      .select(col("key"), col("v.*"))
+
+  /** Encode columns into a JSON `value` + string `key` for the sink. */
+  def columnsToPayload(df: DataFrame, keyCol: String): DataFrame =
+    df.select(
+      col(keyCol).cast("string").as("key"),
+      to_json(struct(df.columns.map(col): _*)).as("value"))
+}

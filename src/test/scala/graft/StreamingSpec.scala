@@ -1,0 +1,164 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.{CallsStreamPipeline, KafkaIO, StreamingOps}
+import org.apache.spark.sql.types._
+
+case class CallEvent(ts: Timestamp, user_id: Long, value: Long)
+case class CustUpsert(phone: Long, doc: String, offset: Long)
+
+/** Streaming semantics mirrored from the reference's TopologyTestDriver
+  * tests (CallsEnrichedAppTest.java) on MemoryStream micro-batches:
+  * update-mode changelog emission, watermark late-data policy, KTable
+  * latest-per-key state, stream-static enrichment.
+  */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(hhmm: String): Timestamp =
+    Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+  private def runUpdate(df: DataFrame, name: String)(feed: => Unit): DataFrame = {
+    val q = df.writeStream
+      .format("memory").queryName(name).outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory(s"ck-$name").toString)
+      .start()
+    try { feed; q.processAllAvailable() } finally q.stop()
+    spark.table(name)
+  }
+
+  test("update mode emits a changelog row per touched (key, window) per batch") {
+    val in = MemoryStream[CallEvent](spark)
+    val agg = CallsStreamPipeline.aggregate(in.toDF())
+    val q = agg.writeStream
+      .format("memory").queryName("agg_updates").outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("ck-agg").toString)
+      .start()
+    try {
+      // fixture stream: 5 calls, one caller, one hour — durations 3,2,3,2,2
+      // (count=5, max=3, total=12, avg=2: CallsEnrichedAppTest.java:115-122)
+      in.addData(CallEvent(ts("10:05"), 600000000L, 3), CallEvent(ts("10:10"), 600000000L, 2))
+      q.processAllAvailable()
+      in.addData(CallEvent(ts("10:20"), 600000000L, 3), CallEvent(ts("10:40"), 600000000L, 2),
+        CallEvent(ts("10:59"), 600000000L, 2))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("agg_updates")
+      .select("calls_count", "max_duracion_origen", "total_duracion_origen", "avg_duracion_origen")
+      .collect().map(_.toSeq)
+    // one update per micro-batch that touched the (key, window) — the
+    // KTable-changelog behavior (running aggregate), then the final value
+    assert(rows.length === 2)
+    assert(rows(0) === Seq(2L, 3L, 5L, 2L))
+    assert(rows(1) === Seq(5L, 3L, 12L, 2L))
+  }
+
+  test("append mode + watermark drops data later than the grace period") {
+    val in = MemoryStream[CallEvent](spark)
+    val agg = CallsStreamPipeline.aggregate(in.toDF(), watermark = "10 minutes")
+    val q = agg.writeStream
+      .format("memory").queryName("agg_append").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ck-append").toString)
+      .start()
+    try {
+      in.addData(CallEvent(ts("10:05"), 1L, 3), CallEvent(ts("10:30"), 1L, 2))
+      q.processAllAvailable()
+      // advance event time well past 11:00 + 10min → closes the 10:00 window
+      in.addData(CallEvent(ts("12:00"), 1L, 7))
+      q.processAllAvailable()
+      // too late: watermark is now 11:50, the 10:00–11:00 window is finalized
+      in.addData(CallEvent(ts("10:45"), 1L, 100))
+      q.processAllAvailable()
+      in.addData(CallEvent(ts("14:00"), 1L, 1))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val byWindow = spark.table("agg_append")
+      .select(col("window.start").cast("string"), col("calls_count"), col("total_duracion_origen"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // finalized 10:00 window has only the two on-time calls; the late
+    // duration=100 record was discarded, not merged or re-emitted
+    assert(byWindow("2024-01-01 10:00:00") === ((2L, 5L)))
+    assert(byWindow("2024-01-01 12:00:00") === ((1L, 7L)))
+  }
+
+  test("latestPerKey is a KTable: state keeps the newest row, emits on change") {
+    val in = MemoryStream[CustUpsert](spark)
+    val table = StreamingOps.latestPerKey[CustUpsert, Long](in.toDS(), _.phone, _.offset)
+    val q = table.writeStream
+      .format("memory").queryName("ktable").outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("ck-kt").toString)
+      .start()
+    try {
+      in.addData(CustUpsert(600L, "old-doc", 1), CustUpsert(700L, "other", 2))
+      q.processAllAvailable()
+      in.addData(CustUpsert(600L, "new-doc", 3)) // upsert key 600
+      q.processAllAvailable()
+      in.addData(CustUpsert(600L, "stale", 0)) // out-of-order older offset: ignored
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val emitted = spark.table("ktable").as[CustUpsert].collect()
+    assert(emitted.length === 3) // batch1: 600+700, batch2: 600 upsert, batch3: nothing
+    val latest = emitted.groupBy(_.phone).map { case (k, vs) => k -> vs.maxBy(_.offset).doc }
+    assert(latest === Map(600L -> "new-doc", 700L -> "other"))
+  }
+
+  test("stream-static enrichment left join null-defaults misses (golden fixture)") {
+    val customers = Seq(
+      (600000000L, "0000000R", "MOVISTAR", 1, 100.0)
+    ).toDF("phone", "doc", "operator", "flag", "days")
+
+    val in = MemoryStream[CallEvent](spark)
+    val out = CallsStreamPipeline.enriched(
+      CallsStreamPipeline.aggregate(in.toDF()),
+      customers, "phone", "doc", "operator", "flag", "days")
+
+    val result = runUpdate(out, "enriched_stream") {
+      in.addData(
+        CallEvent(ts("10:05"), 600000000L, 3), CallEvent(ts("10:10"), 600000000L, 2),
+        CallEvent(ts("10:20"), 600000000L, 3), CallEvent(ts("10:40"), 600000000L, 2),
+        CallEvent(ts("10:59"), 600000000L, 2),
+        CallEvent(ts("10:30"), 999999999L, 5)) // no such customer → defaults
+    }
+
+    val hit = result.filter($"id_telef_origen" === "600000000").collect().head
+    assert(hit.getAs[String]("window_start_ts") === "01/01/2024 10:00")
+    assert(hit.getAs[String]("window_end_ts") === "01/01/2024 11:00")
+    assert(hit.getAs[Long]("calls_count") === 5L)
+    assert(hit.getAs[Long]("max_duracion_origen") === 3L)
+    assert(hit.getAs[Long]("total_duracion_origen") === 12L)
+    assert(hit.getAs[Long]("avg_duracion_origen") === 2L)
+    assert(hit.getAs[String]("doc_cliente") === "0000000R")
+    assert(hit.getAs[String]("operador_actual") === "MOVISTAR")
+
+    val miss = result.filter($"id_telef_origen" === "999999999").collect().head
+    assert(miss.getAs[String]("doc_cliente") === "Unknown")
+    assert(miss.getAs[String]("operador_actual") === "Unknown")
+    assert(miss.getAs[Int]("cliente_orange") === 0)
+    assert(miss.getAs[Long]("days_excliente") === 0L)
+  }
+
+  test("kafka payload serde round-trips columns through key/value wire shape") {
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("value", LongType)))
+    val rows = Seq((1L, 10L), (2L, 20L)).toDF("user_id", "value")
+    val wire = KafkaIO.columnsToPayload(rows, "user_id")
+    assert(wire.columns.toSeq === Seq("key", "value"))
+    val back = KafkaIO.payloadToColumns(
+      wire.select($"key", $"value".cast("binary").as("value")), schema)
+      .orderBy("user_id").collect().map(_.toSeq)
+    assert(back === Seq(Seq("1", 1L, 10L), Seq("2", 2L, 20L)))
+
+    // Confluent wire format: 5-byte header strip recovers the body
+    val framed = Seq(Array[Byte](0, 0, 0, 0, 1) ++ "payload".getBytes("UTF-8")).toDF("value")
+    val stripped = framed.select(KafkaIO.stripConfluentHeader($"value").cast("string")).first.getString(0)
+    assert(stripped === "payload")
+  }
+}
