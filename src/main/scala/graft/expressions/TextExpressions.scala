@@ -1,0 +1,135 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnShim
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd text expressions: each wraps a TextKernels method so the work
+  * runs as one compiled call per row inside WholeStageCodegen, instead of a
+  * per-element interpreted lambda tree (transform/filter/aggregate HOFs are
+  * CodegenFallback in Spark — they were the bench's dominant cost).
+  *
+  * `nullSafeEval` delegates to the same kernel, so interpreted fallback and
+  * generated code cannot drift.
+  */
+private[expressions] trait KernelCall extends UnaryExpression {
+  /** Java source for the kernel call on input variable `c`. */
+  def kernelCall(ctx: CodegenContext, c: String): String
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = ${kernelCall(ctx, c)};")
+}
+
+private[expressions] trait StringInput extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects string, got $t")
+  }
+}
+
+private[expressions] trait StringArrayInput extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects array<string>, got $t")
+  }
+}
+
+/** Whitespace tokens, empties dropped. */
+case class TokensExpr(child: Expression) extends KernelCall with StringInput {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(s: Any): Any = TextKernels.tokens(s.asInstanceOf[UTF8String])
+  override def kernelCall(ctx: CodegenContext, c: String): String =
+    s"graft.expressions.TextKernels.tokens($c)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Distinct word n-gram shingles. */
+case class WordShinglesExpr(child: Expression, n: Int) extends KernelCall with StringInput {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(s: Any): Any = TextKernels.shingles(s.asInstanceOf[UTF8String], n)
+  override def kernelCall(ctx: CodegenContext, c: String): String =
+    s"graft.expressions.TextKernels.shingles($c, $n)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 60-bit md5-derived hash (≡ conv(substring(md5(x),1,15),16,10)::long). */
+case class Hash60Expr(child: Expression) extends KernelCall with StringInput {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(s: Any): Any = TextKernels.hash60(s.asInstanceOf[UTF8String])
+  override def kernelCall(ctx: CodegenContext, c: String): String =
+    s"graft.expressions.TextKernels.hash60($c)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Count of elements of a string array contained in a fixed word set. */
+case class CountInSetExpr(child: Expression, words: Seq[String])
+    extends KernelCall with StringArrayInput {
+  override def dataType: DataType = IntegerType
+
+  @transient private lazy val wordArr: Array[UTF8String] =
+    words.map(UTF8String.fromString).toArray
+
+  override def nullSafeEval(a: Any): Any =
+    TextKernels.countInSet(a.asInstanceOf[ArrayData], wordArr)
+
+  override def kernelCall(ctx: CodegenContext, c: String): String = {
+    val ref = ctx.addReferenceObj("words", wordArr, "org.apache.spark.unsafe.types.UTF8String[]")
+    s"graft.expressions.TextKernels.countInSet($c, $ref)"
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Count of purely-[a-z] elements of a string array. */
+case class CountAlphaExpr(child: Expression) extends KernelCall with StringArrayInput {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any): Any = TextKernels.countAlpha(a.asInstanceOf[ArrayData])
+  override def kernelCall(ctx: CodegenContext, c: String): String =
+    s"graft.expressions.TextKernels.countAlpha($c)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Σ character-length over a string array. */
+case class SumLenExpr(child: Expression) extends KernelCall with StringArrayInput {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any): Any = TextKernels.sumLen(a.asInstanceOf[ArrayData])
+  override def kernelCall(ctx: CodegenContext, c: String): String =
+    s"graft.expressions.TextKernels.sumLen($c)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Position-weighted rolling-hash fingerprint of a token array. */
+case class FingerprintExpr(child: Expression) extends KernelCall with StringArrayInput {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any): Any = TextKernels.fingerprint(a.asInstanceOf[ArrayData])
+  override def kernelCall(ctx: CodegenContext, c: String): String =
+    s"graft.expressions.TextKernels.fingerprint($c)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 32-bit simhash of a token array. */
+case class Simhash32Expr(child: Expression) extends KernelCall with StringArrayInput {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any): Any = TextKernels.simhash32(a.asInstanceOf[ArrayData])
+  override def kernelCall(ctx: CodegenContext, c: String): String =
+    s"graft.expressions.TextKernels.simhash32($c)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TextExpressions {
+  private def col(e: Expression): Column = GraftColumnShim.column(e)
+  private def ex(c: Column): Expression = GraftColumnShim.expression(c)
+
+  def tokens(c: Column): Column = col(TokensExpr(ex(c)))
+  def wordShingles(c: Column, n: Int): Column = col(WordShinglesExpr(ex(c), n))
+  def hash60(c: Column): Column = col(Hash60Expr(ex(c)))
+  def countInSet(arr: Column, words: Seq[String]): Column = col(CountInSetExpr(ex(arr), words))
+  def countAlpha(arr: Column): Column = col(CountAlphaExpr(ex(arr)))
+  def sumLen(arr: Column): Column = col(SumLenExpr(ex(arr)))
+  def fingerprint(arr: Column): Column = col(FingerprintExpr(ex(arr)))
+  def simhash32(arr: Column): Column = col(Simhash32Expr(ex(arr)))
+}

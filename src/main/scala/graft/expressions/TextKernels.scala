@@ -1,0 +1,165 @@
+package graft.expressions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM kernels behind the codegen'd text expressions. Generated code calls
+  * these static forwarders directly, so the work happens in tight compiled
+  * loops instead of per-element Catalyst lambda interpretation (the
+  * higher-order-function route costs ~1ms/doc; these are ~1µs/doc).
+  *
+  * Every kernel is bit-compatible with the builtin-expression form it
+  * replaces (asserted by TextExprSpec), keeping the DuckDB oracles valid:
+  *   - tokens      ≡ filter(split(s, " "), len > 0)
+  *   - shingles    ≡ array_distinct(transform(sequence(...), concat_ws(" ", ...)))
+  *   - hash60      ≡ conv(substring(md5(s), 1, 15), 16, 10) :: long
+  *   - fingerprint ≡ pmod-weighted fold of hash60 over tokens
+  *   - simhash32   ≡ 32 sign-of-vote bits over token hash60s
+  */
+object TextKernels {
+
+  private val md5Local: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** First 60 bits of md5 (15 hex chars parsed base-16) — identical to
+    * `conv(substring(md5(x),1,15),16,10)::long` and to DuckDB
+    * `('0x'||substr(md5(x),1,15))::BIGINT`. */
+  def hash60(s: UTF8String): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val h = d.digest(s.getBytes)
+    // first 15 hex nibbles = first 8 bytes big-endian, dropping the low nibble
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** Non-empty chunks of `s` split on single spaces. */
+  def tokens(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val out = new java.util.ArrayList[AnyRef]()
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      if (str.charAt(i) == ' ') i += 1
+      else {
+        var j = i + 1
+        while (j < len && str.charAt(j) != ' ') j += 1
+        out.add(UTF8String.fromString(str.substring(i, j)))
+        i = j
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Distinct word n-grams joined by " ", first-occurrence order. */
+  def shingles(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      if (str.charAt(i) == ' ') i += 1
+      else {
+        var j = i + 1
+        while (j < len && str.charAt(j) != ' ') j += 1
+        toks.add(str.substring(i, j))
+        i = j
+      }
+    }
+    val m = toks.size - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var k = 0
+    while (k < m) {
+      val sb = new java.lang.StringBuilder(toks.get(k))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks.get(k + j)); j += 1 }
+      seen.add(sb.toString)
+      k += 1
+    }
+    val arr = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { arr(p) = UTF8String.fromString(it.next()); p += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** Count of array elements equal to any word in `words` (small linear set). */
+  def countInSet(arr: ArrayData, words: Array[UTF8String]): Int = {
+    var c = 0
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      var j = 0
+      var hit = false
+      while (j < words.length && !hit) { if (words(j).equals(t)) hit = true; j += 1 }
+      if (hit) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** Count of purely-[a-z] non-empty elements (≡ rlike "^[a-z]+$"). */
+  def countAlpha(arr: ArrayData): Int = {
+    var c = 0
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val b = arr.getUTF8String(i).getBytes
+      var ok = b.length > 0
+      var j = 0
+      while (j < b.length && ok) { if (b(j) < 'a' || b(j) > 'z') ok = false; j += 1 }
+      if (ok) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** Σ length(element) in characters (≡ aggregate(ws, 0L, acc + length)). */
+  def sumLen(arr: ArrayData): Long = {
+    var s = 0L
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) { s += arr.getUTF8String(i).numChars(); i += 1 }
+    s
+  }
+
+  /** Rolling-hash fingerprint over a token array (TextFunctions.FpMod). */
+  def fingerprint(arr: ArrayData): Long = {
+    val Mod = 1000000007L
+    var acc = 0L
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val term = (hash60(arr.getUTF8String(i)) % Mod) * ((i % 31) + 1)
+      acc = (acc + term) % Mod
+      i += 1
+    }
+    acc
+  }
+
+  /** 32-bit simhash over a token array: bit j set iff Σ ±1 votes > 0. */
+  def simhash32(arr: ArrayData): Long = {
+    val votes = new Array[Long](32)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val h = hash60(arr.getUTF8String(i))
+      var j = 0
+      while (j < 32) {
+        votes(j) += (((h >> j) & 1L) * 2) - 1
+        j += 1
+      }
+      i += 1
+    }
+    var r = 0L
+    var j = 0
+    while (j < 32) { if (votes(j) > 0) r |= 1L << j; j += 1 }
+    r
+  }
+}

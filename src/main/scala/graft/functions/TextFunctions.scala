@@ -2,15 +2,19 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import graft.expressions.TextExpressions
 
 /** Text-analysis column functions for large-scale training-data pipelines:
   * tokenization, token counting, language ID, quality scoring, document
   * fingerprinting, shingling, and a portable 60-bit hash.
   *
-  * Everything here is a pure Catalyst expression tree built from
-  * `org.apache.spark.sql.functions` — codegen'd, no UDFs, so the whole
-  * pipeline stays inside WholeStageCodegen and scales linearly with input
-  * splits (no shuffle is introduced by any function in this file).
+  * The per-token kernels (tokens/shingles/hash/fingerprint/simhash and the
+  * token-array statistics) are custom codegen'd Catalyst expressions
+  * (graft.expressions) — Spark's higher-order functions
+  * (transform/filter/aggregate) evaluate their lambda interpreted per
+  * element, which made text processing the bench bottleneck. The builtin
+  * HOF equivalents live on as `*Hof` for the equivalence specs; both forms
+  * are bit-identical, so either is DuckDB-oracle-checkable.
   *
   * Engine-portability convention: hashes are derived from `md5` hex (same
   * bytes on any engine) so DuckDB oracles can reproduce them exactly —
@@ -20,11 +24,15 @@ object TextFunctions {
 
   /** 60-bit deterministic hash: first 15 hex chars of md5 as a long.
     * Positive, portable across engines; used by minhash/simhash/fingerprint. */
-  def hash60(c: Column): Column =
+  def hash60(c: Column): Column = TextExpressions.hash60(c)
+
+  private[graft] def hash60Hof(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Whitespace tokens, empties dropped. */
-  def tokens(c: Column): Column =
+  def tokens(c: Column): Column = TextExpressions.tokens(c)
+
+  private[graft] def tokensHof(c: Column): Column =
     filter(split(c, " "), t => length(t) > 0)
 
   /** Whitespace token count. */
@@ -37,8 +45,10 @@ object TextFunctions {
     size(regexp_extract_all(c, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
 
   /** Distinct word n-gram shingles (the unit for Jaccard/minhash dedup). */
-  def wordShingles(c: Column, n: Int): Column = {
-    val ws = tokens(c)
+  def wordShingles(c: Column, n: Int): Column = TextExpressions.wordShingles(c, n)
+
+  private[graft] def wordShinglesHof(c: Column, n: Int): Column = {
+    val ws = tokensHof(c)
     val grams = transform(sequence(lit(0), size(ws) - n), i =>
       concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*))
     array_distinct(
@@ -52,7 +62,7 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "un"))
 
   private def profileHits(ws: Column, profile: Seq[String]): Column =
-    size(filter(ws, t => t.isin(profile.map(lit): _*)))
+    TextExpressions.countInSet(ws, profile)
 
   /** Language ID: most stopword hits wins; earlier profile wins ties;
     * zero hits everywhere → "unknown". Deterministic, oracle-replicable. */
@@ -80,12 +90,22 @@ object TextFunctions {
 
   def alphaPermille(c: Column): Column = {
     val ws = tokens(c)
+    floor(lit(1000) * TextExpressions.countAlpha(ws) / greatest(size(ws), lit(1))).cast("long")
+  }
+
+  private[graft] def alphaPermilleHof(c: Column): Column = {
+    val ws = tokensHof(c)
     val alpha = size(filter(ws, t => t.rlike("^[a-z]+$")))
     floor(lit(1000) * alpha / greatest(size(ws), lit(1))).cast("long")
   }
 
   def avgTokenLenPermille(c: Column): Column = {
     val ws = tokens(c)
+    floor(lit(1000) * TextExpressions.sumLen(ws) / greatest(size(ws), lit(1))).cast("long")
+  }
+
+  private[graft] def avgTokenLenPermilleHof(c: Column): Column = {
+    val ws = tokensHof(c)
     val total = aggregate(ws, lit(0L), (acc, t) => acc + length(t).cast("long"))
     floor(lit(1000) * total / greatest(size(ws), lit(1))).cast("long")
   }
@@ -104,18 +124,22 @@ object TextFunctions {
     * mod p` — mod distributes over the fold, so an engine summing first and
     * reducing once gets the same value. */
   val FpMod = 1000000007L
-  def fingerprint(c: Column): Column = {
-    val ws = tokens(c)
+  def fingerprint(c: Column): Column = TextExpressions.fingerprint(tokens(c))
+
+  private[graft] def fingerprintHof(c: Column): Column = {
+    val ws = tokensHof(c)
     val terms = transform(ws, (t, i) =>
-      pmod(hash60(t), lit(FpMod)) * (pmod(i.cast("long"), lit(31L)) + 1L))
+      pmod(hash60Hof(t), lit(FpMod)) * (pmod(i.cast("long"), lit(31L)) + 1L))
     pmod(aggregate(terms, lit(0L), (acc, x) => pmod(acc + x, lit(FpMod))), lit(FpMod))
   }
 
   /** 32-bit SimHash over whitespace tokens (term frequency implicitly
     * weighted: repeated tokens vote repeatedly). Bit j is the sign of
     * Σ_tokens (±1 by bit j of hash60(token)). */
-  def simhash32(c: Column): Column = {
-    val th = transform(tokens(c), t => hash60(t))
+  def simhash32(c: Column): Column = TextExpressions.simhash32(tokens(c))
+
+  private[graft] def simhash32Hof(c: Column): Column = {
+    val th = transform(tokensHof(c), t => hash60Hof(t))
     (0 until 32).map { j =>
       val votes = aggregate(th, lit(0L), (acc, h) =>
         acc + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1))

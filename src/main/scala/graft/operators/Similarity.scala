@@ -45,13 +45,21 @@ object Similarity {
   def cosineE6(a: Column, b: Column): Column =
     round(cosine(a, b) * 1e6).cast("long")
 
+  /** Spread a pair-generating (non-equi/cross) join's stream side across
+    * the session's shuffle parallelism. A small parquet corpus arrives as
+    * one input split, and a nested-loop join inherits the stream side's
+    * partitioning — without this, every pair is scored by a single task no
+    * matter how many cores exist. Round-robin keeps partitions balanced. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+
   /** Brute-force cosine top-k: each query vector (small set, broadcast)
     * ranked against all others by (cosine desc, vec_id asc). */
   def bruteForceKnn(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
       norm(col("embedding")).as("qn"))
-    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
-      norm(col("embedding")).as("nn"))
+    val c = spread(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+      norm(col("embedding")).as("nn")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_e6", cosE6From(col("qv"), col("nv"), col("qn"), col("nn")))
     val w = Window.partitionBy(col("query_id"))
@@ -71,7 +79,7 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cell_cos").desc, col("cid"))
-    emb.crossJoin(broadcast(cent))
+    spread(emb).crossJoin(broadcast(cent))
       .withColumn("cell_cos", cosine(col("embedding"), col("cv")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -109,11 +117,11 @@ object Similarity {
     * Brute pair generation here (fine at test scale); the scale path is
     * bucketing first — ivfAssign, then in-bucket pairing. */
   def embeddingNearDupPairs(emb: DataFrame, minCosE6: Long): DataFrame = {
-    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"),
-      norm(col("embedding")).as("na"))
+    val a = spread(emb.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+      norm(col("embedding")).as("na")))
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
       norm(col("embedding")).as("nb"))
-    a.join(b, col("id_a") < col("id_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
       .withColumn("cos_e6", cosE6From(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cos_e6") >= minCosE6)
       .select(col("id_a"), col("id_b"), col("cos_e6"))

@@ -68,6 +68,5 @@ object CallsPipeline {
         col("operador_actual"),
         col("cliente_orange"),
         col("days_excliente"))
-      .orderBy(col("id_telef_origen").cast("long"), col("window_start_ts"))
   }
 }

@@ -56,46 +56,38 @@ object NorthStarQueries {
       // Exact dedup over a corpus with manufactured exact copies.
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val doubled = docs.union(docs.select(col("doc_id") + 1000000, col("text")))
-      Dedup.exactDedup(doubled).orderBy(col("keep_id"))
+      Dedup.exactDedup(doubled)
     }),
     "d02_minhash_lsh" -> ((s, d) => {
       Dedup.minhashLshPairs(Tables.documents(s, d))
-        .orderBy(col("doc_a"), col("doc_b"))
     }),
     "d03_simhash" -> ((s, d) => {
       Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 3)
-        .orderBy(col("doc_a"), col("doc_b"))
     }),
     "d04_ngram_jaccard" -> ((s, d) => {
       Dedup.ngramJaccardPairs(Tables.documents(s, d), minPermille = 500)
-        .orderBy(col("doc_a"), col("doc_b"))
     }),
     "d05_embedding_neardup" -> ((s, d) => {
       Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), minCosE6 = 400000L)
-        .orderBy(col("id_a"), col("id_b"))
     }),
     "s01_knn_brute" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 20), k = 5)
-        .orderBy(col("query_id"), col("rank"))
     }),
     "s02_knn_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 20), k = 5, nCells = 16, nprobe = 2)
-        .orderBy(col("query_id"), col("rank"))
     }),
     "t01_token_count" -> ((s, d) => {
       Tables.documents(s, d).select(
         col("doc_id"),
         tokenCount(col("text")).cast("long").as("n_tokens"),
         bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
-        .orderBy(col("doc_id"))
     }),
     "t02_lang_id" -> ((s, d) => {
       Tables.documents(s, d).select(
         col("doc_id"), col("lang").as("declared_lang"),
         langId(col("text")).as("predicted_lang"))
-        .orderBy(col("doc_id"))
     }),
     "t03_quality_score" -> ((s, d) => {
       Tables.documents(s, d).select(
@@ -105,18 +97,15 @@ object NorthStarQueries {
         alphaPermille(col("text")).as("alpha_permille"),
         avgTokenLenPermille(col("text")).as("avg_token_len_permille"),
         qualityScore(col("text")).as("quality"))
-        .orderBy(col("doc_id"))
     }),
     "t04_fingerprint" -> ((s, d) => {
       Tables.documents(s, d).select(
         col("doc_id"), fingerprint(col("text")).as("fp"))
-        .orderBy(col("doc_id"))
     }),
     "m01_media_meta" -> ((s, d) => {
       Multimodal.mediaFromDocs(Tables.documents(s, d))
         .select(col("doc_id"), col("kind"), col("n_bytes"),
           md5(col("payload")).as("digest"))
-        .orderBy(col("doc_id"))
     }),
     "m02_media_features" -> ((s, d) => {
       // mapPartitions decode stub — not SQL-expressible; rows-only check
@@ -125,12 +114,10 @@ object NorthStarQueries {
         .toDF()
         .select(col("doc_id"), col("kind"), col("width"), col("height"),
           col("n_frames"), size(col("feature")).as("feature_dim"))
-        .orderBy(col("doc_id"))
     }),
     "m03_frame_sample" -> ((s, d) => {
       val feats = Multimodal.decodeStub(Multimodal.mediaDataset(s, Tables.documents(s, d)))
       Multimodal.sampleFrames(feats, stride = 5)
-        .orderBy(col("doc_id"), col("frame_idx"))
     }),
   )
 

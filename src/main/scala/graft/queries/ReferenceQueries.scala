@@ -16,13 +16,11 @@ object ReferenceQueries {
       // P1/P2: selectKey / map re-key (CallsAggregationApp.java:54)
       rekey(Tables.events(s, d), col("user_id"))
         .select(col("event_id"), col("key"), col("event_type"))
-        .orderBy(col("event_id"))
     }),
     "r02_filter_nonnull" -> ((s, d) => {
       // P3: tombstone filter (CallsAggregationApp.java:82)
       filterNotNull(Tables.events(s, d), col("event_type"))
         .select(col("event_id"), col("user_id"), col("event_type"))
-        .orderBy(col("event_id"))
     }),
     "r03_tumbling_agg" -> ((s, d) => {
       // A1-A8: 1-hour tumbling count/max/sum/int-avg (CallsAggregationApp.java:56-78)
@@ -31,7 +29,6 @@ object ReferenceQueries {
           date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
           col("id_telef_origen"), col("calls_count"), col("max_duracion_origen"),
           col("total_duracion_origen"), col("avg_duracion_origen"))
-        .orderBy(col("id_telef_origen").cast("long"), col("window_start"))
     }),
     "r04_latest_by_key" -> ((s, d) => {
       // S3: KTable latest-value-per-key (CallsEnrichedApp.java:58), exercised
@@ -43,7 +40,6 @@ object ReferenceQueries {
         .select(
           col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("latest_orderdate"))
-        .orderBy(col("o_custkey"))
     }),
     "r05_left_join_enrich" -> ((s, d) => {
       // J1/J2: stream⋈table left join + null-defaulted projection
@@ -55,7 +51,6 @@ object ReferenceQueries {
           ("cust_name", c("c_name"), lit("Unknown")),
           ("segment", c("c_mktsegment"), lit("Unknown"))))
         .select(col("o_orderkey"), col("o_custkey"), col("cust_name"), col("segment"))
-        .orderBy(col("o_orderkey"))
     }),
     "r06_date_format" -> ((s, d) => {
       // F1/F2: epoch → "dd/MM/yyyy HH:mm" + plus-one-hour (CallCustomerJoiner.java:32-40)
@@ -64,7 +59,6 @@ object ReferenceQueries {
           col("event_id"),
           readableDate(col("ts")).as("readable_ts"),
           readableDatePlusOneHour(col("ts")).as("readable_ts_plus_1h"))
-        .orderBy(col("event_id"))
     }),
     "r07_coalesce_defaults" -> ((s, d) => {
       // F7: ternary null-defaulting ×5 (CallCustomerJoiner.java:24-28)
@@ -75,7 +69,6 @@ object ReferenceQueries {
           col("c_custkey"),
           coalesce(col("s_name"), lit("Unknown")).as("supp_name"),
           coalesce(floor(col("s_acctbal")).cast("long"), lit(0L)).as("supp_acctbal"))
-        .orderBy(col("c_custkey"))
     }),
     "q_calls_enriched" -> ((s, d) => CallsPipeline.callsEnriched(s, d)),
   )

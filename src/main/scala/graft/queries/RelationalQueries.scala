@@ -31,26 +31,22 @@ object RelationalQueries {
       // and as customers.
       Tables.events(s, d).select(col("user_id").as("id"))
         .intersect(Tables.customer(s, d).select(col("c_custkey").as("id")))
-        .orderBy(col("id"))
     }),
     "q12_except" -> ((s, d) => {
       // EXCEPT (set semantics) — customers that never produced an event.
       Tables.customer(s, d).select(col("c_custkey").as("id"))
         .except(Tables.events(s, d).select(col("user_id").as("id")))
-        .orderBy(col("id"))
     }),
     "q13_union_agg" -> ((s, d) => {
       // UNION ALL + re-aggregation across heterogeneous sources.
       Tables.events(s, d).select(col("user_id").as("id"))
         .union(Tables.customer(s, d).select(col("c_custkey").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("n"))
-        .orderBy(col("id"))
     }),
     "q14_distinct" -> ((s, d) => {
       // dropDuplicates == SELECT DISTINCT (hash aggregate, map-side partial).
       Tables.events(s, d).select(col("user_id"), col("event_type"))
         .dropDuplicates()
-        .orderBy(col("user_id"), col("event_type"))
     }),
     "q15_analytic_window" -> ((s, d) => {
       // Ranking + offset + running-frame analytic functions.
@@ -63,7 +59,6 @@ object RelationalQueries {
           sum(col("price_cents")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
         .select(col("o_custkey"), col("o_orderkey"), col("price_cents"),
           col("rn"), col("prev_price_cents"), col("running_cents"))
-        .orderBy(col("o_custkey"), col("rn"))
     }),
     "q16_session_window" -> ((s, d) => {
       // Session (gap-based) windows — the windowing kind Kafka Streams has
@@ -76,7 +71,6 @@ object RelationalQueries {
           col("user_id"),
           date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
           col("n_events"), col("sum_cents"))
-        .orderBy(col("user_id"), col("session_start"))
     }),
     "q17_rollup" -> ((s, d) => {
       // ROLLUP grouping sets with subtotal + grand-total rows.
@@ -84,7 +78,6 @@ object RelationalQueries {
         .rollup(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
         .select(coalesce(col("event_type"), lit("ALL")).as("event_type"), col("n"), col("sum_cents"))
-        .orderBy(col("event_type"))
     }),
     "q18_semi_join" -> ((s, d) => {
       // LEFT SEMI (EXISTS): customers having at least one order.
@@ -92,7 +85,6 @@ object RelationalQueries {
       val o = Tables.orders(s, d)
       c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
         .select(col("c_custkey"), col("c_name"))
-        .orderBy(col("c_custkey"))
     }),
     "q19_anti_join" -> ((s, d) => {
       // LEFT ANTI (NOT EXISTS): customers who never produced an event.
@@ -100,7 +92,6 @@ object RelationalQueries {
       val e = Tables.events(s, d)
       c.join(e, c("c_custkey") === e("user_id"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
-        .orderBy(col("c_custkey"))
     }),
     "q20_theta_join" -> ((s, d) => {
       // Equi + theta conjunct: orders costlier than the buyer's balance.
@@ -110,7 +101,6 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("o_custkey"),
           cents(col("o_totalprice")).as("price_cents"),
           cents(col("c_acctbal")).as("acct_cents"))
-        .orderBy(col("o_orderkey"))
     }),
     "q21_full_outer" -> ((s, d) => {
       // FULL OUTER join over partially-overlapping key spaces.
@@ -121,7 +111,6 @@ object RelationalQueries {
           coalesce(c("c_custkey"), su("s_suppkey")).as("id"),
           coalesce(c("c_name"), lit("no-customer")).as("cust_name"),
           coalesce(su("s_name"), lit("no-supplier")).as("supp_name"))
-        .orderBy(col("id"))
     }),
     "q22_pricing_summary" -> ((s, d) => {
       // TPC-H Q1-shaped pricing summary (bench headliner): wide scan +
@@ -135,7 +124,6 @@ object RelationalQueries {
           sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("sum_disc_c2"),
           count(lit(1)).as("count_order"),
           intAvg(sum(asLong(col("l_quantity"))), count(lit(1))).as("avg_qty"))
-        .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
     "q23_top_revenue" -> ((s, d) => {
       // TPC-H Q3-shaped: selective filters on both sides of a 3-way join,
@@ -168,7 +156,6 @@ object RelationalQueries {
         .agg(
           sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("revenue_c2"),
           count(lit(1)).as("n_items"))
-        .orderBy(col("n_name"))
     }),
   )
 
