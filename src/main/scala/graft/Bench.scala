@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warm-up: pay one-time JVM/JIT, codegen-compiler, and
+    // shuffle-service startup before the first measured query, so timings
+    // reflect steady-state latency (the first query otherwise absorbs ~4s
+    // of infrastructure cost regardless of which query it is).
+    try {
+      SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
+    } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes every output column (a bare count() would let

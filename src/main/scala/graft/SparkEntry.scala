@@ -13,7 +13,9 @@ import graft.queries._
   *
   * Conventions shared by query + oracle (drift here = hash mismatch):
   *   - every computed column aliased identically on both sides;
-  *   - deterministic total ORDER BY on both sides;
+  *   - row order is irrelevant (the driver sorts before comparing), so
+  *     queries carry no trailing ORDER BY — a global sort would cost an
+  *     extra range-partitioning pass; only top-k queries sort, semantically;
   *   - doubles floored/rounded into exact integer types (cents) before
   *     aggregation, so float summation order can never flip a hash;
   *   - timestamps emitted as formatted strings (UTC session TZ).

@@ -57,6 +57,16 @@ case class WordShinglesExpr(child: Expression, n: Int) extends KernelCall with S
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Distinct word n-gram shingles as a sorted array of hash60 values. */
+case class ShingleHashesExpr(child: Expression, n: Int) extends KernelCall with StringInput {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(s: Any): Any =
+    TextKernels.shingleHashes(s.asInstanceOf[UTF8String], n)
+  override def kernelCall(ctx: CodegenContext, c: String): String =
+    s"graft.expressions.TextKernels.shingleHashes($c, $n)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** 60-bit md5-derived hash (≡ conv(substring(md5(x),1,15),16,10)::long). */
 case class Hash60Expr(child: Expression) extends KernelCall with StringInput {
   override def dataType: DataType = LongType
@@ -120,12 +130,42 @@ case class Simhash32Expr(child: Expression) extends KernelCall with StringArrayI
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** |A ∩ B| for two ascending long arrays — a codegen'd merge walk, the
+  * verify-side primitive of the hashed Jaccard join (array_intersect on
+  * string arrays builds an intermediate set + array per row; this is a
+  * single pass with no allocation). */
+case class SortedIntersectCountExpr(
+    left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"sorted_intersect_count expects (array<bigint>, array<bigint>), got ($l, $r)")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.TextKernels.sortedIntersectCount($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object TextExpressions {
   private def col(e: Expression): Column = GraftColumnShim.column(e)
   private def ex(c: Column): Expression = GraftColumnShim.expression(c)
 
   def tokens(c: Column): Column = col(TokensExpr(ex(c)))
   def wordShingles(c: Column, n: Int): Column = col(WordShinglesExpr(ex(c), n))
+  def shingleHashes(c: Column, n: Int): Column = col(ShingleHashesExpr(ex(c), n))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    col(SortedIntersectCountExpr(ex(a), ex(b)))
   def hash60(c: Column): Column = col(Hash60Expr(ex(c)))
   def countInSet(arr: Column, words: Seq[String]): Column = col(CountInSetExpr(ex(arr), words))
   def countAlpha(arr: Column): Column = col(CountAlphaExpr(ex(arr)))

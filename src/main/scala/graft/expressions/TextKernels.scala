@@ -88,6 +88,48 @@ object TextKernels {
     new GenericArrayData(arr)
   }
 
+  /** Distinct word n-gram shingles, each hash60'd, sorted ascending and
+    * deduplicated — the set-as-sorted-long-array representation used by the
+    * Jaccard join. Hashing shrinks the shuffled bytes ~4× vs the strings
+    * and makes set intersection a primitive merge; a 60-bit collision
+    * perturbs one pair's count by 1 with probability ~n²/2^61 — negligible
+    * against the corpus sizes where exact dedup is even computed. */
+  def shingleHashes(s: UTF8String, n: Int): ArrayData = {
+    val sh = shingles(s, n)
+    val m = sh.numElements()
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) { hs(i) = hash60(sh.getUTF8String(i)); i += 1 }
+    java.util.Arrays.sort(hs)
+    // dedupe (only differs from the string set on a hash collision)
+    var w = 0
+    i = 0
+    while (i < m) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    val out = new Array[Long](w)
+    System.arraycopy(hs, 0, out, 0, w)
+    new GenericArrayData(out)
+  }
+
+  /** Size of the intersection of two ascending long arrays (merge walk). */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    var i = 0
+    var j = 0
+    var c = 0L
+    val n = a.numElements()
+    val m = b.numElements()
+    while (i < n && j < m) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** Count of array elements equal to any word in `words` (small linear set). */
   def countInSet(arr: ArrayData, words: Array[UTF8String]): Int = {
     var c = 0

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.expressions.TextExpressions
 import graft.functions.TextFunctions._
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
@@ -18,8 +19,9 @@ import graft.functions.TextFunctions._
   *     (`min`/`sum` per group), never per-row interpreted lambdas — the
   *     hashing stays inside WholeStageCodegen and the shuffle carries one
   *     signature row per doc.
-  *   - Exact verification runs only on candidate pairs, via
-  *     `array_intersect` on the per-doc shingle sets.
+  *   - Exact verification runs only on candidate pairs, via a codegen'd
+  *     merge-intersect over each doc's sorted shingle-hash set — the
+  *     shuffle carries longs, not shingle strings.
   *   - Hashes are md5-derived (`hash60`) — deterministic across engines and
   *     runs, so results are reproducible and oracle-checkable.
   */
@@ -35,9 +37,11 @@ object Dedup {
   private def explodedShingles(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"), explode(wordShingles(col("text"), n)).as("sh"))
 
-  /** Per-doc distinct shingle arrays (the verify-side representation). */
-  private def shingleSets(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), wordShingles(col("text"), n).as("s"))
+  /** Per-doc shingle sets as sorted hash60 arrays (the verify-side and
+    * candidate-side representation: ~4× fewer shuffled bytes than the
+    * strings, and intersection is a primitive merge walk). */
+  private def hashedShingleSets(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), TextExpressions.shingleHashes(col("text"), n).as("s"))
 
   /** Exact-verify candidate pairs against a Jaccard threshold: intersect the
     * two shingle sets (both distinct), compare in exact integer math —
@@ -48,7 +52,7 @@ object Dedup {
     cand
       .join(sets.as("xa"), col("doc_a") === col("xa.doc_id"))
       .join(sets.as("xb"), col("doc_b") === col("xb.doc_id"))
-      .withColumn("inter_cnt", size(array_intersect(col("xa.s"), col("xb.s"))).cast("long"))
+      .withColumn("inter_cnt", TextExpressions.sortedIntersectCount(col("xa.s"), col("xb.s")))
       .withColumn("union_cnt",
         size(col("xa.s")).cast("long") + size(col("xb.s")).cast("long") - col("inter_cnt"))
       .filter(lit(1000) * col("inter_cnt") >= lit(minPermille) * col("union_cnt"))
@@ -91,7 +95,7 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cand, shingleSets(docs, shingleN), minJaccardPermille)
+    verifyJaccard(cand, hashedShingleSets(docs, shingleN), minJaccardPermille)
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
@@ -142,7 +146,8 @@ object Dedup {
     * filtering (Bayardo et al., WWW'07; Xiao et al., PPJoin).
     *
     * Shingles get a global rarity order (document frequency asc, shingle
-    * asc). A doc with |S| shingles keeps its `|S| - ceil(τ|S|) + 1` rarest
+    * hash asc — any consistent total order works). A doc with |S| shingles
+    * keeps its `|S| - ceil(τ|S|) + 1` rarest
     * as its prefix; any pair with jaccard ≥ τ must collide on a prefix
     * shingle of both sides (pigeonhole), so the candidate join runs only
     * over prefixes — exactly excluding the high-df shingles that make a
@@ -150,7 +155,8 @@ object Dedup {
     * exactly. Same output as the naive join, asserted by spec.
     */
   def ngramJaccardPairs(docs: DataFrame, shingleN: Int = 3, minPermille: Int = 500): DataFrame = {
-    val ex = explodedShingles(docs, shingleN)
+    val ex = hashedShingleSets(docs, shingleN)
+      .select(col("doc_id"), explode(col("s")).as("sh"))
     val dfreq = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // prefix length L = n_sh - ceil(p*n_sh/1000) + 1, exact integer ceil
@@ -166,18 +172,19 @@ object Dedup {
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cand, shingleSets(docs, shingleN), minPermille)
+    verifyJaccard(cand, hashedShingleSets(docs, shingleN), minPermille)
   }
 
   /** The naive inverted-index jaccard join (reference implementation used by
     * the prefix-filter equivalence spec; also fine when the corpus has no
     * hot shingles). */
   def ngramJaccardPairsNaive(docs: DataFrame, shingleN: Int = 3, minPermille: Int = 500): DataFrame = {
-    val ex = explodedShingles(docs, shingleN)
+    val ex = hashedShingleSets(docs, shingleN)
+      .select(col("doc_id"), explode(col("s")).as("sh"))
     val cand = ex.as("a")
       .join(ex.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cand, shingleSets(docs, shingleN), minPermille)
+    verifyJaccard(cand, hashedShingleSets(docs, shingleN), minPermille)
   }
 }
