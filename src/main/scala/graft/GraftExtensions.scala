@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{GraftRegistryShim, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.expressions._
+
+/** SQL surface of the engine's custom expressions.
+  *
+  * Two wiring paths, same function set:
+  *   - `spark.sql.extensions=graft.GraftExtensions` at session build time
+  *     (the standard library-extension hook), or
+  *   - `GraftExtensions.register(spark)` on a live session.
+  *
+  * After either, `spark.sql("SELECT graft_word_shingles(text, 3) ...")`
+  * plans the same codegen'd expressions the Scala API uses — the SQL and
+  * DataFrame surfaces cannot drift.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def arity(name: String, n: Int, args: Seq[Expression]): Unit =
+    require(args.length == n, s"$name expects $n arguments, got ${args.length}")
+
+  /** (name, info, builder) for every graft SQL function. */
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_hash60",
+      info("graft_hash60", "graft_hash60(str) - 60-bit md5-derived hash"),
+      (args: Seq[Expression]) => { arity("graft_hash60", 1, args); Hash60Expr(args.head) }),
+    ("graft_tokens",
+      info("graft_tokens", "graft_tokens(str) - whitespace tokens, empties dropped"),
+      (args: Seq[Expression]) => { arity("graft_tokens", 1, args); TokensExpr(args.head) }),
+    ("graft_word_shingles",
+      info("graft_word_shingles", "graft_word_shingles(str, n) - distinct word n-grams"),
+      (args: Seq[Expression]) => {
+        arity("graft_word_shingles", 2, args)
+        WordShinglesExpr(args.head, intLit(args(1), "shingle width"))
+      }),
+    ("graft_shingle_hashes",
+      info("graft_shingle_hashes",
+        "graft_shingle_hashes(str, n) - sorted hash60s of distinct word n-grams"),
+      (args: Seq[Expression]) => {
+        arity("graft_shingle_hashes", 2, args)
+        ShingleHashesExpr(args.head, intLit(args(1), "shingle width"))
+      }),
+    ("graft_sorted_intersect_count",
+      info("graft_sorted_intersect_count",
+        "graft_sorted_intersect_count(arr, arr) - |A ∩ B| of ascending bigint arrays"),
+      (args: Seq[Expression]) => {
+        arity("graft_sorted_intersect_count", 2, args)
+        SortedIntersectCountExpr(args.head, args(1))
+      }),
+    ("graft_fingerprint",
+      info("graft_fingerprint",
+        "graft_fingerprint(tokens) - position-weighted rolling-hash fingerprint"),
+      (args: Seq[Expression]) => { arity("graft_fingerprint", 1, args); FingerprintExpr(args.head) }),
+    ("graft_simhash32",
+      info("graft_simhash32", "graft_simhash32(tokens) - 32-bit simhash"),
+      (args: Seq[Expression]) => { arity("graft_simhash32", 1, args); Simhash32Expr(args.head) }),
+    ("graft_dot",
+      info("graft_dot", "graft_dot(arr_float, arr_float) - double dot product"),
+      (args: Seq[Expression]) => { arity("graft_dot", 2, args); DotProductFF(args.head, args(1)) }),
+  )
+
+  /** Register every graft function on a live session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, i, b) => GraftRegistryShim.register(spark, name, i, b) }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The SQL function surface must plan the same expressions as the Scala
+  * API — checked by running each function through spark.sql and comparing
+  * against the Column-API result on the same input.
+  */
+class GraftExtensionsSpec extends SparkTestBase {
+
+  private lazy val s: SparkSession = { GraftExtensions.register(spark); spark }
+
+  test("graft functions are callable from SQL and match the Column API") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+
+    s.createDataFrame(Seq(Tuple1("the quick brown fox jumps over the lazy dog")))
+      .toDF("text").createOrReplaceTempView("t")
+
+    val sqlRow = s.sql(
+      """SELECT graft_hash60(text) AS h,
+        |       size(graft_tokens(text)) AS nt,
+        |       graft_word_shingles(text, 3) AS sh3,
+        |       size(graft_shingle_hashes(text, 3)) AS nsh,
+        |       graft_fingerprint(graft_tokens(text)) AS fp,
+        |       graft_simhash32(graft_tokens(text)) AS sim
+        |FROM t""".stripMargin).collect().head
+
+    val apiRow = s.table("t").select(
+      TextFunctions.hash60(col("text")).as("h"),
+      TextFunctions.tokenCount(col("text")).as("nt"),
+      TextFunctions.wordShingles(col("text"), 3).as("sh3"),
+      size(graft.expressions.TextExpressions.shingleHashes(col("text"), 3)).as("nsh"),
+      TextFunctions.fingerprint(col("text")).as("fp"),
+      TextFunctions.simhash32(col("text")).as("sim")).collect().head
+
+    assert(sqlRow.toSeq === apiRow.toSeq)
+  }
+
+  test("graft_dot and graft_sorted_intersect_count from SQL") {
+    val r = s.sql(
+      """SELECT graft_dot(array(cast(1.5 as float), cast(2.0 as float)),
+        |                 array(cast(2.0 as float), cast(0.5 as float))) AS d,
+        |       graft_sorted_intersect_count(array(1L, 3L, 5L, 9L),
+        |                                    array(2L, 3L, 9L, 11L)) AS ic""".stripMargin)
+      .collect().head
+    assert(r.getDouble(0) === 4.0)
+    assert(r.getLong(1) === 2L)
+  }
+
+  test("extensions class wires the same registry via spark.sql.extensions") {
+    // The config path can't be exercised on the already-built shared session;
+    // assert the injection list itself is the single source both paths use.
+    assert(GraftExtensions.functions.map(_._1).toSet === Set(
+      "graft_hash60", "graft_tokens", "graft_word_shingles", "graft_shingle_hashes",
+      "graft_sorted_intersect_count", "graft_fingerprint", "graft_simhash32", "graft_dot"))
+    new GraftExtensions() // constructible for spark.sql.extensions
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+
+/** Physical-plan assertions — the properties that decide whether a query
+  * survives a 100× scale-up, checked against the actual executed plan:
+  * filters reach the parquet scan, projections prune the read schema,
+  * dimension joins broadcast, aggregates run partially before the shuffle.
+  */
+class PlanShapeSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String = {
+    val qe: QueryExecution = df.queryExecution
+    qe.executedPlan.toString()
+  }
+
+  test("q22 pricing summary: shipdate filter + column pruning reach the scan") {
+    val p = plan(SparkEntry.queries("q22_pricing_summary")(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"no pushed filter in:\n$p")
+    // projection pruning: unreferenced lineitem columns must not be read
+    assert(!p.contains("l_orderkey"), s"scan reads unreferenced columns:\n$p")
+  }
+
+  test("q22 aggregates partially before the shuffle (map-side combine)") {
+    val p = plan(SparkEntry.queries("q22_pricing_summary")(spark, sf))
+    val firstAgg = p.indexOf("HashAggregate")
+    val exchange = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && exchange >= 0)
+    // partial aggregate appears below (later in the tree dump than) the
+    // exchange, final above: both present means one shuffle of group rows
+    assert(p.indexOf("partial_sum") > 0, s"no partial aggregation:\n$p")
+  }
+
+  test("q24 star join broadcasts the nation dimension") {
+    val p = plan(SparkEntry.queries("q24_grouped_join_agg")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+  }
+
+  test("calls enrichment join broadcasts the customer dimension (AQE)") {
+    val df = SparkEntry.queries("q_calls_enriched")(spark, sf)
+    df.write.mode("overwrite").format("noop").save() // let AQE finalize
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastHashJoin"), s"customer dim not broadcast:\n$p")
+  }
+
+  test("text kernels run inside WholeStageCodegen (no CodegenFallback rows)") {
+    val p = plan(SparkEntry.queries("t03_quality_score")(spark, sf))
+    // "*(n)" prefixes mark operators fused into a WholeStageCodegen stage
+    assert(p.contains("*(1)"), s"no codegen stage:\n$p")
+    // the old HOF forms planned ArrayFilter/ArrayTransform (interpreted);
+    // the kernel expressions must not
+    assert(!p.contains("ArrayFilter") && !p.contains("ArrayTransform") &&
+      !p.contains("ArrayAggregate"), s"interpreted HOF in hot path:\n$p")
+  }
+
+  test("dedup pair joins are equi-joins on buckets, never cartesian") {
+    for (q <- Seq("d02_minhash_lsh", "d03_simhash", "d04_ngram_jaccard")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerates to a cross join:\n$p")
+    }
+  }
+
+  test("latest-by-key is one shuffle on the key, no global sort") {
+    val p = plan(SparkEntry.queries("r04_latest_by_key")(spark, sf))
+    assert(p.contains("hashpartitioning(o_custkey"), s"not hash-partitioned by key:\n$p")
+    assert(!p.contains("rangepartitioning"), s"unexpected global sort:\n$p")
+  }
+}

@@ -1,0 +1,123 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.ops.CoreOps._
+
+/** Property-based invariants over randomized event streams (SURVEY.md §5):
+  * aggregate algebra, window alignment, and join cardinality — the
+  * structural laws any correct implementation must satisfy, independent of
+  * the golden fixtures.
+  */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Deterministic ScalaCheck sampling (no scalatest bridge in the offline
+    * cache): n samples from fixed seeds, so failures reproduce exactly. */
+  private def forSamples[A](g: Gen[A], n: Int)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)).foreach(body)
+    }
+
+  private val HourMs = 3600L * 1000
+
+  // small random streams: (epoch-ms within a few days, key, duration)
+  private val eventsGen: Gen[List[(Long, Long, Long)]] =
+    Gen.nonEmptyListOf(for {
+      t <- Gen.choose(0L, 4L * 24 * HourMs)
+      k <- Gen.choose(1L, 5L)
+      d <- Gen.choose(0L, 1000L)
+    } yield (t, k, d))
+
+  private def aggOf(events: List[(Long, Long, Long)]) = {
+    val df = events.map { case (t, k, d) => (new Timestamp(t), k, d) }
+      .toDF("ts", "user_id", "value")
+    tumblingAgg(df, col("ts"), col("user_id"), col("value")).collect()
+  }
+
+  test("tumbling agg satisfies count/max/sum/avg algebra on random streams") {
+    forSamples(eventsGen, 20) { events =>
+      val rows = aggOf(events)
+      // per-(key, window) group totals must reconcile with the raw stream
+      val byGroup = events.groupBy { case (t, k, _) => (t / HourMs, k) }
+      assert(rows.length === byGroup.size)
+      rows.foreach { r =>
+        val ws = r.getStruct(0).getTimestamp(0).getTime
+        val key = r.getString(1).toLong
+        val ds = byGroup((ws / HourMs, key)).map(_._3)
+        assert(r.getLong(2) === ds.length.toLong) // calls_count
+        assert(r.getLong(3) === ds.max) // max
+        assert(r.getLong(4) === ds.sum) // total
+        assert(r.getLong(5) === ds.sum / ds.length) // floor-avg
+        // algebra: max <= total (non-negative durations), avg*count <= total
+        assert(r.getLong(3) <= r.getLong(4))
+        assert(r.getLong(5) * r.getLong(2) <= r.getLong(4))
+      }
+    }
+  }
+
+  test("windows are epoch-hour aligned, 1h wide, and events land in their window") {
+    forSamples(eventsGen, 20) { events =>
+      aggOf(events).foreach { r =>
+        val w = r.getStruct(0)
+        val start = w.getTimestamp(0).getTime
+        val end = w.getTimestamp(1).getTime
+        assert(start % HourMs === 0L)
+        assert(end === start + HourMs)
+      }
+    }
+  }
+
+  test("left enrichment join preserves left cardinality for any dimension") {
+    val dimGen = Gen.listOf(for {
+      k <- Gen.choose(1L, 8L)
+      v <- Gen.alphaStr.map(_.take(5))
+    } yield (k, v))
+    forSamples(eventsGen.flatMap(e => dimGen.map(d => (e, d))), 15) { case (events, dim) =>
+      val facts = events.map { case (t, k, d) => (new Timestamp(t), k, d) }
+        .toDF("ts", "user_id", "value")
+      // dedup dim to latest per key first (multi-match would multiply rows —
+      // exactly why the KTable dedup precedes the reference join)
+      val dimDf = latestByKey(
+        dim.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }.toDF("k", "v", "ord"),
+        keys = Seq(col("k")), orderDesc = Seq(col("ord")))
+      val joined = enrichLeftJoin(facts, dimDf, facts("user_id") === dimDf("k"),
+        defaults = Seq(("name", dimDf("v"), lit("Unknown"))))
+      assert(joined.count() === events.length.toLong)
+    }
+  }
+
+  test("latestByKey emits exactly one row per distinct key, the max-ord one") {
+    val rowsGen = Gen.nonEmptyListOf(for {
+      k <- Gen.choose(1L, 6L)
+      v <- Gen.choose(0L, 100L)
+    } yield (k, v))
+    forSamples(rowsGen, 20) { rows =>
+      val df = rows.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+        .toDF("k", "v", "ord")
+      val got = latestByKey(df, Seq(col("k")), Seq(col("ord")))
+        .select("k", "v").as[(Long, Long)].collect().toMap
+      val want = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (k, vs) => k -> vs.maxBy(_._2)._1._2 }
+      assert(got === want)
+    }
+  }
+
+  test("dedup pair operators are symmetric-free and within-threshold on random corpora") {
+    val docGen = Gen.listOfN(8, Gen.chooseNum(0, 3)).map(ws => ws.map(i => s"w$i").mkString(" "))
+    val corpusGen = Gen.nonEmptyListOf(docGen).map(_.take(12))
+    forSamples(corpusGen, 10) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val pairs = graft.operators.Dedup.ngramJaccardPairs(docs, minPermille = 300).collect()
+      pairs.foreach { r =>
+        assert(r.getLong(0) < r.getLong(1)) // canonical orientation, no dupes
+        assert(r.getLong(4) >= 300L && r.getLong(4) <= 1000L) // jac in [τ, 1]
+        assert(r.getLong(2) <= r.getLong(3)) // inter <= union
+      }
+    }
+  }
+}
