@@ -142,6 +142,29 @@ object RelationalQueries {
         .orderBy(col("revenue_c2").desc, col("o_orderkey"))
         .limit(10)
     }),
+    "q25_cube" -> ((s, d) => {
+      // CUBE grouping sets: all 4 combinations of (event_type, cohort)
+      // subtotals in one pass — Catalyst expands to a single shuffle with
+      // a grouping-id column, not 4 scans.
+      Tables.events(s, d)
+        .withColumn("cohort", pmod(col("user_id"), lit(4)))
+        .cube(col("event_type"), col("cohort"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
+        .select(
+          coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("cohort").cast("string"), lit("ALL")).as("cohort"),
+          col("n"), col("sum_cents"))
+    }),
+    "q26_pivot" -> ((s, d) => {
+      // PIVOT: event counts per user spread into one column per event kind.
+      // With explicit values the plan is a single hash aggregate with 5
+      // conditional counts — no per-value scan.
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    }),
     "q24_grouped_join_agg" -> ((s, d) => {
       // Star-join rollup across 4 tables (bench headliner): revenue per
       // nation; dimensions broadcast, fact shuffles once on the group key.
@@ -255,6 +278,21 @@ object RelationalQueries {
         |  AND l_shipdate > TIMESTAMP '1998-01-01'
         |GROUP BY o_orderkey, o_orderdate
         |ORDER BY revenue_c2 DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q25_cube" ->
+      """SELECT COALESCE(event_type, 'ALL') AS event_type,
+        |       COALESCE(CAST(cohort AS VARCHAR), 'ALL') AS cohort,
+        |       COUNT(*) AS n,
+        |       SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_cents
+        |FROM (SELECT event_type, user_id % 4 AS cohort, value FROM events)
+        |GROUP BY CUBE(event_type, cohort)""".stripMargin,
+    "q26_pivot" ->
+      """SELECT user_id,
+        |       COUNT(*) FILTER (event_type = 'click') AS click,
+        |       COUNT(*) FILTER (event_type = 'error') AS error,
+        |       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |       COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |       COUNT(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id""".stripMargin,
     "q24_grouped_join_agg" ->
       """SELECT n_name,
         |       SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)

@@ -81,6 +81,43 @@ object StreamingOps {
           } else Iterator.empty
       }
 
+  /** Windowed stream-stream equi-join — the Kafka Streams
+    * `KStream.join(KStream, JoinWindows.of(bound))` shape (not used by the
+    * reference's two topologies, but part of the DSL surface; SURVEY.md
+    * §2.6). Records join when keys match and their event times are within
+    * `bound` of each other; both sides carry watermarks so join state is
+    * evicted once the window can no longer match.
+    *
+    * Scale: state is partitioned by the join key across executors; the
+    * watermark bounds state size to (rate × bound) per side.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      bound: String,
+      watermark: String,
+      joinType: String = "inner"): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(
+        right.withWatermark(rightTs, watermark),
+        expr(s"""$leftKey = $rightKey AND
+                |$rightTs BETWEEN $leftTs - INTERVAL $bound AND $leftTs + INTERVAL $bound
+                |""".stripMargin),
+        joinType)
+
+  /** Streaming exact dedup: first record per key wins, later duplicates
+    * dropped for as long as they can still arrive (the watermark delay) —
+    * Spark's dropDuplicatesWithinWatermark, the streaming analogue of the
+    * batch exact-dedup groupBy. State per key is evicted at the watermark,
+    * so memory is bounded by (key rate × delay). */
+  def streamingDedup(events: DataFrame, tsCol: String, keys: Seq[String], watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Stream⋈static left enrichment join — streaming form of
     * CoreOps.enrichLeftJoin (reference: CallsEnrichedApp.java:63 +
     * CallCustomerJoiner null-defaults). The static side is re-resolved per

@@ -145,6 +145,51 @@ class StreamingSpec extends SparkTestBase {
     assert(miss.getAs[Long]("days_excliente") === 0L)
   }
 
+  test("interval join matches records within the time bound, drops the rest") {
+    val calls = MemoryStream[CallEvent](spark)
+    val acks = MemoryStream[CallEvent](spark)
+    val joined = StreamingOps.intervalJoin(
+      calls.toDF().select($"ts".as("l_ts"), $"user_id".as("l_key"), $"value".as("l_v")),
+      acks.toDF().select($"ts".as("r_ts"), $"user_id".as("r_key"), $"value".as("r_v")),
+      leftKey = "l_key", rightKey = "r_key",
+      leftTs = "l_ts", rightTs = "r_ts",
+      bound = "10 MINUTES", watermark = "1 hour")
+    val q = joined.writeStream
+      .format("memory").queryName("ivj").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ck-ivj").toString)
+      .start()
+    try {
+      calls.addData(CallEvent(ts("10:00"), 1L, 100), CallEvent(ts("12:00"), 2L, 200))
+      acks.addData(
+        CallEvent(ts("10:05"), 1L, 111), // within 10min of key 1 → joins
+        CallEvent(ts("10:30"), 1L, 222), // 30min away → dropped
+        CallEvent(ts("12:01"), 3L, 333)) // key mismatch → dropped
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ivj").select("l_key", "l_v", "r_v").collect().map(_.toSeq)
+    assert(rows.toSeq === Seq(Seq(1L, 100L, 111L)))
+  }
+
+  test("streaming dedup keeps the first record per key within the watermark") {
+    val in = MemoryStream[CallEvent](spark)
+    val deduped = StreamingOps.streamingDedup(
+      in.toDF(), tsCol = "ts", keys = Seq("user_id"), watermark = "30 minutes")
+    val q = deduped.writeStream
+      .format("memory").queryName("sdedup").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ck-sd").toString)
+      .start()
+    try {
+      in.addData(CallEvent(ts("10:00"), 7L, 1), CallEvent(ts("10:01"), 7L, 2))
+      q.processAllAvailable()
+      in.addData(CallEvent(ts("10:02"), 7L, 3), CallEvent(ts("10:00"), 8L, 4))
+      q.processAllAvailable()
+    } finally q.stop()
+    val vals = spark.table("sdedup").select("user_id", "value")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // key 7: only its first record survived across batches; key 8 kept
+    assert(vals === Map(7L -> 1L, 8L -> 4L))
+  }
+
   test("kafka payload serde round-trips columns through key/value wire shape") {
     val schema = StructType(Seq(
       StructField("user_id", LongType), StructField("value", LongType)))
