@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling operators for the 100 TB path.
+  *
+  * AQE's skew-join splitting handles most skew automatically; salted
+  * aggregation is the explicit fallback for *aggregation* skew — a single
+  * hot grouping key (the empty-string document, the null caller, the
+  * heartbeat event type) that would otherwise pin one reducer while the
+  * other 999 idle.
+  */
+object ScaleOps {
+
+  /** One metric of a salted aggregation: `partial` computes per
+    * (key, salt) in phase 1; `merge` re-combines the named partial column
+    * in phase 2. Any algebraic aggregate decomposes this way
+    * (sum/sum, count/sum, max/max, min/min; avg = sum+count merged then
+    * divided by the caller). */
+  final case class SaltedMetric(name: String, partial: Column, merge: Column => Column)
+
+  object SaltedMetric {
+    def sumOf(name: String, c: Column): SaltedMetric =
+      SaltedMetric(name, sum(c), sum)
+    def countAll(name: String): SaltedMetric =
+      SaltedMetric(name, count(lit(1)), sum)
+    def maxOf(name: String, c: Column): SaltedMetric =
+      SaltedMetric(name, max(c), max)
+    def minOf(name: String, c: Column): SaltedMetric =
+      SaltedMetric(name, min(c), min)
+  }
+
+  /** Two-phase skew-safe aggregation.
+    *
+    * Phase 1 groups by (keys…, salt) with `buckets` random salts, so a hot
+    * key's rows spread across `buckets` reducers; phase 2 merges the
+    * partials by the true keys. The extra shuffle carries one row per
+    * (key, salt) — negligible against the skewed phase it replaces. The
+    * result is identical to a direct `groupBy(keys).agg(...)` for any
+    * algebraic metric (asserted by ScaleShapeSpec), independent of how the
+    * salt lands.
+    */
+  def saltedAgg(
+      df: DataFrame,
+      keys: Seq[String],
+      metrics: Seq[SaltedMetric],
+      buckets: Int = 16): DataFrame = {
+    require(metrics.nonEmpty && buckets > 0)
+    val keyCols = keys.map(col)
+    val phase1 = df
+      .withColumn("__salt", floor(rand(42) * buckets))
+      .groupBy(keyCols :+ col("__salt"): _*)
+      .agg(
+        metrics.head.partial.as(s"__p_${metrics.head.name}"),
+        metrics.tail.map(m => m.partial.as(s"__p_${m.name}")): _*)
+    phase1
+      .groupBy(keyCols: _*)
+      .agg(
+        metrics.head.merge(col(s"__p_${metrics.head.name}")).as(metrics.head.name),
+        metrics.tail.map(m => m.merge(col(s"__p_${m.name}")).as(m.name)): _*)
+  }
+}

@@ -142,6 +142,18 @@ object RelationalQueries {
         .orderBy(col("revenue_c2").desc, col("o_orderkey"))
         .limit(10)
     }),
+    "q27_hopping_agg" -> ((s, d) => {
+      // Hopping (sliding) windows — Kafka Streams TimeWindows.advanceBy,
+      // present in the DSL but unused by the reference (SURVEY.md §2.6).
+      // 1-hour windows every 30 minutes: each event lands in 2 windows;
+      // Spark's window() expands rows then aggregates in one shuffle.
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("sum_cents"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("user_id"), col("n_events"), col("sum_cents"))
+    }),
     "q25_cube" -> ((s, d) => {
       // CUBE grouping sets: all 4 combinations of (event_type, cohort)
       // subtotals in one pass — Catalyst expands to a single shuffle with
@@ -278,6 +290,18 @@ object RelationalQueries {
         |  AND l_shipdate > TIMESTAMP '1998-01-01'
         |GROUP BY o_orderkey, o_orderdate
         |ORDER BY revenue_c2 DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q27_hopping_agg" ->
+      """WITH hop AS (
+        |  SELECT user_id, value, ts,
+        |         unnest([date_trunc('hour', ts),
+        |                 date_trunc('hour', ts - INTERVAL 30 MINUTE) + INTERVAL 30 MINUTE]) AS ws
+        |  FROM events)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, user_id,
+        |       COUNT(*) AS n_events,
+        |       SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_cents
+        |FROM hop
+        |WHERE ts >= ws AND ts < ws + INTERVAL 1 HOUR
+        |GROUP BY ws, user_id""".stripMargin,
     "q25_cube" ->
       """SELECT COALESCE(event_type, 'ALL') AS event_type,
         |       COALESCE(CAST(cohort AS VARCHAR), 'ALL') AS cohort,

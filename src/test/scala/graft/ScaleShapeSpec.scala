@@ -53,4 +53,36 @@ class ScaleShapeSpec extends SparkTestBase {
     assert(agg.keySet === perRow.keySet)
     assert(agg.forall { case (k, v) => perRow(k) === v })
   }
+
+  test("saltedAgg ≡ direct groupBy aggregation on a skewed stream") {
+    import graft.ops.ScaleOps
+    import graft.ops.ScaleOps.SaltedMetric._
+    // heavily skewed: 90% of events carry the same hot key
+    val ev = Tables.events(spark, sf)
+      .withColumn("k", when($"event_id" % 10 =!= 0, lit("HOT")).otherwise($"user_id".cast("string")))
+    // exact integer cents: double sums are order-sensitive, and salting
+    // (like any distributed agg) legitimately reorders them
+    val cents = round($"value" * 100).cast("long")
+    val salted = ScaleOps.saltedAgg(ev.withColumn("vc", cents), Seq("k"),
+      Seq(countAll("n"), sumOf("total", $"vc"), maxOf("vmax", $"vc")), buckets = 8)
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    val direct = ev.withColumn("vc", cents).groupBy($"k")
+      .agg(count(lit(1)).as("n"), sum($"vc").as("total"), max($"vc").as("vmax"))
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    assert(salted === direct)
+  }
+
+  test("saltedAgg phase-1 spreads a hot key across salt buckets") {
+    import graft.ops.ScaleOps
+    import graft.ops.ScaleOps.SaltedMetric._
+    val hot = Tables.events(spark, sf).withColumn("k", lit("HOT"))
+    // the internal (key, salt) cardinality must exceed 1 for one hot key
+    val phase1Groups = hot
+      .withColumn("__salt", floor(rand(42) * 8))
+      .groupBy($"k", $"__salt").count().count()
+    assert(phase1Groups > 1,
+      "salting failed to spread the hot key across reducers")
+    // and the operator still reduces to exactly one output row
+    assert(ScaleOps.saltedAgg(hot, Seq("k"), Seq(countAll("n")), 8).count() === 1L)
+  }
 }

@@ -206,4 +206,22 @@ class StreamingSpec extends SparkTestBase {
     val stripped = framed.select(KafkaIO.stripConfluentHeader($"value").cast("string")).first.getString(0)
     assert(stripped === "payload")
   }
+
+  test("corrupt payloads decode to null and are skipped, not fatal (S8 policy)") {
+    // reference: LogAndContinueExceptionHandler (CallsAggregationApp.java:34,100)
+    // — a malformed record is dropped, the stream keeps running. from_json
+    // PERMISSIVE nulls the struct; the tombstone filter removes it.
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("value", LongType)))
+    val wire = Seq(
+      ("k1", """{"user_id": 1, "value": 10}"""),
+      ("k2", """{not json at all"""),
+      ("k3", """{"user_id": 3, "value": 30}""")).toDF("key", "value")
+    val decoded = wire.select(
+      $"key", from_json($"value", schema).as("v"))
+    val survivors = graft.ops.CoreOps.filterNotNull(decoded, $"v.user_id")
+      .select($"v.user_id", $"v.value")
+      .orderBy("user_id").collect().map(_.toSeq)
+    assert(survivors === Seq(Seq(1L, 10L), Seq(3L, 30L)))
+  }
 }
