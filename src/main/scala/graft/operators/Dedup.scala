@@ -175,6 +175,45 @@ object Dedup {
     verifyJaccard(cand, hashedShingleSets(docs, shingleN), minPermille)
   }
 
+  /** Connected components over near-dup pairs: every doc labeled with the
+    * minimum doc_id reachable through the pair graph (its canonical
+    * representative; singletons label themselves).
+    *
+    * Hash-min label propagation: labels start as own ids; each round every
+    * node takes the min of its label and its neighbors' labels; converges
+    * in O(graph diameter) rounds — near-dup graphs are shallow (clusters of
+    * copies), so 3-5 rounds typical. Each round is one equi-join + one
+    * groupBy, both partitioned by node id; `localCheckpoint` truncates the
+    * lineage so round N's plan doesn't replay rounds 1..N-1. The driver
+    * only ever sees a converged/changed counter, never the data.
+    */
+  def components(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = docs.select(col("doc_id"), col("doc_id").as("component"))
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val propagated = edges
+        .join(labels, col("dst") === col("doc_id"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("component")).as("nbr_min"))
+      val next = labels.as("l")
+        .join(propagated.as("p"), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
+        .localCheckpoint(true)
+      converged = next.as("n").join(labels.as("o"), Seq("doc_id"))
+        .filter(col("n.component") =!= col("o.component"))
+        .isEmpty
+      labels = next
+      round += 1
+    }
+    labels
+  }
+
   /** The naive inverted-index jaccard join (reference implementation used by
     * the prefix-filter equivalence spec; also fine when the corpus has no
     * hot shingles). */

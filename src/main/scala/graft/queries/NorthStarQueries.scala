@@ -70,6 +70,13 @@ object NorthStarQueries {
     "d05_embedding_neardup" -> ((s, d) => {
       Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), minCosE6 = 400000L)
     }),
+    "d06_dedup_components" -> ((s, d) => {
+      // Cluster near-dup pairs into components; every doc gets its
+      // canonical representative (min reachable doc_id). Pairs from the
+      // MinHash-LSH join, closure via hash-min label propagation.
+      val docs = Tables.documents(s, d)
+      Dedup.components(docs, Dedup.minhashLshPairs(docs))
+    }),
     "s01_knn_brute" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 20), k = 5)
@@ -185,6 +192,36 @@ object NorthStarQueries {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ${cosE6Sql("a.embedding", "b.embedding")} >= 400000
          |ORDER BY id_a, id_b""".stripMargin,
+    "d06_dedup_components" ->
+      s"""WITH RECURSIVE ws AS (SELECT doc_id, $WsSql AS w FROM documents),
+         |sh AS (SELECT doc_id, $Shingles3Sql AS s FROM ws),
+         |ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+         |mh AS (SELECT doc_id, i, MIN(${h60("CAST(i AS VARCHAR)||':'||sh")}) AS mh
+         |       FROM ex, range(12) t(i) GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, i // 3 AS band,
+         |                 md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bh
+         |          FROM mh GROUP BY doc_id, i // 3),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+         |inter AS (SELECT ea.doc_id AS doc_a, eb.doc_id AS doc_b, COUNT(*) AS inter_cnt
+         |          FROM ex ea JOIN ex eb ON ea.sh = eb.sh AND ea.doc_id < eb.doc_id
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT c.doc_a, c.doc_b
+         |          FROM cand c
+         |          JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |          JOIN sz sa ON sa.doc_id = c.doc_a
+         |          JOIN sz sb ON sb.doc_id = c.doc_b
+         |          WHERE 1000 * i.inter_cnt >= 800 * (sa.n + sb.n - i.inter_cnt)),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(doc, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.doc)
+         |SELECT doc AS doc_id, MIN(lab) AS component
+         |FROM reach GROUP BY doc""".stripMargin,
     "s01_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
          |c AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),

@@ -127,4 +127,15 @@ class NorthStarSpec extends SparkTestBase {
     assert(new String(row.getAs[Array[Byte]]("payload"), "UTF-8") === "payload-text-αβ")
     assert(row.getAs[Long]("n_bytes") === "payload-text-αβ".getBytes("UTF-8").length.toLong)
   }
+
+  test("components labels transitive near-dup chains with the min doc id") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 5L, 8L, 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // chain 1-2-3 (1~2, 2~3 but NOT 1~3: closure must still merge them),
+    // pair 8-9, singleton 5
+    val pairs = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("doc_a", "doc_b")
+    val got = graft.operators.Dedup.components(docs, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 8L -> 8L, 9L -> 8L))
+  }
 }
