@@ -200,15 +200,16 @@ object Dedup {
         .join(labels, col("dst") === col("doc_id"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("component")).as("nbr_min"))
+      // fold the convergence test into the same pass: a row changed iff a
+      // neighbor offered a smaller label
       val next = labels.as("l")
         .join(propagated.as("p"), Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
-          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"),
+          coalesce(col("nbr_min") < col("component"), lit(false)).as("__changed"))
         .localCheckpoint(true)
-      converged = next.as("n").join(labels.as("o"), Seq("doc_id"))
-        .filter(col("n.component") =!= col("o.component"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("__changed")).isEmpty
+      labels = next.drop("__changed")
       round += 1
     }
     labels
