@@ -166,10 +166,14 @@ object Dedup {
       .join(sizes, "doc_id")
       .filter(col("pos") <=
         col("n_sh") - floor((col("n_sh") * minPermille + 999) / 1000).cast("long") + 1)
-      .select(col("doc_id"), col("sh"))
+      .select(col("doc_id"), col("sh"), col("n_sh"))
+    // length filter (AllPairs): jaccard ≥ τ forces τ·max(|A|,|B|) ≤ min —
+    // size-incompatible collisions drop before the distinct/verify shuffles
     val cand = prefix.as("x")
       .join(prefix.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id") &&
+          lit(1000) * least(col("x.n_sh"), col("y.n_sh")) >=
+            lit(minPermille) * greatest(col("x.n_sh"), col("y.n_sh")))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     verifyJaccard(cand, hashedShingleSets(docs, shingleN), minPermille)

@@ -118,6 +118,27 @@ object StreamingOps {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Update-mode changelog → idempotent upsert sink via foreachBatch
+    * (SURVEY.md §7.5: Kafka sinks give no append-only guarantee under
+    * update-mode aggregation; per-batch upserts with a batch id make
+    * replays idempotent).
+    *
+    * `upsert(batchDf, batchId)` receives each micro-batch's changelog rows;
+    * on restart a batch can be re-delivered with the same id, so sinks
+    * keyed on (your key, batchId) — or overwriting by key — are
+    * exactly-once from the reader's perspective.
+    */
+  def changelogUpsertSink(
+      changelog: DataFrame,
+      checkpointDir: String)(
+      upsert: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changelog.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        upsert(batch.toDF(), batchId)
+      }
+
   /** Stream⋈static left enrichment join — streaming form of
     * CoreOps.enrichLeftJoin (reference: CallsEnrichedApp.java:63 +
     * CallCustomerJoiner null-defaults). The static side is re-resolved per

@@ -207,6 +207,28 @@ class StreamingSpec extends SparkTestBase {
     assert(stripped === "payload")
   }
 
+  test("changelog upsert sink: per-batch upserts yield latest-value table") {
+    val in = MemoryStream[CallEvent](spark)
+    val agg = CallsStreamPipeline.aggregate(in.toDF())
+      .select($"id_telef_origen".as("key"), $"calls_count", $"total_duracion_origen")
+
+    // toy upsert store keyed by caller — what a JDBC/Kafka-compacted sink does
+    val store = scala.collection.concurrent.TrieMap[String, (Long, Long)]()
+    val q = StreamingOps.changelogUpsertSink(
+      agg, Files.createTempDirectory("ck-ub").toString) { (batch, _) =>
+        batch.collect().foreach(r =>
+          store(r.getString(0)) = (r.getLong(1), r.getLong(2)))
+      }.start()
+    try {
+      in.addData(CallEvent(ts("10:05"), 600L, 3), CallEvent(ts("10:10"), 600L, 2))
+      q.processAllAvailable()
+      in.addData(CallEvent(ts("10:20"), 600L, 3), CallEvent(ts("10:30"), 700L, 9))
+      q.processAllAvailable()
+    } finally q.stop()
+    // re-delivered updates overwrote: store holds the latest running values
+    assert(store.toMap === Map("600" -> ((3L, 8L)), "700" -> ((1L, 9L))))
+  }
+
   test("corrupt payloads decode to null and are skipped, not fatal (S8 policy)") {
     // reference: LogAndContinueExceptionHandler (CallsAggregationApp.java:34,100)
     // — a malformed record is dropped, the stream keeps running. from_json
