@@ -195,7 +195,10 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
-    var labels = docs.select(col("doc_id"), col("doc_id").as("component"))
+    // propagate only over the pair graph's vertices — in a dedup corpus the
+    // vast majority of docs are singletons and never need a round trip
+    val vertices = edges.select(col("src").as("doc_id")).distinct().localCheckpoint(true)
+    var labels = vertices.select(col("doc_id"), col("doc_id").as("component"))
       .localCheckpoint(true)
     var round = 0
     var converged = false
@@ -216,7 +219,10 @@ object Dedup {
       labels = next.drop("__changed")
       round += 1
     }
-    labels
+    val singletons = docs.select(col("doc_id"))
+      .join(vertices, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("component"))
+    labels.union(singletons)
   }
 
   /** The naive inverted-index jaccard join (reference implementation used by

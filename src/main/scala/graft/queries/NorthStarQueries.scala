@@ -109,6 +109,30 @@ object NorthStarQueries {
       Tables.documents(s, d).select(
         col("doc_id"), fingerprint(col("text")).as("fp"))
     }),
+    "t05_source_stats" -> ((s, d) => {
+      // Corpus curation rollup: per ingestion source, volume + quality +
+      // language mix. The shape of a "which sources to keep" decision at
+      // 100 TB — one scan, one grouped aggregate.
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(tokenCount(col("text")).cast("long")).as("total_tokens"),
+          floor(sum(qualityScore(col("text"))) / count(lit(1))).cast("long").as("avg_quality"),
+          count_distinct(col("lang")).as("n_langs"))
+    }),
+    "s03_label_centroid" -> ((s, d) => {
+      // Per-label embedding centroid, element-wise, in exact micro-units
+      // (float sums are order-sensitive; integer micros are not). One
+      // explode + one grouped aggregate, partitioned by (label, dim).
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(round(col("v").cast("double") * 1e6).cast("long")).as("sum_e6"))
+        .withColumn("mean_e6", floor(col("sum_e6") / col("n")).cast("long"))
+    }),
     "m01_media_meta" -> ((s, d) => {
       Multimodal.mediaFromDocs(Tables.documents(s, d))
         .select(col("doc_id"), col("kind"), col("n_bytes"),
@@ -294,6 +318,29 @@ object NorthStarQueries {
          |         ((${h60("w[i+1]")} % ${TextFunctions.FpMod}) * ((i % 31) + 1)))), 0)
          |         % ${TextFunctions.FpMod} AS fp
          |FROM ws ORDER BY doc_id""".stripMargin,
+    "t05_source_stats" -> {
+      val allStops = TextFunctions.langProfiles.flatMap(_._2).distinct
+        .map(w => s"'$w'").mkString(",")
+      s"""WITH ws AS (SELECT doc_id, source, lang, $WsSql AS w FROM documents),
+         |m AS (SELECT source, lang, CAST(len(w) AS BIGINT) AS n_tokens,
+         |        (CASE WHEN len(w) BETWEEN 10 AND 10000 THEN 500 ELSE 0 END
+         |         + ((1000 * len(list_filter(w, t -> list_contains([$allStops], t))))
+         |             // greatest(len(w), 1)) // 2
+         |         + ((1000 * len(list_filter(w, t -> regexp_matches(t, '^[a-z]+$$'))))
+         |             // greatest(len(w), 1)) // 4) AS quality
+         |      FROM ws)
+         |SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+         |       SUM(quality) // COUNT(*) AS avg_quality,
+         |       COUNT(DISTINCT lang) AS n_langs
+         |FROM m GROUP BY source""".stripMargin
+    },
+    "s03_label_centroid" ->
+      """SELECT label, CAST(t.i AS INT) AS dim, COUNT(*) AS n,
+        |       SUM(CAST(ROUND(embedding[t.i + 1]::DOUBLE * 1e6) AS BIGINT)) AS sum_e6,
+        |       CAST(FLOOR(SUM(CAST(ROUND(embedding[t.i + 1]::DOUBLE * 1e6) AS BIGINT))::DOUBLE
+        |                  / COUNT(*)) AS BIGINT) AS mean_e6
+        |FROM embeddings, range(64) t(i)  -- fixed 64-dim embeddings (TESTDATA)
+        |GROUP BY label, dim""".stripMargin,
     "m01_media_meta" ->
       """SELECT doc_id,
         |       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
