@@ -56,4 +56,12 @@ class GraftExtensionsSpec extends SparkTestBase {
       "graft_sorted_intersect_count", "graft_fingerprint", "graft_simhash32", "graft_dot"))
     new GraftExtensions() // constructible for spark.sql.extensions
   }
+
+  test("GraftSession wires tuned confs and the SQL surface") {
+    val gs = GraftSession.create(master = Some("local[4]"))
+    assert(gs.conf.get("spark.sql.adaptive.enabled") === "true")
+    assert(gs.conf.get("spark.sql.adaptive.skewJoin.enabled") === "true")
+    assert(gs.conf.get("spark.sql.session.timeZone") === "UTC")
+    assert(gs.sql("SELECT graft_hash60('x') AS h").collect().head.getLong(0) > 0L)
+  }
 }
