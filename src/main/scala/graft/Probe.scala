@@ -55,6 +55,16 @@ object Probe {
         size(col("xa.s")).cast("long") + size(col("xb.s")).cast("long") - col("inter_cnt"))
       .filter(lit(1000) * col("inter_cnt") >= lit(500) * col("union_cnt"))
     time("verify")(verified.count())
+    locally {
+      val t0 = System.nanoTime()
+      val pairs = graft.operators.Dedup.minhashLshPairs(docs)
+      val n = pairs.count()
+      println(f"d06:pairs        ${(System.nanoTime()-t0)/1e9}%8.2f s rows=$n")
+      val t1 = System.nanoTime()
+      val comp = graft.operators.Dedup.components(docs, pairs)
+      val m = comp.count()
+      println(f"d06:components   ${(System.nanoTime()-t1)/1e9}%8.2f s rows=$m")
+    }
     time("full d04")(graft.operators.Dedup.ngramJaccardPairs(docs, minPermille = 500).count())
     time("d04 noop no-sort") {
       graft.operators.Dedup.ngramJaccardPairs(docs, minPermille = 500)

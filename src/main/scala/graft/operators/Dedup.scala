@@ -192,14 +192,18 @@ object Dedup {
     * only ever sees a converged/changed counter, never the data.
     */
   def components(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    // hash edges by src before checkpointing: AQE coalesces the shuffle to
+    // as few partitions as the (small, pair-graph-sized) data needs, so
+    // every propagation round runs over a right-sized layout instead of the
+    // pair join's full fan-out
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(col("dst")) // the per-round join key
       .localCheckpoint(true)
     // propagate only over the pair graph's vertices — in a dedup corpus the
     // vast majority of docs are singletons and never need a round trip
     val vertices = edges.select(col("src").as("doc_id")).distinct().localCheckpoint(true)
     var labels = vertices.select(col("doc_id"), col("doc_id").as("component"))
-      .localCheckpoint(true)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
