@@ -229,6 +229,18 @@ object Dedup {
     labels.union(singletons)
   }
 
+  /** End-to-end near-dedup: keep only each component's canonical document
+    * (the min doc_id), dropping every other member — the operation a
+    * training-data pipeline actually runs. Composes pairs → components →
+    * semi-join; all three stages partition by doc id, no extra shuffle
+    * shape beyond components itself. */
+  def dedupCorpus(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val keep = components(docs, pairs)
+      .filter(col("doc_id") === col("component"))
+      .select(col("doc_id"))
+    docs.join(keep, Seq("doc_id"), "left_semi")
+  }
+
   /** The naive inverted-index jaccard join (reference implementation used by
     * the prefix-filter equivalence spec; also fine when the corpus has no
     * hot shingles). */

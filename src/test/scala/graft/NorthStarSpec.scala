@@ -138,4 +138,13 @@ class NorthStarSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 8L -> 8L, 9L -> 8L))
   }
+
+  test("dedupCorpus keeps exactly one representative per near-dup cluster") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 5L, 8L, 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("doc_a", "doc_b")
+    val kept = graft.operators.Dedup.dedupCorpus(docs, pairs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(1L, 5L, 8L)) // cluster mins + singleton
+  }
 }
