@@ -201,9 +201,15 @@ object Dedup {
       .repartition(col("dst")) // the per-round join key
       .localCheckpoint(true)
     // propagate only over the pair graph's vertices — in a dedup corpus the
-    // vast majority of docs are singletons and never need a round trip
-    val vertices = edges.select(col("src").as("doc_id")).distinct().localCheckpoint(true)
-    var labels = vertices.select(col("doc_id"), col("doc_id").as("component"))
+    // vast majority of docs are singletons and never need a round trip.
+    // Initial labels fuse round 1: each vertex starts at min(self, direct
+    // neighbors), one groupBy instead of a vertices-distinct plus a full
+    // propagation round.
+    var labels = edges
+      .groupBy(col("src").as("doc_id"))
+      .agg(least(min(col("dst")), col("src")).as("component"))
+      .localCheckpoint(true)
+    val vertices = labels.select(col("doc_id"))
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
