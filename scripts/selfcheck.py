@@ -8,7 +8,6 @@ Usage: python3 scripts/selfcheck.py <sfDir> <verifyOutDir>
 """
 import glob
 import json
-import math
 import os
 import sys
 
@@ -23,6 +22,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def cell_eq(a, b) -> bool:
+    # EXACT canonical compare, mirroring the driver's hash: the driver
+    # stringifies pandas cells, so DuckDB HUGEINT->float64 ("5.0") must NOT
+    # equal Spark int64 ("5"). No isclose — a dtype mismatch is a real fail.
     if a is None and b is None:
         return True
     try:
@@ -30,11 +32,6 @@ def cell_eq(a, b) -> bool:
             return True
     except (TypeError, ValueError):
         pass
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-9)
-        except (TypeError, ValueError):
-            return False
     return str(a) == str(b)
 
 

@@ -139,12 +139,17 @@ object NorthStarQueries {
           md5(col("payload")).as("digest"))
     }),
     "m02_media_features" -> ((s, d) => {
-      // mapPartitions decode stub — not SQL-expressible; rows-only check
-      // here, exactness covered by MultimodalSpec.
+      // mapPartitions decode stub; the stub is closed-form over payload
+      // bytes, so the DuckDB oracle reproduces it exactly (width/height
+      // from the first two bytes, n_frames from octet_length, and the
+      // float feature vector verified via an exact permille checksum —
+      // feature(i) = k/1000f with 0<=k<1000, so round(f*1000) recovers k).
       Multimodal.decodeStub(Multimodal.mediaDataset(s, Tables.documents(s, d)))
         .toDF()
         .select(col("doc_id"), col("kind"), col("width"), col("height"),
-          col("n_frames"), size(col("feature")).as("feature_dim"))
+          col("n_frames"), size(col("feature")).as("feature_dim"),
+          expr("CAST(aggregate(transform(feature, f -> CAST(round(f * 1000) AS BIGINT)), " +
+            "0L, (a, x) -> a + x) AS BIGINT)").as("feature_permille_sum"))
     }),
     "m03_frame_sample" -> ((s, d) => {
       val feats = Multimodal.decodeStub(Multimodal.mediaDataset(s, Tables.documents(s, d)))
@@ -303,8 +308,8 @@ object NorthStarQueries {
          |          // greatest(len(w), 1) AS stop_permille,
          |        (1000 * len(list_filter(w, t -> regexp_matches(t, '^[a-z]+$$'))))
          |          // greatest(len(w), 1) AS alpha_permille,
-         |        (1000 * list_sum(list_transform(w, t -> len(t))))
-         |          // greatest(len(w), 1) AS avg_token_len_permille
+         |        CAST((1000 * list_sum(list_transform(w, t -> len(t))))
+         |          // greatest(len(w), 1) AS BIGINT) AS avg_token_len_permille
          |      FROM ws)
          |SELECT doc_id, n_tokens, stop_permille, alpha_permille, avg_token_len_permille,
          |       (CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 500 ELSE 0 END
@@ -314,9 +319,9 @@ object NorthStarQueries {
     "t04_fingerprint" ->
       s"""WITH ws AS (SELECT doc_id, $WsSql AS w FROM documents)
          |SELECT doc_id,
-         |       COALESCE(list_sum(list_transform(range(len(w)), i ->
+         |       CAST(COALESCE(list_sum(list_transform(range(len(w)), i ->
          |         ((${h60("w[i+1]")} % ${TextFunctions.FpMod}) * ((i % 31) + 1)))), 0)
-         |         % ${TextFunctions.FpMod} AS fp
+         |         % ${TextFunctions.FpMod} AS BIGINT) AS fp
          |FROM ws ORDER BY doc_id""".stripMargin,
     "t05_source_stats" -> {
       val allStops = TextFunctions.langProfiles.flatMap(_._2).distinct
@@ -329,14 +334,15 @@ object NorthStarQueries {
          |         + ((1000 * len(list_filter(w, t -> regexp_matches(t, '^[a-z]+$$'))))
          |             // greatest(len(w), 1)) // 4) AS quality
          |      FROM ws)
-         |SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
-         |       SUM(quality) // COUNT(*) AS avg_quality,
+         |SELECT source, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |       CAST(SUM(quality) // COUNT(*) AS BIGINT) AS avg_quality,
          |       COUNT(DISTINCT lang) AS n_langs
          |FROM m GROUP BY source""".stripMargin
     },
     "s03_label_centroid" ->
       """SELECT label, CAST(t.i AS INT) AS dim, COUNT(*) AS n,
-        |       SUM(CAST(ROUND(embedding[t.i + 1]::DOUBLE * 1e6) AS BIGINT)) AS sum_e6,
+        |       CAST(SUM(CAST(ROUND(embedding[t.i + 1]::DOUBLE * 1e6) AS BIGINT)) AS BIGINT) AS sum_e6,
         |       CAST(FLOOR(SUM(CAST(ROUND(embedding[t.i + 1]::DOUBLE * 1e6) AS BIGINT))::DOUBLE
         |                  / COUNT(*)) AS BIGINT) AS mean_e6
         |FROM embeddings, range(64) t(i)  -- fixed 64-dim embeddings (TESTDATA)
@@ -347,6 +353,26 @@ object NorthStarQueries {
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "m02_media_features" ->
+      """WITH p AS (SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    hex(encode(text)) AS h,
+        |    octet_length(encode(text)) AS nb FROM documents),
+        |b AS (SELECT doc_id, kind, nb,
+        |    CASE WHEN nb >= 1 THEN (strpos('0123456789ABCDEF', substr(h, 1, 1)) - 1) * 16
+        |                         + (strpos('0123456789ABCDEF', substr(h, 2, 1)) - 1)
+        |         ELSE 0 END AS b0,
+        |    CASE WHEN nb >= 2 THEN (strpos('0123456789ABCDEF', substr(h, 3, 1)) - 1) * 16
+        |                         + (strpos('0123456789ABCDEF', substr(h, 4, 1)) - 1)
+        |         ELSE 0 END AS b1 FROM p)
+        |SELECT doc_id, kind,
+        |       CAST(16 + b0 % 64 AS INT) AS width,
+        |       CAST(16 + b1 % 64 AS INT) AS height,
+        |       CAST(CASE WHEN kind = 'video' THEN 1 + nb % 30 ELSE 1 END AS INT) AS n_frames,
+        |       CAST(8 AS INT) AS feature_dim,
+        |       CAST(list_sum(list_transform(range(8), i ->
+        |         (nb * (i + 1) + b0 * 31 + b1 * 7) % 1000)) AS BIGINT) AS feature_permille_sum
+        |FROM b ORDER BY doc_id""".stripMargin,
     "m03_frame_sample" ->
       """WITH m AS (SELECT doc_id,
         |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

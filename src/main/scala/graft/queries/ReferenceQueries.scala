@@ -85,7 +85,7 @@ object ReferenceQueries {
         |       CAST(user_id AS VARCHAR) AS id_telef_origen,
         |       COUNT(*) AS calls_count,
         |       MAX(CAST(FLOOR(value) AS BIGINT)) AS max_duracion_origen,
-        |       SUM(CAST(FLOOR(value) AS BIGINT)) AS total_duracion_origen,
+        |       CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS total_duracion_origen,
         |       CAST(FLOOR(SUM(CAST(FLOOR(value) AS BIGINT)) / COUNT(*)) AS BIGINT) AS avg_duracion_origen
         |FROM events
         |GROUP BY date_trunc('hour', ts), user_id
@@ -119,7 +119,7 @@ object ReferenceQueries {
         |         CAST(user_id AS VARCHAR) AS id_telef_origen,
         |         COUNT(*) AS calls_count,
         |         MAX(CAST(FLOOR(value) AS BIGINT)) AS max_duracion_origen,
-        |         SUM(CAST(FLOOR(value) AS BIGINT)) AS total_duracion_origen,
+        |         CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS total_duracion_origen,
         |         CAST(FLOOR(SUM(CAST(FLOOR(value) AS BIGINT)) / COUNT(*)) AS BIGINT) AS avg_duracion_origen
         |  FROM events GROUP BY 1, 2)
         |SELECT strftime(ws, '%d/%m/%Y %H:%M') AS window_start_ts,

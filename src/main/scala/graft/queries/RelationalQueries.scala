@@ -217,8 +217,8 @@ object RelationalQueries {
         |       CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents,
         |       ROW_NUMBER() OVER w AS rn,
         |       LAG(CAST(ROUND(o_totalprice*100) AS BIGINT), 1) OVER w AS prev_price_cents,
-        |       SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
-        |         OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+        |       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+        |         OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, rn""".stripMargin,
@@ -237,12 +237,12 @@ object RelationalQueries {
         |SELECT user_id,
         |       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |       COUNT(*) AS n_events,
-        |       SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_cents
+        |       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM sess GROUP BY user_id, sess_id
         |ORDER BY user_id, session_start""".stripMargin,
     "q17_rollup" ->
       """SELECT COALESCE(event_type, 'ALL') AS event_type, COUNT(*) AS n,
-        |       SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_cents
+        |       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY ROLLUP(event_type)
         |ORDER BY event_type""".stripMargin,
     "q18_semi_join" ->
@@ -269,10 +269,10 @@ object RelationalQueries {
         |ORDER BY id""".stripMargin,
     "q22_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |       SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty,
-        |       SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_base_cents,
-        |       SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
-        |           * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS sum_disc_c2,
+        |       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        |           * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_c2,
         |       COUNT(*) AS count_order,
         |       CAST(FLOOR(SUM(CAST(ROUND(l_quantity) AS BIGINT)) / COUNT(*)) AS BIGINT) AS avg_qty
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -280,8 +280,8 @@ object RelationalQueries {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q23_top_revenue" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-        |       SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
-        |           * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS revenue_c2
+        |       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        |           * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c2
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -298,7 +298,7 @@ object RelationalQueries {
         |  FROM events)
         |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, user_id,
         |       COUNT(*) AS n_events,
-        |       SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_cents
+        |       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM hop
         |WHERE ts >= ws AND ts < ws + INTERVAL 1 HOUR
         |GROUP BY ws, user_id""".stripMargin,
@@ -306,7 +306,7 @@ object RelationalQueries {
       """SELECT COALESCE(event_type, 'ALL') AS event_type,
         |       COALESCE(CAST(cohort AS VARCHAR), 'ALL') AS cohort,
         |       COUNT(*) AS n,
-        |       SUM(CAST(ROUND(value*100) AS BIGINT)) AS sum_cents
+        |       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM (SELECT event_type, user_id % 4 AS cohort, value FROM events)
         |GROUP BY CUBE(event_type, cohort)""".stripMargin,
     "q26_pivot" ->
@@ -319,8 +319,8 @@ object RelationalQueries {
         |FROM events GROUP BY user_id""".stripMargin,
     "q24_grouped_join_agg" ->
       """SELECT n_name,
-        |       SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
-        |           * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS revenue_c2,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        |           * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c2,
         |       COUNT(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
