@@ -1,8 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.expressions.TopKByScore
 
 /** Similarity search over an embedding column (`array<float>`):
   * brute-force cosine top-k as the exactness baseline, and an IVF
@@ -23,6 +24,11 @@ import org.apache.spark.sql.functions._
   * AQE. At real scale centroids come from a sampled k-means and
   * k ≈ sqrt(N); here they are taken deterministically (first k vec_ids) to
   * stay reproducible and oracle-checkable.
+  *
+  * No per-query window ranks anywhere: every top-k (final neighbors, IVF
+  * cell assignment, probe selection) runs as a bounded aggregate with
+  * map-side partials (TopKByScore / max_by), so the widest exchange carries
+  * O(queries × k) rows, not O(candidates).
   */
 object Similarity {
 
@@ -53,6 +59,20 @@ object Similarity {
   private def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
 
+  /** Two-phase top-k over scored candidates: bounded per-partition heaps,
+    * merged map-side, then one exchange of ≤k rows per query. Ordering
+    * (cos_e6 desc, neighbor_id asc) matches the former window-rank form;
+    * cos_e6 values are ≤1e6 so the double-typed heap score is exact. */
+  private def topKNeighbors(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(TopKByScore.topK(col("cos_e6").cast("double"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "nb")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("nb.id").as("neighbor_id"),
+        col("nb.score").cast("long").as("cos_e6"))
+
   /** Brute-force cosine top-k: each query vector (small set, broadcast)
     * ranked against all others by (cosine desc, vec_id asc). */
   def bruteForceKnn(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
@@ -62,28 +82,24 @@ object Similarity {
       norm(col("embedding")).as("nn")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_e6", cosE6From(col("qv"), col("nv"), col("qn"), col("nn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_e6").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_e6"))
+    topKNeighbors(scored, k)
   }
 
   /** Deterministic IVF index: centroids = vectors with vec_id < nCells
     * (stand-in for sampled k-means so the structure is reproducible +
     * checkable). Every vector lands in the cell of its nearest centroid
-    * (ties → lowest centroid id). */
+    * (ties → lowest centroid id), via an argmax aggregate — map-side
+    * partials collapse the N×k scored rows to N before the exchange. */
   def ivfAssign(emb: DataFrame, nCells: Int): DataFrame = {
     val cent = emb.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cell_cos").desc, col("cid"))
     spread(emb).crossJoin(broadcast(cent))
       .withColumn("cell_cos", cosine(col("embedding"), col("cv")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+      .groupBy(col("vec_id"))
+      .agg(
+        first(col("embedding")).as("embedding"),
+        max_by(col("cid"), struct(col("cell_cos"), (-col("cid")).as("tie"))).as("cell"))
+      .select(col("vec_id"), col("embedding"), col("cell"))
   }
 
   /** IVF-probed approximate top-k: each query probes its `nprobe` closest
@@ -93,35 +109,97 @@ object Similarity {
       .withColumn("nn", norm(col("embedding")))
     val cent = emb.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    val qw = Window.partitionBy(col("query_id"))
-      .orderBy(col("cell_cos").desc, col("cid"))
     val probes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       .crossJoin(broadcast(cent))
       .withColumn("cell_cos", cosine(col("qv"), col("cv")))
-      .withColumn("rn", row_number().over(qw))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("qv"), norm(col("qv")).as("qn"), col("cid").as("cell"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_e6").desc, col("neighbor_id"))
-    probes.join(assigned, Seq("cell"))
+      .groupBy(col("query_id"))
+      .agg(
+        first(col("qv")).as("qv"),
+        TopKByScore.topK(col("cell_cos"), col("cid"), nprobe).as("cells"))
+      .select(col("query_id"), col("qv"), norm(col("qv")).as("qn"),
+        explode(col("cells.id")).as("cell"))
+    val scored = probes.join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("neighbor_id", col("vec_id"))
       .withColumn("cos_e6", cosE6From(col("qv"), col("embedding"), col("qn"), col("nn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_e6"))
+    topKNeighbors(scored, k)
   }
 
-  /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold.
-    * Brute pair generation here (fine at test scale); the scale path is
-    * bucketing first — ivfAssign, then in-bucket pairing. */
+  /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold,
+    * with EXACT recall, via grid-bucketed candidate generation instead of
+    * an all-pairs nested-loop join.
+    *
+    * Geometry: for unit vectors, cos(a,b) ≥ t ⟺ ‖û_a−û_b‖ ≤ √(2−2t) = ε,
+    * and any 1-Lipschitz projection p satisfies |p(û_a)−p(û_b)| ≤ ε. Each
+    * vector is bucketed by ⌊p_j/ε⌋ over two deterministic anchor
+    * projections (p_j(v) = cos(v, anchor_j)); a qualifying pair's cells
+    * then differ by at most 1 per axis, so probing the 3×3 cell
+    * neighborhood of one side captures every qualifying pair — recall is
+    * exact by construction, and each pair meets in exactly one probe
+    * offset, so no dedup pass is needed. Candidates are verified with the
+    * exact cosine before output.
+    *
+    * The candidate join is an equi-join on (cell0, cell1) — shuffled hash
+    * partitioned, AQE-skew-safe, never a broadcast nested loop. Pruning
+    * power scales with the threshold: at production near-dup thresholds
+    * (t ≥ 0.85, ε ≤ 0.55) buckets are narrow and most cross-cluster pairs
+    * are never generated; at looser thresholds the cells widen (the exact
+    * all-pairs semantics genuinely approaches quadratic work there — that
+    * is inherent to the query, not the plan).
+    *
+    * Anchors are a tiny fitted model, like k-means centroids: the lowest
+    * vec_id vector, plus the vector most orthogonal to it, Gram-Schmidt
+    * orthogonalized driver-side (O(d) floats collected — the standard
+    * index-build pattern, not a data collect).
+    */
   def embeddingNearDupPairs(emb: DataFrame, minCosE6: Long): DataFrame = {
-    val a = spread(emb.select(col("vec_id").as("id_a"), col("embedding").as("va"),
-      norm(col("embedding")).as("na")))
-    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
-      norm(col("embedding")).as("nb"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
+    // round(cos*1e6) ≥ minCosE6 admits cos down to (minCosE6 - 0.5)/1e6;
+    // take a hair more slack so float noise can never cost recall.
+    val t = (minCosE6.toDouble - 1.0) / 1e6
+    val eps = math.sqrt(math.max(2.0 - 2.0 * t, 1e-9))
+
+    def unit(a: Array[Double]): Option[Array[Double]] = {
+      val n = math.sqrt(a.map(x => x * x).sum)
+      if (n > 1e-12) Some(a.map(_ / n)) else None
+    }
+    val base = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val nonZero = base.filter(col("nrm") > 0)
+    val a0 = nonZero.orderBy(col("vec_id")).select(col("embedding")).head(1)
+      .headOption.map(_.getSeq[Float](0).toArray.map(_.toDouble)).flatMap(unit)
+    val anchors: Seq[Array[Double]] = a0 match {
+      case None => Nil // no usable vectors: single bucket, join output empty anyway
+      case Some(u0) =>
+        val u0Lit = typedLit(u0.map(_.toFloat))
+        val a1 = nonZero
+          .withColumn("ac", abs(dot(col("embedding"), u0Lit) / col("nrm")))
+          .orderBy(col("ac"), col("vec_id")).select(col("embedding")).head(1)
+          .headOption.map(_.getSeq[Float](0).toArray.map(_.toDouble)).flatMap(unit)
+        val u1 = a1.flatMap { v =>
+          val proj = v.zip(u0).map { case (x, y) => x * y }.sum
+          unit(v.zip(u0).map { case (x, y) => x - proj * y })
+        }
+        Seq(Some(u0), u1).flatten
+    }
+    def cellCol(i: Int): Column =
+      if (i < anchors.length)
+        floor(dot(col("embedding"), typedLit(anchors(i).map(_.toFloat))) / col("nrm") / lit(eps))
+          .cast("long")
+      else lit(0L)
+    val cells = base.withColumn("c0", cellCol(0)).withColumn("c1", cellCol(1))
+
+    val offs: Seq[(Int, Int)] = for { i <- -1 to 1; j <- -1 to 1 } yield (i, j)
+    val aSide = cells
+      .select(col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"),
+        col("c0"), col("c1"))
+      .withColumn("off", explode(typedLit(offs)))
+      .select(col("id_a"), col("va"), col("na"),
+        (col("c0") + col("off._1")).as("p0"), (col("c1") + col("off._2")).as("p1"))
+    val bSide = cells
+      .select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb"),
+        col("c0").as("b0"), col("c1").as("b1"))
+    spread(aSide).join(bSide,
+        col("p0") === col("b0") && col("p1") === col("b1") && col("id_a") < col("id_b"))
       .withColumn("cos_e6", cosE6From(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cos_e6") >= minCosE6)
       .select(col("id_a"), col("id_b"), col("cos_e6"))

@@ -58,10 +58,24 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("dedup pair joins are equi-joins on buckets, never cartesian") {
-    for (q <- Seq("d02_minhash_lsh", "d03_simhash", "d04_ngram_jaccard")) {
+    for (q <- Seq("d02_minhash_lsh", "d03_simhash", "d04_ngram_jaccard",
+        "d05_embedding_neardup")) {
       val p = plan(SparkEntry.queries(q)(spark, sf))
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q degenerates to a cross join:\n$p")
+    }
+  }
+
+  test("kNN top-k is a bounded aggregate, not a per-query window rank") {
+    for (q <- Seq("s01_knn_brute", "s02_knn_ivf")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      // the old form shuffled every scored candidate of a query through one
+      // reducer via row_number().over(partitionBy(query_id)); the bounded
+      // TopKByScore/max_by aggregates must plan with NO window operator
+      assert(!p.contains("Window"), s"$q still ranks through a window:\n$p")
+      assert(p.contains("ObjectHashAggregate"), s"$q lost the heap aggregate:\n$p")
+      assert(p.contains("partial_top_k_by_score"),
+        s"$q top-k does not partially aggregate map-side:\n$p")
     }
   }
 
