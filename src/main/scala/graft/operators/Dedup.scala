@@ -190,8 +190,21 @@ object Dedup {
     * groupBy, both partitioned by node id; `localCheckpoint` truncates the
     * lineage so round N's plan doesn't replay rounds 1..N-1. The driver
     * only ever sees a converged/changed counter, never the data.
+    *
+    * `reliableCheckpoint = true` switches the per-round lineage cut to
+    * reliable `checkpoint` (requires `sparkContext.setCheckpointDir` on
+    * durable storage). `localCheckpoint` keeps blocks only in executor
+    * memory/disk, so an executor loss mid-iteration is unrecoverable — the
+    * right trade locally, the wrong one on a 1000-executor cluster where
+    * some loss per hour is the baseline; flip this on for production runs.
     */
-  def components(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+  def components(
+      docs: DataFrame,
+      pairs: DataFrame,
+      maxRounds: Int = 20,
+      reliableCheckpoint: Boolean = false): DataFrame = {
+    def chk(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(true)
     // hash edges by src before checkpointing: AQE coalesces the shuffle to
     // as few partitions as the (small, pair-graph-sized) data needs, so
     // every propagation round runs over a right-sized layout instead of the
@@ -199,32 +212,30 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .repartition(col("dst")) // the per-round join key
-      .localCheckpoint(true)
+    val edgesChk = chk(edges)
     // propagate only over the pair graph's vertices — in a dedup corpus the
     // vast majority of docs are singletons and never need a round trip.
     // Initial labels fuse round 1: each vertex starts at min(self, direct
     // neighbors), one groupBy instead of a vertices-distinct plus a full
     // propagation round.
-    var labels = edges
+    var labels = chk(edgesChk
       .groupBy(col("src").as("doc_id"))
-      .agg(least(min(col("dst")), col("src")).as("component"))
-      .localCheckpoint(true)
+      .agg(least(min(col("dst")), col("src")).as("component")))
     val vertices = labels.select(col("doc_id"))
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val propagated = edges
+      val propagated = edgesChk
         .join(labels, col("dst") === col("doc_id"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("component")).as("nbr_min"))
       // fold the convergence test into the same pass: a row changed iff a
       // neighbor offered a smaller label
-      val next = labels.as("l")
+      val next = chk(labels.as("l")
         .join(propagated.as("p"), Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
           least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"),
-          coalesce(col("nbr_min") < col("component"), lit(false)).as("__changed"))
-        .localCheckpoint(true)
+          coalesce(col("nbr_min") < col("component"), lit(false)).as("__changed")))
       converged = next.filter(col("__changed")).isEmpty
       labels = next.drop("__changed")
       round += 1

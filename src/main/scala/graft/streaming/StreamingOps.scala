@@ -4,6 +4,21 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+import graft.functions.TextFunctions.{hash60, wordShingles}
+
+/** One (doc, LSH band) row of the streaming near-dup pipeline. `ts` is the
+  * original event-time column: it must flow into the stateful operator
+  * unmodified so its watermark metadata survives (a derived column would
+  * drop it and event-time timeouts would be rejected). */
+case class BandRow(doc_id: Long, ts: java.sql.Timestamp, band: Long, bh: String)
+
+/** Per-bucket state: the canonical (minimum) doc_id seen in this bucket. */
+case class BucketState(canonical: Long)
+
+/** A streaming near-dup candidate: `doc_id` collided with the bucket whose
+  * canonical (first/minimum) document is `dup_of`, on LSH band `band`. */
+case class NearDupHit(doc_id: Long, dup_of: Long, band: Long)
+
 /** Structured Streaming counterparts of graft.ops.CoreOps — the engine's
   * re-expression of the reference's *streaming* runtime semantics
   * (Kafka Streams continuous topologies), on Spark's micro-batch model.
@@ -138,6 +153,84 @@ object StreamingOps {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         upsert(batch.toDF(), batchId)
       }
+
+  /** Streaming MinHash-LSH near-duplicate detection: the streaming
+    * counterpart of Dedup.minhashLshPairs (same signature scheme, same
+    * banding), emitting a candidate hit whenever an incoming document
+    * collides with an earlier document's band bucket.
+    *
+    * Per record, the 12-hash MinHash signature is computed from the doc's
+    * own shingles (a per-row scalar, so NO streaming aggregation is needed
+    * before the stateful op — chaining two stateful operators is what
+    * Spark's planner forbids); each of the `numHashes/rowsPerBand` band
+    * hashes becomes a row, and a single flatMapGroupsWithState keyed by
+    * (band, bucket-hash) keeps one long of state per live bucket: the
+    * canonical (minimum) doc_id. Later docs in the bucket emit
+    * `NearDupHit(doc, canonical, band)`.
+    *
+    * Exactly like the batch operator, hits are LSH *candidates* — the
+    * downstream verify (exact Jaccard on the pair) runs in the sink
+    * (foreachBatch upsert, see changelogUpsertSink), where the doc bodies
+    * can be fetched; a doc with no verified hit is kept.
+    *
+    * State is watermark-bounded: every bucket arms an event-time timeout at
+    * (max event time seen + the watermark delay) and removes itself when
+    * the watermark passes it, so memory tracks live buckets within the
+    * dedup horizon, not corpus history. Out-of-order arrivals inside the
+    * horizon are handled by keeping the MINIMUM doc_id as canonical: a doc
+    * once flagged stays flagged, and a late-arriving smaller id simply
+    * becomes the bucket's canonical without being flagged itself.
+    */
+  def streamingLshNearDup(
+      docs: DataFrame, // columns: doc_id (long), text (string), <tsCol> (timestamp)
+      tsCol: String = "ts",
+      watermark: String = "1 hour",
+      shingleN: Int = 3,
+      numHashes: Int = 12,
+      rowsPerBand: Int = 3): Dataset[NearDupHit] = {
+    require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
+    import docs.sparkSession.implicits._
+    val numBands = numHashes / rowsPerBand
+    // per-row MinHash: mh_i = min over the doc's shingles of hash60(i:sh).
+    // (The batch path computes the same values via explode + min-aggregates
+    // for map-side combining; per-row HOFs are the right shape when each
+    // record must be decided on arrival.)
+    val mh = (0 until numHashes).map { i =>
+      array_min(transform(wordShingles(col("text"), shingleN),
+        sh => hash60(concat(lit(i.toString), lit(":"), sh)))).as(s"mh$i")
+    }
+    val bandStructs = (0 until numBands).map { b =>
+      val rows = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i").cast("string"))
+      struct(lit(b.toLong).as("band"), md5(concat_ws(",", rows: _*)).as("bh"))
+    }
+    val bands = docs
+      .withWatermark(tsCol, watermark)
+      .select(Seq(col("doc_id"), col(tsCol).as("ts")) ++ mh: _*)
+      .filter(col("mh0").isNotNull) // shingle-less docs have no signature (as in batch)
+      .select(col("doc_id"), col("ts"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("ts"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .as[BandRow]
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(watermark))
+    val delayMs = iv.months * 2592000000L + iv.days * 86400000L + iv.microseconds / 1000L
+    bands
+      .groupByKey(r => (r.band, r.bh))
+      .flatMapGroupsWithState[BucketState, NearDupHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, String), rows: Iterator[BandRow], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val rs = rows.toArray
+            val canonical = (state.getOption.map(_.canonical).toSeq ++ rs.map(_.doc_id)).min
+            state.update(BucketState(canonical))
+            state.setTimeoutTimestamp(rs.map(_.ts.getTime).max + delayMs)
+            rs.iterator.filter(_.doc_id != canonical)
+              .map(r => NearDupHit(r.doc_id, canonical, key._1))
+          }
+      }
+  }
 
   /** Stream⋈static left enrichment join — streaming form of
     * CoreOps.enrichLeftJoin (reference: CallsEnrichedApp.java:63 +

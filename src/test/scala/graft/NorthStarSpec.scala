@@ -139,6 +139,20 @@ class NorthStarSpec extends SparkTestBase {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 8L -> 8L, 9L -> 8L))
   }
 
+  test("components: reliable-checkpoint path yields the same labels") {
+    import spark.implicits._
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-ck").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    val docs = Seq(1L, 2L, 3L, 5L, 8L, 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("doc_a", "doc_b")
+    val got = graft.operators.Dedup.components(docs, pairs, reliableCheckpoint = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 8L -> 8L, 9L -> 8L))
+    // the fault-tolerant path really wrote reliable checkpoint files
+    assert(new java.io.File(ckDir).listFiles != null &&
+      new java.io.File(ckDir).listFiles.nonEmpty, "no reliable checkpoint written")
+  }
+
   test("dedupCorpus keeps exactly one representative per near-dup cluster") {
     import spark.implicits._
     val docs = Seq(1L, 2L, 3L, 5L, 8L, 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text")

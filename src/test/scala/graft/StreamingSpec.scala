@@ -11,6 +11,7 @@ import org.apache.spark.sql.types._
 
 case class CallEvent(ts: Timestamp, user_id: Long, value: Long)
 case class CustUpsert(phone: Long, doc: String, offset: Long)
+case class StreamDocFixture(doc_id: Long, text: String, ts: Timestamp)
 
 /** Streaming semantics mirrored from the reference's TopologyTestDriver
   * tests (CallsEnrichedAppTest.java) on MemoryStream micro-batches:
@@ -227,6 +228,31 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
     // re-delivered updates overwrote: store holds the latest running values
     assert(store.toMap === Map("600" -> ((3L, 8L)), "700" -> ((1L, 9L))))
+  }
+
+  test("streaming LSH near-dup flags band collisions with the canonical doc") {
+    val in = MemoryStream[StreamDocFixture](spark)
+    val hits = StreamingOps.streamingLshNearDup(
+      in.toDF(), tsCol = "ts", watermark = "1 hour")
+    val q = hits.toDF().writeStream
+      .format("memory").queryName("neardup_hits").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ck-neardup").toString)
+      .start()
+    val prose = "the quick brown fox jumps over the lazy dog again and again"
+    try {
+      in.addData(
+        StreamDocFixture(1L, prose, ts("10:00")),
+        StreamDocFixture(5L, "completely different text about spark physical plans", ts("10:01")))
+      q.processAllAvailable()
+      // identical text arriving later → identical signature → all bands hit
+      in.addData(StreamDocFixture(9L, prose, ts("10:10")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("neardup_hits")
+      .select("doc_id", "dup_of").distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSet === Set((9L, 1L))) // doc 9 is a dup of canonical 1; 5 is clean
+    val bandsHit = spark.table("neardup_hits").select("band").distinct().count()
+    assert(bandsHit === 4L) // identical signature collides on all 12/3 bands
   }
 
   test("corrupt payloads decode to null and are skipped, not fatal (S8 policy)") {
