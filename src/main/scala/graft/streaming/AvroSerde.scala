@@ -1,0 +1,139 @@
+package graft.streaming
+
+import java.io.ByteArrayOutputStream
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+import org.apache.spark.sql.{Column, Row}
+import org.apache.spark.sql.api.java.UDF1
+import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.types._
+
+/** Real Avro wire-format serde (reference S6: GenericAvroSerde /
+  * SpecificAvroSerde, CallsAggregationApp.java:40-41,116-118 and
+  * CallsEnrichedApp.java:70-79), built directly on the `org.apache.avro`
+  * runtime that ships with Spark — no spark-avro module needed.
+  *
+  * `fromAvro(value, writerSchemaJson)` decodes a binary Avro payload into a
+  * typed struct column; compose with `KafkaIO.stripConfluentHeader` for
+  * registry-framed topics (magic byte + 4-byte schema id). `toAvro` is the
+  * inverse for sinks and tests. The supported schema surface is what the
+  * reference's schemas use (records of string/int/long/float/double/
+  * boolean/bytes, arrays, and `["null", T]` unions — see callagg.avsc /
+  * callaggcust.avsc); anything else fails fast at schema-mapping time.
+  *
+  * Scale notes: decode is a per-row JVM UDF (no codegen), but the parsed
+  * `Schema` is cached per executor and the record/decoder objects are
+  * reused per thread, so the cost is the Avro binary walk itself —
+  * equivalent to what spark-avro's AvroDataToCatalyst does. In a
+  * registry-backed deployment the schema id in the header selects the
+  * writer schema; here the writer schema is pinned at plan time, which is
+  * the reference's static-schema usage.
+  */
+object AvroSerde {
+
+  /** Map an Avro schema to the Catalyst type it decodes to. */
+  def sqlType(schema: Schema): DataType = schema.getType match {
+    case Schema.Type.STRING => StringType
+    case Schema.Type.INT => IntegerType
+    case Schema.Type.LONG => LongType
+    case Schema.Type.FLOAT => FloatType
+    case Schema.Type.DOUBLE => DoubleType
+    case Schema.Type.BOOLEAN => BooleanType
+    case Schema.Type.BYTES => BinaryType
+    case Schema.Type.ARRAY => ArrayType(sqlType(schema.getElementType))
+    case Schema.Type.RECORD =>
+      StructType(schema.getFields.asScala.toSeq.map { f =>
+        StructField(f.name, sqlType(nonNullBranch(f.schema)), nullable = isNullable(f.schema))
+      })
+    case Schema.Type.UNION => sqlType(nonNullBranch(schema))
+    case other =>
+      throw new IllegalArgumentException(
+        s"avro type $other not in the supported serde surface (see AvroSerde scaladoc)")
+  }
+
+  private def isNullable(s: Schema): Boolean =
+    s.getType == Schema.Type.UNION && s.getTypes.asScala.exists(_.getType == Schema.Type.NULL)
+
+  private def nonNullBranch(s: Schema): Schema =
+    if (s.getType != Schema.Type.UNION) s
+    else {
+      val branches = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+      require(branches.size == 1, s"only [null, T] unions supported, got $s")
+      branches.head
+    }
+
+  // Parsed-schema cache: Schema parsing is expensive and the JSON string is
+  // the stable task-serializable form, so executors parse each distinct
+  // schema once.
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Schema]()
+  private def parsed(json: String): Schema =
+    schemaCache.computeIfAbsent(json, j => new Schema.Parser().parse(j))
+
+  private def fromAvroValue(v: Any, schema: Schema): Any = v match {
+    case null => null
+    case u: org.apache.avro.util.Utf8 => u.toString
+    case s: CharSequence => s.toString
+    case r: GenericRecord => genericToRow(r, nonNullBranch(schema))
+    case bb: java.nio.ByteBuffer =>
+      val out = new Array[Byte](bb.remaining()); bb.duplicate().get(out); out
+    case c: java.util.Collection[_] =>
+      val et = nonNullBranch(schema).getElementType
+      c.asScala.map(fromAvroValue(_, et)).toSeq
+    case x => x
+  }
+
+  private def genericToRow(rec: GenericRecord, schema: Schema): Row =
+    Row.fromSeq(schema.getFields.asScala.toSeq.map { f =>
+      fromAvroValue(rec.get(f.pos), nonNullBranch(f.schema))
+    })
+
+  /** Decode a binary Avro column written with `writerSchemaJson` into a
+    * struct column (spark-avro's `from_avro` shape). Malformed payloads
+    * decode to null — the LogAndContinue policy (S8), same as the JSON
+    * path's PERMISSIVE mode. */
+  def fromAvro(data: Column, writerSchemaJson: String): Column = {
+    val schema = parsed(writerSchemaJson)
+    require(schema.getType == Schema.Type.RECORD, "fromAvro expects a record schema")
+    val st = sqlType(schema).asInstanceOf[StructType]
+    val decode = new UDF1[Array[Byte], Row] {
+      override def call(bytes: Array[Byte]): Row = {
+        if (bytes == null) return null
+        try {
+          val s = parsed(writerSchemaJson)
+          val reader = new GenericDatumReader[GenericRecord](s)
+          val rec = reader.read(null, DecoderFactory.get().binaryDecoder(bytes, null))
+          genericToRow(rec, s)
+        } catch { case _: Exception => null }
+      }
+    }
+    udf(decode, st).apply(data)
+  }
+
+  /** Encode rows to Avro binary with `writerSchemaJson` (spark-avro's
+    * `to_avro` shape, driver/test-side twin of fromAvro). `confluentHeader`
+    * prepends the registry frame (magic 0 + big-endian schema id) that
+    * `KafkaIO.stripConfluentHeader` removes. */
+  def encodeRecord(
+      values: Seq[Any],
+      writerSchemaJson: String,
+      confluentHeader: Boolean = false,
+      schemaId: Int = 1): Array[Byte] = {
+    val schema = parsed(writerSchemaJson)
+    val rec = new GenericData.Record(schema)
+    schema.getFields.asScala.zip(values).foreach { case (f, v) => rec.put(f.pos, v) }
+    val out = new ByteArrayOutputStream()
+    if (confluentHeader) {
+      out.write(0)
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(schemaId).array())
+    }
+    val enc = EncoderFactory.get().binaryEncoder(out, null)
+    new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+    enc.flush()
+    out.toByteArray
+  }
+}

@@ -17,11 +17,13 @@ import org.apache.spark.sql.Row
   * covered by option-shape unit tests + MemoryStream for the semantics).
   *
   * Serde: the reference uses Avro + Schema Registry (SURVEY.md §2.1 S6).
-  * Registry interop is runtime plumbing, not query semantics (§7.6); here
-  * JSON is the tested wire codec (`payloadToColumns`/`columnsToPayload`),
-  * and `stripConfluentHeader` handles the registry's 5-byte
-  * magic/schema-id prefix so an Avro decoder (`from_avro`, available via
-  * the spark-avro module on a real cluster) can be dropped in.
+  * `avroPayloadToColumns` is the real Avro decode path (AvroSerde, built
+  * on the avro runtime in Spark's own classpath), with
+  * `stripConfluentHeader` handling the registry's 5-byte magic/schema-id
+  * prefix; registry *lookup* is runtime plumbing (§7.6) — the writer
+  * schema is pinned at plan time, the reference's static-schema usage.
+  * JSON (`payloadToColumns`/`columnsToPayload`) remains as the
+  * lightweight codec for tests and debugging.
   */
 object KafkaIO {
 
@@ -67,9 +69,25 @@ object KafkaIO {
   def stripConfluentHeader(value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     substring(value, 6, Int.MaxValue)
 
+  /** Decode an Avro `value` payload into typed columns next to the key —
+    * the reference's real serde (S6: GenericAvroSerde,
+    * CallsAggregationApp.java:40-41). Built on AvroSerde (the avro runtime
+    * shipped with Spark); `confluentFramed` strips the registry's 5-byte
+    * header first. */
+  def avroPayloadToColumns(
+      df: DataFrame,
+      writerSchemaJson: String,
+      confluentFramed: Boolean = false): DataFrame = {
+    val body = if (confluentFramed) stripConfluentHeader(col("value")) else col("value")
+    df.select(
+      col("key").cast("string").as("key"),
+      AvroSerde.fromAvro(body, writerSchemaJson).as("v"))
+      .select(col("key"), col("v.*"))
+  }
+
   /** Decode a JSON `value` payload into typed columns next to the key —
-    * the container-testable serde path (Avro's `from_avro` slot-in is the
-    * same shape: value → struct → star-expand). */
+    * the lightweight serde path (same value → struct → star-expand shape
+    * as avroPayloadToColumns). */
   def payloadToColumns(df: DataFrame, schema: StructType): DataFrame =
     df.select(
       col("key").cast("string").as("key"),
