@@ -54,6 +54,47 @@ class ScaleShapeSpec extends SparkTestBase {
     assert(agg.forall { case (k, v) => perRow(k) === v })
   }
 
+  test("grid-bucketed embedding near-dup ≡ brute all-pairs on real embeddings") {
+    val emb = Tables.embeddings(spark, sf)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    // loose and tight thresholds: wide cells vs narrow cells both exact
+    for (thr <- Seq(400000L, 900000L)) {
+      val fast = canon(Similarity.embeddingNearDupPairs(emb, thr))
+      val a = emb.select($"vec_id".as("id_a"), $"embedding".as("va"))
+      val b = emb.select($"vec_id".as("id_b"), $"embedding".as("vb"))
+      val brute = canon(a.join(b, $"id_a" < $"id_b")
+        .withColumn("cos_e6", Similarity.cosineE6($"va", $"vb"))
+        .filter($"cos_e6" >= thr)
+        .select($"id_a", $"id_b", $"cos_e6"))
+      assert(fast === brute, s"grid recall broke at threshold $thr")
+    }
+  }
+
+  test("TopKByScore aggregate ≡ window row_number top-k, ties included") {
+    import org.apache.spark.sql.expressions.Window
+    // adversarial fixture: duplicate scores (tie-break on id), NaN-free
+    // dense groups + a group smaller than k
+    val rows = for {
+      q <- 0L until 7L
+      n <- 0L until (if (q == 6L) 2L else 40L)
+    } yield (q, n, (n * 37 % 11).toDouble) // many duplicate scores per group
+    val scored = rows.toDF("query_id", "neighbor_id", "s")
+      .withColumn("cos_e6", ($"s" * 10).cast("long"))
+    val viaAgg = scored.groupBy($"query_id")
+      .agg(graft.expressions.TopKByScore.topK($"cos_e6".cast("double"), $"neighbor_id", 5).as("top"))
+      .select($"query_id", posexplode($"top").as(Seq("pos", "nb")))
+      .select($"query_id", ($"pos" + 1).cast("int").as("rank"),
+        $"nb.id".as("neighbor_id"), $"nb.score".cast("long").as("cos_e6"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos_e6".desc, $"neighbor_id")
+    val viaWindow = scored
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"neighbor_id", $"cos_e6")
+    val ka = viaAgg.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val kw = viaWindow.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(ka.nonEmpty && ka === kw)
+  }
+
   test("saltedAgg ≡ direct groupBy aggregation on a skewed stream") {
     import graft.ops.ScaleOps
     import graft.ops.ScaleOps.SaltedMetric._
