@@ -23,13 +23,25 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
 
   def builder(appName: String = "graft", master: Option[String] = None,
-      shufflePartitions: Option[Int] = None): SparkSession.Builder = {
+      shufflePartitions: Option[Int] = None,
+      rocksDbState: Boolean = false): SparkSession.Builder = {
     val b = SparkSession.builder()
       .appName(appName)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // Streaming state at scale: the default HDFSBackedStateStoreProvider
+    // keeps every key in executor heap — fine for the test-sized topologies
+    // here, an OOM source once latestPerKey/streamingLshNearDup state grows
+    // to hundreds of millions of keys. RocksDB spills to local disk with
+    // changelog checkpointing, the production setting (reference analogue:
+    // Kafka Streams' RocksDB state stores, CallsAggregationApp.java:58).
+    if (rocksDbState) {
+      b.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      b.config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    }
     master.foreach(b.master)
     shufflePartitions.foreach(n => b.config("spark.sql.shuffle.partitions", n.toString))
     b

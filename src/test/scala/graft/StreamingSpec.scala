@@ -255,6 +255,36 @@ class StreamingSpec extends SparkTestBase {
     assert(bandsHit === 4L) // identical signature collides on all 12/3 bands
   }
 
+  test("stateful ops run on the RocksDB state store provider (production state path)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[CustUpsert](spark)
+      val latest = StreamingOps.latestPerKey[CustUpsert, Long](
+        in.toDS(), _.phone, _.offset)
+      val q = latest.toDF().writeStream
+        .format("memory").queryName("rocksdb_latest").outputMode("update")
+        .option("checkpointLocation", Files.createTempDirectory("ck-rocksdb").toString)
+        .start()
+      try {
+        in.addData(CustUpsert(600L, "old", 1L), CustUpsert(700L, "x", 1L))
+        q.processAllAvailable()
+        in.addData(CustUpsert(600L, "new", 2L))
+        q.processAllAvailable()
+      } finally q.stop()
+      val last = spark.table("rocksdb_latest")
+        .groupBy("phone").agg(max_by(col("doc"), col("offset")).as("doc"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(last === Map(600L -> "new", 700L -> "x"))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("corrupt payloads decode to null and are skipped, not fatal (S8 policy)") {
     // reference: LogAndContinueExceptionHandler (CallsAggregationApp.java:34,100)
     // — a malformed record is dropped, the stream keeps running. from_json
