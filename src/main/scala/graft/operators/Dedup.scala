@@ -187,24 +187,32 @@ object Dedup {
     * node takes the min of its label and its neighbors' labels; converges
     * in O(graph diameter) rounds — near-dup graphs are shallow (clusters of
     * copies), so 3-5 rounds typical. Each round is one equi-join + one
-    * groupBy, both partitioned by node id; `localCheckpoint` truncates the
-    * lineage so round N's plan doesn't replay rounds 1..N-1. The driver
-    * only ever sees a converged/changed counter, never the data.
+    * groupBy, both partitioned by node id; a per-round lineage cut keeps
+    * round N's plan from replaying rounds 1..N-1. The driver only ever
+    * sees a converged/changed counter, never the data.
     *
-    * `reliableCheckpoint = true` switches the per-round lineage cut to
-    * reliable `checkpoint` (requires `sparkContext.setCheckpointDir` on
-    * durable storage). `localCheckpoint` keeps blocks only in executor
-    * memory/disk, so an executor loss mid-iteration is unrecoverable — the
-    * right trade locally, the wrong one on a 1000-executor cluster where
-    * some loss per hour is the baseline; flip this on for production runs.
+    * `reliableCheckpoint = true` switches the per-round lineage cut from
+    * cached persists to reliable `checkpoint` files (requires
+    * `sparkContext.setCheckpointDir` on durable storage). Cached blocks
+    * recompute from the previous round on loss — fine locally, compounding
+    * on a 1000-executor cluster where some loss per hour is the baseline;
+    * flip this on for production runs.
     */
   def components(
       docs: DataFrame,
       pairs: DataFrame,
       maxRounds: Int = 20,
       reliableCheckpoint: Boolean = false): DataFrame = {
-    def chk(df: DataFrame): DataFrame =
-      if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(true)
+    // Local lineage cuts are lazy persists, not eager checkpoints: the
+    // per-round convergence count is then the ONLY driver-blocking action
+    // each round (it populates the cache as it runs), instead of a
+    // checkpoint job + a probe job. The cached InMemoryRelation bounds plan
+    // growth exactly like a checkpoint; on block loss Spark recomputes from
+    // the previous cached round. The reliable path keeps eager durable
+    // checkpoints — there, surviving executor loss is the point.
+    def cut(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint(true)
+      else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // hash edges by src before checkpointing: AQE coalesces the shuffle to
     // as few partitions as the (small, pair-graph-sized) data needs, so
     // every propagation round runs over a right-sized layout instead of the
@@ -212,16 +220,17 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .repartition(col("dst")) // the per-round join key
-    val edgesChk = chk(edges)
+    val edgesChk = cut(edges)
     // propagate only over the pair graph's vertices — in a dedup corpus the
     // vast majority of docs are singletons and never need a round trip.
     // Initial labels fuse round 1: each vertex starts at min(self, direct
     // neighbors), one groupBy instead of a vertices-distinct plus a full
     // propagation round.
-    var labels = chk(edgesChk
+    val labels0 = cut(edgesChk
       .groupBy(col("src").as("doc_id"))
       .agg(least(min(col("dst")), col("src")).as("component")))
-    val vertices = labels.select(col("doc_id"))
+    val vertices = labels0.select(col("doc_id"))
+    var labels = labels0
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -231,12 +240,14 @@ object Dedup {
         .agg(min(col("component")).as("nbr_min"))
       // fold the convergence test into the same pass: a row changed iff a
       // neighbor offered a smaller label
-      val next = chk(labels.as("l")
+      val next = cut(labels.as("l")
         .join(propagated.as("p"), Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
           least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"),
           coalesce(col("nbr_min") < col("component"), lit(false)).as("__changed")))
-      converged = next.filter(col("__changed")).isEmpty
+      // one action per round: counting the changed rows materializes the
+      // whole round into the cache/checkpoint and decides convergence
+      converged = next.filter(col("__changed")).count() == 0L
       labels = next.drop("__changed")
       round += 1
     }
