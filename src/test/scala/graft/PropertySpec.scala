@@ -120,4 +120,30 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("TopKByScore ≡ sort-take per group on random scored streams") {
+    val scoredGen: Gen[List[(Long, Long, Long)]] =
+      Gen.nonEmptyListOf(for {
+        q <- Gen.choose(0L, 4L)
+        id <- Gen.choose(0L, 30L)
+        s <- Gen.choose(-100L, 100L) // negatives + heavy duplicate scores
+      } yield (q, id, s))
+    forSamples(scoredGen, 20) { rows =>
+      // the aggregate sees each (group, id) once, like scored candidates
+      val distinctRows = rows.map { case (q, id, s) => ((q, id), s) }.toMap.toList
+        .map { case ((q, id), s) => (q, id, s) }
+      val df = distinctRows.toDF("query_id", "neighbor_id", "cos_e6")
+      val got = df.groupBy($"query_id")
+        .agg(graft.expressions.TopKByScore.topK($"cos_e6".cast("double"), $"neighbor_id", 3).as("top"))
+        .select($"query_id", posexplode($"top").as(Seq("pos", "nb")))
+        .select($"query_id", ($"pos" + 1).as("rank"), $"nb.id", $"nb.score".cast("long"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+      val want = distinctRows.groupBy(_._1).flatMap { case (q, rs) =>
+        rs.sortBy { case (_, id, s) => (-s, id) }.take(3).zipWithIndex.map {
+          case ((_, id, s), i) => (q, i + 1, id, s)
+        }
+      }.toSet
+      assert(got === want)
+    }
+  }
 }
