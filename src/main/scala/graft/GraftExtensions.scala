@@ -77,6 +77,15 @@ object GraftExtensions {
     ("graft_dot",
       info("graft_dot", "graft_dot(arr_float, arr_float) - double dot product"),
       (args: Seq[Expression]) => { arity("graft_dot", 2, args); DotProductFF(args.head, args(1)) }),
+    ("graft_top_k",
+      // the analyzer wraps a bare AggregateFunction into AggregateExpression,
+      // same as the built-in sum/max registrations
+      info("graft_top_k",
+        "graft_top_k(score, id, k) - bounded top-k aggregate: array<struct<id,score>> best-first"),
+      (args: Seq[Expression]) => {
+        arity("graft_top_k", 3, args)
+        TopKByScore(args.head, args(1), intLit(args(2), "k"))
+      }),
   )
 
   /** Register every graft function on a live session. */

@@ -48,12 +48,23 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(r.getLong(1) === 2L)
   }
 
+  test("graft_top_k aggregates from SQL with (score desc, id asc) order") {
+    val r = s.sql(
+      """SELECT g, graft_top_k(CAST(sc AS DOUBLE), id, 2) AS top
+        |FROM VALUES (1, 10L, 5L), (1, 11L, 9L), (1, 12L, 9L), (2, 20L, 1L) AS t(g, id, sc)
+        |GROUP BY g ORDER BY g""".stripMargin).collect()
+    val g1 = r(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(g1.map(x => (x.getLong(0), x.getDouble(1))) === Seq((11L, 9.0), (12L, 9.0)))
+    assert(r(1).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0)) === Seq(20L))
+  }
+
   test("extensions class wires the same registry via spark.sql.extensions") {
     // The config path can't be exercised on the already-built shared session;
     // assert the injection list itself is the single source both paths use.
     assert(GraftExtensions.functions.map(_._1).toSet === Set(
       "graft_hash60", "graft_tokens", "graft_word_shingles", "graft_shingle_hashes",
-      "graft_sorted_intersect_count", "graft_fingerprint", "graft_simhash32", "graft_dot"))
+      "graft_sorted_intersect_count", "graft_fingerprint", "graft_simhash32", "graft_dot",
+      "graft_top_k"))
     new GraftExtensions() // constructible for spark.sql.extensions
   }
 
