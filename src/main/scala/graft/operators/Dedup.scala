@@ -166,14 +166,24 @@ object Dedup {
       .join(sizes, "doc_id")
       .filter(col("pos") <=
         col("n_sh") - floor((col("n_sh") * minPermille + 999) / 1000).cast("long") + 1)
-      .select(col("doc_id"), col("sh"), col("n_sh"))
-    // length filter (AllPairs): jaccard ≥ τ forces τ·max(|A|,|B|) ≤ min —
-    // size-incompatible collisions drop before the distinct/verify shuffles
+      .select(col("doc_id"), col("sh"), col("n_sh"), col("pos"))
+    // two more exact prunes inside the join condition, before the distinct/
+    // verify shuffles ever see the pair:
+    //   - length filter (AllPairs): jaccard ≥ τ forces τ·max(|A|,|B|) ≤ min;
+    //   - positional filter (PPJoin): both sets are sorted by the same
+    //     global rarity order, so common elements occupy increasing
+    //     positions in BOTH docs; at the globally-smallest shared shingle
+    //     (which a qualifying pair must expose in both prefixes), overlap
+    //     ≤ min(remaining suffix lengths), and jaccard ≥ τ needs overlap
+    //     ≥ τ(|A|+|B|)/(1+τ) — integer-exact in permille.
     val cand = prefix.as("x")
       .join(prefix.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id") &&
           lit(1000) * least(col("x.n_sh"), col("y.n_sh")) >=
-            lit(minPermille) * greatest(col("x.n_sh"), col("y.n_sh")))
+            lit(minPermille) * greatest(col("x.n_sh"), col("y.n_sh")) &&
+          lit(1000 + minPermille) *
+            (least(col("x.n_sh") - col("x.pos"), col("y.n_sh") - col("y.pos")) + 1) >=
+            lit(minPermille) * (col("x.n_sh") + col("y.n_sh")))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     verifyJaccard(cand, hashedShingleSets(docs, shingleN), minPermille)
