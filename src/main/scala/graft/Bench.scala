@@ -38,6 +38,9 @@ object Bench {
       Similarity.ivfKnn(tinyEmb, tinyEmb.limit(3), k = 2, nCells = 2, nprobe = 1).count()
       tinyDocs.unpersist(blocking = true); tinyEmb.unpersist(blocking = true)
     } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
+    // drop anything the warmup left cached (components pins its edges +
+    // label rounds) so timed queries run against a clean memory manager
+    spark.catalog.clearCache()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes every output column (a bare count() would let

@@ -7,7 +7,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnShim
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -34,9 +34,16 @@ case class TopKByScore(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]] {
+    extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]]
+    with ImplicitCastInputTypes {
 
   require(k > 0, s"top-k needs k > 0, got $k")
+
+  // declared input types ⇒ the analyzer inserts casts (int ids widen, any
+  // numeric score coerces to double) instead of update() dying on a
+  // ClassCastException mid-stage when called from SQL with other types.
+  // (return type inferred: AbstractDataType is private[sql] and unnamable)
+  override def inputTypes = Seq(DoubleType, LongType)
 
   // Heap head = the worst kept candidate (lowest score; ties: highest id),
   // so exceeding size k always evicts the element that cannot be in the

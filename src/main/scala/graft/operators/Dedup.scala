@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.expressions.TextExpressions
@@ -82,12 +82,8 @@ object Dedup {
     val sig = explodedShingles(docs, shingleN)
       .groupBy(col("doc_id"))
       .agg(mhCols.head, mhCols.tail: _*)
-    val bandStructs = (0 until numBands).map { b =>
-      val rows = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i").cast("string"))
-      struct(lit(b.toLong).as("band"), md5(concat_ws(",", rows: _*)).as("bh"))
-    }
     val bands = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), explode(array(bandStructs(numBands, rowsPerBand): _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val cand = bands.as("x")
       .join(bands.as("y"),
@@ -97,6 +93,17 @@ object Dedup {
       .distinct()
     verifyJaccard(cand, hashedShingleSets(docs, shingleN), minJaccardPermille)
   }
+
+  /** LSH band structs over MinHash signature columns `mh0..mh{n-1}`: band
+    * id + md5 of the comma-joined rows. The single source of the bucketing
+    * scheme, shared by the batch (minhashLshPairs) and streaming
+    * (StreamingOps.streamingLshNearDup) operators so they can never
+    * drift apart. */
+  private[graft] def bandStructs(numBands: Int, rowsPerBand: Int): Seq[Column] =
+    (0 until numBands).map { b =>
+      val rows = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i").cast("string"))
+      struct(lit(b.toLong).as("band"), md5(concat_ws(",", rows: _*)).as("bh"))
+    }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
     *
@@ -241,6 +248,7 @@ object Dedup {
       .agg(least(min(col("dst")), col("src")).as("component")))
     val vertices = labels0.select(col("doc_id"))
     var labels = labels0
+    var prevRound: Option[DataFrame] = None
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -258,6 +266,11 @@ object Dedup {
       // one action per round: counting the changed rows materializes the
       // whole round into the cache/checkpoint and decides convergence
       converged = next.filter(col("__changed")).count() == 0L
+      // the previous round's cache is dead once this round is materialized;
+      // only edges, the initial labels (vertices feed the singleton join)
+      // and the final round stay pinned for the caller's consuming action
+      prevRound.foreach(df => if (!reliableCheckpoint) df.unpersist(blocking = false))
+      prevRound = Some(next)
       labels = next.drop("__changed")
       round += 1
     }

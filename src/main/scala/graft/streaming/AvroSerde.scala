@@ -26,8 +26,8 @@ import org.apache.spark.sql.types._
   * callaggcust.avsc); anything else fails fast at schema-mapping time.
   *
   * Scale notes: decode is a per-row JVM UDF (no codegen), but the parsed
-  * `Schema` is cached per executor and the record/decoder objects are
-  * reused per thread, so the cost is the Avro binary walk itself —
+  * `Schema` is cached per executor and the DatumReader/BinaryDecoder are
+  * reused per task thread, so the cost is the Avro binary walk itself —
   * equivalent to what spark-avro's AvroDataToCatalyst does. In a
   * registry-backed deployment the schema id in the header selects the
   * writer schema; here the writer schema is pinned at plan time, which is
@@ -74,6 +74,16 @@ object AvroSerde {
   private def parsed(json: String): Schema =
     schemaCache.computeIfAbsent(json, j => new Schema.Parser().parse(j))
 
+  // Per-thread decode state: DatumReader construction recomputes the
+  // schema's resolving structure and BinaryDecoder allocation is per-call
+  // garbage — both are reused across rows on each task thread (readers are
+  // not thread-SHARED, so no synchronization is needed).
+  private final class DecodeState {
+    val readers = new java.util.HashMap[String, GenericDatumReader[GenericRecord]]()
+    var decoder: org.apache.avro.io.BinaryDecoder = _
+  }
+  private val threadState = ThreadLocal.withInitial[DecodeState](() => new DecodeState)
+
   private def fromAvroValue(v: Any, schema: Schema): Any = v match {
     case null => null
     case u: org.apache.avro.util.Utf8 => u.toString
@@ -105,10 +115,21 @@ object AvroSerde {
         if (bytes == null) return null
         try {
           val s = parsed(writerSchemaJson)
-          val reader = new GenericDatumReader[GenericRecord](s)
-          val rec = reader.read(null, DecoderFactory.get().binaryDecoder(bytes, null))
-          genericToRow(rec, s)
-        } catch { case _: Exception => null }
+          val st = threadState.get()
+          var reader = st.readers.get(writerSchemaJson)
+          if (reader == null) {
+            reader = new GenericDatumReader[GenericRecord](s)
+            st.readers.put(writerSchemaJson, reader)
+          }
+          st.decoder = DecoderFactory.get().binaryDecoder(bytes, st.decoder)
+          genericToRow(reader.read(null, st.decoder), s)
+        } catch {
+          case scala.util.control.NonFatal(_) => null
+          // a corrupt varint length field can demand a near-2GB buffer;
+          // that single allocation failing is recoverable — treat the
+          // record as malformed (S8) rather than killing the stream
+          case _: OutOfMemoryError => null
+        }
       }
     }
     udf(decode, st).apply(data)

@@ -178,8 +178,10 @@ object StreamingOps {
     * the watermark passes it, so memory tracks live buckets within the
     * dedup horizon, not corpus history. Out-of-order arrivals inside the
     * horizon are handled by keeping the MINIMUM doc_id as canonical: a doc
-    * once flagged stays flagged, and a late-arriving smaller id simply
-    * becomes the bucket's canonical without being flagged itself.
+    * once flagged stays flagged, and when a late-arriving smaller id takes
+    * over as canonical, the displaced previous canonical is emitted as a
+    * hit against it — so the pair association is never lost and downstream
+    * clustering (components) links the chain regardless of arrival order.
     */
   def streamingLshNearDup(
       docs: DataFrame, // columns: doc_id (long), text (string), <tsCol> (timestamp)
@@ -199,15 +201,13 @@ object StreamingOps {
       array_min(transform(wordShingles(col("text"), shingleN),
         sh => hash60(concat(lit(i.toString), lit(":"), sh)))).as(s"mh$i")
     }
-    val bandStructs = (0 until numBands).map { b =>
-      val rows = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i").cast("string"))
-      struct(lit(b.toLong).as("band"), md5(concat_ws(",", rows: _*)).as("bh"))
-    }
     val bands = docs
       .withWatermark(tsCol, watermark)
       .select(Seq(col("doc_id"), col(tsCol).as("ts")) ++ mh: _*)
       .filter(col("mh0").isNotNull) // shingle-less docs have no signature (as in batch)
-      .select(col("doc_id"), col("ts"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("ts"),
+        // the batch operator's banding, verbatim — single source in Dedup
+        explode(array(graft.operators.Dedup.bandStructs(numBands, rowsPerBand): _*)).as("bb"))
       .select(col("doc_id"), col("ts"), col("bb.band").as("band"), col("bb.bh").as("bh"))
       .as[BandRow]
     val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
@@ -223,11 +223,18 @@ object StreamingOps {
             Iterator.empty
           } else {
             val rs = rows.toArray
-            val canonical = (state.getOption.map(_.canonical).toSeq ++ rs.map(_.doc_id)).min
+            val prev = state.getOption.map(_.canonical)
+            val canonical = (prev.toSeq ++ rs.map(_.doc_id)).min
             state.update(BucketState(canonical))
             state.setTimeoutTimestamp(rs.map(_.ts.getTime).max + delayMs)
+            // a smaller late arrival displaces the old canonical — emit the
+            // displaced doc as a hit so the pair isn't silently lost (it
+            // never was flagged when it arrived into an empty bucket)
+            val displaced = prev
+              .filter(p => p != canonical && !rs.exists(_.doc_id == p))
+              .map(p => NearDupHit(p, canonical, key._1))
             rs.iterator.filter(_.doc_id != canonical)
-              .map(r => NearDupHit(r.doc_id, canonical, key._1))
+              .map(r => NearDupHit(r.doc_id, canonical, key._1)) ++ displaced.iterator
           }
       }
   }

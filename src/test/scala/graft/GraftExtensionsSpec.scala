@@ -56,6 +56,12 @@ class GraftExtensionsSpec extends SparkTestBase {
     val g1 = r(0).getSeq[org.apache.spark.sql.Row](1)
     assert(g1.map(x => (x.getLong(0), x.getDouble(1))) === Seq((11L, 9.0), (12L, 9.0)))
     assert(r(1).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0)) === Seq(20L))
+    // int score/id coerce via the declared input types instead of a
+    // mid-stage ClassCastException
+    val cast = s.sql(
+      "SELECT graft_top_k(sc, id, 1) AS top FROM VALUES (1, 5), (2, 9) AS t(id, sc)")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(cast.map(_.getLong(0)) === Seq(2L))
   }
 
   test("extensions class wires the same registry via spark.sql.extensions") {

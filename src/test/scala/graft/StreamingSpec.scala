@@ -247,10 +247,17 @@ class StreamingSpec extends SparkTestBase {
       // identical text arriving later → identical signature → all bands hit
       in.addData(StreamDocFixture(9L, prose, ts("10:10")))
       q.processAllAvailable()
+      // out-of-order: a SMALLER doc_id arrives last; it takes over as
+      // canonical and the displaced old canonical must be emitted against
+      // it — otherwise the (0,1) association would be silently lost
+      in.addData(StreamDocFixture(0L, prose, ts("10:15")))
+      q.processAllAvailable()
     } finally q.stop()
     val rows = spark.table("neardup_hits")
       .select("doc_id", "dup_of").distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(rows.toSet === Set((9L, 1L))) // doc 9 is a dup of canonical 1; 5 is clean
+    // doc 9 flagged against then-canonical 1; 1 displaced by late 0; 5 clean;
+    // the chain 0-1-9 is fully linked for downstream clustering
+    assert(rows.toSet === Set((9L, 1L), (1L, 0L)))
     val bandsHit = spark.table("neardup_hits").select("band").distinct().count()
     assert(bandsHit === 4L) // identical signature collides on all 12/3 bands
   }
