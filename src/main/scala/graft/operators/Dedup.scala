@@ -234,8 +234,14 @@ object Dedup {
     // as few partitions as the (small, pair-graph-sized) data needs, so
     // every propagation round runs over a right-sized layout instead of the
     // pair join's full fan-out
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // both edge directions from ONE pass over pairs: a union of two
+    // projections would execute the (expensive) pair-generation subtree
+    // twice — the branches differ, so no exchange reuse saves it
+    val edges = pairs
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("dst")) // the per-round join key
     val edgesChk = cut(edges)
     // propagate only over the pair graph's vertices — in a dedup corpus the
