@@ -55,6 +55,33 @@ class AvroSerdeSpec extends SparkTestBase {
     assert(row.getInt(6) === 2)
   }
 
+  test("array-typed fields decode element-wise") {
+    val schema =
+      """{"type":"record","name":"R","fields":[
+        |{"name":"xs","type":{"type":"array","items":"long"}},
+        |{"name":"tag","type":"string"}]}""".stripMargin
+    val bytes = AvroSerde.encodeRecord(
+      Seq(java.util.Arrays.asList(3L, 1L, 2L), "t"), schema)
+    val row = Seq(("k", bytes)).toDF("key", "value")
+      .select(AvroSerde.fromAvro($"value", schema).as("v")).collect()(0).getStruct(0)
+    assert(row.getSeq[Long](0) === Seq(3L, 1L, 2L))
+    assert(row.getString(1) === "t")
+  }
+
+  test("decode state is reused per thread without cross-schema bleed") {
+    // two schemas decoded interleaved on the same thread must not corrupt
+    // each other's cached readers
+    val s1 = """{"type":"record","name":"A","fields":[{"name":"x","type":"long"}]}"""
+    val s2 = """{"type":"record","name":"B","fields":[{"name":"y","type":"string"}]}"""
+    val b1 = AvroSerde.encodeRecord(Seq(7L), s1)
+    val b2 = AvroSerde.encodeRecord(Seq("z"), s2)
+    val df = Seq((b1, b2)).toDF("v1", "v2")
+      .select(AvroSerde.fromAvro($"v1", s1).as("a"), AvroSerde.fromAvro($"v2", s2).as("b"))
+    val r = df.collect()(0)
+    assert(r.getStruct(0).getLong(0) === 7L)
+    assert(r.getStruct(1).getString(0) === "z")
+  }
+
   test("null-union fields decode to null; corrupt payloads decode to null row (S8)") {
     val good = AvroSerde.encodeRecord(Seq("t1", null, 1), customerSchema)
     val junk = Array[Byte](1, 2) // truncated body → decode error → null (LogAndContinue)
