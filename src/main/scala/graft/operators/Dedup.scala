@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.expressions.TextExpressions
 import graft.functions.TextFunctions._
@@ -165,15 +164,21 @@ object Dedup {
     val ex = hashedShingleSets(docs, shingleN)
       .select(col("doc_id"), explode(col("s")).as("sh"))
     val dfreq = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    // prefix length L = n_sh - ceil(p*n_sh/1000) + 1, exact integer ceil
+    // rank each doc's shingles by global rarity IN-ROW: one grouped
+    // collect (map-side partial) + per-row sort of ≤|doc| structs, instead
+    // of a window rank (shuffle + full partition sort over every exploded
+    // shingle) plus a separate sizes join. Prefix length
+    // L = n_sh - ceil(p*n_sh/1000) + 1, exact integer ceil.
     val prefix = ex.join(dfreq, "sh")
-      .withColumn("pos", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
-      .join(sizes, "doc_id")
-      .filter(col("pos") <=
-        col("n_sh") - floor((col("n_sh") * minPermille + 999) / 1000).cast("long") + 1)
-      .select(col("doc_id"), col("sh"), col("n_sh"), col("pos"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ranked"))
+      .withColumn("n_sh", size(col("ranked")).cast("long"))
+      .withColumn("pfx", slice(col("ranked"), lit(1),
+        (col("n_sh") - floor((col("n_sh") * minPermille + 999) / 1000).cast("long") + 1)
+          .cast("int")))
+      .select(col("doc_id"), col("n_sh"), posexplode(col("pfx")).as(Seq("pos0", "e")))
+      .select(col("doc_id"), col("e.sh").as("sh"), col("n_sh"),
+        (col("pos0") + 1).cast("long").as("pos"))
     // two more exact prunes inside the join condition, before the distinct/
     // verify shuffles ever see the pair:
     //   - length filter (AllPairs): jaccard ≥ τ forces τ·max(|A|,|B|) ≤ min;
