@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Core dataflow operators — the Spark-first re-expression of the
@@ -76,20 +75,22 @@ object CoreOps {
     *
     * Reference: `builder.table(topic)` (CallsEnrichedApp.java:58) — a
     * changelog view where a later record for the same key replaces the
-    * earlier one. Batch form: `row_number() OVER (PARTITION BY key ORDER BY
-    * ord DESC) = 1`. The `orderBy` must include a unique tiebreaker for
-    * determinism.
+    * earlier one. `orderDesc` must include a unique tiebreaker for
+    * determinism; the row with the LARGEST (lexicographic) order tuple
+    * wins, null order fields losing to non-null — the same row the
+    * `row_number() OVER (... ORDER BY ord DESC) = 1` form selects.
     *
-    * Scale: one shuffle on the key, ranking within partitions; no driver
-    * state. AQE handles skewed keys. (The streaming form lives in
-    * graft.streaming — flatMapGroupsWithState keeping latest per key.)
+    * Scale: argmax aggregate, not a window rank — partial `max_by` on the
+    * map side means the one shuffle on the key carries at most one row per
+    * key per input partition, where a window would shuffle EVERY row and
+    * sort each partition. No driver state; AQE handles skewed keys. (The
+    * streaming form lives in graft.streaming — flatMapGroupsWithState
+    * keeping latest per key.)
     */
-  def latestByKey(df: DataFrame, keys: Seq[Column], orderDesc: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(keys: _*).orderBy(orderDesc.map(_.desc): _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
-  }
+  def latestByKey(df: DataFrame, keys: Seq[Column], orderDesc: Seq[Column]): DataFrame =
+    df.groupBy(keys: _*)
+      .agg(max_by(struct(df.columns.map(col): _*), struct(orderDesc: _*)).as("__latest"))
+      .select(col("__latest.*"))
 
   /** Stream⋈table left equi-join with null-defaulted enrichment.
     *

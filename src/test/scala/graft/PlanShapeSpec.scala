@@ -79,9 +79,12 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
-  test("latest-by-key is one shuffle on the key, no global sort") {
+  test("latest-by-key is one shuffle on the key, no global sort, no window") {
     val p = plan(SparkEntry.queries("r04_latest_by_key")(spark, sf))
     assert(p.contains("hashpartitioning(o_custkey"), s"not hash-partitioned by key:\n$p")
     assert(!p.contains("rangepartitioning"), s"unexpected global sort:\n$p")
+    // argmax aggregate with map-side partials, not a per-key window rank
+    assert(!p.contains("Window"), s"latest-by-key still ranks through a window:\n$p")
+    assert(p.contains("partial_max_by"), s"no map-side partial argmax:\n$p")
   }
 }
