@@ -252,11 +252,20 @@ class StreamingSpec extends SparkTestBase {
       // it — otherwise the (0,1) association would be silently lost
       in.addData(StreamDocFixture(0L, prose, ts("10:15")))
       q.processAllAvailable()
+      // advance the watermark far past the horizon, then replay the same
+      // text: the old buckets must have been EVICTED (event-time timeout),
+      // so the replay starts a fresh bucket and is NOT flagged against the
+      // morning docs — the semantic proof that state is watermark-bounded
+      in.addData(StreamDocFixture(50L, "watermark pusher advancing far ahead", ts("20:00")))
+      q.processAllAvailable()
+      in.addData(StreamDocFixture(60L, prose, ts("20:05")))
+      q.processAllAvailable()
     } finally q.stop()
     val rows = spark.table("neardup_hits")
       .select("doc_id", "dup_of").distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
     // doc 9 flagged against then-canonical 1; 1 displaced by late 0; 5 clean;
-    // the chain 0-1-9 is fully linked for downstream clustering
+    // the chain 0-1-9 is fully linked for downstream clustering. Doc 60
+    // (same text, after eviction) is absent: its buckets restarted clean.
     assert(rows.toSet === Set((9L, 1L), (1L, 0L)))
     val bandsHit = spark.table("neardup_hits").select("band").distinct().count()
     assert(bandsHit === 4L) // identical signature collides on all 12/3 bands
