@@ -161,6 +161,10 @@ object Dedup {
     * exactly. Same output as the naive join, asserted by spec.
     */
   def ngramJaccardPairs(docs: DataFrame, shingleN: Int = 3, minPermille: Int = 500): DataFrame = {
+    // jaccard ∈ (0, 1]: out-of-range thresholds would make the slice-based
+    // prefix length negative (a runtime crash) instead of an empty result
+    require(minPermille > 0 && minPermille <= 1000,
+      s"minPermille must be in (0, 1000], got $minPermille")
     val ex = hashedShingleSets(docs, shingleN)
       .select(col("doc_id"), explode(col("s")).as("sh"))
     val dfreq = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
@@ -257,9 +261,8 @@ object Dedup {
     val labels0 = cut(edgesChk
       .groupBy(col("src").as("doc_id"))
       .agg(least(min(col("dst")), col("src")).as("component")))
-    val vertices = labels0.select(col("doc_id"))
     var labels = labels0
-    var prevRound: Option[DataFrame] = None
+    var prevRound: Option[DataFrame] = Some(labels0)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -277,16 +280,21 @@ object Dedup {
       // one action per round: counting the changed rows materializes the
       // whole round into the cache/checkpoint and decides convergence
       converged = next.filter(col("__changed")).count() == 0L
-      // the previous round's cache is dead once this round is materialized;
-      // only edges, the initial labels (vertices feed the singleton join)
-      // and the final round stay pinned for the caller's consuming action
+      // the previous round's cache is dead once this round is materialized
       prevRound.foreach(df => if (!reliableCheckpoint) df.unpersist(blocking = false))
       prevRound = Some(next)
       labels = next.drop("__changed")
       round += 1
     }
+    // the edge set is dead after convergence (every propagation round is
+    // materialized); only the FINAL round's cache stays pinned for the
+    // caller's consuming action — losing it recomputes from the pair
+    // pipeline, which is correct, just slower
+    if (!reliableCheckpoint) edgesChk.unpersist(blocking = false)
+    // the final labels carry exactly the pair-graph vertex set (each round
+    // preserves all label rows), so singletons anti-join against it
     val singletons = docs.select(col("doc_id"))
-      .join(vertices, Seq("doc_id"), "left_anti")
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("component"))
     labels.union(singletons)
   }

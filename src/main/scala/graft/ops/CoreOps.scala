@@ -87,10 +87,18 @@ object CoreOps {
     * streaming form lives in graft.streaming — flatMapGroupsWithState
     * keeping latest per key.)
     */
-  def latestByKey(df: DataFrame, keys: Seq[Column], orderDesc: Seq[Column]): DataFrame =
+  def latestByKey(df: DataFrame, keys: Seq[Column], orderDesc: Seq[Column]): DataFrame = {
+    // the whole-row capture resolves columns by name, so the contract
+    // (unlike the old window form's) needs unique names — fail loudly, not
+    // with an AMBIGUOUS_REFERENCE mid-analysis; backticks keep dotted
+    // names from being parsed as field paths
+    require(df.columns.distinct.length == df.columns.length,
+      s"latestByKey requires unique column names, got ${df.columns.mkString(", ")}")
+    val row = struct(df.columns.map(c => col("`" + c + "`")): _*)
     df.groupBy(keys: _*)
-      .agg(max_by(struct(df.columns.map(col): _*), struct(orderDesc: _*)).as("__latest"))
+      .agg(max_by(row, struct(orderDesc: _*)).as("__latest"))
       .select(col("__latest.*"))
+  }
 
   /** Stream⋈table left equi-join with null-defaulted enrichment.
     *

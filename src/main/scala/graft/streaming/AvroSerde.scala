@@ -66,6 +66,15 @@ object AvroSerde {
       branches.head
     }
 
+  // Corrupt varint length fields must fail as decode errors, not as a
+  // near-2GB allocation attempt: cap Avro's string/bytes read sizes (64 MB
+  // default, overridable by setting the standard properties first). This
+  // turns the malformed-length case into an AvroRuntimeException handled
+  // by the S8 corrupt→null policy below.
+  for (p <- Seq("org.apache.avro.limits.string.maxLength",
+      "org.apache.avro.limits.bytes.maxLength"))
+    if (System.getProperty(p) == null) System.setProperty(p, (64 << 20).toString)
+
   // Parsed-schema cache: Schema parsing is expensive and the JSON string is
   // the stable task-serializable form, so executors parse each distinct
   // schema once.
@@ -124,11 +133,9 @@ object AvroSerde {
           st.decoder = DecoderFactory.get().binaryDecoder(bytes, st.decoder)
           genericToRow(reader.read(null, st.decoder), s)
         } catch {
+          // includes corrupt-length AvroRuntimeExceptions (see the size
+          // limits above); genuine heap exhaustion still fails the task
           case scala.util.control.NonFatal(_) => null
-          // a corrupt varint length field can demand a near-2GB buffer;
-          // that single allocation failing is recoverable — treat the
-          // record as malformed (S8) rather than killing the stream
-          case _: OutOfMemoryError => null
         }
       }
     }

@@ -12,8 +12,10 @@ import graft.functions.TextFunctions.{hash60, wordShingles}
   * drop it and event-time timeouts would be rejected). */
 case class BandRow(doc_id: Long, ts: java.sql.Timestamp, band: Long, bh: String)
 
-/** Per-bucket state: the canonical (minimum) doc_id seen in this bucket. */
-case class BucketState(canonical: Long)
+/** Per-bucket state: the canonical (minimum) doc_id seen in this bucket,
+  * plus the max event time seen — the eviction timeout must never move
+  * earlier when an out-of-order (older) record arrives. */
+case class BucketState(canonical: Long, maxTsMillis: Long)
 
 /** A streaming near-dup candidate: `doc_id` collided with the bucket whose
   * canonical (first/minimum) document is `dup_of`, on LSH band `band`. */
@@ -225,8 +227,12 @@ object StreamingOps {
             val rs = rows.toArray
             val prev = state.getOption.map(_.canonical)
             val canonical = (prev.toSeq ++ rs.map(_.doc_id)).min
-            state.update(BucketState(canonical))
-            state.setTimeoutTimestamp(rs.map(_.ts.getTime).max + delayMs)
+            // never shrink the horizon: a late (older-ts) arrival must not
+            // re-arm the eviction earlier than docs already in the bucket
+            val maxTs = (state.getOption.map(_.maxTsMillis).toSeq ++
+              rs.map(_.ts.getTime)).max
+            state.update(BucketState(canonical, maxTs))
+            state.setTimeoutTimestamp(maxTs + delayMs)
             // a smaller late arrival displaces the old canonical — emit the
             // displaced doc as a hit so the pair isn't silently lost (it
             // never was flagged when it arrived into an empty bucket)
