@@ -102,13 +102,30 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("cell"))
   }
 
-  /** IVF-probed approximate top-k: each query probes its `nprobe` closest
-    * cells and runs exact cosine only inside them. */
-  def ivfKnn(emb: DataFrame, queries: DataFrame, k: Int, nCells: Int, nprobe: Int): DataFrame = {
-    val assigned = ivfAssign(emb, nCells)
-      .withColumn("nn", norm(col("embedding")))
+  /** A built IVF index: cell-assigned vectors (with precomputed norms) and
+    * the centroid table. Build once, probe many — the deployment shape for
+    * a served ANN index; the per-call `ivfKnn` rebuilds this every time.
+    * Callers owning a long-lived index should `persist()` (or write out)
+    * `assigned`, which is the expensive part. */
+  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame, nCells: Int)
+
+  /** Build the IVF index for [[ivfKnnWith]]. */
+  def buildIvf(emb: DataFrame, nCells: Int): IvfIndex = {
     val cent = emb.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    IvfIndex(ivfAssign(emb, nCells).withColumn("nn", norm(col("embedding"))), cent, nCells)
+  }
+
+  /** IVF-probed approximate top-k: each query probes its `nprobe` closest
+    * cells and runs exact cosine only inside them. */
+  def ivfKnn(emb: DataFrame, queries: DataFrame, k: Int, nCells: Int, nprobe: Int): DataFrame =
+    ivfKnnWith(buildIvf(emb, nCells), queries, k, nprobe)
+
+  /** Probe a pre-built [[IvfIndex]] — amortizes the index build across
+    * query batches. */
+  def ivfKnnWith(index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val assigned = index.assigned
+    val cent = index.centroids
     val probes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       .crossJoin(broadcast(cent))

@@ -66,6 +66,22 @@ class NorthStarSpec extends SparkTestBase {
     assert(ivf === brute)
   }
 
+  test("prebuilt IVF index probes identically to the per-call form") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 10)
+    val perCall = graft.operators.Similarity.ivfKnn(emb, q, k = 3, nCells = 8, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    val idx = graft.operators.Similarity.buildIvf(emb, nCells = 8)
+    idx.assigned.persist() // the served-index shape: build once, cache, probe many
+    try {
+      val a = graft.operators.Similarity.ivfKnnWith(idx, q, k = 3, nprobe = 2)
+        .collect().map(_.toSeq).toSet
+      val b = graft.operators.Similarity.ivfKnnWith(idx, q, k = 3, nprobe = 2)
+        .collect().map(_.toSeq).toSet
+      assert(a === perCall && b === perCall)
+    } finally idx.assigned.unpersist()
+  }
+
   test("cosine matches a hand-computed value in micro-units") {
     val e = vecs((0L, Seq(3f, 4f)), (1L, Seq(4f, 3f)))
     val got = Similarity.embeddingNearDupPairs(e, minCosE6 = 0L).collect()(0)
