@@ -49,29 +49,38 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("payload"),
       octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
 
-  /** STUB decoder: derives deterministic pseudo-features from the payload
-    * bytes in place of a real codec. Batched per partition — the decoder
-    * "session" (here: nothing) is set up once per partition, exactly where
-    * a real libjpeg/ffmpeg handle would live. */
-  def decodeStub(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+  /** Partition-batched decode with an injectable codec: `init` runs once
+    * per partition (where a real libjpeg/ffmpeg handle lives) and the
+    * returned function decodes each record. The plan shape — an
+    * embarrassingly-parallel mapPartitions over opaque binary columns — is
+    * identical for any codec. */
+  def decodeWith[C](media: Dataset[MediaRecord])(init: () => C)(
+      decode: (C, MediaRecord) => MediaFeatures): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition decoder init would go here (??? in a real codec build)
-      it.map { m =>
-        val b0 = if (m.payload.nonEmpty) m.payload(0) & 0xff else 0
-        val b1 = if (m.payload.length > 1) m.payload(1) & 0xff else 0
-        val feature = Array.tabulate(8)(i =>
-          ((m.payload.length * (i + 1) + b0 * 31 + b1 * 7) % 1000) / 1000.0f)
-        MediaFeatures(
-          doc_id = m.doc_id,
-          kind = m.kind,
-          width = 16 + b0 % 64,
-          height = 16 + b1 % 64,
-          n_frames = if (m.kind == "video") 1 + (m.payload.length % 30) else 1,
-          feature = feature)
-      }
+      val codec = init()
+      it.map(m => decode(codec, m))
     }
   }
+
+  /** STUB decoder: derives deterministic pseudo-features from the payload
+    * bytes in place of a real codec (this container has none). Swapping in
+    * a real one is `decodeWith(media)(() => realCodecHandle)(realDecode)` —
+    * no plan change. */
+  def decodeStub(media: Dataset[MediaRecord]): Dataset[MediaFeatures] =
+    decodeWith(media)(() => ()) { (_, m) =>
+      val b0 = if (m.payload.nonEmpty) m.payload(0) & 0xff else 0
+      val b1 = if (m.payload.length > 1) m.payload(1) & 0xff else 0
+      val feature = Array.tabulate(8)(i =>
+        ((m.payload.length * (i + 1) + b0 * 31 + b1 * 7) % 1000) / 1000.0f)
+      MediaFeatures(
+        doc_id = m.doc_id,
+        kind = m.kind,
+        width = 16 + b0 % 64,
+        height = 16 + b1 % 64,
+        n_frames = if (m.kind == "video") 1 + (m.payload.length % 30) else 1,
+        feature = feature)
+    }
 
   /** Deterministic frame sampling: every `stride`-th frame index of each
     * video, exploded to one row per sampled frame. */
