@@ -79,6 +79,17 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("sort-limit top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(SparkEntry.queries("q10_topk")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to a full sort:\n$p")
+    assert(!p.contains("rangepartitioning"), s"unexpected global sort exchange:\n$p")
+  }
+
+  test("minhash signatures aggregate partially before the shuffle") {
+    val p = plan(SparkEntry.queries("d02_minhash_lsh")(spark, sf))
+    assert(p.contains("partial_min"), s"signature min-aggs not map-side partial:\n$p")
+  }
+
   test("latest-by-key is one shuffle on the key, no global sort, no window") {
     val p = plan(SparkEntry.queries("r04_latest_by_key")(spark, sf))
     assert(p.contains("hashpartitioning(o_custkey"), s"not hash-partitioned by key:\n$p")

@@ -95,6 +95,24 @@ class ScaleShapeSpec extends SparkTestBase {
     assert(ka.nonEmpty && ka === kw)
   }
 
+  test("argmax latestByKey ≡ window row_number form, nulls and ties included") {
+    import org.apache.spark.sql.expressions.Window
+    // ord with nulls (desc = NULLS LAST must match struct-max semantics)
+    // and duplicate ord values broken by the unique tiebreaker
+    val df = Seq(
+      (1L, Some(10L), 100L, "a"), (1L, Some(10L), 101L, "b"), (1L, None, 102L, "c"),
+      (2L, None, 200L, "d"), (2L, None, 201L, "e"),
+      (3L, Some(5L), 300L, "f")
+    ).toDF("k", "ord", "uid", "v")
+    val viaAgg = graft.ops.CoreOps.latestByKey(df, Seq($"k"), Seq($"ord", $"uid"))
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    val w = Window.partitionBy($"k").orderBy($"ord".desc, $"uid".desc)
+    val viaWindow = df.withColumn("__rn", row_number().over(w))
+      .filter($"__rn" === 1).drop("__rn")
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    assert(viaAgg === viaWindow)
+  }
+
   test("saltedAgg ≡ direct groupBy aggregation on a skewed stream") {
     import graft.ops.ScaleOps
     import graft.ops.ScaleOps.SaltedMetric._
