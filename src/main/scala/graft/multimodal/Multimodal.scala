@@ -50,16 +50,23 @@ object Multimodal {
       octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
 
   /** Partition-batched decode with an injectable codec: `init` runs once
-    * per partition (where a real libjpeg/ffmpeg handle lives) and the
-    * returned function decodes each record. The plan shape — an
-    * embarrassingly-parallel mapPartitions over opaque binary columns — is
-    * identical for any codec. */
-  def decodeWith[C](media: Dataset[MediaRecord])(init: () => C)(
+    * per non-empty partition (where a real libjpeg/ffmpeg handle lives),
+    * `decode` runs per record, and `close` releases the handle when the
+    * task completes. The plan shape — an embarrassingly-parallel
+    * mapPartitions over opaque binary columns — is identical for any
+    * codec. */
+  def decodeWith[C](media: Dataset[MediaRecord])(
+      init: () => C, close: C => Unit = (_: C) => ())(
       decode: (C, MediaRecord) => MediaFeatures): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      val codec = init()
-      it.map(m => decode(codec, m))
+      if (it.isEmpty) Iterator.empty
+      else {
+        val codec = init()
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => close(codec)))
+        it.map(m => decode(codec, m))
+      }
     }
   }
 
@@ -68,7 +75,7 @@ object Multimodal {
     * a real one is `decodeWith(media)(() => realCodecHandle)(realDecode)` —
     * no plan change. */
   def decodeStub(media: Dataset[MediaRecord]): Dataset[MediaFeatures] =
-    decodeWith(media)(() => ()) { (_, m) =>
+    decodeWith(media)(() => ())((_, m) => {
       val b0 = if (m.payload.nonEmpty) m.payload(0) & 0xff else 0
       val b1 = if (m.payload.length > 1) m.payload(1) & 0xff else 0
       val feature = Array.tabulate(8)(i =>
@@ -80,7 +87,7 @@ object Multimodal {
         height = 16 + b1 % 64,
         n_frames = if (m.kind == "video") 1 + (m.payload.length % 30) else 1,
         feature = feature)
-    }
+    })
 
   /** Deterministic frame sampling: every `stride`-th frame index of each
     * video, exploded to one row per sampled frame. */

@@ -85,14 +85,23 @@ object Similarity {
     topKNeighbors(scored, k)
   }
 
-  /** Deterministic IVF index: centroids = vectors with vec_id < nCells
-    * (stand-in for sampled k-means so the structure is reproducible +
-    * checkable). Every vector lands in the cell of its nearest centroid
-    * (ties → lowest centroid id), via an argmax aggregate — map-side
-    * partials collapse the N×k scored rows to N before the exchange. */
-  def ivfAssign(emb: DataFrame, nCells: Int): DataFrame = {
-    val cent = emb.filter(col("vec_id") < nCells)
+  /** THE centroid rule, in one place: deterministic stand-in for sampled
+    * k-means (vectors with vec_id < nCells) so index structure is
+    * reproducible and oracle-checkable. Assignment and probing must use
+    * the same centroids or probes would target cells nothing was assigned
+    * to — sharing this helper makes divergence impossible. */
+  private def centroidsOf(emb: DataFrame, nCells: Int): DataFrame =
+    emb.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+
+  /** Deterministic IVF cell assignment: every vector lands in the cell of
+    * its nearest centroid (ties → lowest centroid id), via an argmax
+    * aggregate — map-side partials collapse the N×k scored rows to N
+    * before the exchange. */
+  def ivfAssign(emb: DataFrame, nCells: Int): DataFrame =
+    assignToCells(emb, centroidsOf(emb, nCells))
+
+  private def assignToCells(emb: DataFrame, cent: DataFrame): DataFrame = {
     spread(emb).crossJoin(broadcast(cent))
       .withColumn("cell_cos", cosine(col("embedding"), col("cv")))
       .groupBy(col("vec_id"))
@@ -105,15 +114,21 @@ object Similarity {
   /** A built IVF index: cell-assigned vectors (with precomputed norms) and
     * the centroid table. Build once, probe many — the deployment shape for
     * a served ANN index; the per-call `ivfKnn` rebuilds this every time.
-    * Callers owning a long-lived index should `persist()` (or write out)
-    * `assigned`, which is the expensive part. */
-  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame, nCells: Int)
+    * Long-lived indexes should call `persist()` so probes stop re-reading
+    * the embeddings source entirely (both halves — cached assignments over
+    * mutated source files with re-scanned centroids would silently
+    * mismatch). */
+  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame, nCells: Int) {
+    def persist(): IvfIndex = { assigned.persist(); centroids.persist(); this }
+    def unpersist(): IvfIndex = {
+      assigned.unpersist(); centroids.unpersist(); this
+    }
+  }
 
   /** Build the IVF index for [[ivfKnnWith]]. */
   def buildIvf(emb: DataFrame, nCells: Int): IvfIndex = {
-    val cent = emb.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    IvfIndex(ivfAssign(emb, nCells).withColumn("nn", norm(col("embedding"))), cent, nCells)
+    val cent = centroidsOf(emb, nCells)
+    IvfIndex(assignToCells(emb, cent).withColumn("nn", norm(col("embedding"))), cent, nCells)
   }
 
   /** IVF-probed approximate top-k: each query probes its `nprobe` closest
@@ -124,6 +139,8 @@ object Similarity {
   /** Probe a pre-built [[IvfIndex]] — amortizes the index build across
     * query batches. */
   def ivfKnnWith(index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    require(nprobe > 0 && nprobe <= index.nCells,
+      s"nprobe must be in [1, nCells=${index.nCells}], got $nprobe")
     val assigned = index.assigned
     val cent = index.centroids
     val probes = queries

@@ -72,14 +72,14 @@ class NorthStarSpec extends SparkTestBase {
     val perCall = graft.operators.Similarity.ivfKnn(emb, q, k = 3, nCells = 8, nprobe = 2)
       .collect().map(_.toSeq).toSet
     val idx = graft.operators.Similarity.buildIvf(emb, nCells = 8)
-    idx.assigned.persist() // the served-index shape: build once, cache, probe many
+      .persist() // the served-index shape: build once, cache, probe many
     try {
       val a = graft.operators.Similarity.ivfKnnWith(idx, q, k = 3, nprobe = 2)
         .collect().map(_.toSeq).toSet
       val b = graft.operators.Similarity.ivfKnnWith(idx, q, k = 3, nprobe = 2)
         .collect().map(_.toSeq).toSet
       assert(a === perCall && b === perCall)
-    } finally idx.assigned.unpersist()
+    } finally idx.unpersist()
   }
 
   test("cosine matches a hand-computed value in micro-units") {
