@@ -69,6 +69,28 @@ object StreamingOps {
         floor(col("total_duracion_origen") / col("calls_count")).cast("long"))
   }
 
+  /** Watermarked HOPPING-window aggregate — the streaming form of the
+    * batch q27 (Kafka Streams `TimeWindows.of(width).advanceBy(slide)`,
+    * SURVEY.md §2.6): each event lands in width/slide overlapping windows;
+    * Spark's `window(ts, width, slide)` enumerates them at the scan, so
+    * the aggregate itself is the same partial-then-final shape as the
+    * tumbling form, with state per (window, key) evicted at the
+    * watermark. */
+  def hoppingAggStream(
+      events: DataFrame,
+      tsCol: String,
+      key: Column,
+      value: Column,
+      width: String = "1 hour",
+      slide: String = "30 minutes",
+      watermark: String = "24 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width, slide).as("window"), key.as("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(value * 100).cast("long")).as("sum_cents"))
+
   /** KTable semantics on a changelog stream: keep the latest value per key,
     * emit the new latest on every change (reference: `builder.table(topic)`,
     * CallsEnrichedApp.java:58).

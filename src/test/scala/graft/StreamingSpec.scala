@@ -230,6 +230,23 @@ class StreamingSpec extends SparkTestBase {
     assert(store.toMap === Map("600" -> ((3L, 8L)), "700" -> ((1L, 9L))))
   }
 
+  test("hopping windows: each event lands in width/slide overlapping windows") {
+    val in = MemoryStream[CallEvent](spark)
+    val agg = StreamingOps.hoppingAggStream(
+      in.toDF(), "ts", col("user_id"), col("value"), "1 hour", "30 minutes")
+    val out = runUpdate(agg.select(
+      col("window.start").cast("string").as("ws"), col("user_id"),
+      col("n_events"), col("sum_cents")), "hop_agg") {
+      in.addData(CallEvent(ts("10:45"), 7L, 3L))
+    }
+    val rows = out.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // 10:45 falls in [10:00,11:00) and [10:30,11:30) — exactly 2 windows
+    assert(rows === Set(
+      ("2024-01-01 10:00:00", 7L, 1L, 300L),
+      ("2024-01-01 10:30:00", 7L, 1L, 300L)))
+  }
+
   test("streaming LSH near-dup flags band collisions with the canonical doc") {
     val in = MemoryStream[StreamDocFixture](spark)
     val hits = StreamingOps.streamingLshNearDup(
