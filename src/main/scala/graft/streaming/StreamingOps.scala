@@ -91,6 +91,25 @@ object StreamingOps {
         count(lit(1)).as("n_events"),
         sum(round(value * 100).cast("long")).as("sum_cents"))
 
+  /** Watermarked SESSION-window aggregate — the streaming form of the
+    * batch q16 (Kafka Streams `SessionWindows.with(gap)`): windows grow
+    * with activity and close after `gap` of silence per key. Spark's
+    * `session_window` merges overlapping per-event sessions in the state
+    * store, evicting a session once the watermark passes its close. */
+  def sessionAggStream(
+      events: DataFrame,
+      tsCol: String,
+      key: Column,
+      value: Column,
+      gap: String = "2 hours",
+      watermark: String = "24 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap).as("window"), key.as("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(value * 100).cast("long")).as("sum_cents"))
+
   /** KTable semantics on a changelog stream: keep the latest value per key,
     * emit the new latest on every change (reference: `builder.table(topic)`,
     * CallsEnrichedApp.java:58).

@@ -247,6 +247,35 @@ class StreamingSpec extends SparkTestBase {
       ("2024-01-01 10:30:00", 7L, 1L, 300L)))
   }
 
+  test("session windows merge within the gap and split across it") {
+    // session_window only supports append mode: sessions emit once
+    // FINALIZED (watermark past close), the KTable-update shape is not
+    // available — matching Kafka Streams' suppressed-until-close sessions
+    val in = MemoryStream[CallEvent](spark)
+    val agg = StreamingOps.sessionAggStream(
+      in.toDF(), "ts", col("user_id"), col("value"), gap = "2 hours", watermark = "1 hour")
+    val q = agg.select(
+      col("window.start").cast("string").as("ws"), col("user_id"),
+      col("n_events"), col("sum_cents")).writeStream
+      .format("memory").queryName("sess_agg").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ck-sess").toString)
+      .start()
+    try {
+      // 10:00 and 11:30 chain into one session (gap < 2h); 15:00 starts anew
+      in.addData(CallEvent(ts("10:00"), 7L, 1L),
+        CallEvent(ts("11:30"), 7L, 2L), CallEvent(ts("15:00"), 7L, 4L))
+      q.processAllAvailable()
+      // advance the watermark past both session closes to finalize them
+      in.addData(CallEvent(ts("20:00"), 99L, 0L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sess_agg").filter(col("user_id") === 7L)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSet
+    assert(rows === Set(
+      ("2024-01-01 10:00:00", 2L, 300L), // merged 10:00+11:30 session
+      ("2024-01-01 15:00:00", 1L, 400L)))
+  }
+
   test("streaming LSH near-dup flags band collisions with the canonical doc") {
     val in = MemoryStream[StreamDocFixture](spark)
     val hits = StreamingOps.streamingLshNearDup(
