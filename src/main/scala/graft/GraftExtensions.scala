@@ -86,6 +86,13 @@ object GraftExtensions {
         arity("graft_top_k", 3, args)
         TopKByScore(args.head, args(1), intLit(args(2), "k"))
       }),
+    ("graft_kmv",
+      info("graft_kmv",
+        "graft_kmv(hash, k) - k-minimum-values distinct sketch: struct<kk, hk>"),
+      (args: Seq[Expression]) => {
+        arity("graft_kmv", 2, args)
+        KmvSketch(args.head, intLit(args(1), "k"))
+      }),
   )
 
   /** Register every graft function on a live session. */

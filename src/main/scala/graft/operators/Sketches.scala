@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.expressions.KmvSketch
+
+/** Percentile and cardinality sketches for corpus curation — the "what does
+  * my data look like" aggregates a training pipeline runs before and after
+  * every filter: quantiles of document length / quality, distinct counts of
+  * url/domain/fingerprint.
+  *
+  * Both operators are exact-deterministic (pure functions of the input
+  * set), unlike Spark's built-in `approx_percentile`/`approx_count_distinct`
+  * whose sketch layouts are implementation-defined — determinism is what
+  * makes results reproducible across engines and runs, and oracle-checkable.
+  */
+object Sketches {
+
+  /** Exact discrete quantiles per group, computed over the VALUE HISTOGRAM
+    * rather than the rows.
+    *
+    * Quantile definition (explicit, engine-portable): for permille q over a
+    * group of n rows, the element at 0-based index `(q*(n-1)) div 1000` of
+    * the value-sorted multiset — i.e. the smallest value whose cumulative
+    * count exceeds that index. All integer math; no interpolation, so the
+    * result is always an element of the input and hashes identically
+    * everywhere.
+    *
+    * Scale shape: one shuffle builds the per-group distinct-value histogram
+    * (map-side partial counts), the running sum then runs over |distinct
+    * values| rows per group — bounded by the value domain (e.g. price
+    * cents, token counts), NOT by row count, which is what makes a window
+    * here safe at 100 TB where a row-level rank would funnel a group's
+    * every row through one task. Group totals broadcast back.
+    *
+    * @param quantiles output column name -> permille (e.g. "p50" -> 500)
+    * @return one row per group: groupCols ++ quantile columns ++ n_rows
+    */
+  def exactQuantiles(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      quantiles: Seq[(String, Int)]): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    quantiles.foreach { case (nm, p) =>
+      require(p >= 0 && p <= 1000, s"quantile $nm permille must be in [0,1000], got $p")
+    }
+    val g = groupCols.map(col)
+    val v = col(valueCol).cast("long")
+    val hist = df
+      .groupBy((g :+ v.as(valueCol)): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val cum = hist.withColumn("__cum",
+      sum(col("__cnt")).over(Window.partitionBy(g: _*).orderBy(col(valueCol))))
+    // per-group totals and target ranks, broadcast back onto the histogram;
+    // integer DIV keeps the rank exact at any n (a double floor would lose
+    // bits past 2^53)
+    val ranks = quantiles.map { case (nm, p) =>
+      expr(s"CAST(($p * (__n - 1)) DIV 1000 AS BIGINT)").as(s"__i_$nm")
+    }
+    val totals = hist
+      .groupBy(g: _*)
+      .agg(sum(col("__cnt")).as("__n"))
+      .select(g ++ (col("__n") +: ranks): _*)
+    val picks = quantiles.map { case (nm, _) =>
+      min(when(col("__cum") > col(s"__i_$nm"), col(valueCol))).as(nm)
+    } :+ max(col("__n")).as("n_rows")
+    cum
+      .join(broadcast(totals), groupCols)
+      .groupBy(g: _*)
+      .agg(picks.head, picks.tail: _*)
+  }
+
+  /** KMV sketch aggregate over a pre-hashed column: `struct<kk, hk>` of the
+    * k smallest distinct hashes. See [[graft.expressions.KmvSketch]]. */
+  def kmv(hash: Column, k: Int): Column = KmvSketch.kmv(hash, k)
+
+  /** Distinct-count estimate from a KMV sketch struct column: exactly `kk`
+    * while the sketch is unsaturated (kk < k — every distinct hash is still
+    * in the set), else the KMV estimator `(k-1) * 2^bits / hk`, floor
+    * division, where `bits` is the hash width. Constant numerator computed
+    * in Scala so the column-side math stays in exact BIGINT (requires
+    * (k-1)*2^bits to fit a long: bits <= 48 with k <= 2^14 is safe). */
+  def kmvEstimate(sketchCol: String, k: Int, bits: Int): Column = {
+    val numerator = (k - 1).toLong * (1L << bits)
+    require(numerator / (1L << bits) == (k - 1).toLong, s"(k-1)*2^$bits overflows long")
+    expr(s"CAST(CASE WHEN $sketchCol.kk < $k THEN $sketchCol.kk " +
+      s"ELSE $numerator DIV $sketchCol.hk END AS BIGINT)")
+  }
+}

@@ -192,6 +192,35 @@ object RelationalQueries {
           sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("revenue_c2"),
           count(lit(1)).as("n_items"))
     }),
+    "q28_quantiles" -> ((s, d) => {
+      // Exact discrete percentiles of price cents per return flag — the
+      // distribution profile a curation pass reads before choosing cut
+      // thresholds. Histogram-based: the running sum ranks distinct VALUES
+      // (domain-bounded), never rows; see Sketches.exactQuantiles.
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"), cents(col("l_extendedprice")).as("cents"))
+      graft.operators.Sketches.exactQuantiles(li, Seq("flag"), "cents",
+        Seq("p25_cents" -> 250, "p50_cents" -> 500, "p75_cents" -> 750, "p95_cents" -> 950))
+    }),
+    "q29_distinct_sketch" -> ((s, d) => {
+      // KMV distinct-count sketch vs the exact count, side by side. The
+      // sketch pass shuffles at most k=256 longs per partition (bounded
+      // TypedImperativeAggregate); count_distinct next to it is the exact
+      // reference the estimate is judged against. 48-bit hash = hash60>>12
+      // so the estimator numerator stays in exact BIGINT. l_partkey spans
+      // both regimes across SFs: 200 distinct at sf0.001 (unsaturated,
+      // exact), 2000+ at sf0.01+ (saturated, estimator path).
+      import graft.operators.Sketches
+      val li = Tables.lineitem(s, d)
+      li.agg(
+          Sketches.kmv(shiftright(graft.functions.TextFunctions.hash60(
+            col("l_partkey").cast("string")), 12), 256).as("sk"),
+          count_distinct(col("l_partkey")).as("exact_distinct"),
+          count(lit(1)).as("n_rows"))
+        .select(
+          Sketches.kmvEstimate("sk", 256, 48).as("est_distinct"),
+          col("exact_distinct"), col("n_rows"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -327,5 +356,40 @@ object RelationalQueries {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // same explicit quantile definition as Sketches.exactQuantiles: element
+    // at 0-based rank (q*(n-1)) // 1000 of the value-sorted multiset —
+    // engine-agnostic integer math, no interpolation
+    "q28_quantiles" ->
+      """WITH h AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(ROUND(l_extendedprice*100) AS BIGINT) AS cents,
+        |         COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |w AS (
+        |  SELECT flag, cents,
+        |         CAST(SUM(cnt) OVER (PARTITION BY flag ORDER BY cents) AS BIGINT) AS cum,
+        |         CAST(SUM(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n
+        |  FROM h)
+        |SELECT flag,
+        |       MIN(CASE WHEN cum > (250*(n-1))//1000 THEN cents END) AS p25_cents,
+        |       MIN(CASE WHEN cum > (500*(n-1))//1000 THEN cents END) AS p50_cents,
+        |       MIN(CASE WHEN cum > (750*(n-1))//1000 THEN cents END) AS p75_cents,
+        |       MIN(CASE WHEN cum > (950*(n-1))//1000 THEN cents END) AS p95_cents,
+        |       MAX(n) AS n_rows
+        |FROM w GROUP BY flag ORDER BY flag""".stripMargin,
+    // KMV = k smallest distinct 48-bit hashes; the estimate is a pure
+    // function of that set, so DISTINCT + ORDER BY + LIMIT k reproduces the
+    // bounded aggregate bit-for-bit. 71776119061217280 = 255 * 2^48.
+    "q29_distinct_sketch" ->
+      """WITH hs AS (
+        |  SELECT DISTINCT (('0x'||substr(md5(CAST(l_partkey AS VARCHAR)),1,15))::BIGINT) // 4096 AS h48
+        |  FROM lineitem),
+        |km AS (SELECT h48 FROM hs ORDER BY h48 LIMIT 256),
+        |m AS (SELECT MAX(h48) AS hk, CAST(COUNT(*) AS BIGINT) AS kk FROM km),
+        |e AS (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct,
+        |             CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem)
+        |SELECT CAST(CASE WHEN kk < 256 THEN kk ELSE 71776119061217280 // hk END AS BIGINT) AS est_distinct,
+        |       exact_distinct, n_rows
+        |FROM m, e""".stripMargin,
   )
 }

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.Sketches
+
+/** Sketch-family invariants: the KMV aggregate must equal the brute
+  * "k smallest distinct hashes" set computation in both regimes
+  * (unsaturated ⇒ exact count, saturated ⇒ estimator), and
+  * exactQuantiles must equal per-group sort-and-index selection — the
+  * definitional forms the scale-shaped plans replace.
+  */
+class SketchesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def forSamples[A](g: Gen[A], n: Int)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(7L + i)).foreach(body)
+    }
+
+  // random multisets of non-negative hashes, with duplicates likely
+  private val hashesGen: Gen[List[Long]] =
+    Gen.nonEmptyListOf(Gen.choose(0L, 400L))
+
+  private def bruteKmv(values: Seq[Long], k: Int): (Long, Long) = {
+    val mins = values.distinct.sorted.take(k)
+    (mins.length.toLong, mins.last)
+  }
+
+  test("KmvSketch ≡ brute k-min distinct set on random multisets (both regimes)") {
+    forSamples(hashesGen, 15) { hs =>
+      for (k <- Seq(4, 64, 1000)) { // saturated, mid, unsaturated
+        val row = hs.toDF("h").agg(Sketches.kmv(col("h"), k).as("sk"))
+          .select(col("sk.kk"), col("sk.hk")).head()
+        val (kk, hk) = bruteKmv(hs, k)
+        assert(row.getLong(0) === kk, s"kk for k=$k of $hs")
+        assert(row.getLong(1) === hk, s"hk for k=$k of $hs")
+      }
+    }
+  }
+
+  test("kmvEstimate: exact below saturation, floor-div estimator above") {
+    forSamples(hashesGen, 10) { hs =>
+      val k = 8
+      val est = hs.toDF("h").agg(Sketches.kmv(col("h"), k).as("sk"))
+        .select(Sketches.kmvEstimate("sk", k, 48).as("est")).head().getLong(0)
+      val (kk, hk) = bruteKmv(hs, k)
+      val expected = if (kk < k) kk else (k - 1).toLong * (1L << 48) / hk
+      assert(est === expected)
+    }
+  }
+
+  test("KmvSketch ignores nulls; empty input evals to null") {
+    val withNulls = Seq(Some(5L), None, Some(3L), Some(5L), None)
+      .toDF("h").agg(Sketches.kmv(col("h"), 10).as("sk"))
+      .select(col("sk.kk"), col("sk.hk")).head()
+    assert(withNulls.getLong(0) === 2L && withNulls.getLong(1) === 5L)
+    val empty = Seq.empty[Long].toDF("h")
+      .agg(Sketches.kmv(col("h"), 10).as("sk")).head()
+    assert(empty.isNullAt(0))
+  }
+
+  test("graft_kmv SQL surface plans the same aggregate") {
+    GraftExtensions.register(spark)
+    Seq(9L, 1L, 5L, 1L).toDF("h").createOrReplaceTempView("kmv_in")
+    val r = spark.sql("SELECT graft_kmv(h, 2) AS sk FROM kmv_in")
+      .select(col("sk.kk"), col("sk.hk")).head()
+    assert(r.getLong(0) === 2L && r.getLong(1) === 5L)
+  }
+
+  // grouped random values: group id 1-3, small value domain to force ties
+  private val groupedGen: Gen[List[(Int, Long)]] =
+    Gen.nonEmptyListOf(for {
+      g <- Gen.choose(1, 3)
+      v <- Gen.choose(-50L, 50L)
+    } yield (g, v))
+
+  test("exactQuantiles ≡ per-group sort-and-index on random grouped values") {
+    val qs = Seq("p0" -> 0, "p25" -> 250, "p50" -> 500, "p95" -> 950, "p100" -> 1000)
+    forSamples(groupedGen, 15) { rows =>
+      val got = Sketches.exactQuantiles(
+          rows.toDF("g", "v"), Seq("g"), "v", qs)
+        .collect().map(r => r.getInt(0) -> r).toMap
+      val byGroup = rows.groupBy(_._1)
+      assert(got.size === byGroup.size)
+      byGroup.foreach { case (g, members) =>
+        val sorted = members.map(_._2).sorted
+        val n = sorted.length.toLong
+        val row = got(g)
+        qs.zipWithIndex.foreach { case ((nm, p), i) =>
+          val idx = (p * (n - 1)) / 1000
+          assert(row.getLong(i + 1) === sorted(idx.toInt), s"$nm of group $g: $sorted")
+        }
+        assert(row.getLong(qs.length + 1) === n) // n_rows
+      }
+    }
+  }
+
+  test("exactQuantiles rejects out-of-range quantiles and empty spec") {
+    val df = Seq((1, 1L)).toDF("g", "v")
+    intercept[IllegalArgumentException] {
+      Sketches.exactQuantiles(df, Seq("g"), "v", Seq("bad" -> 1001))
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.exactQuantiles(df, Seq("g"), "v", Seq.empty)
+    }
+  }
+}
