@@ -42,10 +42,13 @@ object CallsPipeline {
     */
   def callsEnriched(spark: SparkSession, sfDir: String): DataFrame = {
     val agg = callsAggregation(spark, sfDir)
-    val cust = latestByKey(
-      Tables.customer(spark, sfDir),
-      keys = Seq(col("c_custkey")),
-      orderDesc = Seq(col("c_custkey"))) // unique key: latest-per-key is identity, rank keeps it deterministic
+    // builder.table's latest-per-key collapse (the general operator:
+    // CoreOps.latestByKey, exercised by r04) is an identity on a
+    // primary-keyed snapshot like this customer table — running it anyway
+    // would cost a full shuffle+agg of the dimension before the broadcast
+    // join. The scan feeds the join directly; a changelog-shaped dimension
+    // (repeated keys) would reintroduce latestByKey here.
+    val cust = Tables.customer(spark, sfDir)
 
     enrichLeftJoin(
       agg,

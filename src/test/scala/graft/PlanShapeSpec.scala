@@ -45,6 +45,9 @@ class PlanShapeSpec extends SparkTestBase {
     df.write.mode("overwrite").format("noop").save() // let AQE finalize
     val p = df.queryExecution.executedPlan.toString()
     assert(p.contains("BroadcastHashJoin"), s"customer dim not broadcast:\n$p")
+    // the primary-keyed snapshot feeds the join straight from the scan: no
+    // latest-per-key argmax (and its shuffle) on the dimension side
+    assert(!p.contains("max_by"), s"identity latestByKey back in the flagship plan:\n$p")
   }
 
   test("text kernels run inside WholeStageCodegen (no CodegenFallback rows)") {

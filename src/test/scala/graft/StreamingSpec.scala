@@ -10,6 +10,7 @@ import graft.streaming.{CallsStreamPipeline, KafkaIO, StreamingOps}
 import org.apache.spark.sql.types._
 
 case class CallEvent(ts: Timestamp, user_id: Long, value: Long)
+case class RawCall(ts: Timestamp, user_id: Long, value: Double)
 case class CustUpsert(phone: Long, doc: String, offset: Long)
 case class StreamDocFixture(doc_id: Long, text: String, ts: Timestamp)
 
@@ -363,5 +364,34 @@ class StreamingSpec extends SparkTestBase {
       .select($"v.user_id", $"v.value")
       .orderBy("user_id").collect().map(_.toSeq)
     assert(survivors === Seq(Seq(1L, 10L), Seq(3L, 30L)))
+  }
+
+  test("flagship stream ≡ batch: same events, identical enriched output") {
+    // The strongest cheap guarantee the two surfaces can't drift: feed the
+    // full sf0.001 events table through CallsStreamPipeline (aggregate +
+    // enriched) and assert set-equality with CallsPipeline.callsEnriched.
+    // One micro-batch ⇒ update mode emits exactly one row per touched
+    // (key, window), which is the final aggregate — directly comparable.
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.pipelines.CallsPipeline.callsEnriched(spark, sf)
+      .collect().map(_.toSeq)
+
+    val events = graft.Tables.events(spark, sf)
+      .select($"ts", $"user_id", $"value").as[RawCall].collect()
+    val in = MemoryStream[RawCall](spark)
+    val out = CallsStreamPipeline.enriched(
+      CallsStreamPipeline.aggregate(in.toDF()),
+      graft.Tables.customer(spark, sf),
+      custKey = "c_custkey", doc = "c_name", operator = "c_mktsegment",
+      flag = "c_nationkey", days = "c_acctbal")
+    val q = out.writeStream
+      .format("memory").queryName("flagship_parity").outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("ck-parity").toString)
+      .start()
+    try { in.addData(events.toIndexedSeq); q.processAllAvailable() } finally q.stop()
+
+    val streamed = spark.table("flagship_parity").collect().map(_.toSeq)
+    assert(streamed.length === batch.length)
+    assert(streamed.toSet === batch.toSet)
   }
 }
