@@ -48,7 +48,13 @@ object Sketches {
     }
     val g = groupCols.map(col)
     val v = col(valueCol).cast("long")
+    // Null values are dropped up front (SQL-aggregate semantics: quantiles
+    // over the non-null multiset, n_rows = non-null count). Without this,
+    // nulls would inflate the ranks yet never be selectable by the
+    // min(when(...)) pick, silently sliding boundary quantiles to the
+    // smallest non-null value.
     val hist = df
+      .filter(col(valueCol).isNotNull)
       .groupBy((g :+ v.as(valueCol)): _*)
       .agg(count(lit(1)).as("__cnt"))
     val cum = hist.withColumn("__cum",
@@ -81,8 +87,15 @@ object Sketches {
     * in the set), else the KMV estimator `(k-1) * 2^bits / hk`, floor
     * division, where `bits` is the hash width. Constant numerator computed
     * in Scala so the column-side math stays in exact BIGINT (requires
-    * (k-1)*2^bits to fit a long: bits <= 48 with k <= 2^14 is safe). */
+    * (k-1)*2^bits to fit a long: bits <= 48 with k <= 2^14 is safe).
+    * Sketch hashes must be non-negative values in [0, 2^bits) — the
+    * [[graft.expressions.KmvSketch]] producer guarantees this via its
+    * `>> 12` narrowing of hash60 inputs. */
   def kmvEstimate(sketchCol: String, k: Int, bits: Int): Column = {
+    // bits >= 63 would defeat the overflow check below: 1L << 63 is
+    // negative and shifts are mod 64 on the JVM, so guard the range first
+    require(bits >= 1 && bits <= 48, s"bits must be in [1,48], got $bits")
+    require(k >= 2, s"k must be >= 2 for the (k-1) estimator, got $k")
     val numerator = (k - 1).toLong * (1L << bits)
     require(numerator / (1L << bits) == (k - 1).toLong, s"(k-1)*2^$bits overflows long")
     expr(s"CAST(CASE WHEN $sketchCol.kk < $k THEN $sketchCol.kk " +

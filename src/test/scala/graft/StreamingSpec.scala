@@ -391,7 +391,10 @@ class StreamingSpec extends SparkTestBase {
     try { in.addData(events.toIndexedSeq); q.processAllAvailable() } finally q.stop()
 
     val streamed = spark.table("flagship_parity").collect().map(_.toSeq)
+    // multiset equality (group-count maps), not Set — length+Set can't
+    // tell [A,A,B] from [A,B,B] if enriched rows ever duplicated
     assert(streamed.length === batch.length)
-    assert(streamed.toSet === batch.toSet)
+    assert(streamed.groupBy(identity).view.mapValues(_.size).toMap ===
+      batch.groupBy(identity).view.mapValues(_.size).toMap)
   }
 }
