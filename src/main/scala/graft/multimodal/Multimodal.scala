@@ -89,6 +89,54 @@ object Multimodal {
         feature = feature)
     })
 
+  /** REAL image decode through the same [[decodeWith]] plumbing, using the
+    * JDK's `javax.imageio` (PNG/BMP/GIF/JPEG readers ship with every JVM —
+    * no native codec dependency). Proves the injectable-codec seam with an
+    * actual decoder: per-partition `init` allocates the reusable pixel
+    * buffer, `decode` parses real image bytes, and the plan shape is
+    * byte-identical to [[decodeStub]]'s.
+    *
+    * Decode policy mirrors S8's LogAndContinue: a payload ImageIO cannot
+    * parse (or a non-`image` kind — this decoder only claims the image
+    * modality) yields a sentinel record (`width = height = 0`, zero
+    * feature vector) instead of failing the task, so one corrupt blob in
+    * 100 TB cannot kill a stage.
+    *
+    * The feature vector is a `featureDim`-bin luminance histogram,
+    * normalized to the pixel count — deterministic for a given payload,
+    * and bounded work per record (one pass over the pixels). */
+  def decodeImages(media: Dataset[MediaRecord], featureDim: Int = 8): Dataset[MediaFeatures] = {
+    require(featureDim > 0, s"featureDim must be positive, got $featureDim")
+    val dim = featureDim
+    decodeWith(media)(() => new Array[Int](dim))((hist, m) => {
+      def fallback = MediaFeatures(m.doc_id, m.kind, 0, 0, 1, new Array[Float](dim))
+      if (m.kind != "image") fallback
+      else {
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+          catch { case _: java.io.IOException => null }
+        if (img == null) fallback // undecodable bytes: skip, don't fail the task
+        else {
+          java.util.Arrays.fill(hist, 0)
+          val (w, h) = (img.getWidth, img.getHeight)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+              hist(lum * dim / 256) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w.toLong * h).toFloat
+          MediaFeatures(m.doc_id, m.kind, w, h, 1, hist.map(_ / n))
+        }
+      }
+    })
+  }
+
   /** Deterministic frame sampling: every `stride`-th frame index of each
     * video, exploded to one row per sampled frame. */
   def sampleFrames(features: Dataset[MediaFeatures], stride: Int): DataFrame = {

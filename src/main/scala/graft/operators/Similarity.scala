@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.expressions.TopKByScore
+import graft.expressions.{TopKByScore, VectorExpressions}
 
 /** Similarity search over an embedding column (`array<float>`):
   * brute-force cosine top-k as the exactness baseline, and an IVF
@@ -21,9 +21,10 @@ import graft.expressions.TopKByScore
   * centroid (cells), then probes only `nprobe` cells per query, cutting the
   * scanned fraction to ~nprobe/k. Cells are a plain column, so the probe is
   * an equi-join on cell id — shuffle-partitioned by cell, skew-safe under
-  * AQE. At real scale centroids come from a sampled k-means and
-  * k ≈ sqrt(N); here they are taken deterministically (first k vec_ids) to
-  * stay reproducible and oracle-checkable.
+  * AQE. Centroids come from a deterministic sampled k-means
+  * ([[kmeansCentroids]]): arithmetic-slice sample, first-k init, fixed
+  * Lloyd rounds in exact micro-units — reproducible and oracle-checkable
+  * with no RNG. At real scale pick k ≈ sqrt(N).
   *
   * No per-query window ranks anywhere: every top-k (final neighbors, IVF
   * cell assignment, probe selection) runs as a bounded aggregate with
@@ -85,25 +86,96 @@ object Similarity {
     topKNeighbors(scored, k)
   }
 
-  /** THE centroid rule, in one place: deterministic stand-in for sampled
-    * k-means (vectors with vec_id < nCells) so index structure is
-    * reproducible and oracle-checkable. Assignment and probing must use
-    * the same centroids or probes would target cells nothing was assigned
-    * to — sharing this helper makes divergence impossible. */
-  private def centroidsOf(emb: DataFrame, nCells: Int): DataFrame =
-    emb.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+  /** Deterministic sampled k-means centroids for the IVF index —
+    * THE centroid rule, in one place (assignment and probing must use the
+    * same centroids or probes would target cells nothing was assigned to).
+    *
+    * Production ANN indexes fit centroids on a small sample, not the
+    * corpus: the sample here is a deterministic arithmetic slice
+    * (`vec_id % sampleMod == 0` — reproducible on any engine, no RNG),
+    * init is the first `nCells` vectors by id, and `iters` Lloyd rounds
+    * refine them. All centroid state is exact at rest: vector elements are
+    * micro-rounded (×1e6 → BIGINT) before summing, means are
+    * floor-divided, and centroids live as micro-longs ÷ 1e6 — so the whole
+    * fit replays bit-identically on any IEEE-double engine (the s02 DuckDB
+    * oracle re-runs it as unrolled SQL CTEs).
+    *
+    * Scale shape: each Lloyd round is one broadcast-argmax over the SAMPLE
+    * (not the corpus) plus a (cell, dim) grouped sum with map-side
+    * partials; between rounds the driver holds only nCells×d longs — the
+    * k-means-init pattern, same class as d05's anchor fetch, not a data
+    * collect. Empty cells keep their previous centroid, so the cell count
+    * never decays. Returns `(cid int, cv array<double>)`.
+    */
+  def kmeansCentroids(emb: DataFrame, nCells: Int, iters: Int = 2,
+      sampleMod: Int = 7): DataFrame = {
+    require(nCells > 0 && iters >= 0 && sampleMod > 0,
+      s"need nCells > 0, iters >= 0, sampleMod > 0; got ($nCells, $iters, $sampleMod)")
+    val spark = emb.sparkSession
+    val microArr = transform(col("embedding"),
+      x => round(x.cast("double") * lit(1e6)).cast("long"))
+    // init: first nCells vectors by id, micro-rounded. The interpreted HOF
+    // runs nCells times total (tiny), never per corpus row.
+    var cents: Seq[(Int, Array[Long])] = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("int").as("cid"), microArr.as("m"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toArray)
+      .sortBy(_._1).toSeq
+    if (cents.nonEmpty && iters > 0) {
+      val sample = emb.filter(col("vec_id") % sampleMod === 0)
+        .select(col("vec_id"), col("embedding")).persist()
+      try {
+        for (_ <- 1 to iters) {
+          val sums = assignToCells(sample, centroidFrame(spark, cents))
+            .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+            .groupBy(col("cell"), col("dim"))
+            .agg(count(lit(1)).as("n"),
+              sum(round(col("v").cast("double") * lit(1e6)).cast("long")).as("sum_e6"))
+            .select(col("cell"), col("dim"),
+              floor(col("sum_e6") / col("n")).cast("long").as("mean_e6"))
+            .collect()
+          val byCell = sums.groupBy(_.getInt(0))
+          cents = cents.map { case (cid, prev) =>
+            cid -> byCell.get(cid).fold(prev) { rows =>
+              val arr = prev.clone()
+              rows.foreach(r => arr(r.getInt(1)) = r.getLong(2))
+              arr
+            }
+          }
+        }
+      } finally sample.unpersist(blocking = false)
+    }
+    centroidFrame(spark, cents)
+  }
+
+  /** Literal `(cid, cv array<double>)` frame from driver-held micro-long
+    * centroids (`m/1e6` — BIGINT-to-double division, same IEEE op the
+    * oracle's `m/1000000.0` performs). */
+  private def centroidFrame(spark: org.apache.spark.sql.SparkSession,
+      cents: Seq[(Int, Array[Long])]): DataFrame = {
+    import spark.implicits._
+    cents.map { case (cid, m) => (cid, m.map(_.toDouble / 1e6)) }.toDF("cid", "cv")
+  }
 
   /** Deterministic IVF cell assignment: every vector lands in the cell of
-    * its nearest centroid (ties → lowest centroid id), via an argmax
-    * aggregate — map-side partials collapse the N×k scored rows to N
-    * before the exchange. */
-  def ivfAssign(emb: DataFrame, nCells: Int): DataFrame =
-    assignToCells(emb, centroidsOf(emb, nCells))
+    * its nearest k-means centroid (ties → lowest centroid id), via an
+    * argmax aggregate — map-side partials collapse the N×k scored rows to
+    * N before the exchange. */
+  def ivfAssign(emb: DataFrame, nCells: Int, iters: Int = 2,
+      sampleMod: Int = 7): DataFrame =
+    assignToCells(emb, kmeansCentroids(emb, nCells, iters, sampleMod))
+
+  /** cosine(float vector, double centroid) via the widening codegen'd dot;
+    * centroid norm precomputed per centroid row (same IEEE value). */
+  private def cosToCent(v: Column, cv: Column, cn: Column): Column =
+    VectorExpressions.dotWiden(v, cv) / (norm(v) * cn)
+
+  private def withCentNorm(cent: DataFrame): DataFrame =
+    cent.select(col("cid"), col("cv"),
+      sqrt(VectorExpressions.dotWiden(col("cv"), col("cv"))).as("cn"))
 
   private def assignToCells(emb: DataFrame, cent: DataFrame): DataFrame = {
-    spread(emb).crossJoin(broadcast(cent))
-      .withColumn("cell_cos", cosine(col("embedding"), col("cv")))
+    spread(emb).crossJoin(broadcast(withCentNorm(cent)))
+      .withColumn("cell_cos", cosToCent(col("embedding"), col("cv"), col("cn")))
       .groupBy(col("vec_id"))
       .agg(
         first(col("embedding")).as("embedding"),
@@ -126,15 +198,17 @@ object Similarity {
   }
 
   /** Build the IVF index for [[ivfKnnWith]]. */
-  def buildIvf(emb: DataFrame, nCells: Int): IvfIndex = {
-    val cent = centroidsOf(emb, nCells)
+  def buildIvf(emb: DataFrame, nCells: Int, iters: Int = 2,
+      sampleMod: Int = 7): IvfIndex = {
+    val cent = kmeansCentroids(emb, nCells, iters, sampleMod)
     IvfIndex(assignToCells(emb, cent).withColumn("nn", norm(col("embedding"))), cent, nCells)
   }
 
   /** IVF-probed approximate top-k: each query probes its `nprobe` closest
     * cells and runs exact cosine only inside them. */
-  def ivfKnn(emb: DataFrame, queries: DataFrame, k: Int, nCells: Int, nprobe: Int): DataFrame =
-    ivfKnnWith(buildIvf(emb, nCells), queries, k, nprobe)
+  def ivfKnn(emb: DataFrame, queries: DataFrame, k: Int, nCells: Int, nprobe: Int,
+      iters: Int = 2, sampleMod: Int = 7): DataFrame =
+    ivfKnnWith(buildIvf(emb, nCells, iters, sampleMod), queries, k, nprobe)
 
   /** Probe a pre-built [[IvfIndex]] — amortizes the index build across
     * query batches. */
@@ -145,8 +219,8 @@ object Similarity {
     val cent = index.centroids
     val probes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      .crossJoin(broadcast(cent))
-      .withColumn("cell_cos", cosine(col("qv"), col("cv")))
+      .crossJoin(broadcast(withCentNorm(cent)))
+      .withColumn("cell_cos", cosToCent(col("qv"), col("cv"), col("cn")))
       .groupBy(col("query_id"))
       .agg(
         first(col("qv")).as("qv"),

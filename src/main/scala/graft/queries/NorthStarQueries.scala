@@ -44,6 +44,71 @@ object NorthStarQueries {
   private def cosE6Sql(a: String, b: String): String =
     s"CAST(ROUND(1e6 * ${cosSql(a, b)}) AS BIGINT)"
 
+  /** cosine(float list `a`, double centroid list `c`) — a's elements
+    * widened to double, summed in list order (≡ the
+    * VectorExpressions.dotWiden path in Similarity.cosToCent). */
+  private def cosWSql(a: String, c: String): String = {
+    val dotAC = s"list_sum(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $c[i+1]))"
+    val dotAA = s"list_sum(list_transform(range(len($a)), i -> $a[i+1]::DOUBLE * $a[i+1]::DOUBLE))"
+    val dotCC = s"list_sum(list_transform(range(len($c)), i -> $c[i+1] * $c[i+1]))"
+    s"($dotAC / (sqrt($dotAA) * sqrt($dotCC)))"
+  }
+
+  /** Exact micro-rounding of a float SQL expression (≡ Spark
+    * `round(x.cast("double") * 1e6).cast("long")`). */
+  private def microSql(e: String): String =
+    s"CAST(ROUND($e::DOUBLE*1e6) AS BIGINT)"
+
+  /** The full IVF pipeline as DuckDB SQL: replays Similarity's
+    * deterministic sampled k-means (first-`nCells` init, `iters` unrolled
+    * Lloyd rounds over the `vec_id % sampleMod = 0` sample, exact
+    * micro-unit means, empty cells keep their previous centroid), then
+    * assignment, probing and exact top-k — CTE-for-CTE what
+    * `Similarity.ivfKnn` computes. */
+  private def ivfOracleSql(nCells: Int, nprobe: Int, k: Int, iters: Int,
+      sampleMod: Int, qMax: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      val prev = s"c${i - 1}"
+      s"""a$i AS (SELECT vec_id, v, cid AS cell FROM (
+         |  SELECT s.vec_id, s.v, c.cid,
+         |         ROW_NUMBER() OVER (PARTITION BY s.vec_id
+         |           ORDER BY ${cosWSql("s.v", "c.cv")} DESC, c.cid) AS rn
+         |  FROM samp s, $prev c) WHERE rn = 1),
+         |m$i AS (SELECT cell, CAST(t.i AS INT) AS dim, COUNT(*) AS n,
+         |               SUM(${microSql("v[t.i+1]")}) AS sum_e6
+         |        FROM a$i, range(64) t(i) GROUP BY cell, t.i),
+         |n$i AS (SELECT cell, list(CAST(FLOOR(sum_e6::DOUBLE / n) AS BIGINT)/1000000.0
+         |                          ORDER BY dim) AS cv
+         |        FROM m$i GROUP BY cell),
+         |c$i AS (SELECT p.cid, COALESCE(nn.cv, p.cv) AS cv
+         |        FROM $prev p LEFT JOIN n$i nn ON nn.cell = p.cid)""".stripMargin
+    }
+    val fin = s"c$iters"
+    s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |samp AS (SELECT vec_id, v FROM e WHERE vec_id % $sampleMod = 0),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cid,
+       |              list_transform(v, x -> ${microSql("x")}/1000000.0) AS cv
+       |       FROM e WHERE vec_id < $nCells),
+       |${iterCtes.mkString(",\n")},
+       |asg AS (SELECT vec_id, v, cid AS cell FROM (
+       |          SELECT e.vec_id, e.v, c.cid,
+       |                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                   ORDER BY ${cosWSql("e.v", "c.cv")} DESC, c.cid) AS rn
+       |          FROM e, $fin c) WHERE rn = 1),
+       |probes AS (SELECT query_id, qv, cell FROM (
+       |          SELECT q.vec_id AS query_id, q.v AS qv, c.cid AS cell,
+       |                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |                   ORDER BY ${cosWSql("q.v", "c.cv")} DESC, c.cid) AS rn
+       |          FROM e q, $fin c WHERE q.vec_id < $qMax) WHERE rn <= $nprobe),
+       |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+       |                  ${cosE6Sql("p.qv", "a.v")} AS cos_e6
+       |           FROM probes p JOIN asg a ON p.cell = a.cell AND p.query_id <> a.vec_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY cos_e6 DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, rank, neighbor_id, cos_e6 FROM r WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** 32-bit simhash of token-hash list `th` (≡ TextFunctions.simhash32). */
   private val SimhashSql: String = (0 until 32).map { j =>
     s"CASE WHEN list_sum(list_transform(th, h -> ((h >> $j) & 1)*2 - 1)) > 0 THEN ${1L << j} ELSE 0 END"
@@ -261,25 +326,7 @@ object NorthStarQueries {
          |SELECT query_id, rank, neighbor_id, cos_e6 FROM r WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
     "s02_knn_ivf" ->
-      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
-         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
-         |asg AS (SELECT vec_id, v, cid AS cell FROM (
-         |          SELECT e.vec_id, e.v, cent.cid,
-         |                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |                   ORDER BY ${cosSql("e.v", "cent.cv")} DESC, cent.cid) AS rn
-         |          FROM e, cent) WHERE rn = 1),
-         |probes AS (SELECT query_id, qv, cell FROM (
-         |          SELECT q.vec_id AS query_id, q.v AS qv, cent.cid AS cell,
-         |                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |                   ORDER BY ${cosSql("q.v", "cent.cv")} DESC, cent.cid) AS rn
-         |          FROM e q, cent WHERE q.vec_id < 20) WHERE rn <= 2),
-         |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
-         |                  ${cosE6Sql("p.qv", "a.v")} AS cos_e6
-         |           FROM probes p JOIN asg a ON p.cell = a.cell AND p.query_id <> a.vec_id),
-         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-         |        ORDER BY cos_e6 DESC, neighbor_id) AS rank FROM scored)
-         |SELECT query_id, rank, neighbor_id, cos_e6 FROM r WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin,
+      ivfOracleSql(nCells = 16, nprobe = 2, k = 5, iters = 2, sampleMod = 7, qMax = 20),
     "t01_token_count" ->
       s"""SELECT doc_id,
          |       CAST(len($WsSql) AS BIGINT) AS n_tokens,

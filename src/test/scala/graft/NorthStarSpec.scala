@@ -137,6 +137,48 @@ class NorthStarSpec extends SparkTestBase {
     assert(frames === (0 until video.n_frames by 5).toSeq)
   }
 
+  test("multimodal: decodeImages parses real PNG and BMP bytes via javax.imageio") {
+    // encode two real images in-test (the JDK writer is the JDK reader's
+    // inverse, so this exercises the full parse path on genuine headers):
+    // a 5x3 all-white PNG and a 4x2 all-black BMP
+    def imageBytes(w: Int, h: Int, rgb: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out), s"no JDK $fmt writer")
+      out.toByteArray
+    }
+    val png = imageBytes(5, 3, 0xffffff, "png")
+    val bmp = imageBytes(4, 2, 0x000000, "bmp")
+    val media = Seq(
+      MediaRecord(1L, "image", png, png.length.toLong),
+      MediaRecord(2L, "image", bmp, bmp.length.toLong),
+      MediaRecord(3L, "image", "not an image".getBytes("UTF-8"), 12L),
+      MediaRecord(4L, "audio", png, png.length.toLong)).toDS()
+    val out = Multimodal.decodeImages(media).collect().sortBy(_.doc_id)
+
+    val white = out(0)
+    assert((white.width, white.height, white.n_frames) === ((5, 3, 1)))
+    assert(white.feature.length === 8)
+    assert(white.feature(7) === 1.0f) // all pixels in the brightest bin
+    assert(white.feature.take(7).forall(_ === 0.0f))
+
+    val black = out(1)
+    assert((black.width, black.height) === ((4, 2)))
+    assert(black.feature(0) === 1.0f) // all pixels in the darkest bin
+
+    // corrupt payload and non-image kind fall back, never throw (S8 policy)
+    for (s <- Seq(out(2), out(3))) {
+      assert((s.width, s.height) === ((0, 0)))
+      assert(s.feature.forall(_ === 0.0f))
+    }
+
+    // decode runs deterministically twice (fresh per-partition buffer)
+    val again = Multimodal.decodeImages(media).collect().sortBy(_.doc_id)
+    assert(out.map(_.feature.toSeq).toSeq === again.map(_.feature.toSeq).toSeq)
+  }
+
   test("media table keeps payload bytes intact through the binary column") {
     val docs = Seq((7L, "payload-text-αβ")).toDF("doc_id", "text")
     val row = Multimodal.mediaFromDocs(docs).collect()(0)

@@ -36,6 +36,57 @@ class ScaleShapeSpec extends SparkTestBase {
     assert(diffs === 0L)
   }
 
+  test("dotWiden ≡ dotFF bit-identically on float-float inputs") {
+    val emb = Tables.embeddings(spark, sf).limit(50)
+    val pairs = emb.select($"vec_id".as("ia"), $"embedding".as("a"))
+      .crossJoin(emb.select($"vec_id".as("ib"), $"embedding".as("b")))
+    val diffs = pairs
+      .select(VectorExpressions.dotFF($"a", $"b").as("ff"),
+        VectorExpressions.dotWiden($"a", $"b").as("w"))
+      .filter($"ff" =!= $"w")
+      .count()
+    assert(diffs === 0L)
+  }
+
+  test("IVF with k-means centroids is exact when every cell is probed") {
+    // probing all cells scores every (query, vector) pair, so the IVF
+    // result must equal brute force regardless of centroid quality
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" < 10)
+    val brute = Similarity.bruteForceKnn(emb, q, k = 5)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val ivf = Similarity.ivfKnn(emb, q, k = 5, nCells = 8, nprobe = 8)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(brute.nonEmpty)
+    assert(ivf === brute)
+  }
+
+  test("k-means IVF recall@5 vs brute force at nprobe=2 of 16 cells") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" < 50)
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select($"query_id", $"neighbor_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val brute = topSets(Similarity.bruteForceKnn(emb, q, k = 5))
+    def meanRecall(nprobe: Int): Double = {
+      val ivf = topSets(Similarity.ivfKnn(emb, q, k = 5, nCells = 16, nprobe = nprobe))
+      val r = brute.map { case (qid, truth) =>
+        ivf.getOrElse(qid, Set.empty).intersect(truth).size.toDouble / truth.size
+      }
+      r.sum / r.size
+    }
+    val r2 = meanRecall(2)
+    val r4 = meanRecall(4)
+    info(f"mean recall@5 (kmeans iters=2, 16 cells): nprobe=2 $r2%.3f, nprobe=4 $r4%.3f")
+    // the driver embeddings are near-uniform random (no cluster structure),
+    // so recall tracks the scanned fraction — assert a conservative floor
+    // (measured: 0.43 / 0.63) plus the defining IVF property that more
+    // probes monotonically recover more of the true top-k
+    assert(r2 >= 0.3, f"k-means IVF recall collapsed at nprobe=2: $r2%.3f")
+    assert(r4 > r2, f"recall did not improve with nprobe: $r2%.3f -> $r4%.3f")
+    assert(r4 >= 0.5, f"k-means IVF recall collapsed at nprobe=4: $r4%.3f")
+  }
+
   test("aggregated simhash ≡ per-row expression simhash") {
     val docs = Tables.documents(spark, sf).limit(100)
     val perRow = docs.select($"doc_id",
