@@ -93,6 +93,14 @@ object GraftExtensions {
         arity("graft_kmv", 2, args)
         KmvSketch(args.head, intLit(args(1), "k"))
       }),
+    ("graft_quantiles",
+      info("graft_quantiles",
+        "graft_quantiles(value, permille...) - exact discrete quantiles: struct<qs: array<bigint>, n_rows>"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 2,
+          s"graft_quantiles expects (value, permille...), got ${args.length} args")
+        QuantileHistogram(args.head, args.tail.map(intLit(_, "permille")))
+      }),
   )
 
   /** Register every graft function on a live session. */

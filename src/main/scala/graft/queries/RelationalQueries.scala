@@ -202,6 +202,24 @@ object RelationalQueries {
       graft.operators.Sketches.exactQuantiles(li, Seq("flag"), "cents",
         Seq("p25_cents" -> 250, "p50_cents" -> 500, "p75_cents" -> 750, "p95_cents" -> 950))
     }),
+    "q30_quantile_agg" -> ((s, d) => {
+      // Same quantile profile as q28, through the ONE-OPERATOR
+      // QuantileHistogram aggregate (the streaming-capable form): a single
+      // bounded TypedImperativeAggregate instead of histogram + value
+      // window. Two different physical plans, one definitional oracle —
+      // if either drifts from the explicit quantile rule, its hash breaks.
+      val names = Seq("p25_cents" -> 250, "p50_cents" -> 500,
+        "p75_cents" -> 750, "p95_cents" -> 950)
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"), cents(col("l_extendedprice")).as("cents"))
+      li.groupBy(col("flag"))
+        .agg(graft.expressions.QuantileHistogram.quantiles(
+          col("cents"), names.map(_._2)).as("__q"))
+        .select(col("flag") +:
+          names.zipWithIndex.map { case ((nm, _), i) =>
+            col("__q.qs").getItem(i).as(nm)
+          } :+ col("__q.n_rows").as("n_rows"): _*)
+    }),
     "q29_distinct_sketch" -> ((s, d) => {
       // KMV distinct-count sketch vs the exact count, side by side. The
       // sketch pass shuffles at most k=256 longs per partition (bounded
@@ -360,6 +378,27 @@ object RelationalQueries {
     // at 0-based rank (q*(n-1)) // 1000 of the value-sorted multiset —
     // engine-agnostic integer math, no interpolation
     "q28_quantiles" ->
+      """WITH h AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(ROUND(l_extendedprice*100) AS BIGINT) AS cents,
+        |         COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |w AS (
+        |  SELECT flag, cents,
+        |         CAST(SUM(cnt) OVER (PARTITION BY flag ORDER BY cents) AS BIGINT) AS cum,
+        |         CAST(SUM(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n
+        |  FROM h)
+        |SELECT flag,
+        |       MIN(CASE WHEN cum > (250*(n-1))//1000 THEN cents END) AS p25_cents,
+        |       MIN(CASE WHEN cum > (500*(n-1))//1000 THEN cents END) AS p50_cents,
+        |       MIN(CASE WHEN cum > (750*(n-1))//1000 THEN cents END) AS p75_cents,
+        |       MIN(CASE WHEN cum > (950*(n-1))//1000 THEN cents END) AS p95_cents,
+        |       MAX(n) AS n_rows
+        |FROM w GROUP BY flag ORDER BY flag""".stripMargin,
+    // q30 runs the same definitional quantile rule through the bounded
+    // one-operator aggregate; the oracle is q28's SQL with the same
+    // aliases — one definition, two engine plans
+    "q30_quantile_agg" ->
       """WITH h AS (
         |  SELECT l_returnflag AS flag,
         |         CAST(ROUND(l_extendedprice*100) AS BIGINT) AS cents,

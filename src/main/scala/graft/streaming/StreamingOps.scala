@@ -110,6 +110,58 @@ object StreamingOps {
         count(lit(1)).as("n_events"),
         sum(round(value * 100).cast("long")).as("sum_cents"))
 
+  /** Watermarked windowed KMV distinct sketch over a stream — streaming
+    * form of q29: per event-time window, the k smallest distinct hashes
+    * and the derived distinct-count estimate. [[graft.expressions
+    * .KmvSketch]] is a TypedImperativeAggregate whose partials merge, so it
+    * composes with `window()` + update mode exactly like a `sum` — at most
+    * k longs of state per window cross the store, no matter how many
+    * distinct values arrive. */
+  def windowedDistinctSketchStream(
+      events: DataFrame,
+      tsCol: String,
+      hash: Column,
+      k: Int,
+      bits: Int,
+      width: String = "1 hour",
+      watermark: String = "24 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width).as("window"))
+      .agg(graft.operators.Sketches.kmv(hash, k).as("sk"))
+      .select(col("window.start").as("window_start"), col("sk"),
+        graft.operators.Sketches.kmvEstimate("sk", k, bits).as("est_distinct"))
+
+  /** Watermarked windowed EXACT quantiles over a stream — streaming form
+    * of q28, via [[graft.expressions.QuantileHistogram]] (the batch
+    * histogram+window plan is two stateful stages, one too many for a
+    * streaming query; the single bounded aggregate composes with
+    * `window()` for free). Same quantile definition as
+    * `Sketches.exactQuantiles`; state per window is bounded by the
+    * distinct-value domain, not the row count.
+    *
+    * @param quantiles output column name -> permille, as in exactQuantiles
+    */
+  def windowedQuantilesStream(
+      events: DataFrame,
+      tsCol: String,
+      value: Column,
+      quantiles: Seq[(String, Int)],
+      width: String = "1 hour",
+      watermark: String = "24 hours"): DataFrame = {
+    val agg = graft.expressions.QuantileHistogram.quantiles(
+      value.cast("long"), quantiles.map(_._2)).as("__q")
+    val outCols = col("window.start").as("window_start") +:
+      (quantiles.zipWithIndex.map { case ((nm, _), i) =>
+        col("__q.qs").getItem(i).as(nm)
+      } :+ col("__q.n_rows").as("n_rows"))
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width).as("window"))
+      .agg(agg)
+      .select(outCols: _*)
+  }
+
   /** KTable semantics on a changelog stream: keep the latest value per key,
     * emit the new latest on every change (reference: `builder.table(topic)`,
     * CallsEnrichedApp.java:58).

@@ -98,6 +98,39 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("QuantileHistogram aggregate ≡ exactQuantiles multi-stage plan") {
+    // the one-operator streaming-capable form and the histogram+window
+    // batch plan implement the same quantile definition — assert they
+    // agree value-for-value on random grouped multisets (incl. negatives,
+    // ties, nulls)
+    val qs = Seq("p0" -> 0, "p25" -> 250, "p50" -> 500, "p95" -> 950, "p100" -> 1000)
+    forSamples(groupedGen, 15) { rows =>
+      // group 1 always gets one non-null (so it appears in both forms) and
+      // one null (exactQuantiles drops all-null groups; the aggregate
+      // would keep them as a null struct — out of scope here)
+      val df = (rows.map { case (g, v) => (g, Some(v)) }
+        :+ (1 -> Some(0L)) :+ (1 -> Option.empty[Long]))
+        .toDF("g", "v")
+      val multi = Sketches.exactQuantiles(df, Seq("g"), "v", qs)
+        .collect().map(r => r.getInt(0) -> r.toSeq.drop(1)).toMap
+      val one = df.groupBy($"g")
+        .agg(graft.expressions.QuantileHistogram.quantiles($"v", qs.map(_._2)).as("q"))
+        .select($"g" +: qs.indices.map(i => $"q.qs".getItem(i)) :+ $"q.n_rows": _*)
+        .collect().map(r => r.getInt(0) -> r.toSeq.drop(1)).toMap
+      assert(one === multi)
+    }
+  }
+
+  test("QuantileHistogram ignores nulls; empty input evals to null") {
+    val r = Seq(Some(5L), None, Some(3L)).toDF("v")
+      .agg(graft.expressions.QuantileHistogram.quantiles($"v", Seq(0, 1000)).as("q"))
+      .select($"q.qs", $"q.n_rows").head()
+    assert(r.getSeq[Long](0) === Seq(3L, 5L) && r.getLong(1) === 2L)
+    val empty = Seq.empty[Long].toDF("v")
+      .agg(graft.expressions.QuantileHistogram.quantiles($"v", Seq(500)).as("q")).head()
+    assert(empty.isNullAt(0))
+  }
+
   test("exactQuantiles rejects out-of-range quantiles and empty spec") {
     val df = Seq((1, 1L)).toDF("g", "v")
     intercept[IllegalArgumentException] {

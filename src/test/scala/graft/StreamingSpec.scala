@@ -366,6 +366,57 @@ class StreamingSpec extends SparkTestBase {
     assert(survivors === Seq(Seq(1L, 10L), Seq(3L, 30L)))
   }
 
+  test("windowed exact quantiles: stream ≡ batch exactQuantiles per window") {
+    // both-regimes case for the r4 sketch additions: the streaming
+    // QuantileHistogram-under-window() must equal the batch multi-stage
+    // exactQuantiles plan, window for window, on the real events table
+    val sf = "/root/testdata/sf0.001"
+    val qs = Seq("p50" -> 500, "p95" -> 950)
+    val events = graft.Tables.events(spark, sf)
+      .select($"ts", $"user_id", $"value").as[RawCall]
+    val batch = graft.operators.Sketches.exactQuantiles(
+        events.toDF()
+          .withColumn("window_start", window($"ts", "1 hour")("start"))
+          .withColumn("cents", round($"value" * 100).cast("long")),
+        Seq("window_start"), "cents", qs)
+      .select($"window_start", $"p50", $"p95", $"n_rows")
+      .collect().map(_.toSeq).toSet
+
+    val in = MemoryStream[RawCall](spark)
+    val out = StreamingOps.windowedQuantilesStream(
+      in.toDF().withColumn("cents", round($"value" * 100).cast("long")),
+      "ts", $"cents", qs, width = "1 hour")
+    val rows = runUpdate(out, "stream_quantiles") {
+      in.addData(events.collect().toIndexedSeq)
+    }.collect().map(_.toSeq).toSet
+    assert(rows.nonEmpty)
+    assert(rows === batch)
+  }
+
+  test("windowed KMV distinct sketch: stream ≡ batch kmv per window") {
+    val sf = "/root/testdata/sf0.001"
+    val k = 16
+    val events = graft.Tables.events(spark, sf)
+      .select($"ts", $"user_id", $"value").as[RawCall]
+    def hashCol = shiftright(
+      graft.functions.TextFunctions.hash60($"user_id".cast("string")), 12)
+    val batch = events.toDF()
+      .groupBy(window($"ts", "1 hour").as("window"))
+      .agg(graft.operators.Sketches.kmv(hashCol, k).as("sk"))
+      .select($"window.start".as("window_start"), $"sk",
+        graft.operators.Sketches.kmvEstimate("sk", k, 48).as("est_distinct"))
+      .collect().map(_.toSeq).toSet
+
+    val in = MemoryStream[RawCall](spark)
+    val out = StreamingOps.windowedDistinctSketchStream(
+      in.toDF(), "ts", hashCol, k, bits = 48, width = "1 hour")
+    val rows = runUpdate(out, "stream_kmv") {
+      in.addData(events.collect().toIndexedSeq)
+    }.collect().map(_.toSeq).toSet
+    assert(rows.nonEmpty)
+    assert(rows === batch)
+  }
+
   test("flagship stream ≡ batch: same events, identical enriched output") {
     // The strongest cheap guarantee the two surfaces can't drift: feed the
     // full sf0.001 events table through CallsStreamPipeline (aggregate +
