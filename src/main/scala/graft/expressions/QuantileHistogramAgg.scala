@@ -23,11 +23,12 @@ import org.apache.spark.sql.types._
   * Why a second form: the multi-stage histogram+window plan can't run
   * inside a streaming query (one stateful operator per query), while this
   * aggregate composes with `window()`/watermarks like any sum — giving
-  * batch/stream parity for exact quantiles. State is a sorted
-  * value→count map, bounded by the DISTINCT VALUE DOMAIN (price cents,
-  * token counts …), not the row count — the same boundedness argument as
-  * q28, and each map partition reduces to one histogram before the
-  * exchange (ObjectHashAggregate with map-side partials).
+  * batch/stream parity for exact quantiles. State is an unboxed
+  * value→count hash map (sorted only at eval/serialize — O(1) updates on
+  * the hot per-row path), bounded by the DISTINCT VALUE DOMAIN (price
+  * cents, token counts …), not the row count — the same boundedness
+  * argument as q28, and each map partition reduces to one histogram
+  * before the exchange (ObjectHashAggregate with map-side partials).
   *
   * Returns `struct<qs: array<bigint>, n_rows: bigint>` (one `qs` element
   * per requested permille, in request order), or null for empty input.
@@ -37,7 +38,7 @@ case class QuantileHistogram(
     permilles: Seq[Int],
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[mutable.TreeMap[Long, Long]]
+    extends TypedImperativeAggregate[mutable.LongMap[Long]]
     with ImplicitCastInputTypes {
 
   require(permilles.nonEmpty, "need at least one quantile")
@@ -48,11 +49,11 @@ case class QuantileHistogram(
   // update() dying on a ClassCastException when called from SQL
   override def inputTypes = Seq(LongType)
 
-  override def createAggregationBuffer(): mutable.TreeMap[Long, Long] =
-    mutable.TreeMap.empty[Long, Long]
+  override def createAggregationBuffer(): mutable.LongMap[Long] =
+    mutable.LongMap.empty[Long]
 
   override def update(
-      buf: mutable.TreeMap[Long, Long], input: InternalRow): mutable.TreeMap[Long, Long] = {
+      buf: mutable.LongMap[Long], input: InternalRow): mutable.LongMap[Long] = {
     val v = value.eval(input)
     if (v != null) {
       val x = v.asInstanceOf[Long]
@@ -62,14 +63,16 @@ case class QuantileHistogram(
   }
 
   override def merge(
-      buf: mutable.TreeMap[Long, Long],
-      other: mutable.TreeMap[Long, Long]): mutable.TreeMap[Long, Long] = {
-    other.foreach { case (v, c) => buf.update(v, buf.getOrElse(v, 0L) + c) }
+      buf: mutable.LongMap[Long],
+      other: mutable.LongMap[Long]): mutable.LongMap[Long] = {
+    other.foreachEntry { (v, c) => buf.update(v, buf.getOrElse(v, 0L) + c) }
     buf
   }
 
-  override def eval(buf: mutable.TreeMap[Long, Long]): Any = {
+  override def eval(buf: mutable.LongMap[Long]): Any = {
     if (buf.isEmpty) return null
+    val values = buf.keysIterator.toArray
+    java.util.Arrays.sort(values)
     val n = buf.valuesIterator.sum
     // 0-based target index per permille; integer math keeps it exact at any
     // n (a double floor would lose bits past 2^53)
@@ -77,8 +80,8 @@ case class QuantileHistogram(
     val picks = new Array[Long](permilles.length)
     var cum = 0L
     var remaining = targets.indices.toSet
-    for ((v, c) <- buf if remaining.nonEmpty) {
-      cum += c
+    for (v <- values if remaining.nonEmpty) {
+      cum += buf(v)
       remaining = remaining.filter { i =>
         if (cum > targets(i)) { picks(i) = v; false } else true
       }
@@ -86,14 +89,17 @@ case class QuantileHistogram(
     InternalRow(new GenericArrayData(picks), n)
   }
 
-  override def serialize(buf: mutable.TreeMap[Long, Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + buf.size * 16)
-    bb.putInt(buf.size)
-    buf.foreach { case (v, c) => bb.putLong(v); bb.putLong(c) }
+  override def serialize(buf: mutable.LongMap[Long]): Array[Byte] = {
+    // sorted for deterministic bytes (not required for merge correctness)
+    val values = buf.keysIterator.toArray
+    java.util.Arrays.sort(values)
+    val bb = ByteBuffer.allocate(4 + values.length * 16)
+    bb.putInt(values.length)
+    values.foreach { v => bb.putLong(v); bb.putLong(buf(v)) }
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.TreeMap[Long, Long] = {
+  override def deserialize(bytes: Array[Byte]): mutable.LongMap[Long] = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
     val buf = createAggregationBuffer()

@@ -78,6 +78,84 @@ object Sketches {
       .agg(picks.head, picks.tail: _*)
   }
 
+  /** [[exactQuantiles]] for value domains too wide for a single
+    * cumulative pass: identical results, but the running sum never runs
+    * over the full distinct-value domain of a group.
+    *
+    * Two-stage rank localization. Values are coarsened to buckets of
+    * `bucketWidth` (`v DIV w` — truncating division is monotone in v, so
+    * buckets are ordered intervals and cumulative bucket counts are
+    * meaningful). Stage 1 accumulates over BUCKETS (domain/width rows per
+    * group) to find each quantile's boundary bucket and the row count
+    * before it; stage 2 accumulates within single buckets (≤ width
+    * distinct values, partitioned by (group, bucket) — parallel across
+    * buckets) and picks the element whose within-bucket cumulative count
+    * crosses the remaining rank. Each window is bounded by
+    * max(domain/width, width); √domain-ish widths keep both tiny.
+    *
+    * Same explicit quantile definition as [[exactQuantiles]] — the
+    * element at 0-based index `(p*(n-1)) div 1000` — so the two forms are
+    * interchangeable (spec-asserted equal).
+    */
+  def exactQuantilesBucketed(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      quantiles: Seq[(String, Int)],
+      bucketWidth: Long): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    quantiles.foreach { case (nm, p) =>
+      require(p >= 0 && p <= 1000, s"quantile $nm permille must be in [0,1000], got $p")
+    }
+    val g = groupCols.map(col)
+    val v = col(valueCol).cast("long")
+    val hist = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy((g :+ v.as(valueCol)): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__bkt", expr(s"$valueCol DIV $bucketWidth"))
+    // ---- stage 1: cumulative over buckets ----
+    val bkts = hist.groupBy((g :+ col("__bkt")): _*).agg(sum(col("__cnt")).as("__bcnt"))
+    val bcum = bkts.withColumn("__bcum",
+      sum(col("__bcnt")).over(Window.partitionBy(g: _*).orderBy(col("__bkt"))))
+    val ranks = quantiles.map { case (nm, p) =>
+      expr(s"CAST(($p * (__n - 1)) DIV 1000 AS BIGINT)").as(s"__i_$nm")
+    }
+    val totals = bkts
+      .groupBy(g: _*)
+      .agg(sum(col("__bcnt")).as("__n"))
+      .select(g ++ (col("__n") +: ranks): _*)
+    // per quantile: the smallest bucket whose cumulative count crosses the
+    // target rank, carried with the count of all rows BEFORE that bucket
+    // (min over struct picks by bucket id — its first field)
+    val boundaryPicks = quantiles.map { case (nm, _) =>
+      min(when(col("__bcum") > col(s"__i_$nm"),
+        struct(col("__bkt").as("b"), (col("__bcum") - col("__bcnt")).as("before"))))
+        .as(s"__q_$nm")
+    }
+    val boundaries = bcum
+      .join(broadcast(totals), groupCols)
+      .groupBy(g: _*)
+      .agg((boundaryPicks :+ max(col("__n")).as("__n")).head,
+        (boundaryPicks :+ max(col("__n")).as("__n")).tail: _*)
+    // ---- stage 2: cumulative within single buckets ----
+    val vcum = hist.withColumn("__vcum",
+      sum(col("__cnt")).over(
+        Window.partitionBy((g :+ col("__bkt")): _*).orderBy(col(valueCol))))
+    val bcols = quantiles.map { case (nm, _) => col(s"__q_$nm") }
+    val picks = quantiles.map { case (nm, _) =>
+      min(when(
+        col("__bkt") === col(s"__q_$nm.b") &&
+          (col(s"__q_$nm.before") + col("__vcum")) > col(s"__i_$nm"),
+        col(valueCol))).as(nm)
+    } :+ max(col("__n")).as("n_rows")
+    vcum
+      .join(broadcast(boundaries.select(g ++ bcols ++ ranks :+ col("__n"): _*)), groupCols)
+      .groupBy(g: _*)
+      .agg(picks.head, picks.tail: _*)
+  }
+
   /** KMV sketch aggregate over a pre-hashed column: `struct<kk, hk>` of the
     * k smallest distinct hashes. See [[graft.expressions.KmvSketch]]. */
   def kmv(hash: Column, k: Int): Column = KmvSketch.kmv(hash, k)

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.hash60
+
+/** Deterministic dataset splitting for training pipelines: every corpus
+  * that feeds a model needs a train/val/test partition that is (a) stable
+  * across runs and engines — no RNG, no row order dependence — and
+  * (b) leakage-safe: near-duplicate documents must land in the SAME split,
+  * or held-out metrics are contaminated.
+  *
+  * Both operators are pure per-row functions of a key (a narrow
+  * deterministic map over the corpus — no shuffle, no state), so they
+  * scale to any corpus size and compose with every other operator. The
+  * assignment rule (md5-derived [[hash60]] mod 1000 against cumulative
+  * permille fences) is engine-portable and DuckDB-oracle-checkable.
+  */
+object Splits {
+
+  /** Split-assignment column: `hash60(salt || key) % 1000` landed against
+    * cumulative permille fences. `splits` maps name -> permille weight and
+    * must sum to 1000 so every row lands in exactly one split. Assignment
+    * follows the given order (e.g. train [0,900), val [900,950),
+    * test [950,1000)).
+    *
+    * The salt decorrelates independent splits of the same corpus: two
+    * splits with different salts are independent partitions, while the
+    * same salt always reproduces the same assignment — the property that
+    * makes ablation runs comparable across months of pipeline runs.
+    */
+  def splitColumn(key: Column, splits: Seq[(String, Int)], salt: String = ""): Column = {
+    require(splits.nonEmpty, "need at least one split")
+    splits.foreach { case (nm, w) =>
+      require(w > 0, s"split $nm weight must be positive, got $w")
+    }
+    require(splits.map(_._2).sum == 1000,
+      s"split weights must sum to 1000 permille, got ${splits.map(_._2).sum}")
+    val slot = pmod(hash60(concat(lit(salt), key.cast("string"))), lit(1000L))
+    val fences = splits.scanLeft(0)(_ + _._2).tail // cumulative upper bounds
+    splits.zip(fences).foldRight(lit(null).cast("string")) {
+      case (((nm, _), hi), elseCol) => when(slot < hi, lit(nm)).otherwise(elseCol)
+    }
+  }
+
+  /** Hash-split the frame on `keyCol`: adds a `split` column. Rows sharing
+    * a key always co-locate in one split. */
+  def hashSplit(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Int)], salt: String = ""): DataFrame =
+    df.withColumn("split", splitColumn(col(keyCol), splits, salt))
+
+  /** Leakage-safe split: assigns every document the split of its near-dup
+    * component representative, so a near-duplicate can never straddle the
+    * train/test fence. `components` is [[Dedup.components]] output
+    * (doc_id, component); the split key is the component label, joined
+    * back broadcast-or-shuffle by the optimizer.
+    *
+    * At 100 TB this is one equi-join on doc_id against an
+    * already-materialized components table — the split itself stays a
+    * per-row map. */
+  def leakageSafeSplit(docs: DataFrame, components: DataFrame,
+      splits: Seq[(String, Int)], salt: String = ""): DataFrame =
+    docs.join(components, "doc_id")
+      .withColumn("split", splitColumn(col("component"), splits, salt))
+}

@@ -109,6 +109,39 @@ object NorthStarQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Shared recursive-CTE body computing near-dup connected components
+    * (doc_id -> component) — d06's oracle and the split oracles reuse it. */
+  private def componentsCteSql: String =
+    s"""WITH RECURSIVE ws AS (SELECT doc_id, $WsSql AS w FROM documents),
+       |sh AS (SELECT doc_id, $Shingles3Sql AS s FROM ws),
+       |ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+       |mh AS (SELECT doc_id, i, MIN(${h60("CAST(i AS VARCHAR)||':'||sh")}) AS mh
+       |       FROM ex, range(12) t(i) GROUP BY doc_id, i),
+       |bands AS (SELECT doc_id, i // 3 AS band,
+       |                 md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bh
+       |          FROM mh GROUP BY doc_id, i // 3),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+       |inter AS (SELECT ea.doc_id AS doc_a, eb.doc_id AS doc_b, COUNT(*) AS inter_cnt
+       |          FROM ex ea JOIN ex eb ON ea.sh = eb.sh AND ea.doc_id < eb.doc_id
+       |          GROUP BY 1, 2),
+       |pairs AS (SELECT c.doc_a, c.doc_b
+       |          FROM cand c
+       |          JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |          JOIN sz sa ON sa.doc_id = c.doc_a
+       |          JOIN sz sb ON sb.doc_id = c.doc_b
+       |          WHERE 1000 * i.inter_cnt >= 800 * (sa.n + sb.n - i.inter_cnt)),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(doc, lab) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.doc),
+       |comp AS (SELECT doc AS doc_id, MIN(lab) AS component
+       |         FROM reach GROUP BY doc)""".stripMargin
+
   /** 32-bit simhash of token-hash list `th` (≡ TextFunctions.simhash32). */
   private val SimhashSql: String = (0 until 32).map { j =>
     s"CASE WHEN list_sum(list_transform(th, h -> ((h >> $j) & 1)*2 - 1)) > 0 THEN ${1L << j} ELSE 0 END"
@@ -141,6 +174,27 @@ object NorthStarQueries {
       // MinHash-LSH join, closure via hash-min label propagation.
       val docs = Tables.documents(s, d)
       Dedup.components(docs, Dedup.minhashLshPairs(docs))
+    }),
+    "t06_hash_split" -> ((s, d) => {
+      // Deterministic 90/5/5 train/val/test split by doc_id — stable
+      // across runs/engines (md5-derived fences, no RNG), a pure per-row
+      // map with no shuffle.
+      graft.operators.Splits.hashSplit(
+          Tables.documents(s, d), "doc_id",
+          Seq("train" -> 900, "val" -> 50, "test" -> 50))
+        .select(col("doc_id"), col("split"))
+    }),
+    "d07_leakage_safe_split" -> ((s, d) => {
+      // Split where near-duplicate documents always co-locate: assignment
+      // keys on the near-dup component representative, so no near-dup
+      // pair can straddle the train/test fence and contaminate held-out
+      // metrics.
+      val docs = Tables.documents(s, d)
+      val comps = Dedup.components(docs, Dedup.minhashLshPairs(docs))
+      graft.operators.Splits.leakageSafeSplit(
+          docs.select(col("doc_id")), comps,
+          Seq("train" -> 900, "val" -> 50, "test" -> 50))
+        .select(col("doc_id"), col("component"), col("split"))
     }),
     "s01_knn_brute" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -287,35 +341,23 @@ object NorthStarQueries {
          |WHERE ${cosE6Sql("a.embedding", "b.embedding")} >= 400000
          |ORDER BY id_a, id_b""".stripMargin,
     "d06_dedup_components" ->
-      s"""WITH RECURSIVE ws AS (SELECT doc_id, $WsSql AS w FROM documents),
-         |sh AS (SELECT doc_id, $Shingles3Sql AS s FROM ws),
-         |ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
-         |mh AS (SELECT doc_id, i, MIN(${h60("CAST(i AS VARCHAR)||':'||sh")}) AS mh
-         |       FROM ex, range(12) t(i) GROUP BY doc_id, i),
-         |bands AS (SELECT doc_id, i // 3 AS band,
-         |                 md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bh
-         |          FROM mh GROUP BY doc_id, i // 3),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |         FROM bands x JOIN bands y
-         |           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
-         |sz AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
-         |inter AS (SELECT ea.doc_id AS doc_a, eb.doc_id AS doc_b, COUNT(*) AS inter_cnt
-         |          FROM ex ea JOIN ex eb ON ea.sh = eb.sh AND ea.doc_id < eb.doc_id
-         |          GROUP BY 1, 2),
-         |pairs AS (SELECT c.doc_a, c.doc_b
-         |          FROM cand c
-         |          JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-         |          JOIN sz sa ON sa.doc_id = c.doc_a
-         |          JOIN sz sb ON sb.doc_id = c.doc_b
-         |          WHERE 1000 * i.inter_cnt >= 800 * (sa.n + sb.n - i.inter_cnt)),
-         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |reach(doc, lab) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.doc)
-         |SELECT doc AS doc_id, MIN(lab) AS component
-         |FROM reach GROUP BY doc""".stripMargin,
+      s"""$componentsCteSql
+         |SELECT doc_id, component FROM comp""".stripMargin,
+    // split fences: hash60(key) % 1000 against cumulative permille bounds
+    // (train [0,900), val [900,950), test [950,1000))
+    "t06_hash_split" ->
+      s"""SELECT doc_id,
+         |       CASE WHEN ${h60("CAST(doc_id AS VARCHAR)")} % 1000 < 900 THEN 'train'
+         |            WHEN ${h60("CAST(doc_id AS VARCHAR)")} % 1000 < 950 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "d07_leakage_safe_split" ->
+      s"""$componentsCteSql
+         |SELECT doc_id, component,
+         |       CASE WHEN ${h60("CAST(component AS VARCHAR)")} % 1000 < 900 THEN 'train'
+         |            WHEN ${h60("CAST(component AS VARCHAR)")} % 1000 < 950 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM comp ORDER BY doc_id""".stripMargin,
     "s01_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
          |c AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),

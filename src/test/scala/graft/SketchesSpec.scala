@@ -98,6 +98,33 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("exactQuantilesBucketed ≡ exactQuantiles at degenerate and real widths") {
+    val qs = Seq("p0" -> 0, "p25" -> 250, "p50" -> 500, "p95" -> 950, "p100" -> 1000)
+    // random grouped multisets (negatives, ties) across bucket widths:
+    // width 1 = one value per bucket, 7 = mixed-sign shared bucket 0,
+    // 10^6 = everything in one bucket (stage 2 does all the work)
+    forSamples(groupedGen, 10) { rows =>
+      val df = rows.toDF("g", "v")
+      val plain = Sketches.exactQuantiles(df, Seq("g"), "v", qs)
+        .collect().map(r => r.getInt(0) -> r.toSeq.drop(1)).toMap
+      for (w <- Seq(1L, 7L, 1000000L)) {
+        val bucketed = Sketches.exactQuantilesBucketed(df, Seq("g"), "v", qs, w)
+          .collect().map(r => r.getInt(0) -> r.toSeq.drop(1)).toMap
+        assert(bucketed === plain, s"width $w")
+      }
+    }
+    // and on the real q28 data shape: price cents per return flag
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select($"l_returnflag".as("flag"),
+        round($"l_extendedprice" * 100).cast("long").as("cents"))
+    val qsR = Seq("p25" -> 250, "p50" -> 500, "p75" -> 750, "p95" -> 950)
+    val plainR = Sketches.exactQuantiles(li, Seq("flag"), "cents", qsR)
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val bucketedR = Sketches.exactQuantilesBucketed(li, Seq("flag"), "cents", qsR, 10000L)
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(bucketedR === plainR)
+  }
+
   test("QuantileHistogram aggregate ≡ exactQuantiles multi-stage plan") {
     // the one-operator streaming-capable form and the histogram+window
     // batch plan implement the same quantile definition — assert they
@@ -119,6 +146,14 @@ class SketchesSpec extends SparkTestBase {
         .collect().map(r => r.getInt(0) -> r.toSeq.drop(1)).toMap
       assert(one === multi)
     }
+  }
+
+  test("graft_quantiles SQL surface plans the same aggregate") {
+    GraftExtensions.register(spark)
+    Seq(5L, 1L, 9L, 1L).toDF("v").createOrReplaceTempView("q_in")
+    val r = spark.sql("SELECT graft_quantiles(v, 0, 500, 1000) AS q FROM q_in")
+      .select(col("q.qs"), col("q.n_rows")).head()
+    assert(r.getSeq[Long](0) === Seq(1L, 1L, 9L) && r.getLong(1) === 4L)
   }
 
   test("QuantileHistogram ignores nulls; empty input evals to null") {

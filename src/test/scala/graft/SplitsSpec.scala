@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Splits}
+
+/** Split-operator invariants: determinism, totality, fence proportions,
+  * salt decorrelation, and the leakage-safety property that near-dup
+  * components never straddle a split boundary. */
+class SplitsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private val w955 = Seq("train" -> 900, "val" -> 50, "test" -> 50)
+
+  test("hashSplit is deterministic, total, and lands near its fences") {
+    val docs = Tables.documents(spark, sf)
+    val a = Splits.hashSplit(docs, "doc_id", w955)
+      .select($"doc_id", $"split").collect().map(r => r.getLong(0) -> r.getString(1))
+    val b = Splits.hashSplit(docs, "doc_id", w955)
+      .select($"doc_id", $"split").collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(a.sorted.toSeq === b.sorted.toSeq)
+    assert(a.forall(_._2 != null)) // total: every row lands in a split
+    val byName = a.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byName.keySet === Set("train", "val", "test"))
+    // md5 is uniform: 500 docs at 900‰ expect ~450 train; allow wide noise
+    assert(byName("train") > 350 && byName("train") < 500)
+  }
+
+  test("salt decorrelates assignments; same salt reproduces them") {
+    val docs = Tables.documents(spark, sf)
+    def assign(salt: String) = Splits.hashSplit(docs, "doc_id", w955, salt)
+      .select($"doc_id", $"split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s0 = assign("run-a")
+    assert(assign("run-a") === s0)
+    val s1 = assign("run-b")
+    assert(s0.keySet === s1.keySet)
+    assert(s0.exists { case (k, v) => s1(k) != v }, "salts did not decorrelate")
+  }
+
+  test("leakageSafeSplit: no near-dup component straddles a split fence") {
+    val docs = Tables.documents(spark, sf)
+    val comps = Dedup.components(docs, Dedup.minhashLshPairs(docs))
+    val out = Splits.leakageSafeSplit(docs.select($"doc_id"), comps, w955)
+    assert(out.count() === docs.count()) // every doc assigned exactly once
+    val straddlers = out.groupBy($"component")
+      .agg(count_distinct($"split").as("n_splits"))
+      .filter($"n_splits" > 1).count()
+    assert(straddlers === 0L)
+    // and the split is genuinely component-keyed: some component has >1 doc
+    assert(out.groupBy($"component").count().filter($"count" > 1).count() > 0L)
+  }
+
+  test("split weights must be positive and sum to 1000 permille") {
+    intercept[IllegalArgumentException] {
+      Splits.splitColumn(lit(1L), Seq("a" -> 500, "b" -> 400))
+    }
+    intercept[IllegalArgumentException] {
+      Splits.splitColumn(lit(1L), Seq("a" -> 1000, "b" -> 0))
+    }
+    intercept[IllegalArgumentException] {
+      Splits.splitColumn(lit(1L), Seq.empty)
+    }
+  }
+}
