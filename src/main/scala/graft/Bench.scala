@@ -97,7 +97,9 @@ object Bench {
   private def regressionGate(results: Map[String, Double]): Unit = try {
     val prevFile = sys.env.get("SPARK_GRAFT_BENCH_PREV").map(new java.io.File(_))
       .orElse(Option(new java.io.File(".").listFiles()).flatMap(
-        _.filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName).lastOption))
+        // numeric round sort — lexicographic would pick r9 over r10 forever
+        _.filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
+          .sortBy(f => f.getName.replaceAll("\\D", "").toInt).lastOption))
       .filter(_.isFile)
     prevFile.foreach { f =>
       val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")

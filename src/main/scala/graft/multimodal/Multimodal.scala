@@ -108,13 +108,22 @@ object Multimodal {
   def decodeImages(media: Dataset[MediaRecord], featureDim: Int = 8): Dataset[MediaFeatures] = {
     require(featureDim > 0, s"featureDim must be positive, got $featureDim")
     val dim = featureDim
-    decodeWith(media)(() => new Array[Int](dim))((hist, m) => {
+    decodeWith(media)(() => {
+      // bytes are already in memory: stop ImageIO from spooling every
+      // record through a temp file in java.io.tmpdir (its default cache)
+      javax.imageio.ImageIO.setUseCache(false)
+      new Array[Int](dim)
+    })((hist, m) => {
       def fallback = MediaFeatures(m.doc_id, m.kind, 0, 0, 1, new Array[Float](dim))
       if (m.kind != "image") fallback
       else {
+        // NonFatal, not just IOException: the JDK readers throw unchecked
+        // exceptions (AIOOBE, NegativeArraySize, IllegalArgument) on
+        // fuzzed/truncated images — any of them must mean "skip", or one
+        // corrupt blob kills the stage
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) fallback // undecodable bytes: skip, don't fail the task
         else {
           java.util.Arrays.fill(hist, 0)

@@ -114,7 +114,7 @@ object Sketches {
       .filter(col(valueCol).isNotNull)
       .groupBy((g :+ v.as(valueCol)): _*)
       .agg(count(lit(1)).as("__cnt"))
-      .withColumn("__bkt", expr(s"$valueCol DIV $bucketWidth"))
+      .withColumn("__bkt", expr(s"`$valueCol` DIV $bucketWidth"))
     // ---- stage 1: cumulative over buckets ----
     val bkts = hist.groupBy((g :+ col("__bkt")): _*).agg(sum(col("__cnt")).as("__bcnt"))
     val bcum = bkts.withColumn("__bcum",
@@ -166,9 +166,12 @@ object Sketches {
     * division, where `bits` is the hash width. Constant numerator computed
     * in Scala so the column-side math stays in exact BIGINT (requires
     * (k-1)*2^bits to fit a long: bits <= 48 with k <= 2^14 is safe).
-    * Sketch hashes must be non-negative values in [0, 2^bits) — the
-    * [[graft.expressions.KmvSketch]] producer guarantees this via its
-    * `>> 12` narrowing of hash60 inputs. */
+    * CALLER CONTRACT: the hashes fed to the matching [[kmv]] aggregate
+    * must be non-negative values in [0, 2^bits) — [[KmvSketch]] itself
+    * accepts any long, so narrow at the call site (e.g.
+    * `shiftright(hash60(x), 12)` turns 60-bit hashes into the 48-bit
+    * range). Feeding wider hashes silently collapses the saturated
+    * estimate toward zero. */
   def kmvEstimate(sketchCol: String, k: Int, bits: Int): Column = {
     // bits >= 63 would defeat the overflow check below: 1L << 63 is
     // negative and shifts are mod 64 on the JVM, so guard the range first

@@ -19,16 +19,22 @@ import graft.functions.TextFunctions.hash60
   */
 object Splits {
 
-  /** Split-assignment column: `hash60(salt || key) % 1000` landed against
+  /** Split-assignment column: `hash60(salted key) % 1000` landed against
     * cumulative permille fences. `splits` maps name -> permille weight and
     * must sum to 1000 so every row lands in exactly one split. Assignment
     * follows the given order (e.g. train [0,900), val [900,950),
-    * test [950,1000)).
+    * test [950,1000)). Null keys hash as the empty string, so they land
+    * deterministically in one split rather than in none — totality holds
+    * for every row.
     *
     * The salt decorrelates independent splits of the same corpus: two
     * splits with different salts are independent partitions, while the
     * same salt always reproduces the same assignment — the property that
-    * makes ablation runs comparable across months of pipeline runs.
+    * makes ablation runs comparable across months of pipeline runs. A
+    * non-empty salt is joined to the key with a `:` separator (so
+    * salt "a" / key "b1" and salt "ab" / key "1" cannot collide); the
+    * empty default hashes the bare key, keeping the oracle-checkable
+    * `hash60(key)` form.
     */
   def splitColumn(key: Column, splits: Seq[(String, Int)], salt: String = ""): Column = {
     require(splits.nonEmpty, "need at least one split")
@@ -37,7 +43,9 @@ object Splits {
     }
     require(splits.map(_._2).sum == 1000,
       s"split weights must sum to 1000 permille, got ${splits.map(_._2).sum}")
-    val slot = pmod(hash60(concat(lit(salt), key.cast("string"))), lit(1000L))
+    val keyStr = coalesce(key.cast("string"), lit(""))
+    val salted = if (salt.isEmpty) keyStr else concat(lit(salt), lit(":"), keyStr)
+    val slot = pmod(hash60(salted), lit(1000L))
     val fences = splits.scanLeft(0)(_ + _._2).tail // cumulative upper bounds
     splits.zip(fences).foldRight(lit(null).cast("string")) {
       case (((nm, _), hi), elseCol) => when(slot < hi, lit(nm)).otherwise(elseCol)
@@ -56,11 +64,17 @@ object Splits {
     * (doc_id, component); the split key is the component label, joined
     * back broadcast-or-shuffle by the optimizer.
     *
+    * The join is LEFT so a doc absent from a stale/filtered components
+    * table still gets a split (keyed on its own doc_id — a singleton
+    * component, which is exactly what Dedup.components would have
+    * assigned it) instead of silently vanishing from the corpus.
+    *
     * At 100 TB this is one equi-join on doc_id against an
     * already-materialized components table — the split itself stays a
     * per-row map. */
   def leakageSafeSplit(docs: DataFrame, components: DataFrame,
       splits: Seq[(String, Int)], salt: String = ""): DataFrame =
-    docs.join(components, "doc_id")
+    docs.join(components, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
       .withColumn("split", splitColumn(col("component"), splits, salt))
 }

@@ -241,6 +241,28 @@ object RelationalQueries {
     }),
   )
 
+  /** Shared definitional quantile oracle for q28 (multi-stage plan) and
+    * q30 (one-operator aggregate): same explicit rank rule as
+    * Sketches.exactQuantiles / QuantileHistogram. */
+  private val QuantileOracleSql: String =
+    """WITH h AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(ROUND(l_extendedprice*100) AS BIGINT) AS cents,
+        |         COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |w AS (
+        |  SELECT flag, cents,
+        |         CAST(SUM(cnt) OVER (PARTITION BY flag ORDER BY cents) AS BIGINT) AS cum,
+        |         CAST(SUM(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n
+        |  FROM h)
+        |SELECT flag,
+        |       MIN(CASE WHEN cum > (250*(n-1))//1000 THEN cents END) AS p25_cents,
+        |       MIN(CASE WHEN cum > (500*(n-1))//1000 THEN cents END) AS p50_cents,
+        |       MIN(CASE WHEN cum > (750*(n-1))//1000 THEN cents END) AS p75_cents,
+        |       MIN(CASE WHEN cum > (950*(n-1))//1000 THEN cents END) AS p95_cents,
+        |       MAX(n) AS n_rows
+        |FROM w GROUP BY flag ORDER BY flag""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q10_topk" ->
       """SELECT c_custkey, c_name, CAST(ROUND(c_acctbal*100) AS BIGINT) AS acct_cents
@@ -377,45 +399,12 @@ object RelationalQueries {
     // same explicit quantile definition as Sketches.exactQuantiles: element
     // at 0-based rank (q*(n-1)) // 1000 of the value-sorted multiset —
     // engine-agnostic integer math, no interpolation
-    "q28_quantiles" ->
-      """WITH h AS (
-        |  SELECT l_returnflag AS flag,
-        |         CAST(ROUND(l_extendedprice*100) AS BIGINT) AS cents,
-        |         COUNT(*) AS cnt
-        |  FROM lineitem GROUP BY 1, 2),
-        |w AS (
-        |  SELECT flag, cents,
-        |         CAST(SUM(cnt) OVER (PARTITION BY flag ORDER BY cents) AS BIGINT) AS cum,
-        |         CAST(SUM(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n
-        |  FROM h)
-        |SELECT flag,
-        |       MIN(CASE WHEN cum > (250*(n-1))//1000 THEN cents END) AS p25_cents,
-        |       MIN(CASE WHEN cum > (500*(n-1))//1000 THEN cents END) AS p50_cents,
-        |       MIN(CASE WHEN cum > (750*(n-1))//1000 THEN cents END) AS p75_cents,
-        |       MIN(CASE WHEN cum > (950*(n-1))//1000 THEN cents END) AS p95_cents,
-        |       MAX(n) AS n_rows
-        |FROM w GROUP BY flag ORDER BY flag""".stripMargin,
+    "q28_quantiles" -> QuantileOracleSql,
     // q30 runs the same definitional quantile rule through the bounded
-    // one-operator aggregate; the oracle is q28's SQL with the same
-    // aliases — one definition, two engine plans
-    "q30_quantile_agg" ->
-      """WITH h AS (
-        |  SELECT l_returnflag AS flag,
-        |         CAST(ROUND(l_extendedprice*100) AS BIGINT) AS cents,
-        |         COUNT(*) AS cnt
-        |  FROM lineitem GROUP BY 1, 2),
-        |w AS (
-        |  SELECT flag, cents,
-        |         CAST(SUM(cnt) OVER (PARTITION BY flag ORDER BY cents) AS BIGINT) AS cum,
-        |         CAST(SUM(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n
-        |  FROM h)
-        |SELECT flag,
-        |       MIN(CASE WHEN cum > (250*(n-1))//1000 THEN cents END) AS p25_cents,
-        |       MIN(CASE WHEN cum > (500*(n-1))//1000 THEN cents END) AS p50_cents,
-        |       MIN(CASE WHEN cum > (750*(n-1))//1000 THEN cents END) AS p75_cents,
-        |       MIN(CASE WHEN cum > (950*(n-1))//1000 THEN cents END) AS p95_cents,
-        |       MAX(n) AS n_rows
-        |FROM w GROUP BY flag ORDER BY flag""".stripMargin,
+    // one-operator aggregate against the SAME oracle string — one
+    // definition, two engine plans; an edit to the rule cannot decouple
+    // the cross-check
+    "q30_quantile_agg" -> QuantileOracleSql,
     // KMV = k smallest distinct 48-bit hashes; the estimate is a pure
     // function of that set, so DISTINCT + ORDER BY + LIMIT k reproduces the
     // bounded aggregate bit-for-bit. 71776119061217280 = 255 * 2^48.

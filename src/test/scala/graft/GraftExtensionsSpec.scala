@@ -67,15 +67,19 @@ class GraftExtensionsSpec extends SparkTestBase {
   test("extensions class wires the same registry via spark.sql.extensions") {
     // The config path can't be exercised on the already-built shared session;
     // assert the injection list itself is the single source both paths use.
-    // Membership is spot-checked (not an exhaustive literal) so adding a
-    // function to the registry can't silently rot this spec again.
+    // The full current surface is pinned as a REQUIRED SUBSET: deleting or
+    // renaming any registration fails here, while adding a new function
+    // doesn't (additions can't silently rot this spec; update the list
+    // when you add one so its deletion is caught too).
+    val required = Set(
+      "graft_hash60", "graft_tokens", "graft_word_shingles", "graft_shingle_hashes",
+      "graft_sorted_intersect_count", "graft_fingerprint", "graft_simhash32",
+      "graft_dot", "graft_top_k", "graft_kmv", "graft_quantiles")
     val names = GraftExtensions.functions.map(_._1)
-    assert(names.nonEmpty)
     assert(names.distinct === names, "duplicate function names in registry")
     assert(names.forall(_.startsWith("graft_")), "registry names must be graft_-prefixed")
-    Seq("graft_hash60", "graft_tokens", "graft_dot", "graft_top_k", "graft_kmv").foreach { n =>
-      assert(names.contains(n), s"registry must contain $n")
-    }
+    val missing = required -- names.toSet
+    assert(missing.isEmpty, s"registry lost functions: $missing")
     // every registered name resolves in SQL on the shared session
     names.foreach { n =>
       assert(s.catalog.functionExists(n), s"$n not resolvable via catalog")

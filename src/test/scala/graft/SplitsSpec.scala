@@ -51,6 +51,30 @@ class SplitsSpec extends SparkTestBase {
     assert(out.groupBy($"component").count().filter($"count" > 1).count() > 0L)
   }
 
+  test("null keys land deterministically in a split (totality under nulls)") {
+    val df = Seq(Some(1L), None, Some(2L)).toDF("doc_id")
+    val out = Splits.hashSplit(df, "doc_id", w955).collect()
+    assert(out.length === 3)
+    assert(out.forall(r => !r.isNullAt(r.fieldIndex("split"))))
+    // the null-key assignment is stable run to run
+    val again = Splits.hashSplit(df, "doc_id", w955)
+      .filter($"doc_id".isNull).select($"split").head().getString(0)
+    assert(out.find(_.isNullAt(0)).get.getAs[String]("split") === again)
+  }
+
+  test("leakageSafeSplit keeps docs absent from a stale components table") {
+    val docs = Seq(10L, 11L, 12L).toDF("doc_id")
+    val staleComps = Seq((10L, 10L), (11L, 10L)).toDF("doc_id", "component")
+    val out = Splits.leakageSafeSplit(docs, staleComps, w955)
+      .select($"doc_id", $"component", $"split").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out.size === 3) // nothing silently dropped
+    assert(out(10L)._1 === 10L && out(11L)._1 === 10L)
+    assert(out(10L)._2 === out(11L)._2) // same component, same split
+    assert(out(12L)._1 === 12L) // fallback: own singleton component
+    assert(out(12L)._2 != null)
+  }
+
   test("split weights must be positive and sum to 1000 permille") {
     intercept[IllegalArgumentException] {
       Splits.splitColumn(lit(1L), Seq("a" -> 500, "b" -> 400))
