@@ -311,6 +311,44 @@ object Dedup {
     docs.join(keep, Seq("doc_id"), "left_semi")
   }
 
+  /** Cross-corpus contamination detection: every (train doc, eval doc)
+    * pair whose shingle CONTAINMENT — the fraction of the eval document's
+    * distinct n-gram shingles that also occur in the train document —
+    * reaches `minPermille`. The check a pipeline runs before training so
+    * benchmark/eval text that leaked into the crawl can be quarantined;
+    * containment (not Jaccard) is the right metric because a short eval
+    * prompt embedded in a long train document should still score 1000‰.
+    *
+    * Shape: inverted-index equi-join on shingle hash60s between the two
+    * exploded corpora, grouped exact intersection counts, then one
+    * broadcast of the (tiny) eval-side set sizes. Cost tracks shared
+    * shingles, not |train|×|eval|; the eval corpus is typically a few
+    * thousand benchmark documents against billions of train docs, so the
+    * join is hugely asymmetric and AQE handles hot-shingle skew. All
+    * integer math (`1000*inter DIV n_ev`), exact and engine-portable.
+    */
+  def contaminationPairs(train: DataFrame, evalDocs: DataFrame,
+      shingleN: Int = 3, minPermille: Int = 500): DataFrame = {
+    require(minPermille >= 0 && minPermille <= 1000,
+      s"minPermille must be in [0,1000], got $minPermille")
+    val t = hashedShingleSets(train, shingleN)
+      .select(col("doc_id").as("train_id"), explode(col("s")).as("sh"))
+    val ev = hashedShingleSets(evalDocs, shingleN)
+      .select(col("doc_id").as("eval_id"), col("s"))
+    val evSz = ev.select(col("eval_id"), size(col("s")).cast("long").as("n_ev"))
+      .filter(col("n_ev") > 0)
+    val e = ev.select(col("eval_id"), explode(col("s")).as("sh"))
+    t.join(e, "sh")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("inter_cnt"))
+      .join(broadcast(evSz), "eval_id")
+      .withColumn("containment_permille",
+        expr("CAST((1000 * inter_cnt) DIV n_ev AS BIGINT)"))
+      .filter(col("containment_permille") >= minPermille)
+      .select(col("train_id"), col("eval_id"), col("inter_cnt"),
+        col("containment_permille"))
+  }
+
   /** The naive inverted-index jaccard join (reference implementation used by
     * the prefix-filter equivalence spec; also fine when the corpus has no
     * hot shingles). */

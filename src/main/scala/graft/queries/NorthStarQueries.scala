@@ -175,6 +175,25 @@ object NorthStarQueries {
       val docs = Tables.documents(s, d)
       Dedup.components(docs, Dedup.minhashLshPairs(docs))
     }),
+    "d08_contamination" -> ((s, d) => {
+      // Benchmark-leakage check: documents ending in 0 stand in for an
+      // eval/benchmark set (re-keyed +2e6 so ids are disjoint); any train
+      // doc containing >= 50% of an eval doc's shingles is flagged. The
+      // planted exact copies in the corpus surface at containment 1000.
+      val docs = Tables.documents(s, d)
+      val evalDocs = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      Dedup.contaminationPairs(docs, evalDocs, shingleN = 3, minPermille = 500)
+    }),
+    "t07_pack_chunks" -> ((s, d) => {
+      // Concat-and-chunk packing layout per source: token offsets and
+      // 2048-token chunk ids over the doc_id-ordered stream.
+      graft.operators.Packing.packChunks(
+          Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")),
+          "source", 2048L, tokenCount(col("text")))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("token_offset"), col("chunk_id"))
+    }),
     "t06_hash_split" -> ((s, d) => {
       // Deterministic 90/5/5 train/val/test split by doc_id — stable
       // across runs/engines (md5-derived fences, no RNG), a pure per-row
@@ -343,6 +362,35 @@ object NorthStarQueries {
     "d06_dedup_components" ->
       s"""$componentsCteSql
          |SELECT doc_id, component FROM comp""".stripMargin,
+    // containment = fraction of the eval doc's distinct shingles found in
+    // the train doc; shingle identity joined on the strings (Spark joins
+    // the 60-bit hashes — identical modulo md5 collisions, as in d04/d06)
+    "d08_contamination" ->
+      s"""WITH ws AS (SELECT doc_id, $WsSql AS w FROM documents),
+         |sh AS (SELECT doc_id, $Shingles3Sql AS s FROM ws),
+         |tex AS (SELECT doc_id AS train_id, unnest(s) AS sh FROM sh),
+         |esh AS (SELECT doc_id + 2000000 AS eval_id, s FROM sh WHERE doc_id % 10 = 0),
+         |esz AS (SELECT eval_id, CAST(len(s) AS BIGINT) AS n_ev FROM esh WHERE len(s) > 0),
+         |eex AS (SELECT eval_id, unnest(s) AS sh FROM esh),
+         |inter AS (SELECT train_id, eval_id, COUNT(*) AS inter_cnt
+         |          FROM tex JOIN eex USING (sh) GROUP BY 1, 2)
+         |SELECT train_id, eval_id, inter_cnt,
+         |       CAST((1000 * inter_cnt) // n_ev AS BIGINT) AS containment_permille
+         |FROM inter JOIN esz USING (eval_id)
+         |WHERE (1000 * inter_cnt) // n_ev >= 500
+         |ORDER BY train_id, eval_id""".stripMargin,
+    "t07_pack_chunks" ->
+      s"""WITH ws AS (SELECT doc_id, source, CAST(len($WsSql) AS BIGINT) AS n_tokens
+         |            FROM documents),
+         |o AS (SELECT doc_id, source, n_tokens,
+         |             CAST(COALESCE(SUM(n_tokens) OVER (
+         |               PARTITION BY source ORDER BY doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |               AS token_offset
+         |      FROM ws)
+         |SELECT doc_id, source, n_tokens, token_offset,
+         |       CAST(token_offset // 2048 AS BIGINT) AS chunk_id
+         |FROM o ORDER BY doc_id""".stripMargin,
     // split fences: hash60(key) % 1000 against cumulative permille bounds
     // (train [0,900), val [900,950), test [950,1000))
     "t06_hash_split" ->

@@ -47,6 +47,37 @@ class NorthStarSpec extends SparkTestBase {
   private def vecs(rows: (Long, Seq[Float])*) =
     rows.map { case (id, v) => (id, v.toArray) }.toDF("vec_id", "embedding")
 
+  test("contaminationPairs flags embedded eval text by containment, not jaccard") {
+    val train = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> "one two three four five six seven eight nine ten")
+    // eval doc 100 is a short span embedded in train doc 1: jaccard vs the
+    // long doc is low, but containment must hit 1000; eval 101 is unrelated
+    val evalDocs = docs(
+      100L -> "beta gamma delta epsilon",
+      101L -> "red orange yellow green blue indigo")
+    val hits = graft.operators.Dedup.contaminationPairs(train, evalDocs, 3, 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(hits === Set((1L, 100L, 1000L)))
+  }
+
+  test("packChunks: offsets are exact prefix sums, chunks cut every budget") {
+    val df = Seq(
+      (1L, "a", 5L), (2L, "a", 4L), (3L, "a", 2L), (4L, "b", 7L))
+      .toDF("doc_id", "source", "nt")
+    val out = graft.operators.Packing.packChunks(df, "source", 8L, col("nt"))
+      .select($"doc_id", $"token_offset", $"chunk_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // stream a: offsets 0, 5, 9 -> chunks 0, 0, 1; stream b restarts at 0
+    assert(out(1L) === ((0L, 0L)))
+    assert(out(2L) === ((5L, 0L)))
+    assert(out(3L) === ((9L, 1L)))
+    assert(out(4L) === ((0L, 0L)))
+    intercept[IllegalArgumentException] {
+      graft.operators.Packing.packChunks(df, "source", 0L, col("nt"))
+    }
+  }
+
   test("bruteForceKnn ranks by exact cosine") {
     val e = vecs(
       (0L, Seq(1f, 0f)), (1L, Seq(1f, 0.1f)), (2L, Seq(0.5f, 0.5f)), (3L, Seq(0f, 1f)))

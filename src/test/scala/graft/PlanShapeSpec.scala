@@ -82,6 +82,19 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("hash split is a pure per-row map: no exchange anywhere in the plan") {
+    val p = plan(SparkEntry.queries("t06_hash_split")(spark, sf))
+    assert(!p.contains("Exchange"), s"split plan shuffles:\n$p")
+    // "*(n)" prefix marks a WholeStageCodegen stage in executedPlan.toString
+    assert(p.startsWith("*("), s"split fell out of codegen:\n$p")
+  }
+
+  test("pack chunks: exactly one exchange (the group shard), then in-partition window") {
+    val p = plan(SparkEntry.queries("t07_pack_chunks")(spark, sf))
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges === 1, s"expected one shard exchange, got $exchanges:\n$p")
+  }
+
   test("sort-limit top-k plans as TakeOrderedAndProject, not a global sort") {
     val p = plan(SparkEntry.queries("q10_topk")(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to a full sort:\n$p")
