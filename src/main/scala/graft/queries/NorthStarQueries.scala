@@ -194,6 +194,18 @@ object NorthStarQueries {
         .select(col("doc_id"), col("source"), col("n_tokens"),
           col("token_offset"), col("chunk_id"))
     }),
+    "t08_vocab_topk" -> ((s, d) => {
+      // Corpus vocabulary head: top-50 tokens by document-stream
+      // frequency — the profile a tokenizer-training / stopword pass
+      // reads first. One explode + grouped count (map-side partials) +
+      // TakeOrderedAndProject; ties broken by token for determinism.
+      Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("token"))
+        .limit(50)
+    }),
     "t06_hash_split" -> ((s, d) => {
       // Deterministic 90/5/5 train/val/test split by doc_id — stable
       // across runs/engines (md5-derived fences, no RNG), a pure per-row
@@ -391,6 +403,12 @@ object NorthStarQueries {
          |SELECT doc_id, source, n_tokens, token_offset,
          |       CAST(token_offset // 2048 AS BIGINT) AS chunk_id
          |FROM o ORDER BY doc_id""".stripMargin,
+    "t08_vocab_topk" ->
+      s"""WITH ws AS (SELECT $WsSql AS w FROM documents),
+         |t AS (SELECT unnest(w) AS token FROM ws)
+         |SELECT token, COUNT(*) AS n_occurrences
+         |FROM t GROUP BY token
+         |ORDER BY n_occurrences DESC, token LIMIT 50""".stripMargin,
     // split fences: hash60(key) % 1000 against cumulative permille bounds
     // (train [0,900), val [900,950), test [950,1000))
     "t06_hash_split" ->
