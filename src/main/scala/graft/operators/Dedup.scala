@@ -320,28 +320,44 @@ object Dedup {
     * prompt embedded in a long train document should still score 1000‰.
     *
     * Shape: inverted-index equi-join on shingle hash60s between the two
-    * exploded corpora, grouped exact intersection counts, then one
-    * broadcast of the (tiny) eval-side set sizes. Cost tracks shared
-    * shingles, not |train|×|eval|; the eval corpus is typically a few
-    * thousand benchmark documents against billions of train docs, so the
-    * join is hugely asymmetric and AQE handles hot-shingle skew. All
-    * integer math (`1000*inter DIV n_ev`), exact and engine-portable.
+    * exploded corpora (eval-side set sizes carried on the exploded rows —
+    * one pass over the eval shingles, no extra join), grouped exact
+    * intersection counts, all-integer math (`1000*inter DIV n_ev`).
+    * Pairs sharing no shingle never materialize, so containment-0 pairs
+    * are (by design) absent from the output — `minPermille` >= 1.
+    *
+    * Cost is honest about hot shingles: the exact form joins every
+    * (train doc, eval doc) pair that shares a shingle, so a stop-shingle
+    * present in f·|train| docs and g·|eval| docs contributes f·g·|T|·|E|
+    * rows — quadratic in the hot key, and AQE only rebalances it. At
+    * corpus scale set `maxTrainDf`: shingles whose TRAIN document
+    * frequency exceeds the cap are dropped from the index before the
+    * join (the standard contamination-detector trick — a shingle in
+    * thousands of train docs identifies nothing). That bounds the join
+    * to cap·|eval-side rows| per shingle at the price of a documented
+    * under-count: reported containment can only drop, never rise, so
+    * flagged pairs remain trustworthy. Default None = exact.
     */
   def contaminationPairs(train: DataFrame, evalDocs: DataFrame,
-      shingleN: Int = 3, minPermille: Int = 500): DataFrame = {
-    require(minPermille >= 0 && minPermille <= 1000,
-      s"minPermille must be in [0,1000], got $minPermille")
-    val t = hashedShingleSets(train, shingleN)
+      shingleN: Int = 3, minPermille: Int = 500,
+      maxTrainDf: Option[Long] = None): DataFrame = {
+    require(minPermille >= 1 && minPermille <= 1000,
+      s"minPermille must be in [1,1000], got $minPermille")
+    maxTrainDf.foreach(c => require(c > 0, s"maxTrainDf must be positive, got $c"))
+    val tAll = hashedShingleSets(train, shingleN)
       .select(col("doc_id").as("train_id"), explode(col("s")).as("sh"))
-    val ev = hashedShingleSets(evalDocs, shingleN)
-      .select(col("doc_id").as("eval_id"), col("s"))
-    val evSz = ev.select(col("eval_id"), size(col("s")).cast("long").as("n_ev"))
-      .filter(col("n_ev") > 0)
-    val e = ev.select(col("eval_id"), explode(col("s")).as("sh"))
+    val t = maxTrainDf.fold(tAll) { cap =>
+      val hot = tAll.groupBy(col("sh"))
+        .agg(count(lit(1)).as("__df")).filter(col("__df") > cap).select(col("sh"))
+      tAll.join(hot, Seq("sh"), "left_anti")
+    }
+    val e = hashedShingleSets(evalDocs, shingleN)
+      .filter(size(col("s")) > 0)
+      .select(col("doc_id").as("eval_id"), size(col("s")).cast("long").as("n_ev"),
+        explode(col("s")).as("sh"))
     t.join(e, "sh")
-      .groupBy(col("train_id"), col("eval_id"))
+      .groupBy(col("train_id"), col("eval_id"), col("n_ev"))
       .agg(count(lit(1)).as("inter_cnt"))
-      .join(broadcast(evSz), "eval_id")
       .withColumn("containment_permille",
         expr("CAST((1000 * inter_cnt) DIV n_ev AS BIGINT)"))
       .filter(col("containment_permille") >= minPermille)

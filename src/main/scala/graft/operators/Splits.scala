@@ -34,7 +34,9 @@ object Splits {
     * non-empty salt is joined to the key with a `:` separator (so
     * salt "a" / key "b1" and salt "ab" / key "1" cannot collide); the
     * empty default hashes the bare key, keeping the oracle-checkable
-    * `hash60(key)` form.
+    * `hash60(key)` form. The salted form (`hash60(salt:key)`) is the
+    * v1 scheme and must never change: persisted split assignments are
+    * only reproducible while this hash recipe is frozen.
     */
   def splitColumn(key: Column, splits: Seq[(String, Int)], salt: String = ""): Column = {
     require(splits.nonEmpty, "need at least one split")
@@ -64,10 +66,15 @@ object Splits {
     * (doc_id, component); the split key is the component label, joined
     * back broadcast-or-shuffle by the optimizer.
     *
-    * The join is LEFT so a doc absent from a stale/filtered components
-    * table still gets a split (keyed on its own doc_id — a singleton
-    * component, which is exactly what Dedup.components would have
-    * assigned it) instead of silently vanishing from the corpus.
+    * The join is LEFT so a doc absent from the components table still
+    * gets a split (keyed on its own doc_id — a singleton component)
+    * instead of silently vanishing from the corpus. CAVEAT: the fallback
+    * guarantees totality, NOT leakage-safety for uncovered docs — a doc
+    * missing from a STALE table may be a near-dup of a covered doc and
+    * land across the fence. Rebuild components from the same corpus
+    * snapshot being split; audit the fallback set with
+    * `filter(col("component") === col("doc_id"))` if staleness is
+    * possible.
     *
     * At 100 TB this is one equi-join on doc_id against an
     * already-materialized components table — the split itself stays a

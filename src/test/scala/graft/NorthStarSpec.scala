@@ -61,6 +61,33 @@ class NorthStarSpec extends SparkTestBase {
     assert(hits === Set((1L, 100L, 1000L)))
   }
 
+  test("contaminationPairs maxTrainDf drops hot shingles; containment only falls") {
+    // "common common common phrase" shingles appear in both train docs;
+    // the rare tail distinguishes them. With the cap at 1, shingles in
+    // both train docs are dropped from the index, so eval 100 (built
+    // from the shared phrase) loses its only evidence, while eval 101
+    // (containing doc 2's rare tail) keeps its hit with a lower count.
+    val train = docs(
+      1L -> "common phrase here and rare alpha beta gamma delta",
+      2L -> "common phrase here and rare epsilon zeta eta theta")
+    val evalDocs = docs(
+      100L -> "common phrase here and",
+      101L -> "rare epsilon zeta eta theta")
+    val exact = graft.operators.Dedup.contaminationPairs(train, evalDocs, 3, 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val capped = graft.operators.Dedup.contaminationPairs(train, evalDocs, 3, 500,
+        maxTrainDf = Some(1L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(exact.contains((1L, 100L)) && exact.contains((2L, 100L)))
+    assert(!capped.contains((1L, 100L)) && !capped.contains((2L, 100L)))
+    assert(capped.contains((2L, 101L)))
+    // under-approximation only: no capped containment exceeds the exact one
+    assert(capped.forall { case (k, v) => v <= exact.getOrElse(k, 0L) })
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.contaminationPairs(train, evalDocs, 3, 0)
+    }
+  }
+
   test("packChunks: offsets are exact prefix sums, chunks cut every budget") {
     val df = Seq(
       (1L, "a", 5L), (2L, "a", 4L), (3L, "a", 2L), (4L, "b", 7L))

@@ -62,7 +62,7 @@ class PlanShapeSpec extends SparkTestBase {
 
   test("dedup pair joins are equi-joins on buckets, never cartesian") {
     for (q <- Seq("d02_minhash_lsh", "d03_simhash", "d04_ngram_jaccard",
-        "d05_embedding_neardup")) {
+        "d05_embedding_neardup", "d08_contamination")) {
       val p = plan(SparkEntry.queries(q)(spark, sf))
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q degenerates to a cross join:\n$p")

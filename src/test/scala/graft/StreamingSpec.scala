@@ -366,6 +366,47 @@ class StreamingSpec extends SparkTestBase {
     assert(survivors === Seq(Seq(1L, 10L), Seq(3L, 30L)))
   }
 
+  test("windowed quantile sketch survives the RocksDB state store across batches") {
+    // multi-batch run on the production state provider: the
+    // QuantileHistogram buffer must serialize/merge through RocksDB and
+    // still equal the batch answer over the union of both batches
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val t0 = Timestamp.valueOf("2024-03-01 10:05:00")
+      val batch1 = (1 to 40).map(i => RawCall(t0, i.toLong, (i % 7).toDouble))
+      val batch2 = (1 to 25).map(i => RawCall(t0, 100 + i.toLong, (i % 5 + 3).toDouble))
+      val in = MemoryStream[RawCall](spark)
+      val out = StreamingOps.windowedQuantilesStream(
+        in.toDF().withColumn("cents", round($"value" * 100).cast("long")),
+        "ts", $"cents", Seq("p50" -> 500, "p90" -> 900), width = "1 hour")
+      val q = out.writeStream
+        .format("memory").queryName("rocksdb_quantiles").outputMode("update")
+        .option("checkpointLocation", Files.createTempDirectory("ck-rq").toString)
+        .start()
+      try {
+        in.addData(batch1); q.processAllAvailable()
+        in.addData(batch2); q.processAllAvailable()
+      } finally q.stop()
+      // update mode emits one row per batch for the touched window; the
+      // LAST emission reflects the merged state of both batches
+      val last = spark.table("rocksdb_quantiles")
+        .orderBy($"n_rows".desc).limit(1)
+        .select($"p50", $"p90", $"n_rows").head()
+      val all = (batch1 ++ batch2).map(c => math.round(c.value * 100))
+      val sorted = all.sorted
+      def pick(p: Int) = sorted((p.toLong * (all.size - 1) / 1000L).toInt)
+      assert(last.getLong(2) === all.size.toLong)
+      assert((last.getLong(0), last.getLong(1)) === ((pick(500), pick(900))))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("windowed exact quantiles: stream ≡ batch exactQuantiles per window") {
     // both-regimes case for the r4 sketch additions: the streaming
     // QuantileHistogram-under-window() must equal the batch multi-stage
