@@ -39,6 +39,31 @@ class EmptyInputSpec extends SparkTestBase {
     assert(Similarity.embeddingNearDupPairs(noEmb, 400000L).count() === 0L)
   }
 
+  test("r4 operators return empty (or all-assigned) on empty inputs") {
+    // contamination: empty on either side
+    val someDocs = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    assert(Dedup.contaminationPairs(noDocs, someDocs).count() === 0L)
+    assert(Dedup.contaminationPairs(someDocs, noDocs).count() === 0L)
+    assert(Dedup.contaminationPairs(noDocs, noDocs, maxTrainDf = Some(5L)).count() === 0L)
+    // packing / splits: empty in, empty out; schema intact
+    val packed = graft.operators.Packing.packChunks(
+      noDocs.withColumn("source", lit("s")), "source", 8L, lit(1L))
+    assert(packed.count() === 0L)
+    assert(packed.columns.contains("chunk_id"))
+    assert(graft.operators.Splits.hashSplit(noDocs, "doc_id",
+      Seq("train" -> 900, "val" -> 50, "test" -> 50)).count() === 0L)
+    assert(graft.operators.Splits.leakageSafeSplit(
+      noDocs.select($"doc_id"), Seq.empty[(Long, Long)].toDF("doc_id", "component"),
+      Seq("train" -> 900, "val" -> 50, "test" -> 50)).count() === 0L)
+    // sketches: empty aggregates eval to null rather than throwing
+    val q = Seq.empty[Long].toDF("v")
+      .agg(graft.expressions.QuantileHistogram.quantiles($"v", Seq(500)).as("q"))
+    assert(q.head().isNullAt(0))
+    assert(graft.operators.Sketches.exactQuantilesBucketed(
+      noDocs.select($"doc_id".as("g"), $"doc_id".as("v")),
+      Seq("g"), "v", Seq("p50" -> 500), 10L).count() === 0L)
+  }
+
   test("queries with empty query set return no neighbors from a real corpus") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val noQueries = emb.filter(col("vec_id") < 0)
