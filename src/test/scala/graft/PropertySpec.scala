@@ -121,6 +121,78 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("hashSplit partitions any corpus: total, key-consistent, weight-valid") {
+    // random weight vectors summing to 1000 and random (possibly
+    // duplicated) key multisets: every row lands in exactly one split,
+    // and equal keys always co-locate regardless of row order
+    val gen = for {
+      w1 <- Gen.choose(1, 998)
+      w2 <- Gen.choose(1, 999 - w1)
+      keys <- Gen.nonEmptyListOf(Gen.choose(0L, 30L))
+    } yield (Seq("a" -> w1, "b" -> w2, "c" -> (1000 - w1 - w2)), keys)
+    forSamples(gen, 10) { case (weights, keys) =>
+      val df = keys.toDF("doc_id")
+      val out = graft.operators.Splits.hashSplit(df, "doc_id", weights)
+        .collect().map(r => r.getLong(0) -> r.getString(1))
+      assert(out.length === keys.length)
+      assert(out.forall(_._2 != null))
+      assert(out.forall { case (_, s) => weights.exists(_._1 == s) })
+      // key-consistency: one split per distinct key
+      out.groupBy(_._1).foreach { case (_, rows) =>
+        assert(rows.map(_._2).distinct.length === 1)
+      }
+      // reversal changes nothing (assignment is a pure key function)
+      val rev = graft.operators.Splits.hashSplit(keys.reverse.toDF("doc_id"), "doc_id", weights)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out.toMap === rev)
+    }
+  }
+
+  test("packChunks offsets are the prefix sums of doc_id order on random shards") {
+    val gen = Gen.nonEmptyListOf(for {
+      id <- Gen.choose(0L, 40L)
+      g <- Gen.oneOf("x", "y")
+      nt <- Gen.choose(0L, 20L)
+    } yield (id, g, nt)).map(_.distinctBy(_._1))
+    forSamples(gen, 10) { rows =>
+      val out = graft.operators.Packing.packChunks(
+          rows.toDF("doc_id", "source", "nt"), "source", 7L, col("nt"))
+        .select($"doc_id", $"source", $"token_offset", $"chunk_id").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      rows.groupBy(_._2).foreach { case (g, members) =>
+        val ordered = members.sortBy(_._1)
+        var cum = 0L
+        ordered.foreach { case (id, _, nt) =>
+          val (og, off, chunk) = out(id)
+          assert(og === g)
+          assert(off === cum, s"offset of $id in $g")
+          assert(chunk === cum / 7L)
+          cum += nt
+        }
+      }
+    }
+  }
+
+  test("contamination containment is bounded and exact for subset evals") {
+    // an eval doc made of a contiguous token span of a train doc has all
+    // its shingles contained -> exactly 1000 permille against that doc;
+    // all reported pairs respect the threshold and the [0,1000] bound
+    val wordGen = Gen.oneOf("ab", "cd", "ef", "gh", "ij", "kl", "mn", "op")
+    val gen = for {
+      words <- Gen.listOfN(12, wordGen)
+      start <- Gen.choose(0, 7)
+      len <- Gen.choose(4, 5)
+    } yield (words.mkString(" "), words.slice(start, start + len).mkString(" "))
+    forSamples(gen, 10) { case (trainText, evalText) =>
+      val train = Seq((1L, trainText)).toDF("doc_id", "text")
+      val ev = Seq((100L, evalText)).toDF("doc_id", "text")
+      val hits = graft.operators.Dedup.contaminationPairs(train, ev, 3, 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+      assert(hits((1L, 100L)) === 1000L)
+      assert(hits.values.forall(v => v >= 1 && v <= 1000))
+    }
+  }
+
   test("TopKByScore ≡ sort-take per group on random scored streams") {
     val scoredGen: Gen[List[(Long, Long, Long)]] =
       Gen.nonEmptyListOf(for {
