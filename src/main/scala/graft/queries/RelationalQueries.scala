@@ -197,6 +197,11 @@ object RelationalQueries {
       // distribution profile a curation pass reads before choosing cut
       // thresholds. Histogram-based: the running sum ranks distinct VALUES
       // (domain-bounded), never rows; see Sketches.exactQuantiles.
+      // Measured at sf0.1: the single-pass form beats the two-stage
+      // exactQuantilesBucketed here (1.6 vs 1.8 s — the per-flag window
+      // is not the local bottleneck); the bucketed variant is the escape
+      // hatch for domains wide enough to serialize that window, and is
+      // spec-asserted result-identical.
       val li = Tables.lineitem(s, d)
         .select(col("l_returnflag").as("flag"), cents(col("l_extendedprice")).as("cents"))
       graft.operators.Sketches.exactQuantiles(li, Seq("flag"), "cents",
