@@ -142,6 +142,71 @@ object AvroSerde {
     udf(decode, st).apply(data)
   }
 
+  // Per-thread encode state, mirroring DecodeState: DatumWriter and
+  // BinaryEncoder reused across rows, output buffer reset per record.
+  private final class EncodeState {
+    val writers = new java.util.HashMap[String, GenericDatumWriter[GenericRecord]]()
+    val out = new ByteArrayOutputStream()
+    var encoder: org.apache.avro.io.BinaryEncoder = _
+  }
+  private val encodeThreadState =
+    ThreadLocal.withInitial[EncodeState](() => new EncodeState)
+
+  private def toAvroValue(v: Any, schema: Schema): Any = {
+    val s = nonNullBranch(schema)
+    v match {
+      case null => null // non-nullable field: the writer fails the task (our own data being malformed is a bug, not an S8 skip)
+      case r: Row => rowToGeneric(r, s)
+      case seq: scala.collection.Seq[_] =>
+        seq.map(toAvroValue(_, s.getElementType)).asJava
+      case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+      case x => x // string/int/long/float/double/boolean map 1:1
+    }
+  }
+
+  private def rowToGeneric(row: Row, schema: Schema): GenericRecord = {
+    val rec = new GenericData.Record(schema)
+    schema.getFields.asScala.foreach { f =>
+      rec.put(f.pos, toAvroValue(row.get(f.pos), f.schema))
+    }
+    rec
+  }
+
+  /** Encode a struct column to binary Avro with `writerSchemaJson`
+    * (spark-avro's `to_avro` shape) — the executor-side sink twin of
+    * [[fromAvro]], completing wire parity for S4 (`.to(topic)` producing
+    * Avro, CallsAggregationApp.java:111-118). `confluentHeader` prepends
+    * the registry frame (magic 0 + big-endian schema id) that
+    * `KafkaIO.stripConfluentHeader` removes. Null rows encode to null —
+    * tombstones pass through to the sink. */
+  def toAvro(data: Column, writerSchemaJson: String,
+      confluentHeader: Boolean = false, schemaId: Int = 1): Column = {
+    val schema = parsed(writerSchemaJson)
+    require(schema.getType == Schema.Type.RECORD, "toAvro expects a record schema")
+    val encode = new UDF1[Row, Array[Byte]] {
+      override def call(row: Row): Array[Byte] = {
+        if (row == null) return null
+        val s = parsed(writerSchemaJson)
+        val st = encodeThreadState.get()
+        var writer = st.writers.get(writerSchemaJson)
+        if (writer == null) {
+          writer = new GenericDatumWriter[GenericRecord](s)
+          st.writers.put(writerSchemaJson, writer)
+        }
+        st.out.reset()
+        if (confluentHeader) {
+          st.out.write(0)
+          st.out.write(java.nio.ByteBuffer.allocate(4).putInt(schemaId).array())
+        }
+        st.encoder = EncoderFactory.get().binaryEncoder(st.out, st.encoder)
+        writer.write(rowToGeneric(row, s), st.encoder)
+        st.encoder.flush()
+        st.out.toByteArray
+      }
+    }
+    udf(encode, BinaryType).apply(data)
+  }
+
   /** Encode rows to Avro binary with `writerSchemaJson` (spark-avro's
     * `to_avro` shape, driver/test-side twin of fromAvro). `confluentHeader`
     * prepends the registry frame (magic 0 + big-endian schema id) that

@@ -99,4 +99,15 @@ object KafkaIO {
     df.select(
       col(keyCol).cast("string").as("key"),
       to_json(struct(df.columns.map(col): _*)).as("value"))
+
+  /** Encode columns into a binary Avro `value` + string `key` for the
+    * sink — the Avro-producing S4 path (the reference's output topics are
+    * Avro). Non-key columns must match `writerSchemaJson`'s field order. */
+  def columnsToAvroPayload(df: DataFrame, keyCol: String, writerSchemaJson: String,
+      confluentHeader: Boolean = false, schemaId: Int = 1): DataFrame =
+    df.select(
+      col(keyCol).cast("string").as("key"),
+      AvroSerde.toAvro(
+        struct(df.columns.filter(_ != keyCol).map(col): _*),
+        writerSchemaJson, confluentHeader, schemaId).as("value"))
 }

@@ -55,6 +55,50 @@ class AvroSerdeSpec extends SparkTestBase {
     assert(row.getInt(6) === 2)
   }
 
+  test("toAvro column encode round-trips through fromAvro (S4 sink wire parity)") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      ("600000000", "2024-01-01 10:00:00", 5, 3L, 12L, 2),
+      ("700000000", "2024-01-01 11:00:00", 1, 9L, 9L, 9))
+      .toDF("id_telef_origen", "window_start_ts", "calls_count",
+        "max_duracion_origen", "total_duracion_origen", "avg_duracion_origen")
+    // executor-side encode must agree byte-for-byte with the driver-side
+    // encodeRecord twin on the same record
+    val encoded = df.select(
+      $"id_telef_origen",
+      AvroSerde.toAvro(struct(df.columns.map(col): _*), callAggSchema).as("value"))
+    val bytes = encoded.orderBy($"id_telef_origen").collect()
+      .map(_.getAs[Array[Byte]]("value"))
+    val expected = AvroSerde.encodeRecord(
+      Seq("600000000", "2024-01-01 10:00:00", 5, 3L, 12L, 2), callAggSchema)
+    assert(bytes(0).toSeq === expected.toSeq)
+    // and decode back to the original columns
+    val back = encoded.select(
+        AvroSerde.fromAvro($"value", callAggSchema).as("v")).select($"v.*")
+      .orderBy($"id_telef_origen").collect().map(_.toSeq).toSeq
+    assert(back === df.orderBy($"id_telef_origen").collect().map(_.toSeq).toSeq)
+  }
+
+  test("toAvro confluent framing + null unions + tombstones round-trip") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, Some("600"), Option.empty[String], Some(17)),
+        (2L, Option.empty[String], Some("D2"), Option.empty[Int]))
+      .toDF("k", "TELEFONO", "DOC_CLIENTE", "CLIENTE_ORANGE")
+    val wire = KafkaIO.columnsToAvroPayload(df, "k", customerSchema,
+      confluentHeader = true, schemaId = 9)
+    val back = KafkaIO.avroPayloadToColumns(wire, customerSchema, confluentFramed = true)
+      .orderBy($"key").collect().map(_.toSeq).toSeq
+    assert(back === Seq(
+      Seq("1", "600", null, 17),
+      Seq("2", null, "D2", null)))
+    // a null row (tombstone) encodes to a null payload, not a crash
+    val tomb = df.select(AvroSerde.toAvro(
+        when($"k" === 999L, struct($"TELEFONO", $"DOC_CLIENTE", $"CLIENTE_ORANGE")),
+        customerSchema).as("value"))
+      .collect().map(_.isNullAt(0))
+    assert(tomb.forall(identity))
+  }
+
   test("array-typed fields decode element-wise") {
     val schema =
       """{"type":"record","name":"R","fields":[
