@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Storage-layout helpers for shuffle-free joins at scale.
+  *
+  * A join between two tables bucketed by the join keys into the same
+  * number of buckets needs NO exchange at read time: Spark's bucketing
+  * metadata (catalog tables, `bucketBy`) lets the planner line buckets up
+  * one-to-one, so a 100 TB fact ⋈ fact join runs as a per-bucket
+  * sort-merge with zero network. Sorting within buckets (`sortBy`)
+  * additionally lets the merge start without a per-task sort when each
+  * bucket is a single file (one writer task per bucket).
+  *
+  * This is the write-side half of the engine's co-location story (the
+  * read side is just `spark.table(...)` + a plain join — the planner does
+  * the rest); the salting in [[ScaleOps]] is the complementary tool for
+  * keys too hot to co-locate.
+  */
+object Layout {
+
+  /** Write `df` as a bucketed (and optionally bucket-sorted) catalog
+    * table. Buckets = `numBuckets` on `keys`; pick the bucket count so a
+    * bucket of the LARGER table fits an executor's memory at target
+    * scale. Repartitioning by the keys first gives one writer task per
+    * bucket, so each bucket is one file and `sortBy` yields fully-sorted
+    * buckets (the no-sort merge path). */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+      numBuckets: Int, sorted: Boolean = true,
+      mode: SaveMode = SaveMode.ErrorIfExists): Unit = {
+    require(keys.nonEmpty, "need at least one bucket key")
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    val cols = keys.map(org.apache.spark.sql.functions.col)
+    val w = df.repartition(numBuckets, cols: _*)
+      .write.mode(mode).bucketBy(numBuckets, keys.head, keys.drop(1): _*)
+    (if (sorted) w.sortBy(keys.head, keys.drop(1): _*) else w).saveAsTable(table)
+  }
+
+  /** Read a bucketed table back (plain catalog read — the bucketing
+    * metadata rides along and the planner uses it in joins). */
+  def readBucketed(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+}

@@ -164,6 +164,30 @@ class ScaleShapeSpec extends SparkTestBase {
     assert(viaAgg === viaWindow)
   }
 
+  test("bucketed co-located join: zero shuffle exchanges, same result as plain join") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = (1L to 200L).map(i => (i % 40, i)).toDF("k", "va")
+      val b = (1L to 100L).map(i => (i % 40, i * 10)).toDF("k", "vb")
+      graft.ops.Layout.writeBucketed(a, "graft_bkt_a", Seq("k"), numBuckets = 4)
+      graft.ops.Layout.writeBucketed(b, "graft_bkt_b", Seq("k"), numBuckets = 4)
+      try {
+        val joined = graft.ops.Layout.readBucketed(spark, "graft_bkt_a")
+          .join(graft.ops.Layout.readBucketed(spark, "graft_bkt_b"), "k")
+        val plan = joined.queryExecution.executedPlan.toString()
+        assert(!plan.contains("Exchange"),
+          s"bucketed join still shuffles:\n$plan")
+        val expected = a.join(b, "k").orderBy("k", "va", "vb")
+          .collect().map(_.toSeq).toSeq
+        assert(joined.orderBy("k", "va", "vb").collect().map(_.toSeq).toSeq === expected)
+      } finally {
+        spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("saltedAgg ≡ direct groupBy aggregation on a skewed stream") {
     import graft.ops.ScaleOps
     import graft.ops.ScaleOps.SaltedMetric._
