@@ -366,6 +366,51 @@ class StreamingSpec extends SparkTestBase {
     assert(survivors === Seq(Seq(1L, 10L), Seq(3L, 30L)))
   }
 
+  test("flagship topology to the wire: enriched stream encodes to Avro and decodes back") {
+    // the reference's full output path: aggregate -> enrich -> Avro value
+    // bytes on the topic (CallsEnrichedApp produces Avro). Assert the
+    // bytes round-trip to exactly the enriched rows.
+    val enrichedSchema =
+      """{"type":"record","name":"CallEnriched","fields":[
+        |{"name":"window_start_ts","type":"string"},
+        |{"name":"window_end_ts","type":"string"},
+        |{"name":"calls_count","type":"long"},
+        |{"name":"max_duracion_origen","type":"long"},
+        |{"name":"total_duracion_origen","type":"long"},
+        |{"name":"avg_duracion_origen","type":"long"},
+        |{"name":"doc_cliente","type":"string"},
+        |{"name":"operador_actual","type":"string"},
+        |{"name":"cliente_orange","type":"long"},
+        |{"name":"days_excliente","type":"long"}]}""".stripMargin
+    val sf = "/root/testdata/sf0.001"
+    val events = graft.Tables.events(spark, sf)
+      .select($"ts", $"user_id", $"value").as[RawCall].collect()
+    val in = MemoryStream[RawCall](spark)
+    val enriched = CallsStreamPipeline.enriched(
+      CallsStreamPipeline.aggregate(in.toDF()),
+      graft.Tables.customer(spark, sf),
+      custKey = "c_custkey", doc = "c_name", operator = "c_mktsegment",
+      flag = "c_nationkey", days = "c_acctbal")
+    val wire = graft.streaming.KafkaIO.columnsToAvroPayload(
+      enriched, "id_telef_origen", enrichedSchema,
+      confluentHeader = true, schemaId = 3)
+    val rows = runUpdate(wire, "flagship_wire") {
+      in.addData(events.toIndexedSeq)
+    }
+    val decoded = graft.streaming.KafkaIO.avroPayloadToColumns(
+        rows, enrichedSchema, confluentFramed = true)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    // ground truth: the batch flagship, rearranged to the wire layout
+    // (key first, then value fields in schema order)
+    val expected = graft.pipelines.CallsPipeline.callsEnriched(spark, sf)
+      .collect().map { r =>
+        Seq(r.get(2), r.get(0), r.get(1), r.get(3), r.get(4), r.get(5),
+          r.get(6), r.get(7), r.get(8), r.get(9), r.get(10))
+      }.sortBy(_.mkString("|")).toSeq
+    assert(decoded.nonEmpty)
+    assert(decoded === expected)
+  }
+
   test("windowed quantile sketch survives the RocksDB state store across batches") {
     // multi-batch run on the production state provider: the
     // QuantileHistogram buffer must serialize/merge through RocksDB and
