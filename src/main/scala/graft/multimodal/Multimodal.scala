@@ -12,6 +12,14 @@ case class MediaRecord(
     payload: Array[Byte],
     n_bytes: Long)
 
+/** Audio-branch statistics record (see `Multimodal.audioStats`). */
+case class AudioStats(
+    doc_id: Long,
+    kind: String,
+    n_samples: Long,
+    duration_ms: Long,
+    rms_permille: Long)
+
 /** Decoded-feature record produced by the (stubbed) decoder. */
 case class MediaFeatures(
     doc_id: Long,
@@ -142,6 +150,33 @@ object Multimodal {
           val n = (w.toLong * h).toFloat
           MediaFeatures(m.doc_id, m.kind, w, h, 1, hist.map(_ / n))
         }
+      }
+    })
+  }
+
+  /** Audio-branch waveform statistics through the same [[decodeWith]]
+    * seam (stub codec — this container has no audio libraries; a real
+    * libsndfile/ffmpeg decoder drops in exactly like [[decodeImages]]
+    * did for images). The stub derives deterministic closed-form stats
+    * from the payload bytes: a fake 16 kHz sample count, the duration it
+    * implies, and a byte-derived RMS stand-in — integer math throughout,
+    * so the m04 oracle reproduces it exactly. Non-audio kinds get a
+    * sentinel record (the decoder claims one modality, like the image
+    * branch). */
+  def audioStats(media: Dataset[MediaRecord]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      if (m.kind != "audio") AudioStats(m.doc_id, m.kind, 0L, 0L, 0L)
+      else {
+        val b0 = if (m.payload.nonEmpty) m.payload(0) & 0xff else 0
+        val b1 = if (m.payload.length > 1) m.payload(1) & 0xff else 0
+        val nSamples = m.n_bytes * 4 // stub: 4 samples per payload byte
+        AudioStats(
+          doc_id = m.doc_id,
+          kind = m.kind,
+          n_samples = nSamples,
+          duration_ms = nSamples * 1000L / 16000L, // 16 kHz stub rate
+          rms_permille = (b0 * 7L + b1 * 13L + m.n_bytes) % 1000L)
       }
     })
   }

@@ -175,6 +175,14 @@ object NorthStarQueries {
       val docs = Tables.documents(s, d)
       Dedup.components(docs, Dedup.minhashLshPairs(docs))
     }),
+    "m04_audio_stats" -> ((s, d) => {
+      // Audio-branch stats via the injectable-codec seam; the stub's
+      // closed-form integer math makes every column oracle-exact.
+      Multimodal.audioStats(Multimodal.mediaDataset(s, Tables.documents(s, d)))
+        .toDF()
+        .select(col("doc_id"), col("kind"), col("n_samples"),
+          col("duration_ms"), col("rms_permille"))
+    }),
     "d08_contamination" -> ((s, d) => {
       // Benchmark-leakage check: documents ending in 0 stand in for an
       // eval/benchmark set (re-keyed +2e6 so ids are disjoint); any train
@@ -374,6 +382,23 @@ object NorthStarQueries {
     "d06_dedup_components" ->
       s"""$componentsCteSql
          |SELECT doc_id, component FROM comp""".stripMargin,
+    "m04_audio_stats" ->
+      """WITH p AS (SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    hex(encode(text)) AS h,
+        |    octet_length(encode(text)) AS nb FROM documents),
+        |b AS (SELECT doc_id, kind, nb,
+        |    CASE WHEN nb >= 1 THEN (strpos('0123456789ABCDEF', substr(h, 1, 1)) - 1) * 16
+        |                         + (strpos('0123456789ABCDEF', substr(h, 2, 1)) - 1)
+        |         ELSE 0 END AS b0,
+        |    CASE WHEN nb >= 2 THEN (strpos('0123456789ABCDEF', substr(h, 3, 1)) - 1) * 16
+        |                         + (strpos('0123456789ABCDEF', substr(h, 4, 1)) - 1)
+        |         ELSE 0 END AS b1 FROM p)
+        |SELECT doc_id, kind,
+        |       CAST(CASE WHEN kind = 'audio' THEN nb * 4 ELSE 0 END AS BIGINT) AS n_samples,
+        |       CAST(CASE WHEN kind = 'audio' THEN (nb * 4 * 1000) // 16000 ELSE 0 END AS BIGINT) AS duration_ms,
+        |       CAST(CASE WHEN kind = 'audio' THEN (b0 * 7 + b1 * 13 + nb) % 1000 ELSE 0 END AS BIGINT) AS rms_permille
+        |FROM b ORDER BY doc_id""".stripMargin,
     // containment = fraction of the eval doc's distinct shingles found in
     // the train doc; shingle identity joined on the strings (Spark joins
     // the 60-bit hashes — identical modulo md5 collisions, as in d04/d06)

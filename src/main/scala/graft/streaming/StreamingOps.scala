@@ -162,6 +162,40 @@ object StreamingOps {
       .select(outCols: _*)
   }
 
+  /** Watermarked per-key SESSION-window exact quantiles — the sketch
+    * composed with the gap-based window kind: sessions grow with activity
+    * and close after `gap` of silence, and the bounded
+    * [[graft.expressions.QuantileHistogram]] state merges when sessions
+    * merge (its `merge` is the additive histogram union, exactly what
+    * session coalescing needs). Completes the sketch × window-kind
+    * matrix: tumbling (windowedQuantilesStream), and session here.
+    *
+    * Append mode only (like [[sessionAggStream]]): Spark finalizes a
+    * session once the watermark passes its close — the
+    * suppressed-until-close shape; update-mode session aggregation is
+    * rejected by the planner.
+    */
+  def sessionQuantilesStream(
+      events: DataFrame,
+      tsCol: String,
+      key: Column,
+      value: Column,
+      quantiles: Seq[(String, Int)],
+      gap: String = "2 hours",
+      watermark: String = "24 hours"): DataFrame = {
+    val agg = graft.expressions.QuantileHistogram.quantiles(
+      value.cast("long"), quantiles.map(_._2)).as("__q")
+    val outCols = Seq(col("window.start").as("session_start"), col("user_id")) ++
+      (quantiles.zipWithIndex.map { case ((nm, _), i) =>
+        col("__q.qs").getItem(i).as(nm)
+      } :+ col("__q.n_rows").as("n_rows"))
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap).as("window"), key.as("user_id"))
+      .agg(agg)
+      .select(outCols: _*)
+  }
+
   /** KTable semantics on a changelog stream: keep the latest value per key,
     * emit the new latest on every change (reference: `builder.table(topic)`,
     * CallsEnrichedApp.java:58).

@@ -237,6 +237,20 @@ class NorthStarSpec extends SparkTestBase {
     assert(out.map(_.feature.toSeq).toSeq === again.map(_.feature.toSeq).toSeq)
   }
 
+  test("multimodal: audioStats computes closed-form stats for audio, sentinels others") {
+    val media = Seq(
+      MediaRecord(1L, "audio", Array[Byte](0x10, 0x20, 3, 4), 4L),
+      MediaRecord(2L, "image", Array[Byte](9), 1L)).toDS()
+    val out = Multimodal.audioStats(media).collect().sortBy(_.doc_id)
+    val a = out(0)
+    assert(a.n_samples === 16L) // 4 bytes * 4
+    assert(a.duration_ms === 1L) // 16 samples at 16 kHz
+    assert(a.rms_permille === (0x10 * 7L + 0x20 * 13L + 4L) % 1000L)
+    assert((out(1).n_samples, out(1).duration_ms, out(1).rms_permille) === ((0L, 0L, 0L)))
+    // deterministic across runs
+    assert(Multimodal.audioStats(media).collect().sortBy(_.doc_id).toSeq === out.toSeq)
+  }
+
   test("media table keeps payload bytes intact through the binary column") {
     val docs = Seq((7L, "payload-text-αβ")).toDF("doc_id", "text")
     val row = Multimodal.mediaFromDocs(docs).collect()(0)

@@ -479,6 +479,45 @@ class StreamingSpec extends SparkTestBase {
     assert(rows === batch)
   }
 
+  test("session-window quantiles: stream ≡ batch, histogram state merges with sessions") {
+    // append mode (sessions emit once finalized, like sessionAggStream);
+    // a late sentinel advances the watermark past both session closes
+    val qs = Seq("p50" -> 500, "p95" -> 950)
+    val fixture = Seq(
+      CallEvent(ts("10:00"), 7L, 1L), CallEvent(ts("11:30"), 7L, 2L),
+      CallEvent(ts("11:45"), 7L, 9L), CallEvent(ts("15:00"), 7L, 4L))
+    val in = MemoryStream[CallEvent](spark)
+    val out = StreamingOps.sessionQuantilesStream(
+      in.toDF().withColumn("cents", round($"value" * 100).cast("long")),
+      "ts", $"user_id", $"cents", qs, gap = "2 hours", watermark = "1 hour")
+    val q = out.writeStream
+      .format("memory").queryName("stream_session_q").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ck-sq").toString)
+      .start()
+    try {
+      in.addData(fixture)
+      q.processAllAvailable()
+      in.addData(CallEvent(ts("23:00"), 99L, 0L)) // watermark push
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("stream_session_q").filter($"user_id" === 7L)
+      .select($"session_start".cast("string"), $"p50", $"p95", $"n_rows")
+      .collect().map(_.toSeq).toSet
+    // batch ground truth over the same fixture rows
+    val batch = fixture.toDS().toDF()
+      .withColumn("cents", round($"value" * 100).cast("long"))
+      .filter($"user_id" === 7L)
+      .groupBy(session_window($"ts", "2 hours").as("window"), $"user_id")
+      .agg(graft.expressions.QuantileHistogram.quantiles($"cents", qs.map(_._2)).as("q"))
+      .select($"window.start".cast("string"), $"q.qs".getItem(0),
+        $"q.qs".getItem(1), $"q.n_rows")
+      .collect().map(_.toSeq).toSet
+    assert(rows.nonEmpty)
+    assert(rows === batch)
+    // merged 10:00-11:45 session: cents [100,200,900] -> p50=200, p95=200, n=3
+    assert(rows.exists(_ === Seq("2024-01-01 10:00:00", 200L, 200L, 3L)))
+  }
+
   test("windowed KMV distinct sketch: stream ≡ batch kmv per window") {
     val sf = "/root/testdata/sf0.001"
     val k = 16
