@@ -311,6 +311,24 @@ object Dedup {
     docs.join(keep, Seq("doc_id"), "left_semi")
   }
 
+  /** Score-aware representative selection: per near-dup component, keep
+    * the document with the highest `score` (ties → lowest doc_id) —
+    * curation usually keeps the BEST duplicate (longest, highest
+    * quality), not the first-seen one that [[dedupCorpus]]'s min-id rule
+    * yields. Returns `(component, kept_doc_id, kept_score)`.
+    *
+    * Shape: the components join plus ONE grouped argmax with map-side
+    * partials (`max_by` over `struct(score, -doc_id)`) — the shuffle
+    * carries one row per component, not per doc. */
+  def dedupCorpusBy(docs: DataFrame, pairs: DataFrame, score: Column): DataFrame =
+    docs.withColumn("__score", score.cast("long"))
+      .join(components(docs, pairs), "doc_id")
+      .groupBy(col("component"))
+      .agg(
+        max_by(col("doc_id"), struct(col("__score"), (-col("doc_id")).as("tie")))
+          .as("kept_doc_id"),
+        max(col("__score")).as("kept_score"))
+
   /** Cross-corpus contamination detection: every (train doc, eval doc)
     * pair whose shingle CONTAINMENT — the fraction of the eval document's
     * distinct n-gram shingles that also occur in the train document —

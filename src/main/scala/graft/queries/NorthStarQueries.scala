@@ -175,6 +175,15 @@ object NorthStarQueries {
       val docs = Tables.documents(s, d)
       Dedup.components(docs, Dedup.minhashLshPairs(docs))
     }),
+    "d09_dedup_keep_longest" -> ((s, d) => {
+      // Score-aware dedup: per near-dup component keep the LONGEST doc
+      // (ties → lowest doc_id) — what a curation pass actually keeps,
+      // vs d06's first-seen canonical id.
+      val docs = Tables.documents(s, d)
+      Dedup.dedupCorpusBy(docs, Dedup.minhashLshPairs(docs),
+          tokenCount(col("text")))
+        .select(col("component"), col("kept_doc_id"), col("kept_score"))
+    }),
     "m04_audio_stats" -> ((s, d) => {
       // Audio-branch stats via the injectable-codec seam; the stub's
       // closed-form integer math makes every column oracle-exact.
@@ -382,6 +391,15 @@ object NorthStarQueries {
     "d06_dedup_components" ->
       s"""$componentsCteSql
          |SELECT doc_id, component FROM comp""".stripMargin,
+    "d09_dedup_keep_longest" ->
+      s"""$componentsCteSql,
+         |tl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM ws),
+         |j AS (SELECT c.doc_id, c.component, tl.n_tokens
+         |      FROM comp c JOIN tl ON tl.doc_id = c.doc_id)
+         |SELECT component, doc_id AS kept_doc_id, n_tokens AS kept_score FROM (
+         |  SELECT j.*, ROW_NUMBER() OVER (PARTITION BY component
+         |    ORDER BY n_tokens DESC, doc_id) AS rn FROM j) WHERE rn = 1
+         |ORDER BY component""".stripMargin,
     "m04_audio_stats" ->
       """WITH p AS (SELECT doc_id,
         |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

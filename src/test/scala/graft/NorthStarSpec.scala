@@ -47,6 +47,19 @@ class NorthStarSpec extends SparkTestBase {
   private def vecs(rows: (Long, Seq[Float])*) =
     rows.map { case (id, v) => (id, v.toArray) }.toDF("vec_id", "embedding")
 
+  test("dedupCorpusBy keeps the highest-scoring doc per component, min id on ties") {
+    val d = docs(
+      1L -> "a b", 2L -> "a b c d e", 3L -> "a b c d e", // 1-2-3 one cluster
+      9L -> "z q")                                       // singleton
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val kept = graft.operators.Dedup.dedupCorpusBy(
+        d, pairs, graft.functions.TextFunctions.tokenCount(col("text")))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // cluster canonical = 1; longest docs are 2 and 3 (5 tokens) -> keep 2
+    assert(kept(1L) === ((2L, 5L)))
+    assert(kept(9L) === ((9L, 2L)))
+  }
+
   test("contaminationPairs flags embedded eval text by containment, not jaccard") {
     val train = docs(
       1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
