@@ -234,6 +234,35 @@ object Similarity {
     topKNeighbors(scored, k)
   }
 
+  /** Pick the smallest `nprobe` whose recall@k against brute force, on a
+    * SAMPLE of queries, reaches `targetRecallPermille` — the standard IVF
+    * tuning loop, packaged. Doubles nprobe (1, 2, 4, …, nCells) and
+    * returns the first level that meets the target, or `nCells` (exact)
+    * if none below it does.
+    *
+    * Driver cost: one brute-force pass plus one probe pass per level,
+    * all over the small sample — the index-build-time pattern, not a
+    * per-query cost. Run once, pin the result in the serving config. */
+  def tuneNprobe(index: IvfIndex, sampleQueries: DataFrame, k: Int,
+      targetRecallPermille: Int): Int = {
+    require(targetRecallPermille >= 0 && targetRecallPermille <= 1000,
+      s"target must be permille in [0,1000], got $targetRecallPermille")
+    val emb = index.assigned.select(col("vec_id"), col("embedding"))
+    def topSets(df: DataFrame): Map[Long, Set[Long]] =
+      df.select(col("query_id"), col("neighbor_id")).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val truth = topSets(bruteForceKnn(emb, sampleQueries, k))
+    if (truth.isEmpty) return 1 // no sample: any probe level is "exact"
+    val levels = Iterator.iterate(1)(_ * 2).takeWhile(_ < index.nCells).toSeq :+ index.nCells
+    levels.find { np =>
+      val got = topSets(ivfKnnWith(index, sampleQueries, k, np))
+      val recall = truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }.sum / truth.size
+      (recall * 1000).round >= targetRecallPermille
+    }.getOrElse(index.nCells)
+  }
+
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold,
     * with EXACT recall, via grid-bucketed candidate generation instead of
     * an all-pairs nested-loop join.

@@ -148,16 +148,20 @@ object StreamingOps {
       value: Column,
       quantiles: Seq[(String, Int)],
       width: String = "1 hour",
-      watermark: String = "24 hours"): DataFrame = {
+      watermark: String = "24 hours",
+      slide: Option[String] = None): DataFrame = {
     val agg = graft.expressions.QuantileHistogram.quantiles(
       value.cast("long"), quantiles.map(_._2)).as("__q")
     val outCols = col("window.start").as("window_start") +:
       (quantiles.zipWithIndex.map { case ((nm, _), i) =>
         col("__q.qs").getItem(i).as(nm)
       } :+ col("__q.n_rows").as("n_rows"))
+    // slide < width ⇒ hopping windows: each event lands in width/slide
+    // overlapping windows, enumerated at the scan like hoppingAggStream
+    val w = slide.fold(window(col(tsCol), width))(s => window(col(tsCol), width, s))
     events
       .withWatermark(tsCol, watermark)
-      .groupBy(window(col(tsCol), width).as("window"))
+      .groupBy(w.as("window"))
       .agg(agg)
       .select(outCols: _*)
   }

@@ -87,6 +87,32 @@ class ScaleShapeSpec extends SparkTestBase {
     assert(r4 >= 0.5, f"k-means IVF recall collapsed at nprobe=4: $r4%.3f")
   }
 
+  test("tuneNprobe returns the smallest probe level meeting the recall target") {
+    val emb = Tables.embeddings(spark, sf)
+    val idx = Similarity.buildIvf(emb, nCells = 8).persist()
+    try {
+      val sample = emb.filter($"vec_id" < 20)
+      // target 1000‰ is met at the latest by nprobe = nCells (exact there)
+      val exact = Similarity.tuneNprobe(idx, sample, k = 5, targetRecallPermille = 1000)
+      assert(exact >= 1 && exact <= 8)
+      // a loose target needs no more probes than a strict one
+      val loose = Similarity.tuneNprobe(idx, sample, k = 5, targetRecallPermille = 300)
+      assert(loose <= exact)
+      // the returned level genuinely achieves the target it was asked for
+      def recallAt(np: Int): Double = {
+        def sets(df: org.apache.spark.sql.DataFrame) =
+          df.select($"query_id", $"neighbor_id").collect()
+            .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+        val truth = sets(Similarity.bruteForceKnn(emb, sample, 5))
+        val got = sets(Similarity.ivfKnnWith(idx, sample, 5, np))
+        truth.map { case (q, t) =>
+          got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+        }.sum / truth.size
+      }
+      assert((recallAt(exact) * 1000).round >= 1000)
+    } finally { idx.unpersist(); () }
+  }
+
   test("aggregated simhash ≡ per-row expression simhash") {
     val docs = Tables.documents(spark, sf).limit(100)
     val perRow = docs.select($"doc_id",
