@@ -319,9 +319,12 @@ object Dedup {
     *
     * Shape: the components join plus ONE grouped argmax with map-side
     * partials (`max_by` over `struct(score, -doc_id)`) — the shuffle
-    * carries one row per component, not per doc. */
+    * carries one row per component, not per doc. The score keeps its own
+    * type (no cast — truncating a fractional quality score to long would
+    * silently collapse the argmax to the id tie-break); `kept_score` is
+    * typed like the input column. */
   def dedupCorpusBy(docs: DataFrame, pairs: DataFrame, score: Column): DataFrame =
-    docs.withColumn("__score", score.cast("long"))
+    docs.withColumn("__score", score)
       .join(components(docs, pairs), "doc_id")
       .groupBy(col("component"))
       .agg(

@@ -259,7 +259,9 @@ object Similarity {
       val recall = truth.map { case (q, t) =>
         got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
       }.sum / truth.size
-      (recall * 1000).round >= targetRecallPermille
+      // floor semantics: rounding up would declare a 999.5‰ recall "1000"
+      // and return a provably-inexact level for an exact-recall request
+      recall * 1000 >= targetRecallPermille
     }.getOrElse(index.nCells)
   }
 

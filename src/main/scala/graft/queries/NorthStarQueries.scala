@@ -181,7 +181,7 @@ object NorthStarQueries {
       // vs d06's first-seen canonical id.
       val docs = Tables.documents(s, d)
       Dedup.dedupCorpusBy(docs, Dedup.minhashLshPairs(docs),
-          tokenCount(col("text")))
+          tokenCount(col("text")).cast("long"))
         .select(col("component"), col("kept_doc_id"), col("kept_score"))
     }),
     "m04_audio_stats" -> ((s, d) => {

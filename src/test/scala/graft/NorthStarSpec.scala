@@ -53,11 +53,19 @@ class NorthStarSpec extends SparkTestBase {
       9L -> "z q")                                       // singleton
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
     val kept = graft.operators.Dedup.dedupCorpusBy(
-        d, pairs, graft.functions.TextFunctions.tokenCount(col("text")))
+        d, pairs, graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     // cluster canonical = 1; longest docs are 2 and 3 (5 tokens) -> keep 2
     assert(kept(1L) === ((2L, 5L)))
     assert(kept(9L) === ((9L, 2L)))
+
+    // fractional scores must NOT be truncated: 0.95 beats 0.40 even
+    // though both floor to 0 (the argmax compares the raw double)
+    val frac = Seq((1L, 0.40), (2L, 0.95), (3L, 0.10)).toDF("doc_id", "q")
+      .join(d, "doc_id")
+    val keptFrac = graft.operators.Dedup.dedupCorpusBy(frac, pairs, col("q"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(keptFrac(1L) === ((2L, 0.95)))
   }
 
   test("contaminationPairs flags embedded eval text by containment, not jaccard") {

@@ -196,9 +196,12 @@ class ScaleShapeSpec extends SparkTestBase {
     try {
       val a = (1L to 200L).map(i => (i % 40, i)).toDF("k", "va")
       val b = (1L to 100L).map(i => (i % 40, i * 10)).toDF("k", "vb")
-      graft.ops.Layout.writeBucketed(a, "graft_bkt_a", Seq("k"), numBuckets = 4)
-      graft.ops.Layout.writeBucketed(b, "graft_bkt_b", Seq("k"), numBuckets = 4)
       try {
+        // writes live inside the try that owns the DROP TABLE cleanup —
+        // a failed second write must not leak the first table into the
+        // catalog (ErrorIfExists would then poison re-runs)
+        graft.ops.Layout.writeBucketed(a, "graft_bkt_a", Seq("k"), numBuckets = 4)
+        graft.ops.Layout.writeBucketed(b, "graft_bkt_b", Seq("k"), numBuckets = 4)
         val joined = graft.ops.Layout.readBucketed(spark, "graft_bkt_a")
           .join(graft.ops.Layout.readBucketed(spark, "graft_bkt_b"), "k")
         val plan = joined.queryExecution.executedPlan.toString()
