@@ -28,6 +28,15 @@ object Packing {
 
   /** Adds `n_tokens`, `token_offset`, `chunk_id` to `docs`.
     *
+    * `docs` must carry a `doc_id` column — it is the stable within-shard
+    * concatenation order (reproducibility depends on it being unique per
+    * row; ties would make offsets order-dependent). The three output
+    * column names must not already exist on the input: silently
+    * overwriting a caller's `n_tokens` would corrupt the layout, so that
+    * is rejected up front. `tokenCount` must be deterministic — the
+    * layout-reproducibility guarantee is only as deterministic as the
+    * count expression feeding it.
+    *
     * @param groupCol   packing shard column (stream boundary)
     * @param budget     tokens per chunk, > 0
     * @param tokenCount column computing each doc's token count
@@ -35,6 +44,12 @@ object Packing {
   def packChunks(docs: DataFrame, groupCol: String, budget: Long,
       tokenCount: Column): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    require(docs.columns.contains("doc_id"),
+      "packChunks needs a doc_id column (the within-shard concatenation order)")
+    Seq("n_tokens", "token_offset", "chunk_id").foreach { c =>
+      require(!docs.columns.contains(c),
+        s"packChunks writes column '$c' — drop or rename the input's '$c' first")
+    }
     val w = Window.partitionBy(col(groupCol)).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs.withColumn("n_tokens", tokenCount.cast("long"))

@@ -31,15 +31,20 @@ object Splits {
     * splits with different salts are independent partitions, while the
     * same salt always reproduces the same assignment — the property that
     * makes ablation runs comparable across months of pipeline runs. A
-    * non-empty salt is joined to the key with a `:` separator (so
-    * salt "a" / key "b1" and salt "ab" / key "1" cannot collide); the
-    * empty default hashes the bare key, keeping the oracle-checkable
-    * `hash60(key)` form. The salted form (`hash60(salt:key)`) is the
-    * v1 scheme and must never change: persisted split assignments are
-    * only reproducible while this hash recipe is frozen.
+    * non-empty salt is joined to the key with a `:` separator, and the
+    * salt itself must not contain `:` — with that restriction the
+    * (salt, key) pair is unambiguous (salt "a" / key "b1" and salt "ab" /
+    * key "1" cannot collide; without it, salt "a:b" / key "c" would hash
+    * like salt "a" / key "b:c"). The empty default hashes the bare key,
+    * keeping the oracle-checkable `hash60(key)` form. The salted form
+    * (`hash60(salt:key)`, colon-free salt) is the v1 scheme and must
+    * never change: persisted split assignments are only reproducible
+    * while this hash recipe is frozen.
     */
   def splitColumn(key: Column, splits: Seq[(String, Int)], salt: String = ""): Column = {
     require(splits.nonEmpty, "need at least one split")
+    require(!salt.contains(":"),
+      s"salt must not contain ':' (it is the salt/key separator in the frozen v1 hash scheme), got '$salt'")
     splits.foreach { case (nm, w) =>
       require(w > 0, s"split $nm weight must be positive, got $w")
     }

@@ -86,4 +86,11 @@ class SplitsSpec extends SparkTestBase {
       Splits.splitColumn(lit(1L), Seq.empty)
     }
   }
+
+  test("salt containing the ':' separator is rejected (frozen v1 hash scheme)") {
+    // salt "a:b" + key "c" would hash identically to salt "a" + key "b:c"
+    intercept[IllegalArgumentException] {
+      Splits.splitColumn(lit(1L), w955, salt = "a:b")
+    }
+  }
 }
