@@ -146,6 +146,11 @@ object AvroSerde {
   // BinaryEncoder reused across rows, output buffer reset per record.
   private final class EncodeState {
     val writers = new java.util.HashMap[String, GenericDatumWriter[GenericRecord]]()
+    // last (struct type, writer schema) pair validated on this thread —
+    // reference equality is enough because a projection reuses one
+    // StructType instance, and re-validating on a miss is just a field walk
+    var validatedStruct: StructType = _
+    var validatedSchema: String = _
     val out = new ByteArrayOutputStream()
     var encoder: org.apache.avro.io.BinaryEncoder = _
   }
@@ -160,7 +165,51 @@ object AvroSerde {
       case seq: scala.collection.Seq[_] =>
         seq.map(toAvroValue(_, s.getElementType)).asJava
       case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+      // Avro's standard promotions, applied eagerly so an int column can
+      // feed a long field (and float a double) instead of failing in the
+      // DatumWriter with a per-record ClassCastException
+      case i: java.lang.Integer if s.getType == Schema.Type.LONG =>
+        java.lang.Long.valueOf(i.longValue())
+      case f: java.lang.Float if s.getType == Schema.Type.DOUBLE =>
+        java.lang.Double.valueOf(f.doubleValue())
       case x => x // string/int/long/float/double/boolean map 1:1
+    }
+  }
+
+  /** Mismatches between a Spark struct type and the Avro record schema it
+    * is being encoded with — empty means every field lines up by position,
+    * name, and (promotion-aware) type. Encoding maps fields by position, so
+    * without this check misordered same-typed columns would silently write
+    * values into the wrong Avro fields. */
+  private def structErrors(st: StructType, schema: Schema, path: String = ""): Seq[String] = {
+    val af = schema.getFields.asScala.toSeq
+    if (st.length != af.length)
+      Seq(s"struct has ${st.length} fields but avro record '${schema.getFullName}' has ${af.length} (at '$path')")
+    else st.fields.toSeq.zip(af).flatMap { case (sf, f) =>
+      val fieldPath = if (path.isEmpty) f.name else s"$path.${f.name}"
+      if (sf.name != f.name)
+        Seq(s"struct field '${sf.name}' is at avro field '${f.name}''s position (at '$fieldPath')")
+      else typeErrors(sf.dataType, f.schema, fieldPath)
+    }
+  }
+
+  private def typeErrors(dt: DataType, schema: Schema, fieldPath: String): Seq[String] = {
+    val a = nonNullBranch(schema)
+    (dt, a.getType) match {
+      case (StringType, Schema.Type.STRING) => Nil
+      case (IntegerType, Schema.Type.INT) => Nil
+      case (IntegerType, Schema.Type.LONG) => Nil // widened in toAvroValue
+      case (LongType, Schema.Type.LONG) => Nil
+      case (FloatType, Schema.Type.FLOAT) => Nil
+      case (FloatType, Schema.Type.DOUBLE) => Nil // widened in toAvroValue
+      case (DoubleType, Schema.Type.DOUBLE) => Nil
+      case (BooleanType, Schema.Type.BOOLEAN) => Nil
+      case (BinaryType, Schema.Type.BYTES) => Nil
+      case (ArrayType(et, _), Schema.Type.ARRAY) =>
+        typeErrors(et, a.getElementType, s"$fieldPath[]")
+      case (nested: StructType, Schema.Type.RECORD) => structErrors(nested, a, fieldPath)
+      case (sdt, at) =>
+        Seq(s"struct field is $sdt but avro field is $at (at '$fieldPath')")
     }
   }
 
@@ -188,6 +237,19 @@ object AvroSerde {
         if (row == null) return null
         val s = parsed(writerSchemaJson)
         val st = encodeThreadState.get()
+        // Positional mapping is only safe if the struct actually lines up
+        // with the writer schema — check names/types on the first record
+        // of each (struct, schema) pair so a misordered or mistyped struct
+        // fails with a field-level message, not a deep ClassCastException
+        // (or worse, silently swapped same-typed fields)
+        val rs = row.schema
+        if (rs != null && ((rs ne st.validatedStruct) || (writerSchemaJson ne st.validatedSchema))) {
+          val errs = structErrors(rs, s)
+          if (errs.nonEmpty) throw new IllegalArgumentException(
+            s"toAvro: struct column does not match writer schema '${s.getFullName}': ${errs.mkString("; ")}")
+          st.validatedStruct = rs
+          st.validatedSchema = writerSchemaJson
+        }
         var writer = st.writers.get(writerSchemaJson)
         if (writer == null) {
           writer = new GenericDatumWriter[GenericRecord](s)

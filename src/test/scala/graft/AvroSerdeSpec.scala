@@ -126,6 +126,40 @@ class AvroSerdeSpec extends SparkTestBase {
     assert(r.getStruct(1).getString(0) === "z")
   }
 
+  test("toAvro validates the struct against the writer schema and widens int->long") {
+    import org.apache.spark.sql.functions._
+    val schema =
+      """{"type":"record","name":"W","fields":[
+        |{"name":"a","type":"string"},
+        |{"name":"n","type":"long"},
+        |{"name":"x","type":"double"}]}""".stripMargin
+    // int column feeding a long field (and float a double) encodes via
+    // Avro's standard promotions instead of a per-record ClassCastException
+    val df = Seq(("k", 5, 1.5f)).toDF("a", "n", "x")
+    val bytes = df.select(AvroSerde.toAvro(struct($"a", $"n", $"x"), schema).as("v"))
+      .collect()(0).getAs[Array[Byte]]("v")
+    assert(bytes.toSeq === AvroSerde.encodeRecord(Seq("k", 5L, 1.5d), schema).toSeq)
+
+    // Spark wraps UDF failures: search the cause chain for our message
+    def chainMessages(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+
+    // misordered same-typed struct fails at the first record with a
+    // field-level message — positional mapping would otherwise silently
+    // write values into the wrong Avro fields
+    val mis = intercept[Exception] {
+      df.select(AvroSerde.toAvro(struct($"n", $"a", $"x"), schema).as("v")).collect()
+    }
+    assert(chainMessages(mis).contains("does not match writer schema"))
+
+    // mistyped field (string column vs long field) also fails fast
+    val bad = intercept[Exception] {
+      df.select(AvroSerde.toAvro(struct($"a", $"a".as("n"), $"x"), schema).as("v")).collect()
+    }
+    assert(chainMessages(bad).contains("does not match writer schema"))
+  }
+
   test("null-union fields decode to null; corrupt payloads decode to null row (S8)") {
     val good = AvroSerde.encodeRecord(Seq("t1", null, 1), customerSchema)
     val junk = Array[Byte](1, 2) // truncated body → decode error → null (LogAndContinue)
