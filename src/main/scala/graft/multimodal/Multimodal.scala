@@ -62,11 +62,11 @@ object Multimodal {
     * `decode` runs per record, and `close` releases the handle when the
     * task completes. The plan shape — an embarrassingly-parallel
     * mapPartitions over opaque binary columns — is identical for any
-    * codec. */
-  def decodeWith[C](media: Dataset[MediaRecord])(
+    * codec. Generic in the output record type so every modality branch
+    * (image features, audio stats, …) shares the one seam. */
+  def decodeWith[C, O: org.apache.spark.sql.Encoder](media: Dataset[MediaRecord])(
       init: () => C, close: C => Unit = (_: C) => ())(
-      decode: (C, MediaRecord) => MediaFeatures): Dataset[MediaFeatures] = {
-    import media.sparkSession.implicits._
+      decode: (C, MediaRecord) => O): Dataset[O] = {
     media.mapPartitions { it =>
       if (it.isEmpty) Iterator.empty
       else {
@@ -82,7 +82,8 @@ object Multimodal {
     * bytes in place of a real codec (this container has none). Swapping in
     * a real one is `decodeWith(media)(() => realCodecHandle)(realDecode)` —
     * no plan change. */
-  def decodeStub(media: Dataset[MediaRecord]): Dataset[MediaFeatures] =
+  def decodeStub(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
     decodeWith(media)(() => ())((_, m) => {
       val b0 = if (m.payload.nonEmpty) m.payload(0) & 0xff else 0
       val b1 = if (m.payload.length > 1) m.payload(1) & 0xff else 0
@@ -96,6 +97,7 @@ object Multimodal {
         n_frames = if (m.kind == "video") 1 + (m.payload.length % 30) else 1,
         feature = feature)
     })
+  }
 
   /** REAL image decode through the same [[decodeWith]] plumbing, using the
     * JDK's `javax.imageio` (PNG/BMP/GIF/JPEG readers ship with every JVM —
@@ -116,6 +118,7 @@ object Multimodal {
   def decodeImages(media: Dataset[MediaRecord], featureDim: Int = 8): Dataset[MediaFeatures] = {
     require(featureDim > 0, s"featureDim must be positive, got $featureDim")
     val dim = featureDim
+    import media.sparkSession.implicits._
     decodeWith(media)(() => {
       // bytes are already in memory: stop ImageIO from spooling every
       // record through a temp file in java.io.tmpdir (its default cache)
@@ -155,17 +158,17 @@ object Multimodal {
   }
 
   /** Audio-branch waveform statistics through the same [[decodeWith]]
-    * seam (stub codec — this container has no audio libraries; a real
-    * libsndfile/ffmpeg decoder drops in exactly like [[decodeImages]]
-    * did for images). The stub derives deterministic closed-form stats
-    * from the payload bytes: a fake 16 kHz sample count, the duration it
-    * implies, and a byte-derived RMS stand-in — integer math throughout,
-    * so the m04 oracle reproduces it exactly. Non-audio kinds get a
-    * sentinel record (the decoder claims one modality, like the image
-    * branch). */
+    * seam, with a STUB codec: the synthetic corpus payloads are text
+    * bytes, not real audio containers, so this branch derives
+    * deterministic closed-form stats from the payload bytes (fake 16 kHz
+    * sample count, the duration it implies, a byte-derived RMS stand-in)
+    * — integer math throughout, so the m04 oracle reproduces it exactly.
+    * The REAL decoder for actual audio containers is [[decodeAudio]];
+    * both run the identical plan. Non-audio kinds get a sentinel record
+    * (the decoder claims one modality, like the image branch). */
   def audioStats(media: Dataset[MediaRecord]): Dataset[AudioStats] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map { m =>
+    decodeWith(media)(() => ())((_, m) =>
       if (m.kind != "audio") AudioStats(m.doc_id, m.kind, 0L, 0L, 0L)
       else {
         val b0 = if (m.payload.nonEmpty) m.payload(0) & 0xff else 0
@@ -177,6 +180,98 @@ object Multimodal {
           n_samples = nSamples,
           duration_ms = nSamples * 1000L / 16000L, // 16 kHz stub rate
           rms_permille = (b0 * 7L + b1 * 13L + m.n_bytes) % 1000L)
+      })
+  }
+
+  /** REAL audio decode through the same [[decodeWith]] seam, using the
+    * JDK's `javax.sound.sampled` (WAV/AIFF/AU PCM readers ship with every
+    * JVM — no native codec dependency), mirroring what [[decodeImages]]
+    * did for the image branch. Per-partition `init` allocates the
+    * reusable frame buffer; `decode` parses the container header, streams
+    * the PCM frames once, and reports:
+    *
+    *   - `n_samples`: sample frames actually decoded,
+    *   - `duration_ms`: `n_samples * 1000 / sampleRate` (floor),
+    *   - `rms_permille`: root-mean-square amplitude of channel 0,
+    *     normalized to full scale ×1000 (so a full-scale square wave is
+    *     1000, digital silence is 0) — integer at rest, like every
+    *     engine-surface aggregate.
+    *
+    * Decode policy mirrors S8's LogAndContinue (same as the image
+    * branch): undecodable payloads and non-`audio` kinds yield the
+    * all-zero sentinel record instead of failing the task, so one corrupt
+    * blob in 100 TB cannot kill a stage. Supports signed PCM 8/16-bit
+    * (little- or big-endian), any channel count (channel 0 is measured).
+    */
+  def decodeAudio(media: Dataset[MediaRecord]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    decodeWith(media)(() => new Array[Byte](1 << 16))((buf, m) => {
+      def sentinel = AudioStats(m.doc_id, m.kind, 0L, 0L, 0L)
+      if (m.kind != "audio") sentinel
+      else {
+        // NonFatal, not just UnsupportedAudioFileException: fuzzed headers
+        // can drive the JDK parsers into unchecked failures (AIOOBE,
+        // NegativeArraySize) — any of them must mean "skip"
+        val ais =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.payload))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (ais == null) sentinel
+        else try {
+          val fmt = ais.getFormat
+          val bytesPerSample = fmt.getSampleSizeInBits / 8
+          val frameSize = fmt.getFrameSize
+          val enc = fmt.getEncoding
+          val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+          // WAV's native 8-bit form is unsigned; 16-bit is signed — accept
+          // both, measured as offsets from their respective zero points
+          val ok = ((signed && (bytesPerSample == 1 || bytesPerSample == 2)) ||
+            (unsigned && bytesPerSample == 1)) &&
+            frameSize > 0 && fmt.getSampleRate > 0
+          if (!ok) sentinel
+          else {
+            var frames = 0L
+            var sumSq = 0.0 // sum of squared full-scale-normalized samples
+            val fullScale = if (bytesPerSample == 2) 32768.0 else 128.0
+            var leftover = 0
+            var eof = false
+            while (!eof) {
+              val n = ais.read(buf, leftover, buf.length - leftover)
+              if (n <= 0) eof = true // 0 = stream can't fill a frame: stop
+              else {
+                val avail = leftover + n
+                val nFrames = avail / frameSize
+                var i = 0
+                while (i < nFrames) {
+                  val off = i * frameSize // channel 0 leads each frame
+                  val s =
+                    if (bytesPerSample == 1)
+                      (if (unsigned) (buf(off) & 0xff) - 128 else buf(off): Int).toDouble
+                    else {
+                      val (lo, hi) = if (fmt.isBigEndian) (off + 1, off) else (off, off + 1)
+                      ((buf(hi) << 8) | (buf(lo) & 0xff)).toDouble
+                    }
+                  sumSq += (s / fullScale) * (s / fullScale)
+                  i += 1
+                }
+                frames += nFrames
+                // carry a partial trailing frame into the next read
+                leftover = avail - nFrames * frameSize
+                if (leftover > 0)
+                  System.arraycopy(buf, nFrames * frameSize, buf, 0, leftover)
+              }
+            }
+            if (frames == 0L) sentinel
+            else AudioStats(
+              doc_id = m.doc_id,
+              kind = m.kind,
+              n_samples = frames,
+              duration_ms = frames * 1000L / fmt.getSampleRate.toLong,
+              rms_permille = math.round(math.sqrt(sumSq / frames) * 1000.0))
+          }
+        } catch { case scala.util.control.NonFatal(_) => sentinel }
+        finally { try ais.close() catch { case scala.util.control.NonFatal(_) => () } }
       }
     })
   }

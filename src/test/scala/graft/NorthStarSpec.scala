@@ -272,6 +272,66 @@ class NorthStarSpec extends SparkTestBase {
     assert(Multimodal.audioStats(media).collect().sortBy(_.doc_id).toSeq === out.toSeq)
   }
 
+  test("multimodal: decodeAudio parses real WAV PCM bytes via javax.sound.sampled") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // encode real WAV containers in-test (the JDK writer is the JDK
+    // reader's inverse, same trick as the PNG/BMP image test)
+    def wavBytes(fmt: AudioFormat, pcm: Array[Byte]): Array[Byte] = {
+      val frames = pcm.length / fmt.getFrameSize
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(
+        new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+        AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    // 16-bit mono 8 kHz square wave at half scale: every sample ±16384, so
+    // rms = 0.5 exactly → 500 permille; 4000 frames at 8 kHz → 500 ms
+    val mono16 = {
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val pcm = new Array[Byte](4000 * 2)
+      for (i <- 0 until 4000) {
+        val s = if (i % 2 == 0) 16384 else -16384
+        pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      wavBytes(fmt, pcm)
+    }
+    // stereo: channel 0 at half scale, channel 1 silent — only channel 0
+    // is measured, so rms stays 500
+    val stereo16 = {
+      val fmt = new AudioFormat(16000f, 16, 2, true, false)
+      val pcm = new Array[Byte](1600 * 4)
+      for (i <- 0 until 1600) {
+        val s = if (i % 2 == 0) 16384 else -16384
+        pcm(4 * i) = (s & 0xff).toByte; pcm(4 * i + 1) = ((s >> 8) & 0xff).toByte
+        // channel 1 bytes stay 0
+      }
+      wavBytes(fmt, pcm)
+    }
+    // 8-bit unsigned mono (WAV's native 8-bit form) at half scale: samples
+    // alternate 128±64 around the unsigned zero point
+    val mono8 = {
+      val fmt = new AudioFormat(8000f, 8, 1, false, false)
+      val pcm = Array.tabulate(800)(i => (if (i % 2 == 0) 192 else 64).toByte)
+      wavBytes(fmt, pcm)
+    }
+    val media = Seq(
+      MediaRecord(1L, "audio", mono16, mono16.length.toLong),
+      MediaRecord(2L, "audio", stereo16, stereo16.length.toLong),
+      MediaRecord(3L, "audio", mono8, mono8.length.toLong),
+      MediaRecord(4L, "audio", "not a wav container".getBytes("UTF-8"), 19L),
+      MediaRecord(5L, "image", mono16, mono16.length.toLong)).toDS()
+    val out = Multimodal.decodeAudio(media).collect().sortBy(_.doc_id)
+
+    assert((out(0).n_samples, out(0).duration_ms, out(0).rms_permille) === ((4000L, 500L, 500L)))
+    assert((out(1).n_samples, out(1).duration_ms, out(1).rms_permille) === ((1600L, 100L, 500L)))
+    assert((out(2).n_samples, out(2).duration_ms, out(2).rms_permille) === ((800L, 100L, 500L)))
+    // corrupt payload and non-audio kind fall back, never throw (S8 policy)
+    for (s <- Seq(out(3), out(4)))
+      assert((s.n_samples, s.duration_ms, s.rms_permille) === ((0L, 0L, 0L)))
+    // deterministic across runs (fresh per-partition frame buffer)
+    assert(Multimodal.decodeAudio(media).collect().sortBy(_.doc_id).toSeq === out.toSeq)
+  }
+
   test("media table keeps payload bytes intact through the binary column") {
     val docs = Seq((7L, "payload-text-αβ")).toDF("doc_id", "text")
     val row = Multimodal.mediaFromDocs(docs).collect()(0)
