@@ -202,6 +202,20 @@ object NorthStarQueries {
         .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
       Dedup.contaminationPairs(docs, evalDocs, shingleN = 3, minPermille = 500)
     }),
+    "d10_contamination_capped" -> ((s, d) => {
+      // The production-scale contamination path: same leakage check as
+      // d08 but with the hot-shingle cap engaged (train-df > 4 shingles
+      // dropped from the inverted index before the join, bounding the
+      // quadratic hot-key blowup). Reported containment under-counts by
+      // design — the threshold is lowered to 100‰ so the capped values
+      // themselves land in the output and the oracle pins the cap, not
+      // just the surviving pairs.
+      val docs = Tables.documents(s, d)
+      val evalDocs = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      Dedup.contaminationPairs(docs, evalDocs, shingleN = 3, minPermille = 100,
+        maxTrainDf = Some(4L))
+    }),
     "t07_pack_chunks" -> ((s, d) => {
       // Concat-and-chunk packing layout per source: token offsets and
       // 2048-token chunk ids over the doc_id-ordered stream.
@@ -433,6 +447,25 @@ object NorthStarQueries {
          |       CAST((1000 * inter_cnt) // n_ev AS BIGINT) AS containment_permille
          |FROM inter JOIN esz USING (eval_id)
          |WHERE (1000 * inter_cnt) // n_ev >= 500
+         |ORDER BY train_id, eval_id""".stripMargin,
+    // the capped variant reproduces the hot-shingle drop: train-side
+    // shingles with df > 4 leave the index before the join, so inter_cnt
+    // (and thus containment) under-counts exactly as the engine does
+    "d10_contamination_capped" ->
+      s"""WITH ws AS (SELECT doc_id, $WsSql AS w FROM documents),
+         |sh AS (SELECT doc_id, $Shingles3Sql AS s FROM ws),
+         |tex AS (SELECT doc_id AS train_id, unnest(s) AS sh FROM sh),
+         |tdf AS (SELECT sh FROM tex GROUP BY sh HAVING COUNT(*) <= 4),
+         |texc AS (SELECT train_id, sh FROM tex JOIN tdf USING (sh)),
+         |esh AS (SELECT doc_id + 2000000 AS eval_id, s FROM sh WHERE doc_id % 10 = 0),
+         |esz AS (SELECT eval_id, CAST(len(s) AS BIGINT) AS n_ev FROM esh WHERE len(s) > 0),
+         |eex AS (SELECT eval_id, unnest(s) AS sh FROM esh),
+         |inter AS (SELECT train_id, eval_id, COUNT(*) AS inter_cnt
+         |          FROM texc JOIN eex USING (sh) GROUP BY 1, 2)
+         |SELECT train_id, eval_id, inter_cnt,
+         |       CAST((1000 * inter_cnt) // n_ev AS BIGINT) AS containment_permille
+         |FROM inter JOIN esz USING (eval_id)
+         |WHERE (1000 * inter_cnt) // n_ev >= 100
          |ORDER BY train_id, eval_id""".stripMargin,
     "t07_pack_chunks" ->
       s"""WITH ws AS (SELECT doc_id, source, CAST(len($WsSql) AS BIGINT) AS n_tokens
