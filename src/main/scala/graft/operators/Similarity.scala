@@ -204,6 +204,30 @@ object Similarity {
     IvfIndex(assignToCells(emb, cent).withColumn("nn", norm(col("embedding"))), cent, nCells)
   }
 
+  /** Persist an [[IvfIndex]] as its serving layout: `assigned` (vectors +
+    * precomputed norms + cell ids) written as a catalog table BUCKETED BY
+    * `cell` via [[graft.ops.Layout.writeBucketed]], centroids as a plain
+    * side table (`<table>_centroids`, nCells rows). The bucketing is the
+    * deployment story for a 100 TB index: a probe is an equi-join on
+    * `cell`, and against the bucketed table the corpus side reads
+    * straight from its buckets with NO exchange — file pruning and
+    * co-location were paid once at write time and amortize over every
+    * query batch ([[loadIvf]] + [[ivfKnnWith]]). Pick `numBuckets` so one
+    * bucket of `assigned` fits executor memory at target scale. */
+  def saveIvf(index: IvfIndex, table: String, numBuckets: Int,
+      mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.ErrorIfExists): Unit = {
+    graft.ops.Layout.writeBucketed(index.assigned, table, Seq("cell"), numBuckets, mode = mode)
+    index.centroids.write.mode(mode).saveAsTable(s"${table}_centroids")
+  }
+
+  /** Load a persisted IVF index ([[saveIvf]]'s inverse). The returned
+    * index probes with zero exchange on the corpus side — see [[saveIvf]].
+    * nCells is the centroid count (one row per cell, tiny driver read). */
+  def loadIvf(spark: org.apache.spark.sql.SparkSession, table: String): IvfIndex = {
+    val cent = spark.table(s"${table}_centroids")
+    IvfIndex(spark.table(table), cent, cent.count().toInt)
+  }
+
   /** IVF-probed approximate top-k: each query probes its `nprobe` closest
     * cells and runs exact cosine only inside them. */
   def ivfKnn(emb: DataFrame, queries: DataFrame, k: Int, nCells: Int, nprobe: Int,

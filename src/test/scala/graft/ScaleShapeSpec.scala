@@ -113,6 +113,56 @@ class ScaleShapeSpec extends SparkTestBase {
     } finally { idx.unpersist(); () }
   }
 
+  test("persisted IVF layout: probes read the bucketed corpus with no exchange, results ≡ in-memory index") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" < 10)
+    val mem = Similarity.buildIvf(emb, nCells = 8).persist()
+    try {
+      val expected = Similarity.ivfKnnWith(mem, q, k = 5, nprobe = 3)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+      try {
+        Similarity.saveIvf(mem, "graft_ivf_serv", numBuckets = 4)
+        val loaded = Similarity.loadIvf(spark, "graft_ivf_serv")
+        assert(loaded.nCells === 8)
+        val probe = Similarity.ivfKnnWith(loaded, q, k = 5, nprobe = 3)
+        // serving the persisted index returns exactly what the in-memory
+        // index returns — the layout changes cost, not results
+        val got = probe.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+        assert(got.nonEmpty && got === expected)
+
+        // plan shape: the probe equi-join's corpus side must run straight
+        // from the bucketed scan with NO shuffle exchange — that is the
+        // point of paying the bucketed write once
+        val root = probe.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.inputPlan
+          case p => p
+        }
+        def servScan(p: SparkPlan): Boolean = p.exists {
+          case s: FileSourceScanExec =>
+            s.tableIdentifier.exists(_.table == "graft_ivf_serv") && {
+              assert(s.relation.bucketSpec.isDefined, "corpus scan lost its bucket spec")
+              true
+            }
+          case _ => false
+        }
+        val probeJoins = root.collect {
+          case j: BaseJoinExec if j.children.exists(servScan) => j
+        }
+        assert(probeJoins.nonEmpty, s"no join over the bucketed corpus table in:\n$root")
+        val corpusSide = probeJoins.head.children.find(servScan).get
+        assert(!corpusSide.exists { case _: ShuffleExchangeLike => true; case _ => false },
+          s"corpus side of the probe join still shuffles:\n$corpusSide")
+      } finally {
+        spark.sql("DROP TABLE IF EXISTS graft_ivf_serv")
+        spark.sql("DROP TABLE IF EXISTS graft_ivf_serv_centroids")
+      }
+    } finally { mem.unpersist(); () }
+  }
+
   test("aggregated simhash ≡ per-row expression simhash") {
     val docs = Tables.documents(spark, sf).limit(100)
     val perRow = docs.select($"doc_id",
