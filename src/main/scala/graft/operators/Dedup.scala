@@ -359,6 +359,20 @@ object Dedup {
     * under-count: reported containment can only drop, never rise, so
     * flagged pairs remain trustworthy. Default None = exact.
     */
+  /** Static eval-shingle inverted index for contamination checks: one row
+    * per (eval doc, distinct shingle hash60) with the doc's set size
+    * carried on every row. The single source of the eval-side shape,
+    * shared by [[contaminationPairs]] and the streaming quarantine
+    * (`StreamingOps.streamingContamination`) so batch and stream can
+    * never drift apart. Build once per eval-set release and persist (it
+    * is tiny next to any train corpus). Shingle-less docs are excluded —
+    * containment against an empty set is undefined. */
+  def evalShingleIndex(evalDocs: DataFrame, shingleN: Int = 3): DataFrame =
+    hashedShingleSets(evalDocs, shingleN)
+      .filter(size(col("s")) > 0)
+      .select(col("doc_id").as("eval_id"), size(col("s")).cast("long").as("n_ev"),
+        explode(col("s")).as("sh"))
+
   def contaminationPairs(train: DataFrame, evalDocs: DataFrame,
       shingleN: Int = 3, minPermille: Int = 500,
       maxTrainDf: Option[Long] = None): DataFrame = {
@@ -372,10 +386,7 @@ object Dedup {
         .agg(count(lit(1)).as("__df")).filter(col("__df") > cap).select(col("sh"))
       tAll.join(hot, Seq("sh"), "left_anti")
     }
-    val e = hashedShingleSets(evalDocs, shingleN)
-      .filter(size(col("s")) > 0)
-      .select(col("doc_id").as("eval_id"), size(col("s")).cast("long").as("n_ev"),
-        explode(col("s")).as("sh"))
+    val e = evalShingleIndex(evalDocs, shingleN)
     t.join(e, "sh")
       .groupBy(col("train_id"), col("eval_id"), col("n_ev"))
       .agg(count(lit(1)).as("inter_cnt"))

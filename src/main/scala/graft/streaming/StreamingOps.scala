@@ -376,6 +376,57 @@ object StreamingOps {
       }
   }
 
+  /** Streaming contamination quarantine — the streaming counterpart of
+    * Dedup.contaminationPairs: every incoming document is checked against
+    * a STATIC eval-shingle inverted index
+    * ([[graft.operators.Dedup.evalShingleIndex]] output — build it once
+    * per eval-set release, persist or bucket it by `sh`), and documents
+    * whose shingle containment of any eval doc reaches `minPermille` are
+    * flagged before they can enter a training mix.
+    *
+    * Shape: the document's distinct shingle hash60s are computed per row
+    * with the SAME codegen'd expression the batch operator uses
+    * (`TextExpressions.shingleHashes` — single source, no drift), exploded,
+    * stream-static equi-joined to the index on the hash, and the exact
+    * intersection count per (window, doc, eval doc) runs as the ONE
+    * stateful aggregation (watermark-bounded, append mode emits each
+    * window once finalized). All-integer containment math, identical to
+    * batch: `1000*inter DIV n_ev`.
+    *
+    * Scale: the index is |eval shingles| rows — thousands of docs, so it
+    * broadcasts; state is one count per (window, doc, eval) pair that
+    * shares ≥1 shingle, bounded by the watermark horizon. A doc with no
+    * eval collision produces zero state (the inner join drops it) — the
+    * quarantine only pays for suspects.
+    *
+    * Output: `(window_start, doc_id, eval_id, inter_cnt,
+    * containment_permille)` — one row per flagged (doc, eval) pair.
+    */
+  def streamingContamination(
+      docs: DataFrame, // columns: doc_id (long), text (string), <tsCol> (timestamp)
+      evalIndex: DataFrame, // static Dedup.evalShingleIndex output: (eval_id, n_ev, sh)
+      tsCol: String = "ts",
+      watermark: String = "1 hour",
+      windowDuration: String = "1 hour",
+      shingleN: Int = 3,
+      minPermille: Int = 500): DataFrame = {
+    require(minPermille >= 1 && minPermille <= 1000,
+      s"minPermille must be in [1,1000], got $minPermille")
+    val sh = docs
+      .withWatermark(tsCol, watermark)
+      .select(col("doc_id"), col(tsCol).as("__ts"),
+        explode(graft.expressions.TextExpressions.shingleHashes(col("text"), shingleN)).as("sh"))
+    sh.join(evalIndex, "sh") // stream-static inner join, index re-resolved per micro-batch
+      .groupBy(window(col("__ts"), windowDuration),
+        col("doc_id"), col("eval_id"), col("n_ev"))
+      .agg(count(lit(1)).as("inter_cnt"))
+      .withColumn("containment_permille",
+        expr("CAST((1000 * inter_cnt) DIV n_ev AS BIGINT)"))
+      .filter(col("containment_permille") >= minPermille)
+      .select(col("window.start").as("window_start"), col("doc_id"), col("eval_id"),
+        col("inter_cnt"), col("containment_permille"))
+  }
+
   /** Stream⋈static left enrichment join — streaming form of
     * CoreOps.enrichLeftJoin (reference: CallsEnrichedApp.java:63 +
     * CallCustomerJoiner null-defaults). The static side is re-resolved per

@@ -518,6 +518,50 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.exists(_ === Seq("2024-01-01 10:00:00", 200L, 200L, 3L)))
   }
 
+  test("streaming contamination quarantine: stream ≡ batch on a planted leak") {
+    // eval set: two benchmark docs; stream: one verbatim leak (eval 100
+    // embedded whole → containment 1000), one partial leak (6 of eval
+    // 101's 8 shingles → 750), one clean doc, plus the watermark sentinel
+    val evalDocs = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today"),
+      (101L, "pack my box with five dozen liquor jugs right now")
+    ).toDF("doc_id", "text")
+    val evalIndex = graft.operators.Dedup.evalShingleIndex(evalDocs)
+    val fixture = Seq(
+      StreamDocFixture(1L, "prefix words then the quick brown fox jumps over the lazy dog today plus trailing text", ts("10:05")),
+      StreamDocFixture(2L, "completely unrelated content regarding parquet shuffles executors", ts("10:10")),
+      StreamDocFixture(3L, "pack my box with five dozen liquor jugs", ts("10:20")),
+      StreamDocFixture(99L, "sentinel", ts("13:00"))) // watermark push, no shingles shared
+    val in = MemoryStream[StreamDocFixture](spark)
+    val out = StreamingOps.streamingContamination(in.toDF(), evalIndex, minPermille = 500)
+    val q = out.writeStream
+      .format("memory").queryName("stream_contam").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ck-contam").toString)
+      .start()
+    try {
+      in.addData(fixture.take(3))
+      q.processAllAvailable()
+      in.addData(fixture.drop(3)) // advances the watermark past 11:00
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("stream_contam")
+      .select($"doc_id", $"eval_id", $"inter_cnt", $"containment_permille")
+      .collect().map(_.toSeq).toSet
+    // batch ground truth: the same docs in the train role, same threshold
+    val batch = graft.operators.Dedup.contaminationPairs(
+        fixture.map(f => (f.doc_id, f.text)).toDF("doc_id", "text"),
+        evalDocs, minPermille = 500)
+      .select($"train_id", $"eval_id", $"inter_cnt", $"containment_permille")
+      .collect().map(_.toSeq).toSet
+    assert(rows.nonEmpty)
+    assert(rows === batch)
+    assert(rows.exists(r => r(0) == 1L && r(1) == 100L && r(3) == 1000L),
+      s"verbatim leak not flagged at 1000 permille: $rows")
+    assert(rows.exists(r => r(0) == 3L && r(1) == 101L && r(3) == 750L),
+      s"partial leak not flagged at 750 permille: $rows")
+    assert(!rows.exists(r => r(0) == 2L), s"clean doc falsely flagged: $rows")
+  }
+
   test("windowed KMV distinct sketch: stream ≡ batch kmv per window") {
     val sf = "/root/testdata/sf0.001"
     val k = 16
