@@ -117,7 +117,10 @@ object Bench {
       val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
       // the driver wraps the bench line in a log tail, so quotes may arrive
       // escaped — match both "name":1.23 and \"name\":1.23
-      val pair = """\\?"([a-z0-9_]+)\\?":([0-9]+\.[0-9]+)""".r
+      // exponent part included: a near-instant query's median serializes as
+      // e.g. 5.1E-4, and capturing only the "5.1" would inflate its baseline
+      // ~4 orders of magnitude, permanently masking real regressions on it
+      val pair = """\\?"([a-z0-9_]+)\\?":([0-9]+\.[0-9]+(?:[eE][+-]?[0-9]+)?)""".r
       val prev = pair.findAllMatchIn(text)
         .map(m => m.group(1) -> m.group(2).toDouble)
         .filter { case (k, _) => results.contains(k) }.toMap

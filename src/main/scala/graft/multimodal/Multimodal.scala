@@ -219,16 +219,22 @@ object Multimodal {
         if (ais == null) sentinel
         else try {
           val fmt = ais.getFormat
-          val bytesPerSample = fmt.getSampleSizeInBits / 8
+          val bits = fmt.getSampleSizeInBits
+          val bytesPerSample = bits / 8
           val frameSize = fmt.getFrameSize
           val enc = fmt.getEncoding
           val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
           val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
           // WAV's native 8-bit form is unsigned; 16-bit is signed — accept
-          // both, measured as offsets from their respective zero points
-          val ok = ((signed && (bytesPerSample == 1 || bytesPerSample == 2)) ||
-            (unsigned && bytesPerSample == 1)) &&
-            frameSize > 0 && fmt.getSampleRate > 0
+          // both, measured as offsets from their respective zero points.
+          // bits must be exactly 8/16 (12-bit would integer-divide to 1 byte
+          // and silently mis-decode), and the frame must be wide enough for
+          // every channel — an undersized reported frameSize would walk the
+          // reused buffer past this record's fill region into stale bytes
+          val ok = ((signed && (bits == 8 || bits == 16)) ||
+            (unsigned && bits == 8)) &&
+            frameSize >= fmt.getChannels * bytesPerSample &&
+            fmt.getChannels > 0 && fmt.getSampleRate > 0
           if (!ok) sentinel
           else {
             var frames = 0L

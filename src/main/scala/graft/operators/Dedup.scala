@@ -359,20 +359,6 @@ object Dedup {
     * under-count: reported containment can only drop, never rise, so
     * flagged pairs remain trustworthy. Default None = exact.
     */
-  /** Static eval-shingle inverted index for contamination checks: one row
-    * per (eval doc, distinct shingle hash60) with the doc's set size
-    * carried on every row. The single source of the eval-side shape,
-    * shared by [[contaminationPairs]] and the streaming quarantine
-    * (`StreamingOps.streamingContamination`) so batch and stream can
-    * never drift apart. Build once per eval-set release and persist (it
-    * is tiny next to any train corpus). Shingle-less docs are excluded —
-    * containment against an empty set is undefined. */
-  def evalShingleIndex(evalDocs: DataFrame, shingleN: Int = 3): DataFrame =
-    hashedShingleSets(evalDocs, shingleN)
-      .filter(size(col("s")) > 0)
-      .select(col("doc_id").as("eval_id"), size(col("s")).cast("long").as("n_ev"),
-        explode(col("s")).as("sh"))
-
   def contaminationPairs(train: DataFrame, evalDocs: DataFrame,
       shingleN: Int = 3, minPermille: Int = 500,
       maxTrainDf: Option[Long] = None): DataFrame = {
@@ -395,6 +381,40 @@ object Dedup {
       .filter(col("containment_permille") >= minPermille)
       .select(col("train_id"), col("eval_id"), col("inter_cnt"),
         col("containment_permille"))
+  }
+
+  /** Static eval-shingle inverted index for contamination checks: one row
+    * per (eval doc, distinct shingle hash60) with the doc's set size
+    * carried on every row. The single source of the eval-side shape,
+    * shared by [[contaminationPairs]] and the streaming quarantine
+    * (`StreamingOps.streamingContamination`) so batch and stream can
+    * never drift apart. Build once per eval-set release and persist (it
+    * is tiny next to any train corpus). Shingle-less docs are excluded —
+    * containment against an empty set is undefined.
+    *
+    * `maxEvalDf` is the eval-side twin of [[contaminationPairs]]'s
+    * `maxTrainDf`: shingles present in more than that many EVAL docs are
+    * dropped from the index. A boilerplate shingle shared by most eval
+    * docs would otherwise join nearly every incoming doc to nearly every
+    * eval doc — in the streaming quarantine that is one state row per
+    * (window, doc, eval) pair, the same quadratic hot-key blowup the
+    * batch cap bounds. Because the index is static the cap is paid once
+    * at build time. Same documented trade as `maxTrainDf`: `n_ev` stays
+    * the doc's FULL set size while intersections can only shrink, so
+    * reported containment under-counts and never over-counts — flagged
+    * pairs remain trustworthy. Default None = exact. */
+  def evalShingleIndex(evalDocs: DataFrame, shingleN: Int = 3,
+      maxEvalDf: Option[Long] = None): DataFrame = {
+    maxEvalDf.foreach(c => require(c > 0, s"maxEvalDf must be positive, got $c"))
+    val ex = hashedShingleSets(evalDocs, shingleN)
+      .filter(size(col("s")) > 0)
+      .select(col("doc_id").as("eval_id"), size(col("s")).cast("long").as("n_ev"),
+        explode(col("s")).as("sh"))
+    maxEvalDf.fold(ex) { cap =>
+      val hot = ex.groupBy(col("sh"))
+        .agg(count(lit(1)).as("__df")).filter(col("__df") > cap).select(col("sh"))
+      ex.join(hot, Seq("sh"), "left_anti")
+    }
   }
 
   /** The naive inverted-index jaccard join (reference implementation used by

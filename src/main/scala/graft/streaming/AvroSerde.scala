@@ -146,11 +146,12 @@ object AvroSerde {
   // BinaryEncoder reused across rows, output buffer reset per record.
   private final class EncodeState {
     val writers = new java.util.HashMap[String, GenericDatumWriter[GenericRecord]]()
-    // last (struct type, writer schema) pair validated on this thread —
-    // reference equality is enough because a projection reuses one
-    // StructType instance, and re-validating on a miss is just a field walk
-    var validatedStruct: StructType = _
-    var validatedSchema: String = _
+    // struct instance validated per writer schema on this thread — keyed
+    // like `writers` so a projection encoding TWO schemas doesn't thrash
+    // (a single slot would alternate every row and re-walk the fields per
+    // record); reference equality on the value is enough because a
+    // projection reuses one StructType instance per column
+    val validated = new java.util.HashMap[String, StructType]()
     val out = new ByteArrayOutputStream()
     var encoder: org.apache.avro.io.BinaryEncoder = _
   }
@@ -243,12 +244,11 @@ object AvroSerde {
         // fails with a field-level message, not a deep ClassCastException
         // (or worse, silently swapped same-typed fields)
         val rs = row.schema
-        if (rs != null && ((rs ne st.validatedStruct) || (writerSchemaJson ne st.validatedSchema))) {
+        if (rs != null && (st.validated.get(writerSchemaJson) ne rs)) {
           val errs = structErrors(rs, s)
           if (errs.nonEmpty) throw new IllegalArgumentException(
             s"toAvro: struct column does not match writer schema '${s.getFullName}': ${errs.mkString("; ")}")
-          st.validatedStruct = rs
-          st.validatedSchema = writerSchemaJson
+          st.validated.put(writerSchemaJson, rs)
         }
         var writer = st.writers.get(writerSchemaJson)
         if (writer == null) {

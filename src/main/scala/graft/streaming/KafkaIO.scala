@@ -102,7 +102,9 @@ object KafkaIO {
 
   /** Encode columns into a binary Avro `value` + string `key` for the
     * sink — the Avro-producing S4 path (the reference's output topics are
-    * Avro). Non-key columns must match `writerSchemaJson`'s field order. */
+    * Avro). Non-key columns must line up with `writerSchemaJson`'s fields
+    * by position, NAME, and (promotion-aware) type — toAvro validates all
+    * three on the first record and rejects the batch otherwise. */
   def columnsToAvroPayload(df: DataFrame, keyCol: String, writerSchemaJson: String,
       confluentHeader: Boolean = false, schemaId: Int = 1): DataFrame =
     df.select(

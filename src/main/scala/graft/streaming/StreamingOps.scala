@@ -396,8 +396,13 @@ object StreamingOps {
     * Scale: the index is |eval shingles| rows — thousands of docs, so it
     * broadcasts; state is one count per (window, doc, eval) pair that
     * shares ≥1 shingle, bounded by the watermark horizon. A doc with no
-    * eval collision produces zero state (the inner join drops it) — the
-    * quarantine only pays for suspects.
+    * eval collision produces zero state (the inner join drops it). The
+    * state-size caveat: a boilerplate shingle shared by most eval docs
+    * joins nearly every incoming doc to nearly every eval doc — one
+    * state row each. Build the index with `evalShingleIndex(...,
+    * maxEvalDf = Some(cap))` to drop such hot shingles once at build
+    * time (documented under-count, flagged pairs stay trustworthy);
+    * with the cap in place the quarantine only pays for real suspects.
     *
     * Output: `(window_start, doc_id, eval_id, inter_cnt,
     * containment_permille)` — one row per flagged (doc, eval) pair.

@@ -109,6 +109,33 @@ class NorthStarSpec extends SparkTestBase {
     }
   }
 
+  test("evalShingleIndex maxEvalDf drops eval-side hot shingles, keeps full n_ev") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    // "common phrase here and" shingles into trigrams shared by both eval
+    // docs (eval df 2); each doc's tail shingles are unique (eval df 1)
+    val evalDocs = docs(
+      100L -> "common phrase here and rare alpha beta gamma",
+      101L -> "common phrase here and rare epsilon zeta eta")
+    val exact = graft.operators.Dedup.evalShingleIndex(evalDocs)
+    val capped = graft.operators.Dedup.evalShingleIndex(evalDocs, maxEvalDf = Some(1L))
+    val hotShingles = exact.groupBy(col("sh"))
+      .agg(countDistinct(col("eval_id")).as("df")).filter(col("df") > 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(hotShingles.nonEmpty)
+    val cappedShingles = capped.select("sh").collect().map(_.getLong(0)).toSet
+    assert(cappedShingles.intersect(hotShingles).isEmpty)
+    // n_ev stays the FULL per-doc set size (under-count contract: the
+    // denominator never shrinks, so containment can only fall)
+    val exactNev = exact.select("eval_id", "n_ev").distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cappedNev = capped.select("eval_id", "n_ev").distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cappedNev === exactNev)
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.evalShingleIndex(evalDocs, maxEvalDf = Some(0L))
+    }
+  }
+
   test("packChunks: offsets are exact prefix sums, chunks cut every budget") {
     val df = Seq(
       (1L, "a", 5L), (2L, "a", 4L), (3L, "a", 2L), (4L, "b", 7L))
