@@ -244,6 +244,25 @@ object RelationalQueries {
           Sketches.kmvEstimate("sk", 256, 48).as("est_distinct"),
           col("exact_distinct"), col("n_rows"))
     }),
+    "q31_asof_join" -> ((s, d) => {
+      // As-of (point-in-time) join: each error event tagged with the same
+      // user's most recent purchase at or before it. One shuffle + one
+      // sorted window pass (AsofJoin) — no per-key range join. Purchases
+      // are pre-aggregated per (user, ts) to satisfy the uniqueness
+      // contract; unmatched errors keep -1/null sentinels.
+      val ev = Tables.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          cents(col("value")).as("err_cents"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(cents(col("value"))).as("pc"))
+      graft.operators.AsofJoin.asofJoin(
+          errors, purchases, Seq("user_id"), "ts", "ts", Seq("pc"))
+        .select(col("event_id"), col("user_id"), col("err_cents"),
+          coalesce(col("asof_pc"), lit(-1L)).as("purchase_cents"),
+          date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
+    }),
   )
 
   /** Shared definitional quantile oracle for q28 (multi-stage plan) and
@@ -424,5 +443,18 @@ object RelationalQueries {
         |SELECT CAST(CASE WHEN kk < 256 THEN kk ELSE 71776119061217280 // hk END AS BIGINT) AS est_distinct,
         |       exact_distinct, n_rows
         |FROM m, e""".stripMargin,
+    // DuckDB's native ASOF LEFT JOIN is the definitional check for the
+    // union+window forward-carry plan: greatest purchase ts <= error ts
+    // per user, nulls when no prior purchase exists
+    "q31_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, ts, CAST(ROUND(value*100) AS BIGINT) AS err_cents
+        |           FROM events WHERE event_type = 'error'),
+        |p AS (SELECT user_id, ts, MAX(CAST(ROUND(value*100) AS BIGINT)) AS pc
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.err_cents,
+        |       COALESCE(p.pc, -1) AS purchase_cents,
+        |       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+        |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND p.ts <= e.ts
+        |ORDER BY event_id""".stripMargin,
   )
 }
