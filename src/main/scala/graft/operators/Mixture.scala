@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset mixture weighting: resample a corpus so each
+  * source contributes at its target rate — the "data mixing" step every
+  * pretraining run does (e.g. wiki ×2.5, crawl ×0.3) — with no RNG and no
+  * row-order dependence, so the same mixture is bit-reproducible across
+  * runs, engines, and months.
+  *
+  * Rates are permille and may exceed 1000: a rate of 2500 means every row
+  * is emitted twice and rows whose permille slot ([[Splits.slotColumn]],
+  * the same frozen v1 hash as the split operators) falls below 500 get a
+  * third copy — exact epoch weighting, `E[copies] = rate/1000` with the
+  * fractional part carried by the hash slot, not a coin flip. A rate of 0
+  * drops the source entirely.
+  *
+  * Scale: a per-row map plus a generator (explode over a
+  * `sequence(0, copies-1)`) — no shuffle, no state, composes with every
+  * downstream operator. Use a different `salt` than any split of the same
+  * corpus, or the sampled-away fraction would correlate with the test
+  * fence.
+  */
+object Mixture {
+
+  /** Adds a `copy` column (0-based replica index) and keeps `copies(row)`
+    * replicas of every row: `rate DIV 1000` guaranteed copies plus one
+    * more when `slot < rate MOD 1000`. Sources absent from `rates` use
+    * `defaultPermille`. */
+  def sampleByRates(df: DataFrame, keyCol: String, sourceCol: String,
+      rates: Map[String, Int], defaultPermille: Int = 1000,
+      salt: String = ""): DataFrame = {
+    (rates.toSeq.map { case (s, r) => s"rate($s)" -> r } :+
+      ("defaultPermille" -> defaultPermille)).foreach { case (nm, r) =>
+      require(r >= 0, s"$nm must be >= 0 permille, got $r")
+    }
+    val rate: Column = rates.foldRight(lit(defaultPermille)) {
+      case ((src, r), elseCol) => when(col(sourceCol) === src, lit(r)).otherwise(elseCol)
+    }
+    val slot = Splits.slotColumn(col(keyCol), salt)
+    val copies = (rate.cast("long") / 1000L).cast("long") +
+      when(slot < rate.cast("long") % 1000L, 1L).otherwise(0L)
+    df.withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("__copies") - 1L)))
+      .drop("__copies")
+  }
+}

@@ -41,18 +41,26 @@ object Splits {
     * never change: persisted split assignments are only reproducible
     * while this hash recipe is frozen.
     */
-  def splitColumn(key: Column, splits: Seq[(String, Int)], salt: String = ""): Column = {
-    require(splits.nonEmpty, "need at least one split")
+  /** The frozen v1 permille slot: `hash60(salted key) % 1000` in [0, 1000).
+    * Single source for every deterministic-sampling operator (splits,
+    * mixture weighting) — persisted assignments stay reproducible only
+    * while this one recipe never changes. Null keys hash as "". */
+  def slotColumn(key: Column, salt: String = ""): Column = {
     require(!salt.contains(":"),
       s"salt must not contain ':' (it is the salt/key separator in the frozen v1 hash scheme), got '$salt'")
+    val keyStr = coalesce(key.cast("string"), lit(""))
+    val salted = if (salt.isEmpty) keyStr else concat(lit(salt), lit(":"), keyStr)
+    pmod(hash60(salted), lit(1000L))
+  }
+
+  def splitColumn(key: Column, splits: Seq[(String, Int)], salt: String = ""): Column = {
+    require(splits.nonEmpty, "need at least one split")
     splits.foreach { case (nm, w) =>
       require(w > 0, s"split $nm weight must be positive, got $w")
     }
     require(splits.map(_._2).sum == 1000,
       s"split weights must sum to 1000 permille, got ${splits.map(_._2).sum}")
-    val keyStr = coalesce(key.cast("string"), lit(""))
-    val salted = if (salt.isEmpty) keyStr else concat(lit(salt), lit(":"), keyStr)
-    val slot = pmod(hash60(salted), lit(1000L))
+    val slot = slotColumn(key, salt)
     val fences = splits.scanLeft(0)(_ + _._2).tail // cumulative upper bounds
     splits.zip(fences).foldRight(lit(null).cast("string")) {
       case (((nm, _), hi), elseCol) => when(slot < hi, lit(nm)).otherwise(elseCol)

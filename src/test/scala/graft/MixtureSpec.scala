@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Mixture, Splits}
+
+class MixtureSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+  test("copies follow rate DIV 1000 + hash-gated remainder exactly") {
+    val out = Mixture.sampleByRates(docs, "doc_id", "source",
+      Map("src0" -> 2500, "src1" -> 1000, "src2" -> 500, "src3" -> 0),
+      defaultPermille = 250, salt = "mix")
+    val copies = out.groupBy($"doc_id", $"source")
+      .agg(count(lit(1)).as("n"), max($"copy").as("maxc"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(copies.nonEmpty)
+    val slots = docs.select($"doc_id", Splits.slotColumn($"doc_id", "mix").as("slot"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def rate(src: String) = src match {
+      case "src0" => 2500; case "src1" => 1000; case "src2" => 500
+      case "src3" => 0; case _ => 250
+    }
+    copies.foreach { case (id, src, n, maxc) =>
+      val want = rate(src) / 1000 + (if (slots(id) < rate(src) % 1000) 1 else 0)
+      assert(n === want.toLong && maxc === want - 1L, s"doc $id src $src")
+    }
+    // rows with zero copies are absent, not emitted with copy count 0
+    val srcs = out.select($"source").distinct().as[String].collect().toSet
+    assert(!srcs.contains("src3"))
+    // src1 at exactly 1000 keeps every doc exactly once
+    val src1 = docs.filter($"source" === "src1").count()
+    assert(out.filter($"source" === "src1").count() === src1)
+  }
+
+  test("mixture is deterministic and salt-decorrelated") {
+    val a = Mixture.sampleByRates(docs, "doc_id", "source", Map.empty,
+      defaultPermille = 500, salt = "s1").select($"doc_id").as[Long].collect().toSet
+    val a2 = Mixture.sampleByRates(docs, "doc_id", "source", Map.empty,
+      defaultPermille = 500, salt = "s1").select($"doc_id").as[Long].collect().toSet
+    val b = Mixture.sampleByRates(docs, "doc_id", "source", Map.empty,
+      defaultPermille = 500, salt = "s2").select($"doc_id").as[Long].collect().toSet
+    assert(a === a2)
+    // different salts choose genuinely different halves (not identical,
+    // not disjoint — independent ~50% samples overlap ~25% of the corpus)
+    assert(a != b)
+    assert(a.intersect(b).nonEmpty)
+  }
+
+  test("negative rates are rejected") {
+    intercept[IllegalArgumentException] {
+      Mixture.sampleByRates(docs, "doc_id", "source", Map("src0" -> -1))
+    }
+    intercept[IllegalArgumentException] {
+      Mixture.sampleByRates(docs, "doc_id", "source", Map.empty, defaultPermille = -5)
+    }
+  }
+}
