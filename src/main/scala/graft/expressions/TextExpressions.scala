@@ -57,6 +57,17 @@ case class WordShinglesExpr(child: Expression, n: Int) extends KernelCall with S
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** [total, distinct, max-count] n-gram repetition stats (Gopher signals). */
+case class NgramRepetitionExpr(child: Expression, n: Int)
+    extends KernelCall with StringInput {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(s: Any): Any =
+    TextKernels.ngramRepetition(s.asInstanceOf[UTF8String], n)
+  override def kernelCall(ctx: CodegenContext, c: String): String =
+    s"graft.expressions.TextKernels.ngramRepetition($c, $n)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Distinct word n-gram shingles as a sorted array of hash60 values. */
 case class ShingleHashesExpr(child: Expression, n: Int) extends KernelCall with StringInput {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -164,6 +175,7 @@ object TextExpressions {
   def tokens(c: Column): Column = col(TokensExpr(ex(c)))
   def wordShingles(c: Column, n: Int): Column = col(WordShinglesExpr(ex(c), n))
   def shingleHashes(c: Column, n: Int): Column = col(ShingleHashesExpr(ex(c), n))
+  def ngramRepetition(c: Column, n: Int): Column = col(NgramRepetitionExpr(ex(c), n))
   def sortedIntersectCount(a: Column, b: Column): Column =
     col(SortedIntersectCountExpr(ex(a), ex(b)))
   def hash60(c: Column): Column = col(Hash60Expr(ex(c)))

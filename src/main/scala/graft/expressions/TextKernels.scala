@@ -185,6 +185,51 @@ object TextKernels {
     acc
   }
 
+  /** `[total n-grams, distinct n-grams, max single-n-gram count]` over the
+    * whitespace tokens of `s` — the raw counts behind Gopher-style
+    * repetition quality signals (duplicate-n-gram fraction = (total −
+    * distinct) / total, top-n-gram fraction = max / total). One pass, one
+    * per-doc hash map bounded by document length; `[0,0,0]` when the doc
+    * has fewer than `n` tokens. Counting is by exact n-gram STRING (no
+    * hashing), so a DuckDB `unnest → GROUP BY` oracle reproduces it
+    * verbatim. */
+  def ngramRepetition(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      if (str.charAt(i) == ' ') i += 1
+      else {
+        var j = i + 1
+        while (j < len && str.charAt(j) != ' ') j += 1
+        toks.add(str.substring(i, j))
+        i = j
+      }
+    }
+    val m = toks.size - n + 1
+    if (m <= 0) return new GenericArrayData(Array[Any](0L, 0L, 0L))
+    val counts = new java.util.HashMap[String, java.lang.Long]()
+    var maxC = 0L
+    var k = 0
+    while (k < m) {
+      val key =
+        if (n == 1) toks.get(k)
+        else {
+          val sb = new java.lang.StringBuilder(toks.get(k))
+          var j = 1
+          while (j < n) { sb.append(' ').append(toks.get(k + j)); j += 1 }
+          sb.toString
+        }
+      val prev = counts.get(key)
+      val now = if (prev == null) 1L else prev.longValue() + 1L
+      counts.put(key, java.lang.Long.valueOf(now))
+      if (now > maxC) maxC = now
+      k += 1
+    }
+    new GenericArrayData(Array[Any](m.toLong, counts.size.toLong, maxC))
+  }
+
   /** 32-bit simhash over a token array: bit j set iff Σ ±1 votes > 0. */
   def simhash32(arr: ArrayData): Long = {
     val votes = new Array[Long](32)

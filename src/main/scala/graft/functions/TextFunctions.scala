@@ -55,6 +55,23 @@ object TextFunctions {
       when(size(ws) >= n, grams).otherwise(array().cast("array<string>")))
   }
 
+  /** `[total, distinct, max-count]` word n-gram repetition counts — the raw
+    * form of the Gopher repetition quality signals (duplicate-n-gram and
+    * top-n-gram fractions). Counted by exact n-gram string, one pass. */
+  def ngramRepetition(c: Column, n: Int): Column = TextExpressions.ngramRepetition(c, n)
+
+  private[graft] def ngramRepetitionHof(c: Column, n: Int): Column = {
+    val ws = tokensHof(c)
+    val grams = when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+    val maxCount = coalesce(
+      array_max(transform(array_distinct(grams), g =>
+        size(filter(grams, x => x === g)))).cast("long"), lit(0L))
+    array(size(grams).cast("long"), size(array_distinct(grams)).cast("long"), maxCount)
+  }
+
   /** Stopword profiles for the n-gram/stopword language heuristic. */
   val langProfiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "in", "a", "is"),

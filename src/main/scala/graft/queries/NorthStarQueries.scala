@@ -237,6 +237,37 @@ object NorthStarQueries {
         .orderBy(col("n_occurrences").desc, col("token"))
         .limit(50)
     }),
+    "t09_repetition" -> ((s, d) => {
+      // Gopher-style repetition quality signals: duplicate-word,
+      // top-word, duplicate-3-gram and top-3-gram fractions (permille,
+      // exact integer math). Two codegen'd one-pass kernel calls per row
+      // (no HOFs, no explode+regroup) — a narrow map over the corpus.
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFunctions.ngramRepetition(col("text"), 1).as("r1"),
+          TextFunctions.ngramRepetition(col("text"), 3).as("r3"))
+        .select(col("doc_id"),
+          col("r1").getItem(0).as("n_words"),
+          expr("CASE WHEN r1[0] > 0 THEN CAST((1000 * (r1[0] - r1[1])) DIV r1[0] AS BIGINT) ELSE 0 END")
+            .as("dup_word_permille"),
+          expr("CASE WHEN r1[0] > 0 THEN CAST((1000 * r1[2]) DIV r1[0] AS BIGINT) ELSE 0 END")
+            .as("top_word_permille"),
+          expr("CASE WHEN r3[0] > 0 THEN CAST((1000 * (r3[0] - r3[1])) DIV r3[0] AS BIGINT) ELSE 0 END")
+            .as("dup_3gram_permille"),
+          expr("CASE WHEN r3[0] > 0 THEN CAST((1000 * r3[2]) DIV r3[0] AS BIGINT) ELSE 0 END")
+            .as("top_3gram_permille"))
+    }),
+    "t10_mixture_sample" -> ((s, d) => {
+      // Deterministic mixture weighting: per-source target rates with
+      // exact epoch semantics (rate 2500 = 2 guaranteed copies + a
+      // hash-gated third), no RNG, no shuffle. The "data mixing" step of
+      // a pretraining run, bit-reproducible across engines.
+      graft.operators.Mixture.sampleByRates(
+          Tables.documents(s, d), "doc_id", "source",
+          Map("src0" -> 2500, "src1" -> 1000, "src2" -> 500, "src3" -> 0),
+          defaultPermille = 250, salt = "mix")
+        .select(col("doc_id"), col("source"), col("copy"))
+    }),
     "t06_hash_split" -> ((s, d) => {
       // Deterministic 90/5/5 train/val/test split by doc_id — stable
       // across runs/engines (md5-derived fences, no RNG), a pure per-row
@@ -485,6 +516,39 @@ object NorthStarQueries {
          |SELECT token, COUNT(*) AS n_occurrences
          |FROM t GROUP BY token
          |ORDER BY n_occurrences DESC, token LIMIT 50""".stripMargin,
+    // repetition counts by exact n-gram STRING (no hashing), so the
+    // unnest -> GROUP BY route reproduces the one-pass kernel verbatim;
+    // docs shorter than n tokens contribute [0,0,0] via the LEFT JOIN
+    "t09_repetition" ->
+      s"""WITH ws AS (SELECT doc_id, $WsSql AS w FROM documents),
+         |g1 AS (SELECT doc_id, unnest(w) AS g FROM ws),
+         |c1 AS (SELECT doc_id, g, COUNT(*) AS c FROM g1 GROUP BY 1, 2),
+         |a1 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS t1, CAST(COUNT(*) AS BIGINT) AS d1,
+         |               CAST(MAX(c) AS BIGINT) AS m1 FROM c1 GROUP BY 1),
+         |g3 AS (SELECT doc_id, unnest(list_transform(range(greatest(len(w)-2, 0)),
+         |                                            i -> w[i+1]||' '||w[i+2]||' '||w[i+3])) AS g FROM ws),
+         |c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+         |a3 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS t3, CAST(COUNT(*) AS BIGINT) AS d3,
+         |               CAST(MAX(c) AS BIGINT) AS m3 FROM c3 GROUP BY 1)
+         |SELECT ws.doc_id,
+         |       CAST(COALESCE(t1, 0) AS BIGINT) AS n_words,
+         |       CAST(CASE WHEN COALESCE(t1, 0) > 0 THEN (1000 * (t1 - d1)) // t1 ELSE 0 END AS BIGINT) AS dup_word_permille,
+         |       CAST(CASE WHEN COALESCE(t1, 0) > 0 THEN (1000 * m1) // t1 ELSE 0 END AS BIGINT) AS top_word_permille,
+         |       CAST(CASE WHEN COALESCE(t3, 0) > 0 THEN (1000 * (t3 - d3)) // t3 ELSE 0 END AS BIGINT) AS dup_3gram_permille,
+         |       CAST(CASE WHEN COALESCE(t3, 0) > 0 THEN (1000 * m3) // t3 ELSE 0 END AS BIGINT) AS top_3gram_permille
+         |FROM ws LEFT JOIN a1 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // mixture copies: rate DIV 1000 guaranteed replicas + one more when
+    // the frozen-v1 salted slot ('mix:'||key) lands under rate MOD 1000
+    "t10_mixture_sample" ->
+      s"""WITH c AS (SELECT doc_id, source,
+         |  CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 1000 WHEN 'src2' THEN 500
+         |              WHEN 'src3' THEN 0 ELSE 250 END AS rate,
+         |  ${h60("'mix:'||CAST(doc_id AS VARCHAR)")} % 1000 AS slot FROM documents),
+         |k AS (SELECT doc_id, source,
+         |             rate // 1000 + CASE WHEN slot < rate % 1000 THEN 1 ELSE 0 END AS copies FROM c)
+         |SELECT doc_id, source, CAST(unnest(range(copies)) AS BIGINT) AS copy
+         |FROM k WHERE copies > 0 ORDER BY doc_id, copy""".stripMargin,
     // split fences: hash60(key) % 1000 against cumulative permille bounds
     // (train [0,900), val [900,950), test [950,1000))
     "t06_hash_split" ->

@@ -36,6 +36,26 @@ class TextExprSpec extends SparkTestBase {
       assertSame(wordShingles($"text", n), TextFunctions.wordShinglesHof($"text", n))
   }
 
+  test("ngramRepetition kernel ≡ count-by-gram HOF, n=1,3") {
+    for (n <- Seq(1, 3))
+      assertSame(TextFunctions.ngramRepetition($"text", n),
+        TextFunctions.ngramRepetitionHof($"text", n))
+  }
+
+  test("ngramRepetition counts: total/distinct/max on a known string") {
+    // 5 words, 4 distinct, "dup" ×2; trigrams: 3 total, all distinct
+    val r = Seq((1L, "dup a dup b c")).toDF("doc_id", "text")
+      .select(TextFunctions.ngramRepetition($"text", 1).as("r1"),
+        TextFunctions.ngramRepetition($"text", 3).as("r3"))
+      .collect()(0)
+    assert(r.getSeq[Long](0) === Seq(5L, 4L, 2L))
+    assert(r.getSeq[Long](1) === Seq(3L, 3L, 1L))
+    // shorter than n: all-zero sentinel
+    val short = Seq((1L, "a b")).toDF("doc_id", "text")
+      .select(TextFunctions.ngramRepetition($"text", 3).as("r")).collect()(0)
+    assert(short.getSeq[Long](0) === Seq(0L, 0L, 0L))
+  }
+
   test("hash60 kernel ≡ conv(substring(md5)) builtins") {
     assertSame(hash60($"text"), TextFunctions.hash60Hof($"text"))
     // and on tokens, where minhash applies it
