@@ -128,11 +128,97 @@ case class DotProductWiden(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** JVM kernels behind the quantization expressions (TextKernels pattern:
+  * generated code calls these static forwarders, so eval and codegen share
+  * one implementation and cannot drift). */
+object VectorKernels {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  /** Scalar int8 quantization against per-dimension scales:
+    * `clamp(floor(v_j * 127 / scale_j), -127, 127)`. FLOOR, not round —
+    * floor has no tie rule, so any IEEE-double engine (DuckDB included)
+    * reproduces it bit-for-bit. The clamp guards the one-ulp division
+    * overshoot at v_j = ±scale_j. */
+  def quantizeI8(arr: ArrayData, scales: Array[Double]): ArrayData = {
+    val n = math.min(arr.numElements(), scales.length)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val q = math.floor(arr.getFloat(i).toDouble * 127.0 / scales(i))
+      out(i) = java.lang.Byte.valueOf(math.max(-127.0, math.min(127.0, q)).toByte)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Integer dot product over two int8 vectors — the coarse-scoring loop:
+    * pure int multiply-adds over arrays a quarter the size of float32,
+    * which is the whole point at 100 TB (the coarse scan is memory-bandwidth
+    * bound). */
+  def dotI8(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += a.getByte(i).toLong * b.getByte(i).toLong
+      i += 1
+    }
+    s
+  }
+}
+
+/** int8 quantization of an `array<float>` against fixed per-dimension
+  * scales (index-build state, O(d) on the driver — same class as IVF
+  * centroids). */
+case class QuantizeI8(child: Expression, scales: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.ByteType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"quantize_i8 expects array<float>, got $t")
+  }
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.quantizeI8(a.asInstanceOf[ArrayData], scales)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("scales", scales, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.VectorKernels.quantizeI8($c, $ref);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Integer dot product over two `array<byte>` int8 vectors. */
+case class DotI8(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(org.apache.spark.sql.types.ByteType, _),
+          ArrayType(org.apache.spark.sql.types.ByteType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"dot_i8 expects (array<byte>, array<byte>), got ($l, $r)")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dotI8(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.VectorKernels.dotI8($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VectorExpressions {
   /** Column wrapper for DotProductFF. */
   def dotFF(a: Column, b: Column): Column =
     GraftColumnShim.column(
       DotProductFF(GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
+
+  /** Column wrapper for QuantizeI8. */
+  def quantizeI8(a: Column, scales: Array[Double]): Column =
+    GraftColumnShim.column(QuantizeI8(GraftColumnShim.expression(a), scales))
+
+  /** Column wrapper for DotI8. */
+  def dotI8(a: Column, b: Column): Column =
+    GraftColumnShim.column(
+      DotI8(GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
 
   /** Column wrapper for DotProductWiden (array<float|double> each side). */
   def dotWiden(a: Column, b: Column): Column =

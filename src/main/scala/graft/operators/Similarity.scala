@@ -86,6 +86,58 @@ object Similarity {
     topKNeighbors(scored, k)
   }
 
+  /** Per-dimension max-abs int8 quantization scales — index-build state,
+    * O(d) doubles on the driver (same class as the IVF centroid fetch,
+    * not a data collect). All-zero dimensions get scale 1 so quantization
+    * stays total. One pass: posexplode + grouped max with map-side
+    * partials; the exchange carries ≤ d rows per partition. */
+  def quantizationScales(emb: DataFrame): Array[Double] = {
+    val rows = emb
+      .select(posexplode(col("embedding")).as(Seq("j", "v")))
+      .groupBy(col("j")).agg(max(abs(col("v").cast("double"))).as("m"))
+      .collect()
+    require(rows.nonEmpty, "cannot fit quantization scales on an empty corpus")
+    val out = Array.fill(rows.map(_.getInt(0)).max + 1)(1.0)
+    rows.foreach(r => out(r.getInt(0)) = if (r.getDouble(1) == 0.0) 1.0 else r.getDouble(1))
+    out
+  }
+
+  /** int8-quantized two-stage kNN: coarse top-`coarseK` by integer dot
+    * product over quantized vectors, then exact cosine rescore of those
+    * candidates only. The memory-bandwidth play for a 100 TB corpus — the
+    * full-corpus scan reads arrays a QUARTER the size of float32 and
+    * scores them with integer multiply-adds; float vectors are touched
+    * only for nQueries×coarseK candidate rows (broadcast-joined back, no
+    * corpus shuffle). Quantization is `floor(v*127/scale_j)` against
+    * per-dimension max-abs scales ([[quantizationScales]]) — FLOOR, so
+    * every IEEE engine reproduces the index bit-for-bit and the s04
+    * oracle replays the whole pipeline. Recall loss comes only from
+    * coarse-rank inversions beyond `coarseK` (default 4k); `coarseK` =
+    * corpus size degenerates to exact brute force (spec-asserted). */
+  def quantizedKnn(emb: DataFrame, queries: DataFrame, k: Int,
+      coarseK: Int = 0, scalesIn: Option[Array[Double]] = None): DataFrame = {
+    val ck = if (coarseK > 0) coarseK else 4 * k
+    require(ck >= k, s"coarseK ($ck) must be >= k ($k)")
+    val scales = scalesIn.getOrElse(quantizationScales(emb))
+    def qz = VectorExpressions.quantizeI8(col("embedding"), scales)
+    val q = queries.select(col("vec_id").as("query_id"), qz.as("q8"))
+    val c = spread(emb.select(col("vec_id").as("neighbor_id"), qz.as("n8")))
+    val coarse = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("qd", VectorExpressions.dotI8(col("q8"), col("n8")))
+    val cand = coarse.groupBy(col("query_id"))
+      .agg(TopKByScore.topK(col("qd").cast("double"), col("neighbor_id"), ck).as("top"))
+      .select(col("query_id"), explode(col("top")).as("nb"))
+      .select(col("query_id"), col("nb.id").as("neighbor_id"))
+    val qv = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"), norm(col("embedding")).as("qn"))
+    val scored = broadcast(cand)
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nv"), norm(col("embedding")).as("nn")), "neighbor_id")
+      .join(broadcast(qv), "query_id")
+      .withColumn("cos_e6", cosE6From(col("qv"), col("nv"), col("qn"), col("nn")))
+    topKNeighbors(scored, k)
+  }
+
   /** Deterministic sampled k-means centroids for the IVF index —
     * THE centroid rule, in one place (assignment and probing must use the
     * same centroids or probes would target cells nothing was assigned to).

@@ -297,6 +297,14 @@ object NorthStarQueries {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 20), k = 5, nCells = 16, nprobe = 2)
     }),
+    "s04_knn_quantized" -> ((s, d) => {
+      // int8 two-stage ANN: coarse integer-dot top-20 over quantized
+      // vectors (the corpus scan reads 4x fewer bytes), exact cosine
+      // rescore of candidates only. coarseK=20 here so the oracle fence
+      // is explicit.
+      val emb = Tables.embeddings(s, d)
+      Similarity.quantizedKnn(emb, emb.filter(col("vec_id") < 20), k = 5, coarseK = 20)
+    }),
     "t01_token_count" -> ((s, d) => {
       Tables.documents(s, d).select(
         col("doc_id"),
@@ -575,6 +583,33 @@ object NorthStarQueries {
          |ORDER BY query_id, rank""".stripMargin,
     "s02_knn_ivf" ->
       ivfOracleSql(nCells = 16, nprobe = 2, k = 5, iters = 2, sampleMod = 7, qMax = 20),
+    // replays the full two-stage pipeline: per-dimension max-abs scales,
+    // FLOOR-quantized int8 vectors, integer-dot coarse top-20 (ties by
+    // neighbor), exact-cosine rescore of exactly those candidates
+    "s04_knn_quantized" ->
+      s"""WITH ex AS (SELECT unnest(embedding) AS e, unnest(range(len(embedding))) AS j FROM embeddings),
+         |mx AS (SELECT j, MAX(ABS(e::DOUBLE)) AS m FROM ex GROUP BY j),
+         |ms AS (SELECT list(CASE WHEN m = 0 THEN 1 ELSE m END ORDER BY j) AS s FROM mx),
+         |qz AS (SELECT vec_id, list_transform(range(len(embedding)),
+         |         i -> CAST(GREATEST(-127, LEAST(127, FLOOR(embedding[i+1]::DOUBLE * 127 / s[i+1]))) AS BIGINT)) AS v8
+         |       FROM embeddings, ms),
+         |q AS (SELECT vec_id AS query_id, v8 AS q8 FROM qz WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS neighbor_id, v8 AS n8 FROM qz),
+         |coarse AS (SELECT query_id, neighbor_id,
+         |             CAST(list_sum(list_transform(range(len(q8)), i -> q8[i+1]*n8[i+1])) AS BIGINT) AS qd
+         |           FROM q, c WHERE query_id <> neighbor_id),
+         |cand AS (SELECT query_id, neighbor_id FROM (
+         |           SELECT query_id, neighbor_id,
+         |                  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qd DESC, neighbor_id) AS r
+         |           FROM coarse) WHERE r <= 20),
+         |fq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings),
+         |fc AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+         |resc AS (SELECT cand.query_id, cand.neighbor_id, ${cosE6Sql("qv", "nv")} AS cos_e6
+         |         FROM cand JOIN fq USING (query_id) JOIN fc USING (neighbor_id)),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY cos_e6 DESC, neighbor_id) AS rank FROM resc)
+         |SELECT query_id, rank, neighbor_id, cos_e6 FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
     "t01_token_count" ->
       s"""SELECT doc_id,
          |       CAST(len($WsSql) AS BIGINT) AS n_tokens,

@@ -48,6 +48,49 @@ class ScaleShapeSpec extends SparkTestBase {
     assert(diffs === 0L)
   }
 
+  test("quantized kNN is exact when coarseK covers the corpus; recall floor at 4k") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" < 10)
+    val n = emb.count().toInt
+    val brute = Similarity.bruteForceKnn(emb, q, k = 5)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    // rescoring every vector exactly == brute force, whatever int8 lost
+    val full = Similarity.quantizedKnn(emb, q, k = 5, coarseK = n)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(brute.nonEmpty)
+    assert(full === brute)
+    // default 4k coarse fence: int8 coarse ranking keeps most true
+    // neighbors in the candidate set
+    def topSets(rows: Seq[Seq[Any]]): Map[Any, Set[Any]] =
+      rows.groupBy(_.head).view.mapValues(_.map(_(2)).toSet).toMap
+    val bSets = topSets(brute)
+    val qSets = topSets(Similarity.quantizedKnn(emb, q, k = 5)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq)
+    val recall = bSets.map { case (qid, t) =>
+      qSets.getOrElse(qid, Set.empty).intersect(t).size.toDouble / t.size
+    }.sum / bSets.size
+    info(f"int8 coarse@20 recall@5 = $recall%.3f")
+    assert(recall >= 0.8, f"quantized recall@5 $recall%.3f under 0.8 floor")
+  }
+
+  test("int8 kernels: floor quantization with clamp; integer dot") {
+    import graft.expressions.VectorExpressions
+    val scales = Array(2.0, 1.0, 4.0)
+    val rows = Seq(
+      (1L, Seq(2.0f, -1.0f, 1.0f)), // full scale +, full scale -, quarter
+      (2L, Seq(-2.0f, 0.999f, -3.9f))
+    ).toDF("id", "v").select($"id",
+      VectorExpressions.quantizeI8($"v".cast("array<float>"), scales).as("q8"))
+    val got = rows.orderBy("id").collect().map(_.getSeq[Byte](1).toSeq)
+    // floor semantics: 0.999*127/1 = 126.873 -> 126; -3.9*127/4 -> floor(-123.825) = -124
+    assert(got(0) === Seq[Byte](127, -127, 31))
+    assert(got(1) === Seq[Byte](-127, 126, -124))
+    val d = Seq((Seq(127.toByte, -127.toByte, 31.toByte), Seq(-127.toByte, 126.toByte, -124.toByte)))
+      .toDF("a", "b")
+      .select(VectorExpressions.dotI8($"a", $"b").as("d")).collect()(0).getLong(0)
+    assert(d === (127L * -127 + -127L * 126 + 31L * -124))
+  }
+
   test("IVF with k-means centroids is exact when every cell is probed") {
     // probing all cells scores every (query, vector) pair, so the IVF
     // result must equal brute force regardless of centroid quality
