@@ -46,4 +46,43 @@ object Mixture {
       .withColumn("copy", explode(sequence(lit(0L), col("__copies") - 1L)))
       .drop("__copies")
   }
+
+  /** Deterministic stratified sample: the `kPerGroup` rows of each group
+    * whose salted key hash ranks smallest — "take a random k per source"
+    * with no RNG, reproducible on any engine (hash rank replaces the
+    * random draw; a fixed salt freezes the draw, a new salt is a fresh
+    * one).
+    *
+    * Shape: ONE grouped bounded-heap aggregate ([[graft.expressions
+    * .TopKByScore]]) with map-side partials — each partition contributes
+    * at most `kPerGroup` rows per group to the exchange. The usual
+    * window-rank formulation (`row_number over (partition by group order
+    * by hash)`) shuffles and sorts the WHOLE corpus; this shuffles
+    * `O(partitions × groups × k)` rows. The hash is truncated to 48 bits
+    * (`>> 12`, the KMV trick) so the heap's double-typed score stays
+    * exact; ranking is (hash asc, key asc) — ties deterministic, so the
+    * DuckDB oracle reproduces the sample bit-for-bit.
+    *
+    * Output: `(groupCol, rank, keyCol)`, rank 1-based within each group.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, groupCol: String,
+      kPerGroup: Int, salt: String = ""): DataFrame = {
+    require(kPerGroup > 0, s"kPerGroup must be positive, got $kPerGroup")
+    require(!salt.contains(":"),
+      s"salt must not contain ':' (frozen v1 hash scheme), got '$salt'")
+    val h48 = shiftright(
+      graft.functions.TextFunctions.hash60(
+        if (salt.isEmpty) coalesce(col(keyCol).cast("string"), lit(""))
+        else concat(lit(salt), lit(":"), coalesce(col(keyCol).cast("string"), lit("")))),
+      12)
+    df.withColumn("__h48", h48)
+      .groupBy(col(groupCol))
+      // TopKByScore keeps (score desc, id asc): negate the hash so the
+      // smallest-hash rows win; -h48 is exact in a double (48-bit)
+      .agg(graft.expressions.TopKByScore.topK(-col("__h48").cast("double"),
+        col(keyCol), kPerGroup).as("top"))
+      .select(col(groupCol), posexplode(col("top")).as(Seq("pos", "kv")))
+      .select(col(groupCol), (col("pos") + 1).cast("int").as("rank"),
+        col("kv.id").as(keyCol))
+  }
 }

@@ -268,6 +268,13 @@ object NorthStarQueries {
           defaultPermille = 250, salt = "mix")
         .select(col("doc_id"), col("source"), col("copy"))
     }),
+    "t11_stratified_sample" -> ((s, d) => {
+      // Deterministic "random 5 per source": smallest salted-hash rank
+      // per group through ONE bounded-heap aggregate (map-side partials,
+      // O(groups x k) exchange) — no window, no full sort, no RNG.
+      graft.operators.Mixture.stratifiedSample(
+        Tables.documents(s, d), "doc_id", "source", kPerGroup = 5, salt = "strat")
+    }),
     "t06_hash_split" -> ((s, d) => {
       // Deterministic 90/5/5 train/val/test split by doc_id — stable
       // across runs/engines (md5-derived fences, no RNG), a pure per-row
@@ -557,6 +564,17 @@ object NorthStarQueries {
          |             rate // 1000 + CASE WHEN slot < rate % 1000 THEN 1 ELSE 0 END AS copies FROM c)
          |SELECT doc_id, source, CAST(unnest(range(copies)) AS BIGINT) AS copy
          |FROM k WHERE copies > 0 ORDER BY doc_id, copy""".stripMargin,
+    // smallest 48-bit salted hash per source = the deterministic draw;
+    // ties (h, doc_id) both sides — reproduces the bounded-heap sample
+    "t11_stratified_sample" ->
+      s"""WITH h AS (SELECT doc_id, source,
+         |             ${h60("'strat:'||CAST(doc_id AS VARCHAR)")} // 4096 AS h48
+         |           FROM documents),
+         |r AS (SELECT source, doc_id,
+         |             ROW_NUMBER() OVER (PARTITION BY source ORDER BY h48, doc_id) AS rank
+         |      FROM h)
+         |SELECT source, CAST(rank AS INT) AS rank, doc_id
+         |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
     // split fences: hash60(key) % 1000 against cumulative permille bounds
     // (train [0,900), val [900,950), test [950,1000))
     "t06_hash_split" ->

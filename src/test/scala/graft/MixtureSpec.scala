@@ -48,6 +48,34 @@ class MixtureSpec extends SparkTestBase {
     assert(a.intersect(b).nonEmpty)
   }
 
+  test("stratifiedSample ≡ window-rank over salted hash; deterministic; k caps at group size") {
+    import org.apache.spark.sql.expressions.Window
+    val out = Mixture.stratifiedSample(docs, "doc_id", "source", kPerGroup = 5, salt = "strat")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    // reference formulation: full window rank over the same hash
+    val h48 = shiftright(graft.functions.TextFunctions.hash60(
+      concat(lit("strat:"), $"doc_id".cast("string"))), 12)
+    val ref = docs.withColumn("h", h48)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"source").orderBy($"h", $"doc_id")))
+      .filter($"rank" <= 5)
+      .select($"source", $"rank", $"doc_id")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(out.nonEmpty)
+    assert(out === ref)
+    // deterministic across runs
+    val again = Mixture.stratifiedSample(docs, "doc_id", "source", kPerGroup = 5, salt = "strat")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(again === out)
+    // a different salt draws a different sample
+    val other = Mixture.stratifiedSample(docs, "doc_id", "source", kPerGroup = 5, salt = "other")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(other !== out)
+    // k >= group size returns the whole group (no padding, no loss)
+    val all = Mixture.stratifiedSample(docs, "doc_id", "source", kPerGroup = 1000000)
+    assert(all.count() === docs.count())
+  }
+
   test("negative rates are rejected") {
     intercept[IllegalArgumentException] {
       Mixture.sampleByRates(docs, "doc_id", "source", Map("src0" -> -1))
