@@ -21,6 +21,27 @@ case class BucketState(canonical: Long, maxTsMillis: Long)
   * canonical (first/minimum) document is `dup_of`, on LSH band `band`. */
 case class NearDupHit(doc_id: Long, dup_of: Long, band: Long)
 
+/** One tagged input row of the streaming as-of join (side 0 = right /
+  * reference stream, 1 = left / probe stream). `ts` is the original
+  * event-time column so watermark metadata survives into the stateful op. */
+case class AsofInput(key: Long, side: Int, id: Long, ts: java.sql.Timestamp, value: Double)
+
+/** A buffered right row (reference point) in as-of state. */
+case class AsofRight(tsMs: Long, value: Double)
+
+/** A left row waiting for the watermark to certify its as-of lookup. */
+case class AsofPending(id: Long, tsMs: Long, value: Double)
+
+/** Per-key as-of state: reference rows within the active horizon (plus
+  * the single floor row at-or-below the watermark — the latest value any
+  * future left row could still match), and left rows not yet emitted. */
+case class AsofJoinState(rights: Seq[AsofRight], lefts: Seq[AsofPending])
+
+/** Streaming as-of output: the left row plus the matched right value and
+  * timestamp (None when no right row at-or-before the left's ts). */
+case class AsofEnriched(id: Long, key: Long, ts: java.sql.Timestamp, value: Double,
+    asof_value: Option[Double], asof_ts: Option[java.sql.Timestamp])
+
 /** Structured Streaming counterparts of graft.ops.CoreOps — the engine's
   * re-expression of the reference's *streaming* runtime semantics
   * (Kafka Streams continuous topologies), on Spark's micro-batch model.
@@ -373,6 +394,76 @@ object StreamingOps {
             rs.iterator.filter(_.doc_id != canonical)
               .map(r => NearDupHit(r.doc_id, canonical, key._1)) ++ displaced.iterator
           }
+      }
+  }
+
+  /** Streaming as-of join — the streaming counterpart of
+    * [[graft.operators.AsofJoin]]: every left (probe) row is enriched with
+    * the most recent right (reference) row of the same key at or before
+    * its event time, exactly as the batch operator would compute it.
+    *
+    * Correctness under out-of-order arrival: a left row's answer is only
+    * FINAL once no earlier right row can still arrive — i.e. once the
+    * watermark passes the left row's timestamp. So left rows buffer in
+    * state until `watermark >= ts`, then emit (append mode, one row each,
+    * in deterministic (ts, id) order per flush). Right rows buffer in the
+    * same per-key state; everything at-or-below the watermark collapses to
+    * the single FLOOR row — the latest reference value any future left
+    * could still match (as-of lookback is unbounded, so the floor is kept
+    * for the key's lifetime: O(1) state per idle key, the same bound as a
+    * KTable).
+    *
+    * Shape: both streams are watermarked, tagged, unioned (the batch
+    * operator's union trick), and ONE flatMapGroupsWithState keyed by the
+    * join key holds the buffers; event-time timeouts re-fire flushes when
+    * the watermark advances past pending left rows without new traffic on
+    * the key. Contract as in batch: right unique per (key, ts).
+    *
+    * The operator runs at the GLOBAL watermark — the minimum across both
+    * inputs (Spark's default multipleWatermarkPolicy) — so a stalled
+    * reference stream holds results back rather than emitting lookups
+    * that a late reference row could still invalidate.
+    */
+  def streamingAsofJoin(
+      left: DataFrame, // columns: key (long), id (long), ts (timestamp), value (double)
+      right: DataFrame, // columns: key (long), ts (timestamp), value (double)
+      watermark: String = "1 hour"): Dataset[AsofEnriched] = {
+    import left.sparkSession.implicits._
+    val l = left.withWatermark("ts", watermark)
+      .select(col("key"), lit(1).as("side"), col("id"), col("ts"), col("value"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("key"), lit(0).as("side"), lit(-1L).as("id"), col("ts"), col("value"))
+    l.unionByName(r).as[AsofInput]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsofJoinState, AsofEnriched](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[AsofInput], state: GroupState[AsofJoinState]) =>
+          val st = state.getOption.getOrElse(AsofJoinState(Nil, Nil))
+          val rs = if (state.hasTimedOut) Array.empty[AsofInput] else rows.toArray
+          val rights = (st.rights ++ rs.filter(_.side == 0)
+              .map(x => AsofRight(x.ts.getTime, x.value)))
+            .sortBy(_.tsMs)
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, pending) = (st.lefts ++ rs.filter(_.side == 1)
+              .map(x => AsofPending(x.id, x.ts.getTime, x.value)))
+            .partition(_.tsMs <= wm)
+          val out = ready.sortBy(p => (p.tsMs, p.id)).map { p =>
+            val best = rights.takeWhile(_.tsMs <= p.tsMs).lastOption
+            AsofEnriched(p.id, key, new java.sql.Timestamp(p.tsMs), p.value,
+              best.map(_.value), best.map(b => new java.sql.Timestamp(b.tsMs)))
+          }
+          // collapse rights at-or-below the watermark to the floor row:
+          // every future left has ts > wm, so older rights can never win
+          val keptRights =
+            rights.takeWhile(_.tsMs <= wm).lastOption.toSeq ++
+              rights.dropWhile(_.tsMs <= wm)
+          state.update(AsofJoinState(keptRights, pending))
+          // pending lefts flush when the watermark passes them — re-arm a
+          // timeout so the flush happens even with no new rows on this key
+          // (must be strictly above the current watermark)
+          pending.map(_.tsMs).minOption.foreach(t =>
+            state.setTimeoutTimestamp(math.max(t, wm + 1)))
+          out.iterator
       }
   }
 

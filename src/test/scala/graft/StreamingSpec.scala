@@ -13,6 +13,8 @@ case class CallEvent(ts: Timestamp, user_id: Long, value: Long)
 case class RawCall(ts: Timestamp, user_id: Long, value: Double)
 case class CustUpsert(phone: Long, doc: String, offset: Long)
 case class StreamDocFixture(doc_id: Long, text: String, ts: Timestamp)
+case class AsofLeftFix(key: Long, id: Long, ts: Timestamp, value: Double)
+case class AsofRightFix(key: Long, ts: Timestamp, value: Double)
 
 /** Streaming semantics mirrored from the reference's TopologyTestDriver
   * tests (CallsEnrichedAppTest.java) on MemoryStream micro-batches:
@@ -560,6 +562,57 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.exists(r => r(0) == 3L && r(1) == 101L && r(3) == 750L),
       s"partial leak not flagged at 750 permille: $rows")
     assert(!rows.exists(r => r(0) == 2L), s"clean doc falsely flagged: $rows")
+  }
+
+  test("streaming as-of join: stream ≡ batch, late rights within the watermark are matched") {
+    val inL = MemoryStream[AsofLeftFix](spark)
+    val inR = MemoryStream[AsofRightFix](spark)
+    val out = StreamingOps.streamingAsofJoin(inL.toDF(), inR.toDF())
+    val q = out.writeStream
+      .format("memory").queryName("stream_asof").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ck-asof").toString)
+      .start()
+    val lefts = Seq(
+      AsofLeftFix(1L, 950L, ts("09:50"), 1.0),
+      AsofLeftFix(1L, 1030L, ts("10:30"), 2.0),
+      AsofLeftFix(2L, 940L, ts("09:40"), 3.0))
+    try {
+      // batch 1: all lefts + the 10:00 right; watermark ends at 09:30
+      inL.addData(lefts)
+      inR.addData(AsofRightFix(1L, ts("10:00"), 110.0))
+      q.processAllAvailable()
+      // nothing may emit before the watermark certifies the lookups
+      assert(spark.table("stream_asof").count() === 0L)
+      // batch 2: a LATE right (09:45 < every buffered left's answer time,
+      // but above the 09:30 watermark) — must win left 950's lookup
+      inR.addData(AsofRightFix(1L, ts("09:45"), 105.0))
+      q.processAllAvailable()
+      // batch 3: watermark push on BOTH streams (the join runs at the
+      // global minimum watermark — a stalled reference stream correctly
+      // holds results back); the no-data batch after it fires timeouts
+      inL.addData(AsofLeftFix(99L, 9999L, ts("14:00"), 0.0))
+      inR.addData(AsofRightFix(99L, ts("14:00"), 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("stream_asof")
+      .select($"id", $"key", $"asof_value", $"asof_ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)), Option(r.get(3)))).toSet
+    assert(rows === Set(
+      (950L, 1L, Some(105.0), Some(ts("09:45"))), // late right matched
+      (1030L, 1L, Some(110.0), Some(ts("10:00"))),
+      (940L, 2L, None, None))) // no reference stream for key 2
+    // batch operator on the same data agrees row-for-row
+    val batch = graft.operators.AsofJoin.asofJoin(
+        lefts.toDF(), Seq(
+          AsofRightFix(1L, ts("10:00"), 110.0),
+          AsofRightFix(1L, ts("09:45"), 105.0)).toDF()
+          .withColumnRenamed("ts", "rts").withColumnRenamed("value", "rv"),
+        Seq("key"), "ts", "rts", Seq("rv"))
+      .select($"id", $"key", $"asof_rv", $"asof_ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)), Option(r.get(3)))).toSet
+    assert(rows === batch)
   }
 
   test("windowed KMV distinct sketch: stream ≡ batch kmv per window") {
