@@ -114,4 +114,47 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Window"), s"latest-by-key still ranks through a window:\n$p")
     assert(p.contains("partial_max_by"), s"no map-side partial argmax:\n$p")
   }
+
+  test("as-of join plans as union + one keyed window — no join operator at all") {
+    val p = plan(SparkEntry.queries("q31_asof_join")(spark, sf))
+    // the range-join formulation would be a per-key BNLJ/cartesian; the
+    // union+forward-carry form has NO join anywhere in the plan
+    for (j <- Seq("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+        "CartesianProduct", "ShuffledHashJoin"))
+      assert(!p.contains(j), s"as-of join planned a $j:\n$p")
+    assert(p.contains("Union"), s"tagged union missing:\n$p")
+    assert(p.contains("Window"), s"forward-carry window missing:\n$p")
+  }
+
+  test("repetition signals run inside WholeStageCodegen, no explode/regroup") {
+    val p = plan(SparkEntry.queries("t09_repetition")(spark, sf))
+    assert(p.contains("*(1)"), s"no codegen stage:\n$p")
+    assert(!p.contains("Exchange"), s"per-row metric query shuffles:\n$p")
+    assert(!p.contains("Generate"), s"kernel form should not explode:\n$p")
+  }
+
+  test("mixture sample is a per-row map + generator: no exchange") {
+    val p = plan(SparkEntry.queries("t10_mixture_sample")(spark, sf))
+    assert(!p.contains("Exchange"), s"mixture plan shuffles:\n$p")
+    assert(p.contains("Generate"), s"copy explode missing:\n$p")
+  }
+
+  test("stratified sample is a bounded aggregate with map-side partials, no window") {
+    val p = plan(SparkEntry.queries("t11_stratified_sample")(spark, sf))
+    assert(!p.contains("Window"), s"stratified sample ranks through a window:\n$p")
+    assert(p.contains("partial_top_k_by_score"),
+      s"sample heap does not partially aggregate map-side:\n$p")
+  }
+
+  test("quantized kNN rescore joins broadcast; no sort-merge join anywhere") {
+    val p = plan(SparkEntry.queries("s04_knn_quantized")(spark, sf))
+    // coarse stage is the same broadcast-BNLJ shape as s01 brute force;
+    // the rescore must stay broadcast equi-joins (candidates are tiny),
+    // never a corpus-shuffling sort-merge join
+    assert(!p.contains("SortMergeJoin"), s"rescore shuffles the corpus:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"candidate join-back not broadcast:\n$p")
+    assert(!p.contains("Window"), s"s04 still ranks through a window:\n$p")
+    assert(p.contains("partial_top_k_by_score"),
+      s"s04 top-k does not partially aggregate map-side:\n$p")
+  }
 }
