@@ -140,7 +140,12 @@ object VectorKernels {
     * reproduces it bit-for-bit. The clamp guards the one-ulp division
     * overshoot at v_j = ±scale_j. */
   def quantizeI8(arr: ArrayData, scales: Array[Double]): ArrayData = {
-    val n = math.min(arr.numElements(), scales.length)
+    val n = arr.numElements()
+    // strict: silently truncating to min(length) would quantize only a
+    // prefix when stale scales meet a re-embedded corpus — recall would
+    // collapse with nothing to detect it
+    if (n != scales.length) throw new IllegalArgumentException(
+      s"quantize_i8: vector has $n dims but scales were fit on ${scales.length}")
     val out = new Array[Any](n)
     var i = 0
     while (i < n) {
@@ -156,7 +161,9 @@ object VectorKernels {
     * which is the whole point at 100 TB (the coarse scan is memory-bandwidth
     * bound). */
   def dotI8(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) throw new IllegalArgumentException(
+      s"dot_i8: mismatched dimensions ${a.numElements()} vs ${b.numElements()}")
     var s = 0L
     var i = 0
     while (i < n) {

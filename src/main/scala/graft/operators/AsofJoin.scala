@@ -41,15 +41,22 @@ object AsofJoin {
       leftTs: String, rightTs: String, rightVals: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "asofJoin needs at least one key column")
     require(rightVals.nonEmpty, "asofJoin needs at least one right value column")
-    val dup = rightVals.filter(left.columns.contains)
-    require(dup.isEmpty,
-      s"right value columns ${dup.mkString(",")} collide with left columns; rename before joining")
+    val outNames = rightVals.map(v => s"asof_$v") :+ "asof_ts"
+    val reserved = Seq("__ts", "__side", "__row", "__mts", "__match") ++ outNames
+    val clash = (left.columns ++ right.columns).filter(reserved.contains).distinct
+    require(clash.isEmpty,
+      s"column(s) ${clash.mkString(",")} collide with asofJoin's working/output names; rename first")
 
-    // right side: keys + ordering ts + carried values (incl. the matched
-    // ts itself, carried like any other value)
+    // the matched right row travels as ONE struct so the carry is atomic:
+    // carrying each value column separately through its own
+    // last(ignoreNulls) would let a genuinely-NULL right value resurrect
+    // an older row's value next to the newer row's timestamp — a (ts,
+    // value) pair that never existed. A struct is non-null for every
+    // right row (even when its fields are null), so the whole row wins or
+    // loses together, matching DuckDB/pandas ASOF semantics exactly.
     val r = right.select(
-      (keys.map(col) :+ col(rightTs).as("__ts") :+ col(rightTs).as("__rts")) ++
-        rightVals.map(col): _*)
+      keys.map(col) :+ col(rightTs).as("__ts") :+
+        struct(col(rightTs).as("__mts") +: rightVals.map(col): _*).as("__row"): _*)
       .withColumn("__side", lit(0))
     val l = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
     // unionByName fills each side's missing columns with nulls — exactly
@@ -59,13 +66,10 @@ object AsofJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = (rightVals :+ "__rts").foldLeft(u) { (df, v) =>
-      df.withColumn(s"__carry_$v", last(col(v), ignoreNulls = true).over(w))
-    }
-    val renames = rightVals.map(v => s"__carry_$v" -> s"asof_$v") :+
-      ("__carry___rts" -> "asof_ts")
-    renames.foldLeft(
-        carried.filter(col("__side") === 1))((df, rn) => df.withColumnRenamed(rn._1, rn._2))
-      .select(left.columns.map(col) ++ renames.map(rn => col(rn._2)): _*)
+    u.withColumn("__match", last(col("__row"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(col) ++
+        rightVals.map(v => col(s"__match.$v").as(s"asof_$v")) :+
+        col("__match.__mts").as("asof_ts"): _*)
   }
 }

@@ -68,13 +68,14 @@ object Mixture {
   def stratifiedSample(df: DataFrame, keyCol: String, groupCol: String,
       kPerGroup: Int, salt: String = ""): DataFrame = {
     require(kPerGroup > 0, s"kPerGroup must be positive, got $kPerGroup")
-    require(!salt.contains(":"),
-      s"salt must not contain ':' (frozen v1 hash scheme), got '$salt'")
+    // the bounded-heap aggregate carries ids as LONG; a non-integral key
+    // would be implicitly cast, null out, and be silently dropped by the
+    // aggregate — an empty "sample" with no error. Fail loudly instead.
+    val keyType = df.schema(keyCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(keyType.typeName),
+      s"stratifiedSample needs an integral key column (TopKByScore ids are long); '$keyCol' is $keyType")
     val h48 = shiftright(
-      graft.functions.TextFunctions.hash60(
-        if (salt.isEmpty) coalesce(col(keyCol).cast("string"), lit(""))
-        else concat(lit(salt), lit(":"), coalesce(col(keyCol).cast("string"), lit("")))),
-      12)
+      graft.functions.TextFunctions.hash60(Splits.saltedKey(col(keyCol), salt)), 12)
     df.withColumn("__h48", h48)
       .groupBy(col(groupCol))
       // TopKByScore keeps (score desc, id asc): negate the hash so the

@@ -19,6 +19,27 @@ import graft.functions.TextFunctions.hash60
   */
 object Splits {
 
+  /** The frozen v1 salted key string: bare key when `salt` is empty, else
+    * `salt:key` with a colon-free salt (the restriction that makes the
+    * (salt, key) pair unambiguous — salt "a" / key "b1" and salt "ab" /
+    * key "1" cannot collide; without it, salt "a:b" / key "c" would hash
+    * like salt "a" / key "b:c"). Null keys stringify as "" so every row
+    * gets an assignment. THE single source of the salting recipe for
+    * every deterministic-sampling operator (splits, mixture, stratified
+    * sampling) — persisted assignments are only reproducible while this
+    * never changes. */
+  private[operators] def saltedKey(key: Column, salt: String): Column = {
+    require(!salt.contains(":"),
+      s"salt must not contain ':' (it is the salt/key separator in the frozen v1 hash scheme), got '$salt'")
+    val keyStr = coalesce(key.cast("string"), lit(""))
+    if (salt.isEmpty) keyStr else concat(lit(salt), lit(":"), keyStr)
+  }
+
+  /** The frozen v1 permille slot: `hash60(salted key) % 1000` in [0, 1000).
+    * See [[saltedKey]] for the salting recipe and its freeze guarantee. */
+  def slotColumn(key: Column, salt: String = ""): Column =
+    pmod(hash60(saltedKey(key, salt)), lit(1000L))
+
   /** Split-assignment column: `hash60(salted key) % 1000` landed against
     * cumulative permille fences. `splits` maps name -> permille weight and
     * must sum to 1000 so every row lands in exactly one split. Assignment
@@ -30,29 +51,13 @@ object Splits {
     * The salt decorrelates independent splits of the same corpus: two
     * splits with different salts are independent partitions, while the
     * same salt always reproduces the same assignment — the property that
-    * makes ablation runs comparable across months of pipeline runs. A
-    * non-empty salt is joined to the key with a `:` separator, and the
-    * salt itself must not contain `:` — with that restriction the
-    * (salt, key) pair is unambiguous (salt "a" / key "b1" and salt "ab" /
-    * key "1" cannot collide; without it, salt "a:b" / key "c" would hash
-    * like salt "a" / key "b:c"). The empty default hashes the bare key,
-    * keeping the oracle-checkable `hash60(key)` form. The salted form
-    * (`hash60(salt:key)`, colon-free salt) is the v1 scheme and must
-    * never change: persisted split assignments are only reproducible
-    * while this hash recipe is frozen.
+    * makes ablation runs comparable across months of pipeline runs. The
+    * empty default hashes the bare key, keeping the oracle-checkable
+    * `hash60(key)` form; the salted form (`hash60(salt:key)`, colon-free
+    * salt — see [[saltedKey]]) is the v1 scheme and must never change:
+    * persisted split assignments are only reproducible while this hash
+    * recipe is frozen.
     */
-  /** The frozen v1 permille slot: `hash60(salted key) % 1000` in [0, 1000).
-    * Single source for every deterministic-sampling operator (splits,
-    * mixture weighting) — persisted assignments stay reproducible only
-    * while this one recipe never changes. Null keys hash as "". */
-  def slotColumn(key: Column, salt: String = ""): Column = {
-    require(!salt.contains(":"),
-      s"salt must not contain ':' (it is the salt/key separator in the frozen v1 hash scheme), got '$salt'")
-    val keyStr = coalesce(key.cast("string"), lit(""))
-    val salted = if (salt.isEmpty) keyStr else concat(lit(salt), lit(":"), keyStr)
-    pmod(hash60(salted), lit(1000L))
-  }
-
   def splitColumn(key: Column, splits: Seq[(String, Int)], salt: String = ""): Column = {
     require(splits.nonEmpty, "need at least one split")
     splits.foreach { case (nm, w) =>

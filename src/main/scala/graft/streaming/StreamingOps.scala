@@ -26,11 +26,14 @@ case class NearDupHit(doc_id: Long, dup_of: Long, band: Long)
   * event-time column so watermark metadata survives into the stateful op. */
 case class AsofInput(key: Long, side: Int, id: Long, ts: java.sql.Timestamp, value: Double)
 
-/** A buffered right row (reference point) in as-of state. */
-case class AsofRight(tsMs: Long, value: Double)
+/** A buffered right row (reference point) in as-of state. `tsUs` is
+  * event time in MICROseconds — Timestamp.getTime would truncate to
+  * millis and the match comparison must run at the full precision the
+  * batch operator compares at (the events table is sub-millisecond). */
+case class AsofRight(tsUs: Long, value: Double)
 
 /** A left row waiting for the watermark to certify its as-of lookup. */
-case class AsofPending(id: Long, tsMs: Long, value: Double)
+case class AsofPending(id: Long, tsUs: Long, value: Double)
 
 /** Per-key as-of state: reference rows within the active horizon (plus
   * the single floor row at-or-below the watermark — the latest value any
@@ -441,30 +444,46 @@ object StreamingOps {
           val st = state.getOption.getOrElse(AsofJoinState(Nil, Nil))
           val rs = if (state.hasTimedOut) Array.empty[AsofInput] else rows.toArray
           val rights = (st.rights ++ rs.filter(_.side == 0)
-              .map(x => AsofRight(x.ts.getTime, x.value)))
-            .sortBy(_.tsMs)
-          val wm = state.getCurrentWatermarkMs()
+              .map(x => AsofRight(tsMicros(x.ts), x.value)))
+            .sortBy(_.tsUs)
+          // Spark's lateness cutoff is STRICT (a row at exactly ts == wm is
+          // not late and may still arrive), so a left row is certified only
+          // once its ts is strictly below the watermark
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
           val (ready, pending) = (st.lefts ++ rs.filter(_.side == 1)
-              .map(x => AsofPending(x.id, x.ts.getTime, x.value)))
-            .partition(_.tsMs <= wm)
-          val out = ready.sortBy(p => (p.tsMs, p.id)).map { p =>
-            val best = rights.takeWhile(_.tsMs <= p.tsMs).lastOption
-            AsofEnriched(p.id, key, new java.sql.Timestamp(p.tsMs), p.value,
-              best.map(_.value), best.map(b => new java.sql.Timestamp(b.tsMs)))
+              .map(x => AsofPending(x.id, tsMicros(x.ts), x.value)))
+            .partition(_.tsUs < wmUs)
+          val out = ready.sortBy(p => (p.tsUs, p.id)).map { p =>
+            val best = rights.takeWhile(_.tsUs <= p.tsUs).lastOption
+            AsofEnriched(p.id, key, microsTs(p.tsUs), p.value,
+              best.map(_.value), best.map(b => microsTs(b.tsUs)))
           }
-          // collapse rights at-or-below the watermark to the floor row:
-          // every future left has ts > wm, so older rights can never win
+          // collapse rights strictly below the watermark to the floor row:
+          // every future left (and admissible right) has ts >= wm, so only
+          // the latest sub-watermark right can still win a future lookup
           val keptRights =
-            rights.takeWhile(_.tsMs <= wm).lastOption.toSeq ++
-              rights.dropWhile(_.tsMs <= wm)
+            rights.takeWhile(_.tsUs < wmUs).lastOption.toSeq ++
+              rights.dropWhile(_.tsUs < wmUs)
           state.update(AsofJoinState(keptRights, pending))
           // pending lefts flush when the watermark passes them — re-arm a
           // timeout so the flush happens even with no new rows on this key
           // (must be strictly above the current watermark)
-          pending.map(_.tsMs).minOption.foreach(t =>
-            state.setTimeoutTimestamp(math.max(t, wm + 1)))
+          pending.map(_.tsUs).minOption.foreach(t =>
+            state.setTimeoutTimestamp(math.max(t / 1000L, state.getCurrentWatermarkMs() + 1)))
           out.iterator
       }
+  }
+
+  /** Timestamp → event-time microseconds (getTime alone truncates to ms). */
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** Microseconds → Timestamp, sub-second part restored exactly. */
+  private def microsTs(us: Long): java.sql.Timestamp = {
+    val secs = Math.floorDiv(us, 1000000L)
+    val t = new java.sql.Timestamp(secs * 1000L)
+    t.setNanos(((us - secs * 1000000L) * 1000L).toInt)
+    t
   }
 
   /** Streaming contamination quarantine — the streaming counterpart of

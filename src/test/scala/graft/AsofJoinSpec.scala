@@ -70,10 +70,29 @@ class AsofJoinSpec extends SparkTestBase {
     }
   }
 
-  test("asof join rejects colliding value columns and empty keys") {
+  test("a NULL right value wins atomically — never an older row's value") {
+    // the 11:00 row genuinely carries NULL; ASOF semantics return
+    // (11:00, NULL), not 10:00's value paired with 11:00's timestamp
+    val rights = Seq(
+      (1L, ts("10:00:00"), Some(100L)),
+      (1L, ts("11:00:00"), Option.empty[Long])
+    ).toDF("key", "qts", "px")
+    val l = Seq((20L, 1L, ts("11:30:00"))).toDF("trade_id", "key", "tts")
+    val out = AsofJoin.asofJoin(l, rights, Seq("key"), "tts", "qts", Seq("px"))
+      .select($"asof_px", $"asof_ts").collect()(0)
+    assert(out.isNullAt(0), s"older row's value resurrected: $out")
+    assert(out.getTimestamp(1) === ts("11:00:00"))
+  }
+
+  test("asof join rejects reserved-name collisions and empty keys") {
     intercept[IllegalArgumentException] {
-      AsofJoin.asofJoin(trades, quotes.withColumnRenamed("px", "tts"),
-        Seq("key"), "tts", "qts", Seq("tts"))
+      // a left column named like an output column would be silently shadowed
+      AsofJoin.asofJoin(trades.withColumnRenamed("trade_id", "asof_px"),
+        quotes, Seq("key"), "tts", "qts", Seq("px"))
+    }
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(trades.withColumnRenamed("trade_id", "__ts"),
+        quotes, Seq("key"), "tts", "qts", Seq("px"))
     }
     intercept[IllegalArgumentException] {
       AsofJoin.asofJoin(trades, quotes, Seq.empty, "tts", "qts", Seq("px"))

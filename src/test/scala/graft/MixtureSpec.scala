@@ -84,4 +84,12 @@ class MixtureSpec extends SparkTestBase {
       Mixture.sampleByRates(docs, "doc_id", "source", Map.empty, defaultPermille = -5)
     }
   }
+
+  test("stratifiedSample rejects non-integral keys instead of sampling nothing") {
+    // a string key would be implicitly cast to long inside the heap
+    // aggregate, null out, and silently produce an empty sample
+    intercept[IllegalArgumentException] {
+      Mixture.stratifiedSample(docs, "text", "source", kPerGroup = 5)
+    }
+  }
 }

@@ -572,9 +572,15 @@ class StreamingSpec extends SparkTestBase {
       .format("memory").queryName("stream_asof").outputMode("append")
       .option("checkpointLocation", Files.createTempDirectory("ck-asof").toString)
       .start()
+    // 1031 probes at 10:30:00.000500; a right row lands at .000900 the
+    // SAME millisecond but AFTER it — millisecond-truncated comparison
+    // would wrongly match it, micro-precision must not
+    val subMsLeft = Timestamp.valueOf("2024-01-01 10:30:00.0005")
+    val subMsRight = Timestamp.valueOf("2024-01-01 10:30:00.0009")
     val lefts = Seq(
       AsofLeftFix(1L, 950L, ts("09:50"), 1.0),
       AsofLeftFix(1L, 1030L, ts("10:30"), 2.0),
+      AsofLeftFix(1L, 1031L, subMsLeft, 2.5),
       AsofLeftFix(2L, 940L, ts("09:40"), 3.0))
     try {
       // batch 1: all lefts + the 10:00 right; watermark ends at 09:30
@@ -586,6 +592,7 @@ class StreamingSpec extends SparkTestBase {
       // batch 2: a LATE right (09:45 < every buffered left's answer time,
       // but above the 09:30 watermark) — must win left 950's lookup
       inR.addData(AsofRightFix(1L, ts("09:45"), 105.0))
+      inR.addData(AsofRightFix(1L, subMsRight, 111.0))
       q.processAllAvailable()
       // batch 3: watermark push on BOTH streams (the join runs at the
       // global minimum watermark — a stalled reference stream correctly
@@ -601,12 +608,14 @@ class StreamingSpec extends SparkTestBase {
     assert(rows === Set(
       (950L, 1L, Some(105.0), Some(ts("09:45"))), // late right matched
       (1030L, 1L, Some(110.0), Some(ts("10:00"))),
+      (1031L, 1L, Some(110.0), Some(ts("10:00"))), // .0009 right is AFTER .0005
       (940L, 2L, None, None))) // no reference stream for key 2
     // batch operator on the same data agrees row-for-row
     val batch = graft.operators.AsofJoin.asofJoin(
         lefts.toDF(), Seq(
           AsofRightFix(1L, ts("10:00"), 110.0),
-          AsofRightFix(1L, ts("09:45"), 105.0)).toDF()
+          AsofRightFix(1L, ts("09:45"), 105.0),
+          AsofRightFix(1L, subMsRight, 111.0)).toDF()
           .withColumnRenamed("ts", "rts").withColumnRenamed("value", "rv"),
         Seq("key"), "ts", "rts", Seq("rv"))
       .select($"id", $"key", $"asof_rv", $"asof_ts")
