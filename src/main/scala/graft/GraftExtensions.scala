@@ -101,6 +101,17 @@ object GraftExtensions {
           s"graft_quantiles expects (value, permille...), got ${args.length} args")
         QuantileHistogram(args.head, args.tail.map(intLit(_, "permille")))
       }),
+    ("graft_ngram_repetition",
+      info("graft_ngram_repetition",
+        "graft_ngram_repetition(str, n) - [total, distinct, max-count] word n-grams (Gopher repetition signals)"),
+      (args: Seq[Expression]) => {
+        arity("graft_ngram_repetition", 2, args)
+        NgramRepetitionExpr(args.head, intLit(args(1), "n-gram width"))
+      }),
+    ("graft_dot_i8",
+      info("graft_dot_i8",
+        "graft_dot_i8(arr_byte, arr_byte) - integer dot product of int8-quantized vectors"),
+      (args: Seq[Expression]) => { arity("graft_dot_i8", 2, args); DotI8(args.head, args(1)) }),
   )
 
   /** Register every graft function on a live session. */

@@ -48,6 +48,21 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(r.getLong(1) === 2L)
   }
 
+  test("graft_ngram_repetition and graft_dot_i8 from SQL match the Column API") {
+    import org.apache.spark.sql.functions._
+    val r = s.sql(
+      """SELECT graft_ngram_repetition('dup a dup b c', 1) AS r1,
+        |       graft_dot_i8(array(CAST(3 AS TINYINT), CAST(-2 AS TINYINT)),
+        |                    array(CAST(5 AS TINYINT), CAST(7 AS TINYINT))) AS d""".stripMargin)
+      .collect().head
+    assert(r.getSeq[Long](0) === Seq(5L, 4L, 2L))
+    assert(r.getLong(1) === (3L * 5 - 2L * 7))
+    val api = s.createDataFrame(Seq(Tuple1("dup a dup b c"))).toDF("text")
+      .select(graft.functions.TextFunctions.ngramRepetition(col("text"), 1))
+      .collect().head.getSeq[Long](0)
+    assert(api === r.getSeq[Long](0))
+  }
+
   test("graft_top_k aggregates from SQL with (score desc, id asc) order") {
     val r = s.sql(
       """SELECT g, graft_top_k(CAST(sc AS DOUBLE), id, 2) AS top
@@ -74,7 +89,8 @@ class GraftExtensionsSpec extends SparkTestBase {
     val required = Set(
       "graft_hash60", "graft_tokens", "graft_word_shingles", "graft_shingle_hashes",
       "graft_sorted_intersect_count", "graft_fingerprint", "graft_simhash32",
-      "graft_dot", "graft_top_k", "graft_kmv", "graft_quantiles")
+      "graft_dot", "graft_top_k", "graft_kmv", "graft_quantiles",
+      "graft_ngram_repetition", "graft_dot_i8")
     val names = GraftExtensions.functions.map(_._1)
     assert(names.distinct === names, "duplicate function names in registry")
     assert(names.forall(_.startsWith("graft_")), "registry names must be graft_-prefixed")
