@@ -182,4 +182,30 @@ object Sketches {
     expr(s"CAST(CASE WHEN $sketchCol.kk < $k THEN $sketchCol.kk " +
       s"ELSE $numerator DIV $sketchCol.hk END AS BIGINT)")
   }
+
+  /** Quantile-bucket assignment — the curation move that composes the
+    * quantile machinery: fit global breakpoints of `valueCol` at the given
+    * permilles (ONE [[graft.expressions.QuantileHistogram]] aggregate; the
+    * driver holds |permilles| longs — index-build state, not a data
+    * collect), then tag every row with `bucket` = the number of
+    * breakpoints STRICTLY below its value, in [0, |permilles|]. Rows equal
+    * to a breakpoint land in the lower bucket, so bucket edges follow the
+    * same definitional rank rule as q28/q30 and the assignment is a pure
+    * per-row map — no shuffle, reproducible on any engine.
+    *
+    * The canonical use: score documents (quality, length, toxicity), cut
+    * at p25/p50/p75, then mix or filter by bucket (curriculum data
+    * ordering, low-quality drops) — all downstream of one aggregate over
+    * the corpus. */
+  def quantileBuckets(df: DataFrame, valueCol: String, permilles: Seq[Int]): DataFrame = {
+    require(permilles.nonEmpty, "need at least one breakpoint permille")
+    if (df.isEmpty) return df.withColumn("bucket", lit(0L))
+    val bps = df
+      .agg(graft.expressions.QuantileHistogram.quantiles(col(valueCol), permilles).as("__q"))
+      .select(col("__q.qs")).collect()(0).getSeq[Long](0)
+    val bucket = bps.foldLeft(lit(0L)) { (acc, bp) =>
+      acc + when(col(valueCol) > bp, lit(1L)).otherwise(lit(0L))
+    }
+    df.withColumn("bucket", bucket)
+  }
 }

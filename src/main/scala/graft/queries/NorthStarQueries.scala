@@ -268,6 +268,15 @@ object NorthStarQueries {
           defaultPermille = 250, salt = "mix")
         .select(col("doc_id"), col("source"), col("copy"))
     }),
+    "t12_quality_buckets" -> ((s, d) => {
+      // Curriculum/filter binning: global p25/p50/p75 breakpoints of the
+      // t03 quality score through ONE QuantileHistogram aggregate, then a
+      // pure per-row bucket tag (count of breakpoints strictly below).
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+      graft.operators.Sketches.quantileBuckets(docs, "quality", Seq(250, 500, 750))
+        .select(col("doc_id"), col("quality"), col("bucket"))
+    }),
     "t11_stratified_sample" -> ((s, d) => {
       // Deterministic "random 5 per source": smallest salted-hash rank
       // per group through ONE bounded-heap aggregate (map-side partials,
@@ -564,6 +573,39 @@ object NorthStarQueries {
          |             rate // 1000 + CASE WHEN slot < rate % 1000 THEN 1 ELSE 0 END AS copies FROM c)
          |SELECT doc_id, source, CAST(unnest(range(copies)) AS BIGINT) AS copy
          |FROM k WHERE copies > 0 ORDER BY doc_id, copy""".stripMargin,
+    // breakpoints replay the q28/q30 definitional rank rule over the t03
+    // quality score; bucket = breakpoints strictly below the row's value
+    "t12_quality_buckets" -> {
+      val allStops = TextFunctions.langProfiles.flatMap(_._2).distinct
+        .map(w => s"'$w'").mkString(",")
+      s"""WITH ws AS (SELECT doc_id, $WsSql AS w FROM documents),
+         |m AS (SELECT doc_id,
+         |        CAST(len(w) AS BIGINT) AS n_tokens,
+         |        (1000 * len(list_filter(w, t -> list_contains([$allStops], t))))
+         |          // greatest(len(w), 1) AS stop_permille,
+         |        (1000 * len(list_filter(w, t -> regexp_matches(t, '^[a-z]+$$'))))
+         |          // greatest(len(w), 1) AS alpha_permille
+         |      FROM ws),
+         |q AS (SELECT doc_id,
+         |        CAST(CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 500 ELSE 0 END
+         |             + stop_permille // 2 + alpha_permille // 4 AS BIGINT) AS quality
+         |      FROM m),
+         |h AS (SELECT quality, COUNT(*) AS cnt FROM q GROUP BY 1),
+         |w2 AS (SELECT quality,
+         |         CAST(SUM(cnt) OVER (ORDER BY quality) AS BIGINT) AS cum,
+         |         CAST(SUM(cnt) OVER () AS BIGINT) AS n
+         |       FROM h),
+         |bp AS (SELECT
+         |         MIN(CASE WHEN cum > (250*(n-1))//1000 THEN quality END) AS b1,
+         |         MIN(CASE WHEN cum > (500*(n-1))//1000 THEN quality END) AS b2,
+         |         MIN(CASE WHEN cum > (750*(n-1))//1000 THEN quality END) AS b3
+         |       FROM w2)
+         |SELECT q.doc_id, q.quality,
+         |       CAST((CASE WHEN q.quality > b1 THEN 1 ELSE 0 END
+         |           + CASE WHEN q.quality > b2 THEN 1 ELSE 0 END
+         |           + CASE WHEN q.quality > b3 THEN 1 ELSE 0 END) AS BIGINT) AS bucket
+         |FROM q, bp ORDER BY q.doc_id""".stripMargin
+    },
     // smallest 48-bit salted hash per source = the deterministic draw;
     // ties (h, doc_id) both sides — reproduces the bounded-heap sample
     "t11_stratified_sample" ->

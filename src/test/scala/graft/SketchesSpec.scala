@@ -175,4 +175,24 @@ class SketchesSpec extends SparkTestBase {
       Sketches.exactQuantiles(df, Seq("g"), "v", Seq.empty)
     }
   }
+
+  test("quantileBuckets: rank-rule breakpoints, equal values land in the lower bucket") {
+    import spark.implicits._
+    // values 0..99: rank rule idx = (p*(n-1))//1000 -> breakpoints 24/49/74,
+    // so buckets split 0..24 | 25..49 | 50..74 | 75..99 (25 rows each);
+    // a value EQUAL to a breakpoint stays in the lower bucket
+    val df = (0L until 100L).toDF("v")
+    val out = Sketches.quantileBuckets(df, "v", Seq(250, 500, 750))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size === 100)
+    assert(out(0L) === 0L && out(24L) === 0L)
+    assert(out(25L) === 1L && out(49L) === 1L)
+    assert(out(50L) === 2L && out(74L) === 2L)
+    assert(out(75L) === 3L && out(99L) === 3L)
+    assert(out.values.groupBy(identity).view.mapValues(_.size).toMap ===
+      Map(0L -> 25, 1L -> 25, 2L -> 25, 3L -> 25))
+    // empty input passes through with the column present, no crash
+    val empty = Sketches.quantileBuckets(df.filter($"v" < 0), "v", Seq(500))
+    assert(empty.columns.contains("bucket") && empty.count() === 0L)
+  }
 }
