@@ -1,0 +1,77 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Mixture, Packing, Sketches, Splits}
+import graft.functions.TextFunctions
+
+/** The end-to-end curation flow a pretraining data pipeline runs, composed
+  * entirely from the engine's oracle-checked operators:
+  *
+  *   1. near-dup DEDUP — MinHash-LSH candidate pairs, connected
+  *      components, keep the longest doc per component (`dedupCorpusBy`);
+  *   2. DECONTAMINATE — drop kept docs whose shingle containment of any
+  *      eval doc reaches the threshold (`contaminationPairs` left-anti);
+  *   3. QUALITY FILTER — global quantile breakpoints of the t03 quality
+  *      score, keep buckets >= `minQualityBucket` (`quantileBuckets`);
+  *   4. LEAKAGE-SAFE SPLIT — assignment keyed on the near-dup component
+  *      representative, so surviving near-dups can never straddle the
+  *      train/test fence (`leakageSafeSplit` on the SAME components the
+  *      dedup used — one fit, two uses, no drift);
+  *   5. PACK — concat-and-chunk token layout per (split, source) shard
+  *      (`packChunks`).
+  *
+  * Every stage is a narrow map, an equi-join, or a bounded aggregate —
+  * the pipeline inherits each operator's 100 TB shape and adds no new
+  * shuffle beyond the stages' own. Deterministic end to end: no RNG, no
+  * row-order dependence, so two runs over the same snapshot produce
+  * byte-identical corpora (the property that makes ablations comparable).
+  *
+  * Returns the surviving docs with `component`, `quality`, `bucket`,
+  * `split`, and the packing layout (`n_tokens`, `token_offset`,
+  * `chunk_id`) — train-ready.
+  */
+object CurationPipeline {
+
+  def curate(docs: DataFrame, evalDocs: DataFrame,
+      contaminationPermille: Int = 500,
+      maxTrainDf: Option[Long] = None,
+      qualityBreakpoints: Seq[Int] = Seq(250),
+      minQualityBucket: Int = 1,
+      splits: Seq[(String, Int)] = Seq("train" -> 900, "val" -> 50, "test" -> 50),
+      salt: String = "",
+      packBudget: Long = 2048): DataFrame = {
+    require(minQualityBucket >= 0 && minQualityBucket <= qualityBreakpoints.size,
+      s"minQualityBucket must be in [0, ${qualityBreakpoints.size}], got $minQualityBucket")
+
+    // 1. dedup: keep the longest doc of every near-dup component
+    val pairs = Dedup.minhashLshPairs(docs)
+    val comps = Dedup.components(docs, pairs)
+    val kept = docs.join(
+      Dedup.dedupCorpusBy(docs, pairs, TextFunctions.tokenCount(col("text")).cast("long"))
+        .select(col("kept_doc_id").as("doc_id")),
+      Seq("doc_id"))
+
+    // 2. decontaminate: drop anything that leaks an eval document
+    val flagged = Dedup.contaminationPairs(kept, evalDocs,
+        minPermille = contaminationPermille, maxTrainDf = maxTrainDf)
+      .select(col("train_id").as("doc_id")).distinct()
+    val clean = kept.join(flagged, Seq("doc_id"), "left_anti")
+
+    // 3. quality floor: quantile-bucket the quality score, keep the top
+    val scored = Sketches.quantileBuckets(
+      clean.withColumn("quality", TextFunctions.qualityScore(col("text"))),
+      "quality", qualityBreakpoints)
+    val good = scored.filter(col("bucket") >= minQualityBucket)
+
+    // 4. leakage-safe split on the SAME components the dedup used
+    val split = Splits.leakageSafeSplit(good, comps, splits, salt)
+
+    // 5. pack into token-budget chunks per (split, source) shard
+    val sharded = split.withColumn("shard",
+      concat_ws("/", col("split"), col("source")))
+    Packing.packChunks(sharded, "shard", packBudget,
+      TextFunctions.tokenCount(col("text")).cast("long"))
+  }
+}

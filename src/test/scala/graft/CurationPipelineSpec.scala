@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipelines.CurationPipeline
+
+/** End-to-end invariants of the composed curation flow — each stage is
+  * oracle-checked on its own; this spec pins that the COMPOSITION holds
+  * its promises on the real corpus: planted leaks are gone, no near-dup
+  * straddles a split fence, the quality floor holds, the packing layout
+  * is consistent, and the whole run is deterministic.
+  */
+class CurationPipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+  // eval set: doc 5's text verbatim — the pipeline must quarantine doc 5
+  private def evalDocs = docs.filter($"doc_id" === 5L)
+    .select(($"doc_id" + 900000L).as("doc_id"), $"text")
+
+  private def run() = CurationPipeline.curate(docs, evalDocs)
+
+  test("curation output: leaks gone, quality floor holds, one doc per component") {
+    val out = run().cache()
+    try {
+      val n = out.count()
+      assert(n > 0 && n < docs.count(), s"pipeline dropped nothing or everything: $n")
+      // the planted eval leak (doc 5, containment 1000) must be gone
+      assert(out.filter($"doc_id" === 5L).count() === 0L, "contaminated doc survived")
+      // quality floor: every survivor is at or above the minimum bucket
+      assert(out.filter($"bucket" < 1).count() === 0L)
+      // dedup kept exactly one doc per near-dup component, so no two
+      // survivors share a component — and therefore none straddle a fence
+      assert(out.select($"component").distinct().count() === n)
+      // split totality over survivors
+      val splits = out.select($"split").distinct().as[String].collect().toSet
+      assert(splits.subsetOf(Set("train", "val", "test")) && splits.contains("train"))
+    } finally { out.unpersist(); () }
+  }
+
+  test("curation packing layout: offsets are exact prefix sums per shard") {
+    val out = run()
+    val rows = out.select($"shard", $"doc_id", $"n_tokens", $"token_offset", $"chunk_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    rows.groupBy(_._1).foreach { case (shard, rs) =>
+      var offset = 0L
+      rs.sortBy(_._2).foreach { case (_, id, nt, off, chunk) =>
+        assert(off === offset, s"shard $shard doc $id offset $off != $offset")
+        assert(chunk === off / 2048L, s"shard $shard doc $id chunk mismatch")
+        offset += nt
+      }
+    }
+  }
+
+  test("curation is deterministic end to end") {
+    val a = run().collect().map(_.toSeq).toSet
+    val b = run().collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+}

@@ -624,6 +624,41 @@ class StreamingSpec extends SparkTestBase {
     assert(rows === batch)
   }
 
+  test("stateless curation ops (hash split, mixture) run unchanged on a stream") {
+    // splitColumn / sampleByRates are pure per-row maps + generators, so
+    // the SAME operator code drives batch and streaming frames — no
+    // streaming variant needed, and assignments agree row-for-row
+    val fixture = Seq(
+      StreamDocFixture(1L, "alpha beta", ts("10:00")),
+      StreamDocFixture(2L, "gamma delta", ts("10:05")),
+      StreamDocFixture(3L, "epsilon zeta", ts("10:10")))
+    val in = MemoryStream[StreamDocFixture](spark)
+    val out = graft.operators.Mixture.sampleByRates(
+        graft.operators.Splits.hashSplit(
+          in.toDF().withColumn("source", lit("src0")), "doc_id",
+          Seq("train" -> 900, "val" -> 50, "test" -> 50)),
+        "doc_id", "source", Map("src0" -> 2000))
+      .select($"doc_id", $"split", $"copy")
+    val q = out.writeStream
+      .format("memory").queryName("stream_curate").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ck-curate").toString)
+      .start()
+    try { in.addData(fixture); q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("stream_curate")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = graft.operators.Mixture.sampleByRates(
+        graft.operators.Splits.hashSplit(
+          fixture.toDF().withColumn("source", lit("src0")), "doc_id",
+          Seq("train" -> 900, "val" -> 50, "test" -> 50)),
+        "doc_id", "source", Map("src0" -> 2000))
+      .select($"doc_id", $"split", $"copy")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+    // rate 2000 = exactly two copies of every doc
+    assert(streamed.size === fixture.size * 2)
+  }
+
   test("windowed KMV distinct sketch: stream ≡ batch kmv per window") {
     val sf = "/root/testdata/sf0.001"
     val k = 16
