@@ -193,19 +193,30 @@ object Sketches {
     * same definitional rank rule as q28/q30 and the assignment is a pure
     * per-row map — no shuffle, reproducible on any engine.
     *
+    * Both the fit and the tag see `valueCol` CAST TO LONG — the histogram
+    * aggregate takes long input, and tagging raw fractional values against
+    * long-truncated breakpoints would silently misbucket (e.g. every 0.x
+    * value landing above a breakpoint of 0). Null values are skipped by
+    * the fit and tagged with a NULL bucket, never bucket 0 — a null score
+    * is "unknown quality", not "lowest quality".
+    *
     * The canonical use: score documents (quality, length, toxicity), cut
     * at p25/p50/p75, then mix or filter by bucket (curriculum data
     * ordering, low-quality drops) — all downstream of one aggregate over
-    * the corpus. */
+    * the corpus (ONE driver action; the empty/all-null case falls out of
+    * the same aggregate returning null, no extra isEmpty job). */
   def quantileBuckets(df: DataFrame, valueCol: String, permilles: Seq[Int]): DataFrame = {
     require(permilles.nonEmpty, "need at least one breakpoint permille")
-    if (df.isEmpty) return df.withColumn("bucket", lit(0L))
-    val bps = df
-      .agg(graft.expressions.QuantileHistogram.quantiles(col(valueCol), permilles).as("__q"))
-      .select(col("__q.qs")).collect()(0).getSeq[Long](0)
+    val v = col(valueCol).cast("long")
+    val fit = df
+      .agg(graft.expressions.QuantileHistogram.quantiles(v, permilles).as("__q"))
+      .select(col("__q.qs")).collect()(0)
+    if (fit.isNullAt(0)) // no non-null values: every surviving row tags 0
+      return df.withColumn("bucket", when(v.isNotNull, lit(0L)))
+    val bps = fit.getSeq[Long](0)
     val bucket = bps.foldLeft(lit(0L)) { (acc, bp) =>
-      acc + when(col(valueCol) > bp, lit(1L)).otherwise(lit(0L))
+      acc + when(v > bp, lit(1L)).otherwise(lit(0L))
     }
-    df.withColumn("bucket", bucket)
+    df.withColumn("bucket", when(v.isNotNull, bucket))
   }
 }
