@@ -36,6 +36,14 @@ object Bench {
       Similarity.embeddingNearDupPairs(tinyEmb, 400000L).count()
       Similarity.bruteForceKnn(tinyEmb, tinyEmb.limit(3), k = 2).count()
       Similarity.ivfKnn(tinyEmb, tinyEmb.limit(3), k = 2, nCells = 2, nprobe = 1).count()
+      // r5 families: int8 quantize/dot kernels (s04), the repetition
+      // kernel (t09), and the as-of union+window shape (q31) each compile
+      // their own generated classes — without these lines that janino
+      // cost lands inside the family's first measured rep
+      Similarity.quantizedKnn(tinyEmb, tinyEmb.limit(3), k = 2, coarseK = 4).count()
+      tinyDocs.select(
+        graft.functions.TextFunctions.ngramRepetition(org.apache.spark.sql.functions.col("text"), 1),
+        graft.functions.TextFunctions.ngramRepetition(org.apache.spark.sql.functions.col("text"), 3)).count()
       // the time-window family (window / session_window + the cumulative
       // window-over-histogram of q28) compiles its own generated classes;
       // without this, that janino cost lands inside q16/r03/q28's own
@@ -52,6 +60,10 @@ object Bench {
           W.partitionBy(col("user_id")).orderBy(col("ts"))))
         .withColumn("cum", sum(lit(1L)).over(
           W.partitionBy(col("user_id")).orderBy(col("ts")))).count()
+      graft.operators.AsofJoin.asofJoin(
+        tinyEv.select(col("event_id"), col("user_id"), col("ts")),
+        tinyEv.groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("v")),
+        Seq("user_id"), "ts", "ts", Seq("v")).count()
       tinyDocs.unpersist(blocking = true); tinyEmb.unpersist(blocking = true)
       tinyEv.unpersist(blocking = true)
     } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
@@ -69,7 +81,18 @@ object Bench {
       v.toIntOption.getOrElse(
         sys.error(s"SPARK_GRAFT_BENCH_REPS must be an integer, got '$v'"))
     }.getOrElse(3))
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=comma,separated,names restricts the run — the
+    // fixed-class triage loop for gate firings (rerun just the flagged
+    // queries on unchanged classes) without paying the full suite per rep
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(",")}")
+    }
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (k, _) => names(k) })
+    val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // noop sink materializes every output column (a bare count() would

@@ -229,6 +229,7 @@ object Dedup {
       pairs: DataFrame,
       maxRounds: Int = 20,
       reliableCheckpoint: Boolean = false): DataFrame = {
+    componentsRuns.incrementAndGet()
     // Local lineage cuts are lazy persists, not eager checkpoints: the
     // per-round convergence count is then the ONLY driver-blocking action
     // each round (it populates the cache as it runs), instead of a
@@ -322,15 +323,37 @@ object Dedup {
     * carries one row per component, not per doc. The score keeps its own
     * type (no cast — truncating a fractional quality score to long would
     * silently collapse the argmax to the id tie-break); `kept_score` is
-    * typed like the input column. */
+    * typed like the input column.
+    *
+    * Runs the [[components]] fixpoint internally. A caller that ALSO
+    * needs the component labels (e.g. for a leakage-safe split) must use
+    * [[dedupCorpusByComponents]] with its own `components(...)` result —
+    * calling this and `components` separately executes the most expensive
+    * stage of the pipeline (the iterative fixpoint AND the pair join
+    * feeding it) twice. */
   def dedupCorpusBy(docs: DataFrame, pairs: DataFrame, score: Column): DataFrame =
+    dedupCorpusByComponents(docs, components(docs, pairs), score)
+
+  /** [[dedupCorpusBy]] over a PRECOMPUTED component labeling — the form a
+    * pipeline uses when the labels serve more than one stage (dedup +
+    * split): one fixpoint execution, every consumer reads the same frame.
+    * `comps` must be `(doc_id, component)` as produced by [[components]].
+    * (Separate name, not an overload: the two erase to the same
+    * `(DataFrame, DataFrame, Column)` signature.) */
+  def dedupCorpusByComponents(docs: DataFrame, comps: DataFrame, score: Column): DataFrame =
     docs.withColumn("__score", score)
-      .join(components(docs, pairs), "doc_id")
+      .join(comps, "doc_id")
       .groupBy(col("component"))
       .agg(
         max_by(col("doc_id"), struct(col("__score"), (-col("doc_id")).as("tie")))
           .as("kept_doc_id"),
         max(col("__score")).as("kept_score"))
+
+  /** Test instrumentation: count of [[components]] fixpoint executions in
+    * this JVM. The fixpoint is eager (its convergence counts run at call
+    * time) and is the dominant stage of a corpus-scale curation run, so
+    * composition code is spec-checked to trigger it exactly once. */
+  private[graft] val componentsRuns = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Cross-corpus contamination detection: every (train doc, eval doc)
     * pair whose shingle CONTAINMENT — the fraction of the eval document's

@@ -35,6 +35,12 @@ object Mixture {
       ("defaultPermille" -> defaultPermille)).foreach { case (nm, r) =>
       require(r >= 0, s"$nm must be >= 0 permille, got $r")
     }
+    // withColumn silently REPLACES an existing column — a caller's own
+    // `copy`/`__copies` would be overwritten, not errored (same clash
+    // policy as AsofJoin/Packing)
+    val clash = Seq("copy", "__copies").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"column(s) ${clash.mkString(",")} collide with sampleByRates's working/output names; rename first")
     val rate: Column = rates.foldRight(lit(defaultPermille)) {
       case ((src, r), elseCol) => when(col(sourceCol) === src, lit(r)).otherwise(elseCol)
     }

@@ -45,11 +45,20 @@ object CurationPipeline {
     require(minQualityBucket >= 0 && minQualityBucket <= qualityBreakpoints.size,
       s"minQualityBucket must be in [0, ${qualityBreakpoints.size}], got $minQualityBucket")
 
-    // 1. dedup: keep the longest doc of every near-dup component
+    // 1. dedup: keep the longest doc of every near-dup component.
+    // components() is EAGER (its convergence counts run the fixpoint at
+    // call time) and is the single most expensive stage at corpus scale —
+    // so it runs exactly ONCE here, and the labels are persisted and
+    // shared by both consumers (the dedup argmax and the split in step 4).
+    // The cache stays pinned for the caller's consuming action, same
+    // policy as components' own final-round cache; on block loss Spark
+    // recomputes from the pair pipeline (correct, just slower).
     val pairs = Dedup.minhashLshPairs(docs)
     val comps = Dedup.components(docs, pairs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept = docs.join(
-      Dedup.dedupCorpusBy(docs, pairs, TextFunctions.tokenCount(col("text")).cast("long"))
+      Dedup.dedupCorpusByComponents(docs, comps,
+          TextFunctions.tokenCount(col("text")).cast("long"))
         .select(col("kept_doc_id").as("doc_id")),
       Seq("doc_id"))
 

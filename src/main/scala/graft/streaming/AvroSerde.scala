@@ -188,7 +188,10 @@ object AvroSerde {
       Seq(s"struct has ${st.length} fields but avro record '${schema.getFullName}' has ${af.length} (at '$path')")
     else st.fields.toSeq.zip(af).flatMap { case (sf, f) =>
       val fieldPath = if (path.isEmpty) f.name else s"$path.${f.name}"
-      if (sf.name != f.name)
+      // case-INSENSITIVE, matching Spark's default resolver: a struct
+      // field that resolved fine in the plan should not fail the encode
+      // because its case drifted from the writer schema's
+      if (!sf.name.equalsIgnoreCase(f.name))
         Seq(s"struct field '${sf.name}' is at avro field '${f.name}''s position (at '$fieldPath')")
       else typeErrors(sf.dataType, f.schema, fieldPath)
     }

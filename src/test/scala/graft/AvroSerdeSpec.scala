@@ -158,6 +158,14 @@ class AvroSerdeSpec extends SparkTestBase {
       df.select(AvroSerde.toAvro(struct($"a", $"a".as("n"), $"x"), schema).as("v")).collect()
     }
     assert(chainMessages(bad).contains("does not match writer schema"))
+
+    // name matching is case-INSENSITIVE like Spark's default resolver: a
+    // positionally- and type-correct struct whose field case drifted from
+    // the writer schema still encodes (and to the same bytes)
+    val cased = df.select(AvroSerde.toAvro(
+        struct($"a".as("A"), $"n".as("N"), $"x".as("X")), schema).as("v"))
+      .collect()(0).getAs[Array[Byte]]("v")
+    assert(cased.toSeq === bytes.toSeq)
   }
 
   test("null-union fields decode to null; corrupt payloads decode to null row (S8)") {

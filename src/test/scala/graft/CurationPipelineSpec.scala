@@ -57,4 +57,14 @@ class CurationPipelineSpec extends SparkTestBase {
     val b = run().collect().map(_.toSeq).toSet
     assert(a === b)
   }
+
+  test("curate runs the components fixpoint exactly once") {
+    // the fixpoint is eager and the pipeline's dominant stage at scale;
+    // both consumers (dedup argmax + leakage-safe split) must share ONE
+    // execution — dedupCorpusByComponents exists for exactly this
+    val before = graft.operators.Dedup.componentsRuns.get()
+    run().write.mode("overwrite").format("noop").save()
+    val ran = graft.operators.Dedup.componentsRuns.get() - before
+    assert(ran === 1L, s"curate triggered $ran components() executions, expected 1")
+  }
 }

@@ -85,6 +85,16 @@ class MixtureSpec extends SparkTestBase {
     }
   }
 
+  test("sampleByRates rejects inputs whose columns collide with its output") {
+    // withColumn would silently overwrite a caller's own `copy`/`__copies`
+    intercept[IllegalArgumentException] {
+      Mixture.sampleByRates(docs.withColumn("copy", lit(7)), "doc_id", "source", Map.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Mixture.sampleByRates(docs.withColumn("__copies", lit(7L)), "doc_id", "source", Map.empty)
+    }
+  }
+
   test("stratifiedSample rejects non-integral keys instead of sampling nothing") {
     // a string key would be implicitly cast to long inside the heap
     // aggregate, null out, and silently produce an empty sample
