@@ -132,6 +132,24 @@ case class FingerprintExpr(child: Expression) extends KernelCall with StringArra
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** [emails, ipv4s, phones] PII token counts (TextKernels.piiStats). */
+case class PiiStatsExpr(child: Expression) extends KernelCall with StringInput {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(s: Any): Any = TextKernels.piiStats(s.asInstanceOf[UTF8String])
+  override def kernelCall(ctx: CodegenContext, c: String): String =
+    s"graft.expressions.TextKernels.piiStats($c)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** PII tokens replaced by placeholders, whitespace preserved. */
+case class PiiScrubExpr(child: Expression) extends KernelCall with StringInput {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(s: Any): Any = TextKernels.piiScrub(s.asInstanceOf[UTF8String])
+  override def kernelCall(ctx: CodegenContext, c: String): String =
+    s"graft.expressions.TextKernels.piiScrub($c)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** 32-bit simhash of a token array. */
 case class Simhash32Expr(child: Expression) extends KernelCall with StringArrayInput {
   override def dataType: DataType = LongType
@@ -176,6 +194,8 @@ object TextExpressions {
   def wordShingles(c: Column, n: Int): Column = col(WordShinglesExpr(ex(c), n))
   def shingleHashes(c: Column, n: Int): Column = col(ShingleHashesExpr(ex(c), n))
   def ngramRepetition(c: Column, n: Int): Column = col(NgramRepetitionExpr(ex(c), n))
+  def piiStats(c: Column): Column = col(PiiStatsExpr(ex(c)))
+  def piiScrub(c: Column): Column = col(PiiScrubExpr(ex(c)))
   def sortedIntersectCount(a: Column, b: Column): Column =
     col(SortedIntersectCountExpr(ex(a), ex(b)))
   def hash60(c: Column): Column = col(Hash60Expr(ex(c)))

@@ -230,6 +230,149 @@ object TextKernels {
     new GenericArrayData(Array[Any](m.toLong, counts.size.toLong, maxC))
   }
 
+  // ---- PII detection (token-level, regex-equivalent rules) ----
+  //
+  // Classification is per whitespace token, by rules written to be EXACTLY
+  // the anchored RE2 regexes the DuckDB oracle uses (t13), so counts and
+  // redacted text hash-match across engines:
+  //   email ≡ ^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+$
+  //   ipv4  ≡ ^(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)(\.(...)){3}$
+  //           (i.e. four 1-3 digit groups, each value <= 255)
+  //   phone ≡ ^\+?[0-9](-?[0-9]){6,14}$   (7-15 digits, single dashes)
+  // Token-level rules are the curation trade-off: no partial-token spans
+  // (a trailing "," glued to an email hides it), in exchange for exact
+  // cross-engine reproducibility and a single-pass scanner with no
+  // per-row java.util.regex cost. Run after punctuation normalization if
+  // the corpus glues punctuation to tokens.
+
+  private def isAsciiDigit(c: Char): Boolean = c >= '0' && c <= '9'
+  private def isAsciiAlpha(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+  /** 0 = none, 1 = email, 2 = ipv4, 3 = phone (first match wins; the
+    * alphabets make the classes disjoint anyway). */
+  private def piiClass(t: String): Int = {
+    if (isEmail(t)) 1
+    else if (isIpv4(t)) 2
+    else if (isPhone(t)) 3
+    else 0
+  }
+
+  private def isEmail(t: String): Boolean = {
+    val n = t.length
+    val at = t.indexOf('@')
+    if (at <= 0 || at == n - 1 || t.indexOf('@', at + 1) >= 0) return false
+    var i = 0
+    while (i < at) {
+      val c = t.charAt(i)
+      if (!(isAsciiAlpha(c) || isAsciiDigit(c) || c == '.' || c == '_' ||
+            c == '%' || c == '+' || c == '-')) return false
+      i += 1
+    }
+    var lastDot = -1
+    i = at + 1
+    while (i < n) {
+      val c = t.charAt(i)
+      if (c == '.') lastDot = i
+      else if (!(isAsciiAlpha(c) || isAsciiDigit(c) || c == '-')) return false
+      i += 1
+    }
+    // >= 1 domain char before the chosen dot, >= 2 all-letter chars after
+    if (lastDot <= at + 1 || n - lastDot - 1 < 2) return false
+    i = lastDot + 1
+    while (i < n) { if (!isAsciiAlpha(t.charAt(i))) return false; i += 1 }
+    true
+  }
+
+  private def isIpv4(t: String): Boolean = {
+    val n = t.length
+    var i = 0
+    var groups = 0
+    while (groups < 4) {
+      var d = 0
+      var v = 0
+      while (i < n && d < 3 && isAsciiDigit(t.charAt(i))) {
+        v = v * 10 + (t.charAt(i) - '0'); i += 1; d += 1
+      }
+      if (d == 0 || v > 255) return false
+      groups += 1
+      if (groups < 4) {
+        if (i >= n || t.charAt(i) != '.') return false
+        i += 1
+      }
+    }
+    i == n
+  }
+
+  private def isPhone(t: String): Boolean = {
+    val n = t.length
+    var i = if (n > 0 && t.charAt(0) == '+') 1 else 0
+    if (i >= n || !isAsciiDigit(t.charAt(i))) return false
+    var digits = 0
+    while (i < n) {
+      val c = t.charAt(i)
+      if (isAsciiDigit(c)) { digits += 1; i += 1 }
+      else if (c == '-') {
+        // a dash must be followed by a digit: no doubles, no trailing dash
+        if (i + 1 >= n || !isAsciiDigit(t.charAt(i + 1))) return false
+        i += 1
+      } else return false
+    }
+    digits >= 7 && digits <= 15
+  }
+
+  /** `[emails, ipv4s, phones]` token counts — the flag/audit form. */
+  def piiStats(s: UTF8String): ArrayData = {
+    val str = s.toString
+    var e = 0L
+    var ip = 0L
+    var ph = 0L
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      if (str.charAt(i) == ' ') i += 1
+      else {
+        var j = i + 1
+        while (j < len && str.charAt(j) != ' ') j += 1
+        piiClass(str.substring(i, j)) match {
+          case 1 => e += 1
+          case 2 => ip += 1
+          case 3 => ph += 1
+          case _ => ()
+        }
+        i = j
+      }
+    }
+    new GenericArrayData(Array[Any](e, ip, ph))
+  }
+
+  /** Redaction: every PII token replaced by its placeholder, all other
+    * bytes (including whitespace runs) preserved verbatim — ≡ DuckDB
+    * `array_to_string(list_transform(string_split(s,' '), ...), ' ')`
+    * because single-space splitting keeps empty segments. */
+  def piiScrub(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val len = str.length
+    val sb = new java.lang.StringBuilder(len)
+    var i = 0
+    while (i < len) {
+      if (str.charAt(i) == ' ') { sb.append(' '); i += 1 }
+      else {
+        var j = i + 1
+        while (j < len && str.charAt(j) != ' ') j += 1
+        val tok = str.substring(i, j)
+        piiClass(tok) match {
+          case 1 => sb.append("<EMAIL>")
+          case 2 => sb.append("<IP>")
+          case 3 => sb.append("<PHONE>")
+          case _ => sb.append(tok)
+        }
+        i = j
+      }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** 32-bit simhash over a token array: bit j set iff Σ ±1 votes > 0. */
   def simhash32(arr: ArrayData): Long = {
     val votes = new Array[Long](32)

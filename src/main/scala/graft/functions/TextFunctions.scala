@@ -60,6 +60,18 @@ object TextFunctions {
     * top-n-gram fractions). Counted by exact n-gram string, one pass. */
   def ngramRepetition(c: Column, n: Int): Column = TextExpressions.ngramRepetition(c, n)
 
+  /** `[emails, ipv4s, phones]` PII token counts over whitespace tokens —
+    * the flag/audit form of PII scrubbing (route docs to review, bound
+    * redaction volume). Token-level anchored rules, one codegen'd pass;
+    * see TextKernels for the exact regex-equivalent semantics. */
+  def piiStats(c: Column): Column = TextExpressions.piiStats(c)
+
+  /** Redacted text: every email/IPv4/phone token replaced by `<EMAIL>`/
+    * `<IP>`/`<PHONE>`, all other bytes (whitespace runs included)
+    * preserved verbatim. The normalize form of PII scrubbing — run
+    * between quality filtering and packing. */
+  def scrubPii(c: Column): Column = TextExpressions.piiScrub(c)
+
   private[graft] def ngramRepetitionHof(c: Column, n: Int): Column = {
     val ws = tokensHof(c)
     val grams = when(size(ws) >= n,

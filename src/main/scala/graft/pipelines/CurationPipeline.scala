@@ -15,6 +15,10 @@ import graft.functions.TextFunctions
   *      eval doc reaches the threshold (`contaminationPairs` left-anti);
   *   3. QUALITY FILTER — global quantile breakpoints of the t03 quality
   *      score, keep buckets >= `minQualityBucket` (`quantileBuckets`);
+  *   3b. PII SCRUB — email/IPv4/phone tokens redacted to placeholders
+  *      (`TextFunctions.scrubPii`, a codegen'd narrow map; `redactPii =
+  *      false` keeps raw text). After the quality gate (scores the text a
+  *      reader saw), before packing (token counts must be post-redaction);
   *   4. LEAKAGE-SAFE SPLIT — assignment keyed on the near-dup component
   *      representative, so surviving near-dups can never straddle the
   *      train/test fence (`leakageSafeSplit` on the SAME components the
@@ -41,7 +45,8 @@ object CurationPipeline {
       minQualityBucket: Int = 1,
       splits: Seq[(String, Int)] = Seq("train" -> 900, "val" -> 50, "test" -> 50),
       salt: String = "",
-      packBudget: Long = 2048): DataFrame = {
+      packBudget: Long = 2048,
+      redactPii: Boolean = true): DataFrame = {
     require(minQualityBucket >= 0 && minQualityBucket <= qualityBreakpoints.size,
       s"minQualityBucket must be in [0, ${qualityBreakpoints.size}], got $minQualityBucket")
 
@@ -74,8 +79,14 @@ object CurationPipeline {
       "quality", qualityBreakpoints)
     val good = scored.filter(col("bucket") >= minQualityBucket)
 
+    // 3b. redact PII — after quality (scored on what a reader saw),
+    // before packing (offsets must count post-redaction tokens)
+    val redacted =
+      if (redactPii) good.withColumn("text", TextFunctions.scrubPii(col("text")))
+      else good
+
     // 4. leakage-safe split on the SAME components the dedup used
-    val split = Splits.leakageSafeSplit(good, comps, splits, salt)
+    val split = Splits.leakageSafeSplit(redacted, comps, splits, salt)
 
     // 5. pack into token-budget chunks per (split, source) shard
     val sharded = split.withColumn("shard",

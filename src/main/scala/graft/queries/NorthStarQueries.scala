@@ -277,6 +277,38 @@ object NorthStarQueries {
       graft.operators.Sketches.quantileBuckets(docs, "quality", Seq(250, 500, 750))
         .select(col("doc_id"), col("quality"), col("bucket"))
     }),
+    "t13_pii_scrub" -> ((s, d) => {
+      // PII flag + redact: email/IPv4/phone token counts and the redacted
+      // text, one codegen'd kernel pass per row (no java.util.regex, no
+      // explode) — a narrow map, the curation stage between quality
+      // filtering and packing. The synthetic corpus carries no PII, so
+      // the query PLANTS deterministic specimens (valid and near-miss
+      // invalid ones) from doc_id arithmetic — identically in the DuckDB
+      // oracle — making the hash check meaningful, not vacuously zero.
+      val planted = Tables.documents(s, d).withColumn("t2", concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" user"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+            lit("."), pmod(col("doc_id"), lit(100)).cast("string")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" +34-91-555-01"), pmod(col("doc_id"), lit(10)).cast("string")))
+          .otherwise(lit("")),
+        // near-misses that must NOT count: double @, octet > 255, 4 digits
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          lit(" bad@@example.com 300.1.2.3 12-34")).otherwise(lit(""))))
+      planted
+        .select(col("doc_id"), TextFunctions.piiStats(col("t2")).as("p"),
+          TextFunctions.scrubPii(col("t2")).as("redacted"))
+        .select(col("doc_id"),
+          col("p").getItem(0).as("n_email"),
+          col("p").getItem(1).as("n_ip"),
+          col("p").getItem(2).as("n_phone"),
+          col("redacted"))
+    }),
     "t11_stratified_sample" -> ((s, d) => {
       // Deterministic "random 5 per source": smallest salted-hash rank
       // per group through ONE bounded-heap aggregate (map-side partials,
@@ -605,6 +637,36 @@ object NorthStarQueries {
          |           + CASE WHEN q.quality > b2 THEN 1 ELSE 0 END
          |           + CASE WHEN q.quality > b3 THEN 1 ELSE 0 END) AS BIGINT) AS bucket
          |FROM q, bp ORDER BY q.doc_id""".stripMargin
+    },
+    // PII flag + redact over text with deterministically PLANTED specimens
+    // (same doc_id arithmetic as the Spark side). Token-level anchored
+    // regexes ≡ the TextKernels scanners; string_split(' ') KEEPS empty
+    // segments, so rejoining with ' ' preserves whitespace runs exactly
+    // like the kernel's verbatim copy. The three classes have disjoint
+    // alphabets ('@' / '.' / digits-dashes-+), so independent counts equal
+    // the kernel's first-match-wins classification.
+    "t13_pii_scrub" -> {
+      val em = """^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+$"""
+      val ip = """^(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)(\.(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)){3}$"""
+      val ph = """^\+?[0-9](-?[0-9]){6,14}$"""
+      s"""WITH p AS (SELECT doc_id,
+         |  text ||
+         |  CASE WHEN doc_id % 7 = 0 THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+         |  CASE WHEN doc_id % 5 = 0 THEN ' 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END ||
+         |  CASE WHEN doc_id % 3 = 0 THEN ' +34-91-555-01' || CAST(doc_id % 10 AS VARCHAR) ELSE '' END ||
+         |  CASE WHEN doc_id % 11 = 0 THEN ' bad@@example.com 300.1.2.3 12-34' ELSE '' END AS t2
+         |  FROM documents),
+         |t AS (SELECT doc_id, string_split(t2, ' ') AS w FROM p)
+         |SELECT doc_id,
+         |  CAST(len(list_filter(w, x -> regexp_matches(x, '$em'))) AS BIGINT) AS n_email,
+         |  CAST(len(list_filter(w, x -> regexp_matches(x, '$ip'))) AS BIGINT) AS n_ip,
+         |  CAST(len(list_filter(w, x -> regexp_matches(x, '$ph'))) AS BIGINT) AS n_phone,
+         |  array_to_string(list_transform(w, x ->
+         |    CASE WHEN regexp_matches(x, '$em') THEN '<EMAIL>'
+         |         WHEN regexp_matches(x, '$ip') THEN '<IP>'
+         |         WHEN regexp_matches(x, '$ph') THEN '<PHONE>'
+         |         ELSE x END), ' ') AS redacted
+         |FROM t ORDER BY doc_id""".stripMargin
     },
     // smallest 48-bit salted hash per source = the deterministic draw;
     // ties (h, doc_id) both sides — reproduces the bounded-heap sample

@@ -58,6 +58,17 @@ class CurationPipelineSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("pii scrub stage redacts surviving text (and can be disabled)") {
+    val planted = docs.withColumn("text", concat($"text", lit(" probe@leak.com")))
+    val out = CurationPipeline.curate(planted, evalDocs)
+      .select($"text").as[String].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(t => !t.contains("probe@leak.com") && t.endsWith("<EMAIL>")))
+    val raw = CurationPipeline.curate(planted, evalDocs, redactPii = false)
+      .select($"text").as[String].collect()
+    assert(raw.nonEmpty && raw.forall(_.endsWith("probe@leak.com")))
+  }
+
   test("curate runs the components fixpoint exactly once") {
     // the fixpoint is eager and the pipeline's dominant stage at scale;
     // both consumers (dedup argmax + leakage-safe split) must share ONE

@@ -133,6 +133,13 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Generate"), s"kernel form should not explode:\n$p")
   }
 
+  test("pii scrub runs inside WholeStageCodegen, no exchange, no explode") {
+    val p = plan(SparkEntry.queries("t13_pii_scrub")(spark, sf))
+    assert(p.contains("*(1)"), s"no codegen stage:\n$p")
+    assert(!p.contains("Exchange"), s"per-row scrub query shuffles:\n$p")
+    assert(!p.contains("Generate"), s"kernel form should not explode:\n$p")
+  }
+
   test("mixture sample is a per-row map + generator: no exchange") {
     val p = plan(SparkEntry.queries("t10_mixture_sample")(spark, sf))
     assert(!p.contains("Exchange"), s"mixture plan shuffles:\n$p")

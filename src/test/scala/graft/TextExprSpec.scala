@@ -74,4 +74,68 @@ class TextExprSpec extends SparkTestBase {
     assertSame(alphaPermille($"text"), TextFunctions.alphaPermilleHof($"text"))
     assertSame(avgTokenLenPermille($"text"), TextFunctions.avgTokenLenPermilleHof($"text"))
   }
+
+  // the scanner rules are DEFINED to be these anchored regexes (the same
+  // ones the t13 DuckDB oracle runs) — pin the equivalence per token
+  // against Spark's own regex engine, then pin scrub/stats behavior
+  private val EmRe = """^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+$"""
+  private val IpRe = """^(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)(\.(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)){3}$"""
+  private val PhRe = """^\+?[0-9](-?[0-9]){6,14}$"""
+
+  private val piiTokens = Seq(
+    // emails: valid, then each rule violated
+    "a@b.co", "user.name+tag@sub.domain-x.org", "A_b%9@x.AB", "a@b..cd",
+    "a@b.c", "a@b.c9", "a@.ab", "a@b.", "@b.co", "a@", "a@@b.co", "a b@c.de",
+    "ab.co", "a@b", "a@b-x.co", "a@-.co",
+    // IPv4: valid, boundary, invalid octets/shape
+    "0.0.0.0", "255.255.255.255", "1.2.3.4", "01.02.003.4", "10.0.13.99",
+    "256.1.1.1", "300.1.2.3", "1.2.3", "1.2.3.4.5", "1.2.3.", ".1.2.3.4",
+    "1..2.3.4", "1.2.3.4567", "1234.1.1.1", "1.2.3.x",
+    // phones: valid, then length/shape violations
+    "+34-91-555-011", "1234567", "123456789012345", "+1234567", "12-34-567",
+    "123456", "1234567890123456", "+-1234567", "1234567-", "12--34567",
+    "-1234567", "+", "++1234567", "12.34567", "phone1234567",
+    // noise
+    "", "word", "<EMAIL>", "a@b.co,", "(1.2.3.4)")
+
+  test("pii scanner ≡ anchored regexes per token (email/ipv4/phone)") {
+    val df = piiTokens.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = df.select($"id", $"text",
+        TextFunctions.piiStats($"text").as("p"))
+      .select($"id", $"text", $"p".getItem(0).as("e"), $"p".getItem(1).as("ip"), $"p".getItem(2).as("ph"))
+      .collect().map(r => (r.getString(1), (r.getLong(2), r.getLong(3), r.getLong(4))))
+    got.foreach { case (t, (e, ip, ph)) =>
+      val toks = t.split(" ", -1).filter(_.nonEmpty)
+      val want = (
+        toks.count(_.matches(EmRe)).toLong,
+        toks.count(_.matches(IpRe)).toLong,
+        toks.count(_.matches(PhRe)).toLong)
+      assert((e, ip, ph) === want, s"token '$t'")
+    }
+  }
+
+  test("scrubPii replaces PII tokens and preserves whitespace runs verbatim") {
+    val df = Seq(
+      (1L, "mail a@b.co  twice  1.2.3.4 end"),
+      (2L, " lead a@b.co trail "),
+      (3L, "a@b.co 1.2.3.4 +34-91-555-011"),
+      (4L, "no pii here"),
+      (5L, "")).toDF("id", "text")
+    val got = df.select($"id", TextFunctions.scrubPii($"text")).as[(Long, String)]
+      .collect().toMap
+    assert(got(1L) === "mail <EMAIL>  twice  <IP> end")
+    assert(got(2L) === " lead <EMAIL> trail ")
+    assert(got(3L) === "<EMAIL> <IP> <PHONE>")
+    assert(got(4L) === "no pii here")
+    assert(got(5L) === "")
+    // stats agree with scrub on the corpus: replaced-token count per class
+    val stats = corpus.select(TextFunctions.piiStats($"text").as("p"),
+        TextFunctions.scrubPii($"text").as("r"))
+      .select(($"p".getItem(0) + $"p".getItem(1) + $"p".getItem(2)).as("n"),
+        (size(tokens($"r")) - size(array_remove(
+          transform(tokens($"r"), t =>
+            t.isin("<EMAIL>", "<IP>", "<PHONE>")), true))).as("m"))
+      .filter(not($"n" <=> $"m")).count()
+    assert(stats === 0L)
+  }
 }
