@@ -345,6 +345,25 @@ object NorthStarQueries {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 20), k = 5, nCells = 16, nprobe = 2)
     }),
+    "s05_knn_ivf_served" -> ((s, d) => {
+      // The SERVING path of s02: probe a PERSISTED bucketed index
+      // (saveIvf/loadIvf) instead of fitting k-means per call. The save
+      // is paid once per session (first call builds, later calls load
+      // from the catalog — in the bench that leaves the median rep
+      // measuring pure probe: zero fit jobs, zero corpus-side exchange).
+      // Same parameters as s02 and a deterministic fit, so the results —
+      // and the oracle — are identical.
+      val emb = Tables.embeddings(s, d)
+      val table = "graft_ivf_s05_" + java.lang.Integer.toHexString(d.hashCode)
+      if (!s.catalog.tableExists(table)) {
+        // Overwrite: a stale warehouse directory from a previous JVM is
+        // not in this session's in-memory catalog but still on disk
+        Similarity.saveIvf(Similarity.buildIvf(emb, nCells = 16), table,
+          numBuckets = 8, mode = org.apache.spark.sql.SaveMode.Overwrite)
+      }
+      Similarity.ivfKnnWith(Similarity.loadIvf(s, table),
+        emb.filter(col("vec_id") < 20), k = 5, nprobe = 2)
+    }),
     "s04_knn_quantized" -> ((s, d) => {
       // int8 two-stage ANN: coarse integer-dot top-20 over quantized
       // vectors (the corpus scan reads 4x fewer bytes), exact cosine
@@ -704,6 +723,11 @@ object NorthStarQueries {
          |SELECT query_id, rank, neighbor_id, cos_e6 FROM r WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
     "s02_knn_ivf" ->
+      ivfOracleSql(nCells = 16, nprobe = 2, k = 5, iters = 2, sampleMod = 7, qMax = 20),
+    // the served path probes the SAME deterministic index s02 fits
+    // per-call, so one oracle covers both — any drift between the
+    // in-memory and persisted layouts breaks this hash
+    "s05_knn_ivf_served" ->
       ivfOracleSql(nCells = 16, nprobe = 2, k = 5, iters = 2, sampleMod = 7, qMax = 20),
     // replays the full two-stage pipeline: per-dimension max-abs scales,
     // FLOOR-quantized int8 vectors, integer-dot coarse top-20 (ties by
