@@ -84,6 +84,45 @@ class AsofJoinSpec extends SparkTestBase {
     assert(out.getTimestamp(1) === ts("11:00:00"))
   }
 
+  test("bucketed asof ≡ plain asof on real events, across bucket widths") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val l = ev.filter($"event_type" === "error")
+      .select($"event_id", $"user_id", $"ts")
+    val r = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts".as("rts"))
+      .agg(max($"value").as("v"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"event_id", $"asof_v", $"asof_ts").collect()
+        .map(row => row.getLong(0) -> (Option(row.get(1)), Option(row.get(2)))).toMap
+    val plain = canon(AsofJoin.asofJoin(l, r, Seq("user_id"), "ts", "rts", Seq("v")))
+    // widths smaller than, comparable to, and larger than the data span:
+    // each exercises a different carry-in/bucket-boundary mix
+    for (width <- Seq("30 minutes", "2 hours", "7 days")) {
+      val bucketed = canon(AsofJoin.asofJoinBucketed(
+        l, r, Seq("user_id"), "ts", "rts", Seq("v"), width))
+      assert(bucketed === plain, s"width $width diverges from plain asof")
+    }
+  }
+
+  test("bucketed asof: in-bucket sort on toy data, bucket column in the plan") {
+    // toy rows land in distinct buckets with carry-ins crossing several
+    // empty buckets — the exact boundary semantics asofJoin pins
+    val out = AsofJoin.asofJoinBucketed(
+        trades, quotes, Seq("key"), "tts", "qts", Seq("px"), "15 minutes")
+      .orderBy("trade_id")
+      .select($"trade_id", $"asof_px", $"asof_ts")
+      .collect()
+    assert(out.map(r => (r.getLong(0), Option(r.get(1)))) === Array(
+      10L -> None, 11L -> Some(110L), 12L -> Some(110L), 13L -> Some(500L), 14L -> None))
+    assert(out(1).getTimestamp(2) === ts("10:00:00"))
+    // the hot-key split is real: the main window partitions on the
+    // bucket column, not on the key alone
+    val plan = AsofJoin.asofJoinBucketed(
+        trades, quotes, Seq("key"), "tts", "qts", Seq("px"), "15 minutes")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__bkt"), s"bucket column missing from plan:\n$plan")
+  }
+
   test("asof join rejects reserved-name collisions and empty keys") {
     intercept[IllegalArgumentException] {
       // a left column named like an output column would be silently shadowed
