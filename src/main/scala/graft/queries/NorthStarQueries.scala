@@ -309,6 +309,32 @@ object NorthStarQueries {
           col("p").getItem(2).as("n_phone"),
           col("redacted"))
     }),
+    "t14_domain_curation" -> ((s, d) => {
+      // URL/domain curation: normalize crawl URLs to domains (scheme /
+      // case / www. / port / path stripped), drop blocklisted domains,
+      // cap each domain at 8 docs preferring longest (ties: smallest
+      // doc_id) — one per-row regexp, one scan-side filter, ONE bounded-
+      // heap aggregate; no window over the corpus. The synthetic corpus
+      // has no URLs, so the query PLANTS deterministic ones from
+      // doc_id/source arithmetic — identically in the DuckDB oracle —
+      // with enough scheme/case/port/fragment variety that the
+      // normalization provably does work.
+      val docs = Tables.documents(s, d)
+      val id = col("doc_id").cast("string")
+      val url = when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit("https://www."), col("source"), lit(".example.com/a/"), id))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(lit("HTTP://"), col("source"), lit(".EXAMPLE.com:8080/b?id="), id))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(col("source"), lit(".example.com/c/"), id, lit("#frag")))
+        .otherwise(
+          concat(lit("https://cdn."), col("source"), lit(".example.com/d/"), id))
+      val kept = graft.operators.Domains.filterBlocklist(
+        docs.withColumn("domain", graft.operators.Domains.domainOf(url)),
+        "domain", Seq("src3.example.com", "cdn.src7.example.com"))
+      graft.operators.Domains.capPerDomain(kept, "doc_id", "domain", "n_chars",
+        maxPerDomain = 8)
+    }),
     "t11_stratified_sample" -> ((s, d) => {
       // Deterministic "random 5 per source": smallest salted-hash rank
       // per group through ONE bounded-heap aggregate (map-side partials,
@@ -687,6 +713,28 @@ object NorthStarQueries {
          |         ELSE x END), ' ') AS redacted
          |FROM t ORDER BY doc_id""".stripMargin
     },
+    // same planted URLs (doc_id % 4 arithmetic), same RE2-compatible host
+    // pattern, blocklist NOT IN, and the window-rank formulation of the
+    // per-domain cap — (n_chars DESC, doc_id) ties reproduce the
+    // bounded-heap survivors bit-for-bit
+    "t14_domain_curation" ->
+      s"""WITH u AS (SELECT doc_id, n_chars,
+         |  CASE doc_id % 4
+         |    WHEN 0 THEN 'https://www.' || source || '.example.com/a/' || CAST(doc_id AS VARCHAR)
+         |    WHEN 1 THEN 'HTTP://' || source || '.EXAMPLE.com:8080/b?id=' || CAST(doc_id AS VARCHAR)
+         |    WHEN 2 THEN source || '.example.com/c/' || CAST(doc_id AS VARCHAR) || '#frag'
+         |    ELSE 'https://cdn.' || source || '.example.com/d/' || CAST(doc_id AS VARCHAR)
+         |  END AS url FROM documents),
+         |dm AS (SELECT doc_id, n_chars,
+         |  regexp_extract(lower(trim(url)), '^(?:[a-z][a-z0-9+.-]*://)?(?:www\\.)?([^/?#:]+)', 1) AS domain
+         |  FROM u),
+         |f AS (SELECT * FROM dm
+         |      WHERE domain NOT IN ('src3.example.com', 'cdn.src7.example.com')),
+         |r AS (SELECT domain, doc_id,
+         |  ROW_NUMBER() OVER (PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS rank
+         |  FROM f)
+         |SELECT domain, CAST(rank AS INT) AS rank, doc_id
+         |FROM r WHERE rank <= 8 ORDER BY domain, rank""".stripMargin,
     // smallest 48-bit salted hash per source = the deterministic draw;
     // ties (h, doc_id) both sides — reproduces the bounded-heap sample
     "t11_stratified_sample" ->
