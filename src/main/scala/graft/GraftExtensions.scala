@@ -112,6 +112,23 @@ object GraftExtensions {
       info("graft_dot_i8",
         "graft_dot_i8(arr_byte, arr_byte) - integer dot product of int8-quantized vectors"),
       (args: Seq[Expression]) => { arity("graft_dot_i8", 2, args); DotI8(args.head, args(1)) }),
+    ("graft_pii_stats",
+      info("graft_pii_stats",
+        "graft_pii_stats(str) - [emails, ipv4s, phones] PII token counts"),
+      (args: Seq[Expression]) => { arity("graft_pii_stats", 1, args); PiiStatsExpr(args.head) }),
+    ("graft_pii_scrub",
+      info("graft_pii_scrub",
+        "graft_pii_scrub(str) - PII tokens replaced by placeholders, whitespace preserved"),
+      (args: Seq[Expression]) => { arity("graft_pii_scrub", 1, args); PiiScrubExpr(args.head) }),
+    ("graft_domain_of",
+      // a composed builtin tree, not a kernel: must stay in lockstep with
+      // Domains.domainOf (same pattern object) so SQL and Scala agree
+      info("graft_domain_of",
+        "graft_domain_of(url) - normalized domain: lowercased, scheme/www/port/path stripped"),
+      (args: Seq[Expression]) => {
+        arity("graft_domain_of", 1, args)
+        graft.operators.Domains.domainOfExpr(args.head)
+      }),
   )
 
   /** Register every graft function on a live session. */

@@ -37,7 +37,16 @@ object Domains {
     * stripped. Empty string when the input has no extractable host (the
     * caller decides whether empty means "quarantine" or "keep"). */
   def domainOf(url: Column): Column =
-    regexp_extract(lower(trim(url)), HostPattern, 1)
+    org.apache.spark.sql.GraftColumnShim.column(
+      domainOfExpr(org.apache.spark.sql.GraftColumnShim.expression(url)))
+
+  /** The same normalization as a Catalyst tree — the `graft_domain_of`
+    * SQL registration builds here, so SQL and Scala cannot drift. */
+  def domainOfExpr(url: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Lower, RegExpExtract, StringTrim}
+    RegExpExtract(Lower(StringTrim(url)), Literal(HostPattern), Literal(1))
+  }
 
   /** Drop rows whose domain is on a literal blocklist. The NOT-isin
     * predicate is codegen'd and evaluated scan-side. Case: curated deny

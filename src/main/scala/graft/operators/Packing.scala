@@ -57,4 +57,56 @@ object Packing {
         coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("chunk_id", expr(s"token_offset DIV $budget"))
   }
+
+  /** Sliding-window chunking of each document's own token stream — the
+    * context-window layout for long-document training and retrieval
+    * indexing, where [[packChunks]] concatenates ACROSS documents this
+    * cuts WITHIN one: chunk `i` covers tokens `[i·stride, i·stride +
+    * maxTokens)` with `stride = maxTokens - overlap`, so consecutive
+    * chunks share `overlap` tokens and no token of a non-empty document
+    * is ever dropped (the last chunk is short rather than omitted;
+    * zero-token documents yield zero chunks).
+    *
+    * Chunk text is the token slice re-joined with single spaces — the
+    * token-stream view (whitespace runs are not preserved; a trainer
+    * tokenizes the chunk, it does not diff it against the original).
+    *
+    * Scale: a pure per-row tokenize + generator explode (`sequence` over
+    * chunk starts) — no shuffle, no state, output rows ≈ input tokens /
+    * stride regardless of how skewed document lengths are (one 10 GB
+    * document becomes many rows, not one giant row... the explode is the
+    * skew fix). Composes with [[packChunks]] downstream: chunk first,
+    * then pack the fixed-size pieces.
+    *
+    * Output: input columns + `chunk_idx` (0-based), `chunk_start`
+    * (token offset), `n_chunk_tokens`, `chunk_text`.
+    */
+  def chunkByTokens(docs: DataFrame, textCol: String, maxTokens: Int,
+      overlap: Int): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens), got $overlap for maxTokens=$maxTokens")
+    val out = Seq("chunk_idx", "chunk_start", "n_chunk_tokens", "chunk_text", "__toks", "__n")
+    out.filter(docs.columns.contains).foreach { c =>
+      require(false, s"chunkByTokens writes column '$c' — drop or rename the input's '$c' first")
+    }
+    val stride = maxTokens - overlap
+    docs
+      .withColumn("__toks", graft.functions.TextFunctions.tokens(col(textCol)))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .filter(col("__n") > 0L)
+      // last chunk start: the largest i with i*stride < n (integral DIV —
+      // Column./ is double division)
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L), expr(s"(__n - 1L) DIV $stride"))))
+      // cast separately: a generator can't be nested inside other exprs
+      .withColumn("chunk_idx", col("chunk_idx").cast("int"))
+      .withColumn("chunk_start", col("chunk_idx").cast("long") * stride)
+      .withColumn("n_chunk_tokens",
+        least(lit(maxTokens.toLong), col("__n") - col("chunk_start")))
+      .withColumn("chunk_text",
+        array_join(slice(col("__toks"), (col("chunk_start") + 1L).cast("int"),
+          lit(maxTokens)), " "))
+      .drop("__toks", "__n")
+  }
 }

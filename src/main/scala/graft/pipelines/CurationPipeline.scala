@@ -3,12 +3,18 @@ package graft.pipelines
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Mixture, Packing, Sketches, Splits}
+import graft.operators.{Dedup, Domains, Mixture, Packing, Sketches, Splits}
 import graft.functions.TextFunctions
 
 /** The end-to-end curation flow a pretraining data pipeline runs, composed
   * entirely from the engine's oracle-checked operators:
   *
+  *   0. DOMAIN HYGIENE (opt-in via `urlCol`) — normalize each doc's URL to
+  *      a domain, drop blocklisted domains, cap any one domain's
+  *      contribution at `maxPerDomain` docs preferring longest
+  *      ([[Domains]]: per-row regexp + scan-side filter + ONE bounded-heap
+  *      aggregate). First, so a single hot domain never inflates the LSH
+  *      and components stages downstream;
   *   1. near-dup DEDUP — MinHash-LSH candidate pairs, connected
   *      components, keep the longest doc per component (`dedupCorpusBy`);
   *   2. DECONTAMINATE — drop kept docs whose shingle containment of any
@@ -46,9 +52,33 @@ object CurationPipeline {
       splits: Seq[(String, Int)] = Seq("train" -> 900, "val" -> 50, "test" -> 50),
       salt: String = "",
       packBudget: Long = 2048,
-      redactPii: Boolean = true): DataFrame = {
+      redactPii: Boolean = true,
+      urlCol: Option[String] = None,
+      blockedDomains: Seq[String] = Nil,
+      maxPerDomain: Option[Int] = None): DataFrame = {
     require(minQualityBucket >= 0 && minQualityBucket <= qualityBreakpoints.size,
       s"minQualityBucket must be in [0, ${qualityBreakpoints.size}], got $minQualityBucket")
+    require(urlCol.isDefined || (blockedDomains.isEmpty && maxPerDomain.isEmpty),
+      "blockedDomains/maxPerDomain need urlCol: there is no domain to key on without a URL column")
+
+    // 0. domain hygiene (only when the corpus carries URLs)
+    val docs0 = urlCol.fold(docs) { u =>
+      val clash = Seq("__domain", "__len").filter(docs.columns.contains)
+      require(clash.isEmpty,
+        s"column(s) ${clash.mkString(",")} collide with the domain stage's working names; rename first")
+      val withDomain = docs.withColumn("__domain", Domains.domainOf(col(u)))
+      val unblocked =
+        if (blockedDomains.isEmpty) withDomain
+        else Domains.filterBlocklist(withDomain, "__domain", blockedDomains)
+      maxPerDomain.fold(unblocked.drop("__domain")) { k =>
+        unblocked.join(
+          Domains.capPerDomain(unblocked.withColumn("__len",
+              TextFunctions.tokenCount(col("text")).cast("long")),
+            "doc_id", "__domain", "__len", k)
+            .select(col("doc_id")),
+          Seq("doc_id")).drop("__domain")
+      }
+    }
 
     // 1. dedup: keep the longest doc of every near-dup component.
     // components() is EAGER (its convergence counts run the fixpoint at
@@ -58,11 +88,11 @@ object CurationPipeline {
     // The cache stays pinned for the caller's consuming action, same
     // policy as components' own final-round cache; on block loss Spark
     // recomputes from the pair pipeline (correct, just slower).
-    val pairs = Dedup.minhashLshPairs(docs)
-    val comps = Dedup.components(docs, pairs)
+    val pairs = Dedup.minhashLshPairs(docs0)
+    val comps = Dedup.components(docs0, pairs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val kept = docs.join(
-      Dedup.dedupCorpusByComponents(docs, comps,
+    val kept = docs0.join(
+      Dedup.dedupCorpusByComponents(docs0, comps,
           TextFunctions.tokenCount(col("text")).cast("long"))
         .select(col("kept_doc_id").as("doc_id")),
       Seq("doc_id"))

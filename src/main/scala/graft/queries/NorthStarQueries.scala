@@ -335,6 +335,16 @@ object NorthStarQueries {
       graft.operators.Domains.capPerDomain(kept, "doc_id", "domain", "n_chars",
         maxPerDomain = 8)
     }),
+    "t15_chunk_sliding" -> ((s, d) => {
+      // Context-window chunking: each doc's token stream cut into
+      // maxTokens=64 windows sliding by 48 (overlap 16) — pure per-row
+      // tokenize + generator explode, no shuffle; the long-document
+      // layout step before packing. Last chunk short, never dropped.
+      graft.operators.Packing.chunkByTokens(
+          Tables.documents(s, d), "text", maxTokens = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+          col("n_chunk_tokens"), col("chunk_text"))
+    }),
     "t11_stratified_sample" -> ((s, d) => {
       // Deterministic "random 5 per source": smallest salted-hash rank
       // per group through ONE bounded-heap aggregate (map-side partials,
@@ -713,6 +723,20 @@ object NorthStarQueries {
          |         ELSE x END), ' ') AS redacted
          |FROM t ORDER BY doc_id""".stripMargin
     },
+    // token list sliced at stride-48 starts, re-joined with single spaces;
+    // starts = 0..(n-1) DIV 48, each start < n — the last chunk is short,
+    // never dropped, and zero-token docs emit nothing (both sides)
+    "t15_chunk_sliding" ->
+      s"""WITH t AS (SELECT doc_id, $WsSql AS w FROM documents),
+         |n AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM t WHERE len(w) > 0),
+         |c AS (SELECT doc_id, w, n,
+         |        UNNEST(range(0, (n - 1) // 48 + 1)) AS chunk_idx
+         |      FROM n)
+         |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+         |  CAST(chunk_idx * 48 AS BIGINT) AS chunk_start,
+         |  CAST(LEAST(64, n - chunk_idx * 48) AS BIGINT) AS n_chunk_tokens,
+         |  array_to_string(list_slice(w, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     // same planted URLs (doc_id % 4 arithmetic), same RE2-compatible host
     // pattern, blocklist NOT IN, and the window-rank formulation of the
     // per-domain cap — (n_chars DESC, doc_id) ties reproduce the

@@ -69,6 +69,26 @@ class CurationPipelineSpec extends SparkTestBase {
     assert(raw.nonEmpty && raw.forall(_.endsWith("probe@leak.com")))
   }
 
+  test("domain hygiene stage: blocklist drops, per-domain cap binds, opt-out intact") {
+    // URLs planted per source: every doc of srcN lives on srcN.example.com
+    val withUrls = docs.withColumn("url",
+      concat(lit("https://www."), $"source", lit(".example.com/p/"), $"doc_id"))
+    val out = CurationPipeline.curate(withUrls, evalDocs,
+      urlCol = Some("url"), blockedDomains = Seq("src3.example.com"),
+      maxPerDomain = Some(3)).cache()
+    try {
+      assert(out.filter($"source" === "src3").count() === 0L, "blocklisted domain survived")
+      // the cap binds BEFORE dedup/quality, so survivors per domain ≤ 3
+      val maxPer = out.groupBy($"source").count().agg(max("count")).as[Long].head()
+      assert(maxPer <= 3L, s"domain cap exceeded: $maxPer")
+      assert(out.count() > 0L)
+    } finally { out.unpersist(); () }
+    // guard: domain params without a URL column must fail loudly
+    intercept[IllegalArgumentException] {
+      CurationPipeline.curate(docs, evalDocs, blockedDomains = Seq("x.com"))
+    }
+  }
+
   test("curate runs the components fixpoint exactly once") {
     // the fixpoint is eager and the pipeline's dominant stage at scale;
     // both consumers (dedup argmax + leakage-safe split) must share ONE

@@ -103,6 +103,25 @@ class GraftExtensionsSpec extends SparkTestBase {
     new GraftExtensions() // constructible for spark.sql.extensions
   }
 
+  test("graft_pii_stats, graft_pii_scrub, graft_domain_of from SQL match the Column API") {
+    import org.apache.spark.sql.functions._
+    val text = "mail me@x.org or 10.0.0.1 maybe +34-600-111-222 ok"
+    val url = "HTTPS://www.Example.COM:8080/a?b=1"
+    val r = s.sql(
+      s"""SELECT graft_pii_stats('$text') AS p,
+         |       graft_pii_scrub('$text') AS sc,
+         |       graft_domain_of('$url') AS dom""".stripMargin).collect().head
+    val api = s.createDataFrame(Seq((text, url))).toDF("text", "url")
+      .select(graft.functions.TextFunctions.piiStats(col("text")),
+        graft.functions.TextFunctions.scrubPii(col("text")),
+        graft.operators.Domains.domainOf(col("url")))
+      .collect().head
+    assert(r.getSeq[Long](0) === Seq(1L, 1L, 1L))
+    assert(r.getSeq[Long](0) === api.getSeq[Long](0))
+    assert(r.getString(1) === api.getString(1))
+    assert(r.getString(2) === "example.com" && r.getString(2) === api.getString(2))
+  }
+
   test("GraftSession wires tuned confs and the SQL surface") {
     val gs = GraftSession.create(master = Some("local[4]"))
     assert(gs.conf.get("spark.sql.adaptive.enabled") === "true")
