@@ -64,6 +64,21 @@ object Bench {
         tinyEv.select(col("event_id"), col("user_id"), col("ts")),
         tinyEv.groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("v")),
         Seq("user_id"), "ts", "ts", Seq("v")).count()
+      // r6 families: the PII scan/scrub kernels (t13), the domain
+      // regexp + bounded-cap shape (t14), the tokenize+slice generator
+      // explode (t15), and the line-frequency anti-join (t16) each
+      // compile their own generated classes
+      import graft.functions.TextFunctions
+      tinyDocs.select(TextFunctions.piiStats(col("text")),
+        TextFunctions.scrubPii(col("text"))).count()
+      graft.operators.Domains.capPerDomain(
+        graft.operators.Domains.filterBlocklist(
+          tinyDocs.withColumn("domain", graft.operators.Domains.domainOf(col("source"))),
+          "domain", Seq("blocked.example.com")),
+        "doc_id", "domain", "n_chars", maxPerDomain = 2).count()
+      graft.operators.Packing.chunkByTokens(tinyDocs, "text",
+        maxTokens = 16, overlap = 4).count()
+      Dedup.dedupLines(tinyDocs, "doc_id", "text", maxOccurrences = 5).count()
       tinyDocs.unpersist(blocking = true); tinyEmb.unpersist(blocking = true)
       tinyEv.unpersist(blocking = true)
     } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
@@ -106,7 +121,20 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Environment calibration: median dispatch latency of a trivial
+    // one-stage job. Queries differ hugely in how many driver-blocking
+    // jobs they run (an iterative fit or fixpoint is 5-20 jobs; a scan is
+    // one), so a host where dispatch costs 100-600 ms (measured on some
+    // round VMs, vs ~10 ms typical) inflates multi-job queries 3-9× with
+    // zero code change. Publishing the floor next to the per-query
+    // numbers makes environment drift legible in round-over-round diffs.
+    val calTimes = (1 to 11).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(16).count()
+      (System.nanoTime() - t0) / 1e6
+    }.sorted
+    val calMs = calTimes(calTimes.length / 2)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cal_job_ms":$calMs}"""
     println(line)
     // also persist the line verbatim: the driver keeps only a truncated log
     // tail, which cut r4's total — a file survives any tail length
