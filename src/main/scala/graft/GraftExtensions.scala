@@ -86,6 +86,21 @@ object GraftExtensions {
         arity("graft_top_k", 3, args)
         TopKByScore(args.head, args(1), intLit(args(2), "k"))
       }),
+    ("graft_bloom",
+      info("graft_bloom",
+        "graft_bloom(key, numBits, numHashes) - bloom-filter build aggregate: binary blob"),
+      (args: Seq[Expression]) => {
+        arity("graft_bloom", 3, args)
+        graft.expressions.BloomFilterBuild(args.head,
+          intLit(args(1), "numBits"), intLit(args(2), "numHashes"))
+      }),
+    ("graft_bloom_might_contain",
+      info("graft_bloom_might_contain",
+        "graft_bloom_might_contain(filter, key) - membership probe, no false negatives"),
+      (args: Seq[Expression]) => {
+        arity("graft_bloom_might_contain", 2, args)
+        graft.expressions.BloomMightContain(args.head, args(1))
+      }),
     ("graft_kmv",
       info("graft_kmv",
         "graft_kmv(hash, k) - k-minimum-values distinct sketch: struct<kk, hk>"),

@@ -60,4 +60,45 @@ object ScaleOps {
         metrics.head.merge(col(s"__p_${metrics.head.name}")).as(metrics.head.name),
         metrics.tail.map(m => m.merge(col(s"__p_${m.name}")).as(m.name)): _*)
   }
+
+  /** Bloom-prefiltered anti-join: keep `big` rows whose `bigKey` is NOT in
+    * `small`'s key set — with results EXACTLY equal to a plain left-anti
+    * join, but most of the corpus never reaching the join.
+    *
+    * Shape: `small` collapses to ONE fixed-size binary filter
+    * ([[graft.expressions.BloomFilterBuild]]) broadcast to every scan
+    * task. Rows the filter rejects are *definitely absent* (Bloom filters
+    * have no false negatives) and pass straight through map-side — no
+    * shuffle, no join. Only the false-positive sliver (rate set by
+    * `numBits`/`numHashes` sizing) continues into an exact left-anti join
+    * for verification. At 100 TB against a million-key blocklist that is
+    * the difference between shuffling the corpus and shuffling ~p·corpus.
+    *
+    * Null `bigKey` rows are kept (SQL semantics: NULL matches nothing).
+    * Keys must be integral (the filter hashes longs — hash strings first,
+    * e.g. `TextFunctions.hash60`). */
+  def bloomAntiJoin(big: DataFrame, bigKey: String, small: DataFrame, smallKey: String,
+      numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+    Seq(bigKey -> big, smallKey -> small).foreach { case (c, df) =>
+      import org.apache.spark.sql.types._
+      val t = df.schema(c).dataType
+      require(t == LongType || t == IntegerType || t == ShortType || t == ByteType,
+        s"bloomAntiJoin needs an integral key (the filter hashes longs); '$c' is $t")
+    }
+    require(!big.columns.contains("__bloom") && !big.columns.contains("__maybe"),
+      "bloomAntiJoin reserves column names __bloom/__maybe")
+    val bloomDf = small.agg(
+      graft.expressions.BloomFilterBuild.bloom(col(smallKey), numBits, numHashes)
+        .as("__bloom"))
+    val probed = big.crossJoin(broadcast(bloomDf))
+      // null key ⇒ probe is null ⇒ treat as definitely-absent: an anti
+      // join keeps null keys (NULL equals nothing), so must we
+      .withColumn("__maybe", coalesce(
+        graft.expressions.BloomFilterBuild.mightContain(col("__bloom"), col(bigKey)),
+        lit(false)))
+    val certain = probed.filter(!col("__maybe")).drop("__bloom", "__maybe")
+    val maybes = probed.filter(col("__maybe")).drop("__bloom", "__maybe")
+      .join(small.select(col(smallKey).as("__bk")), col(bigKey) === col("__bk"), "left_anti")
+    certain.unionByName(maybes)
+  }
 }

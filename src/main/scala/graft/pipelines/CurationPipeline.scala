@@ -15,6 +15,11 @@ import graft.functions.TextFunctions
   *      ([[Domains]]: per-row regexp + scan-side filter + ONE bounded-heap
   *      aggregate). First, so a single hot domain never inflates the LSH
   *      and components stages downstream;
+  *   0b. LINE DEDUP (opt-in via `maxLineOccurrences`) — drop lines
+  *      repeated more than the cap corpus-wide ([[Dedup.dedupLines]]:
+  *      frequency aggregate + hot-set anti-join), and docs left empty.
+  *      Before MinHash, so boilerplate chrome never vouches for a
+  *      near-dup pair (the CCNet ordering);
   *   1. near-dup DEDUP — MinHash-LSH candidate pairs, connected
   *      components, keep the longest doc per component (`dedupCorpusBy`);
   *   2. DECONTAMINATE — drop kept docs whose shingle containment of any
@@ -55,7 +60,8 @@ object CurationPipeline {
       redactPii: Boolean = true,
       urlCol: Option[String] = None,
       blockedDomains: Seq[String] = Nil,
-      maxPerDomain: Option[Int] = None): DataFrame = {
+      maxPerDomain: Option[Int] = None,
+      maxLineOccurrences: Option[Long] = None): DataFrame = {
     require(minQualityBucket >= 0 && minQualityBucket <= qualityBreakpoints.size,
       s"minQualityBucket must be in [0, ${qualityBreakpoints.size}], got $minQualityBucket")
     require(urlCol.isDefined || (blockedDomains.isEmpty && maxPerDomain.isEmpty),
@@ -80,6 +86,17 @@ object CurationPipeline {
       }
     }
 
+    // 0b. line-level boilerplate removal; docs reduced to nothing exit
+    // here (an empty doc would otherwise survive as a trivial near-dup
+    // hub and a zero-token packing row)
+    val docsL = maxLineOccurrences.fold(docs0) { cap =>
+      docs0.drop("text")
+        .join(Dedup.dedupLines(docs0, "doc_id", "text", cap)
+          .filter(col("n_kept") > 0)
+          .select(col("doc_id"), col("clean_text").as("text")),
+          Seq("doc_id"))
+    }
+
     // 1. dedup: keep the longest doc of every near-dup component.
     // components() is EAGER (its convergence counts run the fixpoint at
     // call time) and is the single most expensive stage at corpus scale —
@@ -88,11 +105,11 @@ object CurationPipeline {
     // The cache stays pinned for the caller's consuming action, same
     // policy as components' own final-round cache; on block loss Spark
     // recomputes from the pair pipeline (correct, just slower).
-    val pairs = Dedup.minhashLshPairs(docs0)
-    val comps = Dedup.components(docs0, pairs)
+    val pairs = Dedup.minhashLshPairs(docsL)
+    val comps = Dedup.components(docsL, pairs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val kept = docs0.join(
-      Dedup.dedupCorpusByComponents(docs0, comps,
+    val kept = docsL.join(
+      Dedup.dedupCorpusByComponents(docsL, comps,
           TextFunctions.tokenCount(col("text")).cast("long"))
         .select(col("kept_doc_id").as("doc_id")),
       Seq("doc_id"))

@@ -65,8 +65,11 @@ object NorthStarQueries {
     * micro-unit means, empty cells keep their previous centroid), then
     * assignment, probing and exact top-k — CTE-for-CTE what
     * `Similarity.ivfKnn` computes. */
-  private def ivfOracleSql(nCells: Int, nprobe: Int, k: Int, iters: Int,
-      sampleMod: Int, qMax: Int): String = {
+  /** The deterministic sampled-k-means fit + full-corpus cell assignment
+    * as a WITH-clause CTE prefix (`e`, `samp`, `c0..c$iters`, `asg`) —
+    * the shared front half of every IVF-backed oracle (s02/s05 probes,
+    * d11 semantic dedup). */
+  private def ivfFitCtes(nCells: Int, iters: Int, sampleMod: Int): String = {
     val iterCtes = (1 to iters).map { i =>
       val prev = s"c${i - 1}"
       s"""a$i AS (SELECT vec_id, v, cid AS cell FROM (
@@ -84,7 +87,7 @@ object NorthStarQueries {
          |        FROM $prev p LEFT JOIN n$i nn ON nn.cell = p.cid)""".stripMargin
     }
     val fin = s"c$iters"
-    s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding AS v FROM embeddings),
        |samp AS (SELECT vec_id, v FROM e WHERE vec_id % $sampleMod = 0),
        |c0 AS (SELECT CAST(vec_id AS INT) AS cid,
        |              list_transform(v, x -> ${microSql("x")}/1000000.0) AS cv
@@ -94,7 +97,13 @@ object NorthStarQueries {
        |          SELECT e.vec_id, e.v, c.cid,
        |                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |                   ORDER BY ${cosWSql("e.v", "c.cv")} DESC, c.cid) AS rn
-       |          FROM e, $fin c) WHERE rn = 1),
+       |          FROM e, $fin c) WHERE rn = 1)""".stripMargin
+  }
+
+  private def ivfOracleSql(nCells: Int, nprobe: Int, k: Int, iters: Int,
+      sampleMod: Int, qMax: Int): String = {
+    val fin = s"c$iters"
+    s"""WITH ${ivfFitCtes(nCells, iters, sampleMod)},
        |probes AS (SELECT query_id, qv, cell FROM (
        |          SELECT q.vec_id AS query_id, q.v AS qv, c.cid AS cell,
        |                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
@@ -167,6 +176,13 @@ object NorthStarQueries {
     }),
     "d05_embedding_neardup" -> ((s, d) => {
       Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), minCosE6 = 400000L)
+    }),
+    "d11_semantic_dedup" -> ((s, d) => {
+      // SemDeDup: k-means cells (same deterministic fit as the IVF
+      // index), pairwise exact cosine WITHIN cells only — Σ|cell|² work,
+      // cluster-local recall by design (d05 is the exact-recall path).
+      Similarity.semanticNearDupPairs(Tables.embeddings(s, d),
+        nCells = 16, minCosE6 = 300000L)
     }),
     "d06_dedup_components" -> ((s, d) => {
       // Cluster near-dup pairs into components; every doc gets its
@@ -345,6 +361,35 @@ object NorthStarQueries {
         .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
           col("n_chunk_tokens"), col("chunk_text"))
     }),
+    "t17_tfidf_keywords" -> ((s, d) => {
+      // Top-5 distinctive tokens per doc by exact-rational tf/df ppm
+      // (see Keywords.tfidfTopK) — integer math end to end, ties by
+      // token, so the DuckDB replay hash-matches bit for bit.
+      graft.operators.Keywords.tfidfTopK(
+        Tables.documents(s, d), "doc_id", "text", k = 5)
+    }),
+    "t16_line_dedup" -> ((s, d) => {
+      // Line-level boilerplate removal (the CCNet/RefinedWeb stage): drop
+      // lines occurring > 20 times corpus-wide, keep the rest in order.
+      // The synthetic corpus has no newlines, so the query PLANTS
+      // deterministic boilerplate lines (two hot, one borderline family,
+      // one unique) from doc_id arithmetic — identically in the DuckDB
+      // oracle — so the frequency fence provably separates classes.
+      val planted = Tables.documents(s, d).withColumn("t2", concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          lit("\nSubscribe to our newsletter today")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("\nAll rights reserved")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit("\nContact us at office "),
+            pmod(col("doc_id"), lit(4)).cast("string"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          concat(lit("\nRef code "), col("doc_id").cast("string")))
+          .otherwise(lit(""))))
+      Dedup.dedupLines(planted.select(col("doc_id"), col("t2")),
+        "doc_id", "t2", maxOccurrences = 20)
+    }),
     "t11_stratified_sample" -> ((s, d) => {
       // Deterministic "random 5 per source": smallest salted-hash rank
       // per group through ONE bounded-heap aggregate (map-side partials,
@@ -390,12 +435,18 @@ object NorthStarQueries {
       // Same parameters as s02 and a deterministic fit, so the results —
       // and the oracle — are identical.
       val emb = Tables.embeddings(s, d)
-      val table = "graft_ivf_s05_" + java.lang.Integer.toHexString(d.hashCode)
+      // Table name is unique per (sf dir, JVM): SaveMode.Overwrite does
+      // NOT clear a stale warehouse DIRECTORY left by a previous JVM —
+      // the table isn't in the new session's in-memory catalog, so
+      // saveAsTable fails with LOCATION_ALREADY_EXISTS. Keying on
+      // applicationId means the first call per session builds fresh at a
+      // virgin location and later calls (bench reps 2+) hit the catalog
+      // fast path — the serving pattern this query exists to measure.
+      val table = ("graft_ivf_s05_" + java.lang.Integer.toHexString(d.hashCode) +
+        "_" + s.sparkContext.applicationId).replaceAll("[^A-Za-z0-9_]", "_")
       if (!s.catalog.tableExists(table)) {
-        // Overwrite: a stale warehouse directory from a previous JVM is
-        // not in this session's in-memory catalog but still on disk
         Similarity.saveIvf(Similarity.buildIvf(emb, nCells = 16), table,
-          numBuckets = 8, mode = org.apache.spark.sql.SaveMode.Overwrite)
+          numBuckets = 8)
       }
       Similarity.ivfKnnWith(Similarity.loadIvf(s, table),
         emb.filter(col("vec_id") < 20), k = 5, nprobe = 2)
@@ -723,6 +774,48 @@ object NorthStarQueries {
          |         ELSE x END), ' ') AS redacted
          |FROM t ORDER BY doc_id""".stripMargin
     },
+    // tf/df replayed as two GROUP BYs + join; the exact-rational ppm
+    // score (integer division) and (score DESC, token) ties make the
+    // window-rank replay reproduce the collect-sort-slice bit for bit
+    "t17_tfidf_keywords" ->
+      s"""WITH ws AS (SELECT doc_id, $WsSql AS w FROM documents),
+         |t AS (SELECT doc_id, unnest(w) AS token FROM ws),
+         |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM t GROUP BY doc_id, token),
+         |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+         |sc AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         |              CAST((1000000 * tf.tf) // df.df AS BIGINT) AS score_ppm
+         |       FROM tf JOIN df ON tf.token = df.token),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |              ORDER BY score_ppm DESC, token) AS rn FROM sc)
+         |SELECT doc_id, CAST(rn AS INTEGER) AS rank, token, tf, df, score_ppm
+         |FROM r WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin,
+    // same planted lines (doc_id % 2/3/7/13 arithmetic); the frequency
+    // fence replayed as a GROUP BY + join, the re-assembly as an ordered
+    // string_agg — string_split/unnest/generate_subscripts reproduce
+    // posexplode(split(...)) including trailing empties
+    "t16_line_dedup" ->
+      s"""WITH p AS (SELECT doc_id,
+         |  text ||
+         |  CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'Subscribe to our newsletter today' ELSE '' END ||
+         |  CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'All rights reserved' ELSE '' END ||
+         |  CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'Contact us at office ' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END ||
+         |  CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'Ref code ' || CAST(doc_id AS VARCHAR) ELSE '' END AS t2
+         |  FROM documents),
+         |l AS (SELECT doc_id, unnest(string_split(t2, chr(10))) AS line,
+         |             generate_subscripts(string_split(t2, chr(10)), 1) AS pos FROM p),
+         |freq AS (SELECT line, COUNT(*) AS n FROM l GROUP BY line),
+         |kept AS (SELECT l.doc_id, l.pos, l.line
+         |         FROM l JOIN freq f ON l.line = f.line WHERE f.n <= 20),
+         |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |               string_agg(line, chr(10) ORDER BY pos) AS clean_text
+         |        FROM kept GROUP BY doc_id)
+         |SELECT p.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+         |       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+         |       CAST(len(string_split(p.t2, chr(10))) AS BIGINT)
+         |         - CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped
+         |FROM p LEFT JOIN agg a ON p.doc_id = a.doc_id
+         |ORDER BY p.doc_id""".stripMargin,
     // token list sliced at stride-48 starts, re-joined with single spaces;
     // starts = 0..(n-1) DIV 48, each start < n — the last chunk is short,
     // never dropped, and zero-token docs emit nothing (both sides)
@@ -796,6 +889,16 @@ object NorthStarQueries {
          |ORDER BY query_id, rank""".stripMargin,
     "s02_knn_ivf" ->
       ivfOracleSql(nCells = 16, nprobe = 2, k = 5, iters = 2, sampleMod = 7, qMax = 20),
+    // SemDeDup replay: the same fit CTEs as s02 (one definition), then
+    // exact within-cell pairwise cosine — the cluster-local pair space
+    // IS the operator's semantics, so the oracle joins on asg.cell
+    "d11_semantic_dedup" ->
+      s"""WITH ${ivfFitCtes(nCells = 16, iters = 2, sampleMod = 7)},
+         |p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, a.cell,
+         |             ${cosE6Sql("a.v", "b.v")} AS cos_e6
+         |      FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         |SELECT doc_a, doc_b, CAST(cell AS INTEGER) AS cell, cos_e6
+         |FROM p WHERE cos_e6 >= 300000 ORDER BY doc_a, doc_b""".stripMargin,
     // the served path probes the SAME deterministic index s02 fits
     // per-call, so one oracle covers both — any drift between the
     // in-memory and persisted layouts breaks this hash

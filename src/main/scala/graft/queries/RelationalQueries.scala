@@ -263,6 +263,19 @@ object RelationalQueries {
           coalesce(col("asof_pc"), lit(-1L)).as("purchase_cents"),
           date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
     }),
+    "q32_bloom_anti_join" -> ((s, d) => {
+      // Bloom-prefiltered anti-join: events whose user is NOT in the
+      // banned segment. The segment collapses to ONE broadcast binary
+      // filter; definitely-absent rows pass map-side, only the
+      // false-positive sliver reaches the exact anti-join — result is
+      // EXACTLY the plain anti-join (no false negatives by construction).
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("user_id"), col("event_type"))
+      val banned = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      graft.ops.ScaleOps.bloomAntiJoin(ev, "user_id", banned, "c_custkey")
+    }),
   )
 
   /** Shared definitional quantile oracle for q28 (multi-stage plan) and
@@ -455,6 +468,16 @@ object RelationalQueries {
         |       COALESCE(p.pc, -1) AS purchase_cents,
         |       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
         |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND p.ts <= e.ts
+        |ORDER BY event_id""".stripMargin,
+    // the bloom prefilter is a pure optimization (no false negatives), so
+    // the definitional check is the plain anti-join; NOT EXISTS keeps
+    // null-key rows exactly like the operator's coalesce(probe, false)
+    "q32_bloom_anti_join" ->
+      """SELECT e.event_id, e.user_id, e.event_type
+        |FROM events e
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                  WHERE c.c_mktsegment = 'BUILDING'
+        |                    AND c.c_custkey = e.user_id)
         |ORDER BY event_id""".stripMargin,
   )
 }

@@ -52,6 +52,30 @@ class CurationPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("curation line-dedup stage strips boilerplate before near-dup detection") {
+    // plant a hot boilerplate line on every even doc and one all-boilerplate doc
+    val planted = docs.withColumn("text",
+        when($"doc_id" % 2 === 0, concat($"text", lit("\nSubscribe now")))
+          .otherwise($"text"))
+      .union(docs.sparkSession.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(888888L, "Subscribe now", "en", "src0", 13L)),
+        docs.schema))
+    val out = CurationPipeline.curate(planted, evalDocs,
+      maxLineOccurrences = Some(10L)).cache()
+    try {
+      // the all-boilerplate doc is emptied by the line stage and exits
+      assert(out.filter($"doc_id" === 888888L).count() === 0L)
+      // survivors' token counts never include the stripped line: their
+      // n_tokens equal the unplanted pipeline's for the same doc ids
+      val base = CurationPipeline.curate(docs, evalDocs,
+        maxLineOccurrences = Some(10L))
+      val diff = out.select($"doc_id", $"n_tokens")
+        .join(base.select($"doc_id", $"n_tokens".as("nt0")), Seq("doc_id"))
+        .filter($"n_tokens" =!= $"nt0").count()
+      assert(diff === 0L, s"$diff docs kept boilerplate tokens")
+    } finally { out.unpersist(); () }
+  }
+
   test("curation is deterministic end to end") {
     val a = run().collect().map(_.toSeq).toSet
     val b = run().collect().map(_.toSeq).toSet

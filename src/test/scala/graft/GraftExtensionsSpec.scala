@@ -103,6 +103,23 @@ class GraftExtensionsSpec extends SparkTestBase {
     new GraftExtensions() // constructible for spark.sql.extensions
   }
 
+  test("graft_bloom build + probe from SQL match the Column API") {
+    import org.apache.spark.sql.functions._
+    val df = s.range(1, 100).toDF("k")
+    df.createOrReplaceTempView("bloom_keys")
+    val sqlBlob = s.sql("SELECT graft_bloom(k, 1024, 4) AS b FROM bloom_keys")
+      .collect().head.getAs[Array[Byte]](0)
+    val apiBlob = df.agg(graft.expressions.BloomFilterBuild.bloom(col("k"), 1024, 4))
+      .collect().head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(sqlBlob, apiBlob))
+    val probes = s.sql(
+      """SELECT graft_bloom_might_contain(b, 50L) AS hit,
+        |       graft_bloom_might_contain(b, CAST(NULL AS BIGINT)) AS nul
+        |FROM (SELECT graft_bloom(k, 1024, 4) AS b FROM bloom_keys)""".stripMargin)
+      .collect().head
+    assert(probes.getBoolean(0) === true && probes.isNullAt(1))
+  }
+
   test("graft_pii_stats, graft_pii_scrub, graft_domain_of from SQL match the Column API") {
     import org.apache.spark.sql.functions._
     val text = "mail me@x.org or 10.0.0.1 maybe +34-600-111-222 ok"

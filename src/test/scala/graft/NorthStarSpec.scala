@@ -68,6 +68,60 @@ class NorthStarSpec extends SparkTestBase {
     assert(keptFrac(1L) === ((2L, 0.95)))
   }
 
+  test("dedupLines drops corpus-hot lines, keeps order, empties fully-boilerplate docs") {
+    // "ad" appears 3× corpus-wide (> max 2) → dropped everywhere;
+    // "body one/two/three" unique → kept; doc 4 is ALL boilerplate → "".
+    val d = docs(
+      (1L, "body one\nad\nbody two"),
+      (2L, "ad\nbody three"),
+      (3L, "body four"),
+      (4L, "ad"))
+    val got = Dedup.dedupLines(d, "doc_id", "text", maxOccurrences = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === Set(
+      (1L, "body one\nbody two", 2L, 1L),
+      (2L, "body three", 1L, 1L),
+      (3L, "body four", 1L, 0L),
+      (4L, "", 0L, 1L)))
+  }
+
+  test("dedupLines at the fence: exactly maxOccurrences repeats are kept") {
+    val d = docs((1L, "dup\nx"), (2L, "dup\ny"))
+    val got = Dedup.dedupLines(d, "doc_id", "text", maxOccurrences = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got === Map(1L -> "dup\nx", 2L -> "dup\ny"))
+    val tighter = Dedup.dedupLines(d, "doc_id", "text", maxOccurrences = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(tighter === Map(1L -> "x", 2L -> "y"))
+  }
+
+  test("tfidfTopK ranks by exact tf/df ppm, ties by token, skips empty docs") {
+    val d = docs(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "date"),
+      (4L, ""))
+    val got = graft.operators.Keywords.tfidfTopK(d, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    // df: apple 1, banana 2, cherry 1, date 1
+    assert(got === Set(
+      (1L, 1, "apple", 2L, 1L, 2000000L),
+      (1L, 2, "banana", 1L, 2L, 500000L),
+      (2L, 1, "cherry", 1L, 1L, 1000000L),
+      (2L, 2, "banana", 1L, 2L, 500000L),
+      (3L, 1, "date", 1L, 1L, 1000000L)))
+  }
+
+  test("tfidfTopK breaks equal scores by token ascending") {
+    val d = docs((1L, "zeta alpha"))
+    val got = graft.operators.Keywords.tfidfTopK(d, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getInt(1), r.getString(2))).toSet
+    assert(got === Set((1, "alpha"), (2, "zeta")))
+  }
+
   test("contaminationPairs flags embedded eval text by containment, not jaccard") {
     val train = docs(
       1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
@@ -151,6 +205,35 @@ class NorthStarSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       graft.operators.Packing.packChunks(df, "source", 0L, col("nt"))
     }
+  }
+
+  test("semanticNearDupPairs with one cell ≡ exact all-pairs cosine") {
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0.99f, 0.1f, 0f)),
+      (2L, Array(0f, 1f, 0f)), (3L, Array(0f, 0.98f, 0.2f)),
+      (4L, Array(0.6f, 0.6f, 0.5f))).toDF("vec_id", "embedding")
+    val t = 900000L
+    val got = Similarity.semanticNearDupPairs(emb, nCells = 1, minCosE6 = t)
+      .select("doc_a", "doc_b", "cos_e6")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exp = emb.as("a").join(emb.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id", $"b.vec_id",
+        Similarity.cosineE6($"a.embedding", $"b.embedding").as("c"))
+      .filter($"c" >= t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === exp && got.nonEmpty)
+  }
+
+  test("semanticNearDupPairs finds within-cluster dups in separated clusters") {
+    // two tight clusters far apart; ids 0/1 seed the two cells
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(0.995f, 0.05f)), (3L, Array(0.05f, 0.995f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticNearDupPairs(emb, nCells = 2, minCosE6 = 990000L)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((0L, 2L), (1L, 3L)))
   }
 
   test("bruteForceKnn ranks by exact cosine") {

@@ -140,6 +140,19 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Generate"), s"kernel form should not explode:\n$p")
   }
 
+  test("tfidf keywords: no window over the corpus, partial-agg tf") {
+    val p = plan(SparkEntry.queries("t17_tfidf_keywords")(spark, sf))
+    assert(!p.contains("Window"), s"per-doc top-k must not use a window:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"tf aggregate should have map-side partials:\n$p")
+  }
+
+  test("line dedup: frequency fence is an aggregate + anti-join, no window") {
+    val p = plan(SparkEntry.queries("t16_line_dedup")(spark, sf))
+    assert(!p.contains("Window"), s"line dedup must not use a window:\n$p")
+    assert(p.contains("LeftAnti"), s"hot-line anti-join missing:\n$p")
+  }
+
   test("mixture sample is a per-row map + generator: no exchange") {
     val p = plan(SparkEntry.queries("t10_mixture_sample")(spark, sf))
     assert(!p.contains("Exchange"), s"mixture plan shuffles:\n$p")

@@ -241,6 +241,42 @@ class ScaleShapeSpec extends SparkTestBase {
     }
   }
 
+  test("bloom filter: no false negatives ever; false-positive rate within sizing") {
+    val words = new Array[Long](1 << 10)  // 65536 bits
+    val numBits = words.length * 64
+    val keys = (0L until 2000L).map(_ * 7919L + 13L)
+    keys.foreach(graft.expressions.BloomKernels.set(words, numBits, 5, _))
+    val blob = graft.expressions.BloomKernels.toBytes(words, numBits, 5)
+    assert(keys.forall(graft.expressions.BloomKernels.mightContain(blob, _)),
+      "present key rejected: bloom filters must not have false negatives")
+    // n=2000, m=65536, k=5 ⇒ theoretical fp ≈ 0.04%; allow 10× slack
+    val probes = (1L to 20000L).map(_ * 104729L + 3L).filterNot(keys.toSet)
+    val fp = probes.count(graft.expressions.BloomKernels.mightContain(blob, _))
+    assert(fp.toDouble / probes.size < 0.004, s"fp rate ${fp.toDouble / probes.size}")
+  }
+
+  test("bloomAntiJoin ≡ plain left-anti join, null keys kept") {
+    val big = Seq((1L, Option(10L)), (2L, Option(20L)), (3L, Option(30L)),
+        (4L, None), (5L, Option(20L)))
+      .toDF("row_id", "k")
+    val small = Seq(20L, 99L).toDF("bk")
+    val got = graft.ops.ScaleOps.bloomAntiJoin(big, "k", small, "bk")
+      .select("row_id").as[Long].collect().toSet
+    val exp = big.join(small, big("k") === small("bk"), "left_anti")
+      .select("row_id").as[Long].collect().toSet
+    assert(got === exp && got === Set(1L, 3L, 4L))
+  }
+
+  test("bloomAntiJoin survives an adversarial tiny filter (every probe positive)") {
+    // 64 bits, 2000 keys ⇒ filter saturates: every row goes to the exact
+    // join, results still exact (the bloom is ONLY an optimization)
+    val big = (1L to 50L).map(i => (i, i)).toDF("row_id", "k")
+    val small = (1L to 2000L).filter(_ % 2 == 0).map(i => i).toDF("bk")
+    val got = graft.ops.ScaleOps.bloomAntiJoin(big, "k", small, "bk", numBits = 64, numHashes = 1)
+      .select("row_id").as[Long].collect().toSet
+    assert(got === (1L to 50L).filter(_ % 2 == 1).toSet)
+  }
+
   test("TopKByScore aggregate ≡ window row_number top-k, ties included") {
     import org.apache.spark.sql.expressions.Window
     // adversarial fixture: duplicate scores (tie-break on id), NaN-free
