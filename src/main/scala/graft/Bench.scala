@@ -79,6 +79,16 @@ object Bench {
       graft.operators.Packing.chunkByTokens(tinyDocs, "text",
         maxTokens = 16, overlap = 4).count()
       Dedup.dedupLines(tinyDocs, "doc_id", "text", maxOccurrences = 5).count()
+      graft.operators.Keywords.tfidfTopK(tinyDocs, "doc_id", "text", k = 2).count()
+      Similarity.semanticNearDupPairs(tinyEmb, nCells = 2, minCosE6 = 500000L).count()
+      graft.ops.ScaleOps.bloomAntiJoin(
+        tinyEv.select(col("event_id"), col("user_id")), "user_id",
+        spark.range(5).toDF("bk"), "bk").count()
+      graft.ops.RelationalOps.bandedRangeJoin(
+        tinyEv.select(col("event_id"), col("user_id").as("v")), "v",
+        spark.range(3).select(col("id").as("rid"), (col("id") * 10).as("lo"),
+          (col("id") * 10 + 15).as("hi")),
+        "lo", "hi", bandWidth = 10L).count()
       tinyDocs.unpersist(blocking = true); tinyEmb.unpersist(blocking = true)
       tinyEv.unpersist(blocking = true)
     } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }

@@ -74,16 +74,7 @@ object Dedup {
       numHashes: Int = 12,
       rowsPerBand: Int = 3,
       minJaccardPermille: Int = 800): DataFrame = {
-    require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
-    val numBands = numHashes / rowsPerBand
-    val mhCols = (0 until numHashes).map(i =>
-      min(hash60(concat(lit(i.toString), lit(":"), col("sh")))).as(s"mh$i"))
-    val sig = explodedShingles(docs, shingleN)
-      .groupBy(col("doc_id"))
-      .agg(mhCols.head, mhCols.tail: _*)
-    val bands = sig
-      .select(col("doc_id"), explode(array(bandStructs(numBands, rowsPerBand): _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val bands = bandFrame(docs, shingleN, numHashes, rowsPerBand)
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -91,6 +82,23 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     verifyJaccard(cand, hashedShingleSets(docs, shingleN), minJaccardPermille)
+  }
+
+  /** `(doc_id, band, bh)` LSH bucket rows for a corpus: map-side min-agg
+    * MinHash signatures, then the shared banding. The single batch-side
+    * source of the bucketing, used by [[minhashLshPairs]] (within one
+    * corpus) and [[dedupDelta]] (across corpus generations). */
+  private def bandFrame(docs: DataFrame, shingleN: Int,
+      numHashes: Int, rowsPerBand: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
+    val numBands = numHashes / rowsPerBand
+    val mhCols = (0 until numHashes).map(i =>
+      min(hash60(concat(lit(i.toString), lit(":"), col("sh")))).as(s"mh$i"))
+    explodedShingles(docs, shingleN)
+      .groupBy(col("doc_id"))
+      .agg(mhCols.head, mhCols.tail: _*)
+      .select(col("doc_id"), explode(array(bandStructs(numBands, rowsPerBand): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 
   /** LSH band structs over MinHash signature columns `mh0..mh{n-1}`: band
@@ -438,6 +446,67 @@ object Dedup {
         .agg(count(lit(1)).as("__df")).filter(col("__df") > cap).select(col("sh"))
       ex.join(hot, Seq("sh"), "left_anti")
     }
+  }
+
+  /** Incremental (delta) dedup — the ingestion-time shape: admit only the
+    * `newDocs` that duplicate NEITHER the existing `corpus` NOR an
+    * earlier-id doc in their own batch. Returns the accepted `newDocs`
+    * rows unchanged.
+    *
+    * Rejection rules, all deterministic:
+    *   1. exact: the doc's text digest already exists in the corpus, or a
+    *      lower-id doc in the same batch has the same digest;
+    *   2. near-dup: a verified MinHash-LSH pair (same banding and exact
+    *      Jaccard verify as [[minhashLshPairs]]) links the doc to any
+    *      corpus doc or to ANY lower-id batch doc — note "any lower-id",
+    *      not "any lower-id ACCEPTED": the set-based rule needs no
+    *      sequential chain through the batch, so admission is one
+    *      parallel pass. It can over-reject relative to greedy admission
+    *      only when a batch near-dup chain's middle link was itself
+    *      rejected — at real ingestion ratios (batch ≪ corpus) a
+    *      conservative extra rejection is the safe direction.
+    *
+    * Scale shape: the corpus side is touched exactly twice, both
+    * pre-reduced map-side — a distinct digest frame and a band frame (one
+    * row per (doc, band), the same O(corpus × bands) the batch LSH pays) —
+    * and both joins are equi-joins keyed on digest / (band, bucket). At
+    * steady state persist the corpus digest + band frames once per corpus
+    * release and feed them here; nothing rescans corpus text per batch.
+    * Doc ids must be globally unique with batch ids above corpus ids (the
+    * natural monotonic-ingestion layout; the "lower id wins" rules lean
+    * on it). */
+  def dedupDelta(corpus: DataFrame, newDocs: DataFrame, shingleN: Int = 3,
+      numHashes: Int = 12, rowsPerBand: Int = 3,
+      minJaccardPermille: Int = 800): DataFrame = {
+    val fpNew = newDocs.select(col("doc_id"), md5(col("text")).as("__fp"))
+    val fpCorpus = corpus.select(md5(col("text")).as("__fp")).distinct()
+    val exactVsCorpus = fpNew.join(fpCorpus, Seq("__fp"), "left_semi")
+      .select(col("doc_id"))
+    val exactWithin = fpNew.as("f")
+      .join(fpNew.groupBy(col("__fp")).agg(min(col("doc_id")).as("__keep")), Seq("__fp"))
+      .filter(col("doc_id") =!= col("__keep"))
+      .select(col("doc_id"))
+    val bNew = bandFrame(newDocs, shingleN, numHashes, rowsPerBand)
+    val bOld = bandFrame(corpus, shingleN, numHashes, rowsPerBand)
+    val candCross = bOld.as("x")
+      .join(bNew.as("y"), col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val candWithin = bNew.as("x")
+      .join(bNew.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sets = hashedShingleSets(
+      corpus.select(col("doc_id"), col("text"))
+        .unionByName(newDocs.select(col("doc_id"), col("text"))), shingleN)
+    val rejectedNear = verifyJaccard(candCross.unionByName(candWithin).distinct(),
+        sets, minJaccardPermille)
+      .select(col("doc_b").as("doc_id"))
+    newDocs.join(
+      exactVsCorpus.unionByName(exactWithin).unionByName(rejectedNear).distinct(),
+      Seq("doc_id"), "left_anti")
   }
 
   /** Line-level (paragraph-level) dedup, the CCNet/RefinedWeb boilerplate

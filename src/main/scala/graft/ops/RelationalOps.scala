@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Helpers shared by the relational query surface.
@@ -28,4 +28,56 @@ object RelationalOps {
     * integer-division avg (SURVEY.md §2.7). */
   def intAvg(sum: Column, count: Column): Column =
     floor(sum / count).cast("long")
+
+  /** Integer floor-division (toward −∞) of a long column. `a − pmod(a,w)`
+    * is exactly divisible by `w`, so the double division is exact as long
+    * as the quotient magnitude stays under 2^53 — ample for cents,
+    * micros-epoch timestamps, and any realistic band index. */
+  private def floorDiv(c: Column, w: Long): Column =
+    ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+
+  /** Banded (bucketed) range join: `left` rows whose `valueCol` falls in
+    * `right`'s `[loCol, hiCol]` interval (inclusive), as an EQUI-join —
+    * the scale-shaped replacement for the nested-loop plan Spark picks
+    * for a pure range predicate.
+    *
+    * Each right interval explodes to the coarse bands it overlaps
+    * (`sequence(floorDiv(lo,w), floorDiv(hi,w))`); each left row carries
+    * its single band. The join is then an exact equi-join on the band
+    * plus a residual range filter. Every matching pair meets in EXACTLY
+    * one band (the left value's), so no dedup pass is needed and output
+    * multiplicity matches the naive join bit-for-bit.
+    *
+    * Cost model: right side inflates by ~(interval length / bandWidth);
+    * left side shuffles once on its band. Pick `bandWidth` near the
+    * typical interval length — a width far below it multiplies the right
+    * side, far above it funnels everything into few bands (the
+    * nested-loop problem reappearing per-band). Intervals with
+    * `hi < lo` match nothing (filtered, like the naive predicate).
+    * `maxBandsPerInterval` fails the job LOUDLY if any single interval
+    * would explode past it — a mis-sized bandWidth at 100 TB should be a
+    * clear error, not an executor OOM three hours in.
+    * Long-typed columns required: band arithmetic is exact integer math
+    * (floor division toward −∞, correct for negative values). */
+  def bandedRangeJoin(left: DataFrame, valueCol: String,
+      right: DataFrame, loCol: String, hiCol: String, bandWidth: Long,
+      maxBandsPerInterval: Long = 100000L): DataFrame = {
+    require(bandWidth > 0, s"bandWidth must be positive, got $bandWidth")
+    require(maxBandsPerInterval > 0, "maxBandsPerInterval must be positive")
+    val clash = Seq("__band").filter(c => left.columns.contains(c) || right.columns.contains(c))
+    require(clash.isEmpty, "bandedRangeJoin reserves column name __band")
+    val lo = floorDiv(col(loCol), bandWidth)
+    val hi = floorDiv(col(hiCol), bandWidth)
+    val r = right.filter(col(hiCol) >= col(loCol))
+      .withColumn("__band", explode(sequence(lo,
+        when(hi - lo < maxBandsPerInterval, hi).otherwise(
+          raise_error(concat(lit(s"bandedRangeJoin: interval spans more than " +
+            s"$maxBandsPerInterval bands of width $bandWidth at ${loCol}="), col(loCol)
+            .cast("string"), lit(s", ${hiCol}="), col(hiCol).cast("string"),
+            lit("; raise bandWidth or maxBandsPerInterval")))))))
+    left.withColumn("__band", floorDiv(col(valueCol), bandWidth))
+      .join(r, Seq("__band"))
+      .filter(col(valueCol) >= col(loCol) && col(valueCol) <= col(hiCol))
+      .drop("__band")
+  }
 }

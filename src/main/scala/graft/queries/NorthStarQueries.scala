@@ -177,6 +177,17 @@ object NorthStarQueries {
     "d05_embedding_neardup" -> ((s, d) => {
       Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), minCosE6 = 400000L)
     }),
+    "d12_delta_dedup" -> ((s, d) => {
+      // Incremental ingestion: docs with id >= 250 arrive as a new batch
+      // against the id < 250 corpus; admit only batch docs that duplicate
+      // neither the corpus nor a lower-id batch doc (exact digest OR
+      // verified MinHash-LSH pair). Corpus side touched twice, both
+      // map-side-reduced (digest frame, band frame) — no rescan per batch.
+      val docs = Tables.documents(s, d)
+      Dedup.dedupDelta(
+          docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
     "d11_semantic_dedup" -> ((s, d) => {
       // SemDeDup: k-means cells (same deterministic fit as the IVF
       // index), pairwise exact cosine WITHIN cells only — Σ|cell|² work,
@@ -564,6 +575,45 @@ object NorthStarQueries {
          |JOIN sz sb ON sb.doc_id = c.doc_b
          |WHERE 1000 * i.inter_cnt >= 800 * (sa.n + sb.n - i.inter_cnt)
          |ORDER BY c.doc_a, c.doc_b""".stripMargin,
+    // delta dedup replay: d02's shingle/minhash/band CTEs over ALL docs,
+    // the id-250 fence separating corpus from batch; rejections = exact
+    // digest vs corpus, exact digest vs lower batch id, or a verified
+    // (jaccard >= 800permille) LSH pair to corpus or to a lower batch id
+    "d12_delta_dedup" ->
+      s"""WITH corp AS (SELECT * FROM documents WHERE doc_id < 250),
+         |nw AS (SELECT * FROM documents WHERE doc_id >= 250),
+         |fpc AS (SELECT DISTINCT md5(text) AS fp FROM corp),
+         |fpn AS (SELECT doc_id, md5(text) AS fp FROM nw),
+         |exc AS (SELECT doc_id FROM fpn WHERE fp IN (SELECT fp FROM fpc)),
+         |exw AS (SELECT f.doc_id FROM fpn f
+         |        JOIN (SELECT fp, MIN(doc_id) AS m FROM fpn GROUP BY fp) g
+         |          ON f.fp = g.fp AND f.doc_id > g.m),
+         |ws AS (SELECT doc_id, $WsSql AS w FROM documents),
+         |sh AS (SELECT doc_id, $Shingles3Sql AS s FROM ws),
+         |ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+         |mh AS (SELECT doc_id, i, MIN(${h60("CAST(i AS VARCHAR)||':'||sh")}) AS mh
+         |       FROM ex, range(12) t(i) GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, i // 3 AS band,
+         |                 md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bh
+         |          FROM mh GROUP BY doc_id, i // 3),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+         |         WHERE y.doc_id >= 250),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+         |inter AS (SELECT ea.doc_id AS doc_a, eb.doc_id AS doc_b, COUNT(*) AS inter_cnt
+         |          FROM ex ea JOIN ex eb ON ea.sh = eb.sh AND ea.doc_id < eb.doc_id
+         |          GROUP BY 1, 2),
+         |rejn AS (SELECT c.doc_b AS doc_id FROM cand c
+         |         JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |         JOIN sz sa ON sa.doc_id = c.doc_a
+         |         JOIN sz sb ON sb.doc_id = c.doc_b
+         |         WHERE 1000 * i.inter_cnt >= 800 * (sa.n + sb.n - i.inter_cnt))
+         |SELECT doc_id, source, n_chars FROM nw
+         |WHERE doc_id NOT IN (SELECT doc_id FROM exc
+         |                     UNION SELECT doc_id FROM exw
+         |                     UNION SELECT doc_id FROM rejn)
+         |ORDER BY doc_id""".stripMargin,
     "d03_simhash" ->
       s"""WITH ws AS (SELECT doc_id, $WsSql AS w FROM documents),
          |th AS (SELECT doc_id, list_transform(w, t -> ${h60("t")}) AS th FROM ws),

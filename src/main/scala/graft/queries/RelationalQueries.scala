@@ -263,6 +263,22 @@ object RelationalQueries {
           coalesce(col("asof_pc"), lit(-1L)).as("purchase_cents"),
           date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
     }),
+    "q33_range_join" -> ((s, d) => {
+      // PURE range join (no equi key) as a banded equi-join: line items
+      // priced inside overlapping price bands, then a per-band rollup.
+      // Naively this is a nested-loop join; banding turns it into one
+      // shuffle on the band index with a residual filter — each pair
+      // meets in exactly one band, so multiplicity is exact.
+      val li = Tables.lineitem(s, d)
+        .select(cents(col("l_extendedprice")).as("price_cents"))
+      val bands = s.range(0, 100).select(col("id").as("band_id"),
+        (col("id") * 100000L).as("lo_cents"),
+        (col("id") * 100000L + 250000L).as("hi_cents"))
+      graft.ops.RelationalOps.bandedRangeJoin(
+          li, "price_cents", bands, "lo_cents", "hi_cents", bandWidth = 100000L)
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n_items"), sum(col("price_cents")).as("sum_cents"))
+    }),
     "q32_bloom_anti_join" -> ((s, d) => {
       // Bloom-prefiltered anti-join: events whose user is NOT in the
       // banned segment. The segment collapses to ONE broadcast binary
@@ -469,6 +485,16 @@ object RelationalQueries {
         |       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
         |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND p.ts <= e.ts
         |ORDER BY event_id""".stripMargin,
+    // the banding is a pure optimization (each pair meets in exactly one
+    // band), so the definitional check is the naive BETWEEN range join
+    "q33_range_join" ->
+      """WITH b AS (SELECT r AS band_id, r*100000 AS lo, r*100000+250000 AS hi
+        |           FROM range(100) t(r)),
+        |l AS (SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS pc FROM lineitem)
+        |SELECT band_id, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |       CAST(SUM(pc) AS BIGINT) AS sum_cents
+        |FROM l JOIN b ON pc BETWEEN lo AND hi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin,
     // the bloom prefilter is a pure optimization (no false negatives), so
     // the definitional check is the plain anti-join; NOT EXISTS keeps
     // null-key rows exactly like the operator's coalesce(probe, false)

@@ -21,6 +21,20 @@ case class BucketState(canonical: Long, maxTsMillis: Long)
   * canonical (first/minimum) document is `dup_of`, on LSH band `band`. */
 case class NearDupHit(doc_id: Long, dup_of: Long, band: Long)
 
+/** One (cell-assigned vector) row of the streaming semantic near-dup
+  * pipeline. `ts` is the original event-time column (watermark metadata
+  * must survive into the stateful operator). */
+case class CellVecRow(cell: Int, vec_id: Long, ts: java.sql.Timestamp, emb: Seq[Float])
+
+/** Per-cell state: vectors retained within the watermark horizon, plus the
+  * max event time seen (eviction must never move earlier on out-of-order
+  * arrivals). */
+case class CellVecState(vecs: Seq[(Long, Seq[Float])], maxTsMillis: Long)
+
+/** A streaming semantic near-dup pair (doc_a < doc_b) found in k-means
+  * `cell` with exact micro-unit cosine `cos_e6`. */
+case class SemanticHit(doc_a: Long, doc_b: Long, cell: Int, cos_e6: Long)
+
 /** One tagged input row of the streaming as-of join (side 0 = right /
   * reference stream, 1 = left / probe stream). `ts` is the original
   * event-time column so watermark metadata survives into the stateful op. */
@@ -396,6 +410,109 @@ object StreamingOps {
               .map(p => NearDupHit(p, canonical, key._1))
             rs.iterator.filter(_.doc_id != canonical)
               .map(r => NearDupHit(r.doc_id, canonical, key._1)) ++ displaced.iterator
+          }
+      }
+  }
+
+  /** Exact micro-unit cosine in driver-free Scala, bit-identical to the
+    * batch expression path: float products widened to double and summed in
+    * index order (≡ DotProductFF), norms over each vector's own full
+    * length, HALF_UP rounding (≡ Spark `round`). */
+  private def cosE6Jvm(a: Seq[Float], b: Seq[Float]): Long = {
+    def dot(x: Seq[Float], y: Seq[Float]): Double = {
+      val n = math.min(x.length, y.length)
+      var s = 0.0; var i = 0
+      while (i < n) { s += x(i).toDouble * y(i).toDouble; i += 1 }
+      s
+    }
+    val c = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    // Spark's Round(double) goes BigDecimal.valueOf (the shortest-decimal
+    // path, NOT the exact-binary constructor) then HALF_UP — mirror it
+    java.math.BigDecimal.valueOf(c * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+  }
+
+  /** Streaming semantic near-dup (SemDeDup) — the streaming counterpart of
+    * [[graft.operators.Similarity.semanticNearDupPairs]]: each arriving
+    * vector is assigned to its k-means cell against a PREBUILT centroid
+    * table (the serving posture: the fit is an offline artifact, e.g.
+    * `Similarity.buildIvf(...).centroids` or `loadIvf(...).centroids`),
+    * then compared by exact micro-unit cosine against the vectors retained
+    * in that cell's watermark-bounded state. Pairs at or above `minCosE6`
+    * emit in append mode.
+    *
+    * Assignment parity: per-row argmax of `dotWiden(v, cv)/(norm(v)·cn)`
+    * over the centroid literals, ties to the lowest cell id — the same
+    * doubles, comparisons, and tie order as the batch `assignToCells`
+    * (greatest over (cos, -cid) structs ≡ max_by). Pair parity: the JVM
+    * cosine above is bit-identical to the batch expression. So stream ≡
+    * batch whenever both see the same data inside the horizon.
+    *
+    * State: the cell's vectors within the watermark horizon — size a cell
+    * by choosing nCells so (arrival rate × horizon)/nCells vectors fit a
+    * task, the streaming twin of the batch Σ|cell|² sizing. Event-time
+    * timeout evicts idle cells wholesale. */
+  def streamingSemanticNearDup(
+      vecs: DataFrame, // columns: vec_id (long), embedding (array<float>), <tsCol>
+      centroids: DataFrame, // (cid int, cv array<double>) — static, prebuilt
+      minCosE6: Long,
+      tsCol: String = "ts",
+      watermark: String = "1 hour"): Dataset[SemanticHit] = {
+    import vecs.sparkSession.implicits._
+    val cents = centroids.select(col("cid"), col("cv")).collect()
+      .map { r =>
+        val cv = r.getSeq[Double](1).toArray
+        // left-to-right sum ≡ the batch withCentNorm dotWiden order
+        var s = 0.0; var i = 0
+        while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
+        (r.getInt(0), cv, math.sqrt(s))
+      }.sortBy(_._1)
+    require(cents.nonEmpty, "streamingSemanticNearDup needs a non-empty centroid table")
+    val v = col("embedding")
+    val scored = cents.map { case (cid, cv, cn) =>
+      struct(
+        (graft.expressions.VectorExpressions.dotWiden(v, typedLit(cv.toSeq))
+          / (sqrt(graft.expressions.VectorExpressions.dotFF(v, v)) * lit(cn))).as("cos"),
+        lit(-cid).as("neg"), lit(cid).as("cid"))
+    }
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(watermark))
+    val delayMs = iv.months * 2592000000L + iv.days * 86400000L + iv.microseconds / 1000L
+    vecs
+      .withWatermark(tsCol, watermark)
+      .select(
+        (if (scored.length == 1) scored.head else greatest(scored.toIndexedSeq: _*))
+          .getField("cid").as("cell"),
+        col("vec_id"), col(tsCol).as("ts"), v.as("emb"))
+      .as[CellVecRow]
+      .groupByKey(_.cell)
+      .flatMapGroupsWithState[CellVecState, SemanticHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (cell: Int, rows: Iterator[CellVecRow], state: GroupState[CellVecState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // deterministic intra-batch order so reruns emit identical sets
+            val rs = rows.toArray.sortBy(r => (r.ts.getTime, r.vec_id))
+            val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Float])]
+            state.getOption.foreach(s => acc ++= s.vecs)
+            val hits = scala.collection.mutable.ArrayBuffer.empty[SemanticHit]
+            rs.foreach { r =>
+              acc.foreach { case (id, e) =>
+                if (id != r.vec_id) {
+                  val c = cosE6Jvm(r.emb, e)
+                  if (c >= minCosE6)
+                    hits += SemanticHit(math.min(id, r.vec_id), math.max(id, r.vec_id), cell, c)
+                }
+              }
+              acc += ((r.vec_id, r.emb))
+            }
+            val maxTs = (state.getOption.map(_.maxTsMillis).toSeq ++
+              rs.map(_.ts.getTime)).max
+            state.update(CellVecState(acc.toSeq, maxTs))
+            state.setTimeoutTimestamp(maxTs + delayMs)
+            hits.iterator
           }
       }
   }

@@ -68,6 +68,36 @@ class NorthStarSpec extends SparkTestBase {
     assert(keptFrac(1L) === ((2L, 0.95)))
   }
 
+  test("dedupDelta admits only batch docs novel vs corpus AND vs lower batch ids") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 30).map(i => s"other$i").mkString(" ")
+    val fresh = (1 to 30).map(i => s"fresh$i").mkString(" ")
+    val corpus = docs((1L, base), (2L, other))
+    val batch = docs(
+      (10L, base),             // exact dup of corpus -> rejected
+      (11L, other + " extra"), // near-dup of corpus -> rejected
+      (12L, fresh),            // novel -> accepted
+      (13L, fresh),            // exact dup of lower batch id 12 -> rejected
+      (14L, fresh + " extra")) // near-dup of lower batch id 12 -> rejected
+    val got = Dedup.dedupDelta(corpus, batch)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(12L))
+  }
+
+  test("dedupDelta conservative rule: near-dup of a REJECTED lower batch id still rejects") {
+    val a = (1 to 30).map(i => s"w$i").mkString(" ")
+    val corpus = docs((1L, a))
+    // 10 near-dups corpus (rejected); 11 near-dups 10 and NOT corpus
+    // tightly enough... construct a chain instead: 10 ~ corpus, 11 ~ 10.
+    val batch = docs(
+      (10L, a + " x1"),
+      (11L, a + " x1 x2"))
+    val got = Dedup.dedupDelta(corpus, batch)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 11 pairs with 10 (lower batch id) regardless of 10's own rejection
+    assert(got === Set.empty[Long])
+  }
+
   test("dedupLines drops corpus-hot lines, keeps order, empties fully-boilerplate docs") {
     // "ad" appears 3× corpus-wide (> max 2) → dropped everywhere;
     // "body one/two/three" unique → kept; doc 4 is ALL boilerplate → "".

@@ -140,6 +140,12 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Generate"), s"kernel form should not explode:\n$p")
   }
 
+  test("banded range join plans as an equi-join, no nested loop") {
+    val p = plan(SparkEntry.queries("q33_range_join")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join fell back to a nested loop:\n$p")
+  }
+
   test("tfidf keywords: no window over the corpus, partial-agg tf") {
     val p = plan(SparkEntry.queries("t17_tfidf_keywords")(spark, sf))
     assert(!p.contains("Window"), s"per-doc top-k must not use a window:\n$p")

@@ -241,6 +241,37 @@ class ScaleShapeSpec extends SparkTestBase {
     }
   }
 
+  test("bandedRangeJoin ≡ naive range join: boundaries, negatives, empty intervals") {
+    val left = Seq(-25L, -10L, 0L, 9L, 10L, 35L, 99L, 100L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("lid", "v")
+    val right = Seq(
+      (1L, -30L, -10L),  // negative interval, inclusive hi hits -10
+      (2L, 0L, 0L),      // single-point interval
+      (3L, 5L, 40L),     // spans several bands of width 10
+      (4L, 50L, 20L),    // hi < lo: matches nothing
+      (5L, 90L, 100L))
+      .toDF("rid", "lo", "hi")
+    val got = graft.ops.RelationalOps
+      .bandedRangeJoin(left, "v", right, "lo", "hi", bandWidth = 10L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = left.crossJoin(right)
+      .filter($"v" >= $"lo" && $"v" <= $"hi")
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === naive && got.nonEmpty)
+    // multiplicity, not just membership: each pair appears exactly once
+    val cnt = graft.ops.RelationalOps
+      .bandedRangeJoin(left, "v", right, "lo", "hi", bandWidth = 10L).count()
+    assert(cnt === naive.size.toLong)
+    // a mis-sized bandWidth fails loudly instead of exploding the right side
+    val e = intercept[Exception] {
+      graft.ops.RelationalOps.bandedRangeJoin(
+        left, "v", right, "lo", "hi", bandWidth = 1L, maxBandsPerInterval = 3L).count()
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("bandedRangeJoin"), s"wrong failure:\n$msgs")
+  }
+
   test("bloom filter: no false negatives ever; false-positive rate within sizing") {
     val words = new Array[Long](1 << 10)  // 65536 bits
     val numBits = words.length * 64
@@ -253,6 +284,15 @@ class ScaleShapeSpec extends SparkTestBase {
     val probes = (1L to 20000L).map(_ * 104729L + 3L).filterNot(keys.toSet)
     val fp = probes.count(graft.expressions.BloomKernels.mightContain(blob, _))
     assert(fp.toDouble / probes.size < 0.004, s"fp rate ${fp.toDouble / probes.size}")
+  }
+
+  test("bloom blob round-trips through parquet (a frozen blocklist artifact)") {
+    val dir = java.nio.file.Files.createTempDirectory("bloom-blob").toString
+    val keys = spark.range(0, 500).toDF("k")
+    keys.agg(graft.expressions.BloomFilterBuild.bloom(col("k"), 4096, 5).as("b"))
+      .write.mode("overwrite").parquet(dir)
+    val blob = spark.read.parquet(dir).collect().head.getAs[Array[Byte]](0)
+    assert((0L until 500L).forall(graft.expressions.BloomKernels.mightContain(blob, _)))
   }
 
   test("bloomAntiJoin ≡ plain left-anti join, null keys kept") {

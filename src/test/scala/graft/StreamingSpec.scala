@@ -13,6 +13,7 @@ case class CallEvent(ts: Timestamp, user_id: Long, value: Long)
 case class RawCall(ts: Timestamp, user_id: Long, value: Double)
 case class CustUpsert(phone: Long, doc: String, offset: Long)
 case class StreamDocFixture(doc_id: Long, text: String, ts: Timestamp)
+case class StreamVecFixture(vec_id: Long, embedding: Seq[Float], ts: Timestamp)
 case class AsofLeftFix(key: Long, id: Long, ts: Timestamp, value: Double)
 case class AsofRightFix(key: Long, ts: Timestamp, value: Double)
 
@@ -277,6 +278,37 @@ class StreamingSpec extends SparkTestBase {
     assert(rows === Set(
       ("2024-01-01 10:00:00", 2L, 300L), // merged 10:00+11:30 session
       ("2024-01-01 15:00:00", 1L, 400L)))
+  }
+
+  test("streaming semantic near-dup ≡ batch semanticNearDupPairs on real embeddings") {
+    // serving posture: the centroid table is a prebuilt artifact; the
+    // batch operator refits the SAME deterministic k-means on the same
+    // corpus, so the two paths must agree pair-for-pair, value-for-value
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter($"vec_id" < 120)
+    val idx = graft.operators.Similarity.buildIvf(emb, nCells = 4)
+    val minCos = 300000L
+    val batch = graft.operators.Similarity
+      .semanticNearDupPairs(emb, nCells = 4, minCosE6 = minCos)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+
+    val rows = emb.collect().map(r => StreamVecFixture(
+      r.getLong(0), r.getSeq[Float](1), ts(f"10:${r.getLong(0) % 50}%02d")))
+    val in = MemoryStream[StreamVecFixture](spark)
+    val hits = StreamingOps.streamingSemanticNearDup(
+      in.toDF(), idx.centroids, minCosE6 = minCos, tsCol = "ts", watermark = "2 hours")
+    val q = hits.toDF().writeStream
+      .format("memory").queryName("sem_hits").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ck-sem").toString)
+      .start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      in.addData(a.toIndexedSeq); q.processAllAvailable()
+      in.addData(b.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sem_hits")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(got === batch && got.nonEmpty, s"stream ${got.size} vs batch ${batch.size}")
   }
 
   test("streaming LSH near-dup flags band collisions with the canonical doc") {
@@ -622,6 +654,27 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1),
         Option(r.get(2)), Option(r.get(3)))).toSet
     assert(rows === batch)
+  }
+
+  test("bloomAntiJoin runs unchanged on a stream against a static blocklist") {
+    // the filter side is static (one aggregate, broadcast blob); the
+    // stream side is a per-row probe plus a stream-static left-anti for
+    // the false-positive sliver — supported shapes end to end
+    val fixture = Seq(
+      StreamDocFixture(10L, "a", ts("10:00")),
+      StreamDocFixture(20L, "b", ts("10:05")),
+      StreamDocFixture(30L, "c", ts("10:10")))
+    val blocked = Seq(20L).toDF("bk")
+    val in = MemoryStream[StreamDocFixture](spark)
+    val out = graft.ops.ScaleOps.bloomAntiJoin(in.toDF(), "doc_id", blocked, "bk")
+      .select($"doc_id")
+    val q = out.writeStream
+      .format("memory").queryName("stream_bloom").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ck-bloom").toString)
+      .start()
+    try { in.addData(fixture); q.processAllAvailable() } finally q.stop()
+    val got = spark.table("stream_bloom").as[Long].collect().toSet
+    assert(got === Set(10L, 30L))
   }
 
   test("stateless curation ops (hash split, mixture) run unchanged on a stream") {
