@@ -76,29 +76,62 @@ object ScaleOps {
     *
     * Null `bigKey` rows are kept (SQL semantics: NULL matches nothing).
     * Keys must be integral (the filter hashes longs — hash strings first,
-    * e.g. `TextFunctions.hash60`). */
+    * e.g. `TextFunctions.hash60`).
+    *
+    * The filter is built EAGERLY (one small driver action over `small` —
+    * O(driver-state) like the k-means and quantile fits) and embedded as a
+    * foldable literal, so codegen holds ONE blob reference instead of
+    * re-fetching (= copying) a row-carried binary per scanned row, and the
+    * build doesn't re-execute per consuming branch. The blocklist is
+    * therefore frozen at plan-build time — exactly the artifact semantics
+    * a production blocklist has ([[bloomAntiJoinWith]] takes the persisted
+    * blob directly). */
   def bloomAntiJoin(big: DataFrame, bigKey: String, small: DataFrame, smallKey: String,
       numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
-    Seq(bigKey -> big, smallKey -> small).foreach { case (c, df) =>
-      import org.apache.spark.sql.types._
-      val t = df.schema(c).dataType
-      require(t == LongType || t == IntegerType || t == ShortType || t == ByteType,
-        s"bloomAntiJoin needs an integral key (the filter hashes longs); '$c' is $t")
-    }
-    require(!big.columns.contains("__bloom") && !big.columns.contains("__maybe"),
-      "bloomAntiJoin reserves column names __bloom/__maybe")
-    val bloomDf = small.agg(
+    val t = small.schema(smallKey).dataType
+    require(integral(t),
+      s"bloomAntiJoin needs an integral key (the filter hashes longs); '$smallKey' is $t")
+    val blob = small.agg(
       graft.expressions.BloomFilterBuild.bloom(col(smallKey), numBits, numHashes)
-        .as("__bloom"))
-    val probed = big.crossJoin(broadcast(bloomDf))
-      // null key ⇒ probe is null ⇒ treat as definitely-absent: an anti
-      // join keeps null keys (NULL equals nothing), so must we
-      .withColumn("__maybe", coalesce(
-        graft.expressions.BloomFilterBuild.mightContain(col("__bloom"), col(bigKey)),
-        lit(false)))
-    val certain = probed.filter(!col("__maybe")).drop("__bloom", "__maybe")
-    val maybes = probed.filter(col("__maybe")).drop("__bloom", "__maybe")
+        .as("__bloom")).head().getAs[Array[Byte]](0)
+    bloomAntiJoinWith(big, bigKey, small, smallKey, blob)
+  }
+
+  /** [[bloomAntiJoin]] with a prebuilt filter blob — the serving path: a
+    * blocklist is built once per release ([[graft.expressions
+    * .BloomFilterBuild.bloom]]), persisted (the blob round-trips through
+    * parquet unchanged), and probed here by every scan without touching
+    * the blocklist keys again except for the false-positive sliver.
+    *
+    * `blob` MUST have been built over exactly `small`'s `smallKey` set —
+    * a missing key is a false negative and silently breaks the anti-join
+    * guarantee (Bloom false negatives are impossible only for keys that
+    * were inserted). */
+  def bloomAntiJoinWith(big: DataFrame, bigKey: String, small: DataFrame,
+      smallKey: String, blob: Array[Byte]): DataFrame = {
+    val t = big.schema(bigKey).dataType
+    require(integral(t),
+      s"bloomAntiJoin needs an integral key (the filter hashes longs); '$bigKey' is $t")
+    require(!big.columns.contains("__maybe") && !big.columns.contains("__bk"),
+      "bloomAntiJoin reserves column names __maybe/__bk")
+    // null key ⇒ probe is null ⇒ treat as definitely-absent: an anti
+    // join keeps null keys (NULL equals nothing), so must we
+    val probed = big.withColumn("__maybe", coalesce(
+      graft.expressions.BloomFilterBuild.mightContain(lit(blob), col(bigKey)),
+      lit(false)))
+    // two pruned scans of `big` (one per branch), by intention: the
+    // definitely-absent bulk must BYPASS the join, and routing it around
+    // one costs a second column-pruned scan — far cheaper at 100 TB than
+    // the alternative single-scan plan (a full shuffle of `big` on the
+    // join key, which is precisely what the Bloom filter exists to avoid).
+    val certain = probed.filter(!col("__maybe")).drop("__maybe")
+    val maybes = probed.filter(col("__maybe")).drop("__maybe")
       .join(small.select(col(smallKey).as("__bk")), col(bigKey) === col("__bk"), "left_anti")
     certain.unionByName(maybes)
+  }
+
+  private def integral(t: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    t == LongType || t == IntegerType || t == ShortType || t == ByteType
   }
 }
