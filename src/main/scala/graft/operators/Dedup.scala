@@ -466,29 +466,58 @@ object Dedup {
     *      rejected — at real ingestion ratios (batch ≪ corpus) a
     *      conservative extra rejection is the safe direction.
     *
-    * Scale shape: the corpus side is touched exactly twice, both
-    * pre-reduced map-side — a distinct digest frame and a band frame (one
-    * row per (doc, band), the same O(corpus × bands) the batch LSH pays) —
-    * and both joins are equi-joins keyed on digest / (band, bucket). At
-    * steady state persist the corpus digest + band frames once per corpus
-    * release and feed them here; nothing rescans corpus text per batch.
+    * Scale shape: the corpus is reduced to two pre-aggregated frames — a
+    * distinct digest frame ([[corpusDigests]]) and a band frame (one row
+    * per (doc, band), [[corpusBands]]) — and both joins are equi-joins
+    * keyed on digest / (band, bucket). Corpus TEXT is re-read only for
+    * the docs the LSH actually hit (a semi-join of the corpus on the
+    * candidate ids), never the whole corpus. At steady state persist the
+    * digest + band frames once per corpus release and call
+    * [[dedupDeltaWith]]; then each batch touches the corpus only through
+    * those frames plus the candidate-sliver text lookup.
     * Doc ids must be globally unique with batch ids above corpus ids (the
     * natural monotonic-ingestion layout; the "lower id wins" rules lean
     * on it). */
   def dedupDelta(corpus: DataFrame, newDocs: DataFrame, shingleN: Int = 3,
       numHashes: Int = 12, rowsPerBand: Int = 3,
+      minJaccardPermille: Int = 800): DataFrame =
+    dedupDeltaWith(corpus, corpusDigests(corpus),
+      corpusBands(corpus, shingleN, numHashes, rowsPerBand), newDocs,
+      shingleN, numHashes, rowsPerBand, minJaccardPermille)
+
+  /** Distinct text digests of a corpus release (`fp`) — build once per
+    * release, persist, and feed to [[dedupDeltaWith]]. */
+  def corpusDigests(corpus: DataFrame): DataFrame =
+    corpus.select(md5(col("text")).as("fp")).distinct()
+
+  /** LSH band frame `(doc_id, band, bh)` of a corpus release — build once
+    * per release WITH THE SAME (shingleN, numHashes, rowsPerBand) the
+    * delta pass will use, persist, and feed to [[dedupDeltaWith]]. */
+  def corpusBands(corpus: DataFrame, shingleN: Int = 3,
+      numHashes: Int = 12, rowsPerBand: Int = 3): DataFrame =
+    bandFrame(corpus, shingleN, numHashes, rowsPerBand)
+
+  /** [[dedupDelta]] with prebuilt corpus-side frames — the per-batch
+    * serving shape. `digests`/`bands` MUST come from [[corpusDigests]] /
+    * [[corpusBands]] over exactly this `corpus` with the same banding
+    * params: a missing digest or band row silently admits a duplicate
+    * (the same build-over-the-exact-set contract as a persisted Bloom
+    * blob). `corpus` itself is only consulted for the text of
+    * candidate-hit docs. */
+  def dedupDeltaWith(corpus: DataFrame, digests: DataFrame, bands: DataFrame,
+      newDocs: DataFrame, shingleN: Int = 3,
+      numHashes: Int = 12, rowsPerBand: Int = 3,
       minJaccardPermille: Int = 800): DataFrame = {
     val fpNew = newDocs.select(col("doc_id"), md5(col("text")).as("__fp"))
-    val fpCorpus = corpus.select(md5(col("text")).as("__fp")).distinct()
-    val exactVsCorpus = fpNew.join(fpCorpus, Seq("__fp"), "left_semi")
+    val exactVsCorpus = fpNew
+      .join(digests.select(col("fp").as("__fp")), Seq("__fp"), "left_semi")
       .select(col("doc_id"))
     val exactWithin = fpNew.as("f")
       .join(fpNew.groupBy(col("__fp")).agg(min(col("doc_id")).as("__keep")), Seq("__fp"))
       .filter(col("doc_id") =!= col("__keep"))
       .select(col("doc_id"))
     val bNew = bandFrame(newDocs, shingleN, numHashes, rowsPerBand)
-    val bOld = bandFrame(corpus, shingleN, numHashes, rowsPerBand)
-    val candCross = bOld.as("x")
+    val candCross = bands.as("x")
       .join(bNew.as("y"), col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
@@ -498,11 +527,20 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    // pinned: consumed twice (the involved-ids semi-join below + the
+    // verify), and its lineage re-runs the LSH band joins — O(pairs) rows
+    val cand = candCross.unionByName(candWithin).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // only docs that actually appear in a candidate pair get their text
+    // re-read and shingled for the exact verify — the verify join touches
+    // nothing else, so shingling the rest (either side) is pure waste
+    val involved = cand.select(col("doc_a").as("doc_id"))
+      .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
     val sets = hashedShingleSets(
       corpus.select(col("doc_id"), col("text"))
-        .unionByName(newDocs.select(col("doc_id"), col("text"))), shingleN)
-    val rejectedNear = verifyJaccard(candCross.unionByName(candWithin).distinct(),
-        sets, minJaccardPermille)
+        .unionByName(newDocs.select(col("doc_id"), col("text")))
+        .join(involved, Seq("doc_id"), "left_semi"), shingleN)
+    val rejectedNear = verifyJaccard(cand, sets, minJaccardPermille)
       .select(col("doc_b").as("doc_id"))
     newDocs.join(
       exactVsCorpus.unionByName(exactWithin).unionByName(rejectedNear).distinct(),

@@ -31,7 +31,8 @@ object Domains {
     * capture, negated classes. Userinfo (`user@host`) is intentionally
     * out of scope — crawl URLs do not carry it.
     */
-  private[graft] val HostPattern = "^(?:[a-z][a-z0-9+.-]*://)?(?:www\\.)?([^/?#:]+)"
+  private[graft] val UrlPrefixPattern = "^(?:[a-z][a-z0-9+.-]*://)?(?:www\\.)?"
+  private[graft] val HostPattern = UrlPrefixPattern + "([^/?#:]+)"
 
   /** Normalized domain of a URL: lowercased, scheme/`www.`/port/path
     * stripped. Empty string when the input has no extractable host (the
@@ -101,8 +102,10 @@ object Domains {
     * [[graft.ops.CoreOps.latestByKey]] argmax composition: one shuffle on
     * the canonical URL, at most one row per key per partition shuffled. */
   def dedupByCanonicalUrl(df: DataFrame, urlCol: String, orderDesc: Seq[Column]): DataFrame = {
+    // shares UrlPrefixPattern with domainOf so a future normalization fix
+    // (scheme chars, www variants) cannot reach one and miss the other
     val canon = regexp_extract(
-      lower(trim(col(urlCol))), "^(?:[a-z][a-z0-9+.-]*://)?(?:www\\.)?([^?#]*)", 1)
+      lower(trim(col(urlCol))), UrlPrefixPattern + "([^?#]*)", 1)
     val clash = Seq("__canonical_url").filter(df.columns.contains)
     require(clash.isEmpty, s"column ${clash.mkString(",")} collides with dedupByCanonicalUrl's working name; rename first")
     graft.ops.CoreOps.latestByKey(

@@ -65,7 +65,11 @@ object Packing {
     * maxTokens)` with `stride = maxTokens - overlap`, so consecutive
     * chunks share `overlap` tokens and no token of a non-empty document
     * is ever dropped (the last chunk is short rather than omitted;
-    * zero-token documents yield zero chunks).
+    * zero-token documents yield zero chunks). A window whose tokens are
+    * ALL covered by its predecessor (tail length ≤ overlap) is suppressed
+    * — emitting it would duplicate the document tail verbatim in the
+    * training layout, upweighting tails for roughly overlap/stride of
+    * long documents.
     *
     * Chunk text is the token slice re-joined with single spaces — the
     * token-stream view (whitespace runs are not preserved; a trainer
@@ -95,10 +99,14 @@ object Packing {
       .withColumn("__toks", graft.functions.TextFunctions.tokens(col(textCol)))
       .withColumn("__n", size(col("__toks")).cast("long"))
       .filter(col("__n") > 0L)
-      // last chunk start: the largest i with i*stride < n (integral DIV —
-      // Column./ is double division)
+      // last chunk start: the largest i whose window adds a token not
+      // already covered by window i-1, i.e. i*stride + overlap < n ⇔
+      // i ≤ (n - overlap - 1) DIV stride; clamped at 0 so chunk 0 always
+      // exists (integral DIV — Column./ is double division; DIV truncates
+      // toward zero but the clamp makes trunc-vs-floor moot on negatives)
       .withColumn("chunk_idx",
-        explode(sequence(lit(0L), expr(s"(__n - 1L) DIV $stride"))))
+        explode(sequence(lit(0L),
+          greatest(lit(0L), expr(s"(__n - 1L - $overlap) DIV $stride")))))
       // cast separately: a generator can't be nested inside other exprs
       .withColumn("chunk_idx", col("chunk_idx").cast("int"))
       .withColumn("chunk_start", col("chunk_idx").cast("long") * stride)

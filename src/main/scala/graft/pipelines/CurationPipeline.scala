@@ -11,7 +11,8 @@ import graft.functions.TextFunctions
   *
   *   0. DOMAIN HYGIENE (opt-in via `urlCol`) — normalize each doc's URL to
   *      a domain, drop blocklisted domains, cap any one domain's
-  *      contribution at `maxPerDomain` docs preferring longest
+  *      contribution at `maxPerDomain` docs preferring longest (docs with
+  *      no extractable host bypass the cap — they are not one domain)
   *      ([[Domains]]: per-row regexp + scan-side filter + ONE bounded-heap
   *      aggregate). First, so a single hot domain never inflates the LSH
   *      and components stages downstream;
@@ -77,21 +78,34 @@ object CurationPipeline {
         if (blockedDomains.isEmpty) withDomain
         else Domains.filterBlocklist(withDomain, "__domain", blockedDomains)
       maxPerDomain.fold(unblocked.drop("__domain")) { k =>
-        unblocked.join(
-          Domains.capPerDomain(unblocked.withColumn("__len",
+        // docs with no extractable host (domainOf = "") BYPASS the cap:
+        // they are not one domain, and capping them as one group would
+        // silently keep only k of every malformed-URL doc in the corpus
+        val parseable = unblocked.filter(col("__domain") =!= "")
+        parseable.join(
+          Domains.capPerDomain(parseable.withColumn("__len",
               TextFunctions.tokenCount(col("text")).cast("long")),
             "doc_id", "__domain", "__len", k)
             .select(col("doc_id")),
-          Seq("doc_id")).drop("__domain")
+          Seq("doc_id"))
+          .unionByName(unblocked.filter(col("__domain") === ""))
+          .drop("__domain")
       }
     }
 
     // 0b. line-level boilerplate removal; docs reduced to nothing exit
     // here (an empty doc would otherwise survive as a trivial near-dup
-    // hub and a zero-token packing row)
+    // hub and a zero-token packing row).
+    // When the domain stage did real work AND this stage consumes its
+    // output more than once (the rejoin below plus dedupLines' two scans),
+    // pin docs0 so the cap aggregate + join don't re-execute per consumer
+    // — same persist policy as the components labels in step 1.
     val docsL = maxLineOccurrences.fold(docs0) { cap =>
-      docs0.drop("text")
-        .join(Dedup.dedupLines(docs0, "doc_id", "text", cap)
+      val d0 =
+        if (docs0 eq docs) docs0
+        else docs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      d0.drop("text")
+        .join(Dedup.dedupLines(d0, "doc_id", "text", cap)
           .filter(col("n_kept") > 0)
           .select(col("doc_id"), col("clean_text").as("text")),
           Seq("doc_id"))

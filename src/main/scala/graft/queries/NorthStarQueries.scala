@@ -366,7 +366,9 @@ object NorthStarQueries {
       // Context-window chunking: each doc's token stream cut into
       // maxTokens=64 windows sliding by 48 (overlap 16) — pure per-row
       // tokenize + generator explode, no shuffle; the long-document
-      // layout step before packing. Last chunk short, never dropped.
+      // layout step before packing. Last chunk short, never dropped —
+      // unless fully contained in its predecessor (tail ≤ overlap),
+      // which is suppressed rather than duplicating the tail.
       graft.operators.Packing.chunkByTokens(
           Tables.documents(s, d), "text", maxTokens = 64, overlap = 16)
         .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
@@ -873,7 +875,7 @@ object NorthStarQueries {
       s"""WITH t AS (SELECT doc_id, $WsSql AS w FROM documents),
          |n AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM t WHERE len(w) > 0),
          |c AS (SELECT doc_id, w, n,
-         |        UNNEST(range(0, (n - 1) // 48 + 1)) AS chunk_idx
+         |        UNNEST(range(0, GREATEST(0, (n - 1 - 16) // 48) + 1)) AS chunk_idx
          |      FROM n)
          |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
          |  CAST(chunk_idx * 48 AS BIGINT) AS chunk_start,

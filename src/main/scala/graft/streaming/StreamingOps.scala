@@ -26,10 +26,11 @@ case class NearDupHit(doc_id: Long, dup_of: Long, band: Long)
   * must survive into the stateful operator). */
 case class CellVecRow(cell: Int, vec_id: Long, ts: java.sql.Timestamp, emb: Seq[Float])
 
-/** Per-cell state: vectors retained within the watermark horizon, plus the
-  * max event time seen (eviction must never move earlier on out-of-order
-  * arrivals). */
-case class CellVecState(vecs: Seq[(Long, Seq[Float])], maxTsMillis: Long)
+/** Per-cell state: vectors retained within the watermark horizon — each
+  * with its own event time so a continuously-active cell can still prune
+  * its expired entries — plus the max event time seen (eviction must never
+  * move earlier on out-of-order arrivals). */
+case class CellVecState(vecs: Seq[(Long, Seq[Float], Long)], maxTsMillis: Long)
 
 /** A streaming semantic near-dup pair (doc_a < doc_b) found in k-means
   * `cell` with exact micro-unit cosine `cos_e6`. */
@@ -450,8 +451,13 @@ object StreamingOps {
     *
     * State: the cell's vectors within the watermark horizon — size a cell
     * by choosing nCells so (arrival rate × horizon)/nCells vectors fit a
-    * task, the streaming twin of the batch Σ|cell|² sizing. Event-time
-    * timeout evicts idle cells wholesale. */
+    * task, the streaming twin of the batch Σ|cell|² sizing. Two eviction
+    * paths keep that bound real: idle cells drop wholesale via event-time
+    * timeout, and ACTIVE cells prune per-vector on every invocation
+    * (entries whose event time has fallen a full horizon behind the
+    * watermark can never pair with a non-late arrival — without this a
+    * continuously-busy cell would accumulate its whole history and turn
+    * each arrival into a scan of it). */
   def streamingSemanticNearDup(
       vecs: DataFrame, // columns: vec_id (long), embedding (array<float>), <tsCol>
       centroids: DataFrame, // (cid int, cv array<double>) — static, prebuilt
@@ -495,18 +501,24 @@ object StreamingOps {
           } else {
             // deterministic intra-batch order so reruns emit identical sets
             val rs = rows.toArray.sortBy(r => (r.ts.getTime, r.vec_id))
-            val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Float])]
-            state.getOption.foreach(s => acc ++= s.vecs)
+            // prune expired vectors BEFORE comparing: an entry a full
+            // horizon behind the watermark can only pair with rows the
+            // watermark already rejects, so keeping it would be pure
+            // state bloat (quadratic scan cost in a busy cell)
+            val wm = state.getCurrentWatermarkMs()
+            val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Float], Long)]
+            state.getOption.foreach(s =>
+              acc ++= s.vecs.filter { case (_, _, t) => t + delayMs >= wm })
             val hits = scala.collection.mutable.ArrayBuffer.empty[SemanticHit]
             rs.foreach { r =>
-              acc.foreach { case (id, e) =>
+              acc.foreach { case (id, e, _) =>
                 if (id != r.vec_id) {
                   val c = cosE6Jvm(r.emb, e)
                   if (c >= minCosE6)
                     hits += SemanticHit(math.min(id, r.vec_id), math.max(id, r.vec_id), cell, c)
                 }
               }
-              acc += ((r.vec_id, r.emb))
+              acc += ((r.vec_id, r.emb, r.ts.getTime))
             }
             val maxTs = (state.getOption.map(_.maxTsMillis).toSeq ++
               rs.map(_.ts.getTime)).max

@@ -113,6 +113,24 @@ class CurationPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("docs with no extractable host bypass the per-domain cap") {
+    // every unparseable URL maps to domain ""; capping them as ONE domain
+    // would silently keep k of them — the cap must not apply
+    val withUrls = docs.withColumn("url",
+      when(pmod($"doc_id", lit(2)) === 0, lit(""))   // no host at all
+        .otherwise(concat(lit("https://one.example.com/p/"), $"doc_id")))
+    val out = CurationPipeline.curate(withUrls, evalDocs,
+      urlCol = Some("url"), maxPerDomain = Some(2)).cache()
+    try {
+      // the single parseable domain is capped…
+      assert(out.filter($"url".contains("example.com")).count() <= 2L)
+      // …while the unparseable half passes the cap stage: far more than
+      // k survive (bounded only by downstream dedup/quality, not the cap)
+      assert(out.filter($"url" === "").count() > 2L,
+        "unparseable-URL docs were capped as one domain")
+    } finally { out.unpersist(); () }
+  }
+
   test("curate runs the components fixpoint exactly once") {
     // the fixpoint is eager and the pipeline's dominant stage at scale;
     // both consumers (dedup argmax + leakage-safe split) must share ONE

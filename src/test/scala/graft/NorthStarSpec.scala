@@ -98,6 +98,25 @@ class NorthStarSpec extends SparkTestBase {
     assert(got === Set.empty[Long])
   }
 
+  test("dedupDeltaWith on persisted corpus frames ≡ dedupDelta") {
+    // the serving shape: digest + band frames round-trip through parquet
+    // (one release build, many batches) and must admit the same set
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 30).map(i => s"other$i").mkString(" ")
+    val fresh = (1 to 30).map(i => s"fresh$i").mkString(" ")
+    val corpus = docs((1L, base), (2L, other))
+    val batch = docs(
+      (10L, base), (11L, other + " extra"), (12L, fresh),
+      (13L, fresh), (14L, fresh + " extra"))
+    val dir = java.nio.file.Files.createTempDirectory("delta-frames").toString
+    Dedup.corpusDigests(corpus).write.mode("overwrite").parquet(s"$dir/fp")
+    Dedup.corpusBands(corpus).write.mode("overwrite").parquet(s"$dir/bands")
+    val got = Dedup.dedupDeltaWith(corpus,
+        spark.read.parquet(s"$dir/fp"), spark.read.parquet(s"$dir/bands"), batch)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(12L))
+  }
+
   test("dedupLines drops corpus-hot lines, keeps order, empties fully-boilerplate docs") {
     // "ad" appears 3× corpus-wide (> max 2) → dropped everywhere;
     // "body one/two/three" unique → kept; doc 4 is ALL boilerplate → "".

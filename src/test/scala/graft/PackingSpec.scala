@@ -12,7 +12,9 @@ class PackingSpec extends SparkTestBase {
     (id, (1 to nTokens).map(i => s"w$i").mkString(" "))
 
   test("chunkByTokens: stride windows, shared overlap, short last chunk") {
-    // 10 tokens, maxTokens=4, overlap=1 → stride 3, starts 0,3,6,9
+    // 10 tokens, maxTokens=4, overlap=1 → stride 3, starts 0,3,6 — the
+    // window at 9 would be just "w10", already the tail of chunk 2, and
+    // a fully-contained window is suppressed, not emitted
     val out = Packing.chunkByTokens(Seq(doc(1L, 10)).toDF("doc_id", "text"),
         "text", maxTokens = 4, overlap = 1)
       .orderBy("chunk_idx")
@@ -21,8 +23,33 @@ class PackingSpec extends SparkTestBase {
     assert(out === Seq(
       (0, 0L, 4L, "w1 w2 w3 w4"),
       (1, 3L, 4L, "w4 w5 w6 w7"),
-      (2, 6L, 4L, "w7 w8 w9 w10"),
-      (3, 9L, 1L, "w10")))
+      (2, 6L, 4L, "w7 w8 w9 w10")))
+    // a genuinely-new-token tail IS emitted, short
+    val tail = Packing.chunkByTokens(Seq(doc(1L, 11)).toDF("doc_id", "text"),
+        "text", maxTokens = 4, overlap = 1)
+      .orderBy("chunk_idx")
+      .select($"chunk_start", $"chunk_text").as[(Long, String)].collect().toSeq
+    assert(tail.last === (9L, "w10 w11"))
+  }
+
+  test("chunkByTokens: every token covered, no chunk contained in its predecessor") {
+    // sweep tail lengths around the overlap boundary at t15's params
+    val df = (60 to 70).map(n => doc(n.toLong, n)).toDF("doc_id", "text")
+    val out = Packing.chunkByTokens(df, "text", maxTokens = 64, overlap = 16)
+      .select($"doc_id", $"chunk_start", $"n_chunk_tokens")
+      .as[(Long, Long, Long)].collect().toSeq
+    val byDoc = out.groupBy(_._1)
+    byDoc.foreach { case (n, chunks) =>
+      val sorted = chunks.sortBy(_._2)
+      // coverage: last chunk reaches the last token
+      assert(sorted.last._2 + sorted.last._3 === n, s"doc of $n tokens uncovered")
+      // no containment: each non-first chunk ends past its predecessor
+      sorted.sliding(2).foreach {
+        case Seq((_, s1, l1), (_, s2, l2)) =>
+          assert(s2 + l2 > s1 + l1, s"doc $n: chunk at $s2 contained in predecessor")
+        case _ =>
+      }
+    }
   }
 
   test("chunkByTokens: no token dropped, every token covered at overlap 0") {

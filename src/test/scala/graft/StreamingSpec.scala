@@ -311,6 +311,37 @@ class StreamingSpec extends SparkTestBase {
     assert(got === batch && got.nonEmpty, s"stream ${got.size} vs batch ${batch.size}")
   }
 
+  test("streaming semantic near-dup prunes expired vectors in a continuously ACTIVE cell") {
+    // one centroid → every vector lands in cell 0 and the cell never goes
+    // idle, so the wholesale event-time timeout never fires; the per-vector
+    // horizon prune is the only thing keeping state (and pair scope) bounded
+    val cents = Seq((0, Seq(1.0, 0.0))).toDF("cid", "cv")
+    val e = Seq(1.0f, 0.0f); val f = Seq(0.0f, 1.0f); val g = Seq(-1.0f, 0.0f)
+    val in = MemoryStream[StreamVecFixture](spark)
+    val hits = StreamingOps.streamingSemanticNearDup(
+      in.toDF(), cents, minCosE6 = 900000L, tsCol = "ts", watermark = "1 hour")
+    val q = hits.toDF().writeStream
+      .format("memory").queryName("sem_prune").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ck-semp").toString)
+      .start()
+    try {
+      in.addData(StreamVecFixture(1L, e, ts("10:00")), StreamVecFixture(2L, f, ts("10:30")))
+      q.processAllAvailable()   // wm → 9:30, cell stays active
+      in.addData(StreamVecFixture(3L, g, ts("13:00")))
+      q.processAllAvailable()   // wm → 12:00; cell timeout (11:30) never fired
+      // vec 4 ≡ vec 1, but vec 1's event time (10:00) is a full horizon
+      // behind the watermark → pruned from the active cell, no (1,4) pair
+      in.addData(StreamVecFixture(4L, e, ts("13:05")))
+      q.processAllAvailable()
+      // positive control: an in-horizon duplicate still pairs
+      in.addData(StreamVecFixture(5L, e, ts("13:10")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.table("sem_prune")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((4L, 5L)), s"expected only the in-horizon pair, got $pairs")
+  }
+
   test("streaming LSH near-dup flags band collisions with the canonical doc") {
     val in = MemoryStream[StreamDocFixture](spark)
     val hits = StreamingOps.streamingLshNearDup(
