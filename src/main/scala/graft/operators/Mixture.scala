@@ -53,6 +53,56 @@ object Mixture {
       .drop("__copies")
   }
 
+  /** Temperature-balanced mixture rates — the Gopher/Pile-style "data
+    * mixing" fit: source `s` is sampled with probability ∝ `count_s^τ`,
+    * normalized so the expected output size stays ≈ the input size
+    * (τ = 1 is the natural mixture and returns all-1000; τ = 0 is
+    * uniform-over-sources, upsampling rare sources and capping hot ones;
+    * τ = ½ — the common compromise — square-root-balances).
+    *
+    * The returned permille map feeds [[sampleByRates]]:
+    * `rate_s = ⌊1000 · w_s · N / (Σw · n_s)⌋` with `w_s = n_s^τ`.
+    *
+    * τ comes in HALF-steps (`tauHalves` ∈ {0, 1, 2}) so every weight is
+    * exact integer math — `1`, `isqrt(n)` (`BigInteger.sqrt`, exact at
+    * any corpus size), or `n` — and a SQL oracle replays the rates
+    * bit-for-bit (`FLOOR(SQRT(n))` matches exact isqrt for counts up to
+    * ~2^52; beyond that only the SQL replay needs care, not this fit).
+    * Driver state is O(#sources) — one small count aggregate, the same
+    * fit pattern as the k-means and quantile breakpoints.
+    *
+    * A source so rare that its temperature-boosted rate overflows the
+    * permille Int fails loudly: upsampling one row by millions of copies
+    * is a data-shape problem no mixture should silently encode. */
+  def temperatureRates(df: DataFrame, sourceCol: String,
+      tauHalves: Int = 1): Map[String, Int] = {
+    require(tauHalves >= 0 && tauHalves <= 2,
+      s"tauHalves must be 0 (uniform), 1 (sqrt) or 2 (natural), got $tauHalves")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+      .collect().map { r =>
+        require(r.get(0) != null,
+          "temperatureRates: null source — filter or fill before fitting the mixture")
+        r.getString(0) -> r.getLong(1)
+      }.toMap
+    require(counts.nonEmpty, "temperatureRates on an empty corpus: nothing to weight")
+    val w: Map[String, BigInt] = counts.map { case (s, n) =>
+      s -> (tauHalves match {
+        case 0 => BigInt(1)
+        case 1 => BigInt(java.math.BigInteger.valueOf(n).sqrt())
+        case _ => BigInt(n)
+      })
+    }
+    val nTotal = counts.values.map(BigInt(_)).sum
+    val wTotal = w.values.sum
+    counts.map { case (s, n) =>
+      val rate = (BigInt(1000) * w(s) * nTotal) / (wTotal * BigInt(n))
+      require(rate <= Int.MaxValue,
+        s"temperatureRates: source '$s' ($n rows) would be upsampled to $rate permille — " +
+          "raise tauHalves toward the natural mixture or pre-filter degenerate sources")
+      s -> rate.toInt
+    }
+  }
+
   /** Deterministic stratified sample: the `kPerGroup` rows of each group
     * whose salted key hash ranks smallest — "take a random k per source"
     * with no RNG, reproducible on any engine (hash rank replaces the

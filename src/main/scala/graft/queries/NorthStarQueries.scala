@@ -295,6 +295,24 @@ object NorthStarQueries {
           defaultPermille = 250, salt = "mix")
         .select(col("doc_id"), col("source"), col("copy"))
     }),
+    "t18_temperature_mixture" -> ((s, d) => {
+      // Temperature-balanced mixing (Gopher/Pile): per-source rates fit
+      // from the corpus itself — weight ∝ sqrt(count), normalized to keep
+      // total size — then the same exact hash-slot resample as t10. The
+      // fit is one tiny count aggregate (O(#sources) driver state); the
+      // resample is a pure per-row map + generator, no shuffle. The
+      // synthetic corpus is source-uniform (every rate would fit to
+      // 1000), so the query PLANTS a deterministic 6:1:1 skew from
+      // doc_id arithmetic — identically in the oracle — making the
+      // fitted rates provably down-weight the bulk and boost the tails.
+      val docs = Tables.documents(s, d).withColumn("mix_src",
+        when(pmod(col("doc_id"), lit(4)) < 3, lit("bulk"))
+          .otherwise(concat(lit("rare"), pmod(col("doc_id"), lit(2)).cast("string"))))
+      val rates = graft.operators.Mixture.temperatureRates(docs, "mix_src", tauHalves = 1)
+      graft.operators.Mixture.sampleByRates(
+          docs, "doc_id", "mix_src", rates, defaultPermille = 0, salt = "mix")
+        .select(col("doc_id"), col("mix_src"), col("copy"))
+    }),
     "t12_quality_buckets" -> ((s, d) => {
       // Curriculum/filter binning: global p25/p50/p75 breakpoints of the
       // t03 quality score through ONE QuantileHistogram aggregate, then a
@@ -762,6 +780,28 @@ object NorthStarQueries {
          |k AS (SELECT doc_id, source,
          |             rate // 1000 + CASE WHEN slot < rate % 1000 THEN 1 ELSE 0 END AS copies FROM c)
          |SELECT doc_id, source, CAST(unnest(range(copies)) AS BIGINT) AS copy
+         |FROM k WHERE copies > 0 ORDER BY doc_id, copy""".stripMargin,
+    // same planted 6:1:1 skew (doc_id % 4 / % 2 arithmetic); the rate fit
+    // replayed in SQL: w = floor(sqrt(count)) per source (≡ exact isqrt
+    // at these counts), rate = 1000*w*N // (Σw*n) in pure integer math;
+    // then t10's hash-slot resample with the fitted rates
+    "t18_temperature_mixture" ->
+      s"""WITH m AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 4 < 3 THEN 'bulk'
+         |       ELSE 'rare' || CAST(doc_id % 2 AS VARCHAR) END AS mix_src
+         |  FROM documents),
+         |n AS (SELECT mix_src, CAST(COUNT(*) AS BIGINT) AS cnt FROM m GROUP BY mix_src),
+         |w AS (SELECT mix_src, cnt, CAST(FLOOR(SQRT(cnt)) AS BIGINT) AS wt FROM n),
+         |tot AS (SELECT SUM(cnt) AS nn, SUM(wt) AS ww FROM w),
+         |r AS (SELECT mix_src, CAST((1000 * wt * nn) // (ww * cnt) AS BIGINT) AS rate
+         |      FROM w, tot),
+         |c AS (SELECT m.doc_id, m.mix_src, r.rate,
+         |             ${h60("'mix:'||CAST(doc_id AS VARCHAR)")} % 1000 AS slot
+         |      FROM m JOIN r USING (mix_src)),
+         |k AS (SELECT doc_id, mix_src,
+         |             CAST(rate // 1000 + CASE WHEN slot < rate % 1000 THEN 1 ELSE 0 END
+         |               AS BIGINT) AS copies FROM c)
+         |SELECT doc_id, mix_src, CAST(unnest(range(copies)) AS BIGINT) AS copy
          |FROM k WHERE copies > 0 ORDER BY doc_id, copy""".stripMargin,
     // breakpoints replay the q28/q30 definitional rank rule over the t03
     // quality score; bucket = breakpoints strictly below the row's value

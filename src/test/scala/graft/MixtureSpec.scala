@@ -34,6 +34,37 @@ class MixtureSpec extends SparkTestBase {
     assert(out.filter($"source" === "src1").count() === src1)
   }
 
+  test("temperatureRates: exact integer fit at all three temperatures") {
+    // sources a (9 rows) and b (1 row): N=10
+    val toy = ((1 to 9).map(i => (i.toLong, "a")) :+ (10L, "b"))
+      .toDF("doc_id", "source")
+    // natural mixture is the identity
+    assert(Mixture.temperatureRates(toy, "source", tauHalves = 2) ===
+      Map("a" -> 1000, "b" -> 1000))
+    // uniform: w=1 each, rate_a = 1000*10/(2*9) = 555, rate_b = 5000
+    assert(Mixture.temperatureRates(toy, "source", tauHalves = 0) ===
+      Map("a" -> 555, "b" -> 5000))
+    // sqrt: w_a = isqrt(9) = 3, w_b = 1, Σw = 4:
+    // rate_a = 1000*3*10/(4*9) = 833, rate_b = 1000*1*10/4 = 2500
+    assert(Mixture.temperatureRates(toy, "source", tauHalves = 1) ===
+      Map("a" -> 833, "b" -> 2500))
+    // expected output size stays ≈ N: Σ n_s·rate_s/1000 ≤ N (floor), > N-S
+    val r = Mixture.temperatureRates(toy, "source", tauHalves = 1)
+    val expSize = r.map { case ("a", v) => 9L * v; case (_, v) => 1L * v }.sum
+    assert(expSize <= 10000L && expSize > 10000L - 2 * 1000L)
+    intercept[IllegalArgumentException] {
+      Mixture.temperatureRates(toy, "source", tauHalves = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Mixture.temperatureRates(toy.filter($"doc_id" > 100), "source")
+    }
+    intercept[IllegalArgumentException] {
+      Mixture.temperatureRates(
+        toy.withColumn("source", when($"doc_id" === 10L, lit(null: String))
+          .otherwise($"source")), "source")
+    }
+  }
+
   test("mixture is deterministic and salt-decorrelated") {
     val a = Mixture.sampleByRates(docs, "doc_id", "source", Map.empty,
       defaultPermille = 500, salt = "s1").select($"doc_id").as[Long].collect().toSet
