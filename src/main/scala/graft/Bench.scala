@@ -70,7 +70,8 @@ object Bench {
       // compile their own generated classes
       import graft.functions.TextFunctions
       tinyDocs.select(TextFunctions.piiStats(col("text")),
-        TextFunctions.scrubPii(col("text"))).count()
+        TextFunctions.scrubPii(col("text")),
+        TextFunctions.dedupLinesInDoc(col("text"))).count()
       graft.operators.Domains.capPerDomain(
         graft.operators.Domains.filterBlocklist(
           tinyDocs.withColumn("domain", graft.operators.Domains.domainOf(col("source"))),

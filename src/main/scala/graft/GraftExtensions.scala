@@ -135,6 +135,13 @@ object GraftExtensions {
       info("graft_pii_scrub",
         "graft_pii_scrub(str) - PII tokens replaced by placeholders, whitespace preserved"),
       (args: Seq[Expression]) => { arity("graft_pii_scrub", 1, args); PiiScrubExpr(args.head) }),
+    ("graft_dedup_lines_in_doc",
+      info("graft_dedup_lines_in_doc",
+        "graft_dedup_lines_in_doc(str) - repeats of earlier lines within the document dropped"),
+      (args: Seq[Expression]) => {
+        arity("graft_dedup_lines_in_doc", 1, args)
+        DedupLinesInDocExpr(args.head)
+      }),
     ("graft_domain_of",
       // a composed builtin tree, not a kernel: must stay in lockstep with
       // Domains.domainOf (same pattern object) so SQL and Scala agree

@@ -150,6 +150,16 @@ case class PiiScrubExpr(child: Expression) extends KernelCall with StringInput {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Repeats of earlier lines within the document dropped (intra-doc dedup). */
+case class DedupLinesInDocExpr(child: Expression) extends KernelCall with StringInput {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(s: Any): Any =
+    TextKernels.dedupLinesInDoc(s.asInstanceOf[UTF8String])
+  override def kernelCall(ctx: CodegenContext, c: String): String =
+    s"graft.expressions.TextKernels.dedupLinesInDoc($c)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** 32-bit simhash of a token array. */
 case class Simhash32Expr(child: Expression) extends KernelCall with StringArrayInput {
   override def dataType: DataType = LongType
@@ -196,6 +206,7 @@ object TextExpressions {
   def ngramRepetition(c: Column, n: Int): Column = col(NgramRepetitionExpr(ex(c), n))
   def piiStats(c: Column): Column = col(PiiStatsExpr(ex(c)))
   def piiScrub(c: Column): Column = col(PiiScrubExpr(ex(c)))
+  def dedupLinesInDoc(c: Column): Column = col(DedupLinesInDocExpr(ex(c)))
   def sortedIntersectCount(a: Column, b: Column): Column =
     col(SortedIntersectCountExpr(ex(a), ex(b)))
   def hash60(c: Column): Column = col(Hash60Expr(ex(c)))

@@ -373,6 +373,36 @@ object TextKernels {
     UTF8String.fromString(sb.toString)
   }
 
+  /** Lines of `s` (split on '\n', empty segments kept) with every repeat
+    * of an earlier line in the SAME document dropped, first-occurrence
+    * order preserved — intra-document exact dedup (the C4-style repeated
+    * line/paragraph removal that runs BEFORE any corpus-wide stage). One
+    * pass per row, no shuffle anywhere. ≡ DuckDB: group split segments by
+    * (doc, line), keep MIN(position), string_agg back ordered by it. */
+  def dedupLinesInDoc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (str.indexOf('\n') < 0) return s
+    val seen = new java.util.HashSet[String]()
+    val len = str.length
+    val sb = new java.lang.StringBuilder(len)
+    var first = true
+    var start = 0
+    var k = 0
+    while (k <= len) {
+      if (k == len || str.charAt(k) == '\n') {
+        val line = str.substring(start, k)
+        if (seen.add(line)) {
+          if (!first) sb.append('\n')
+          sb.append(line)
+          first = false
+        }
+        start = k + 1
+      }
+      k += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** 32-bit simhash over a token array: bit j set iff Σ ±1 votes > 0. */
   def simhash32(arr: ArrayData): Long = {
     val votes = new Array[Long](32)

@@ -72,6 +72,14 @@ object TextFunctions {
     * between quality filtering and packing. */
   def scrubPii(c: Column): Column = TextExpressions.piiScrub(c)
 
+  /** Text with every repeat of an earlier line in the SAME document
+    * dropped ('\n' segments, empties kept, first occurrence wins) — the
+    * intra-document exact dedup stage (C4-style repeated-line removal),
+    * a pure per-row map that runs before any corpus-wide dedup.
+    * Complements [[graft.operators.Dedup.dedupLines]], which drops lines
+    * frequent ACROSS the corpus and needs a shuffle; this one needs none. */
+  def dedupLinesInDoc(c: Column): Column = TextExpressions.dedupLinesInDoc(c)
+
   private[graft] def ngramRepetitionHof(c: Column, n: Int): Column = {
     val ws = tokensHof(c)
     val grams = when(size(ws) >= n,

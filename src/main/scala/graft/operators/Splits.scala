@@ -102,4 +102,36 @@ object Splits {
     docs.join(components, Seq("doc_id"), "left")
       .withColumn("component", coalesce(col("component"), col("doc_id")))
       .withColumn("split", splitColumn(col("component"), splits, salt))
+
+  /** Deterministic training order: a `shard` assignment and a dense
+    * 0-based `pos` within each shard — the "global shuffle" that fixes a
+    * training run's data order before shard writing, with no RNG and no
+    * global sort. `shard = hash60(salted key) mod nShards`; `pos` ranks
+    * `(hash, key)` ascending within the shard. The same salt reproduces
+    * the same order bit-for-bit; different salts (e.g. per epoch) give
+    * decorrelated orders — the [[saltedKey]] v1 freeze applies.
+    *
+    * Plan shape: ONE hash exchange on `shard`, then a per-shard external
+    * sort — exactly the work an ordered shard write requires. At write
+    * time `repartition(col("shard")).sortWithinPartitions(...)` without
+    * the pos column does the same job; `pos` exists for consumers (and
+    * oracles) that need the order as data. A 100 TB corpus at 10k shards
+    * sorts ~10 GB per task — spill-safe, no driver state, and shards are
+    * hash-uniform so there is no skew. Determinism of `pos` requires
+    * unique keys (duplicate keys tie on `(hash, key)` and rank
+    * arbitrarily among themselves). */
+  def trainingOrder(df: DataFrame, keyCol: String, nShards: Int,
+      salt: String = ""): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val clash = Seq("shard", "pos", "__h").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"trainingOrder writes columns ${clash.mkString(", ")} that already exist in the input")
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__h", hash60(saltedKey(col(keyCol), salt)))
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("pos", (row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("__h"), col(keyCol))) - 1)
+        .cast("long"))
+      .drop("__h")
+  }
 }

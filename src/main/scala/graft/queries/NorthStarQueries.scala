@@ -421,6 +421,37 @@ object NorthStarQueries {
       Dedup.dedupLines(planted.select(col("doc_id"), col("t2")),
         "doc_id", "t2", maxOccurrences = 20)
     }),
+    "t19_intra_doc_dedup" -> ((s, d) => {
+      // Intra-document exact line dedup (the C4-style repeated-line
+      // removal that runs BEFORE any corpus-wide stage): each doc keeps
+      // the first occurrence of every line — one codegen'd kernel pass,
+      // no shuffle. The synthetic corpus is single-line, so the query
+      // PLANTS deterministic repeats (an immediate duplicate, a later
+      // re-occurrence, doubled blank lines, and a trailing-space
+      // near-miss that must survive) from doc_id arithmetic —
+      // identically in the DuckDB oracle.
+      val planted = Tables.documents(s, d).withColumn("t2", concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          lit("\nshared boilerplate line\nshared boilerplate line"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("\nper doc tail "), pmod(col("doc_id"), lit(7)).cast("string")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(6)) === 0,
+          concat(lit("\nper doc tail "), pmod(col("doc_id"), lit(7)).cast("string")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          lit("\nshared boilerplate line ")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          lit("\n\n\nend marker")).otherwise(lit(""))))
+      planted
+        .select(col("doc_id"),
+          TextFunctions.dedupLinesInDoc(col("t2")).as("clean_text"),
+          size(split(col("t2"), "\n", -1)).cast("long").as("n_total"))
+        .withColumn("n_kept",
+          size(split(col("clean_text"), "\n", -1)).cast("long"))
+    }),
     "t11_stratified_sample" -> ((s, d) => {
       // Deterministic "random 5 per source": smallest salted-hash rank
       // per group through ONE bounded-heap aggregate (map-side partials,
@@ -436,6 +467,16 @@ object NorthStarQueries {
           Tables.documents(s, d), "doc_id",
           Seq("train" -> 900, "val" -> 50, "test" -> 50))
         .select(col("doc_id"), col("split"))
+    }),
+    "t20_training_order" -> ((s, d) => {
+      // Deterministic pre-training global shuffle: shard assignment plus
+      // a dense in-shard position from the frozen hash scheme — fixes a
+      // training run's data order with no RNG and no global sort (one
+      // exchange on shard, per-shard sort; salt = one order per epoch).
+      graft.operators.Splits.trainingOrder(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id",
+          nShards = 8, salt = "epoch0")
+        .select(col("doc_id"), col("shard"), col("pos"))
     }),
     "d07_leakage_safe_split" -> ((s, d) => {
       // Split where near-duplicate documents always co-locate: assignment
@@ -908,6 +949,27 @@ object NorthStarQueries {
          |         - CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped
          |FROM p LEFT JOIN agg a ON p.doc_id = a.doc_id
          |ORDER BY p.doc_id""".stripMargin,
+    // same planted repeats (doc_id % 2/3/6/11/5 arithmetic); the dedup
+    // replayed relationally: split keeps empty segments, MIN(position)
+    // per (doc, line), string_agg back ordered by it — first occurrence
+    // wins, including the first of consecutive blank lines
+    "t19_intra_doc_dedup" ->
+      s"""WITH p AS (SELECT doc_id, text ||
+         |  CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'shared boilerplate line' || chr(10) || 'shared boilerplate line' ELSE '' END ||
+         |  CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'per doc tail ' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END ||
+         |  CASE WHEN doc_id % 6 = 0 THEN chr(10) || 'per doc tail ' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END ||
+         |  CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'shared boilerplate line ' ELSE '' END ||
+         |  CASE WHEN doc_id % 5 = 0 THEN chr(10) || chr(10) || chr(10) || 'end marker' ELSE '' END AS t2
+         |  FROM documents),
+         |s AS (SELECT doc_id, string_split(t2, chr(10)) AS ls FROM p),
+         |l AS (SELECT doc_id, unnest(ls) AS line,
+         |             generate_subscripts(ls, 1) AS pos FROM s),
+         |f AS (SELECT doc_id, line, MIN(pos) AS pos FROM l GROUP BY doc_id, line),
+         |a AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         |             CAST(COUNT(*) AS BIGINT) AS n_kept FROM f GROUP BY doc_id)
+         |SELECT a.doc_id, a.clean_text, CAST(len(s.ls) AS BIGINT) AS n_total, a.n_kept
+         |FROM a JOIN s ON a.doc_id = s.doc_id
+         |ORDER BY a.doc_id""".stripMargin,
     // token list sliced at stride-48 starts, re-joined with single spaces;
     // starts = 0..(n-1) DIV 48, each start < n — the last chunk is short,
     // never dropped, and zero-token docs emit nothing (both sides)
@@ -963,6 +1025,15 @@ object NorthStarQueries {
          |            WHEN ${h60("CAST(doc_id AS VARCHAR)")} % 1000 < 950 THEN 'val'
          |            ELSE 'test' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // shard = hash60('epoch0:'||key) % 8; pos ranks (hash, key) within
+    // the shard — the window replay of the per-shard sort
+    "t20_training_order" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  ${h60("'epoch0:'||CAST(doc_id AS VARCHAR)")} AS h FROM documents)
+         |SELECT doc_id, h % 8 AS shard,
+         |       CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1
+         |         AS BIGINT) AS pos
+         |FROM h ORDER BY doc_id""".stripMargin,
     "d07_leakage_safe_split" ->
       s"""$componentsCteSql
          |SELECT doc_id, component,

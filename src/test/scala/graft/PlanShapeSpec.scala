@@ -140,6 +140,20 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Generate"), s"kernel form should not explode:\n$p")
   }
 
+  test("intra-doc line dedup runs inside WholeStageCodegen, no exchange, no explode") {
+    val p = plan(SparkEntry.queries("t19_intra_doc_dedup")(spark, sf))
+    assert(p.contains("*(1)"), s"no codegen stage:\n$p")
+    assert(!p.contains("Exchange"), s"per-row dedup query shuffles:\n$p")
+    assert(!p.contains("Generate"), s"kernel form should not explode:\n$p")
+  }
+
+  test("training order: exactly one exchange (shard hash), per-shard window sort") {
+    val p = plan(SparkEntry.queries("t20_training_order")(spark, sf))
+    val nExchanges = "Exchange".r.findAllIn(p).length
+    assert(nExchanges === 1, s"expected one shard exchange, got $nExchanges:\n$p")
+    assert(p.contains("Window"), s"per-shard rank window missing:\n$p")
+  }
+
   test("banded range join plans as an equi-join, no nested loop") {
     val p = plan(SparkEntry.queries("q33_range_join")(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

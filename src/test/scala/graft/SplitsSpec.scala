@@ -75,6 +75,40 @@ class SplitsSpec extends SparkTestBase {
     assert(out(12L)._2 != null)
   }
 
+  test("trainingOrder: dense per-shard positions ordered by hash, deterministic, salt-decorrelated") {
+    val docs = Tables.documents(spark, sf).select($"doc_id")
+    val out = Splits.trainingOrder(docs, "doc_id", nShards = 4, salt = "e0")
+      .select($"doc_id", $"shard", $"pos")
+    val rows = out.as[(Long, Long, Long)].collect()
+    assert(rows.length === docs.count())
+    // every shard's positions are exactly 0..n-1
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (0L until rs.length).toSeq, s"shard $shard")
+    }
+    // pos order within a shard follows the salted hash (ties by key)
+    val hashed = docs.select($"doc_id",
+        graft.functions.TextFunctions.hash60(concat(lit("e0:"), $"doc_id".cast("string"))).as("h"))
+      .as[(Long, Long)].collect().toMap
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      val byPos = rs.sortBy(_._3).map(r => (hashed(r._1), r._1))
+      assert(byPos.toSeq === byPos.sortBy(identity).toSeq, s"shard $shard hash order")
+    }
+    // deterministic across runs; a different salt yields a different order
+    val again = Splits.trainingOrder(docs, "doc_id", nShards = 4, salt = "e0")
+      .select($"doc_id", $"shard", $"pos").as[(Long, Long, Long)].collect()
+    assert(again.sortBy(_._1).toSeq === rows.sortBy(_._1).toSeq)
+    val epoch1 = Splits.trainingOrder(docs, "doc_id", nShards = 4, salt = "e1")
+      .select($"doc_id", $"shard", $"pos").as[(Long, Long, Long)].collect()
+    assert(epoch1.sortBy(_._1).toSeq !== rows.sortBy(_._1).toSeq)
+    // guards: reserved output columns and non-positive shard counts
+    intercept[IllegalArgumentException] {
+      Splits.trainingOrder(docs.withColumn("shard", lit(1)), "doc_id", 4)
+    }
+    intercept[IllegalArgumentException] {
+      Splits.trainingOrder(docs, "doc_id", 0)
+    }
+  }
+
   test("split weights must be positive and sum to 1000 permille") {
     intercept[IllegalArgumentException] {
       Splits.splitColumn(lit(1L), Seq("a" -> 500, "b" -> 400))

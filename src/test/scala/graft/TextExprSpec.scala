@@ -98,6 +98,41 @@ class TextExprSpec extends SparkTestBase {
     // noise
     "", "word", "<EMAIL>", "a@b.co,", "(1.2.3.4)")
 
+  test("dedupLinesInDoc keeps first occurrences, ≡ split/minpos/reassemble reference") {
+    val cases = Seq(
+      (1L, "a\nb\na\nb\nc"),        // later re-occurrences dropped
+      (2L, "a\na\na"),              // immediate repeats collapse
+      (3L, "single line no break"), // identity without '\n'
+      (4L, "x\n\n\ny"),             // consecutive blanks: first '' kept
+      (5L, ""),                     // empty doc
+      (6L, "\n"),                   // one blank segment pair: ["",""] -> ""
+      (7L, "t \nt\n t\nt"),         // whitespace variants are distinct lines
+      (8L, "end\n"))                // trailing '' kept once
+    // driver-side reference: first-seen filter over '\n' segments
+    def ref(s: String): String = {
+      val seen = scala.collection.mutable.LinkedHashSet[String]()
+      s.split("\n", -1).foreach(seen.add)
+      seen.mkString("\n")
+    }
+    val got = cases.toDF("id", "text")
+      .select($"id", TextFunctions.dedupLinesInDoc($"text"))
+      .as[(Long, String)].collect().toMap
+    cases.foreach { case (id, t) => assert(got(id) === ref(t), s"case $id") }
+    assert(got(1L) === "a\nb\nc" && got(2L) === "a" && got(4L) === "x\n\ny"
+      && got(6L) === "" && got(7L) === "t \nt\n t")
+    // idempotent and line-set-preserving on the corpus (+ planted repeats)
+    val planted = corpus.select($"doc_id",
+      concat($"text", lit("\ndup\ndup\n"), $"text").as("text"))
+    val bad = planted
+      .select($"text", TextFunctions.dedupLinesInDoc($"text").as("once"))
+      .select($"text", $"once", TextFunctions.dedupLinesInDoc($"once").as("twice"))
+      .filter(not($"once" <=> $"twice") or
+        not(array_sort(array_distinct(split($"text", "\n", -1))) <=>
+          array_sort(split($"once", "\n", -1))))
+      .count()
+    assert(bad === 0L)
+  }
+
   test("pii scanner ≡ anchored regexes per token (email/ipv4/phone)") {
     val df = piiTokens.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
     val got = df.select($"id", $"text",
