@@ -16,6 +16,12 @@ import graft.functions.TextFunctions
   *      ([[Domains]]: per-row regexp + scan-side filter + ONE bounded-heap
   *      aggregate). First, so a single hot domain never inflates the LSH
   *      and components stages downstream;
+  *   0a. INTRA-DOC LINE DEDUP (default on, `intraDocDedup = false` to
+  *      skip) — first occurrence of every line kept within each doc
+  *      ([[TextFunctions.dedupLinesInDoc]], a shuffle-free kernel map;
+  *      the C4-style repeated-line removal). Before the corpus-wide
+  *      frequency count, so a doc internally repeating a line cannot
+  *      push it over the corpus cap single-handedly;
   *   0b. LINE DEDUP (opt-in via `maxLineOccurrences`) — drop lines
   *      repeated more than the cap corpus-wide ([[Dedup.dedupLines]]:
   *      frequency aggregate + hot-set anti-join), and docs left empty.
@@ -62,7 +68,8 @@ object CurationPipeline {
       urlCol: Option[String] = None,
       blockedDomains: Seq[String] = Nil,
       maxPerDomain: Option[Int] = None,
-      maxLineOccurrences: Option[Long] = None): DataFrame = {
+      maxLineOccurrences: Option[Long] = None,
+      intraDocDedup: Boolean = true): DataFrame = {
     require(minQualityBucket >= 0 && minQualityBucket <= qualityBreakpoints.size,
       s"minQualityBucket must be in [0, ${qualityBreakpoints.size}], got $minQualityBucket")
     require(urlCol.isDefined || (blockedDomains.isEmpty && maxPerDomain.isEmpty),
@@ -93,17 +100,26 @@ object CurationPipeline {
       }
     }
 
+    // 0a. intra-document repeated-line removal — a pure narrow map, so it
+    // adds no shuffle and needs no persist; runs before the corpus-wide
+    // frequency count so internal repeats can't inflate a line's corpus df
+    val domainStageActive = docs0 ne docs
+    val docsI =
+      if (intraDocDedup)
+        docs0.withColumn("text", TextFunctions.dedupLinesInDoc(col("text")))
+      else docs0
+
     // 0b. line-level boilerplate removal; docs reduced to nothing exit
     // here (an empty doc would otherwise survive as a trivial near-dup
     // hub and a zero-token packing row).
     // When the domain stage did real work AND this stage consumes its
     // output more than once (the rejoin below plus dedupLines' two scans),
-    // pin docs0 so the cap aggregate + join don't re-execute per consumer
+    // pin it so the cap aggregate + join don't re-execute per consumer
     // — same persist policy as the components labels in step 1.
-    val docsL = maxLineOccurrences.fold(docs0) { cap =>
+    val docsL = maxLineOccurrences.fold(docsI) { cap =>
       val d0 =
-        if (docs0 eq docs) docs0
-        else docs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (!domainStageActive) docsI
+        else docsI.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       d0.drop("text")
         .join(Dedup.dedupLines(d0, "doc_id", "text", cap)
           .filter(col("n_kept") > 0)

@@ -76,6 +76,28 @@ class CurationPipelineSpec extends SparkTestBase {
     } finally { out.unpersist(); () }
   }
 
+  test("intra-doc dedup stage drops internal repeats (and can be disabled)") {
+    // plant the same line twice inside every doc; default run keeps one
+    // copy, opting out keeps both — visible through the packed n_tokens
+    val planted = docs.withColumn("text",
+      concat($"text", lit("\nrepeated interior line\nrepeated interior line")))
+    val deduped = CurationPipeline.curate(planted, evalDocs)
+      .select($"doc_id", $"n_tokens")
+    val kept = CurationPipeline.curate(planted, evalDocs, intraDocDedup = false)
+      .select($"doc_id", $"n_tokens".as("nt_raw"))
+    val joined = deduped.join(kept, Seq("doc_id"))
+      .select($"doc_id", $"n_tokens", $"nt_raw")
+      .as[(Long, Long, Long)].collect()
+    assert(joined.nonEmpty)
+    // tokens split on single spaces, so "wk\nrepeated" fuses into one
+    // token at each line boundary: the planted copy adds
+    // ["line\nrepeated", "interior", "line"] = 3 tokens and removes the
+    // standalone "line" ending the first copy — net +2 per doc
+    joined.foreach { case (id, nt, ntRaw) =>
+      assert(ntRaw === nt + 2L, s"doc $id: dedup $nt vs raw $ntRaw")
+    }
+  }
+
   test("curation is deterministic end to end") {
     val a = run().collect().map(_.toSeq).toSet
     val b = run().collect().map(_.toSeq).toSet
