@@ -264,6 +264,27 @@ object NorthStarQueries {
         .orderBy(col("n_occurrences").desc, col("token"))
         .limit(50)
     }),
+    "t21_source_vocab_sketch" -> ((s, d) => {
+      // Per-source distinct-token estimate through the mergeable KMV
+      // sketch, next to the exact count it approximates. The sketch pass
+      // bounds the exchange at #sources × k longs (map-side partial
+      // sketches merge associatively) where exact count_distinct
+      // shuffles every (source, token) pair — the corpus-analytics
+      // shape that still works when one source holds 10^9 tokens.
+      // k = 16 saturates on this vocabulary, so the estimator path is
+      // exercised, not just exact-under-capacity (q29 covers both
+      // regimes globally).
+      import graft.operators.Sketches
+      Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("source"))
+        .agg(
+          Sketches.kmv(shiftright(TextFunctions.hash60(col("tok")), 12), 16).as("sk"),
+          count_distinct(col("tok")).as("exact_distinct"))
+        .select(col("source"),
+          Sketches.kmvEstimate("sk", 16, 48).as("est_distinct"),
+          col("exact_distinct"))
+    }),
     "t09_repetition" -> ((s, d) => {
       // Gopher-style repetition quality signals: duplicate-word,
       // top-word, duplicate-3-gram and top-3-gram fractions (permille,
@@ -789,6 +810,25 @@ object NorthStarQueries {
          |SELECT token, COUNT(*) AS n_occurrences
          |FROM t GROUP BY token
          |ORDER BY n_occurrences DESC, token LIMIT 50""".stripMargin,
+    // grouped KMV replay: k smallest distinct 48-bit hashes per source
+    // via window rank; 4222124650659840 = 15 * 2^48 (the k=16 estimator
+    // numerator, precomputed so the math stays in exact BIGINT)
+    "t21_source_vocab_sketch" ->
+      s"""WITH ws AS (SELECT source, $WsSql AS w FROM documents),
+         |t AS (SELECT source, unnest(w) AS tok FROM ws),
+         |hs AS (SELECT DISTINCT source,
+         |         ('0x'||substr(md5(tok),1,15))::BIGINT // 4096 AS h48 FROM t),
+         |r AS (SELECT source, h48,
+         |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY h48) AS rn FROM hs),
+         |m AS (SELECT source, MAX(h48) AS hk, CAST(COUNT(*) AS BIGINT) AS kk
+         |      FROM r WHERE rn <= 16 GROUP BY source),
+         |e AS (SELECT source, CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_distinct
+         |      FROM t GROUP BY source)
+         |SELECT m.source,
+         |       CAST(CASE WHEN kk < 16 THEN kk ELSE 4222124650659840 // hk END
+         |         AS BIGINT) AS est_distinct,
+         |       e.exact_distinct
+         |FROM m JOIN e ON m.source = e.source ORDER BY m.source""".stripMargin,
     // repetition counts by exact n-gram STRING (no hashing), so the
     // unnest -> GROUP BY route reproduces the one-pass kernel verbatim;
     // docs shorter than n tokens contribute [0,0,0] via the LEFT JOIN
