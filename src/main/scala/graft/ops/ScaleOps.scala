@@ -61,6 +61,46 @@ object ScaleOps {
         metrics.tail.map(m => m.merge(col(s"__p_${m.name}")).as(m.name)): _*)
   }
 
+  /** Skew-safe equi-join for a hot join key: the left side gains a
+    * deterministic content-hash salt in [0, nSalts), the right side is
+    * replicated once per salt value, and the join keys on (key, salt) —
+    * so a hot key's rows spread over nSalts reducers instead of pinning
+    * one. Results are EXACTLY the plain join: each left row meets every
+    * right row of its key exactly once, in its single salt bucket
+    * (asserted ≡ plain join by ScaleShapeSpec).
+    *
+    * When to reach for it: AQE's skew-join split already handles most
+    * sort-merge skew; this is the explicit fallback when the right side
+    * cannot broadcast AND the plan shape defeats AQE (e.g. the skewed
+    * join feeds a co-partitioned downstream op that must not re-split).
+    * Cost: the right side shuffles nSalts× its size — use when right ≪
+    * the hot key's row count, which is exactly the skew regime.
+    *
+    * The salt is `xxhash64` over the full left row — deterministic and
+    * replayable (no rand), so two runs salt identically. Identical
+    * duplicate left rows share a bucket; if the skew IS duplicate rows,
+    * dedup first. `joinType`: "inner" or "left"/"left_outer" only —
+    * types whose semantics replication would corrupt (semi/anti/right/
+    * full) are rejected. Null left keys behave as in the plain join
+    * (match nothing; kept with null right columns under left_outer). */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      nSalts: Int = 16, joinType: String = "inner"): DataFrame = {
+    require(nSalts > 0, s"nSalts must be positive, got $nSalts")
+    val jt = joinType.toLowerCase.replace("outer", "").stripSuffix("_")
+    require(jt == "inner" || jt == "left",
+      s"saltedJoin supports inner and left_outer joins, got '$joinType'")
+    require(left.columns.contains(key) && right.columns.contains(key),
+      s"join key '$key' must exist on both sides")
+    require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "input column __salt collides with saltedJoin's working column; rename first")
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(col): _*), lit(nSalts.toLong)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(nSalts.toLong - 1L))))
+    l.join(r, Seq(key, "__salt"), if (jt == "left") "left_outer" else "inner")
+      .drop("__salt")
+  }
+
   /** Bloom-prefiltered anti-join: keep `big` rows whose `bigKey` is NOT in
     * `small`'s key set — with results EXACTLY equal to a plain left-anti
     * join, but most of the corpus never reaching the join.

@@ -279,6 +279,20 @@ object RelationalQueries {
         .groupBy(col("band_id"))
         .agg(count(lit(1)).as("n_items"), sum(col("price_cents")).as("sum_cents"))
     }),
+    "q34_salted_join" -> ((s, d) => {
+      // Skew-safe salted join: lineitem⋈orders keyed on (l_orderkey,
+      // content-hash salt) with orders replicated 8×, then the usual
+      // grouped rollup. The salt is a pure load-balancing device — the
+      // result is EXACTLY the plain join, so the oracle is the unsalted
+      // SQL join; the plan's exchange carries the salt in its key.
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), cents(col("l_extendedprice")).as("price_cents"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.ops.ScaleOps.saltedJoin(li, ord, "l_orderkey", nSalts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"), sum(col("price_cents")).as("sum_cents"))
+    }),
     "q32_bloom_anti_join" -> ((s, d) => {
       // Bloom-prefiltered anti-join: events whose user is NOT in the
       // banned segment. The segment collapses to ONE broadcast binary
@@ -495,6 +509,14 @@ object RelationalQueries {
         |       CAST(SUM(pc) AS BIGINT) AS sum_cents
         |FROM l JOIN b ON pc BETWEEN lo AND hi
         |GROUP BY band_id ORDER BY band_id""".stripMargin,
+    // the salt is a pure load-balancing device (each pair meets in one
+    // salt bucket), so the definitional check is the plain unsalted join
+    "q34_salted_join" ->
+      """SELECT o.o_orderpriority,
+        |       CAST(COUNT(*) AS BIGINT) AS n_items,
+        |       CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
     // the bloom prefilter is a pure optimization (no false negatives), so
     // the definitional check is the plain anti-join; NOT EXISTS keeps
     // null-key rows exactly like the operator's coalesce(probe, false)

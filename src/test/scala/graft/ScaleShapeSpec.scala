@@ -404,6 +404,41 @@ class ScaleShapeSpec extends SparkTestBase {
     assert(salted === direct)
   }
 
+  test("saltedJoin ≡ plain join (inner and left_outer), null keys, hot key spread") {
+    import graft.ops.ScaleOps
+    // skewed left: 90% of events share one user; right = per-user dim
+    val ev = Tables.events(spark, sf)
+      .withColumn("u", when($"event_id" % 10 =!= 0, lit(7L)).otherwise($"user_id"))
+      .withColumn("u", when($"event_id" % 97 === 0, lit(null: java.lang.Long)).otherwise($"u"))
+      .select($"event_id", $"u", $"event_type")
+    val dim = Tables.customer(spark, sf)
+      .select($"c_custkey".as("u"), $"c_mktsegment")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val plainInner = ev.join(dim, Seq("u"), "inner")
+    assert(canon(ScaleOps.saltedJoin(ev, dim, "u", nSalts = 8)) === canon(plainInner))
+    // nSalts = 1 degenerates to the plain join
+    assert(canon(ScaleOps.saltedJoin(ev, dim, "u", nSalts = 1)) === canon(plainInner))
+    // left_outer: unmatched and null-key rows survive with null dim cols
+    val plainLeft = ev.join(dim, Seq("u"), "left_outer")
+    assert(canon(ScaleOps.saltedJoin(ev, dim, "u", nSalts = 8, joinType = "left_outer"))
+      === canon(plainLeft))
+    assert(ScaleOps.saltedJoin(ev, dim, "u", 8, "left").filter($"u".isNull).count() ===
+      ev.filter($"u".isNull).count())
+    // the hot key's rows really spread: >1 distinct salt among u=7 rows
+    val spread = ev.filter($"u" === 7L)
+      .withColumn("__salt", pmod(xxhash64(ev.columns.map(col): _*), lit(8L)))
+      .select($"__salt").distinct().count()
+    assert(spread > 1L, "content-hash salt failed to spread the hot key")
+    // guards: unsupported join types and the working-column clash
+    intercept[IllegalArgumentException] {
+      ScaleOps.saltedJoin(ev, dim, "u", 8, "left_semi")
+    }
+    intercept[IllegalArgumentException] {
+      ScaleOps.saltedJoin(ev.withColumn("__salt", lit(1)), dim, "u")
+    }
+  }
+
   test("saltedAgg phase-1 spreads a hot key across salt buckets") {
     import graft.ops.ScaleOps
     import graft.ops.ScaleOps.SaltedMetric._
