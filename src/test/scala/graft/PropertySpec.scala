@@ -193,6 +193,55 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("dedupLinesInDoc ≡ distinct-preserving-order on random multi-line docs") {
+    val lineGen = Gen.oneOf("alpha", "beta", "", "gamma delta", " lead", "trail ")
+    val docGen = Gen.listOf(lineGen).map(_.mkString("\n"))
+    forSamples(Gen.listOfN(30, docGen), 10) { docsList =>
+      val df = docsList.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val got = df.select($"id",
+          graft.functions.TextFunctions.dedupLinesInDoc($"text").as("o"))
+        .as[(Long, String)].collect().toMap
+      docsList.zipWithIndex.foreach { case (t, i) =>
+        // Scala's Array.distinct keeps first occurrences — the spec rule
+        val expect = t.split("\n", -1).distinct.mkString("\n")
+        assert(got(i.toLong) === expect, s"doc $i: '$t'")
+      }
+    }
+  }
+
+  test("temperatureRates: size bound, natural identity, uniform-tau monotonicity (random corpora)") {
+    import graft.operators.Mixture
+    val countsGen = for {
+      s <- Gen.choose(2, 6)
+      ns <- Gen.listOfN(s, Gen.choose(1L, 400L))
+    } yield ns.zipWithIndex.map { case (n, i) => (s"s$i", n) }
+    forSamples(countsGen, 12) { counts =>
+      val rows = counts.flatMap { case (src, n) => (1L to n).map(i => (src, i)) }
+      val df = rows.toDF("source", "row_id")
+      // τ = 1 (natural mixture) is the identity at any skew
+      assert(Mixture.temperatureRates(df, "source", tauHalves = 2)
+        .values.forall(_ == 1000))
+      val total = counts.map(_._2).sum
+      for (tau <- Seq(0, 1)) {
+        val r = Mixture.temperatureRates(df, "source", tauHalves = tau)
+        // expected output size ≈ input size: floor rounding loses less
+        // than one permille-unit per row, so Σ n_s·rate_s ∈ (999N, 1000N]
+        val expSize = counts.map { case (s2, c) => c * r(s2) }.sum
+        assert(expSize <= 1000L * total && expSize > 999L * total,
+          s"tau=$tau counts=$counts rates=$r")
+      }
+      // uniform temperature: a strictly rarer source never gets a
+      // smaller rate (exact-isqrt granularity breaks this for τ = ½,
+      // e.g. isqrt(3)/3 < isqrt(4)/4 — so the law is asserted at τ = 0)
+      val r0 = Mixture.temperatureRates(df, "source", tauHalves = 0)
+      counts.sortBy(_._2).sliding(2).foreach {
+        case Seq((a, ca), (b, cb)) if ca <= cb => assert(r0(a) >= r0(b))
+        case _ => ()
+      }
+    }
+  }
+
   test("TopKByScore ≡ sort-take per group on random scored streams") {
     val scoredGen: Gen[List[(Long, Long, Long)]] =
       Gen.nonEmptyListOf(for {

@@ -383,6 +383,42 @@ class StreamingSpec extends SparkTestBase {
     assert(bandsHit === 4L) // identical signature collides on all 12/3 bands
   }
 
+  test("stateless curation kernels run unchanged in streaming: stream ≡ batch") {
+    // the per-row curation stages (intra-doc line dedup, PII scrub, token
+    // count) are pure narrow maps, so the same Columns drop into a
+    // readStream pipeline with no state and no watermark — asserted by
+    // running the identical projection both ways
+    import graft.functions.TextFunctions
+    def stages(df: DataFrame): DataFrame = df.select(
+      col("doc_id"),
+      TextFunctions.dedupLinesInDoc(col("text")).as("deduped"),
+      TextFunctions.scrubPii(col("text")).as("redacted"),
+      TextFunctions.tokenCount(col("text")).as("n_tok"))
+    val in = MemoryStream[StreamDocFixture](spark)
+    val q = stages(in.toDF()).writeStream
+      .format("memory").queryName("curation_maps").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ck-curmaps").toString)
+      .start()
+    val docs = Seq(
+      StreamDocFixture(1L, "dup line\ndup line\nmail a@b.co today", ts("10:00")),
+      StreamDocFixture(2L, "clean text no repeats", ts("10:01")),
+      StreamDocFixture(3L, "ip 1.2.3.4 twice\nip 1.2.3.4 twice", ts("10:02")))
+    try {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("curation_maps").collect().map(_.toSeq).toSet
+    val want = stages(docs.toDF()).collect().map(_.toSeq).toSet
+    assert(got === want)
+    // and the kernels really fired: repeats collapsed, PII redacted
+    val byId = spark.table("curation_maps").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(byId(1L)._1 === "dup line\nmail a@b.co today")
+    assert(byId(1L)._2 === "dup line\ndup line\nmail <EMAIL> today")
+    assert(byId(3L)._1 === "ip 1.2.3.4 twice")
+    assert(byId(3L)._2 === "ip <IP> twice\nip <IP> twice")
+  }
+
   test("stateful ops run on the RocksDB state store provider (production state path)") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
