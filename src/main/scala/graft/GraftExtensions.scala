@@ -135,6 +135,13 @@ object GraftExtensions {
       info("graft_pii_scrub",
         "graft_pii_scrub(str) - PII tokens replaced by placeholders, whitespace preserved"),
       (args: Seq[Expression]) => { arity("graft_pii_scrub", 1, args); PiiScrubExpr(args.head) }),
+    ("graft_ngram_list",
+      info("graft_ngram_list",
+        "graft_ngram_list(str, n) - all word n-grams in order, repeats kept"),
+      (args: Seq[Expression]) => {
+        arity("graft_ngram_list", 2, args)
+        NgramListExpr(args.head, intLit(args(1), "n-gram width"))
+      }),
     ("graft_dedup_lines_in_doc",
       info("graft_dedup_lines_in_doc",
         "graft_dedup_lines_in_doc(str) - repeats of earlier lines within the document dropped"),

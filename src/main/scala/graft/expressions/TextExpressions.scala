@@ -150,6 +150,16 @@ case class PiiScrubExpr(child: Expression) extends KernelCall with StringInput {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** ALL word n-grams in order, repeats kept (counting form of shingles). */
+case class NgramListExpr(child: Expression, n: Int) extends KernelCall with StringInput {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(s: Any): Any =
+    TextKernels.ngramList(s.asInstanceOf[UTF8String], n)
+  override def kernelCall(ctx: CodegenContext, c: String): String =
+    s"graft.expressions.TextKernels.ngramList($c, $n)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Repeats of earlier lines within the document dropped (intra-doc dedup). */
 case class DedupLinesInDocExpr(child: Expression) extends KernelCall with StringInput {
   override def dataType: DataType = StringType
@@ -207,6 +217,7 @@ object TextExpressions {
   def piiStats(c: Column): Column = col(PiiStatsExpr(ex(c)))
   def piiScrub(c: Column): Column = col(PiiScrubExpr(ex(c)))
   def dedupLinesInDoc(c: Column): Column = col(DedupLinesInDocExpr(ex(c)))
+  def ngramList(c: Column, n: Int): Column = col(NgramListExpr(ex(c), n))
   def sortedIntersectCount(a: Column, b: Column): Column =
     col(SortedIntersectCountExpr(ex(a), ex(b)))
   def hash60(c: Column): Column = col(Hash60Expr(ex(c)))

@@ -373,6 +373,38 @@ object TextKernels {
     UTF8String.fromString(sb.toString)
   }
 
+  /** ALL word n-grams of `s` in order, repeats KEPT — the counting form
+    * ([[shingles]] is the distinct set form). The multiset a BPE-style
+    * pair-frequency pass aggregates over: every adjacent pair occurrence
+    * counts, not just the first per doc. */
+  def ngramList(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      if (str.charAt(i) == ' ') i += 1
+      else {
+        var j = i + 1
+        while (j < len && str.charAt(j) != ' ') j += 1
+        toks.add(str.substring(i, j))
+        i = j
+      }
+    }
+    val m = toks.size - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val arr = new Array[AnyRef](m)
+    var k = 0
+    while (k < m) {
+      val sb = new java.lang.StringBuilder(toks.get(k))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks.get(k + j)); j += 1 }
+      arr(k) = UTF8String.fromString(sb.toString)
+      k += 1
+    }
+    new GenericArrayData(arr)
+  }
+
   /** Lines of `s` (split on '\n', empty segments kept) with every repeat
     * of an earlier line in the SAME document dropped, first-occurrence
     * order preserved — intra-document exact dedup (the C4-style repeated

@@ -80,6 +80,12 @@ object TextFunctions {
     * frequent ACROSS the corpus and needs a shuffle; this one needs none. */
   def dedupLinesInDoc(c: Column): Column = TextExpressions.dedupLinesInDoc(c)
 
+  /** ALL word n-grams in document order, repeats kept — the counting form
+    * of [[wordShingles]] (which is the distinct set form). Feed to an
+    * explode + grouped count for pair/gram frequency passes (the BPE
+    * merge-rule inner loop). */
+  def ngramList(c: Column, n: Int): Column = TextExpressions.ngramList(c, n)
+
   private[graft] def ngramRepetitionHof(c: Column, n: Int): Column = {
     val ws = tokensHof(c)
     val grams = when(size(ws) >= n,

@@ -40,4 +40,27 @@ object Layout {
     * metadata rides along and the planner uses it in joins). */
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Write the corpus as ordered training shards: directory-partitioned
+    * by [[graft.operators.Splits.trainingOrder]]'s shard assignment, each
+    * shard's rows stored in their training order. This is the scalable
+    * form of the t20 contract — `repartition(shard) +
+    * sortWithinPartitions(pos)` gives one writer task per shard and
+    * ordered row groups, with NO global sort and no driver state; a
+    * trainer streams `shard=K/` files in file order and sees exactly the
+    * deterministic salted-hash order. `pos` rides along so a resumed read
+    * can seek (and so the layout is audit-able against the t20 query).
+    *
+    * `df` must already carry `shard` and `pos` (from `trainingOrder` —
+    * the split keeps fit and write as separately testable stages). */
+  def writeTrainingShards(df: DataFrame, dir: String): Unit = {
+    require(Seq("shard", "pos").forall(df.columns.contains),
+      "writeTrainingShards expects trainingOrder output (shard, pos columns)")
+    import org.apache.spark.sql.functions.col
+    df.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode(SaveMode.ErrorIfExists)
+      .partitionBy("shard")
+      .parquet(dir)
+  }
 }

@@ -11,6 +11,37 @@ import org.apache.spark.sql.functions._
   */
 class BucketedJoinSpec extends SparkTestBase {
 
+  test("writeTrainingShards: one ordered file per shard dir, rows in training order") {
+    import graft.operators.Splits
+    import graft.ops.Layout
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").select(col("doc_id"))
+    val ordered = Splits.trainingOrder(docs, "doc_id", nShards = 4, salt = "w0")
+    val dir = java.nio.file.Files.createTempDirectory("train-shards").toString + "/out"
+    Layout.writeTrainingShards(ordered, dir)
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.length === 4, s"expected 4 shard dirs, got ${shardDirs.length}")
+    val want = ordered.select(col("shard"), col("pos"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    shardDirs.foreach { sd =>
+      val shard = sd.getName.stripPrefix("shard=").toLong
+      val parts = sd.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length === 1, s"shard $shard has ${parts.length} files — not one writer task")
+      // a single parquet file preserves row order: the file order IS the
+      // training order, which is the whole point of the layout
+      val rows = spark.read.parquet(parts.head.getPath)
+        .select(col("pos"), col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.map(_._1).toSeq === rows.map(_._1).sorted.toSeq, s"shard $shard not pos-ordered")
+      assert(rows.map(r => (shard, r._1, r._2)).toSet === want(shard).toSet, s"shard $shard content")
+    }
+    // guard: refuses frames that don't carry the trainingOrder contract
+    intercept[IllegalArgumentException] {
+      Layout.writeTrainingShards(docs, dir + "2")
+    }
+  }
+
   test("co-bucketed tables join without a shuffle on either side") {
     // warehouse dir is a temp dir set by SparkTestBase (static conf)
     val sf = "/root/testdata/sf0.001"

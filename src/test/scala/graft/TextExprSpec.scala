@@ -98,6 +98,24 @@ class TextExprSpec extends SparkTestBase {
     // noise
     "", "word", "<EMAIL>", "a@b.co,", "(1.2.3.4)")
 
+  test("ngramList keeps repeats in order (counting form of the shingle set)") {
+    val got = corpus.select($"doc_id", TextFunctions.ngramList($"text", 2).as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    corpus.as[(Long, String)].collect().foreach { case (id, t) =>
+      val toks = t.split(" ", -1).filter(_.nonEmpty).toSeq
+      val want =
+        if (toks.length < 2) Seq.empty[String]
+        else toks.sliding(2).map(_.mkString(" ")).toSeq
+      assert(got(id) === want, s"doc $id")
+    }
+    val df1 = Seq((1L, "a b a b a")).toDF("doc_id", "text")
+    assert(df1.select(TextFunctions.ngramList($"text", 2)).as[Seq[String]].head()
+      === Seq("a b", "b a", "a b", "b a"))
+    // the shingle set keeps only first occurrences — the distinct form
+    assert(df1.select(TextFunctions.wordShingles($"text", 2)).as[Seq[String]].head()
+      === Seq("a b", "b a"))
+  }
+
   test("dedupLinesInDoc keeps first occurrences, ≡ split/minpos/reassemble reference") {
     val cases = Seq(
       (1L, "a\nb\na\nb\nc"),        // later re-occurrences dropped
