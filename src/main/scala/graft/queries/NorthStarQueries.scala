@@ -202,6 +202,17 @@ object NorthStarQueries {
       val docs = Tables.documents(s, d)
       Dedup.components(docs, Dedup.minhashLshPairs(docs))
     }),
+    "d13_component_sizes" -> ((s, d) => {
+      // Corpus-health report: the near-dup cluster-size distribution
+      // (how much of the corpus is duplicated, and how heavy the heaviest
+      // cluster is — the first chart any dedup audit draws). Two grouped
+      // counts on top of the d06 components; both shuffles carry only
+      // group rows.
+      val docs = Tables.documents(s, d)
+      Dedup.components(docs, Dedup.minhashLshPairs(docs))
+        .groupBy(col("component")).agg(count(lit(1)).as("csize"))
+        .groupBy(col("csize")).agg(count(lit(1)).as("n_components"))
+    }),
     "d09_dedup_keep_longest" -> ((s, d) => {
       // Score-aware dedup: per near-dup component keep the LONGEST doc
       // (ties → lowest doc_id) — what a curation pass actually keeps,
@@ -263,6 +274,20 @@ object NorthStarQueries {
         .agg(count(lit(1)).as("n_occurrences"))
         .orderBy(col("n_occurrences").desc, col("token"))
         .limit(50)
+    }),
+    "t22_bpe_pairs" -> ((s, d) => {
+      // The BPE/WordPiece merge-rule inner loop at corpus scale: count
+      // every adjacent token-pair occurrence and take the head (the
+      // argmax is the next merge). ngramList keeps repeats — unlike the
+      // shingle set — so counts are true multiset frequencies. One
+      // kernel pass + explode + partial-agg count + TakeOrdered; ties
+      // by pair text for determinism.
+      Tables.documents(s, d)
+        .select(explode(TextFunctions.ngramList(col("text"), 2)).as("pair"))
+        .groupBy(col("pair"))
+        .agg(count(lit(1)).as("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("pair"))
+        .limit(30)
     }),
     "t21_source_vocab_sketch" -> ((s, d) => {
       // Per-source distinct-token estimate through the mergeable KMV
@@ -730,6 +755,13 @@ object NorthStarQueries {
     "d06_dedup_components" ->
       s"""$componentsCteSql
          |SELECT doc_id, component FROM comp""".stripMargin,
+    // cluster-size distribution over the same components closure
+    "d13_component_sizes" ->
+      s"""$componentsCteSql,
+         |cs AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS csize
+         |       FROM comp GROUP BY component)
+         |SELECT csize, CAST(COUNT(*) AS BIGINT) AS n_components
+         |FROM cs GROUP BY csize ORDER BY csize""".stripMargin,
     "d09_dedup_keep_longest" ->
       s"""$componentsCteSql,
          |tl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM ws),
@@ -810,6 +842,16 @@ object NorthStarQueries {
          |SELECT token, COUNT(*) AS n_occurrences
          |FROM t GROUP BY token
          |ORDER BY n_occurrences DESC, token LIMIT 50""".stripMargin,
+    // adjacent pairs by position (scalar range + 1-indexed list access —
+    // generate_series can't lateral-join a column), multiset counts
+    "t22_bpe_pairs" ->
+      s"""WITH ws AS (SELECT $WsSql AS w FROM documents),
+         |p AS (SELECT unnest(list_transform(range(GREATEST(len(w) - 1, 0)),
+         |                    i -> w[i + 1] || ' ' || w[i + 2])) AS pair
+         |      FROM ws)
+         |SELECT pair, COUNT(*) AS n_occurrences
+         |FROM p GROUP BY pair
+         |ORDER BY n_occurrences DESC, pair LIMIT 30""".stripMargin,
     // grouped KMV replay: k smallest distinct 48-bit hashes per source
     // via window rank; 4222124650659840 = 15 * 2^48 (the k=16 estimator
     // numerator, precomputed so the math stays in exact BIGINT)

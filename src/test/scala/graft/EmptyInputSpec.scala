@@ -64,6 +64,32 @@ class EmptyInputSpec extends SparkTestBase {
       Seq("g"), "v", Seq("p50" -> 500), 10L).count() === 0L)
   }
 
+  test("r6 operators: empty and degenerate inputs") {
+    // trainingOrder: empty in, empty out, contract columns intact
+    val ord = graft.operators.Splits.trainingOrder(
+      noDocs.select($"doc_id"), "doc_id", nShards = 4)
+    assert(ord.count() === 0L)
+    assert(ord.columns.toSet === Set("doc_id", "shard", "pos"))
+    // saltedJoin: empty on either side; left_outer keeps the left
+    val l = Seq((1L, "x")).toDF("k", "v")
+    val r = Seq((1L, "y")).toDF("k", "w")
+    assert(graft.ops.ScaleOps.saltedJoin(l.limit(0), r, "k").count() === 0L)
+    assert(graft.ops.ScaleOps.saltedJoin(l, r.limit(0), "k").count() === 0L)
+    assert(graft.ops.ScaleOps.saltedJoin(l, r.limit(0), "k", 4, "left").count() === 1L)
+    // new kernels: null text → null out; empty text → identity/empty
+    val rows = Seq((1L, null: String), (2L, ""))
+      .toDF("doc_id", "text")
+      .select($"doc_id",
+        graft.functions.TextFunctions.dedupLinesInDoc($"text").as("d"),
+        graft.functions.TextFunctions.ngramList($"text", 2).as("g"))
+      .orderBy($"doc_id").collect()
+    assert(rows(0).isNullAt(1) && rows(0).isNullAt(2))
+    assert(rows(1).getString(1) === "" && rows(1).getSeq[String](2).isEmpty)
+    // component-size rollup of an empty corpus is empty, not a crash
+    assert(Dedup.components(noDocs, Dedup.minhashLshPairs(noDocs))
+      .groupBy($"component").count().count() === 0L)
+  }
+
   test("queries with empty query set return no neighbors from a real corpus") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val noQueries = emb.filter(col("vec_id") < 0)
