@@ -205,6 +205,31 @@ object StreamingOps {
       .select(outCols: _*)
   }
 
+  /** Watermarked windowed top-k leaderboard: the k best (score, id) rows
+    * per time window through ONE bounded [[graft.expressions.TopKByScore]]
+    * heap — the streaming form of the engine's top-k primitive (s01/t11's
+    * aggregate), state O(k) per window regardless of stream volume. Rows
+    * rank (score DESC, id ASC), the aggregate's frozen order. Emitted
+    * exploded as (window_start, rank, id, score) so the output is a plain
+    * relational leaderboard; the explode is a stateless projection after
+    * the stateful agg, legal in every output mode. */
+  def windowedTopKStream(
+      events: DataFrame,
+      tsCol: String,
+      score: Column,
+      id: Column,
+      k: Int,
+      width: String = "1 hour",
+      watermark: String = "24 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width).as("window"))
+      .agg(graft.expressions.TopKByScore.topK(score, id, k).as("__top"))
+      .select(col("window.start").as("window_start"),
+        posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("window_start"), (col("__pos") + 1).as("rank"),
+        col("__e.id").as("id"), col("__e.score").as("score"))
+
   /** Watermarked per-key SESSION-window exact quantiles — the sketch
     * composed with the gap-based window kind: sessions grow with activity
     * and close after `gap` of silence, and the bounded

@@ -553,6 +553,33 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("windowed top-k leaderboard: stream ≡ batch TopKByScore per window") {
+    val sf = "/root/testdata/sf0.001"
+    val events = graft.Tables.events(spark, sf)
+      .select($"ts", $"user_id", $"value").as[RawCall]
+    val cents = round($"value" * 100).cast("long")
+    val batch = events.toDF()
+      .withColumn("window_start", window($"ts", "1 hour")("start"))
+      .withColumn("cents", cents)
+      .groupBy($"window_start")
+      .agg(graft.expressions.TopKByScore.topK(
+        $"cents".cast("double"), $"user_id", 3).as("top"))
+      .select($"window_start", posexplode($"top").as(Seq("p", "e")))
+      .select($"window_start", ($"p" + 1).as("rank"),
+        $"e.id".as("id"), $"e.score".as("score"))
+      .collect().map(_.toSeq).toSet
+
+    val in = MemoryStream[RawCall](spark)
+    val out = StreamingOps.windowedTopKStream(
+      in.toDF().withColumn("cents", cents), "ts",
+      $"cents".cast("double"), $"user_id", k = 3, width = "1 hour")
+    val rows = runUpdate(out, "stream_topk") {
+      in.addData(events.collect().toIndexedSeq)
+    }.collect().map(_.toSeq).toSet
+    assert(rows.nonEmpty)
+    assert(rows === batch)
+  }
+
   test("windowed exact quantiles: stream ≡ batch exactQuantiles per window") {
     // both-regimes case for the r4 sketch additions: the streaming
     // QuantileHistogram-under-window() must equal the batch multi-stage
