@@ -281,7 +281,7 @@ object RelationalQueries {
     }),
     "q34_salted_join" -> ((s, d) => {
       // Skew-safe salted join: lineitem⋈orders keyed on (l_orderkey,
-      // content-hash salt) with orders replicated 8×, then the usual
+      // content-hash salt) with orders replicated 4×, then the usual
       // grouped rollup. The salt is a pure load-balancing device — the
       // result is EXACTLY the plain join, so the oracle is the unsalted
       // SQL join; the plan's exchange carries the salt in its key.
@@ -289,7 +289,7 @@ object RelationalQueries {
         .select(col("l_orderkey"), cents(col("l_extendedprice")).as("price_cents"))
       val ord = Tables.orders(s, d)
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-      graft.ops.ScaleOps.saltedJoin(li, ord, "l_orderkey", nSalts = 8)
+      graft.ops.ScaleOps.saltedJoin(li, ord, "l_orderkey", nSalts = 4)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"), sum(col("price_cents")).as("sum_cents"))
     }),
