@@ -71,7 +71,8 @@ object Bench {
       import graft.functions.TextFunctions
       tinyDocs.select(TextFunctions.piiStats(col("text")),
         TextFunctions.scrubPii(col("text")),
-        TextFunctions.dedupLinesInDoc(col("text"))).count()
+        TextFunctions.dedupLinesInDoc(col("text")),
+        TextFunctions.ngramList(col("text"), 2)).count()
       graft.operators.Domains.capPerDomain(
         graft.operators.Domains.filterBlocklist(
           tinyDocs.withColumn("domain", graft.operators.Domains.domainOf(col("source"))),

@@ -142,6 +142,10 @@ object GraftExtensions {
         arity("graft_ngram_list", 2, args)
         NgramListExpr(args.head, intLit(args(1), "n-gram width"))
       }),
+    ("graft_deflate_len",
+      info("graft_deflate_len",
+        "graft_deflate_len(str) - raw-deflate byte count of the UTF-8 text (compression-ratio quality signal)"),
+      (args: Seq[Expression]) => { arity("graft_deflate_len", 1, args); DeflateLenExpr(args.head) }),
     ("graft_dedup_lines_in_doc",
       info("graft_dedup_lines_in_doc",
         "graft_dedup_lines_in_doc(str) - repeats of earlier lines within the document dropped"),

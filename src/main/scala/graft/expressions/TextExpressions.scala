@@ -150,6 +150,15 @@ case class PiiScrubExpr(child: Expression) extends KernelCall with StringInput {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Raw-deflate byte count of the UTF-8 text at level 6. */
+case class DeflateLenExpr(child: Expression) extends KernelCall with StringInput {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(s: Any): Any = TextKernels.deflateLen(s.asInstanceOf[UTF8String])
+  override def kernelCall(ctx: CodegenContext, c: String): String =
+    s"graft.expressions.TextKernels.deflateLen($c)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** ALL word n-grams in order, repeats kept (counting form of shingles). */
 case class NgramListExpr(child: Expression, n: Int) extends KernelCall with StringInput {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -218,6 +227,7 @@ object TextExpressions {
   def piiScrub(c: Column): Column = col(PiiScrubExpr(ex(c)))
   def dedupLinesInDoc(c: Column): Column = col(DedupLinesInDocExpr(ex(c)))
   def ngramList(c: Column, n: Int): Column = col(NgramListExpr(ex(c), n))
+  def deflateLen(c: Column): Column = col(DeflateLenExpr(ex(c)))
   def sortedIntersectCount(a: Column, b: Column): Column =
     col(SortedIntersectCountExpr(ex(a), ex(b)))
   def hash60(c: Column): Column = col(Hash60Expr(ex(c)))

@@ -373,6 +373,28 @@ object TextKernels {
     UTF8String.fromString(sb.toString)
   }
 
+  private val deflaterLocal: ThreadLocal[java.util.zip.Deflater] =
+    ThreadLocal.withInitial(() => new java.util.zip.Deflater(6, true))
+
+  /** Raw-deflate output size of `s`'s UTF-8 bytes at level 6 — the
+    * compression-ratio quality signal (Dolma/Gopher style: highly
+    * repetitive or templated text compresses far below prose; binary
+    * mojibake barely compresses). Deterministic within a JVM (fixed
+    * level, raw wrapper, thread-local Deflater reset per row); exact
+    * byte counts are zlib-version-dependent, which is why this signal's
+    * query takes the rows-only oracle path rather than a hash compare. */
+  def deflateLen(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val d = deflaterLocal.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total
+  }
+
   /** ALL word n-grams of `s` in order, repeats KEPT — the counting form
     * ([[shingles]] is the distinct set form). The multiset a BPE-style
     * pair-frequency pass aggregates over: every adjacent pair occurrence

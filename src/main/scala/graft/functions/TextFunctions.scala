@@ -86,6 +86,14 @@ object TextFunctions {
     * merge-rule inner loop). */
   def ngramList(c: Column, n: Int): Column = TextExpressions.ngramList(c, n)
 
+  /** Raw-deflate byte count of the UTF-8 text (level 6, thread-local
+    * Deflater) — the compression-ratio quality signal: templated or
+    * repetitive text compresses far below prose, mojibake barely
+    * compresses at all. Pair with `octet_length` for a permille ratio.
+    * Deterministic within a JVM; exact counts are zlib-version-dependent,
+    * so its query is rows-only-checked rather than hash-compared. */
+  def deflateLen(c: Column): Column = TextExpressions.deflateLen(c)
+
   private[graft] def ngramRepetitionHof(c: Column, n: Int): Column = {
     val ws = tokensHof(c)
     val grams = when(size(ws) >= n,

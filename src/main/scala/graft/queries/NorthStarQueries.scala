@@ -275,6 +275,29 @@ object NorthStarQueries {
         .orderBy(col("n_occurrences").desc, col("token"))
         .limit(50)
     }),
+    "t23_compress_ratio" -> ((s, d) => {
+      // Compression-ratio quality signal (the Dolma/Gopher heuristic):
+      // deflate bytes over raw bytes, permille — templated/repetitive
+      // docs score low, prose sits in a mid band, mojibake near 1000.
+      // One codegen'd kernel pass, no shuffle. The corpus is uniform
+      // prose, so every third doc gets a highly-repetitive tail planted
+      // to make the band structure visible. Exact deflate counts are
+      // zlib-version-dependent → this is the engine's one ROWS-ONLY
+      // query (no oracleSql entry, per the driver contract); the
+      // signal's properties are spec-pinned instead (TextExprSpec).
+      val planted = Tables.documents(s, d).withColumn("t2",
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(col("text"), lit(" "), repeat(lit("lorem ipsum "), 40)))
+          .otherwise(col("text")))
+      planted
+        .select(col("doc_id"),
+          octet_length(col("t2")).cast("long").as("n_bytes"),
+          TextFunctions.deflateLen(col("t2")).as("n_deflate"))
+        .withColumn("ratio_permille",
+          when(col("n_bytes") === 0L, lit(0L))
+            .otherwise(lit(1000L) * col("n_deflate") / col("n_bytes"))
+            .cast("long"))
+    }),
     "t22_bpe_pairs" -> ((s, d) => {
       // The BPE/WordPiece merge-rule inner loop at corpus scale: count
       // every adjacent token-pair occurrence and take the head (the

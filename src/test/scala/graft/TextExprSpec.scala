@@ -98,6 +98,25 @@ class TextExprSpec extends SparkTestBase {
     // noise
     "", "word", "<EMAIL>", "a@b.co,", "(1.2.3.4)")
 
+  test("deflateLen: deterministic, bounded, repetition compresses far below prose") {
+    val rep = ("ab " * 500).trim
+    val varied = (1 to 500).map(i => s"w$i").mkString(" ").take(rep.length)
+    val texts = Map(1L -> rep, 2L -> varied, 3L -> "", 4L -> "x")
+    val df = texts.toSeq.toDF("id", "text")
+    def run() = df.select($"id", TextFunctions.deflateLen($"text"))
+      .as[(Long, Long)].collect().toMap
+    val got = run()
+    assert(got === run(), "deflateLen not deterministic across runs")
+    assert(got(1L) < got(2L) / 5,
+      s"repetitive ${got(1L)} should compress far below varied ${got(2L)}")
+    assert(got(3L) >= 0L && got(3L) < 8L)
+    // deflate never expands past input + small constant overhead
+    got.foreach { case (id, n) =>
+      val raw = texts(id).getBytes("UTF-8").length
+      assert(n <= raw + 16, s"doc $id deflate $n vs raw $raw")
+    }
+  }
+
   test("ngramList keeps repeats in order (counting form of the shingle set)") {
     val got = corpus.select($"doc_id", TextFunctions.ngramList($"text", 2).as("g"))
       .as[(Long, Seq[String])].collect().toMap
