@@ -279,6 +279,23 @@ object RelationalQueries {
         .groupBy(col("band_id"))
         .agg(count(lit(1)).as("n_items"), sum(col("price_cents")).as("sum_cents"))
     }),
+    "q35_scalar_subquery" -> ((s, d) => {
+      // SQL-surface query: a correlated scalar subquery authored as raw
+      // SQL through spark.sql — Catalyst decorrelates it into an outer
+      // join + aggregate (no per-row re-execution), the rewrite that
+      // makes subqueries viable at scale. Every other query drives the
+      // DataFrame API; this one pins the SQL path end to end.
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT c.c_custkey,
+               CAST((SELECT COUNT(*) FROM orders_v o
+                     WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders,
+               CAST(COALESCE((SELECT CAST(ROUND(MAX(o.o_totalprice) * 100) AS BIGINT)
+                              FROM orders_v o
+                              WHERE o.o_custkey = c.c_custkey), -1) AS BIGINT) AS max_cents
+        FROM customer_v c""")
+    }),
     "q34_salted_join" -> ((s, d) => {
       // Skew-safe salted join: lineitem⋈orders keyed on (l_orderkey,
       // content-hash salt) with orders replicated 4×, then the usual
@@ -509,6 +526,15 @@ object RelationalQueries {
         |       CAST(SUM(pc) AS BIGINT) AS sum_cents
         |FROM l JOIN b ON pc BETWEEN lo AND hi
         |GROUP BY band_id ORDER BY band_id""".stripMargin,
+    // same correlated scalar subqueries, natively
+    "q35_scalar_subquery" ->
+      """SELECT c.c_custkey,
+        |       CAST((SELECT COUNT(*) FROM orders o
+        |             WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders,
+        |       CAST(COALESCE((SELECT CAST(ROUND(MAX(o.o_totalprice) * 100) AS BIGINT)
+        |                      FROM orders o
+        |                      WHERE o.o_custkey = c.c_custkey), -1) AS BIGINT) AS max_cents
+        |FROM customer c ORDER BY c.c_custkey""".stripMargin,
     // the salt is a pure load-balancing device (each pair meets in one
     // salt bucket), so the definitional check is the plain unsalted join
     "q34_salted_join" ->

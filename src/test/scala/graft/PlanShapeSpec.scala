@@ -147,6 +147,29 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Generate"), s"kernel form should not explode:\n$p")
   }
 
+  test("correlated scalar subqueries decorrelate to joins, no per-row subquery") {
+    val p = plan(SparkEntry.queries("q35_scalar_subquery")(spark, sf))
+    assert(p.contains("Join"), s"decorrelation produced no join:\n$p")
+    assert(!p.contains("ScalarSubquery"),
+      s"scalar subquery survived to the physical plan (per-row re-execution):\n$p")
+  }
+
+  test("bpe pair counts: partial-agg count + TakeOrdered, no window") {
+    val p = plan(SparkEntry.queries("t22_bpe_pairs")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k head not TakeOrdered:\n$p")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"pair count lacks map-side partials:\n$p")
+    assert(!p.contains("Window"), s"corpus-wide window in a count+limit plan:\n$p")
+  }
+
+  test("grouped KMV sketch: one aggregate exchange, no (group, token) dedup shuffle for the sketch") {
+    val p = plan(SparkEntry.queries("t21_source_vocab_sketch")(spark, sf))
+    // the sketch + exact count plan: grouped aggregates with partials;
+    // no window rank anywhere
+    assert(!p.contains("Window"), s"sketch query planned a window:\n$p")
+    assert(p.contains("Generate"), s"token explode missing:\n$p")
+  }
+
   test("training order: exactly one exchange (shard hash), per-shard window sort") {
     val p = plan(SparkEntry.queries("t20_training_order")(spark, sf))
     val nExchanges = "Exchange".r.findAllIn(p).length
