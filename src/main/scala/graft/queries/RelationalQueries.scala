@@ -167,6 +167,41 @@ object RelationalQueries {
           coalesce(col("cohort").cast("string"), lit("ALL")).as("cohort"),
           col("n"), col("sum_cents"))
     }),
+    "q36_grouping_sets" -> ((s, d) => {
+      // Explicit GROUPING SETS (not the rollup/cube shorthands): exactly
+      // the requested combinations — (type), (cohort), and grand total,
+      // but NOT (type, cohort) — in ONE shuffle with a grouping-id
+      // column; grouping_id() disambiguates real NULL keys from
+      // subtotal rows, which COALESCE alone cannot.
+      Tables.events(s, d)
+        .withColumn("cohort", pmod(col("user_id"), lit(4)))
+        .createOrReplaceTempView("ev_gs")
+      s.sql("""
+        SELECT COALESCE(event_type, 'ALL') AS event_type,
+               COALESCE(CAST(cohort AS STRING), 'ALL') AS cohort,
+               CAST(grouping_id(event_type, cohort) AS BIGINT) AS gid,
+               COUNT(*) AS n,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_cents
+        FROM ev_gs
+        GROUP BY GROUPING SETS ((event_type), (cohort), ())""")
+    }),
+    "q37_range_frame" -> ((s, d) => {
+      // RANGE-frame analytic window: per user, the sum of event value
+      // cents within the trailing 2 hours of each event — a time-based
+      // frame (RANGE BETWEEN INTERVAL ... PRECEDING), not a row-count
+      // frame like q15's. One shuffle on user, per-user ordered scan.
+      // order by epoch MICROS on both sides (Spark unix_micros ≡ DuckDB
+      // epoch_us) — second-truncation would move frame boundaries
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-7200L * 1000000L, 0L)
+      Tables.events(s, d)
+        .withColumn("vc", cents(col("value")))
+        .withColumn("trail_2h_cents", sum(col("vc")).over(w))
+        .withColumn("trail_2h_n", count(lit(1)).over(w))
+        .select(col("event_id"), col("user_id"), col("vc"),
+          col("trail_2h_cents"), col("trail_2h_n"))
+    }),
     "q26_pivot" -> ((s, d) => {
       // PIVOT: event counts per user spread into one column per event kind.
       // With explicit values the plan is a single hash aggregate with 5
@@ -526,6 +561,27 @@ object RelationalQueries {
         |       CAST(SUM(pc) AS BIGINT) AS sum_cents
         |FROM l JOIN b ON pc BETWEEN lo AND hi
         |GROUP BY band_id ORDER BY band_id""".stripMargin,
+    // explicit grouping sets with the same bit encoding for grouping_id
+    // (leftmost key = most significant bit, 1 when aggregated away)
+    "q36_grouping_sets" ->
+      """SELECT COALESCE(event_type, 'ALL') AS event_type,
+        |       COALESCE(CAST(cohort AS VARCHAR), 'ALL') AS cohort,
+        |       CAST(GROUPING(event_type, cohort) AS BIGINT) AS gid,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM (SELECT event_type, user_id % 4 AS cohort, value FROM events)
+        |GROUP BY GROUPING SETS ((event_type), (cohort), ())
+        |ORDER BY gid, event_type, cohort""".stripMargin,
+    // time-based RANGE frame replayed over epoch micros
+    "q37_range_frame" ->
+      """SELECT event_id, user_id,
+        |       CAST(ROUND(value * 100) AS BIGINT) AS vc,
+        |       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) AS trail_2h_cents,
+        |       CAST(COUNT(*) OVER w AS BIGINT) AS trail_2h_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 7200000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     // same correlated scalar subqueries, natively
     "q35_scalar_subquery" ->
       """SELECT c.c_custkey,

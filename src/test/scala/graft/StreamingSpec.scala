@@ -419,6 +419,37 @@ class StreamingSpec extends SparkTestBase {
     assert(byId(3L)._2 === "ip <IP> twice\nip <IP> twice")
   }
 
+  test("deterministic sampling maps run in streaming: mixture resample + hash split ≡ batch") {
+    // sampleByRates (per-row map + generator explode) and hashSplit
+    // (pure map) are RNG-free functions of the key, so the same stages
+    // drop into a stream unchanged — epoch upsampling and split fences
+    // must land identically to batch
+    import graft.operators.{Mixture, Splits}
+    def stages(df: DataFrame): DataFrame = Splits.hashSplit(
+      Mixture.sampleByRates(
+        df.select(col("doc_id"), lit("srcA").as("source")),
+        "doc_id", "source", Map("srcA" -> 1500), defaultPermille = 0, salt = "st"),
+      "doc_id", Seq("train" -> 900, "val" -> 50, "test" -> 50))
+      .select(col("doc_id"), col("copy"), col("split"))
+    val in = MemoryStream[StreamDocFixture](spark)
+    val q = stages(in.toDF()).writeStream
+      .format("memory").queryName("sampling_maps").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ck-sampling").toString)
+      .start()
+    val docs = (1 to 60).map(i => StreamDocFixture(i.toLong, s"doc $i", ts("10:00")))
+    try {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sampling_maps").collect().map(_.toSeq).toSet
+    val want = stages(docs.toDF()).collect().map(_.toSeq).toSet
+    assert(got === want)
+    // rate 1500 really upsampled: some docs carry a second copy
+    val copies = spark.table("sampling_maps").groupBy("doc_id").count()
+      .select("count").as[Long].collect()
+    assert(copies.contains(2L) && copies.contains(1L))
+  }
+
   test("stateful ops run on the RocksDB state store provider (production state path)") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
