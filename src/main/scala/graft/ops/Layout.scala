@@ -45,10 +45,12 @@ object Layout {
     * by [[graft.operators.Splits.trainingOrder]]'s shard assignment, each
     * shard's rows stored in their training order. This is the scalable
     * form of the t20 contract — `repartition(shard) +
-    * sortWithinPartitions(pos)` gives one writer task per shard and
-    * ordered row groups, with NO global sort and no driver state; a
-    * trainer streams `shard=K/` files in file order and sees exactly the
-    * deterministic salted-hash order. `pos` rides along so a resumed read
+    * sortWithinPartitions(shard, pos)` keeps each shard whole inside one
+    * task (one task per shard when `spark.sql.shuffle.partitions` ≥
+    * nShards; otherwise a task writes several shards, still exactly ONE
+    * ordered file per shard directory), with NO global sort and no
+    * driver state; a trainer streams `shard=K/` files in file order and
+    * sees exactly the deterministic salted-hash order. `pos` rides along so a resumed read
     * can seek (and so the layout is audit-able against the t20 query).
     *
     * `df` must already carry `shard` and `pos` (from `trainingOrder` —

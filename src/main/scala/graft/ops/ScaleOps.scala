@@ -93,8 +93,17 @@ object ScaleOps {
       s"join key '$key' must exist on both sides")
     require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
       "input column __salt collides with saltedJoin's working column; rename first")
+    // hash every hashable left column (MapType has no stable hash in
+    // Spark and would fail analysis); any deterministic function of the
+    // row is a valid salt, so dropping map columns only affects how
+    // finely duplicate-except-for-maps rows spread
+    val hashable = left.schema.fields
+      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => col(f.name))
+    require(hashable.nonEmpty,
+      "saltedJoin needs at least one non-map column to derive the salt from")
     val l = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(nSalts.toLong)))
+      pmod(xxhash64(hashable: _*), lit(nSalts.toLong)))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(nSalts.toLong - 1L))))
     l.join(r, Seq(key, "__salt"), if (jt == "left") "left_outer" else "inner")
