@@ -175,6 +175,47 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.toSeq === Seq(Seq(1L, 100L, 111L)))
   }
 
+  test("left-outer interval join emits unmatched rows with nulls once the watermark certifies them") {
+    // the outer side of a stream-stream join can only be emitted when the
+    // watermark proves no matching right row can still arrive — the
+    // Structured Streaming capability that makes missed-ack detection a
+    // query instead of a batch reconciliation job
+    val calls = MemoryStream[CallEvent](spark)
+    val acks = MemoryStream[CallEvent](spark)
+    val joined = StreamingOps.intervalJoin(
+      calls.toDF().select($"ts".as("l_ts"), $"user_id".as("l_key"), $"value".as("l_v")),
+      acks.toDF().select($"ts".as("r_ts"), $"user_id".as("r_key"), $"value".as("r_v")),
+      leftKey = "l_key", rightKey = "r_key",
+      leftTs = "l_ts", rightTs = "r_ts",
+      bound = "10 MINUTES", watermark = "30 minutes", joinType = "left_outer")
+    val q = joined.writeStream
+      .format("memory").queryName("ivj_outer").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ck-ivj-outer").toString)
+      .start()
+    try {
+      calls.addData(
+        CallEvent(ts("10:00"), 1L, 100),  // acked → joined row
+        CallEvent(ts("10:00"), 2L, 200))  // never acked → null row later
+      acks.addData(CallEvent(ts("10:05"), 1L, 111))
+      q.processAllAvailable()
+      // advance both watermarks far past 10:00 + bound + delay so the
+      // unmatched left row is certified unmatched and emitted
+      calls.addData(CallEvent(ts("12:00"), 9L, 900))
+      acks.addData(CallEvent(ts("12:00"), 9L, 901))
+      q.processAllAvailable()
+      calls.addData(CallEvent(ts("13:00"), 8L, 800))
+      acks.addData(CallEvent(ts("13:00"), 8L, 801))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ivj_outer")
+      .filter($"l_key".isin(1L, 2L))
+      .select($"l_key", $"l_v", $"r_v")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(rows === Set((1L, 100L, 111L), (2L, 200L, -1L)),
+      s"expected the matched row and the null-certified unmatched row, got $rows")
+  }
+
   test("streaming dedup keeps the first record per key within the watermark") {
     val in = MemoryStream[CallEvent](spark)
     val deduped = StreamingOps.streamingDedup(
