@@ -584,6 +584,49 @@ class StreamingSpec extends SparkTestBase {
     assert(decoded === expected)
   }
 
+  test("windowed top-k heap survives the RocksDB state store across batches") {
+    // multi-batch run on the production state provider: the TopKByScore
+    // TypedImperativeAggregate buffer must serialize/merge through
+    // RocksDB and still rank the union of both batches correctly
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val t0 = Timestamp.valueOf("2024-03-01 10:05:00")
+      // batch 1 holds the eventual #2 and #3; batch 2 delivers the #1,
+      // so the final top-3 only exists if state merged across batches
+      val batch1 = Seq(CallEvent(t0, 11L, 70), CallEvent(t0, 12L, 60),
+        CallEvent(t0, 13L, 10))
+      val batch2 = Seq(CallEvent(t0, 14L, 90), CallEvent(t0, 15L, 5))
+      val in = MemoryStream[CallEvent](spark)
+      val out = StreamingOps.windowedTopKStream(
+        in.toDF(), "ts", $"value".cast("double"), $"user_id", k = 3,
+        width = "1 hour")
+      val q = out.writeStream
+        .format("memory").queryName("rocksdb_topk").outputMode("update")
+        .option("checkpointLocation", Files.createTempDirectory("ck-rtk").toString)
+        .start()
+      try {
+        in.addData(batch1); q.processAllAvailable()
+        in.addData(batch2); q.processAllAvailable()
+      } finally q.stop()
+      // update mode re-emits the window per batch; the post-merge
+      // ranking (14 on top, 11/12 demoted a slot) can only exist if the
+      // heap state crossed batches through RocksDB intact
+      val rows = spark.table("rocksdb_topk")
+        .select($"rank".cast("long"), $"id", $"score")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val merged = Set((1L, 14L, 90.0), (2L, 11L, 70.0), (3L, 12L, 60.0))
+      assert(merged.subsetOf(rows), s"merged ranking missing from emissions: $rows")
+      assert(rows.contains((1L, 11L, 70.0)), s"batch-1 interim ranking missing: $rows")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("windowed quantile sketch survives the RocksDB state store across batches") {
     // multi-batch run on the production state provider: the
     // QuantileHistogram buffer must serialize/merge through RocksDB and
