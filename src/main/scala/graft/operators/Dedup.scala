@@ -508,6 +508,17 @@ object Dedup {
       newDocs: DataFrame, shingleN: Int = 3,
       numHashes: Int = 12, rowsPerBand: Int = 3,
       minJaccardPermille: Int = 800): DataFrame = {
+    // Guard the id contract the "lower id wins" rules lean on: batch ids
+    // strictly above corpus ids. An overlapping id would silently merge
+    // two docs' shingle sets in the verify union below. One tiny job over
+    // two column-pruned aggregates — cheap next to the LSH pass.
+    val idGuard = corpus.agg(max(col("doc_id")).as("__mx"))
+      .crossJoin(newDocs.agg(min(col("doc_id")).as("__mn"))).head()
+    if (!idGuard.isNullAt(0) && !idGuard.isNullAt(1))
+      require(idGuard.getLong(0) < idGuard.getLong(1),
+        s"dedupDelta id contract violated: max(corpus.doc_id)=${idGuard.getLong(0)} " +
+          s">= min(newDocs.doc_id)=${idGuard.getLong(1)} — batch ids must sit " +
+          "strictly above corpus ids (monotonic ingestion layout)")
     val fpNew = newDocs.select(col("doc_id"), md5(col("text")).as("__fp"))
     val exactVsCorpus = fpNew
       .join(digests.select(col("fp").as("__fp")), Seq("__fp"), "left_semi")
@@ -542,9 +553,18 @@ object Dedup {
         .join(involved, Seq("doc_id"), "left_semi"), shingleN)
     val rejectedNear = verifyJaccard(cand, sets, minJaccardPermille)
       .select(col("doc_b").as("doc_id"))
-    newDocs.join(
-      exactVsCorpus.unionByName(exactWithin).unionByName(rejectedNear).distinct(),
-      Seq("doc_id"), "left_anti")
+    // Materialize the O(batch)-sized rejected-id frame eagerly and truncate
+    // its lineage, then drop the pinned pair cache: the LSH band joins run
+    // exactly once per batch, and nothing stays registered in the
+    // CacheManager across repeated ingestion calls (the checkpoint blocks
+    // are RDD-level, reclaimed by the ContextCleaner once the returned
+    // frame is unreferenced). localCheckpoint trades executor-loss
+    // recovery for that cleanup — the right trade for a per-batch serving
+    // call whose whole lineage is one batch anyway.
+    val rejected = exactVsCorpus.unionByName(exactWithin)
+      .unionByName(rejectedNear).distinct().localCheckpoint()
+    cand.unpersist()
+    newDocs.join(rejected, Seq("doc_id"), "left_anti")
   }
 
   /** Line-level (paragraph-level) dedup, the CCNet/RefinedWeb boilerplate

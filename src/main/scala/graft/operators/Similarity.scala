@@ -368,34 +368,6 @@ object Similarity {
     * orthogonalized driver-side (O(d) floats collected — the standard
     * index-build pattern, not a data collect).
     */
-  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
-    * arXiv:2303.09540): assign every vector to a k-means cell with the
-    * same deterministic sampled fit the IVF index uses ([[buildIvf]]),
-    * then compare pairs ONLY within a cell — cost is Σ|cell|², i.e.
-    * ~n²/k for balanced cells, never the n² all-pairs space. Recall is
-    * intentionally cluster-local (the SemDeDup trade): near-dups split
-    * across a cell boundary are missed, which the paper accepts in
-    * exchange for scalability; [[embeddingNearDupPairs]] is the
-    * exact-recall alternative when that guarantee matters.
-    *
-    * 100 TB shape: the fit touches a bounded sample (driver holds
-    * nCells×d longs), assignment is one broadcast-join scan, and the
-    * within-cell self-join is an equi-join on `cell` — size the cell
-    * count so n/nCells vectors fit a task. Output is exact micro-unit
-    * cosine pairs, reproducible across engines. */
-  def semanticNearDupPairs(emb: DataFrame, nCells: Int, minCosE6: Long,
-      iters: Int = 2, sampleMod: Int = 7): DataFrame = {
-    val idx = buildIvf(emb, nCells, iters, sampleMod)
-    val a = idx.assigned.select(col("cell"), col("vec_id").as("doc_a"),
-      col("embedding").as("va"), col("nn").as("na"))
-    val b = idx.assigned.select(col("cell"), col("vec_id").as("doc_b"),
-      col("embedding").as("vb"), col("nn").as("nb"))
-    a.join(b, Seq("cell")).filter(col("doc_a") < col("doc_b"))
-      .withColumn("cos_e6", cosE6From(col("va"), col("vb"), col("na"), col("nb")))
-      .filter(col("cos_e6") >= minCosE6)
-      .select(col("doc_a"), col("doc_b"), col("cell"), col("cos_e6"))
-  }
-
   def embeddingNearDupPairs(emb: DataFrame, minCosE6: Long): DataFrame = {
     // round(cos*1e6) ≥ minCosE6 admits cos down to (minCosE6 - 0.5)/1e6;
     // take a hair more slack so float noise can never cost recall.
@@ -446,5 +418,33 @@ object Similarity {
       .withColumn("cos_e6", cosE6From(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cos_e6") >= minCosE6)
       .select(col("id_a"), col("id_b"), col("cos_e6"))
+  }
+
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every vector to a k-means cell with the
+    * same deterministic sampled fit the IVF index uses ([[buildIvf]]),
+    * then compare pairs ONLY within a cell — cost is Σ|cell|², i.e.
+    * ~n²/k for balanced cells, never the n² all-pairs space. Recall is
+    * intentionally cluster-local (the SemDeDup trade): near-dups split
+    * across a cell boundary are missed, which the paper accepts in
+    * exchange for scalability; [[embeddingNearDupPairs]] is the
+    * exact-recall alternative when that guarantee matters.
+    *
+    * 100 TB shape: the fit touches a bounded sample (driver holds
+    * nCells×d longs), assignment is one broadcast-join scan, and the
+    * within-cell self-join is an equi-join on `cell` — size the cell
+    * count so n/nCells vectors fit a task. Output is exact micro-unit
+    * cosine pairs, reproducible across engines. */
+  def semanticNearDupPairs(emb: DataFrame, nCells: Int, minCosE6: Long,
+      iters: Int = 2, sampleMod: Int = 7): DataFrame = {
+    val idx = buildIvf(emb, nCells, iters, sampleMod)
+    val a = idx.assigned.select(col("cell"), col("vec_id").as("doc_a"),
+      col("embedding").as("va"), col("nn").as("na"))
+    val b = idx.assigned.select(col("cell"), col("vec_id").as("doc_b"),
+      col("embedding").as("vb"), col("nn").as("nb"))
+    a.join(b, Seq("cell")).filter(col("doc_a") < col("doc_b"))
+      .withColumn("cos_e6", cosE6From(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("cos_e6") >= minCosE6)
+      .select(col("doc_a"), col("doc_b"), col("cell"), col("cos_e6"))
   }
 }

@@ -576,16 +576,31 @@ object NorthStarQueries {
       // Same parameters as s02 and a deterministic fit, so the results —
       // and the oracle — are identical.
       val emb = Tables.embeddings(s, d)
-      // Table name is unique per (sf dir, JVM): SaveMode.Overwrite does
-      // NOT clear a stale warehouse DIRECTORY left by a previous JVM —
-      // the table isn't in the new session's in-memory catalog, so
-      // saveAsTable fails with LOCATION_ALREADY_EXISTS. Keying on
-      // applicationId means the first call per session builds fresh at a
-      // virgin location and later calls (bench reps 2+) hit the catalog
-      // fast path — the serving pattern this query exists to measure.
-      val table = ("graft_ivf_s05_" + java.lang.Integer.toHexString(d.hashCode) +
-        "_" + s.sparkContext.applicationId).replaceAll("[^A-Za-z0-9_]", "_")
+      // SaveMode.Overwrite does NOT clear a stale warehouse DIRECTORY
+      // left by a previous JVM — the table isn't in the new session's
+      // in-memory catalog, so saveAsTable fails with
+      // LOCATION_ALREADY_EXISTS. Clear both the catalog entry and the
+      // orphaned directory before the build instead of minting a fresh
+      // name per application (which leaked one warehouse dir per JVM);
+      // later calls (bench reps 2+) hit the catalog fast path — the
+      // serving pattern this query exists to measure.
+      val table = ("graft_ivf_s05_" + java.lang.Integer.toHexString(d.hashCode))
+        .replaceAll("[^A-Za-z0-9_]", "_")
       if (!s.catalog.tableExists(table)) {
+        // saveIvf writes TWO tables (the bucketed corpus and its
+        // _centroids side table) — clear both or the save trips on
+        // whichever stale directory the loop missed
+        Seq(table, s"${table}_centroids").foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath
+          val stale = new java.io.File(wh, t)
+          if (stale.exists()) {
+            import java.nio.file.{Files, Path}
+            import scala.jdk.CollectionConverters._
+            val paths = Files.walk(stale.toPath).iterator().asScala.toSeq
+            paths.sortBy((p: Path) => -p.getNameCount).foreach(Files.delete)
+          }
+        }
         Similarity.saveIvf(Similarity.buildIvf(emb, nCells = 16), table,
           numBuckets = 8)
       }

@@ -82,6 +82,17 @@ case class AsofEnriched(id: Long, key: Long, ts: java.sql.Timestamp, value: Doub
   */
 object StreamingOps {
 
+  /** Delay of a watermark string in ms, converted exactly as Spark's
+    * `EventTimeWatermark` converts it (IntervalUtils.getDuration, 31-day
+    * months) — a hand-rolled 30-day month here would prune operator state
+    * and set timeouts out of sync with the engine's actual watermark. */
+  private def watermarkDelayMs(watermark: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(watermark))
+    org.apache.spark.sql.catalyst.util.IntervalUtils.getDuration(
+      iv, java.util.concurrent.TimeUnit.MILLISECONDS, 31)
+  }
+
   /** Watermarked per-key tumbling-window aggregate — streaming form of
     * CoreOps.tumblingAgg (reference: CallsAggregationApp.java:56-78).
     *
@@ -407,9 +418,7 @@ object StreamingOps {
         explode(array(graft.operators.Dedup.bandStructs(numBands, rowsPerBand): _*)).as("bb"))
       .select(col("doc_id"), col("ts"), col("bb.band").as("band"), col("bb.bh").as("bh"))
       .as[BandRow]
-    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
-      org.apache.spark.unsafe.types.UTF8String.fromString(watermark))
-    val delayMs = iv.months * 2592000000L + iv.days * 86400000L + iv.microseconds / 1000L
+    val delayMs = watermarkDelayMs(watermark)
     bands
       .groupByKey(r => (r.band, r.bh))
       .flatMapGroupsWithState[BucketState, NearDupHit](
@@ -506,9 +515,7 @@ object StreamingOps {
           / (sqrt(graft.expressions.VectorExpressions.dotFF(v, v)) * lit(cn))).as("cos"),
         lit(-cid).as("neg"), lit(cid).as("cid"))
     }
-    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
-      org.apache.spark.unsafe.types.UTF8String.fromString(watermark))
-    val delayMs = iv.months * 2592000000L + iv.days * 86400000L + iv.microseconds / 1000L
+    val delayMs = watermarkDelayMs(watermark)
     vecs
       .withWatermark(tsCol, watermark)
       .select(
