@@ -91,6 +91,24 @@ object Bench {
         spark.range(3).select(col("id").as("rid"), (col("id") * 10).as("lo"),
           (col("id") * 10 + 15).as("hi")),
         "lo", "hi", bandWidth = 10L).count()
+      // r7 families: the duplicated-span window shape (t24: posexplode +
+      // lag/sum islands), the CMS aggregate + probe (t25), and the jsonl
+      // reader/writer codecs (t26)
+      Dedup.duplicatedSpans(tinyDocs, windowTokens = 4).count()
+      tinyDocs.select(explode(TextFunctions.tokens(col("text"))).as("token"))
+        .agg(graft.operators.Sketches.cms(col("token"), 4, 16).as("c"))
+        .select(graft.operators.Sketches.cmsCount(col("c"), lit("the"), 4, 16)).count()
+      locally {
+        val jdir = new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_jsonl_warm").getAbsolutePath
+        graft.sources.Jsonl.write(tinyDocs.select(col("doc_id"), col("text")), jdir)
+        graft.sources.Jsonl.readLogAndContinue(spark, jdir,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType)))).count()
+      }
       tinyDocs.unpersist(blocking = true); tinyEmb.unpersist(blocking = true)
       tinyEv.unpersist(blocking = true)
     } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }

@@ -623,6 +623,67 @@ object Dedup {
         (col("__total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 
+  /** Exact duplicated-SPAN detection (the substring-level dedup of Lee et
+    * al. 2022, arXiv:2107.06499, re-shaped for Spark): find, per document,
+    * every maximal run of tokens covered by length-`windowTokens` word
+    * windows whose exact text occurs at least `minOccurrences` times in
+    * the whole corpus (other docs or repeats within the same doc). This
+    * is the span-granular complement of doc-level near-dup ([[minhashLshPairs]])
+    * and line-level boilerplate ([[dedupLines]]): it catches licence
+    * blocks, templated paragraphs, and quoted chunks embedded in
+    * otherwise-unique documents, which neither of those stages flags.
+    *
+    * The suffix-array of the paper is a single-machine structure; the
+    * Spark-native equivalent is fixed-width window hashing — a window hash
+    * collides exactly when the L-token substring matches, so recall at
+    * granularity L is exact (any duplicated run of ≥ L tokens contains a
+    * duplicated L-window; runs shorter than L are below the detection
+    * floor by design, as in the paper's min-match-length).
+    *
+    * Output: one row per maximal span — `(doc_id, span_start, span_end,
+    * n_windows)`, token indices inclusive; overlapping or exactly-adjacent
+    * duplicated windows merge into one span.
+    *
+    * Scale shape (100 TB): window rows are O(total tokens) but carry only
+    * `(doc_id, pos, hash60)` — the shuffle moves longs, never window
+    * text; the frequency pass is one map-side-combinable groupBy on the
+    * window hash; the membership pass is an equi-join against the
+    * (tiny, freq ≥ minOccurrences) hot-hash set, which AQE broadcasts;
+    * the island merge is a per-document sort (`Window.partitionBy(doc)`) —
+    * bounded by one document's windows, never a corpus-wide rank. No
+    * doc×doc join anywhere, so a window shared by 10⁶ docs costs 10⁶
+    * index rows, not 10¹² pairs. */
+  def duplicatedSpans(docs: DataFrame, windowTokens: Int = 8,
+      minOccurrences: Long = 2L): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be positive, got $windowTokens")
+    require(minOccurrences >= 2L,
+      s"minOccurrences below 2 would flag every window, got $minOccurrences")
+    val wins = docs
+      .select(col("doc_id"),
+        posexplode(ngramList(col("text"), windowTokens)).as(Seq("pos", "__g")))
+      .select(col("doc_id"), col("pos"), hash60(col("__g")).as("__wh"))
+    val hot = wins.groupBy(col("__wh"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minOccurrences)
+      .select(col("__wh"))
+    val dup = wins.join(hot, Seq("__wh"), "left_semi")
+    val perDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    // gaps-and-islands: a window starts a new span iff it neither overlaps
+    // nor exactly abuts the previous one (pos > prev + L)
+    val grouped = dup
+      .withColumn("__new",
+        when(col("pos") > lag(col("pos"), 1).over(perDoc) + lit(windowTokens), 1)
+          .otherwise(when(lag(col("pos"), 1).over(perDoc).isNull, 1).otherwise(0)))
+      .withColumn("__grp", sum(col("__new")).over(perDoc))
+    grouped.groupBy(col("doc_id"), col("__grp"))
+      .agg(
+        min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + lit(windowTokens) - 1).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
+  }
+
   /** The naive inverted-index jaccard join (reference implementation used by
     * the prefix-filter equivalence spec; also fine when the corpus has no
     * hot shingles). */

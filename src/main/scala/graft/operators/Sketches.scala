@@ -183,6 +183,28 @@ object Sketches {
       s"ELSE $numerator DIV $sketchCol.hk END AS BIGINT)")
   }
 
+  /** Count-min sketch aggregate over a string item column: `array<bigint>`
+    * of `depth*width` row-major counters. See
+    * [[graft.expressions.CmsSketch]]. */
+  def cms(item: Column, depth: Int, width: Int): Column =
+    graft.expressions.CmsSketch.cms(item, depth, width)
+
+  /** Point-frequency lookup in a [[cms]] sketch column: the minimum of the
+    * item's `depth` counters — `count(item) <= cmsCount(item)` always, with
+    * overshoot bounded by the collision mass per row. The bucket math
+    * (`hash60(i:item) mod width`) must mirror the aggregate's exactly, so
+    * both live here. Pure per-row expression — probing N items against a
+    * broadcast one-row sketch is shuffle-free. */
+  def cmsCount(sketch: Column, item: Column, depth: Int, width: Int): Column = {
+    require(depth > 0 && width > 0, s"need positive depth/width, got $depth x $width")
+    val reads = (0 until depth).map { i =>
+      element_at(sketch,
+        (lit(i * width) + pmod(graft.functions.TextFunctions.hash60(
+          concat(lit(i.toString + ":"), item)), lit(width.toLong))).cast("int") + 1)
+    }
+    if (reads.length == 1) reads.head else least(reads: _*)
+  }
+
   /** Quantile-bucket assignment — the curation move that composes the
     * quantile machinery: fit global breakpoints of `valueCol` at the given
     * permilles (ONE [[graft.expressions.QuantileHistogram]] aggregate; the

@@ -312,6 +312,66 @@ object NorthStarQueries {
         .orderBy(col("n_occurrences").desc, col("pair"))
         .limit(30)
     }),
+    "t24_dup_spans" -> ((s, d) => {
+      // Cross-document duplicated-SPAN detection (Lee et al. 2022 style,
+      // window-hash form): maximal token runs covered by 8-token windows
+      // occurring >= 2 times corpus-wide. The corpus's natural exact/near
+      // dup docs produce whole-doc spans; a 12-token boilerplate sentence
+      // planted on every 4th doc produces the embedded-licence-block case
+      // (a mid/tail span inside otherwise-unique docs) — both shapes in
+      // one oracle.
+      val planted = Tables.documents(s, d).withColumn("text",
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(col("text"),
+            lit(" this work is licensed for research evaluation use only under the sample terms")))
+          .otherwise(col("text")))
+      Dedup.duplicatedSpans(planted.select(col("doc_id"), col("text")),
+        windowTokens = 8, minOccurrences = 2L)
+    }),
+    "t25_cms_heavy" -> ((s, d) => {
+      // Count-min-sketch frequency estimation next to the exact counts it
+      // approximates: one mergeable depth-4 x width-512 grid over every
+      // token (fixed-size partials, no per-token shuffle), probed for the
+      // exact top-20 tokens. est >= exact always; the gap is the
+      // collision mass the width bound controls.
+      import graft.operators.Sketches
+      val toks = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("token"))
+      val sketch = toks.agg(Sketches.cms(col("token"), 4, 512).as("__cms"))
+      val probes = toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("exact_count"))
+        .orderBy(col("exact_count").desc, col("token"))
+        .limit(20)
+      probes.crossJoin(broadcast(sketch))
+        .select(col("token"), col("exact_count"),
+          Sketches.cmsCount(col("__cms"), col("token"), 4, 512).as("cms_count"))
+    }),
+    "t26_jsonl_roundtrip" -> ((s, d) => {
+      // The jsonl boundary: export documents as json-lines, read them back
+      // with an explicit schema plus one planted corrupt line, drop the
+      // corrupt line per the S8 LogAndContinue policy, and emit a
+      // fidelity digest per row. The oracle computes the same digests
+      // from the parquet directly — hash-equality proves the jsonl hop
+      // is lossless and the corrupt line was dropped, not absorbed.
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_jsonl_" + java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
+      graft.sources.Jsonl.write(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars")),
+        dir)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "planted_corrupt.json"),
+        "{\"doc_id\": 999999999, \"text\": unquoted garbage}\n".getBytes("UTF-8"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+      graft.sources.Jsonl.readLogAndContinue(s, dir, schema)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("fp"))
+    }),
     "t21_source_vocab_sketch" -> ((s, d) => {
       // Per-source distinct-token estimate through the mergeable KMV
       // sketch, next to the exact count it approximates. The sketch pass
@@ -890,6 +950,58 @@ object NorthStarQueries {
          |SELECT pair, COUNT(*) AS n_occurrences
          |FROM p GROUP BY pair
          |ORDER BY n_occurrences DESC, pair LIMIT 30""".stripMargin,
+    // window-hash span replay: 8-token windows by position, hot-hash
+    // semi-join, gaps-and-islands merge (lag + running sum) per doc
+    "t24_dup_spans" ->
+      s"""WITH base AS (SELECT doc_id,
+         |        CASE WHEN doc_id % 4 = 0 THEN text || ' this work is licensed for research evaluation use only under the sample terms'
+         |             ELSE text END AS text
+         |      FROM documents),
+         |ws AS (SELECT doc_id, $WsSql AS w FROM base),
+         |wins AS (SELECT doc_id, unnest(range(GREATEST(len(w) - 7, 0))) AS pos, w FROM ws),
+         |wh AS (SELECT doc_id, pos,
+         |        ${h60("array_to_string(w[pos+1:pos+8], ' ')")} AS h
+         |      FROM wins),
+         |hot AS (SELECT h FROM wh GROUP BY h HAVING COUNT(*) >= 2),
+         |dup AS (SELECT doc_id, pos FROM wh WHERE h IN (SELECT h FROM hot)),
+         |marks AS (SELECT doc_id, pos,
+         |        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+         |               OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+         |             THEN 1 ELSE 0 END AS nw
+         |      FROM dup),
+         |grp AS (SELECT doc_id, pos,
+         |        SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM marks)
+         |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+         |       CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+         |       COUNT(*) AS n_windows
+         |FROM grp GROUP BY doc_id, g
+         |ORDER BY doc_id, span_start""".stripMargin,
+    // count-min grid replay: every (seed, bucket) counter via GROUP BY,
+    // probe top-20 exact tokens, estimate = min over the 4 seeds
+    "t25_cms_heavy" ->
+      s"""WITH ws AS (SELECT $WsSql AS w FROM documents),
+         |t AS (SELECT unnest(w) AS token FROM ws),
+         |cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count
+         |        FROM t GROUP BY token),
+         |probes AS (SELECT token, exact_count FROM cnt
+         |           ORDER BY exact_count DESC, token LIMIT 20),
+         |grid AS (SELECT r.i AS i,
+         |        ${h60("CAST(r.i AS VARCHAR)||':'||t.token")} % 512 AS b,
+         |        CAST(COUNT(*) AS BIGINT) AS c
+         |      FROM t, range(4) r(i) GROUP BY 1, 2),
+         |pb AS (SELECT p.token, p.exact_count, r.i AS i,
+         |        ${h60("CAST(r.i AS VARCHAR)||':'||p.token")} % 512 AS b
+         |      FROM probes p, range(4) r(i))
+         |SELECT pb.token, pb.exact_count, CAST(MIN(g.c) AS BIGINT) AS cms_count
+         |FROM pb JOIN grid g ON g.i = pb.i AND g.b = pb.b
+         |GROUP BY pb.token, pb.exact_count
+         |ORDER BY pb.exact_count DESC, pb.token""".stripMargin,
+    // the jsonl hop is Spark-side only; the oracle digests the parquet
+    // directly — equality proves the roundtrip lost nothing and the
+    // planted corrupt line was dropped
+    "t26_jsonl_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // grouped KMV replay: k smallest distinct 48-bit hashes per source
     // via window rank; 4222124650659840 = 15 * 2^48 (the k=16 estimator
     // numerator, precomputed so the math stays in exact BIGINT)

@@ -531,4 +531,39 @@ class NorthStarSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(kept === Seq(1L, 5L, 8L)) // cluster mins + singleton
   }
+
+  private def spansOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+  test("duplicatedSpans merges overlapping windows of a shared run into one maximal span") {
+    val sh = (1 to 10).map(i => s"s$i").mkString(" ") // 10-token shared run
+    val d = docs(
+      (1L, s"u1 u2 u3 u4 $sh u5 u6"), // shared run at token offset 4
+      (2L, s"v1 v2 $sh v3 v4 v5"),    // shared run at token offset 2
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"))
+    // dup 8-windows are exactly those fully inside the run: 3 per doc,
+    // overlapping -> one span covering the run
+    val got = spansOf(Dedup.duplicatedSpans(d, windowTokens = 8))
+    assert(got === Set((1L, 4L, 13L, 3L), (2L, 2L, 11L, 3L)))
+  }
+
+  test("duplicatedSpans counts intra-doc repeats; gap > window stays two spans") {
+    val run = (1 to 8).map(i => s"r$i").mkString(" ")
+    val d = docs((1L, s"$run x $run")) // repeat at pos 0 and pos 9, gap 9 > 8
+    val got = spansOf(Dedup.duplicatedSpans(d, windowTokens = 8))
+    assert(got === Set((1L, 0L, 7L, 1L), (1L, 9L, 16L, 1L)))
+  }
+
+  test("duplicatedSpans merges exactly-adjacent windows; minOccurrences raises the bar") {
+    val a = (1 to 8).map(i => s"a$i").mkString(" ")
+    val b = (1 to 8).map(i => s"b$i").mkString(" ")
+    // doc 1 holds a-run then b-run back to back; each run duplicated
+    // elsewhere separately, the straddling windows nowhere -> dup windows
+    // at pos 0 and pos 8 only, exactly adjacent -> one merged span
+    val d = docs((1L, s"$a $b"), (2L, s"x0 $a"), (3L, s"$b y0"))
+    val got = spansOf(Dedup.duplicatedSpans(d, windowTokens = 8))
+    assert(got === Set((1L, 0L, 15L, 2L), (2L, 1L, 8L, 1L), (3L, 0L, 7L, 1L)))
+    // at minOccurrences=3 nothing appears 3 times -> empty
+    assert(Dedup.duplicatedSpans(d, windowTokens = 8, minOccurrences = 3L).isEmpty)
+  }
 }

@@ -220,4 +220,26 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("partial_top_k_by_score"),
       s"s04 top-k does not partially aggregate map-side:\n$p")
   }
+
+  test("duplicated spans: hot-hash equi-join, per-doc window only, no doc×doc join") {
+    val p = plan(SparkEntry.queries("t24_dup_spans")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"t24 degenerates to a cross join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"t24 membership check shuffles window rows into a sort-merge join:\n$p")
+    // the only Window is the per-doc islands pass, partitioned on doc_id —
+    // a global (unpartitioned) window would funnel the corpus into one task
+    assert("windowspecdefinition\\(doc_id".r.findFirstIn(p.toLowerCase).isDefined,
+      s"t24 islands window is not doc-partitioned:\n$p")
+  }
+
+  test("cms heavy hitters: fixed-size aggregate, probe against a broadcast one-row sketch") {
+    val p = plan(SparkEntry.queries("t25_cms_heavy")(spark, sf))
+    // the grid builds under ObjectHashAggregate with map-side partials
+    assert(p.contains("ObjectHashAggregate"), s"t25 lost the sketch aggregate:\n$p")
+    assert(p.contains("partial_cms_sketch"),
+      s"t25 sketch does not partially aggregate map-side:\n$p")
+    // probing 20 rows against the 1-row sketch must broadcast, never shuffle
+    assert(!p.contains("SortMergeJoin"), s"t25 probe shuffles:\n$p")
+  }
 }

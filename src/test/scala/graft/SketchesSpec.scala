@@ -195,4 +195,54 @@ class SketchesSpec extends SparkTestBase {
     val empty = Sketches.quantileBuckets(df.filter($"v" < 0), "v", Seq(500))
     assert(empty.columns.contains("bucket") && empty.count() === 0L)
   }
+
+  // random small-vocabulary token multisets: collisions and repeats likely
+  private val tokensGen: Gen[List[String]] =
+    Gen.nonEmptyListOf(Gen.choose(0, 40).map(i => s"tok$i"))
+
+  test("CmsSketch: never underestimates; exact when the grid outgrows the vocabulary") {
+    import spark.implicits._
+    forSamples(tokensGen, 10) { ts =>
+      val df = ts.toDF("token")
+      val exact = ts.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      for ((width, mustBeExact) <- Seq((8, false), (4096, true))) {
+        val sk = df.agg(Sketches.cms(col("token"), 4, width).as("c"))
+        val est = df.distinct()
+          .crossJoin(sk)
+          .select(col("token"), Sketches.cmsCount(col("c"), col("token"), 4, width))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        exact.foreach { case (tok, n) =>
+          assert(est(tok) >= n, s"underestimate for $tok at width $width")
+          if (mustBeExact) assert(est(tok) === n, s"collision at width $width for $tok")
+        }
+      }
+    }
+  }
+
+  test("CmsSketch: partials merge exactly (partitioning never changes the grid)") {
+    import spark.implicits._
+    forSamples(tokensGen, 5) { ts =>
+      val one = ts.toDF("token").coalesce(1)
+        .agg(Sketches.cms(col("token"), 4, 64)).head().getSeq[Long](0)
+      val many = ts.toDF("token").repartition(7)
+        .agg(Sketches.cms(col("token"), 4, 64)).head().getSeq[Long](0)
+      assert(one === many)
+      assert(one.sum === 4L * ts.size) // every row lands once per grid row
+    }
+  }
+
+  test("CmsSketch: width-1 degenerates to a total counter; empty input reads zero") {
+    import spark.implicits._
+    val df = Seq("a", "b", "a").toDF("token")
+    val sk = df.agg(Sketches.cms(col("token"), 2, 1).as("c"))
+    val est = df.distinct().crossJoin(sk)
+      .select(Sketches.cmsCount(col("c"), col("token"), 2, 1))
+      .collect().map(_.getLong(0)).toSeq
+    assert(est === Seq(3L, 3L)) // every token shares the single bucket
+    val emptySk = df.filter(col("token") === "zzz")
+      .agg(Sketches.cms(col("token"), 2, 1).as("c"))
+    val zero = Seq("a").toDF("token").crossJoin(emptySk)
+      .select(Sketches.cmsCount(col("c"), col("token"), 2, 1)).head().getLong(0)
+    assert(zero === 0L)
+  }
 }
