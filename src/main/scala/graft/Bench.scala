@@ -95,6 +95,7 @@ object Bench {
       // lag/sum islands), the CMS aggregate + probe (t25), and the jsonl
       // reader/writer codecs (t26)
       Dedup.duplicatedSpans(tinyDocs, windowTokens = 4).count()
+      Dedup.scrubDuplicatedSpans(tinyDocs, windowTokens = 4).count()
       tinyDocs.select(explode(TextFunctions.tokens(col("text"))).as("token"))
         .agg(graft.operators.Sketches.cms(col("token"), 4, 16).as("c"))
         .select(graft.operators.Sketches.cmsCount(col("c"), lit("the"), 4, 16)).count()

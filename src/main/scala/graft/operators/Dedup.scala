@@ -684,6 +684,47 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
   }
 
+  /** Remove every token covered by a [[duplicatedSpans]] span — the
+    * scrubbing half of substring-level dedup (Lee et al. 2022 drop
+    * duplicated spans from training text; this is the symmetric "drop all
+    * occurrences" policy, the conservative direction for contamination:
+    * keeping one canonical copy would require a global argmin per span
+    * cluster, which a caller can build from [[duplicatedSpans]] output if
+    * the looser policy is wanted).
+    *
+    * Output: one row per input doc — `doc_id`, `clean_text` (kept tokens
+    * re-joined with single spaces — this operator works on the token
+    * stream, as the paper does; original whitespace runs are not
+    * preserved), `n_kept`, `n_dropped`.
+    *
+    * Scale shape: the span frame is grouped to one array row per
+    * FLAGGED doc (few spans each), equi-joined back on doc_id, and the
+    * removal itself is one per-row index-aware HOF over the token array —
+    * no token-level explode, no shuffle beyond the span computation and
+    * the doc-keyed join. */
+  def scrubDuplicatedSpans(docs: DataFrame, windowTokens: Int = 8,
+      minOccurrences: Long = 2L): DataFrame = {
+    val spans = duplicatedSpans(docs, windowTokens, minOccurrences)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    docs
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        TextExpressions.tokens(col("text")).as("__toks"),
+        coalesce(col("__spans"), typedLit(Seq.empty[(Long, Long)])
+          .cast("array<struct<span_start:bigint,span_end:bigint>>")).as("__spans"))
+      .select(col("doc_id"),
+        filter(col("__toks"), (_, i) =>
+          !exists(col("__spans"), s =>
+            i.cast("long").between(s.getField("span_start"), s.getField("span_end"))))
+          .as("__kept"),
+        size(col("__toks")).cast("long").as("__total"))
+      .select(col("doc_id"),
+        array_join(col("__kept"), " ").as("clean_text"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (col("__total") - size(col("__kept"))).cast("long").as("n_dropped"))
+  }
+
   /** The naive inverted-index jaccard join (reference implementation used by
     * the prefix-filter equivalence spec; also fine when the corpus has no
     * hot shingles). */

@@ -328,6 +328,19 @@ object NorthStarQueries {
       Dedup.duplicatedSpans(planted.select(col("doc_id"), col("text")),
         windowTokens = 8, minOccurrences = 2L)
     }),
+    "t27_span_scrub" -> ((s, d) => {
+      // The scrubbing half of t24: same planted corpus, duplicated spans
+      // REMOVED from every doc (symmetric drop-all policy), token counts
+      // accounted. One index-aware HOF per row after the span join — no
+      // token explode.
+      val planted = Tables.documents(s, d).withColumn("text",
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(col("text"),
+            lit(" this work is licensed for research evaluation use only under the sample terms")))
+          .otherwise(col("text")))
+      Dedup.scrubDuplicatedSpans(planted.select(col("doc_id"), col("text")),
+        windowTokens = 8, minOccurrences = 2L)
+    }),
     "t25_cms_heavy" -> ((s, d) => {
       // Count-min-sketch frequency estimation next to the exact counts it
       // approximates: one mergeable depth-4 x width-512 grid over every
@@ -976,6 +989,31 @@ object NorthStarQueries {
          |       COUNT(*) AS n_windows
          |FROM grp GROUP BY doc_id, g
          |ORDER BY doc_id, span_start""".stripMargin,
+    // same window CTEs as t24; coverage = any dup window whose [pos,pos+7]
+    // contains the token index, kept tokens re-joined ordered by position
+    "t27_span_scrub" ->
+      s"""WITH base AS (SELECT doc_id,
+         |        CASE WHEN doc_id % 4 = 0 THEN text || ' this work is licensed for research evaluation use only under the sample terms'
+         |             ELSE text END AS text
+         |      FROM documents),
+         |ws AS (SELECT doc_id, $WsSql AS w FROM base),
+         |wins AS (SELECT doc_id, unnest(range(GREATEST(len(w) - 7, 0))) AS pos, w FROM ws),
+         |wh AS (SELECT doc_id, pos,
+         |        ${h60("array_to_string(w[pos+1:pos+8], ' ')")} AS h
+         |      FROM wins),
+         |hot AS (SELECT h FROM wh GROUP BY h HAVING COUNT(*) >= 2),
+         |dup AS (SELECT doc_id, pos FROM wh WHERE h IN (SELECT h FROM hot)),
+         |toks AS (SELECT doc_id, unnest(range(len(w))) AS i, w FROM ws),
+         |kept AS (SELECT t.doc_id, t.i, t.w[t.i + 1] AS tok FROM toks t
+         |         WHERE NOT EXISTS (SELECT 1 FROM dup d
+         |                WHERE d.doc_id = t.doc_id AND t.i BETWEEN d.pos AND d.pos + 7)),
+         |o AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+         |             COUNT(*) AS n_kept FROM kept GROUP BY doc_id)
+         |SELECT ws.doc_id, COALESCE(o.clean_text, '') AS clean_text,
+         |       CAST(COALESCE(o.n_kept, 0) AS BIGINT) AS n_kept,
+         |       CAST(len(ws.w) - COALESCE(o.n_kept, 0) AS BIGINT) AS n_dropped
+         |FROM ws LEFT JOIN o ON o.doc_id = ws.doc_id
+         |ORDER BY ws.doc_id""".stripMargin,
     // count-min grid replay: every (seed, bucket) counter via GROUP BY,
     // probe top-20 exact tokens, estimate = min over the 4 seeds
     "t25_cms_heavy" ->

@@ -182,6 +182,28 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col("sk"),
         graft.operators.Sketches.kmvEstimate("sk", k, bits).as("est_distinct"))
 
+  /** Watermarked windowed count-min sketch over a stream — streaming form
+    * of t25: per event-time window, the full depth×width counter grid.
+    * [[graft.expressions.CmsSketch]] merges by elementwise sum, so it
+    * composes with `window()` + update mode exactly like a `sum` — fixed
+    * `depth*width` longs of state per window no matter how many distinct
+    * items arrive, and the emitted grid equals the batch grid over the
+    * same window's rows bit-for-bit. Probe the result with
+    * [[graft.operators.Sketches.cmsCount]] downstream. */
+  def windowedCmsStream(
+      events: DataFrame,
+      tsCol: String,
+      item: Column,
+      depth: Int,
+      width: Int,
+      windowWidth: String = "1 hour",
+      watermark: String = "24 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowWidth).as("window"))
+      .agg(graft.operators.Sketches.cms(item, depth, width).as("cms"))
+      .select(col("window.start").as("window_start"), col("cms"))
+
   /** Watermarked windowed EXACT quantiles over a stream — streaming form
     * of q28, via [[graft.expressions.QuantileHistogram]] (the batch
     * histogram+window plan is two stateful stages, one too many for a

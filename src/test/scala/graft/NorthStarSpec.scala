@@ -554,6 +554,26 @@ class NorthStarSpec extends SparkTestBase {
     assert(got === Set((1L, 0L, 7L, 1L), (1L, 9L, 16L, 1L)))
   }
 
+  test("scrubDuplicatedSpans drops exactly the flagged tokens, keeps the rest in order") {
+    val sh = (1 to 10).map(i => s"s$i").mkString(" ")
+    val d = docs(
+      (1L, s"u1 u2 u3 u4 $sh u5 u6"),
+      (2L, s"v1 v2 $sh v3 v4 v5"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+      (4L, sh), (5L, sh)) // whole-doc duplicates scrub to empty
+    val got = Dedup.scrubDuplicatedSpans(d, windowTokens = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: span tokens 4..13 dropped -> unique prefix + suffix survive
+    assert(got(1L) === (("u1 u2 u3 u4 u5 u6", 6L, 10L)))
+    assert(got(2L) === (("v1 v2 v3 v4 v5", 5L, 10L)))
+    // untouched doc passes through token-identical
+    assert(got(3L) === (("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12", 12L, 0L)))
+    // full-coverage docs empty out, counts account for every token
+    assert(got(4L) === (("", 0L, 10L)))
+    assert(got(5L) === (("", 0L, 10L)))
+  }
+
   test("duplicatedSpans merges exactly-adjacent windows; minOccurrences raises the bar") {
     val a = (1 to 8).map(i => s"a$i").mkString(" ")
     val b = (1 to 8).map(i => s"b$i").mkString(" ")

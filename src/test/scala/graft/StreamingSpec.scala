@@ -945,6 +945,27 @@ class StreamingSpec extends SparkTestBase {
     assert(rows === batch)
   }
 
+  test("windowed CMS grid: stream ≡ batch cms per window, bit-for-bit") {
+    val sf = "/root/testdata/sf0.001"
+    val events = graft.Tables.events(spark, sf)
+      .select($"ts", $"user_id", $"value").as[RawCall]
+    def itemCol = $"user_id".cast("string")
+    val batch = events.toDF()
+      .groupBy(window($"ts", "1 hour").as("window"))
+      .agg(graft.operators.Sketches.cms(itemCol, 3, 32).as("cms"))
+      .select($"window.start".as("window_start"), $"cms")
+      .collect().map(r => (r.getTimestamp(0), r.getSeq[Long](1))).toSet
+
+    val in = MemoryStream[RawCall](spark)
+    val out = StreamingOps.windowedCmsStream(
+      in.toDF(), "ts", itemCol, depth = 3, width = 32, windowWidth = "1 hour")
+    val rows = runUpdate(out, "stream_cms") {
+      in.addData(events.collect().toIndexedSeq)
+    }.collect().map(r => (r.getTimestamp(0), r.getSeq[Long](1))).toSet
+    assert(rows.nonEmpty)
+    assert(rows === batch)
+  }
+
   test("flagship stream ≡ batch: same events, identical enriched output") {
     // The strongest cheap guarantee the two surfaces can't drift: feed the
     // full sf0.001 events table through CallsStreamPipeline (aggregate +
