@@ -8,11 +8,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    // rejects by default (PARQUET_TYPE_ILLEGAL). Read nanos as long and
-    // convert below — set here (runtime-settable SQL conf) so it also holds
+    // The driver's parquet has shifted formats across rounds: TIMESTAMP(NANOS)
+    // (rejected by default — read as long via nanosAsLong), and currently
+    // naive timestamp[us] (isAdjustedToUTC=false), which Spark 4 would infer
+    // as TIMESTAMP_NTZ. Disable NTZ inference so naive micros read as plain
+    // TimestampType micros-since-epoch — with the UTC session timezone this
+    // matches both prior rounds' values and DuckDB's naive-timestamp oracle.
+    // Both confs are runtime-settable SQL confs, set here so they also hold
     // when the driver calls entry() with its own session.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
@@ -21,10 +26,16 @@ object Tables {
     * where a double division would lose precision above 2^53. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // Belt-and-braces for a pre-existing session where NTZ inference
+        // already ran: NTZ→timestamp under the UTC session tz is exact.
+        raw.withColumn("ts", raw("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
