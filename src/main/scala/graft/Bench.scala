@@ -110,6 +110,14 @@ object Bench {
             org.apache.spark.sql.types.StructField("text",
               org.apache.spark.sql.types.StringType)))).count()
       }
+      // r7 second batch: the symmetric-delete variant explode + levenshtein
+      // verify (d14) and the banded label-filtered heap (s06) each compile
+      // their own generated classes
+      graft.operators.EntityResolution.fuzzyPairs(
+        tinyDocs.select(col("doc_id"), substring(col("text"), 1, 8).as("nm")),
+        "doc_id", "nm", maxDist = 1).count()
+      Similarity.hardNegatives(tinyEmb, tinyEmb.limit(3),
+        k = 2, loE6 = -1000000L, hiE6 = 1000000L).count()
       tinyDocs.unpersist(blocking = true); tinyEmb.unpersist(blocking = true)
       tinyEv.unpersist(blocking = true)
     } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }

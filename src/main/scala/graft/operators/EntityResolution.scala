@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate string matching / entity resolution.
+  *
+  * The reference engine matches records only on exact keys
+  * (CallCustomerJoiner.java:15-40 joins on the phone-number string); a
+  * curation pipeline additionally needs the *approximate* form — the same
+  * entity spelled slightly differently across sources (typos, OCR noise,
+  * truncation). The classic scale trap is the all-pairs edit-distance
+  * join; this module uses symmetric-delete blocking (the SymSpell
+  * construction: Garbe's public algorithm, itself a restriction of
+  * Mor-Fraenkel 1982 deletion-only dictionaries) so candidate generation
+  * is a pure equi-join.
+  *
+  * Why deletes suffice: if lev(a, b) ≤ d, then deleting ≤ d characters
+  * from a and ≤ d from b reaches a common string (delete the substituted/
+  * inserted positions on each side). So indexing every string under all
+  * of its ≤ d-deletion variants guarantees every true pair shares at
+  * least one key — completeness by construction; precision comes from an
+  * exact Levenshtein verify over candidates only.
+  *
+  * 100 TB shape: the exploded index carries (hash60(variant), id, s) —
+  * O(rows × len^d) rows but only a long key plus the short string; the
+  * candidate step is an equi-join on the long key (hash-partitioned, AQE
+  * skew-splittable), `distinct` collapses multi-key collisions before the
+  * O(len²) verify ever runs, and nothing is ever quadratic in the corpus.
+  * Identical strings all collide on their full-string key — run exact
+  * dedup first (d01) or cap pathological buckets with `maxBucket`, the
+  * same hot-key fence as the shingle caps in [[Dedup]].
+  */
+object EntityResolution {
+
+  /** `s` with the character at 1-based position `i` deleted. */
+  private def del(s: String, i: String): String =
+    s"concat(substring($s, 1, $i - 1), substring($s, $i + 1, length($s)))"
+
+  /** All distinct strings reachable from `s` by at most `maxDist`
+    * character deletions (including `s` itself). Guarded so zero-length
+    * strings index under themselves (sequence(1,0) would descend). */
+  private def deletionKeys(maxDist: Int): Column = {
+    val v1 = s"transform(sequence(1, length(s)), i -> ${del("s", "i")})"
+    val v2 = s"flatten(transform($v1, t -> transform(sequence(1, length(t)), j -> ${del("t", "j")})))"
+    val keys = maxDist match {
+      case 1 => s"array_union(array(s), $v1)"
+      case 2 => s"array_union(array(s), array_union($v1, $v2))"
+    }
+    expr(s"CASE WHEN length(s) = 0 THEN array(s) ELSE $keys END")
+  }
+
+  /** All pairs `(id_a, id_b, dist)` with `lev(str_a, str_b) <= maxDist`
+    * and `id_a < id_b`, found via symmetric-delete blocking + exact
+    * verify. `maxDist` ∈ {1, 2} (the useful ER range — beyond 2 the
+    * deletion index fans out as len², and a token-level matcher like
+    * n-gram Jaccard (d04) is the right tool). `maxBucket > 0` drops
+    * candidate keys indexing more than that many rows — a hot-key fence
+    * that trades bounded recall loss for a hard cap on join fan-out;
+    * 0 = exact (default). Null strings are dropped (no match semantics).
+    */
+  def fuzzyPairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 1, maxBucket: Int = 0): DataFrame = {
+    require(maxDist == 1 || maxDist == 2, s"maxDist must be 1 or 2, got $maxDist")
+    val base = df
+      .select(col(idCol).cast("long").as("id"), col(strCol).cast("string").as("s"))
+      .filter(col("s").isNotNull)
+    val keyed0 = base
+      .select(col("id"), col("s"), explode(deletionKeys(maxDist)).as("v"))
+      .select(col("id"), col("s"),
+        graft.functions.TextFunctions.hash60(col("v")).as("k"))
+    val keyed =
+      if (maxBucket <= 0) keyed0
+      else {
+        // one grouped count (map-side partials), broadcast-joined back is
+        // wrong at scale (the key set is O(corpus)); an equi-join on k
+        // keeps it shuffle-aligned with the candidate join that follows
+        val hot = keyed0.groupBy(col("k")).agg(count(lit(1)).as("n"))
+          .filter(col("n") > maxBucket).select(col("k"))
+        keyed0.join(hot, Seq("k"), "left_anti")
+      }
+    // Candidates stay (id, id) longs through the join + distinct — a true
+    // pair shares up to len(s) variant keys, so the pre-distinct stream is
+    // ~len× the pair count and carrying the strings through it would
+    // multiply the dominant shuffle by the row width. Strings are fetched
+    // back per UNIQUE pair by two narrow equi-joins (AQE broadcasts them
+    // when the corpus side is small).
+    val a = keyed.select(col("k"), col("id").as("id_a"))
+    val b = keyed.select(col("k"), col("id").as("id_b"))
+    val cand = a.join(b, Seq("k")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+}

@@ -86,6 +86,35 @@ object Similarity {
     topKNeighbors(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query, the
+    * top-k most-similar vectors with a DIFFERENT label whose cosine lies in
+    * `[loE6, hiE6]` micro-units. The band is the semantics — above `hiE6`
+    * lives the near-duplicate/positive zone (same fence as semantic dedup,
+    * d11's 0.30), below `loE6` the easy negatives that contribute no
+    * gradient signal; what remains is exactly the "hard" shell a
+    * contrastive run wants (InfoNCE-style training, CLIP/SimCLR lineage).
+    *
+    * Scale shape: identical to [[bruteForceKnn]] — queries broadcast, the
+    * corpus scan is the only full pass, and BOTH predicates (label
+    * mismatch, similarity band) apply before the bounded TopKByScore heap,
+    * so the exchange still carries O(queries × k) rows. For a 100 TB
+    * corpus swap the candidate scan for an IVF probe ([[ivfKnnWith]]'s
+    * cell equi-join) and keep the same band filter + heap tail — the
+    * filter/heap composition is scan-agnostic. */
+  def hardNegatives(emb: DataFrame, queries: DataFrame, k: Int,
+      loE6: Long, hiE6: Long): DataFrame = {
+    require(loE6 <= hiE6, s"empty band [$loE6, $hiE6]")
+    val q = queries.select(col("vec_id").as("query_id"), col("label").as("q_label"),
+      col("embedding").as("qv"), norm(col("embedding")).as("qn"))
+    val c = spread(emb.select(col("vec_id").as("neighbor_id"), col("label").as("n_label"),
+      col("embedding").as("nv"), norm(col("embedding")).as("nn")))
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") && col("q_label") =!= col("n_label"))
+      .withColumn("cos_e6", cosE6From(col("qv"), col("nv"), col("qn"), col("nn")))
+      .filter(col("cos_e6").between(loE6, hiE6))
+    topKNeighbors(scored, k)
+  }
+
   /** Per-dimension max-abs int8 quantization scales — index-build state,
     * O(d) doubles on the driver (same class as the IVF centroid fetch,
     * not a data collect). All-zero dimensions get scale 1 so quantization

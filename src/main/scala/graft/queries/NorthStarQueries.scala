@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, EntityResolution, Similarity}
 import graft.multimodal.Multimodal
 
 /** North-star extensions (BASELINE.json): dedup family, similarity search,
@@ -212,6 +212,16 @@ object NorthStarQueries {
       Dedup.components(docs, Dedup.minhashLshPairs(docs))
         .groupBy(col("component")).agg(count(lit(1)).as("csize"))
         .groupBy(col("csize")).agg(count(lit(1)).as("n_components"))
+    }),
+    "d14_fuzzy_er" -> ((s, d) => {
+      // Approximate entity resolution on customer names: every pair
+      // within edit distance 1, via symmetric-delete blocking + exact
+      // Levenshtein verify. The oracle is blocking-agnostic (all-pairs
+      // lev <= 1 in DuckDB), so a hash-green run proves the deletion
+      // index loses no true pair — SymSpell's completeness guarantee,
+      // checked end-to-end.
+      EntityResolution.fuzzyPairs(Tables.customer(s, d), "c_custkey", "c_name",
+        maxDist = 1)
     }),
     "d09_dedup_keep_longest" -> ((s, d) => {
       // Score-aware dedup: per near-dup component keep the LONGEST doc
@@ -688,6 +698,16 @@ object NorthStarQueries {
       val emb = Tables.embeddings(s, d)
       Similarity.quantizedKnn(emb, emb.filter(col("vec_id") < 20), k = 5, coarseK = 20)
     }),
+    "s06_hard_negatives" -> ((s, d) => {
+      // Contrastive hard-negative mining: top-5 different-label neighbors
+      // per query inside the [0.10, 0.30) cosine shell — above easy
+      // negatives, below d11's near-duplicate fence (0.30), so nothing a
+      // semantic-dedup pass would flag as a positive can leak into the
+      // negative set.
+      val emb = Tables.embeddings(s, d)
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 20), k = 5,
+        loE6 = 100000L, hiE6 = 299999L)
+    }),
     "t01_token_count" -> ((s, d) => {
       Tables.documents(s, d).select(
         col("doc_id"),
@@ -873,6 +893,15 @@ object NorthStarQueries {
          |       FROM comp GROUP BY component)
          |SELECT csize, CAST(COUNT(*) AS BIGINT) AS n_components
          |FROM cs GROUP BY csize ORDER BY csize""".stripMargin,
+    // deliberately all-pairs in DuckDB: the oracle must not share the
+    // Spark side's blocking, or a recall bug in the deletion index would
+    // be invisible
+    "d14_fuzzy_er" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
     "d09_dedup_keep_longest" ->
       s"""$componentsCteSql,
          |tl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM ws),
@@ -1322,6 +1351,20 @@ object NorthStarQueries {
          |ORDER BY query_id, rank""".stripMargin,
     "s02_knn_ivf" ->
       ivfOracleSql(nCells = 16, nprobe = 2, k = 5, iters = 2, sampleMod = 7, qMax = 20),
+    // s01's shape with the two hard-negative predicates: different label,
+    // cosine inside [lo, hi] micro-units — band applied pre-rank, exactly
+    // where the Spark plan filters before its bounded heap
+    "s06_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, label AS ql, embedding AS qv
+         |           FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS neighbor_id, label AS nl, embedding AS nv FROM embeddings),
+         |scored AS (SELECT query_id, neighbor_id, ${cosE6Sql("qv", "nv")} AS cos_e6
+         |           FROM q, c WHERE query_id <> neighbor_id AND ql <> nl),
+         |banded AS (SELECT * FROM scored WHERE cos_e6 BETWEEN 100000 AND 299999),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY cos_e6 DESC, neighbor_id) AS rank FROM banded)
+         |SELECT query_id, rank, neighbor_id, cos_e6 FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
     // SemDeDup replay: the same fit CTEs as s02 (one definition), then
     // exact within-cell pairwise cosine — the cluster-local pair space
     // IS the operator's semantics, so the oracle joins on asg.cell

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.EntityResolution
+
+class EntityResolutionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def pairs(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("fuzzyPairs finds substitution, insertion, and deletion at dist 1") {
+    val df = Seq(
+      (1L, "kitten"), (2L, "mitten"),   // substitution
+      (3L, "pale"), (4L, "pales"),      // insertion at the end
+      (5L, "abcd"), (6L, "abd"),        // deletion in the middle
+      (7L, "zzzzz"))                    // no neighbor
+      .toDF("id", "name")
+    val got = pairs(EntityResolution.fuzzyPairs(df, "id", "name", maxDist = 1))
+    assert(got === Set((1L, 2L, 1L), (3L, 4L, 1L), (5L, 6L, 1L)))
+  }
+
+  test("fuzzyPairs maxDist=2 reaches distance-2 pairs, not distance-3") {
+    val df = Seq(
+      (1L, "saturday"), (2L, "satrday"),  // 1 deletion
+      (3L, "sunday"),                     // lev(saturday, sunday)=3 — out
+      (4L, "sturdy"))                     // lev(saturday, sturdy)=3 — out
+      .toDF("id", "name")
+    val d2 = pairs(EntityResolution.fuzzyPairs(df, "id", "name", maxDist = 2))
+    // saturday~satrday = 1 (one deletion); saturday~sturdy = 2; everything
+    // touching sunday is 3, and lev(satrday, sturdy) = 3 too — both out
+    assert(d2 === Set((1L, 2L, 1L), (1L, 4L, 2L)))
+  }
+
+  test("fuzzyPairs: empty strings and nulls") {
+    val df = Seq((1L, ""), (2L, ""), (3L, "a"), (4L, null))
+      .toDF("id", "name")
+    val got = pairs(EntityResolution.fuzzyPairs(df, "id", "name", maxDist = 1))
+    // "" ≡ "" at 0; "a" is one insertion from ""; null never matches
+    assert(got === Set((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
+
+  test("fuzzyPairs ≡ all-pairs Levenshtein on real customer names") {
+    val cust = Tables.customer(spark, "/root/testdata/sf0.001")
+    val got = pairs(EntityResolution.fuzzyPairs(cust, "c_custkey", "c_name"))
+    val a = cust.select($"c_custkey".as("id_a"), $"c_name".as("na"))
+    val b = cust.select($"c_custkey".as("id_b"), $"c_name".as("nb"))
+    val naive = a.join(b, $"id_a" < $"id_b")
+      .withColumn("dist", levenshtein($"na", $"nb").cast("long"))
+      .filter($"dist" <= 1).select($"id_a", $"id_b", $"dist")
+    assert(got === pairs(naive) && got.nonEmpty)
+  }
+
+  test("maxBucket drops only pairs that relied on a hot key") {
+    // ten strings sharing the hot full-string key "dup" plus one clean
+    // pair; capping at 5 kills the dup-group pairs, keeps the clean pair
+    val rows = (1L to 10L).map(i => (i, "dup")) :+ (20L, "pale") :+ (21L, "pales")
+    val df = rows.toDF("id", "name")
+    val capped = pairs(EntityResolution.fuzzyPairs(df, "id", "name",
+      maxDist = 1, maxBucket = 5))
+    assert(capped.contains((20L, 21L, 1L)))
+    assert(!capped.exists(p => p._1 <= 10L))
+    val exact = pairs(EntityResolution.fuzzyPairs(df, "id", "name", maxDist = 1))
+    assert(capped.subsetOf(exact) && exact.size == 45 + 1)
+  }
+}

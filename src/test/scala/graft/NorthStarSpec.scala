@@ -293,6 +293,47 @@ class NorthStarSpec extends SparkTestBase {
     assert(got === Seq(1L, 2L, 3L))
   }
 
+  test("hardNegatives: different label only, inside the band, ranked") {
+    // q=(1,0), label 0. Candidates: same-label near-dup (excluded by
+    // label), a too-similar different-label vec (excluded by hi fence),
+    // two in-band hard negatives (kept, ranked), one easy negative
+    // (excluded by lo fence).
+    val e = Seq(
+      (0L, Array(1f, 0f), 0),        // query
+      (1L, Array(0.99f, 0.01f), 0),  // same label — out regardless of cos
+      (2L, Array(0.995f, 0.1f), 1),  // cos≈0.995 > hi — positive zone, out
+      (3L, Array(0.6f, 0.8f), 1),    // cos=0.6 — in band, rank 1
+      (4L, Array(0.3f, 0.954f), 2),  // cos≈0.3 — in band, rank 2
+      (5L, Array(-1f, 0f), 1))       // cos=-1 — easy negative, out
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(e, e.filter($"vec_id" === 0), k = 5,
+      loE6 = 100000L, hiE6 = 900000L)
+      .orderBy("rank").collect().map(r =>
+        (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
+    assert(got.toSeq === Seq((1, 3L), (2, 4L)))
+  }
+
+  test("hardNegatives ≡ band+label-filtered brute ranking on real embeddings") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter($"vec_id" < 10)
+    val got = Similarity.hardNegatives(emb, q, k = 4, loE6 = 50000L, hiE6 = 299999L)
+      .collect().map(_.toSeq).toSet
+    // independent naive form: score all pairs, filter, window-rank
+    import org.apache.spark.sql.expressions.Window
+    val scored = emb.select($"vec_id".as("neighbor_id"), $"label".as("nl"),
+        $"embedding".as("nv"))
+      .crossJoin(q.select($"vec_id".as("query_id"), $"label".as("ql"),
+        $"embedding".as("qv")))
+      .filter($"query_id" =!= $"neighbor_id" && $"ql" =!= $"nl")
+      .withColumn("cos_e6", Similarity.cosineE6($"qv", $"nv"))
+      .filter($"cos_e6".between(50000L, 299999L))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"cos_e6".desc, $"neighbor_id")))
+      .filter($"rank" <= 4)
+      .select($"query_id", $"rank", $"neighbor_id", $"cos_e6")
+    assert(got === scored.collect().map(_.toSeq).toSet && got.nonEmpty)
+  }
+
   test("ivfKnn returns exact top-k when every cell is probed") {
     val e = vecs(
       (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(-1f, 0f)), (3L, Seq(-0.9f, -0.2f)),

@@ -62,7 +62,7 @@ class PlanShapeSpec extends SparkTestBase {
 
   test("dedup pair joins are equi-joins on buckets, never cartesian") {
     for (q <- Seq("d02_minhash_lsh", "d03_simhash", "d04_ngram_jaccard",
-        "d05_embedding_neardup", "d08_contamination")) {
+        "d05_embedding_neardup", "d08_contamination", "d14_fuzzy_er")) {
       val p = plan(SparkEntry.queries(q)(spark, sf))
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q degenerates to a cross join:\n$p")
@@ -70,7 +70,7 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("kNN top-k is a bounded aggregate, not a per-query window rank") {
-    for (q <- Seq("s01_knn_brute", "s02_knn_ivf")) {
+    for (q <- Seq("s01_knn_brute", "s02_knn_ivf", "s06_hard_negatives")) {
       val p = plan(SparkEntry.queries(q)(spark, sf))
       // the old form shuffled every scored candidate of a query through one
       // reducer via row_number().over(partitionBy(query_id)); the bounded
