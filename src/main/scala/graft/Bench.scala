@@ -118,6 +118,7 @@ object Bench {
         "doc_id", "nm", maxDist = 1).count()
       Similarity.hardNegatives(tinyEmb, tinyEmb.limit(3),
         k = 2, loE6 = -1000000L, hiE6 = 1000000L).count()
+      graft.operators.QualityModel.scoreDocs(tinyDocs, "doc_id", "text").count()
       tinyDocs.unpersist(blocking = true); tinyEmb.unpersist(blocking = true)
       tinyEv.unpersist(blocking = true)
     } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }

@@ -150,6 +150,18 @@ case class PiiScrubExpr(child: Expression) extends KernelCall with StringInput {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** [n_features, score_sum] of the hashed-feature linear quality model. */
+case class HashedLinearScoreExpr(child: Expression, nBuckets: Int)
+    extends KernelCall with StringInput {
+  require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(s: Any): Any =
+    TextKernels.hashedLinearScore(s.asInstanceOf[UTF8String], nBuckets)
+  override def kernelCall(ctx: CodegenContext, c: String): String =
+    s"graft.expressions.TextKernels.hashedLinearScore($c, $nBuckets)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Raw-deflate byte count of the UTF-8 text at level 6. */
 case class DeflateLenExpr(child: Expression) extends KernelCall with StringInput {
   override def dataType: DataType = LongType
@@ -228,6 +240,8 @@ object TextExpressions {
   def dedupLinesInDoc(c: Column): Column = col(DedupLinesInDocExpr(ex(c)))
   def ngramList(c: Column, n: Int): Column = col(NgramListExpr(ex(c), n))
   def deflateLen(c: Column): Column = col(DeflateLenExpr(ex(c)))
+  def hashedLinearScore(c: Column, nBuckets: Int): Column =
+    col(HashedLinearScoreExpr(ex(c), nBuckets))
   def sortedIntersectCount(a: Column, b: Column): Column =
     col(SortedIntersectCountExpr(ex(a), ex(b)))
   def hash60(c: Column): Column = col(Hash60Expr(ex(c)))

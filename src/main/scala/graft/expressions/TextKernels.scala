@@ -457,6 +457,48 @@ object TextKernels {
     UTF8String.fromString(sb.toString)
   }
 
+  /** Hashed-feature linear score (the hashing trick, Weinberger et al.
+    * 2009 / fastText's classifier input layer): features are the
+    * whitespace unigrams plus adjacent bigrams; each feature hashes to one
+    * of `nBuckets` weight slots; the document score is the sum of slot
+    * weights. Returns `[n_features, score_sum]` with weights in exact
+    * milli-units, so a mean-weight threshold is the integer comparison
+    * `score_sum >= thresholdMilli * n_features` — no float anywhere.
+    *
+    * The slot weight is derived from the slot id
+    * (`hash60(slotDecimalString) % 2001 - 1000` ∈ [-1000, 1000]) instead
+    * of a trained array, so the oracle can rebuild the whole model from
+    * SQL; a production scorer swaps that one line for a broadcast
+    * `long[nBuckets]` lookup — the shape (fixed model size regardless of
+    * vocabulary, one kernel pass per row, no explode, no shuffle) is the
+    * point. */
+  def hashedLinearScore(s: UTF8String, nBuckets: Int): ArrayData = {
+    val str = s.toString
+    var n = 0L
+    var sum = 0L
+    def add(f: String): Unit = {
+      val slot = (hash60(UTF8String.fromString(f)) % nBuckets).toInt
+      sum += hash60(UTF8String.fromString(String.valueOf(slot))) % 2001L - 1000L
+      n += 1
+    }
+    var prev: String = null
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      if (str.charAt(i) == ' ') i += 1
+      else {
+        var j = i + 1
+        while (j < len && str.charAt(j) != ' ') j += 1
+        val tok = str.substring(i, j)
+        add(tok)
+        if (prev != null) add(prev + " " + tok)
+        prev = tok
+        i = j
+      }
+    }
+    new GenericArrayData(Array(n, sum))
+  }
+
   /** 32-bit simhash over a token array: bit j set iff Σ ±1 votes > 0. */
   def simhash32(arr: ArrayData): Long = {
     val votes = new Array[Long](32)

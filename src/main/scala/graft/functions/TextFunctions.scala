@@ -94,6 +94,11 @@ object TextFunctions {
     * so its query is rows-only-checked rather than hash-compared. */
   def deflateLen(c: Column): Column = TextExpressions.deflateLen(c)
 
+  /** `[n_features, score_sum]` of the hashed-feature linear quality model
+    * (unigrams + bigrams → `nBuckets` weight slots, milli-unit weights). */
+  def hashedLinearScore(c: Column, nBuckets: Int = 1 << 16): Column =
+    TextExpressions.hashedLinearScore(c, nBuckets)
+
   private[graft] def ngramRepetitionHof(c: Column, n: Int): Column = {
     val ws = tokensHof(c)
     val grams = when(size(ws) >= n,

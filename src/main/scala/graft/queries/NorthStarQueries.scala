@@ -213,6 +213,14 @@ object NorthStarQueries {
         .groupBy(col("component")).agg(count(lit(1)).as("csize"))
         .groupBy(col("csize")).agg(count(lit(1)).as("n_components"))
     }),
+    "t28_model_filter" -> ((s, d) => {
+      // Model-based quality gate: hashed-feature linear classifier
+      // (unigrams+bigrams -> 2^16 weight slots, exact milli-unit weights),
+      // one codegen kernel per row. threshold 0 = keep docs whose mean
+      // feature weight is non-negative.
+      graft.operators.QualityModel.scoreDocs(
+        Tables.documents(s, d), "doc_id", "text")
+    }),
     "d14_fuzzy_er" -> ((s, d) => {
       // Approximate entity resolution on customer names: every pair
       // within edit distance 1, via symmetric-delete blocking + exact
@@ -893,6 +901,24 @@ object NorthStarQueries {
          |       FROM comp GROUP BY component)
          |SELECT csize, CAST(COUNT(*) AS BIGINT) AS n_components
          |FROM cs GROUP BY csize ORDER BY csize""".stripMargin,
+    // rebuilds the ENTIRE model in SQL: same tokenization, same bigram
+    // join, same two-level md5 slot/weight derivation, same integer
+    // decision rule — a hash-green run proves model application is
+    // bit-reproducible outside the JVM
+    "t28_model_filter" ->
+      s"""WITH ws AS (SELECT doc_id, $WsSql AS w FROM documents),
+         |f AS (SELECT doc_id, list_concat(w,
+         |        list_transform(range(GREATEST(len(w) - 1, 0)),
+         |                       i -> w[i + 1] || ' ' || w[i + 2])) AS fs
+         |      FROM ws),
+         |s AS (SELECT doc_id, CAST(len(fs) AS BIGINT) AS n_features,
+         |        CAST(COALESCE(list_sum(list_transform(fs, x ->
+         |          ${h60(s"CAST(${h60("x")} % 65536 AS VARCHAR)")} % 2001 - 1000)), 0)
+         |          AS BIGINT) AS score_sum
+         |      FROM f)
+         |SELECT doc_id, n_features, score_sum,
+         |       CAST(score_sum >= 0 AS BIGINT) AS keep
+         |FROM s ORDER BY doc_id""".stripMargin,
     // deliberately all-pairs in DuckDB: the oracle must not share the
     // Spark side's blocking, or a recall bug in the deletion index would
     // be invisible

@@ -293,6 +293,22 @@ class NorthStarSpec extends SparkTestBase {
     assert(got === Seq(1L, 2L, 3L))
   }
 
+  test("QualityModel.filterDocs keeps exactly the scoreDocs keep=1 rows") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val scored = graft.operators.QualityModel.scoreDocs(docs, "doc_id", "text")
+    val keepIds = scored.filter($"keep" === 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept = graft.operators.QualityModel.filterDocs(docs, "doc_id", "text")
+    assert(kept.columns.toSeq === docs.columns.toSeq) // schema untouched
+    val gotIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotIds === keepIds)
+    // threshold sweep: stricter threshold keeps a subset
+    val strict = graft.operators.QualityModel.filterDocs(docs, "doc_id", "text",
+        thresholdMilli = 50L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(strict.subsetOf(gotIds) && strict.size < gotIds.size && gotIds.size < 500)
+  }
+
   test("hardNegatives: different label only, inside the band, ranked") {
     // q=(1,0), label 0. Candidates: same-label near-dup (excluded by
     // label), a too-similar different-label vec (excluded by hi fence),

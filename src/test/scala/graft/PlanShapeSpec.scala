@@ -140,6 +140,18 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Generate"), s"kernel form should not explode:\n$p")
   }
 
+  test("model filter runs inside WholeStageCodegen, no exchange, no explode") {
+    val p = plan(SparkEntry.queries("t28_model_filter")(spark, sf))
+    assert(p.contains("*(1)"), s"no codegen stage:\n$p")
+    assert(!p.contains("Exchange"), s"per-row model score query shuffles:\n$p")
+    assert(!p.contains("Generate"), s"kernel form should not explode:\n$p")
+    // the filter form must stay a pure per-row predicate too
+    val pf = plan(graft.operators.QualityModel.filterDocs(
+      Tables.documents(spark, sf), "doc_id", "text"))
+    assert(!pf.contains("Exchange") && !pf.contains("Join"),
+      s"filterDocs must not join or shuffle:\n$pf")
+  }
+
   test("intra-doc line dedup runs inside WholeStageCodegen, no exchange, no explode") {
     val p = plan(SparkEntry.queries("t19_intra_doc_dedup")(spark, sf))
     assert(p.contains("*(1)"), s"no codegen stage:\n$p")

@@ -64,6 +64,29 @@ class TextExprSpec extends SparkTestBase {
       transform(tokens($"text"), t => TextFunctions.hash60Hof(t)))
   }
 
+  test("hashedLinearScore kernel ≡ independent HOF model replay") {
+    // rebuild the model from builtins: unigram+bigram features, two-level
+    // md5 slot/weight derivation, integer sum — must match bit-for-bit
+    val feats = concat(tokens($"text"), TextFunctions.ngramList($"text", 2))
+    val weights = transform(feats, f =>
+      TextFunctions.hash60Hof(
+        (TextFunctions.hash60Hof(f) % 65536).cast("string")) % 2001 - 1000)
+    val slow = array(size(feats).cast("long"),
+      aggregate(weights, lit(0L), (acc, w) => acc + w))
+    assertSame(TextFunctions.hashedLinearScore($"text"), slow)
+  }
+
+  test("hashedLinearScore: featureless and single-token docs") {
+    val r = Seq((1L, ""), (2L, "   "), (3L, "solo"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextFunctions.hashedLinearScore($"text").as("sc"))
+      .orderBy("doc_id").collect()
+    assert(r(0).getSeq[Long](1) === Seq(0L, 0L))   // empty: no features
+    assert(r(1).getSeq[Long](1) === Seq(0L, 0L))   // whitespace only
+    val solo = r(2).getSeq[Long](1)
+    assert(solo(0) === 1L && solo(1) >= -1000L && solo(1) <= 1000L)
+  }
+
   test("fingerprint kernel ≡ pmod-fold HOF")(
     assertSame(fingerprint($"text"), TextFunctions.fingerprintHof($"text")))
 
