@@ -77,6 +77,12 @@ object GraftExtensions {
     ("graft_dot",
       info("graft_dot", "graft_dot(arr_float, arr_float) - double dot product"),
       (args: Seq[Expression]) => { arity("graft_dot", 2, args); DotProductFF(args.head, args(1)) }),
+    ("graft_zorder",
+      info("graft_zorder", "graft_zorder(x, y, bits) - z-order (Morton) clustering key"),
+      (args: Seq[Expression]) => {
+        arity("graft_zorder", 3, args)
+        ZOrder2Expr(args.head, args(1), intLit(args(2), "bits"))
+      }),
     ("graft_top_k",
       // the analyzer wraps a bare AggregateFunction into AggregateExpression,
       // same as the built-in sum/max registrations

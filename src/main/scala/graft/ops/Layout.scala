@@ -65,4 +65,29 @@ object Layout {
       .partitionBy("shard")
       .parquet(dir)
   }
+
+  /** Cluster `df` by the z-order (Morton) key of two columns — the
+    * multi-dimensional layout pass behind Delta/Iceberg's OPTIMIZE
+    * ZORDER. Range-partition on the key (`numFiles` output slices with
+    * disjoint z ranges, one sampling pass — the only exchange), then sort
+    * within each slice; written as parquet, every file's row-group
+    * min/max stats are tight in BOTH dimensions, so a 2-D predicate
+    * prunes files/row-groups on either axis — a single-column sort can
+    * only ever prune one. The z key rides along as `z_key` for audit and
+    * as the natural sort key of any later compaction.
+    *
+    * 100 TB shape: one range exchange (sampled boundaries, skew-tolerant)
+    * + local sorts; no global sort, no driver state. `bits`=16 gives a
+    * 65536×65536 grid — plenty below parquet row-group granularity; raise
+    * it only if a dimension's cardinality genuinely exceeds 2^16 AFTER
+    * dictionary-ranking it. */
+  def clusterZOrder(df: DataFrame, xCol: String, yCol: String,
+      numFiles: Int, bits: Int = 16): DataFrame = {
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    import org.apache.spark.sql.functions.col
+    df.withColumn("z_key",
+        graft.expressions.BitExpressions.zorder(col(xCol), col(yCol), bits))
+      .repartitionByRange(numFiles, col("z_key"))
+      .sortWithinPartitions(col("z_key"))
+  }
 }

@@ -185,6 +185,19 @@ object RelationalQueries {
         FROM ev_gs
         GROUP BY GROUPING SETS ((event_type), (cohort), ())""")
     }),
+    "q38_zorder_key" -> ((s, d) => {
+      // Z-order (Morton) clustering key: the 2-D layout key that makes
+      // parquet min/max stats prunable on BOTH (custkey, orderkey) axes.
+      // One codegen'd bit-interleave per row; z_cell is the coarse
+      // 256-cell curve prefix a compactor would group files by. The
+      // range-partitioned writer on top of this key is Layout
+      // .clusterZOrder (BucketedJoinSpec: disjoint slices, box contiguity).
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        graft.expressions.BitExpressions.zorder(
+          col("o_custkey"), col("o_orderkey"), 16).as("z_key"))
+        .withColumn("z_cell", shiftright(col("z_key"), 24).cast("long"))
+    }),
     "q37_range_frame" -> ((s, d) => {
       // RANGE-frame analytic window: per user, the sum of event value
       // cents within the trailing 2 hours of each event — a time-based
@@ -573,6 +586,21 @@ object RelationalQueries {
         |GROUP BY GROUPING SETS ((event_type), (cohort), ())
         |ORDER BY gid, event_type, cohort""".stripMargin,
     // time-based RANGE frame replayed over epoch micros
+    // the interleave unrolled term-by-term in SQL — bit i of custkey at
+    // position 2i+1, bit i of orderkey at 2i, both masked to 16 bits
+    "q38_zorder_key" -> {
+      def z(x: String, y: String, bits: Int): String = {
+        val xm = s"($x & ${(1L << bits) - 1})"
+        val ym = s"($y & ${(1L << bits) - 1})"
+        (0 until bits).map(i =>
+          s"((($xm >> $i) & 1) << ${2 * i + 1}) | ((($ym >> $i) & 1) << ${2 * i})")
+          .mkString(" | ")
+      }
+      s"""SELECT o_orderkey,
+         |       CAST(${z("o_custkey", "o_orderkey", 16)} AS BIGINT) AS z_key,
+         |       CAST((${z("o_custkey", "o_orderkey", 16)}) >> 24 AS BIGINT) AS z_cell
+         |FROM orders ORDER BY o_orderkey""".stripMargin
+    },
     "q37_range_frame" ->
       """SELECT event_id, user_id,
         |       CAST(ROUND(value * 100) AS BIGINT) AS vc,

@@ -42,6 +42,70 @@ class BucketedJoinSpec extends SparkTestBase {
     }
   }
 
+  test("zorder kernel: worked examples and bit-by-bit builtin parity") {
+    import graft.expressions.BitKernels.interleave
+    // x occupies odd (higher) positions: x=0b11,y=0 -> 0b1010; y-only -> 0b0101
+    assert(interleave(3L, 0L, 2) === 10L)
+    assert(interleave(0L, 3L, 2) === 5L)
+    assert(interleave(1L, 1L, 1) === 3L)
+    assert(interleave(0L, 0L, 16) === 0L)
+    // masking: only the low `bits` bits participate
+    assert(interleave(1L << 20, 0L, 16) === 0L)
+    // parity with an unrolled builtin-shift computation on real keys
+    import org.apache.spark.sql.functions._
+    val bitTerms = (0 until 16).map { i =>
+      shiftleft(shiftright(col("x"), i).bitwiseAND(1L), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(col("y"), i).bitwiseAND(1L), 2 * i))
+    }.reduce(_.bitwiseOR(_))
+    val df = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select((col("o_custkey") % 65536).as("x"), (col("o_orderkey") % 65536).as("y"))
+    val diffs = df.select(
+        graft.expressions.BitExpressions.zorder(col("x"), col("y"), 16).as("fast"),
+        bitTerms.cast("long").as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(diffs === 0L)
+  }
+
+  test("zorder: the major dimension's top bit dominates the key") {
+    import graft.expressions.BitKernels.interleave
+    // any x >= 2^15 outranks any x < 2^15 regardless of y (16-bit grid)
+    val lowMax = (for (x <- 0 until 32; y <- 0 until 65536 by 4093)
+      yield interleave(x.toLong, y.toLong, 16)).max
+    val hiMin = (for (x <- 32768 until 32800; y <- 0 until 65536 by 4093)
+      yield interleave(x.toLong, y.toLong, 16)).min
+    assert(lowMax < (1L << 31) && hiMin >= (1L << 31))
+  }
+
+  test("clusterZOrder: disjoint z slices with 2-D locality on a full grid") {
+    import org.apache.spark.sql.functions._
+    val grid = spark.range(64L * 64L)
+      .select((col("id") / 64).cast("long").as("x"), (col("id") % 64).as("y"))
+    val out = graft.ops.Layout.clusterZOrder(grid, "x", "y", numFiles = 4, bits = 6)
+    val parts = out
+      .select(spark_partition_id().as("p"), col("z_key"))
+      .groupBy("p").agg(
+        min("z_key").as("zlo"), max("z_key").as("zhi"), count(lit(1)).as("n"))
+      .collect()
+    assert(parts.length === 4 && parts.map(_.getAs[Long]("n")).sum === 4096L)
+    // slices carve the curve into disjoint, ordered z ranges — the file
+    // min/max stats a reader prunes against never overlap
+    val sorted = parts.sortBy(_.getAs[Long]("zlo"))
+    sorted.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("zhi") < b.getAs[Long]("zlo"))
+    case _ => }
+    // the property that makes those stats prune in 2-D: every 8-aligned
+    // 8x8 box is ONE contiguous z run (len 64), so a 2-D predicate's rows
+    // land in the minimal span of slices instead of striping across all
+    // of them the way a single-axis sort's secondary dimension does
+    import graft.expressions.BitKernels.interleave
+    for (bx <- 0 until 64 by 8; by <- 0 until 64 by 8) {
+      val zs = for (x <- bx until bx + 8; y <- by until by + 8)
+        yield interleave(x.toLong, y.toLong, 6)
+      assert(zs.max - zs.min === 63L && zs.distinct.size === 64,
+        s"box ($bx,$by) is not one contiguous z run")
+    }
+  }
+
   test("co-bucketed tables join without a shuffle on either side") {
     // warehouse dir is a temp dir set by SparkTestBase (static conf)
     val sf = "/root/testdata/sf0.001"

@@ -48,6 +48,14 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(r.getLong(1) === 2L)
   }
 
+  test("graft_zorder from SQL matches the kernel") {
+    val r = s.sql("SELECT graft_zorder(3L, 0L, 2) AS a, graft_zorder(0L, 3L, 2) AS b, " +
+        "graft_zorder(41L, 1017L, 16) AS c")
+      .collect().head
+    assert(r.getLong(0) === 10L && r.getLong(1) === 5L)
+    assert(r.getLong(2) === graft.expressions.BitKernels.interleave(41L, 1017L, 16))
+  }
+
   test("graft_ngram_repetition and graft_dot_i8 from SQL match the Column API") {
     import org.apache.spark.sql.functions._
     val r = s.sql(
