@@ -94,6 +94,11 @@ object Bench {
       // r7 families: the duplicated-span window shape (t24: posexplode +
       // lag/sum islands), the CMS aggregate + probe (t25), and the jsonl
       // reader/writer codecs (t26)
+      // the delta-dedup shape (digest anti-join + cross/within LSH band
+      // joins + eager checkpoint) compiles several plan families of its
+      // own; without this line the janino cost lands in d12's first rep
+      Dedup.dedupDelta(tinyDocs.filter(col("doc_id") < 20),
+        tinyDocs.filter(col("doc_id") >= 20)).count()
       Dedup.duplicatedSpans(tinyDocs, windowTokens = 4).count()
       Dedup.scrubDuplicatedSpans(tinyDocs, windowTokens = 4).count()
       tinyDocs.select(explode(TextFunctions.tokens(col("text"))).as("token"))
@@ -119,6 +124,13 @@ object Bench {
       Similarity.hardNegatives(tinyEmb, tinyEmb.limit(3),
         k = 2, loE6 = -1000000L, hiE6 = 1000000L).count()
       graft.operators.QualityModel.scoreDocs(tinyDocs, "doc_id", "text").count()
+      // r7 third batch: the BM25 HOF-counting + heap shape (s07), the
+      // bigram-LM fit/score joins (t29), and the zip_with distance +
+      // per-label heap (d15) each compile their own generated classes
+      graft.operators.TextSearch.bm25TopK(tinyDocs, "doc_id", "text",
+        Seq(0 -> "the data"), k = 2).count()
+      graft.operators.LanguageModel.bigramLogProb(tinyDocs, "doc_id", "text").count()
+      Similarity.labelOutliers(tinyEmb, k = 2).count()
       tinyDocs.unpersist(blocking = true); tinyEmb.unpersist(blocking = true)
       tinyEv.unpersist(blocking = true)
     } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }

@@ -105,6 +105,25 @@ case class CountInSetExpr(child: Expression, words: Seq[String])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Per-word occurrence counts of a fixed word list in a token array
+  * (array<long>, aligned with `words`). */
+case class TermFreqsExpr(child: Expression, words: Seq[String])
+    extends KernelCall with StringArrayInput {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val wordArr: Array[UTF8String] =
+    words.map(UTF8String.fromString).toArray
+
+  override def nullSafeEval(a: Any): Any =
+    TextKernels.termFreqs(a.asInstanceOf[ArrayData], wordArr)
+
+  override def kernelCall(ctx: CodegenContext, c: String): String = {
+    val ref = ctx.addReferenceObj("words", wordArr, "org.apache.spark.unsafe.types.UTF8String[]")
+    s"graft.expressions.TextKernels.termFreqs($c, $ref)"
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Count of purely-[a-z] elements of a string array. */
 case class CountAlphaExpr(child: Expression) extends KernelCall with StringArrayInput {
   override def dataType: DataType = IntegerType
@@ -246,6 +265,7 @@ object TextExpressions {
     col(SortedIntersectCountExpr(ex(a), ex(b)))
   def hash60(c: Column): Column = col(Hash60Expr(ex(c)))
   def countInSet(arr: Column, words: Seq[String]): Column = col(CountInSetExpr(ex(arr), words))
+  def termFreqs(arr: Column, words: Seq[String]): Column = col(TermFreqsExpr(ex(arr), words))
   def countAlpha(arr: Column): Column = col(CountAlphaExpr(ex(arr)))
   def sumLen(arr: Column): Column = col(SumLenExpr(ex(arr)))
   def fingerprint(arr: Column): Column = col(FingerprintExpr(ex(arr)))

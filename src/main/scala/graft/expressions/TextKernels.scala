@@ -131,6 +131,26 @@ object TextKernels {
   }
 
   /** Count of array elements equal to any word in `words` (small linear set). */
+  /** Per-word occurrence counts of a fixed word list in a token array —
+    * one pass over the tokens, result aligned with `words`. The BM25
+    * term-frequency primitive: the HOF spelling (one `filter` lambda per
+    * query term) re-walks the token array per term, interpreted. */
+  def termFreqs(arr: ArrayData, words: Array[UTF8String]): ArrayData = {
+    val counts = new Array[Long](words.length)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      var j = 0
+      while (j < words.length) {
+        if (words(j).equals(t)) counts(j) += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
   def countInSet(arr: ArrayData, words: Array[UTF8String]): Int = {
     var c = 0
     var i = 0

@@ -528,16 +528,19 @@ object Dedup {
       .filter(col("doc_id") =!= col("__keep"))
       .select(col("doc_id"))
     val bNew = bandFrame(newDocs, shingleN, numHashes, rowsPerBand)
+    // per-side duplicates (a pair colliding in several bands — bounded by
+    // the band count) ride to the ONE final distinct: deduping each side
+    // separately would add two more exchanges of the same pair rows for
+    // at most a few-× row reduction that the distinct's map-side partial
+    // aggregation already provides
     val candCross = bands.as("x")
       .join(bNew.as("y"), col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
     val candWithin = bNew.as("x")
       .join(bNew.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
     // pinned: consumed twice (the involved-ids semi-join below + the
     // verify), and its lineage re-runs the LSH band joins — O(pairs) rows
     val cand = candCross.unionByName(candWithin).distinct()

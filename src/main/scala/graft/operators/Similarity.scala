@@ -115,6 +115,63 @@ object Similarity {
     topKNeighbors(scored, k)
   }
 
+  /** Label-noise / anomaly mining: for every label, the top-`k` vectors
+    * FARTHEST from that label's centroid. The classic first pass of
+    * embedding-space data cleaning (Confident Learning lineage, Northcutt
+    * et al. 2021): a point far from its own class centroid is a mislabel,
+    * an outlier, or an ambiguous boundary case — exactly the rows a
+    * curation run routes to relabeling or drops.
+    *
+    * All-integer pipeline, so the output is hash-exact with no float-order
+    * caveats at all: components are micro-rounded to longs, per-label
+    * per-dimension means are floor-divided micro-longs (the IVF fit's
+    * convention, [[kmeansCentroids]]), and the distance is the EXACT long
+    * `Σ (x_e6 - c_e6)²` — bounded by d·(2e6)² ≈ 2.6e14 for unit-scale
+    * 64-d embeddings, far inside both Long and the heap's exact-double
+    * range.
+    *
+    * Scale shape: the centroid fit is one posexplode + grouped long-sum
+    * with map-side partials (exchange carries |labels|·d rows); centroids
+    * come back as a labels-sized array table, broadcast; the distance pass
+    * is a narrow per-row zip_with over the broadcast join (no explode); the
+    * top-k tail is the bounded [[TopKByScore]] heap — one exchange of
+    * O(labels × k) rows. Nothing driver-side except the broadcast of
+    * |labels| centroid rows.
+    *
+    * @return (label, rank, vec_id, d2_e12) — rank 1 = farthest, ties by
+    *         lower vec_id; squared distance in (micro-unit)² = 1e-12 units
+    */
+  def labelOutliers(emb: DataFrame, k: Int): DataFrame = {
+    val microArr = transform(col("embedding"),
+      x => round(x.cast("double") * lit(1e6)).cast("long"))
+    val e = emb.select(col("vec_id"), col("label"), microArr.as("m"))
+
+    val cent = e
+      .select(col("label"), posexplode(col("m")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sum_e6"))
+      .select(col("label"), col("dim"),
+        floor(col("sum_e6") / col("n")).cast("long").as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        s => s("c")).as("cm"))
+
+    val scored = e.join(broadcast(cent), "label")
+      .withColumn("d2_e12",
+        aggregate(
+          zip_with(col("m"), col("cm"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, y) => acc + y))
+
+    scored.groupBy(col("label"))
+      .agg(TopKByScore.topK(col("d2_e12").cast("double"), col("vec_id"), k).as("top"))
+      .select(col("label"), posexplode(col("top")).as(Seq("pos", "o")))
+      .select(
+        col("label"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("o.id").as("vec_id"),
+        col("o.score").cast("long").as("d2_e12"))
+  }
+
   /** Per-dimension max-abs int8 quantization scales — index-build state,
     * O(d) doubles on the driver (same class as the IVF centroid fetch,
     * not a data collect). All-zero dimensions get scale 1 so quantization

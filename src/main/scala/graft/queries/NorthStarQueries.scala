@@ -44,6 +44,18 @@ object NorthStarQueries {
   private def cosE6Sql(a: String, b: String): String =
     s"CAST(ROUND(1e6 * ${cosSql(a, b)}) AS BIGINT)"
 
+  /** s07's ad-hoc query workload — ONE definition feeding both the Spark
+    * query and the oracle's VALUES list, so the two sides cannot drift. */
+  private val Bm25Queries: Seq[(Int, String)] = Seq(
+    0 -> "hash join merge",
+    1 -> "dup scan filter",
+    2 -> "customer order data window")
+
+  private def bm25QtValuesSql: String =
+    Bm25Queries.flatMap { case (q, t) =>
+      t.split(' ').filter(_.nonEmpty).distinct.map(w => s"($q, '$w')")
+    }.mkString(", ")
+
   /** cosine(float list `a`, double centroid list `c`) — a's elements
     * widened to double, summed in list order (≡ the
     * VectorExpressions.dotWiden path in Similarity.cosToCent). */
@@ -230,6 +242,24 @@ object NorthStarQueries {
       // checked end-to-end.
       EntityResolution.fuzzyPairs(Tables.customer(s, d), "c_custkey", "c_name",
         maxDist = 1)
+    }),
+    "s07_bm25_search" -> ((s, d) => {
+      // Lexical retrieval: BM25 top-10 per query over the corpus — one
+      // scan, HOF term counting (no token explode), bounded heap tail.
+      graft.operators.TextSearch.bm25TopK(
+        Tables.documents(s, d), "doc_id", "text", Bm25Queries, k = 10)
+    }),
+    "t29_lm_score" -> ((s, d) => {
+      // CCNet-style LM quality signal: every doc scored under the
+      // corpus-fit smoothed bigram model; exact (count, micro-log-prob
+      // sum) pairs so callers choose their own normalization.
+      graft.operators.LanguageModel.bigramLogProb(
+        Tables.documents(s, d), "doc_id", "text")
+    }),
+    "d15_label_outliers" -> ((s, d) => {
+      // Label-noise mining: per label, the 5 vectors farthest from the
+      // label centroid — all-integer distances, no float-order caveats.
+      Similarity.labelOutliers(Tables.embeddings(s, d), k = 5)
     }),
     "d09_dedup_keep_longest" -> ((s, d) => {
       // Score-aware dedup: per near-dup component keep the LONGEST doc
@@ -928,6 +958,77 @@ object NorthStarQueries {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    // full BM25 replay: same tokenizer, same Lucene-variant idf, identical
+    // IEEE association (every constant an exact decimal), per-term
+    // contributions micro-rounded BEFORE the per-(query, doc) sum so both
+    // engines add the same exact longs in any order
+    "s07_bm25_search" ->
+      s"""WITH d AS (SELECT doc_id, $WsSql AS w FROM documents),
+         |dd AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl FROM d),
+         |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dd),
+         |qt(query_id, term) AS (VALUES $bm25QtValuesSql),
+         |terms AS (SELECT DISTINCT term FROM qt),
+         |tf AS (SELECT dd.doc_id, t.term,
+         |        CAST(len(list_filter(dd.w, x -> x = t.term)) AS BIGINT) AS tf, dd.dl
+         |       FROM dd CROSS JOIN terms t
+         |       WHERE len(list_filter(dd.w, x -> x = t.term)) > 0),
+         |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT q.query_id, tf.doc_id,
+         |        CAST(ROUND(1e6 * ln((st.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+         |          * (tf.tf * 2.5)
+         |          / (tf.tf + 1.5 * (0.25 + 0.75 * tf.dl
+         |               / (CAST(st.sum_dl AS DOUBLE) / st.n_docs)))) AS BIGINT) AS c_e6
+         |       FROM tf JOIN dft USING (term) JOIN qt q USING (term) CROSS JOIN st),
+         |ag AS (SELECT query_id, doc_id, CAST(SUM(c_e6) AS BIGINT) AS score_e6
+         |       FROM sc GROUP BY 1, 2),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY score_e6 DESC, doc_id) AS rank FROM ag)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score_e6
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // rebuilds the bigram model in SQL: same pair strings (space-joined,
+    // unambiguous — tokens cannot contain the joiner), same left-context
+    // normalizer (Σ over the context's bigram counts), same add-half
+    // smoothing, per-bigram log-probs micro-rounded before the doc sum;
+    // docs with < 2 tokens surface as (0, 0) via the left join
+    "t29_lm_score" ->
+      s"""WITH d AS (SELECT doc_id, $WsSql AS w FROM documents),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(GREATEST(len(w) - 1, 0)),
+         |                      i -> w[i + 1] || ' ' || w[i + 2])) AS pair FROM d),
+         |v AS (SELECT COUNT(DISTINCT tok) AS v_size
+         |      FROM (SELECT unnest(w) AS tok FROM d)),
+         |cb AS (SELECT pair, COUNT(*) AS c_big FROM bg GROUP BY pair),
+         |cx AS (SELECT string_split(pair, ' ')[1] AS w1, CAST(SUM(c_big) AS BIGINT) AS c_ctx
+         |       FROM cb GROUP BY 1),
+         |sc AS (SELECT bg.doc_id,
+         |        CAST(ROUND(1e6 * ln((cb.c_big + 0.5) / (cx.c_ctx + 0.5 * v.v_size)))
+         |          AS BIGINT) AS logp_e6
+         |       FROM bg JOIN cb USING (pair)
+         |       JOIN cx ON cx.w1 = string_split(bg.pair, ' ')[1]
+         |       CROSS JOIN v),
+         |ag AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+         |        CAST(SUM(logp_e6) AS BIGINT) AS sum_logp_e6 FROM sc GROUP BY doc_id)
+         |SELECT d2.doc_id, COALESCE(ag.n_bigrams, 0) AS n_bigrams,
+         |       COALESCE(ag.sum_logp_e6, 0) AS sum_logp_e6
+         |FROM documents d2 LEFT JOIN ag USING (doc_id) ORDER BY d2.doc_id""".stripMargin,
+    // all-integer replay: micro-rounded components, floor-divided per-label
+    // per-dimension means (the IVF fit's convention), exact long squared
+    // distances — the one *_e6 family query with NO transcendental anywhere
+    "d15_label_outliers" ->
+      """WITH e AS (SELECT vec_id, label, embedding AS v FROM embeddings),
+        |x AS (SELECT vec_id, label, CAST(i AS INTEGER) AS i,
+        |        CAST(ROUND(v[i + 1]::DOUBLE * 1e6) AS BIGINT) AS xe
+        |      FROM (SELECT vec_id, label, unnest(range(len(v))) AS i, v FROM e)),
+        |cent AS (SELECT label, i,
+        |        CAST(FLOOR(CAST(SUM(xe) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+        |      FROM x GROUP BY label, i),
+        |d2 AS (SELECT x.vec_id, x.label,
+        |        CAST(SUM((x.xe - cent.c) * (x.xe - cent.c)) AS BIGINT) AS d2_e12
+        |      FROM x JOIN cent ON x.label = cent.label AND x.i = cent.i
+        |      GROUP BY x.vec_id, x.label),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+        |        ORDER BY d2_e12 DESC, vec_id) AS rank FROM d2)
+        |SELECT label, CAST(rank AS INTEGER) AS rank, vec_id, d2_e12
+        |FROM r WHERE rank <= 5 ORDER BY label, rank""".stripMargin,
     "d09_dedup_keep_longest" ->
       s"""$componentsCteSql,
          |tl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM ws),

@@ -254,4 +254,42 @@ class PlanShapeSpec extends SparkTestBase {
     // probing 20 rows against the 1-row sketch must broadcast, never shuffle
     assert(!p.contains("SortMergeJoin"), s"t25 probe shuffles:\n$p")
   }
+
+  test("bm25: bounded heap tail, broadcast stats/df joins, no window, no sort-merge") {
+    val p = plan(SparkEntry.queries("s07_bm25_search")(spark, sf))
+    assert(p.contains("top_k_by_score"), s"s07 lost the bounded top-k heap:\n$p")
+    assert(!p.toLowerCase.contains("windowspecdefinition"),
+      s"s07 ranks through a window (single-task funnel per query):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"s07 shuffles the tiny df/query/stats tables into a sort-merge join:\n$p")
+    // term counting is the codegen'd termFreqs kernel — the HOF spelling
+    // (ArrayFilter/ArrayTransform per term) runs interpreted per row
+    assert(!p.contains("ArrayFilter") && !p.contains("ArrayTransform"),
+      s"s07 term counting fell back to interpreted HOFs:\n$p")
+  }
+
+  test("bigram LM: context totals reuse the bigram-count exchange; no sort-merge") {
+    val df = SparkEntry.queries("t29_lm_score")(spark, sf)
+    df.collect() // finalize AQE stages on THIS QueryExecution
+    val p = df.queryExecution.executedPlan.toString()
+    // ctxCounts re-aggregates bigramCounts — the pair exchange must be
+    // computed once, not re-scanned+re-exploded per model table
+    assert(p.contains("ReusedExchange"),
+      s"t29 recomputes the bigram-count exchange for the context totals:\n$p")
+    // vocabulary-bounded model tables must broadcast into the occurrence
+    // stream, never shuffle it
+    assert(!p.contains("SortMergeJoin"),
+      s"t29 shuffles bigram occurrences into a sort-merge join:\n$p")
+    assert(!p.toLowerCase.contains("windowspecdefinition"),
+      s"t29 ranks through a window:\n$p")
+  }
+
+  test("label outliers: broadcast centroid join, bounded heap, no window") {
+    val p = plan(SparkEntry.queries("d15_label_outliers")(spark, sf))
+    assert(p.contains("top_k_by_score"), s"d15 lost the bounded top-k heap:\n$p")
+    assert(!p.toLowerCase.contains("windowspecdefinition"),
+      s"d15 ranks through a window:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"d15 shuffles the |labels|-row centroid table into a sort-merge join:\n$p")
+  }
 }

@@ -140,6 +140,18 @@ class TextExprSpec extends SparkTestBase {
     }
   }
 
+  test("termFreqs kernel ≡ per-term filter-count HOFs, corpus + edges") {
+    val words = Seq("a", "dup", "tökens", "the", "zzz_absent")
+    val hof = words.map(w =>
+      size(filter(tokens(col("text")), x => x === w)).cast("long"))
+    val mismatches = corpus.unionByName(edge.toDF("doc_id", "text"))
+      .select(
+        graft.expressions.TextExpressions.termFreqs(tokens(col("text")), words).as("k"),
+        array(hof: _*).as("h"))
+      .filter(not(col("k") <=> col("h"))).count()
+    assert(mismatches === 0L)
+  }
+
   test("ngramList keeps repeats in order (counting form of the shingle set)") {
     val got = corpus.select($"doc_id", TextFunctions.ngramList($"text", 2).as("g"))
       .as[(Long, Seq[String])].collect().toMap
