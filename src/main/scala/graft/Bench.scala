@@ -129,6 +129,9 @@ object Bench {
       // per-label heap (d15) each compile their own generated classes
       graft.operators.TextSearch.bm25TopK(tinyDocs, "doc_id", "text",
         Seq(0 -> "the data"), k = 2).count()
+      graft.operators.TextSearch.bm25TopKWith(
+        graft.operators.TextSearch.buildTextIndex(tinyDocs, "doc_id", "text"),
+        Seq(0 -> "the data"), k = 2).count()
       graft.operators.LanguageModel.bigramLogProb(tinyDocs, "doc_id", "text").count()
       Similarity.labelOutliers(tinyEmb, k = 2).count()
       tinyDocs.unpersist(blocking = true); tinyEmb.unpersist(blocking = true)

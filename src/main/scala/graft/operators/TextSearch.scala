@@ -1,43 +1,39 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.expressions.TopKByScore
+import graft.expressions.{TextExpressions, TopKByScore}
 import graft.functions.TextFunctions
 
 /** BM25 full-text retrieval over a document corpus — the lexical half of a
   * retrieval / RAG data pipeline (Robertson & Zaragoza 2009, the BM25 in
   * every Lucene-lineage engine).
   *
-  * Given a small ad-hoc query set, ranks documents by
+  * Given a query set, ranks documents by
   * `sum over query terms t of idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))`
   * with `idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)` (the Lucene variant —
   * always positive, no clamp needed).
   *
-  * Scale shape (the part that matters at 100 TB):
-  *   - ONE corpus scan, NO token explode: per-document term frequencies for
-  *     the (tiny, literal) query vocabulary come from the codegen'd
-  *     `termFreqs` kernel — one pass over the token array producing the
-  *     aligned count vector — followed by a posexplode of that ≤|terms|
-  *     array. The alternative — explode every token and filter — shuffles
-  *     the whole token stream's generator output through the filter; the
-  *     HOF spelling (one `filter` lambda per term) re-walks the array per
-  *     term, interpreted. This never materializes non-query tokens at all.
+  * Two entry points, one scoring tail:
+  *   - [[bm25TopK]] — the AD-HOC shape: the query set arrives with the
+  *     job, so the corpus is scanned once with the codegen'd `termFreqs`
+  *     kernel and nothing is materialized.
+  *   - [[buildTextIndex]] / [[saveTextIndex]] / [[loadTextIndex]] +
+  *     [[bm25TopKWith]] — the SERVING shape: posting lists are built once
+  *     (the classic inverted index, one token-stream aggregation),
+  *     persisted bucketed by term, and every query batch probes them with
+  *     bucket pruning — zero corpus scans per query.
+  *
+  * Scale shape of the shared tail:
   *   - document frequencies are a vocabulary-bounded `groupBy(term)` with
-  *     map-side partials (≤ |terms| distinct keys), broadcast back.
-  *   - corpus stats (N, Σdl) are a single 1-row aggregate, broadcast.
+  *     map-side partials (≤ |query terms| distinct keys), broadcast back;
+  *     corpus stats (N, Σdl) are a 1-row aggregate, broadcast.
   *   - per-term contributions are micro-rounded to exact longs BEFORE the
   *     per-(query, doc) sum, so float summation order can never flip a
   *     score — the same convention as every *_e6 column in this library.
   *   - final top-k is a bounded [[TopKByScore]] heap: map-side partial
   *     heaps, ONE exchange of O(queries × k) rows. No window rank.
-  *
-  * For a persistent high-QPS query workload the right structure is a
-  * materialized inverted index (posting lists bucketed by term — see
-  * `Similarity.saveIvf` for the analogous served-index pattern); this
-  * entry point is the ad-hoc/batch shape where the query set arrives with
-  * the job.
   *
   * Numeric convention: `k1` and `b` should be exactly representable doubles
   * (defaults 1.5, 0.75) so `k1 + 1` and `1 - b` fold to the same IEEE
@@ -45,7 +41,51 @@ import graft.functions.TextFunctions
   */
 object TextSearch {
 
-  /** Top-`k` BM25 matches per query.
+  /** A built inverted index: posting rows `(term, doc_id, tf, dl)` and the
+    * 1-row corpus stats `(n_docs, sum_dl)`. Long-lived indexes should
+    * `persist()` (or be saved bucketed via [[saveTextIndex]]) so probes
+    * stop re-reading the corpus entirely. */
+  final case class TextIndex(postings: DataFrame, stats: DataFrame) {
+    def persist(): TextIndex = { postings.persist(); stats.persist(); this }
+    def unpersist(): TextIndex = { postings.unpersist(); stats.unpersist(); this }
+  }
+
+  /** Build the inverted index: ONE token-stream aggregation whose shuffle
+    * rows are map-side pre-combined to one `(term, doc)` row per distinct
+    * term per doc — the index-build cost every search engine pays once per
+    * corpus, amortized over every query batch after. */
+  def buildTextIndex(docs: DataFrame, idCol: String, textCol: String): TextIndex = {
+    val toks = docs.select(
+      col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("w"))
+      .withColumn("dl", size(col("w")).cast("long"))
+    val postings = toks
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    TextIndex(postings, stats)
+  }
+
+  /** Persist an index as a term-bucketed table (+ `_stats` side table):
+    * probes prune to the buckets holding the query terms instead of
+    * scanning all postings. */
+  def saveTextIndex(index: TextIndex, table: String, numBuckets: Int,
+      mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.ErrorIfExists): Unit = {
+    graft.ops.Layout.writeBucketed(index.postings, table, Seq("term"), numBuckets, mode = mode)
+    index.stats.write.mode(mode).saveAsTable(s"${table}_stats")
+  }
+
+  /** Load a persisted index ([[saveTextIndex]]'s inverse). */
+  def loadTextIndex(spark: SparkSession, table: String): TextIndex =
+    TextIndex(spark.table(table), spark.table(s"${table}_stats"))
+
+  /** Top-`k` BM25 matches per query, ad-hoc shape: one corpus scan, NO
+    * token explode — per-doc term frequencies for the (tiny, literal)
+    * query vocabulary come from the codegen'd `termFreqs` kernel (one pass
+    * over the token array producing the aligned count vector), followed by
+    * a posexplode of that ≤|terms| array. Non-query tokens are never
+    * materialized, and nothing is indexed or persisted.
     *
     * @param docs    corpus with `idCol` (long) and `textCol` (string)
     * @param queries literal (query_id, query text) pairs; query text is
@@ -61,36 +101,56 @@ object TextSearch {
       k: Int,
       k1: Double = 1.5,
       b: Double = 0.75): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-
-    val qTerms: Seq[(Int, String)] = queries.flatMap { case (qid, text) =>
-      text.split(' ').filter(_.nonEmpty).distinct.map(qid -> _)
-    }
-    val terms: Seq[String] = qTerms.map(_._2).distinct
-    require(terms.nonEmpty, "bm25TopK: query set has no terms")
-    val qt = qTerms.toDF("query_id", "term")
-
+    val (qt, terms) = queryTerms(docs.sparkSession, queries)
     val toks = docs.select(
       col(idCol).as("doc_id"),
       TextFunctions.tokens(col(textCol)).as("w"))
       .withColumn("dl", size(col("w")).cast("long"))
-
-    // (doc_id, term, tf, dl) for query terms only — one codegen'd kernel
-    // pass per doc, a generator over the ≤|terms| count vector (never the
-    // token stream), and a codegen'd literal-array lookup for the term text
     val termArr = array(terms.map(lit): _*)
     val tf = toks.select(
       col("doc_id"), col("dl"),
-      posexplode(graft.expressions.TextExpressions.termFreqs(col("w"), terms))
-        .as(Seq("ti", "tf")))
+      posexplode(TextExpressions.termFreqs(col("w"), terms)).as(Seq("ti", "tf")))
       .filter(col("tf") > 0)
       .select(col("doc_id"), col("dl"),
         element_at(termArr, col("ti") + 1).as("term"), col("tf"))
-
-    val dfByTerm = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = toks.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    scoreAndRank(tf, stats, qt, k, k1, b)
+  }
 
+  /** Top-`k` BM25 matches per query against a pre-built [[TextIndex]] —
+    * the serving shape: the postings filter (`term IN (...)`) reaches the
+    * bucketed scan, so a probe touches only the query terms' buckets and
+    * the corpus itself is never re-read. Identical results to [[bm25TopK]]
+    * over the same corpus by construction (same counts, same formula). */
+  def bm25TopKWith(
+      index: TextIndex,
+      queries: Seq[(Int, String)],
+      k: Int,
+      k1: Double = 1.5,
+      b: Double = 0.75): DataFrame = {
+    val (qt, terms) = queryTerms(index.postings.sparkSession, queries)
+    val tf = index.postings.filter(col("term").isin(terms: _*))
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    scoreAndRank(tf, index.stats, qt, k, k1, b)
+  }
+
+  /** (query_id, term) frame + distinct term list from literal queries. */
+  private def queryTerms(
+      spark: SparkSession,
+      queries: Seq[(Int, String)]): (DataFrame, Seq[String]) = {
+    import spark.implicits._
+    val qTerms: Seq[(Int, String)] = queries.flatMap { case (qid, text) =>
+      text.split(' ').filter(_.nonEmpty).distinct.map(qid -> _)
+    }
+    require(qTerms.nonEmpty, "BM25: query set has no terms")
+    (qTerms.toDF("query_id", "term"), qTerms.map(_._2).distinct)
+  }
+
+  /** Shared scoring tail over a `(doc_id, dl, term, tf)` frame (query
+    * terms only): df/idf, micro-rounded contributions, bounded heap. */
+  private def scoreAndRank(tf: DataFrame, stats: DataFrame, qt: DataFrame,
+      k: Int, k1: Double, b: Double): DataFrame = {
+    val dfByTerm = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val contrib = tf
       .join(broadcast(dfByTerm), "term")
       .join(broadcast(qt), "term")
@@ -102,10 +162,8 @@ object TextSearch {
         round(lit(1e6) * col("idf") * (col("tf") * lit(k1 + 1)) /
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
           .cast("long"))
-
     val scored = contrib.groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("contrib_e6")).as("score_e6"))
-
     // scores are micro-longs ≪ 2^53, so the double-typed heap is exact
     scored.groupBy(col("query_id"))
       .agg(TopKByScore.topK(col("score_e6").cast("double"), col("doc_id"), k).as("top"))

@@ -44,6 +44,37 @@ object NorthStarQueries {
   private def cosE6Sql(a: String, b: String): String =
     s"CAST(ROUND(1e6 * ${cosSql(a, b)}) AS BIGINT)"
 
+  /** Build a session-cached served-index table exactly once. If the table
+    * is absent from this session's catalog, first clear the same-name
+    * tables AND their warehouse directories (SaveMode.Overwrite does NOT
+    * clear a stale DIRECTORY left by a previous JVM — the table isn't in
+    * the new session's in-memory catalog, so saveAsTable fails with
+    * LOCATION_ALREADY_EXISTS), then run `build`. Later calls (bench reps
+    * 2+) hit the catalog fast path — the serving pattern these queries
+    * exist to measure. Shared by s05 (IVF) and s08 (BM25 postings). */
+  private def ensureServedTable(s: SparkSession, table: String,
+      sideTables: Seq[String])(build: => Unit): Unit = {
+    if (!s.catalog.tableExists(table)) {
+      (table +: sideTables).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath
+        val stale = new java.io.File(wh, t)
+        if (stale.exists()) {
+          import java.nio.file.{Files, Path}
+          import scala.jdk.CollectionConverters._
+          val paths = Files.walk(stale.toPath).iterator().asScala.toSeq
+          paths.sortBy((p: Path) => -p.getNameCount).foreach(Files.delete)
+        }
+      }
+      build
+    }
+  }
+
+  /** Served-table name, deterministic per sf directory. */
+  private def servedTableName(prefix: String, d: String): String =
+    (prefix + java.lang.Integer.toHexString(d.hashCode))
+      .replaceAll("[^A-Za-z0-9_]", "_")
+
   /** s07's ad-hoc query workload — ONE definition feeding both the Spark
     * query and the oracle's VALUES list, so the two sides cannot drift. */
   private val Bm25Queries: Seq[(Int, String)] = Seq(
@@ -55,6 +86,35 @@ object NorthStarQueries {
     Bm25Queries.flatMap { case (q, t) =>
       t.split(' ').filter(_.nonEmpty).distinct.map(w => s"($q, '$w')")
     }.mkString(", ")
+
+  /** Full BM25 replay (k1=1.5, b=0.75, k=10): same tokenizer, same
+    * Lucene-variant idf, identical IEEE association (every constant an
+    * exact decimal), per-term contributions micro-rounded BEFORE the
+    * per-(query, doc) sum. Shared by s07 (ad-hoc scan) and s08 (served
+    * posting-list probe) — identical counts by construction. */
+  private def bm25OracleSql: String =
+    s"""WITH d AS (SELECT doc_id, $WsSql AS w FROM documents),
+       |dd AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl FROM d),
+       |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dd),
+       |qt(query_id, term) AS (VALUES $bm25QtValuesSql),
+       |terms AS (SELECT DISTINCT term FROM qt),
+       |tf AS (SELECT dd.doc_id, t.term,
+       |        CAST(len(list_filter(dd.w, x -> x = t.term)) AS BIGINT) AS tf, dd.dl
+       |       FROM dd CROSS JOIN terms t
+       |       WHERE len(list_filter(dd.w, x -> x = t.term)) > 0),
+       |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |sc AS (SELECT q.query_id, tf.doc_id,
+       |        CAST(ROUND(1e6 * ln((st.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+       |          * (tf.tf * 2.5)
+       |          / (tf.tf + 1.5 * (0.25 + 0.75 * tf.dl
+       |               / (CAST(st.sum_dl AS DOUBLE) / st.n_docs)))) AS BIGINT) AS c_e6
+       |       FROM tf JOIN dft USING (term) JOIN qt q USING (term) CROSS JOIN st),
+       |ag AS (SELECT query_id, doc_id, CAST(SUM(c_e6) AS BIGINT) AS score_e6
+       |       FROM sc GROUP BY 1, 2),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY score_e6 DESC, doc_id) AS rank FROM ag)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score_e6
+       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   /** cosine(float list `a`, double centroid list `c`) — a's elements
     * widened to double, summed in list order (≡ the
@@ -244,10 +304,27 @@ object NorthStarQueries {
         maxDist = 1)
     }),
     "s07_bm25_search" -> ((s, d) => {
-      // Lexical retrieval: BM25 top-10 per query over the corpus — one
-      // scan, HOF term counting (no token explode), bounded heap tail.
+      // Lexical retrieval, ad-hoc shape: BM25 top-10 per query — one
+      // corpus scan, kernel term counting (no token explode), bounded
+      // heap tail.
       graft.operators.TextSearch.bm25TopK(
         Tables.documents(s, d), "doc_id", "text", Bm25Queries, k = 10)
+    }),
+    "s08_bm25_served" -> ((s, d) => {
+      // The SERVING shape of s07: probe a PERSISTED term-bucketed
+      // inverted index (saveTextIndex/loadTextIndex) instead of scanning
+      // the corpus per query batch. Built once per session
+      // (ensureServedTable); bench reps 2+ measure the pure probe —
+      // bucket-pruned postings read, zero corpus scans. Same counts,
+      // same formula, so s07's oracle covers it verbatim.
+      import graft.operators.TextSearch
+      val table = servedTableName("graft_text_s08_", d)
+      ensureServedTable(s, table, Seq(s"${table}_stats")) {
+        TextSearch.saveTextIndex(
+          TextSearch.buildTextIndex(Tables.documents(s, d), "doc_id", "text"),
+          table, numBuckets = 8)
+      }
+      TextSearch.bm25TopKWith(TextSearch.loadTextIndex(s, table), Bm25Queries, k = 10)
     }),
     "t29_lm_score" -> ((s, d) => {
       // CCNet-style LM quality signal: every doc scored under the
@@ -260,6 +337,17 @@ object NorthStarQueries {
       // Label-noise mining: per label, the 5 vectors farthest from the
       // label centroid — all-integer distances, no float-order caveats.
       Similarity.labelOutliers(Tables.embeddings(s, d), k = 5)
+    }),
+    "t30_lm_heldout" -> ((s, d) => {
+      // The fit/score split in its leakage-aware serving shape: model fit
+      // on the even-id half only, odd-id docs scored against counts they
+      // never contributed to. Bigrams unseen at fit drop via the inner
+      // join (n_bigrams counts scored evidence, not doc length).
+      val docs = Tables.documents(s, d)
+      val model = graft.operators.LanguageModel.fitBigramModel(
+        docs.filter(col("doc_id") % 2 === 0), "text")
+      graft.operators.LanguageModel.scoreBigram(model,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
     }),
     "d09_dedup_keep_longest" -> ((s, d) => {
       // Score-aware dedup: per near-dup component keep the LONGEST doc
@@ -697,31 +785,10 @@ object NorthStarQueries {
       // Same parameters as s02 and a deterministic fit, so the results —
       // and the oracle — are identical.
       val emb = Tables.embeddings(s, d)
-      // SaveMode.Overwrite does NOT clear a stale warehouse DIRECTORY
-      // left by a previous JVM — the table isn't in the new session's
-      // in-memory catalog, so saveAsTable fails with
-      // LOCATION_ALREADY_EXISTS. Clear both the catalog entry and the
-      // orphaned directory before the build instead of minting a fresh
-      // name per application (which leaked one warehouse dir per JVM);
-      // later calls (bench reps 2+) hit the catalog fast path — the
-      // serving pattern this query exists to measure.
-      val table = ("graft_ivf_s05_" + java.lang.Integer.toHexString(d.hashCode))
-        .replaceAll("[^A-Za-z0-9_]", "_")
-      if (!s.catalog.tableExists(table)) {
-        // saveIvf writes TWO tables (the bucketed corpus and its
-        // _centroids side table) — clear both or the save trips on
-        // whichever stale directory the loop missed
-        Seq(table, s"${table}_centroids").foreach { t =>
-          s.sql(s"DROP TABLE IF EXISTS $t")
-          val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath
-          val stale = new java.io.File(wh, t)
-          if (stale.exists()) {
-            import java.nio.file.{Files, Path}
-            import scala.jdk.CollectionConverters._
-            val paths = Files.walk(stale.toPath).iterator().asScala.toSeq
-            paths.sortBy((p: Path) => -p.getNameCount).foreach(Files.delete)
-          }
-        }
+      // saveIvf writes TWO tables (the bucketed corpus and its _centroids
+      // side table) — ensureServedTable clears both before the build
+      val table = servedTableName("graft_ivf_s05_", d)
+      ensureServedTable(s, table, Seq(s"${table}_centroids")) {
         Similarity.saveIvf(Similarity.buildIvf(emb, nCells = 16), table,
           numBuckets = 8)
       }
@@ -962,29 +1029,11 @@ object NorthStarQueries {
     // IEEE association (every constant an exact decimal), per-term
     // contributions micro-rounded BEFORE the per-(query, doc) sum so both
     // engines add the same exact longs in any order
-    "s07_bm25_search" ->
-      s"""WITH d AS (SELECT doc_id, $WsSql AS w FROM documents),
-         |dd AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl FROM d),
-         |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dd),
-         |qt(query_id, term) AS (VALUES $bm25QtValuesSql),
-         |terms AS (SELECT DISTINCT term FROM qt),
-         |tf AS (SELECT dd.doc_id, t.term,
-         |        CAST(len(list_filter(dd.w, x -> x = t.term)) AS BIGINT) AS tf, dd.dl
-         |       FROM dd CROSS JOIN terms t
-         |       WHERE len(list_filter(dd.w, x -> x = t.term)) > 0),
-         |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-         |sc AS (SELECT q.query_id, tf.doc_id,
-         |        CAST(ROUND(1e6 * ln((st.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
-         |          * (tf.tf * 2.5)
-         |          / (tf.tf + 1.5 * (0.25 + 0.75 * tf.dl
-         |               / (CAST(st.sum_dl AS DOUBLE) / st.n_docs)))) AS BIGINT) AS c_e6
-         |       FROM tf JOIN dft USING (term) JOIN qt q USING (term) CROSS JOIN st),
-         |ag AS (SELECT query_id, doc_id, CAST(SUM(c_e6) AS BIGINT) AS score_e6
-         |       FROM sc GROUP BY 1, 2),
-         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-         |        ORDER BY score_e6 DESC, doc_id) AS rank FROM ag)
-         |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score_e6
-         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "s07_bm25_search" -> bm25OracleSql,
+    // the served path probes a persisted inverted index holding the SAME
+    // counts s07 derives per-scan, so one oracle covers both — drift
+    // between the kernel-counted and posting-list layouts breaks this hash
+    "s08_bm25_served" -> bm25OracleSql,
     // rebuilds the bigram model in SQL: same pair strings (space-joined,
     // unambiguous — tokens cannot contain the joiner), same left-context
     // normalizer (Σ over the context's bigram counts), same add-half
@@ -1010,6 +1059,33 @@ object NorthStarQueries {
          |SELECT d2.doc_id, COALESCE(ag.n_bigrams, 0) AS n_bigrams,
          |       COALESCE(ag.sum_logp_e6, 0) AS sum_logp_e6
          |FROM documents d2 LEFT JOIN ag USING (doc_id) ORDER BY d2.doc_id""".stripMargin,
+    // t29's model CTEs restricted to the even-id half, applied to the
+    // odd-id half — an OOV (never-fit) bigram must drop on BOTH sides,
+    // so a hash-green run proves the inner-join OOV semantics too
+    "t30_lm_heldout" ->
+      s"""WITH tr AS (SELECT doc_id, $WsSql AS w FROM documents WHERE doc_id % 2 = 0),
+         |ev AS (SELECT doc_id, $WsSql AS w FROM documents WHERE doc_id % 2 = 1),
+         |bgt AS (SELECT unnest(list_transform(range(GREATEST(len(w) - 1, 0)),
+         |                       i -> w[i + 1] || ' ' || w[i + 2])) AS pair FROM tr),
+         |v AS (SELECT COUNT(DISTINCT tok) AS v_size
+         |      FROM (SELECT unnest(w) AS tok FROM tr)),
+         |cb AS (SELECT pair, COUNT(*) AS c_big FROM bgt GROUP BY pair),
+         |cx AS (SELECT string_split(pair, ' ')[1] AS w1, CAST(SUM(c_big) AS BIGINT) AS c_ctx
+         |       FROM cb GROUP BY 1),
+         |bge AS (SELECT doc_id, unnest(list_transform(range(GREATEST(len(w) - 1, 0)),
+         |                       i -> w[i + 1] || ' ' || w[i + 2])) AS pair FROM ev),
+         |sc AS (SELECT bge.doc_id,
+         |        CAST(ROUND(1e6 * ln((cb.c_big + 0.5) / (cx.c_ctx + 0.5 * v.v_size)))
+         |          AS BIGINT) AS logp_e6
+         |       FROM bge JOIN cb USING (pair)
+         |       JOIN cx ON cx.w1 = string_split(bge.pair, ' ')[1]
+         |       CROSS JOIN v),
+         |ag AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+         |        CAST(SUM(logp_e6) AS BIGINT) AS sum_logp_e6 FROM sc GROUP BY doc_id)
+         |SELECT e.doc_id, COALESCE(ag.n_bigrams, 0) AS n_bigrams,
+         |       COALESCE(ag.sum_logp_e6, 0) AS sum_logp_e6
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) e
+         |LEFT JOIN ag USING (doc_id) ORDER BY e.doc_id""".stripMargin,
     // all-integer replay: micro-rounded components, floor-divided per-label
     // per-dimension means (the IVF fit's convention), exact long squared
     // distances — the one *_e6 family query with NO transcendental anywhere

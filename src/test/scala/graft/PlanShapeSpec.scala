@@ -284,6 +284,19 @@ class PlanShapeSpec extends SparkTestBase {
       s"t29 ranks through a window:\n$p")
   }
 
+  test("served bm25: term filter prunes the bucketed postings scan; no corpus re-read") {
+    val df = SparkEntry.queries("s08_bm25_served")(spark, sf)
+    val p = plan(df)
+    // the probe must read the persisted postings table with the IN filter
+    // pushed to the scan — never re-scan documents.parquet
+    assert(!p.contains("documents.parquet"),
+      s"s08 re-reads the corpus instead of probing the index:\n$p")
+    assert(p.contains("PushedFilters: [In(term"),
+      s"s08 postings filter not pushed to the scan:\n$p")
+    assert(p.contains("top_k_by_score") && !p.contains("SortMergeJoin"),
+      s"s08 lost the bounded heap or shuffles the tiny tables:\n$p")
+  }
+
   test("label outliers: broadcast centroid join, bounded heap, no window") {
     val p = plan(SparkEntry.queries("d15_label_outliers")(spark, sf))
     assert(p.contains("top_k_by_score"), s"d15 lost the bounded top-k heap:\n$p")

@@ -70,6 +70,15 @@ class RetrievalSpec extends SparkTestBase {
     assert(got.size === 2)
   }
 
+  test("bm25TopKWith over a built index ≡ the ad-hoc scan, exactly") {
+    val adhoc = TextSearch.bm25TopK(docs(corpus: _*), "doc_id", "text", queries, k = 10)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).sortBy(t => (t._1, t._2))
+    val index = TextSearch.buildTextIndex(docs(corpus: _*), "doc_id", "text")
+    val served = TextSearch.bm25TopKWith(index, queries, k = 10)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).sortBy(t => (t._1, t._2))
+    assert(served.toSeq === adhoc.toSeq)
+  }
+
   test("bm25TopK breaks score ties by lower doc_id") {
     // identical docs tie exactly on every term contribution
     val tied = Seq(7L -> "t u v", 5L -> "t u v", 9L -> "other words here")
@@ -97,6 +106,18 @@ class RetrievalSpec extends SparkTestBase {
     val got = LanguageModel.bigramLogProb(docs(1L -> "a a a b"), "doc_id", "text")
       .collect().map(r => (r.getLong(1), r.getLong(2)))
     assert(got.toSeq === Seq((3L, 2 * lpAA + lpAB)))
+  }
+
+  test("scoreBigram on held-out docs: OOV bigrams drop, seen ones score") {
+    // fit on "a b" only: c("a b")=1, ctx(a)=1, V={a,b}=2
+    // score "a b c b a": seen "a b" -> ln(1.5/(1+0.5*2)); "b c","c b","b a" OOV
+    val model = LanguageModel.fitBigramModel(docs(10L -> "a b"), "text")
+    val lp = math.round(1e6 * math.log(1.5 / 2.0))
+    val got = LanguageModel.scoreBigram(model, docs(20L -> "a b c b a", 21L -> "z z"),
+      "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // doc 21 is all-OOV: present with zero evidence, not penalized
+    assert(got.toSeq === Seq((20L, 1L, lp), (21L, 0L, 0L)))
   }
 
   // ---- label-centroid outliers ----
