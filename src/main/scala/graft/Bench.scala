@@ -134,6 +134,14 @@ object Bench {
         Seq(0 -> "the data"), k = 2).count()
       graft.operators.LanguageModel.bigramLogProb(tinyDocs, "doc_id", "text").count()
       Similarity.labelOutliers(tinyEmb, k = 2).count()
+      // the kmv-mins array aggregate + union-estimator expressions (t31)
+      locally {
+        val sk = tinyDocs.select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+          .agg(graft.operators.Sketches.kmvMins(
+            shiftright(TextFunctions.hash60(col("tok")), 12), 4).as("m"))
+        sk.crossJoin(sk.select(col("m").as("m2")))
+          .select(graft.operators.Sketches.kmvUnionEstimate(col("m"), col("m2"), 4, 48)).count()
+      }
       tinyDocs.unpersist(blocking = true); tinyEmb.unpersist(blocking = true)
       tinyEv.unpersist(blocking = true)
     } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }

@@ -114,6 +114,13 @@ object GraftExtensions {
         arity("graft_kmv", 2, args)
         KmvSketch(args.head, intLit(args(1), "k"))
       }),
+    ("graft_kmv_mins",
+      info("graft_kmv_mins",
+        "graft_kmv_mins(hash, k) - KMV sketch keeping the full sorted k-min array (set-algebra form)"),
+      (args: Seq[Expression]) => {
+        arity("graft_kmv_mins", 2, args)
+        graft.expressions.KmvMins(args.head, intLit(args(1), "k"))
+      }),
     ("graft_quantiles",
       info("graft_quantiles",
         "graft_quantiles(value, permille...) - exact discrete quantiles: struct<qs: array<bigint>, n_rows>"),

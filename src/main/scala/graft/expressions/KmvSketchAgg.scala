@@ -106,3 +106,82 @@ object KmvSketch {
     GraftColumnShim.column(
       KmvSketch(GraftColumnShim.expression(hash), k).toAggregateExpression())
 }
+
+/** [[KmvSketch]] with the FULL sorted k-min array as output instead of the
+  * collapsed `(kk, hk)` — the form that supports SET ALGEBRA after the
+  * aggregate: two sketches union by merging their arrays and re-taking the
+  * k smallest (closed under the estimator), intersection estimates follow
+  * by inclusion–exclusion. Same bounded buffer, same merge, k longs per
+  * group on the wire instead of two. */
+case class KmvMins(
+    hash: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.TreeSet[Long]]
+    with ImplicitCastInputTypes {
+
+  require(k > 0, s"kmv mins needs k > 0, got $k")
+
+  override def inputTypes = Seq(LongType)
+
+  override def createAggregationBuffer(): mutable.TreeSet[Long] =
+    mutable.TreeSet.empty[Long]
+
+  private def insert(buf: mutable.TreeSet[Long], x: Long): Unit =
+    if (buf.size < k) buf.add(x)
+    else if (x < buf.last && buf.add(x)) buf.remove(buf.last)
+
+  override def update(buf: mutable.TreeSet[Long], input: InternalRow): mutable.TreeSet[Long] = {
+    val v = hash.eval(input)
+    if (v != null) insert(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: mutable.TreeSet[Long], other: mutable.TreeSet[Long]): mutable.TreeSet[Long] = {
+    other.foreach(insert(buf, _))
+    buf
+  }
+
+  // TreeSet iterates ascending, so the output array arrives sorted
+  override def eval(buf: mutable.TreeSet[Long]): Any =
+    if (buf.isEmpty) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.toArray)
+
+  override def serialize(buf: mutable.TreeSet[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 8)
+    bb.putInt(buf.size)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.TreeSet[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+  override def children: Seq[Expression] = Seq(hash)
+  override def prettyName: String = "kmv_mins"
+
+  override def withNewMutableAggBufferOffset(n: Int): KmvMins =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): KmvMins =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(hash = newChildren(0))
+}
+
+object KmvMins {
+  /** `kmv_mins(hash, k)` as a Column aggregate: sorted `array<bigint>`. */
+  def kmvMins(hash: Column, k: Int): Column =
+    GraftColumnShim.column(
+      KmvMins(GraftColumnShim.expression(hash), k).toAggregateExpression())
+}

@@ -183,6 +183,41 @@ object Sketches {
       s"ELSE $numerator DIV $sketchCol.hk END AS BIGINT)")
   }
 
+  /** KMV sketch aggregate keeping the FULL sorted k-min array — the set-
+    * algebra form: see [[kmvUnionEstimate]]. Same caller contract as
+    * [[kmvEstimate]] (non-negative hashes in [0, 2^bits)). */
+  def kmvMins(hash: Column, k: Int): Column =
+    graft.expressions.KmvMins.kmvMins(hash, k)
+
+  /** Distinct-count estimate from a sorted k-min array (`kmvMins` output):
+    * exact size while unsaturated, else the `(k-1)*2^bits/hk` estimator —
+    * the same rule as [[kmvEstimate]], applied to the array form. */
+  def kmvEstimateFromMins(mins: Column, k: Int, bits: Int): Column =
+    estimateSortedMins(slice(mins, 1, k), k, bits)
+
+  /** Distinct-count estimate of the UNION of two k-min arrays: the merged
+    * k smallest distinct hashes are exactly the k-min sketch of the unioned
+    * value sets (KMV's closure property), so the union estimate is the
+    * plain estimator over the merged array — no rescan of either input.
+    * Intersection estimates follow by inclusion–exclusion:
+    * `greatest(0, est_a + est_b - est_union)`. */
+  def kmvUnionEstimate(a: Column, b: Column, k: Int, bits: Int): Column =
+    estimateSortedMins(slice(array_sort(array_union(a, b)), 1, k), k, bits)
+
+  /** Shared estimator over a sorted ≤k-element min array. Integer division
+    * is computed as `(num - num mod hk) / hk` — both operands and the
+    * quotient stay exact (< 2^53), so the double division is the exact
+    * integer DuckDB's `//` produces. */
+  private def estimateSortedMins(m: Column, k: Int, bits: Int): Column = {
+    require(bits >= 1 && bits <= 48, s"bits must be in [1,48], got $bits")
+    require(k >= 2, s"k must be >= 2 for the (k-1) estimator, got $k")
+    val numerator = (k - 1).toLong * (1L << bits)
+    require(numerator / (1L << bits) == (k - 1).toLong, s"(k-1)*2^$bits overflows long")
+    val hk = element_at(m, k)
+    when(size(m) < k, size(m).cast("long"))
+      .otherwise(((lit(numerator) - pmod(lit(numerator), hk)) / hk).cast("long"))
+  }
+
   /** Count-min sketch aggregate over a string item column: `array<bigint>`
     * of `depth*width` row-major counters. See
     * [[graft.expressions.CmsSketch]]. */

@@ -338,6 +338,44 @@ object NorthStarQueries {
       // label centroid — all-integer distances, no float-order caveats.
       Similarity.labelOutliers(Tables.embeddings(s, d), k = 5)
     }),
+    "t31_kmv_overlap" -> ((s, d) => {
+      // Cross-source vocabulary overlap through KMV set algebra: per-
+      // source k-min arrays (ONE sketch pass, #sources × k longs on the
+      // wire), pairwise union estimates by merging arrays (KMV's closure
+      // property — no rescan), intersection by inclusion-exclusion.
+      // Exact counts ride along as the audit columns; a real deployment
+      // drops them (they are the expensive part — the sketch path never
+      // shuffles a (source, token) pair).
+      import graft.operators.Sketches
+      val toks = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      val sk = toks
+        .groupBy(col("source"))
+        .agg(
+          Sketches.kmvMins(shiftright(TextFunctions.hash60(col("tok")), 12), 16).as("m"),
+          count_distinct(col("tok")).as("nd"))
+      val ex = toks.distinct()
+      val inter = ex.as("x").join(ex.as("y"),
+          col("x.tok") === col("y.tok") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("sa"), col("y.source").as("sb"))
+        .agg(count(lit(1)).as("exact_inter"))
+      sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+        .select(
+          col("a.source").as("source_a"), col("b.source").as("source_b"),
+          col("a.m").as("ma"), col("b.m").as("mb"),
+          col("a.nd").as("nda"), col("b.nd").as("ndb"))
+        .join(inter, col("source_a") === col("sa") && col("source_b") === col("sb"), "left")
+        .withColumn("est_a", Sketches.kmvEstimateFromMins(col("ma"), 16, 48))
+        .withColumn("est_b", Sketches.kmvEstimateFromMins(col("mb"), 16, 48))
+        .withColumn("est_union", Sketches.kmvUnionEstimate(col("ma"), col("mb"), 16, 48))
+        .withColumn("est_inter",
+          greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")))
+        .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+        .select(col("source_a"), col("source_b"),
+          col("est_a"), col("est_b"), col("est_union"), col("est_inter"),
+          (col("nda") + col("ndb") - col("exact_inter")).as("exact_union"),
+          col("exact_inter"))
+    }),
     "t30_lm_heldout" -> ((s, d) => {
       // The fit/score split in its leakage-aware serving shape: model fit
       // on the even-id half only, odd-id docs scored against counts they
@@ -1059,6 +1097,41 @@ object NorthStarQueries {
          |SELECT d2.doc_id, COALESCE(ag.n_bigrams, 0) AS n_bigrams,
          |       COALESCE(ag.sum_logp_e6, 0) AS sum_logp_e6
          |FROM documents d2 LEFT JOIN ag USING (doc_id) ORDER BY d2.doc_id""".stripMargin,
+    // replays the k-min arrays (DISTINCT + window rank), the pairwise
+    // merged-array union estimator (list concat/distinct/sort, same
+    // saturation boundary: < k exact, = k estimator), and the exact
+    // audit joins — bit-for-bit with Spark's array kmv algebra
+    "t31_kmv_overlap" ->
+      s"""WITH ws AS (SELECT source, $WsSql AS w FROM documents),
+         |t AS (SELECT source, unnest(w) AS tok FROM ws),
+         |ex AS (SELECT DISTINCT source, tok FROM t),
+         |nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nd FROM ex GROUP BY source),
+         |hs AS (SELECT DISTINCT source, ('0x'||substr(md5(tok),1,15))::BIGINT // 4096 AS h48 FROM t),
+         |r AS (SELECT source, h48, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h48) AS rn FROM hs),
+         |m AS (SELECT source, list(h48 ORDER BY h48) AS mins FROM r WHERE rn <= 16 GROUP BY source),
+         |es AS (SELECT source, mins,
+         |         CAST(CASE WHEN len(mins) < 16 THEN len(mins)
+         |              ELSE 4222124650659840 // mins[16] END AS BIGINT) AS est FROM m),
+         |ij AS (SELECT a.source AS source_a, b.source AS source_b,
+         |         CAST(COUNT(*) AS BIGINT) AS exact_inter
+         |       FROM ex a JOIN ex b ON a.tok = b.tok AND a.source < b.source GROUP BY 1, 2),
+         |p AS (SELECT a.source AS source_a, b.source AS source_b,
+         |         a.est AS est_a, b.est AS est_b,
+         |         list_sort(list_distinct(list_concat(a.mins, b.mins))) AS mu
+         |       FROM es a JOIN es b ON a.source < b.source),
+         |u AS (SELECT source_a, source_b, est_a, est_b,
+         |         CAST(CASE WHEN len(mu) < 16 THEN len(mu)
+         |              ELSE 4222124650659840 // mu[16] END AS BIGINT) AS est_union
+         |       FROM p)
+         |SELECT u.source_a, u.source_b, u.est_a, u.est_b, u.est_union,
+         |       GREATEST(0, u.est_a + u.est_b - u.est_union) AS est_inter,
+         |       na.nd + nb.nd - COALESCE(ij.exact_inter, 0) AS exact_union,
+         |       COALESCE(ij.exact_inter, 0) AS exact_inter
+         |FROM u
+         |JOIN nd na ON na.source = u.source_a
+         |JOIN nd nb ON nb.source = u.source_b
+         |LEFT JOIN ij ON ij.source_a = u.source_a AND ij.source_b = u.source_b
+         |ORDER BY u.source_a, u.source_b""".stripMargin,
     // t29's model CTEs restricted to the even-id half, applied to the
     // odd-id half — an OOV (never-fit) bigram must drop on BOTH sides,
     // so a hash-green run proves the inner-join OOV semantics too

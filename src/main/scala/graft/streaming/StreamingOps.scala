@@ -263,6 +263,74 @@ object StreamingOps {
       .select(col("window_start"), (col("__pos") + 1).as("rank"),
         col("__e.id").as("id"), col("__e.score").as("score"))
 
+  /** Windowed BM25 leaderboard over a pre-built static inverted index
+    * ([[graft.operators.TextSearch.TextIndex]]) — the streaming face of
+    * s08's serving shape: query EVENTS arrive on the stream, their terms
+    * probe the static posting lists, and each event-time window closes
+    * with a per-query top-k leaderboard.
+    *
+    * Two chained stateful aggregations on the SAME event-time window
+    * (supported append-mode shape): (window, query, doc) contribution
+    * sums first — so a query whose events (or term batches) split across
+    * micro-batches still scores as one query — then the bounded
+    * [[graft.expressions.TopKByScore]] heap per (window, query). All
+    * per-term contributions are micro-rounded longs BEFORE the first sum
+    * (the library-wide *_e6 convention), so stream ≡ batch bit-for-bit.
+    *
+    * Corpus stats are read once at build time (1-row driver fetch, the
+    * same class as the IVF centroid fetch) and embedded as literals with
+    * the identical IEEE derivation the batch path uses; df comes from a
+    * static re-aggregation of the postings. Scale shape: both probe joins
+    * are stream-static equi-joins (broadcast when the model fits),
+    * stateful state is O(matched docs) for open windows then O(k) after
+    * the heap.
+    */
+  def streamingBm25(
+      queries: DataFrame,
+      tsCol: String,
+      queryIdCol: String,
+      textCol: String,
+      index: graft.operators.TextSearch.TextIndex,
+      k: Int,
+      k1: Double = 1.5,
+      b: Double = 0.75,
+      width: String = "1 hour",
+      watermark: String = "24 hours"): DataFrame = {
+    val statsRow = index.stats.select(
+      col("n_docs").cast("long"), col("sum_dl").cast("long")).head()
+    val nDocs = statsRow.getLong(0)
+    val sumDl = statsRow.getLong(1)
+    require(nDocs > 0, "streamingBm25: empty index")
+    // same IEEE value as the batch tail's sum_dl.cast(double)/n_docs
+    val avgdl = sumDl.toDouble / nDocs
+    val dfByTerm = index.postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val contrib = queries
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol).as("__ts"), col(queryIdCol).as("query_id"),
+        explode(array_distinct(graft.functions.TextFunctions.tokens(col(textCol))))
+          .as("term"))
+      .join(index.postings, "term")
+      .join(dfByTerm, "term")
+      .withColumn("contrib_e6",
+        round(lit(1e6) *
+          log((lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
+          .cast("long"))
+    contrib
+      .groupBy(window(col("__ts"), width).as("window"), col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib_e6")).as("score_e6"))
+      .groupBy(col("window"), col("query_id"))
+      .agg(graft.expressions.TopKByScore.topK(
+        col("score_e6").cast("double"), col("doc_id"), k).as("__top"))
+      .select(col("window.start").as("window_start"), col("query_id"),
+        posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("window_start"), col("query_id"),
+        (col("__pos") + 1).cast("int").as("rank"),
+        col("__e.id").as("doc_id"),
+        col("__e.score").cast("long").as("score_e6"))
+  }
+
   /** Watermarked per-key SESSION-window exact quantiles — the sketch
     * composed with the gap-based window kind: sessions grow with activity
     * and close after `gap` of silence, and the bounded

@@ -97,7 +97,7 @@ class GraftExtensionsSpec extends SparkTestBase {
     val required = Set(
       "graft_hash60", "graft_tokens", "graft_word_shingles", "graft_shingle_hashes",
       "graft_sorted_intersect_count", "graft_fingerprint", "graft_simhash32",
-      "graft_dot", "graft_top_k", "graft_kmv", "graft_quantiles",
+      "graft_dot", "graft_top_k", "graft_kmv", "graft_kmv_mins", "graft_quantiles",
       "graft_ngram_repetition", "graft_dot_i8", "graft_dedup_lines_in_doc",
       "graft_ngram_list", "graft_deflate_len")
     val names = GraftExtensions.functions.map(_._1)

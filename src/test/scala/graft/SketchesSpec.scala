@@ -41,6 +41,53 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("KmvMins ≡ brute sorted k smallest distinct; estimator matches kmvEstimate") {
+    forSamples(hashesGen, 10) { hs =>
+      for (k <- Seq(4, 64)) {
+        val row = hs.toDF("h").agg(Sketches.kmvMins(col("h"), k).as("m"))
+          .select(col("m"), Sketches.kmvEstimateFromMins(col("m"), k, 48).as("est"))
+          .head()
+        val mins = hs.distinct.sorted.take(k)
+        assert(row.getSeq[Long](0).toList === mins, s"mins for k=$k of $hs")
+        val expected =
+          if (mins.length < k) mins.length.toLong
+          else (k - 1).toLong * (1L << 48) / mins.last
+        assert(row.getLong(1) === expected, s"est for k=$k of $hs")
+      }
+    }
+  }
+
+  test("kmvUnionEstimate ≡ a single sketch over the concatenated stream (closure)") {
+    forSamples(Gen.zip(hashesGen, hashesGen), 10) { case (as, bs) =>
+      val k = 8
+      val pair = as.toDF("h").agg(Sketches.kmvMins(col("h"), k).as("ma"))
+        .crossJoin(bs.toDF("h").agg(Sketches.kmvMins(col("h"), k).as("mb")))
+        .select(Sketches.kmvUnionEstimate(col("ma"), col("mb"), k, 48).as("u"))
+        .head().getLong(0)
+      val direct = (as ++ bs).toDF("h").agg(Sketches.kmvMins(col("h"), k).as("m"))
+        .select(Sketches.kmvEstimateFromMins(col("m"), k, 48)).head().getLong(0)
+      assert(pair === direct, s"union estimate for $as / $bs")
+    }
+  }
+
+  test("unsaturated kmv set algebra is EXACT: inclusion-exclusion recovers |A∩B|") {
+    // below saturation every sketch IS its value set, so union and
+    // intersection estimates are exact set cardinalities
+    val k = 16
+    def interOf(as: List[Long], bs: List[Long]): Long =
+      as.toDF("h").agg(Sketches.kmvMins(col("h"), k).as("ma"))
+        .crossJoin(bs.toDF("h").agg(Sketches.kmvMins(col("h"), k).as("mb")))
+        .select(
+          greatest(lit(0L),
+            Sketches.kmvEstimateFromMins(col("ma"), k, 48) +
+              Sketches.kmvEstimateFromMins(col("mb"), k, 48) -
+              Sketches.kmvUnionEstimate(col("ma"), col("mb"), k, 48)).as("ei"))
+        .head().getLong(0)
+    assert(interOf(List(1L, 2L, 3L, 4L, 5L), List(100L, 101L)) === 0L) // disjoint
+    assert(interOf(List(1L, 2L, 3L, 4L, 5L), List(4L, 5L, 6L)) === 2L) // {4,5}
+    assert(interOf(List(7L, 8L), List(7L, 8L)) === 2L)                 // identical
+  }
+
   test("kmvEstimate: exact below saturation, floor-div estimator above") {
     forSamples(hashesGen, 10) { hs =>
       val k = 8

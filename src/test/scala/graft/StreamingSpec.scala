@@ -16,6 +16,7 @@ case class StreamDocFixture(doc_id: Long, text: String, ts: Timestamp)
 case class StreamVecFixture(vec_id: Long, embedding: Seq[Float], ts: Timestamp)
 case class AsofLeftFix(key: Long, id: Long, ts: Timestamp, value: Double)
 case class AsofRightFix(key: Long, ts: Timestamp, value: Double)
+case class QueryEvent(ts: Timestamp, query_id: Int, text: String)
 
 /** Streaming semantics mirrored from the reference's TopologyTestDriver
   * tests (CallsEnrichedAppTest.java) on MemoryStream micro-batches:
@@ -964,6 +965,46 @@ class StreamingSpec extends SparkTestBase {
     }.collect().map(r => (r.getTimestamp(0), r.getSeq[Long](1))).toSet
     assert(rows.nonEmpty)
     assert(rows === batch)
+  }
+
+  test("streaming BM25 over a static index ≡ the batch served probe, state across batches") {
+    import graft.operators.TextSearch
+    val corpus = Seq(
+      (1L, "a a b"), (2L, "a c"), (3L, "c c c c"), (4L, "z z z"))
+      .toDF("doc_id", "text")
+    val index = TextSearch.buildTextIndex(corpus, "doc_id", "text")
+    // q0's terms split ACROSS micro-batches — the final leaderboard only
+    // exists if the (window, query, doc) sums merged through state; q1
+    // arrives whole in batch 2
+    val t0 = Timestamp.valueOf("2024-03-01 10:05:00")
+    val batch1 = Seq(QueryEvent(t0, 0, "a"), QueryEvent(t0, 0, "b"))
+    val batch2 = Seq(QueryEvent(t0, 1, "c"))
+    // flush far past window end + watermark so append mode closes the window
+    val flush = Seq(QueryEvent(Timestamp.valueOf("2024-03-02 12:00:00"), 9, "a"))
+
+    val in = MemoryStream[QueryEvent](spark)
+    val out = StreamingOps.streamingBm25(
+      in.toDF(), "ts", "query_id", "text", index, k = 10,
+      width = "1 hour", watermark = "10 minutes")
+    val q = out.writeStream
+      .format("memory").queryName("stream_bm25").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ck-sbm25").toString)
+      .start()
+    try {
+      in.addData(batch1); q.processAllAvailable()
+      in.addData(batch2); q.processAllAvailable()
+      in.addData(flush); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("stream_bm25")
+      .filter($"window_start" === Timestamp.valueOf("2024-03-01 10:00:00"))
+      .select($"query_id", $"rank", $"doc_id", $"score_e6")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    // batch reference: the same merged query set against the same index
+    val batch = TextSearch.bm25TopKWith(index, Seq(0 -> "a b", 1 -> "c"), k = 10)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
   }
 
   test("flagship stream ≡ batch: same events, identical enriched output") {
