@@ -142,6 +142,15 @@ object Bench {
         sk.crossJoin(sk.select(col("m").as("m2")))
           .select(graft.operators.Sketches.kmvUnionEstimate(col("m"), col("m2"), 4, 48)).count()
       }
+      // r7 fourth batch: the scd2 change-run windows (q39: struct lag +
+      // lead over change rows) and the budget prefix selection (t32:
+      // per-score fit + boundary-class cumulative window)
+      graft.ops.Temporal.scd2(
+        tinyEv.select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+        Seq("user_id"), "ts", Seq("event_id"), Seq("event_type")).count()
+      graft.operators.Mixture.budgetSelect(
+        tinyDocs.select(col("doc_id"), lit(1L).as("s"), col("n_chars")),
+        "doc_id", "s", "n_chars", 100L).count()
       tinyDocs.unpersist(blocking = true); tinyEmb.unpersist(blocking = true)
       tinyEv.unpersist(blocking = true)
     } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }

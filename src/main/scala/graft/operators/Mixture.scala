@@ -121,6 +121,72 @@ object Mixture {
     *
     * Output: `(groupCol, rank, keyCol)`, rank 1-based within each group.
     */
+  /** Budget-constrained greedy selection: rank rows by (`scoreCol` desc,
+    * `idCol` asc) and keep the PREFIX whose running `costCol` total
+    * (inclusive) stays ≤ `budget` — "take the best documents until the
+    * token budget is spent", the final cut of a data-curation run.
+    *
+    * This is the prefix rule, not a knapsack: a row that would overflow
+    * the budget stops the scan even if later (smaller) rows would fit —
+    * the same semantics as `SUM(cost) OVER (ORDER BY score DESC, id)
+    * <= budget`, reproducible on any engine.
+    *
+    * Scale shape: the naive window form funnels the whole corpus through
+    * ONE task (global ORDER BY). Instead: (1) one grouped aggregate builds
+    * per-score cost totals — driver holds O(|score domain|) longs (scores
+    * are permille-like by contract, same bounded-domain fit as
+    * quantileBuckets); (2) the driver walks the totals to find the
+    * boundary score s* and the budget remaining when reaching it; (3) rows
+    * with score > s* pass wholesale (a pure pushdown filter), and only the
+    * boundary CLASS pays a cumulative window — partitioned on the score
+    * column, so the single hot partition is one class, not the corpus.
+    * For a pathologically large boundary class, re-apply the same
+    * localization on id buckets (the exactQuantilesBucketed trick).
+    *
+    * Rows with a null score or null cost carry no rank/cost evidence and
+    * are excluded. Negative costs are rejected loudly — a negative token
+    * count would make the running total non-monotone and the prefix rule
+    * meaningless. */
+  def budgetSelect(df: DataFrame, idCol: String, scoreCol: String,
+      costCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val score = col(scoreCol).cast("long")
+    val cost = col(costCol).cast("long")
+    val rows = df.filter(score.isNotNull && cost.isNotNull)
+    val totals = rows
+      .groupBy(score.as("__s"))
+      .agg(sum(cost).as("__c"), min(cost).as("__cmin"))
+      .collect()
+      .map { r => (r.getLong(0), r.getLong(1), r.getLong(2)) }
+      .sortBy { case (s, _, _) => -s }
+    totals.foreach { case (s, _, cmin) =>
+      require(cmin >= 0, s"budgetSelect: negative $costCol in score class $s")
+    }
+    // walk classes best-first: find the first class whose inclusive
+    // cumulative total overflows the budget (= the boundary class)
+    var cum = 0L
+    var boundary: Option[(Long, Long)] = None // (score, budget left at class start)
+    totals.foreach { case (s, c, _) =>
+      if (boundary.isEmpty) {
+        if (cum + c > budget) boundary = Some((s, budget - cum))
+        else cum += c
+      }
+    }
+    boundary match {
+      case None => rows // everything fits
+      case Some((bScore, remaining)) =>
+        val whole = rows.filter(score > lit(bScore))
+        val wB = org.apache.spark.sql.expressions.Window
+          .partitionBy(score).orderBy(col(idCol))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val partial = rows.filter(score === lit(bScore))
+          .withColumn("__cum", sum(cost).over(wB))
+          .filter(col("__cum") <= lit(remaining))
+          .drop("__cum")
+        whole.unionByName(partial)
+    }
+  }
+
   def stratifiedSample(df: DataFrame, keyCol: String, groupCol: String,
       kPerGroup: Int, salt: String = ""): DataFrame = {
     require(kPerGroup > 0, s"kPerGroup must be positive, got $kPerGroup")

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal versioning operators — the warehouse half of a change-log:
+  * turning an append-only event stream into SCD-type-2 validity intervals
+  * ("what was this entity's attribute value at time T?"). The reference's
+  * KTable models only the LATEST value per key (CoreOps.latestByKey); SCD2
+  * is the history-preserving generalization every lakehouse dimension
+  * table needs.
+  */
+object Temporal {
+
+  /** Slowly-changing-dimension type-2 history from an append-only change
+    * log: per key, collapse consecutive rows whose tracked values are
+    * unchanged, then emit one row per VALUE RUN with its validity interval
+    * `[valid_from, valid_to)` (`valid_to` null = still current), a dense
+    * per-key `version`, and an `is_current` flag.
+    *
+    * Change detection is null-safe (`<=>` over a struct of the tracked
+    * columns), so a value changing to/from null opens a new interval
+    * rather than vanishing into three-valued logic.
+    *
+    * Scale shape: ONE shuffle on `keyCols`; both windows (the lag that
+    * finds change points, the lead/row_number over change rows) share the
+    * same partitioning, and the second runs over the CHANGE rows only —
+    * per-key cost is a local sort, never a global one. A key's history
+    * lives in one partition, which is the right layout for the downstream
+    * as-of probe ([[graft.operators.AsofJoin]]).
+    *
+    * @param tieCols  deterministic within-timestamp order (e.g. a change
+    *                 sequence number) — required so same-timestamp changes
+    *                 replay identically on any engine
+    * @return keyCols ++ valueCols ++ (valid_from, valid_to: raw timestamp,
+    *         version: long starting at 1, is_current: long 0/1)
+    */
+  def scd2(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      tieCols: Seq[String], valueCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "scd2 needs at least one key column")
+    require(valueCols.nonEmpty, "scd2 needs at least one tracked value column")
+    val reserved = Seq("__prev", "valid_from", "valid_to", "version", "is_current")
+      .filter(df.columns.contains)
+    require(reserved.isEmpty, s"scd2 reserves column names: ${reserved.mkString(", ")}")
+    val keys = keyCols.map(col)
+    val order: Seq[Column] = (tsCol +: tieCols).map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    val tracked = struct(valueCols.map(col): _*)
+    val changes = df
+      .withColumn("__prev", lag(tracked, 1).over(w))
+      // first row per key (lag null-literal) or any tracked value differing:
+      // NOT(a <=> b) is true for null-vs-value and false for null-vs-null
+      .filter(col("__prev").isNull || !(tracked <=> col("__prev")))
+      .drop("__prev")
+    val wc = Window.partitionBy(keys: _*).orderBy(order: _*)
+    changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(wc))
+      .withColumn("version", row_number().over(wc).cast("long"))
+      .withColumn("is_current", col("valid_to").isNull.cast("long"))
+      .select((keyCols ++ valueCols).map(col) ++
+        Seq(col("valid_from"), col("valid_to"), col("version"), col("is_current")): _*)
+  }
+
+  /** Point-in-time lookup against an [[scd2]] history: the value row
+    * whose interval contains `at` (`valid_from <= at < valid_to`,
+    * open-ended current rows match any later time). A pure filter over
+    * the history — partition pruning and predicate pushdown apply. */
+  def asOfTime(history: DataFrame, at: Column): Column =
+    col("valid_from") <= at && (col("valid_to").isNull || col("valid_to") > at)
+}

@@ -371,6 +371,20 @@ object RelationalQueries {
         .select(col("c_custkey"))
       graft.ops.ScaleOps.bloomAntiJoin(ev, "user_id", banned, "c_custkey")
     }),
+    "q39_scd2" -> ((s, d) => {
+      // SCD type-2 history build: the events change-log collapsed into
+      // per-user validity intervals of the tracked attribute (event_type).
+      // One shuffle on user_id; change detection and interval stitching
+      // share the partitioning (Temporal.scd2). valid_to is open-ended on
+      // the current row; version is the dense per-key change index.
+      graft.ops.Temporal.scd2(
+          Tables.events(s, d), keyCols = Seq("user_id"), tsCol = "ts",
+          tieCols = Seq("event_id"), valueCols = Seq("event_type"))
+        .select(col("user_id"), col("event_type"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          col("version"), col("is_current"))
+    }),
   )
 
   /** Shared definitional quantile oracle for q28 (multi-stage plan) and
@@ -637,5 +651,24 @@ object RelationalQueries {
         |                  WHERE c.c_mktsegment = 'BUILDING'
         |                    AND c.c_custkey = e.user_id)
         |ORDER BY event_id""".stripMargin,
+    "q39_scd2" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |ch AS (
+        |  SELECT user_id, event_type, ts, event_id FROM o
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |iv AS (
+        |  SELECT user_id, event_type, ts AS vf,
+        |         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version
+        |  FROM ch)
+        |SELECT user_id, event_type,
+        |       strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |       strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |       version,
+        |       CAST(CASE WHEN vt IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM iv ORDER BY user_id, version""".stripMargin,
   )
 }

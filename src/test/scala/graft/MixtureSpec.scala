@@ -133,4 +133,54 @@ class MixtureSpec extends SparkTestBase {
       Mixture.stratifiedSample(docs, "text", "source", kPerGroup = 5)
     }
   }
+
+  test("budgetSelect: localized form equals the global prefix window rule") {
+    val toy = Seq(
+      // (id, score, cost) — classes: 9 → {1}, 5 → {2,3,4}, 2 → {5}
+      (1L, 9L, 10L), (2L, 5L, 10L), (3L, 5L, 10L), (4L, 5L, 10L), (5L, 2L, 10L)
+    ).toDF("id", "score", "cost")
+    def ids(budget: Long): Seq[Long] =
+      Mixture.budgetSelect(toy, "id", "score", "cost", budget)
+        .select($"id").as[Long].collect().sorted.toSeq
+    assert(ids(0) === Seq.empty)                 // nothing fits
+    assert(ids(9) === Seq.empty)                 // first row overflows: prefix stops
+    assert(ids(10) === Seq(1L))                  // exactly the best row
+    assert(ids(25) === Seq(1L, 2L))              // boundary class cut mid-way
+    assert(ids(40) === Seq(1L, 2L, 3L, 4L))      // boundary class fully taken
+    assert(ids(1000) === Seq(1L, 2L, 3L, 4L, 5L)) // everything fits
+    // prefix rule, not knapsack: a big boundary-class row blocks later
+    // smaller SAME-class rows (ordered by id, id 6 comes first)
+    val blocky = Seq((6L, 5L, 100L), (7L, 5L, 1L)).toDF("id", "score", "cost")
+    assert(Mixture.budgetSelect(blocky, "id", "score", "cost", 50L).count() === 0L)
+  }
+
+  test("budgetSelect: corpus run matches the naive global window") {
+    val scored = docs.select($"doc_id",
+      graft.functions.TextFunctions.qualityScore($"text").as("score"),
+      graft.functions.TextFunctions.tokenCount($"text").cast("long").as("cost"))
+    val total = scored.agg(sum($"cost")).as[Long].collect()(0)
+    val got = Mixture.budgetSelect(scored, "doc_id", "score", "cost", total / 3)
+      .select($"doc_id").as[Long].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"score".desc, $"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val want = scored.withColumn("cum", sum($"cost").over(w))
+      .filter($"cum" <= total / 3).select($"doc_id").as[Long].collect().toSet
+    assert(got === want && got.nonEmpty && got.size < 500)
+  }
+
+  test("budgetSelect: null evidence is excluded, negative costs fail loudly") {
+    val toy = Seq(
+      (1L, Some(5L), Some(10L)), (2L, None, Some(10L)), (3L, Some(5L), None)
+    ).toDF("id", "score", "cost")
+    assert(Mixture.budgetSelect(toy, "id", "score", "cost", 100L)
+      .select($"id").as[Long].collect().toSeq === Seq(1L))
+    val neg = Seq((1L, 5L, -1L)).toDF("id", "score", "cost")
+    intercept[IllegalArgumentException] {
+      Mixture.budgetSelect(neg, "id", "score", "cost", 100L)
+    }
+    intercept[IllegalArgumentException] {
+      Mixture.budgetSelect(toy, "id", "score", "cost", -1L)
+    }
+  }
 }

@@ -1,0 +1,85 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ops.Temporal
+
+class TemporalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def log = Seq(
+    // key 1: x, x (no change), y, x — three value runs
+    (1L, ts("2024-01-01 00:00:00"), 1L, "x"),
+    (1L, ts("2024-01-01 01:00:00"), 2L, "x"),
+    (1L, ts("2024-01-01 02:00:00"), 3L, "y"),
+    (1L, ts("2024-01-01 03:00:00"), 4L, "x"),
+    // key 2: single row — one open-ended current interval
+    (2L, ts("2024-01-01 05:00:00"), 5L, "z")
+  ).toDF("k", "ts", "seq", "v")
+
+  test("scd2: consecutive unchanged rows collapse into one validity interval") {
+    val out = Temporal.scd2(log, Seq("k"), "ts", Seq("seq"), Seq("v"))
+      .orderBy($"k", $"version")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3)), r.getLong(4), r.getLong(5)))
+    assert(out === Array(
+      (1L, "x", ts("2024-01-01 00:00:00"), Some(ts("2024-01-01 02:00:00")), 1L, 0L),
+      (1L, "y", ts("2024-01-01 02:00:00"), Some(ts("2024-01-01 03:00:00")), 2L, 0L),
+      (1L, "x", ts("2024-01-01 03:00:00"), None, 3L, 1L),
+      (2L, "z", ts("2024-01-01 05:00:00"), None, 1L, 1L)))
+  }
+
+  test("scd2: null-safe change detection — null runs get their own interval") {
+    val withNull = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, Some("x")),
+      (1L, ts("2024-01-01 01:00:00"), 2L, None),
+      (1L, ts("2024-01-01 02:00:00"), 3L, None), // unchanged null — same run
+      (1L, ts("2024-01-01 03:00:00"), 4L, Some("x"))
+    ).toDF("k", "ts", "seq", "v")
+    val out = Temporal.scd2(withNull, Seq("k"), "ts", Seq("seq"), Seq("v"))
+      .orderBy($"version").select($"v", $"version").collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1)))
+    assert(out === Array((Some("x"), 1L), (None, 2L), (Some("x"), 3L)))
+  }
+
+  test("scd2: same-timestamp changes order by the tie column") {
+    val sameTs = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 2L, "b"),
+      (1L, ts("2024-01-01 00:00:00"), 1L, "a")
+    ).toDF("k", "ts", "seq", "v")
+    val out = Temporal.scd2(sameTs, Seq("k"), "ts", Seq("seq"), Seq("v"))
+      .orderBy($"version").select($"v", $"is_current").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out === Array(("a", 0L), ("b", 1L)))
+  }
+
+  test("scd2: reserved output names are rejected loudly") {
+    intercept[IllegalArgumentException] {
+      Temporal.scd2(log.withColumn("version", lit(1)),
+        Seq("k"), "ts", Seq("seq"), Seq("v"))
+    }
+  }
+
+  test("asOfTime: point-in-time lookup returns exactly the covering version") {
+    val hist = Temporal.scd2(log, Seq("k"), "ts", Seq("seq"), Seq("v"))
+    // mid-run: 01:30 inside [00:00, 02:00) → version 1 value x
+    val mid = hist.filter($"k" === 1L)
+      .filter(Temporal.asOfTime(hist, lit(ts("2024-01-01 01:30:00"))))
+      .collect()
+    assert(mid.length === 1 && mid(0).getAs[String]("v") === "x" &&
+      mid(0).getAs[Long]("version") === 1L)
+    // at a boundary: 02:00 starts version 2 (intervals are [from, to))
+    val edge = hist.filter($"k" === 1L)
+      .filter(Temporal.asOfTime(hist, lit(ts("2024-01-01 02:00:00"))))
+      .collect()
+    assert(edge.length === 1 && edge(0).getAs[Long]("version") === 2L)
+    // far future: current row matches
+    val fut = hist.filter($"k" === 1L)
+      .filter(Temporal.asOfTime(hist, lit(ts("2030-01-01 00:00:00"))))
+      .collect()
+    assert(fut.length === 1 && fut(0).getAs[Long]("is_current") === 1L)
+  }
+}
