@@ -142,6 +142,23 @@ object Bench {
         sk.crossJoin(sk.select(col("m").as("m2")))
           .select(graft.operators.Sketches.kmvUnionEstimate(col("m"), col("m2"), 4, 48)).count()
       }
+      // r7 fifth batch: the DSIR foldable-weight HOF fold (t33), the
+      // collocation lift joins (t34), and the nested projection HOFs (s09)
+      graft.operators.Importance.scoreDocs(tinyDocs, "doc_id", "text",
+        graft.operators.Importance.fitWeights(tinyDocs.limit(5), tinyDocs, "text", 1 << 8)).count()
+      graft.operators.Keywords.collocationsTopK(tinyDocs, "text", minCount = 1L, k = 2).count()
+      Similarity.signedProject(tinyEmb, "vec_id", "embedding", 64, 4).count()
+      // r7 sixth batch: the HLL register aggregate + decimal estimator
+      // (t36), the MAD double-histogram fit (t35), the unpivot generator
+      // (q40), and the diversity-pick composition (s10)
+      tinyDocs.select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .agg(graft.operators.Sketches.hll(TextFunctions.hash60(col("tok")), 8).as("sk"))
+        .select(graft.operators.Sketches.hllEstimate("sk", 8)).count()
+      graft.operators.Sketches.madOutliers(
+        tinyDocs.select(col("doc_id"), col("n_chars")), "n_chars").count()
+      tinyDocs.select(col("doc_id"), col("n_chars"), octet_length(col("text")).cast("long").as("nb"))
+        .unpivot(Array(col("doc_id")), Array(col("n_chars"), col("nb")), "metric", "value").count()
+      Similarity.diversitySample(tinyEmb, kPerCell = 2, nCells = 2).count()
       // r7 fourth batch: the scd2 change-run windows (q39: struct lag +
       // lead over change rows) and the budget prefix selection (t32:
       // per-score fit + boundary-class cumulative window)

@@ -55,4 +55,49 @@ object Keywords {
         col("col.df").as("df"),
         (-col("col.neg")).as("score_ppm"))
   }
+
+  /** Corpus-level collocation mining — the PMI-style phrase detector a
+    * tokenizer/phrase-vocabulary pass runs over the raw token stream
+    * (word2vec's phrase pass, Gensim `Phrases`): adjacent pairs ranked by
+    * LIFT, observed pair count over the count expected under unigram
+    * independence.
+    *
+    * `lift_ppm = ⌊1e6 · n_pair · U / (n_w1 · n_w2)⌋` with `U` the total
+    * token count — monotone in the PMI numerator `p(xy)/(p(x)p(y))` (the
+    * corpus constants shift every pair equally), but computed entirely in
+    * integer math: exact, engine-portable, no `ln` (same stance as the
+    * tf-idf score above). A `minCount` fence drops one-off pairs whose
+    * lift is pure noise — standard in every phrase-mining setup.
+    *
+    * Scale shape: unigram and bigram counts are two exchanges bounded by
+    * vocabulary (map-side partials collapse repeats); the unigram joins
+    * are vocabulary-sized equi-joins (AQE broadcasts the small side); the
+    * top-k is TakeOrderedAndProject — per-partition heaps, k rows to the
+    * driver, no global sort. Long arithmetic overflows are a hard error
+    * under ANSI mode, not silence — at corpora where `1e6·n_pair·U`
+    * outgrows a long (~10^18), pre-scale U to thousands.
+    */
+  def collocationsTopK(docs: DataFrame, textCol: String,
+      minCount: Long = 5L, k: Int = 30): DataFrame = {
+    require(k > 0, s"collocationsTopK needs k > 0, got $k")
+    require(minCount >= 1, s"collocationsTopK needs minCount >= 1, got $minCount")
+    val uni = docs.select(explode(tokens(col(textCol))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val big = docs
+      .select(explode(graft.functions.TextFunctions.ngramList(col(textCol), 2)).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n_pair"))
+    val u = uni.agg(sum(col("c")).cast("long").as("u"))
+    big.filter(col("n_pair") >= minCount)
+      // tokens are whitespace-split, so the single interior space is the
+      // unambiguous pair separator
+      .withColumn("w1", substring_index(col("pair"), " ", 1))
+      .withColumn("w2", substring_index(col("pair"), " ", -1))
+      .join(uni.select(col("t").as("w1"), col("c").as("n_w1")), Seq("w1"))
+      .join(uni.select(col("t").as("w2"), col("c").as("n_w2")), Seq("w2"))
+      .crossJoin(broadcast(u))
+      .withColumn("lift_ppm", expr("(1000000 * n_pair * u) DIV (n_w1 * n_w2)"))
+      .orderBy(col("lift_ppm").desc, col("pair"))
+      .limit(k)
+      .select(col("pair"), col("n_pair"), col("n_w1"), col("n_w2"), col("lift_ppm"))
+  }
 }

@@ -521,6 +521,62 @@ object Similarity {
     * within-cell self-join is an equi-join on `cell` — size the cell
     * count so n/nCells vectors fit a task. Output is exact micro-unit
     * cosine pairs, reproducible across engines. */
+  /** Cluster-balanced diversity sampling — the coverage-preserving
+    * downsample (the SSL-prototype / cluster-balanced selection move:
+    * sample evenly across embedding-space regions instead of uniformly,
+    * so dense regions can't crowd out the tails): assign every vector to
+    * its IVF cell, then keep a deterministic hash-ranked `kPerCell` per
+    * cell ([[Mixture.stratifiedSample]] — ONE bounded-heap aggregate, no
+    * RNG, no window over the corpus).
+    *
+    * Scale shape: the cell assignment is the IVF build's own broadcast
+    * pass; the per-cell pick exchanges O(partitions × nCells × k) rows.
+    * Output: `(cell, rank 1-based, vec_id)`. */
+  def diversitySample(emb: DataFrame, kPerCell: Int, nCells: Int,
+      iters: Int = 2, sampleMod: Int = 7, salt: String = ""): DataFrame =
+    Mixture.stratifiedSample(
+      ivfAssign(emb, nCells, iters, sampleMod).select(col("vec_id"), col("cell")),
+      "vec_id", "cell", kPerCell, salt)
+
+  /** Deterministic signed random projection (Achlioptas 2003 / the SimHash
+    * projection family, kept as VALUES rather than sign bits): reduce
+    * `array<float>` vectors to `outDims` integer components
+    * `y_j = Σ_i s_{j,i} · round(1e6·x_i)` with signs `s ∈ {−1, +1}` drawn
+    * from the md5 hash of `(salt, j, i)` — data-independent, so the matrix
+    * is a FOLDABLE literal and the whole pass is a shuffle-free per-row
+    * map. Johnson–Lindenstrauss gives ~(1±ε) distance preservation at
+    * outDims = O(log N / ε²); downstream ANN probes then read 4× (or more)
+    * fewer bytes per vector, the same motivation as the int8 path
+    * ([[quantizedKnn]]) but composable with any dimension budget.
+    *
+    * All arithmetic after the per-element micro-round is exact integer
+    * math — projections hash identically on any engine.
+    *
+    * @return idCol ++ `proj`: array<long> of length `outDims`
+    */
+  def signedProject(emb: DataFrame, idCol: String, vecCol: String,
+      inDims: Int, outDims: Int, salt: String = "rp"): DataFrame = {
+    require(inDims > 0 && outDims > 0,
+      s"signedProject needs positive dims, got $inDims -> $outDims")
+    // flat row-major ±1 matrix from the portable md5-derived hash60 —
+    // the same bit DuckDB computes from md5(salt:j:i)
+    val signs: Array[Long] = Array.tabulate(outDims * inDims) { fi =>
+      val j = fi / inDims
+      val i = fi % inDims
+      val h = graft.expressions.TextKernels.hash60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"$salt:$j:$i"))
+      if (h % 2 == 1) -1L else 1L
+    }
+    val s = typedLit(signs)
+    val micro = transform(col(vecCol), x => round(x.cast("double") * lit(1e6)).cast("long"))
+    val proj = transform(sequence(lit(0), lit(outDims - 1)), j =>
+      aggregate(sequence(lit(0), lit(inDims - 1)), lit(0L), (acc, i) =>
+        acc + element_at(s, (j * inDims + i + 1).cast("int")) *
+          element_at(col("__m"), (i + 1).cast("int"))))
+    emb.withColumn("__m", micro)
+      .select(col(idCol), proj.as("proj"))
+  }
+
   def semanticNearDupPairs(emb: DataFrame, nCells: Int, minCosE6: Long,
       iters: Int = 2, sampleMod: Int = 7): DataFrame = {
     val idx = buildIvf(emb, nCells, iters, sampleMod)

@@ -218,6 +218,43 @@ object Sketches {
       .otherwise(((lit(numerator) - pmod(lit(numerator), hk)) / hk).cast("long"))
   }
 
+  /** HyperLogLog register aggregate over a pre-hashed column (hash60
+    * output): `array<bigint>` of `2^p` rho-max registers. See
+    * [[graft.expressions.HllSketch]]. */
+  def hll(hash: Column, p: Int): Column =
+    graft.expressions.HllSketch.hll(hash, p)
+
+  /** Distinct-count estimate from an [[hll]] register column — the
+    * classic two-regime estimator, with the raw-HLL branch in EXACT
+    * integer arithmetic (a first: no float harmonic mean):
+    *
+    *   raw = ⌊α_m·m²/Σ 2^-M_j⌋ computed as the exact rational
+    *         `7213·m³·2^mmax DIV (10·(1000m+1079)·S)` with
+    *         `S = Σ 2^(mmax−M_j)` — every term a power of two, summed in
+    *         DECIMAL(38,0), so any engine agreeing on the registers agrees
+    *         on the estimate to the last digit (α_m = 0.7213/(1+1.079/m)
+    *         as the exact rational 7213m/(10(1000m+1079)));
+    *   linear counting `round(m·ln(m/V))` when V > 0 zero registers
+    *         remain and raw ≤ 5m/2 — the standard small-range correction
+    *         (ln replayed with the same IEEE association, BM25-style).
+    *
+    * An empty sketch estimates 0 through the linear branch (V = m). */
+  def hllEstimate(sketchCol: String, p: Int): Column = {
+    require(p >= 7 && p <= 16, s"p must be in [7,16], got $p")
+    val m = 1L << p
+    val m3 = m * m * m // <= 2^48, exact in a long
+    val den = 10L * (1000L * m + 1079L)
+    val mmax = s"array_max($sketchCol)"
+    val sSum = s"aggregate($sketchCol, CAST(0 AS DECIMAL(38,0)), (acc, x) -> " +
+      s"acc + CAST(shiftleft(CAST(1 AS BIGINT), CAST($mmax - x AS INT)) AS DECIMAL(38,0)))"
+    val raw = s"CAST((CAST(7213 AS DECIMAL(38,0)) * CAST($m3 AS DECIMAL(38,0)) * " +
+      s"CAST(shiftleft(CAST(1 AS BIGINT), CAST($mmax AS INT)) AS DECIMAL(38,0))) " +
+      s"DIV (CAST($den AS DECIMAL(38,0)) * $sSum) AS BIGINT)"
+    val v = s"size(filter($sketchCol, x -> x = 0))"
+    val lin = s"CAST(ROUND(CAST($m AS DOUBLE) * ln(CAST($m AS DOUBLE) / $v)) AS BIGINT)"
+    expr(s"CASE WHEN $v > 0 AND $raw <= ${5L * m / 2L} THEN $lin ELSE $raw END")
+  }
+
   /** Count-min sketch aggregate over a string item column: `array<bigint>`
     * of `depth*width` row-major counters. See
     * [[graft.expressions.CmsSketch]]. */
@@ -262,6 +299,46 @@ object Sketches {
     * ordering, low-quality drops) — all downstream of one aggregate over
     * the corpus (ONE driver action; the empty/all-null case falls out of
     * the same aggregate returning null, no extra isEmpty job). */
+  /** Robust outlier tagging by median absolute deviation — the
+    * length/score anomaly gate that, unlike mean±k·σ, a few giant
+    * outliers cannot drag: `outlier ⇔ |x − median| · 1000 > kMilli · MAD`
+    * with `MAD = median(|x − median|)` (kMilli = 3000 ≈ the classic
+    * "3 MADs out"). Everything is the same definitional rank rule as
+    * [[exactQuantiles]], so the whole gate is exact integer math —
+    * no σ, no sqrt, engine-portable.
+    *
+    * Scale shape: TWO [[graft.expressions.QuantileHistogram]] aggregates
+    * (median, then median of deviations) — each ONE driver action holding
+    * O(1) state — and a final pure per-row tag; no window, no sort. The
+    * histogram aggregate's state is bounded by the value DOMAIN (lengths,
+    * permille scores), the operator's stated contract.
+    *
+    * Null values get null `deviation`/`is_outlier` (unknown, not
+    * outlying). A degenerate MAD of 0 (over half the mass on one value)
+    * flags any nonzero deviation when kMilli > 0 — the conventional
+    * fallback. Empty/all-null input returns all-null tags. */
+  def madOutliers(df: DataFrame, valueCol: String, kMilli: Long = 3000L): DataFrame = {
+    require(kMilli >= 0, s"kMilli must be >= 0, got $kMilli")
+    val v = col(valueCol).cast("long")
+    def p50(frame: DataFrame, c: Column): Option[Long] = {
+      val fit = frame
+        .agg(graft.expressions.QuantileHistogram.quantiles(c, Seq(500)).as("__q"))
+        .select(col("__q.qs")).collect()(0)
+      if (fit.isNullAt(0)) None else Some(fit.getSeq[Long](0).head)
+    }
+    p50(df, v) match {
+      case None =>
+        df.withColumn("deviation", lit(null).cast("long"))
+          .withColumn("is_outlier", lit(null).cast("long"))
+      case Some(med) =>
+        val dev = abs(v - lit(med))
+        val mad = p50(df.filter(v.isNotNull), dev).get // nonempty by med's existence
+        df.withColumn("deviation", when(v.isNotNull, dev))
+          .withColumn("is_outlier",
+            when(v.isNotNull, (dev * 1000L > lit(kMilli) * lit(mad)).cast("long")))
+    }
+  }
+
   def quantileBuckets(df: DataFrame, valueCol: String, permilles: Seq[Int]): DataFrame = {
     require(permilles.nonEmpty, "need at least one breakpoint permille")
     val v = col(valueCol).cast("long")

@@ -376,6 +376,90 @@ object NorthStarQueries {
           (col("nda") + col("ndb") - col("exact_inter")).as("exact_union"),
           col("exact_inter"))
     }),
+    "t32_token_budget" -> ((s, d) => {
+      // Budget-constrained final cut: best documents by the t03 quality
+      // score until half the corpus's token budget is spent (prefix rule).
+      // No global sort — one bounded per-score fit, a pushdown filter for
+      // the classes that fit wholesale, and a cumulative window over the
+      // single boundary class only (Mixture.budgetSelect).
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), qualityScore(col("text")).as("quality"),
+          tokenCount(col("text")).cast("long").as("n_tokens"))
+      val total = docs.agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+      graft.operators.Mixture.budgetSelect(
+        docs, "doc_id", "quality", "n_tokens", total / 2)
+    }),
+    "t36_hll_sketch" -> ((s, d) => {
+      // Per-source distinct-token estimate through HyperLogLog — fixed
+      // 2^8 bytes of state per source vs t21's KMV (same question, the
+      // sketch trade-off shown side by side). Raw branch in exact integer
+      // arithmetic; small sources exercise linear counting. Exact counts
+      // ride along as the audit column.
+      import graft.operators.Sketches
+      Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("source"))
+        .agg(Sketches.hll(TextFunctions.hash60(col("tok")), 8).as("sk"),
+          count_distinct(col("tok")).as("exact_distinct"))
+        .select(col("source"), Sketches.hllEstimate("sk", 8).as("est_hll"),
+          expr("size(filter(sk, x -> x = 0))").cast("long").as("n_zero_regs"),
+          col("exact_distinct"))
+    }),
+    "s10_diversity_sample" -> ((s, d) => {
+      // Cluster-balanced diversity pick: 8 vectors per IVF cell by
+      // deterministic hash rank — even coverage of embedding space, the
+      // counterweight to density-following uniform sampling. One k-means
+      // fit + one bounded-heap aggregate.
+      Similarity.diversitySample(Tables.embeddings(s, d),
+        kPerCell = 8, nCells = 16, salt = "div")
+    }),
+    "t35_mad_outliers" -> ((s, d) => {
+      // Robust length-anomaly gate: 3-MADs-out on doc length, all exact
+      // integer math (two bounded histogram aggregates + a per-row tag,
+      // no window, no σ). The corpus lengths are too uniform to produce
+      // natural 3-MAD outliers, so every 50th doc gets a planted +5000
+      // spike — identically in the oracle — proving the gate fires on
+      // spikes and stays quiet on the bulk.
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        (col("n_chars") + when(pmod(col("doc_id"), lit(50)) === 0, lit(5000L))
+          .otherwise(lit(0L))).cast("long").as("value"))
+      graft.operators.Sketches.madOutliers(docs, "value", kMilli = 3000L)
+    }),
+    "s09_random_projection" -> ((s, d) => {
+      // Signed random projection 64 -> 16 dims: a data-independent ±1
+      // matrix from the portable md5 hash, applied as one shuffle-free
+      // per-row map over micro-rounded components — exact integer output,
+      // the JL dimension-reduction front end for cheaper ANN probes.
+      // Flattened to (vec_id, j, v) rows for the hash compare (the
+      // checker's row sort cannot order array cells).
+      graft.operators.Similarity.signedProject(
+          Tables.embeddings(s, d), "vec_id", "embedding", inDims = 64, outDims = 16)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "v")))
+        .select(col("vec_id"), col("j").cast("long").as("j"), col("v"))
+    }),
+    "t34_pmi_collocations" -> ((s, d) => {
+      // Phrase/collocation mining: adjacent token pairs ranked by exact
+      // integer lift (observed over independence-expected count). Two
+      // vocabulary-bounded count aggregates, vocabulary equi-joins, and
+      // a TakeOrdered tail — no ln, no floats.
+      graft.operators.Keywords.collocationsTopK(
+        Tables.documents(s, d), "text", minCount = 5L, k = 30)
+    }),
+    "t33_dsir_weights" -> ((s, d) => {
+      // DSIR importance weighting: hashed-feature log-ratio of a target
+      // distribution vs the raw corpus, scored as an exact integer sum
+      // per doc (foldable weight table, shuffle-free scoring pass). The
+      // synthetic corpus is distribution-uniform, so the query PLANTS a
+      // target marker phrase on every 5th doc — identically in the
+      // oracle — making target-like docs provably score highest.
+      val docs = Tables.documents(s, d).withColumn("t2",
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"), lit(" telemetry beacon telemetry")))
+          .otherwise(col("text")))
+      val target = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val wts = graft.operators.Importance.fitWeights(target, docs, "t2")
+      graft.operators.Importance.scoreDocs(docs, "doc_id", "t2", wts)
+    }),
     "t30_lm_heldout" -> ((s, d) => {
       // The fit/score split in its leakage-aware serving shape: model fit
       // on the even-id half only, odd-id docs scored against counts they
@@ -1452,6 +1536,161 @@ object NorthStarQueries {
          |           + CASE WHEN q.quality > b3 THEN 1 ELSE 0 END) AS BIGINT) AS bucket
          |FROM q, bp ORDER BY q.doc_id""".stripMargin
     },
+    // same t03 quality derivation; the selection replays as the global
+    // prefix window the operator's localized form is provably equal to
+    "t32_token_budget" -> {
+      val allStops = TextFunctions.langProfiles.flatMap(_._2).distinct
+        .map(w => s"'$w'").mkString(",")
+      s"""WITH ws AS (SELECT doc_id, $WsSql AS w FROM documents),
+         |m AS (SELECT doc_id,
+         |        CAST(len(w) AS BIGINT) AS n_tokens,
+         |        (1000 * len(list_filter(w, t -> list_contains([$allStops], t))))
+         |          // greatest(len(w), 1) AS stop_permille,
+         |        (1000 * len(list_filter(w, t -> regexp_matches(t, '^[a-z]+$$'))))
+         |          // greatest(len(w), 1) AS alpha_permille
+         |      FROM ws),
+         |q AS (SELECT doc_id,
+         |        CAST(CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 500 ELSE 0 END
+         |             + stop_permille // 2 + alpha_permille // 4 AS BIGINT) AS quality,
+         |        n_tokens
+         |      FROM m),
+         |b AS (SELECT CAST(SUM(n_tokens) // 2 AS BIGINT) AS budget FROM q),
+         |c AS (SELECT doc_id, quality, n_tokens,
+         |        SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS cum
+         |      FROM q)
+         |SELECT doc_id, quality, n_tokens FROM c, b
+         |WHERE cum <= budget ORDER BY doc_id""".stripMargin
+    },
+    // register vector rebuilt from DISTINCT hashes (max is idempotent):
+    // idx = h mod 256, rho = 52-bit-field leading zeros + 1 via an exact
+    // powers-of-two join (no log2 floats); estimator replayed in HUGEINT
+    // with the same exact rational, ln only on the linear-counting branch
+    "t36_hll_sketch" ->
+      s"""WITH ws AS (SELECT doc_id, source, $WsSql AS w FROM documents),
+         |toks AS (SELECT source, tok, ${h60("tok")} AS h
+         |         FROM (SELECT source, unnest(w) AS tok FROM ws)),
+         |ex AS (SELECT source, CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_distinct
+         |       FROM toks GROUP BY 1),
+         |hh AS (SELECT DISTINCT source, h FROM toks),
+         |rr AS (SELECT source, h % 256 AS idx, h // 256 AS wf FROM hh),
+         |p2 AS (SELECT k, 1::HUGEINT << CAST(k AS INTEGER) AS v FROM range(53) t(k)),
+         |bl AS (SELECT rr.source, rr.idx, rr.wf,
+         |              COALESCE(MAX(p2.k) + 1, 0) AS bitlen
+         |       FROM rr LEFT JOIN p2 ON rr.wf >= p2.v GROUP BY 1, 2, 3),
+         |reg AS (SELECT source, idx, CAST(MAX(52 - bitlen + 1) AS BIGINT) AS rho
+         |        FROM bl GROUP BY 1, 2),
+         |slots AS (SELECT s.source, t.idx, COALESCE(reg.rho, 0) AS rho
+         |          FROM (SELECT DISTINCT source FROM documents) s
+         |          CROSS JOIN range(256) t(idx)
+         |          LEFT JOIN reg ON reg.source = s.source AND reg.idx = t.idx),
+         |mm AS (SELECT source, MAX(rho) AS mmax FROM slots GROUP BY 1),
+         |st AS (SELECT sl.source, mm.mmax,
+         |              SUM(1::HUGEINT << CAST(mm.mmax - sl.rho AS INTEGER)) AS sm,
+         |              CAST(SUM(CASE WHEN sl.rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+         |       FROM slots sl JOIN mm USING (source) GROUP BY 1, 2),
+         |es AS (SELECT source, v,
+         |         CAST((7213::HUGEINT * 16777216 * (1::HUGEINT << CAST(mmax AS INTEGER)))
+         |              // (2570790::HUGEINT * sm) AS BIGINT) AS raw
+         |       FROM st)
+         |SELECT es.source,
+         |       CASE WHEN es.v > 0 AND es.raw <= 640
+         |            THEN CAST(ROUND(256.0 * ln(256.0 / es.v)) AS BIGINT)
+         |            ELSE es.raw END AS est_hll,
+         |       es.v AS n_zero_regs, ex.exact_distinct
+         |FROM es JOIN ex USING (source) ORDER BY es.source""".stripMargin,
+    // same deterministic IVF fit as s02/s05/d11 (shared CTEs), then the
+    // t11 hash-rank rule per cell
+    "s10_diversity_sample" ->
+      s"""WITH ${ivfFitCtes(nCells = 16, iters = 2, sampleMod = 7)},
+         |hh AS (SELECT cell, vec_id,
+         |         ${h60("'div:'||CAST(vec_id AS VARCHAR)")} // 4096 AS h48
+         |       FROM asg),
+         |r AS (SELECT cell, vec_id,
+         |        ROW_NUMBER() OVER (PARTITION BY cell ORDER BY h48, vec_id) AS rank
+         |      FROM hh)
+         |SELECT CAST(cell AS INTEGER) AS cell, CAST(rank AS INT) AS rank, vec_id
+         |FROM r WHERE rank <= 8 ORDER BY cell, rank""".stripMargin,
+    // both medians replay the q28/q30 definitional rank rule; the gate
+    // itself is pure integer comparison
+    "t35_mad_outliers" ->
+      """WITH v0 AS (SELECT doc_id,
+        |        CAST(n_chars + CASE WHEN doc_id % 50 = 0 THEN 5000 ELSE 0 END
+        |             AS BIGINT) AS value
+        |      FROM documents),
+        |h AS (SELECT value AS v, COUNT(*) AS cnt FROM v0 GROUP BY 1),
+        |w AS (SELECT v, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cum,
+        |             CAST(SUM(cnt) OVER () AS BIGINT) AS n FROM h),
+        |med AS (SELECT MIN(CASE WHEN cum > (500*(n-1))//1000 THEN v END) AS m FROM w),
+        |d AS (SELECT doc_id, value, ABS(value - med.m) AS deviation FROM v0, med),
+        |h2 AS (SELECT deviation AS dv, COUNT(*) AS cnt FROM d GROUP BY 1),
+        |w2 AS (SELECT dv, CAST(SUM(cnt) OVER (ORDER BY dv) AS BIGINT) AS cum,
+        |              CAST(SUM(cnt) OVER () AS BIGINT) AS n FROM h2),
+        |mad AS (SELECT MIN(CASE WHEN cum > (500*(n-1))//1000 THEN dv END) AS m FROM w2)
+        |SELECT doc_id, value, deviation,
+        |       CAST(CASE WHEN deviation * 1000 > 3000 * mad.m THEN 1 ELSE 0 END
+        |            AS BIGINT) AS is_outlier
+        |FROM d, mad ORDER BY doc_id""".stripMargin,
+    // sign matrix rebuilt from the same md5 parity; after the per-element
+    // micro-round everything is exact integer math
+    "s09_random_projection" ->
+      s"""WITH sg AS (SELECT j, i,
+         |       CASE WHEN ('0x'||substr(md5('rp:'||j||':'||i),1,15))::BIGINT % 2 = 1
+         |            THEN -1 ELSE 1 END AS sgn
+         |     FROM range(16) r1(j), range(64) r2(i)),
+         |xm AS (SELECT vec_id,
+         |       list_transform(embedding, x -> CAST(ROUND(1e6 * x::DOUBLE) AS BIGINT)) AS m
+         |     FROM embeddings),
+         |pj AS (SELECT xm.vec_id, sg.j, CAST(SUM(sg.sgn * xm.m[sg.i + 1]) AS BIGINT) AS v
+         |     FROM xm, sg GROUP BY 1, 2)
+         |SELECT vec_id, CAST(j AS BIGINT) AS j, v
+         |FROM pj ORDER BY vec_id, j""".stripMargin,
+    // exact-integer lift over the same unigram/bigram multiset counts;
+    // list_extract(-1) mirrors substring_index(pair,' ',-1) because
+    // tokens cannot contain the separator
+    "t34_pmi_collocations" ->
+      s"""WITH ws AS (SELECT $WsSql AS w FROM documents),
+         |uni AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+         |        FROM (SELECT unnest(w) AS t FROM ws) GROUP BY 1),
+         |u AS (SELECT CAST(SUM(c) AS BIGINT) AS u FROM uni),
+         |bg AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_pair FROM (
+         |         SELECT unnest(list_transform(range(GREATEST(len(w) - 1, 0)),
+         |                       i -> w[i + 1] || ' ' || w[i + 2])) AS pair
+         |         FROM ws) GROUP BY 1)
+         |SELECT b.pair, b.n_pair, u1.c AS n_w1, u2.c AS n_w2,
+         |       CAST((1000000 * b.n_pair * u.u) // (u1.c * u2.c) AS BIGINT) AS lift_ppm
+         |FROM bg b
+         |JOIN uni u1 ON u1.t = list_extract(string_split(b.pair, ' '), 1)
+         |JOIN uni u2 ON u2.t = list_extract(string_split(b.pair, ' '), -1), u
+         |WHERE b.n_pair >= 5
+         |ORDER BY lift_ppm DESC, b.pair LIMIT 30""".stripMargin,
+    // DSIR fit replay: same planted marker, same bucket hash, the same
+    // IEEE association inside ln (numerator product / denominator
+    // product), micro-rounded ONCE per bucket — doc scores are then
+    // exact integer sums, so summation order can never flip the hash
+    "t33_dsir_weights" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 5 = 0 THEN text || ' telemetry beacon telemetry'
+         |       ELSE text END AS text
+         |  FROM documents),
+         |ws AS (SELECT doc_id, $WsSql AS w FROM d),
+         |tok AS (SELECT doc_id, unnest(w) AS t FROM ws),
+         |b AS (SELECT doc_id, ${h60("t")} % 4096 AS bkt FROM tok),
+         |tc AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS c FROM b
+         |       WHERE doc_id % 5 = 0 GROUP BY 1),
+         |rc AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1),
+         |tot AS (SELECT
+         |  CAST((SELECT COUNT(*) FROM b WHERE doc_id % 5 = 0) AS BIGINT) AS tt,
+         |  CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS rt),
+         |wt AS (SELECT rc.bkt,
+         |        CAST(ROUND(1e6 * ln(
+         |          ((2.0 * COALESCE(tc.c, 0) + 1.0) * (2.0 * tot.rt + 4096)) /
+         |          ((2.0 * rc.c + 1.0) * (2.0 * tot.tt + 4096)))) AS BIGINT) AS w_e6
+         |       FROM rc LEFT JOIN tc USING (bkt), tot),
+         |sc AS (SELECT b.doc_id, CAST(SUM(wt.w_e6) AS BIGINT) AS score_e6
+         |       FROM b JOIN wt USING (bkt) GROUP BY 1)
+         |SELECT ws.doc_id, CAST(len(ws.w) AS BIGINT) AS n_tokens,
+         |       COALESCE(sc.score_e6, 0) AS score_e6
+         |FROM ws LEFT JOIN sc USING (doc_id) ORDER BY ws.doc_id""".stripMargin,
     // PII flag + redact over text with deterministically PLANTED specimens
     // (same doc_id arithmetic as the Spark side). Token-level anchored
     // regexes ≡ the TextKernels scanners; string_split(' ') KEEPS empty

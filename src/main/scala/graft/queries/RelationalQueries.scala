@@ -371,6 +371,22 @@ object RelationalQueries {
         .select(col("c_custkey"))
       graft.ops.ScaleOps.bloomAntiJoin(ev, "user_id", banned, "c_custkey")
     }),
+    "q40_unpivot" -> ((s, d) => {
+      // UNPIVOT (melt): wide per-row metric columns into long
+      // (metric, value) form — the normalization inverse of q26's pivot.
+      // One generator per row, no shuffle; metrics pre-cast to exact
+      // integer units so the shared value column has one type.
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          asLong(col("l_quantity")).as("qty"),
+          cents(col("l_extendedprice")).as("price_cents"),
+          cents(col("l_discount")).as("discount_cents"),
+          cents(col("l_tax")).as("tax_cents"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("qty"), col("price_cents"), col("discount_cents"), col("tax_cents")),
+          "metric", "value")
+    }),
     "q39_scd2" -> ((s, d) => {
       // SCD type-2 history build: the events change-log collapsed into
       // per-user validity intervals of the tracked attribute (event_type).
@@ -651,6 +667,21 @@ object RelationalQueries {
         |                  WHERE c.c_mktsegment = 'BUILDING'
         |                    AND c.c_custkey = e.user_id)
         |ORDER BY event_id""".stripMargin,
+    "q40_unpivot" ->
+      """WITH b AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |       CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+        |       CAST(ROUND(l_extendedprice*100) AS BIGINT) AS price_cents,
+        |       CAST(ROUND(l_discount*100) AS BIGINT) AS discount_cents,
+        |       CAST(ROUND(l_tax*100) AS BIGINT) AS tax_cents
+        |FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, 'qty' AS metric, qty AS value FROM b
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'price_cents', price_cents FROM b
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'discount_cents', discount_cents FROM b
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'tax_cents', tax_cents FROM b
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
     "q39_scd2" ->
       """WITH o AS (
         |  SELECT user_id, event_type, ts, event_id,

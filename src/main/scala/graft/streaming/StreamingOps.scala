@@ -60,6 +60,21 @@ case class AsofJoinState(rights: Seq[AsofRight], lefts: Seq[AsofPending])
 case class AsofEnriched(id: Long, key: Long, ts: java.sql.Timestamp, value: Double,
     asof_value: Option[Double], asof_ts: Option[java.sql.Timestamp])
 
+/** streamingScd2 input: one change-log record ((ts, seq) orders replays). */
+case class Scd2Input(key: Long, ts: java.sql.Timestamp, seq: Long, value: String)
+
+/** The still-open value run of one key (O(1) state). */
+case class Scd2Run(fromUs: Long, value: String, version: Long)
+
+/** A buffered row not yet certified by the watermark. */
+case class Scd2Pending(tsUs: Long, seq: Long, value: String)
+
+case class Scd2State(open: Option[Scd2Run], pending: Seq[Scd2Pending])
+
+/** A CLOSED validity interval — append-mode output; never mutates. */
+case class Scd2Closed(key: Long, value: String, valid_from: java.sql.Timestamp,
+    valid_to: java.sql.Timestamp, version: Long)
+
 /** Structured Streaming counterparts of graft.ops.CoreOps — the engine's
   * re-expression of the reference's *streaming* runtime semantics
   * (Kafka Streams continuous topologies), on Spark's micro-batch model.
@@ -203,6 +218,27 @@ object StreamingOps {
       .groupBy(window(col(tsCol), windowWidth).as("window"))
       .agg(graft.operators.Sketches.cms(item, depth, width).as("cms"))
       .select(col("window.start").as("window_start"), col("cms"))
+
+  /** Watermarked windowed HyperLogLog registers over a stream — the
+    * distinct-count face of [[windowedCmsStream]] (frequency) and the
+    * fixed-state alternative to [[windowedDistinctSketchStream]]'s KMV:
+    * `2^p` bytes of state per window regardless of cardinality, merged by
+    * max (idempotent — replays and retries cannot inflate it). The grid
+    * is bit-identical to the batch aggregate over the same window's rows
+    * (StreamingSpec), so estimates via
+    * [[graft.operators.Sketches.hllEstimate]] agree too. */
+  def windowedHllStream(
+      events: DataFrame,
+      tsCol: String,
+      hash: Column,
+      p: Int,
+      windowWidth: String = "1 hour",
+      watermark: String = "24 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowWidth).as("window"))
+      .agg(graft.operators.Sketches.hll(hash, p).as("hll"))
+      .select(col("window.start").as("window_start"), col("hll"))
 
   /** Watermarked windowed EXACT quantiles over a stream — streaming form
     * of q28, via [[graft.expressions.QuantileHistogram]] (the batch
@@ -722,6 +758,54 @@ object StreamingOps {
           pending.map(_.tsUs).minOption.foreach(t =>
             state.setTimeoutTimestamp(math.max(t / 1000L, state.getCurrentWatermarkMs() + 1)))
           out.iterator
+      }
+  }
+
+  /** Streaming SCD2 — the CDC face of [[graft.ops.Temporal.scd2]]: per
+    * key, watermark-certified rows replay in (ts, seq) order through the
+    * change detector; each value change CLOSES the previous run and emits
+    * its finalized validity interval (append mode — a closed interval
+    * never mutates, so downstream consumers can sink it blindly). State
+    * per key: the one open run plus the not-yet-certified row buffer
+    * (bounded by the watermark horizon) — the asof join's discipline.
+    * Expects columns `key: long, ts: timestamp, seq: long, value: string`.
+    * StreamingSpec proves closed intervals ≡ the batch operator's closed
+    * rows with out-of-order arrivals split across micro-batches. */
+  def streamingScd2(events: DataFrame, watermark: String = "1 hour"): Dataset[Scd2Closed] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .select(col("key"), col("ts"), col("seq"), col("value")).as[Scd2Input]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Scd2State, Scd2Closed](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[Scd2Input], state: GroupState[Scd2State]) =>
+          val st = state.getOption.getOrElse(Scd2State(None, Nil))
+          val rs = if (state.hasTimedOut) Array.empty[Scd2Input] else rows.toArray
+          // strict cutoff, as in streamingAsofJoin: a row at ts == wm may
+          // still arrive, so only rows strictly below it are replayed
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val all = st.pending ++ rs.map(x => Scd2Pending(tsMicros(x.ts), x.seq, x.value))
+          val (ready, pending) = all.partition(_.tsUs < wmUs)
+          var open = st.open
+          val out = Seq.newBuilder[Scd2Closed]
+          ready.sortBy(p => (p.tsUs, p.seq)).foreach { p =>
+            open match {
+              case Some(run) if run.value == p.value => // unchanged: run extends
+              case Some(run) =>
+                out += Scd2Closed(key, run.value, microsTs(run.fromUs),
+                  microsTs(p.tsUs), run.version)
+                open = Some(Scd2Run(p.tsUs, p.value, run.version + 1))
+              case None =>
+                open = Some(Scd2Run(p.tsUs, p.value, 1L))
+            }
+          }
+          state.update(Scd2State(open, pending))
+          // re-arm so buffered rows flush when the watermark passes them
+          // even if this key never sees another record
+          pending.map(_.tsUs).minOption.foreach(t =>
+            state.setTimeoutTimestamp(
+              math.max(t / 1000L, state.getCurrentWatermarkMs() + 1)))
+          out.result().iterator
       }
   }
 

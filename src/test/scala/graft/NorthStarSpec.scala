@@ -643,4 +643,62 @@ class NorthStarSpec extends SparkTestBase {
     // at minOccurrences=3 nothing appears 3 times -> empty
     assert(Dedup.duplicatedSpans(d, windowTokens = 8, minOccurrences = 3L).isEmpty)
   }
+
+  test("collocationsTopK: exact lift math, minCount fence, tie order") {
+    // "aa bb" ×5 adjacent; "cc" never adjacent to itself; U = 20 tokens
+    val d = docs(
+      (1L, "aa bb cc aa bb cc aa bb"),
+      (2L, "aa bb cc aa bb cc"),
+      (3L, "dd dd dd dd dd dd"))
+    val got = graft.operators.Keywords.collocationsTopK(d, "text", minCount = 5L, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // counts: aa=5, bb=5, cc=4, dd=6, U=20; pairs: "aa bb"=5, "dd dd"=5,
+    // "bb cc"=4 (below fence), ...
+    // lift(aa bb) = 1e6*5*20/(5*5) = 4_000_000
+    // lift(dd dd) = 1e6*5*20/(6*6) = 2_777_777
+    assert(got.toList === List(
+      ("aa bb", 5L, 5L, 5L, 4000000L),
+      ("dd dd", 5L, 6L, 6L, 2777777L)))
+  }
+
+  test("signedProject: exact integer projection with the md5 sign matrix") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val e = vecs((7L, Seq(0.5f, -0.25f, 1.0f)))
+    val got = Similarity.signedProject(e, "vec_id", "embedding",
+        inDims = 3, outDims = 2, salt = "tst")
+      .collect()(0).getSeq[Long](1)
+    def sgn(j: Int, i: Int): Long =
+      if (graft.expressions.TextKernels.hash60(
+        UTF8String.fromString(s"tst:$j:$i")) % 2 == 1) -1L else 1L
+    val m = Seq(500000L, -250000L, 1000000L)
+    val want = (0 until 2).map(j => (0 until 3).map(i => sgn(j, i) * m(i)).sum)
+    assert(got === want)
+    // deterministic across runs; a different salt draws a different matrix
+    val again = Similarity.signedProject(e, "vec_id", "embedding", 3, 2, "tst")
+      .collect()(0).getSeq[Long](1)
+    assert(again === got)
+  }
+
+  test("importance weights: planted target marker scores highest") {
+    import graft.operators.Importance
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val d = docs(
+      (1L, s"$base zmarker zmarker"), (2L, s"$base zmarker zmarker"),
+      (3L, base), (4L, base), (5L, base), (6L, base))
+    val target = d.filter($"doc_id" <= 2L)
+    val wts = Importance.fitWeights(target, d, "text", nBuckets = 256)
+    val scores = Importance.scoreDocs(d, "doc_id", "text", wts)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // marker docs carry the target-heavy buckets -> strictly higher score
+    assert(scores(1L)._2 > scores(3L)._2)
+    assert(scores(1L) === scores(2L) && scores(3L) === scores(4L))
+    assert(scores(1L)._1 === 22L && scores(3L)._1 === 20L)
+    // score is exactly the sum of per-token bucket weights
+    val mSlot = (graft.expressions.TextKernels.hash60(
+      org.apache.spark.unsafe.types.UTF8String.fromString("zmarker")) % 256).toInt
+    assert(scores(1L)._2 - scores(3L)._2 === 2L * wts(mSlot))
+    intercept[IllegalArgumentException] {
+      Importance.fitWeights(target, d, "text", nBuckets = 100) // not a power of two
+    }
+  }
 }

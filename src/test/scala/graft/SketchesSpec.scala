@@ -292,4 +292,98 @@ class SketchesSpec extends SparkTestBase {
       .select(Sketches.cmsCount(col("c"), col("token"), 2, 1)).head().getLong(0)
     assert(zero === 0L)
   }
+
+  test("madOutliers: exact median/MAD gate, nulls unknown, empty all-null") {
+    import spark.implicits._
+    // values 10×9 + 100: median 10, deviations {0×9, 90} -> MAD 0;
+    // with MAD 0 any nonzero deviation is out (conventional fallback)
+    val d = ((1L to 9L).map(i => (i, Some(10L))) :+ (10L, Some(100L)) :+ (11L, None))
+      .toDF("id", "v")
+    val got = Sketches.madOutliers(d, "v", kMilli = 3000L)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    assert(got(1L) === (Some(0L), Some(0L)))
+    assert(got(10L) === (Some(90L), Some(1L)))
+    assert(got(11L) === (None, None)) // null value: unknown, not outlying
+    // non-degenerate MAD: 1..9 -> median 5, deviations 0..4 -> MAD 2;
+    // k=1000: out iff dev > 2 (values 1,2,8,9)
+    val e = (1L to 9L).map(i => (i, i)).toDF("id", "v")
+    val flagged = Sketches.madOutliers(e, "v", kMilli = 1000L)
+      .filter($"is_outlier" === 1L).select($"id").as[Long].collect().toSet
+    assert(flagged === Set(1L, 2L, 8L, 9L))
+    // empty input: all-null tags, no crash
+    val none = Sketches.madOutliers(e.filter($"id" > 100L), "v")
+    assert(none.select($"deviation", $"is_outlier").schema.forall(_.nullable))
+    assert(none.count() === 0L)
+    intercept[IllegalArgumentException] { Sketches.madOutliers(e, "v", -1L) }
+  }
+
+  test("HllSketch registers ≡ brute max-rho per bucket; merge is partition-invariant") {
+    import spark.implicits._
+    val p = 8
+    val hashes = spark.range(5000).select(
+      graft.functions.TextFunctions.hash60(concat(lit("h:"), $"id")).as("h"))
+    val sk = hashes.agg(Sketches.hll($"h", p).as("sk"))
+      .head().getSeq[Long](0)
+    // brute registers from the definition
+    val hs = hashes.as[Long].collect()
+    val brute = new Array[Long](1 << p)
+    hs.foreach { h =>
+      val idx = (h & ((1 << p) - 1)).toInt
+      val w = h >>> p
+      val rho = (if (w == 0L) 60 - p
+        else 60 - p - (64 - java.lang.Long.numberOfLeadingZeros(w))) + 1
+      if (rho > brute(idx)) brute(idx) = rho.toLong
+    }
+    assert(sk === brute.toSeq)
+    // partition count never changes the merged registers
+    val sk8 = hashes.repartition(8).agg(Sketches.hll($"h", p).as("sk"))
+      .head().getSeq[Long](0)
+    assert(sk8 === sk)
+  }
+
+  test("hllEstimate: raw branch near truth at 5000 distinct; exact-rational formula") {
+    import spark.implicits._
+    val p = 8
+    val skDf = spark.range(5000).select(
+        graft.functions.TextFunctions.hash60(concat(lit("h:"), $"id")).as("h"))
+      .agg(Sketches.hll($"h", p).as("sk"))
+    val est = skDf.select(Sketches.hllEstimate("sk", p).as("e")).head().getLong(0)
+    // 1.04/sqrt(256) ≈ 6.5% standard error — allow 3σ
+    assert(math.abs(est - 5000L) < 1000L, s"raw estimate $est vs 5000")
+    // replay the exact rational from the registers: α_m·m²·2^mmax / S
+    val regs = skDf.head().getSeq[Long](0)
+    val m = 1L << p
+    val mmax = regs.max
+    val s = regs.map(r => BigInt(1) << (mmax - r).toInt).sum
+    val want = (BigInt(7213) * m * m * m * (BigInt(1) << mmax.toInt)) /
+      (BigInt(10) * (1000L * m + 1079L) * s)
+    // at 5000 distinct over 256 registers the raw branch must be active
+    // (V = 0 or raw > 5m/2), and it must equal the exact rational
+    assert(regs.count(_ == 0L) == 0 || want > BigInt(5L * m / 2L))
+    assert(est === want.toLong)
+  }
+
+  test("hllEstimate: linear counting on small sets, 0 on empty, input contract") {
+    import spark.implicits._
+    val p = 8
+    // 40 distinct: V > 0 and raw small -> linear counting ~ exact
+    val small = spark.range(40).select(
+        graft.functions.TextFunctions.hash60(concat(lit("s:"), $"id")).as("h"))
+      .agg(Sketches.hll($"h", p).as("sk"))
+      .select(Sketches.hllEstimate("sk", p).as("e")).head().getLong(0)
+    assert(math.abs(small - 40L) <= 5L, s"linear-counting estimate $small vs 40")
+    // empty input: all-zero registers estimate exactly 0
+    val empty = spark.range(0).select(lit(1L).as("h"))
+      .agg(Sketches.hll($"h", p).as("sk"))
+      .select(Sketches.hllEstimate("sk", p).as("e")).head().getLong(0)
+    assert(empty === 0L)
+    // out-of-range hash (negative) fails loudly, not silently mis-registers
+    val ex = intercept[org.apache.spark.SparkException] {
+      Seq(-1L).toDF("h").agg(Sketches.hll($"h", p)).collect()
+    }
+    assert(ex.getMessage.contains("hll_sketch") ||
+      Option(ex.getCause).exists(_.getMessage.contains("hll_sketch")))
+  }
 }

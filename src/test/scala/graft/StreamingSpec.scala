@@ -17,6 +17,7 @@ case class StreamVecFixture(vec_id: Long, embedding: Seq[Float], ts: Timestamp)
 case class AsofLeftFix(key: Long, id: Long, ts: Timestamp, value: Double)
 case class AsofRightFix(key: Long, ts: Timestamp, value: Double)
 case class QueryEvent(ts: Timestamp, query_id: Int, text: String)
+case class Scd2Fix(key: Long, ts: Timestamp, seq: Long, value: String)
 
 /** Streaming semantics mirrored from the reference's TopologyTestDriver
   * tests (CallsEnrichedAppTest.java) on MemoryStream micro-batches:
@@ -965,6 +966,68 @@ class StreamingSpec extends SparkTestBase {
     }.collect().map(r => (r.getTimestamp(0), r.getSeq[Long](1))).toSet
     assert(rows.nonEmpty)
     assert(rows === batch)
+  }
+
+  test("windowed HLL registers: stream ≡ batch hll per window, bit-for-bit") {
+    val sf = "/root/testdata/sf0.001"
+    val events = graft.Tables.events(spark, sf)
+      .select($"ts", $"user_id", $"value").as[RawCall]
+    def hashCol = graft.functions.TextFunctions.hash60($"user_id".cast("string"))
+    val batch = events.toDF()
+      .groupBy(window($"ts", "1 hour").as("window"))
+      .agg(graft.operators.Sketches.hll(hashCol, 8).as("hll"))
+      .select($"window.start".as("window_start"), $"hll")
+      .collect().map(r => (r.getTimestamp(0), r.getSeq[Long](1))).toSet
+    val in = MemoryStream[RawCall](spark)
+    val out = StreamingOps.windowedHllStream(
+      in.toDF(), "ts", hashCol, p = 8, windowWidth = "1 hour")
+    val rows = runUpdate(out, "stream_hll") {
+      in.addData(events.collect().toIndexedSeq)
+    }.collect().map(r => (r.getTimestamp(0), r.getSeq[Long](1))).toSet
+    assert(rows.nonEmpty)
+    assert(rows === batch)
+  }
+
+  test("streaming SCD2: closed intervals ≡ batch, out-of-order across batches") {
+    val rows = Seq(
+      Scd2Fix(1L, ts("10:00"), 1L, "a"),
+      Scd2Fix(1L, ts("10:20"), 2L, "a"), // unchanged — same run
+      Scd2Fix(1L, ts("10:40"), 3L, "b"),
+      Scd2Fix(1L, ts("11:00"), 4L, "a"),
+      Scd2Fix(2L, ts("10:10"), 5L, "x")) // single row: open run, no output
+    val flush = Scd2Fix(99L, Timestamp.valueOf("2024-01-02 12:00:00"), 9L, "z")
+    val in = MemoryStream[Scd2Fix](spark)
+    val out = StreamingOps.streamingScd2(in.toDF(), watermark = "1 hour")
+    val q = out.writeStream
+      .format("memory").queryName("stream_scd2").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ck-scd2").toString)
+      .start()
+    try {
+      // batch 1 arrives OUT OF ORDER (the 10:40 change before the 10:00
+      // opener); watermark still at minus infinity — nothing certifies
+      in.addData(rows(2), rows(0))
+      q.processAllAvailable()
+      assert(spark.table("stream_scd2").count() === 0L)
+      // batch 2: the rest, still below the watermark horizon
+      in.addData(rows(1), rows(3), rows(4))
+      q.processAllAvailable()
+      // batch 3: watermark push + the no-data batch fires the timeouts
+      in.addData(flush)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("stream_scd2")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), r.getTimestamp(3), r.getLong(4))).toSet
+    // batch operator on the same log agrees on every CLOSED interval
+    val batch = graft.ops.Temporal.scd2((rows :+ flush).toDF(),
+        Seq("key"), "ts", Seq("seq"), Seq("value"))
+      .filter($"valid_to".isNotNull)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), r.getTimestamp(3), r.getLong(4))).toSet
+    assert(got === Set(
+      (1L, "a", ts("10:00"), ts("10:40"), 1L),
+      (1L, "b", ts("10:40"), ts("11:00"), 2L)))
+    assert(got === batch)
   }
 
   test("streaming BM25 over a static index ≡ the batch served probe, state across batches") {
