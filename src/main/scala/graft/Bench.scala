@@ -159,6 +159,9 @@ object Bench {
       tinyDocs.select(col("doc_id"), col("n_chars"), octet_length(col("text")).cast("long").as("nb"))
         .unpivot(Array(col("doc_id")), Array(col("n_chars"), col("nb")), "metric", "value").count()
       Similarity.diversitySample(tinyEmb, kPerCell = 2, nCells = 2).count()
+      graft.multimodal.Multimodal.perceptualDupClusters(
+        graft.multimodal.Multimodal.decodeStub(
+          graft.multimodal.Multimodal.mediaDataset(spark, tinyDocs)).toDF()).count()
       // r7 fourth batch: the scd2 change-run windows (q39: struct lag +
       // lead over change rows) and the budget prefix selection (t32:
       // per-score fit + boundary-class cumulative window)

@@ -156,6 +156,39 @@ object VectorKernels {
     new GenericArrayData(out)
   }
 
+  /** Signed-projection kernel: `y_j = Σ_i s_{j,i} · round(1e6·x_i)` over
+    * a flat row-major ±1 sign matrix. The micro-round replicates Spark's
+    * `round()` exactly (BigDecimal.valueOf + HALF_UP — `Math.round`'s
+    * floor(x+0.5) differs on negative halves), so the kernel is
+    * bit-identical to the HOF form it replaces. Micro values are computed
+    * ONCE per input element, then reused across all output dims — the
+    * property the interpreted HOF chain lost (it re-evaluated the
+    * rounding transform per term). */
+  def signedProject(arr: ArrayData, signs: Array[Long], outDims: Int): ArrayData = {
+    val n = arr.numElements()
+    if (signs.length != outDims * n) throw new IllegalArgumentException(
+      s"signed_project: vector has $n dims but the sign matrix was built " +
+        s"for ${signs.length / outDims}")
+    val m = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      m(i) = java.math.BigDecimal.valueOf(arr.getFloat(i).toDouble * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      i += 1
+    }
+    val out = new Array[Long](outDims)
+    var j = 0
+    while (j < outDims) {
+      var s = 0L
+      val base = j * n
+      var k = 0
+      while (k < n) { s += signs(base + k) * m(k); k += 1 }
+      out(j) = s
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Integer dot product over two int8 vectors — the coarse-scoring loop:
     * pure int multiply-adds over arrays a quarter the size of float32,
     * which is the whole point at 100 TB (the coarse scan is memory-bandwidth
@@ -194,6 +227,27 @@ case class QuantizeI8(child: Expression, scales: Array[Double])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Codegen'd signed random projection of an `array<float>` against a
+  * fixed flat ±1 sign matrix (data-independent build state, like
+  * [[QuantizeI8]]'s scales). */
+case class SignedProjectExpr(child: Expression, signs: Array[Long], outDims: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"signed_project expects array<float>, got $t")
+  }
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.signedProject(a.asInstanceOf[ArrayData], signs, outDims)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("signs", signs, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.VectorKernels.signedProject($c, $ref, $outDims);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Integer dot product over two `array<byte>` int8 vectors. */
 case class DotI8(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.LongType
@@ -221,6 +275,11 @@ object VectorExpressions {
   /** Column wrapper for QuantizeI8. */
   def quantizeI8(a: Column, scales: Array[Double]): Column =
     GraftColumnShim.column(QuantizeI8(GraftColumnShim.expression(a), scales))
+
+  /** Column wrapper for SignedProjectExpr. */
+  def signedProject(a: Column, signs: Array[Long], outDims: Int): Column =
+    GraftColumnShim.column(
+      SignedProjectExpr(GraftColumnShim.expression(a), signs, outDims))
 
   /** Column wrapper for DotI8. */
   def dotI8(a: Column, b: Column): Column =

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Typed record for an opaque media payload: the engine's multimodal column
@@ -294,4 +294,29 @@ object Multimodal {
     import spark.implicits._
     mediaFromDocs(docs).as[MediaRecord]
   }
+
+  /** Gradient (dHash-style) perceptual hash over a decoder's feature
+    * vector: bit `i` set iff `feature[i+1] > feature[i]` — the relative-
+    * gradient signature that survives brightness/scale shifts where raw
+    * byte digests don't. With [[decodeImages]] the features are the
+    * luminance histogram, so this is the classic dHash shape; with the
+    * stub codec it hashes the stub's closed-form features (oracle-exact).
+    * A plain codegen'd expression — no HOF, no UDF. */
+  def dHash(feature: Column): Column =
+    (0 until 7).map { i =>
+      when(element_at(feature, i + 2) > element_at(feature, i + 1), lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Perceptual-duplicate candidate buckets: images sharing a [[dHash]]
+    * value, with cluster size and the canonical (min) doc. Like LSH bands,
+    * the hash buckets CANDIDATES — a byte-exact or feature-distance verify
+    * runs downstream on each bucket, never across buckets, which is what
+    * keeps image dedup linear at 100 TB (no image×image comparison). */
+  def perceptualDupClusters(features: DataFrame): DataFrame =
+    features
+      .withColumn("dhash", dHash(col("feature")))
+      .groupBy(col("dhash"))
+      .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("canonical_doc"))
+      .filter(col("n_images") >= 2)
 }

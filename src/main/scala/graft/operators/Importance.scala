@@ -63,16 +63,21 @@ object Importance {
     * `n_tokens` (or not) downstream — callers choose, as with the bigram
     * LM scores. One HOF fold per row over the token stream; the weight
     * array is a foldable literal, so the plan is a narrow map. */
-  def scoreDocs(df: DataFrame, idCol: String, textCol: String,
-      weights: Array[Long]): DataFrame = {
+  /** The per-row importance score as a composable Column — a stateless
+    * fold over the token stream against the foldable weight table, so it
+    * drops unchanged into batch projections and readStream pipelines. */
+  def scoreColumn(text: Column, weights: Array[Long]): Column = {
     require(weights.nonEmpty && (weights.length & (weights.length - 1)) == 0,
       s"weights length must be a power of two, got ${weights.length}")
     val w: Column = typedLit(weights)
-    val toks = TextFunctions.tokens(col(textCol))
-    val score = aggregate(toks, lit(0L), (acc, t) =>
+    aggregate(TextFunctions.tokens(text), lit(0L), (acc, t) =>
       acc + element_at(w,
         (pmod(TextFunctions.hash60(t), lit(weights.length.toLong)) + 1L).cast("int")))
-    df.select(col(idCol), size(toks).cast("long").as("n_tokens"),
-      score.as("score_e6"))
   }
+
+  def scoreDocs(df: DataFrame, idCol: String, textCol: String,
+      weights: Array[Long]): DataFrame =
+    df.select(col(idCol),
+      size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens"),
+      scoreColumn(col(textCol), weights).as("score_e6"))
 }

@@ -567,14 +567,12 @@ object Similarity {
         org.apache.spark.unsafe.types.UTF8String.fromString(s"$salt:$j:$i"))
       if (h % 2 == 1) -1L else 1L
     }
-    val s = typedLit(signs)
-    val micro = transform(col(vecCol), x => round(x.cast("double") * lit(1e6)).cast("long"))
-    val proj = transform(sequence(lit(0), lit(outDims - 1)), j =>
-      aggregate(sequence(lit(0), lit(inDims - 1)), lit(0L), (acc, i) =>
-        acc + element_at(s, (j * inDims + i + 1).cast("int")) *
-          element_at(col("__m"), (i + 1).cast("int"))))
-    emb.withColumn("__m", micro)
-      .select(col(idCol), proj.as("proj"))
+    // ONE codegen'd kernel pass per row (SignedProjectExpr): the HOF
+    // formulation ran interpreted and re-evaluated the micro-rounding
+    // transform per term — 88 s at sf0.1 vs ~0.3 s for the kernel;
+    // results are bit-identical (same HALF_UP micro-round, same sums)
+    emb.select(col(idCol),
+      VectorExpressions.signedProject(col(vecCol), signs, outDims).as("proj"))
   }
 
   def semanticNearDupPairs(emb: DataFrame, nCells: Int, minCosE6: Long,

@@ -480,6 +480,15 @@ object NorthStarQueries {
           tokenCount(col("text")).cast("long"))
         .select(col("component"), col("kept_doc_id"), col("kept_score"))
     }),
+    "m05_perceptual_dedup" -> ((s, d) => {
+      // Perceptual-duplicate candidate buckets over the image branch:
+      // gradient dHash of the decoded feature vector, grouped — LSH-style
+      // candidate generation for image dedup (verify runs within buckets
+      // downstream, never across). Stub codec ⇒ every bit oracle-exact.
+      Multimodal.perceptualDupClusters(
+        Multimodal.decodeStub(Multimodal.mediaDataset(s, Tables.documents(s, d)))
+          .toDF().filter(col("kind") === "image"))
+    }),
     "m04_audio_stats" -> ((s, d) => {
       // Audio-branch stats via the injectable-codec seam; the stub's
       // closed-form integer math makes every column oracle-exact.
@@ -1995,6 +2004,31 @@ object NorthStarQueries {
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // stub features replayed as exact permille ints; float division by
+    // 1000 is monotone-injective over [0,1000), so the > comparisons (and
+    // hence every dHash bit) are identical to the Spark side's floats
+    "m05_perceptual_dedup" ->
+      """WITH p AS (SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    hex(encode(text)) AS h,
+        |    octet_length(encode(text)) AS nb FROM documents),
+        |b AS (SELECT doc_id, kind, nb,
+        |    CASE WHEN nb >= 1 THEN (strpos('0123456789ABCDEF', substr(h, 1, 1)) - 1) * 16
+        |                         + (strpos('0123456789ABCDEF', substr(h, 2, 1)) - 1)
+        |         ELSE 0 END AS b0,
+        |    CASE WHEN nb >= 2 THEN (strpos('0123456789ABCDEF', substr(h, 3, 1)) - 1) * 16
+        |                         + (strpos('0123456789ABCDEF', substr(h, 4, 1)) - 1)
+        |         ELSE 0 END AS b1 FROM p WHERE kind = 'image'),
+        |f AS (SELECT doc_id,
+        |    list_transform(range(8), i -> (nb * (i + 1) + b0 * 31 + b1 * 7) % 1000) AS pf
+        |    FROM b),
+        |hh AS (SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(7), i ->
+        |      CASE WHEN pf[i + 2] > pf[i + 1] THEN 1 << i ELSE 0 END)) AS BIGINT) AS dhash
+        |    FROM f)
+        |SELECT dhash, CAST(COUNT(*) AS BIGINT) AS n_images,
+        |       MIN(doc_id) AS canonical_doc
+        |FROM hh GROUP BY dhash HAVING COUNT(*) >= 2 ORDER BY dhash""".stripMargin,
     "m02_media_features" ->
       """WITH p AS (SELECT doc_id,
         |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

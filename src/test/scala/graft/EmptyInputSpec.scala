@@ -96,4 +96,27 @@ class EmptyInputSpec extends SparkTestBase {
     assert(Similarity.bruteForceKnn(emb, noQueries, k = 3).count() === 0L)
     assert(Similarity.ivfKnn(emb, noQueries, k = 3, nCells = 4, nprobe = 2).count() === 0L)
   }
+
+  test("r7-continuation operators survive empty inputs") {
+    // scd2 of an empty change log: empty history, schema intact
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp, Long, String)]
+      .toDF("k", "ts", "seq", "v")
+    val hist = graft.ops.Temporal.scd2(noEvents, Seq("k"), "ts", Seq("seq"), Seq("v"))
+    assert(hist.count() === 0L && hist.columns.contains("is_current"))
+    // budget selection of nothing is nothing (fit sees zero classes)
+    val noScored = Seq.empty[(Long, Long, Long)].toDF("id", "score", "cost")
+    assert(graft.operators.Mixture.budgetSelect(noScored, "id", "score", "cost", 10L)
+      .count() === 0L)
+    // DSIR fit on an empty pair of frames: all-smoothing weights, scoring
+    // an empty frame yields nothing
+    val w = graft.operators.Importance.fitWeights(noDocs, noDocs, "text", nBuckets = 128)
+    assert(w.length === 128 && w.forall(_ === w(0)))
+    assert(graft.operators.Importance.scoreDocs(noDocs, "doc_id", "text", w)
+      .count() === 0L)
+    // collocations / projection / diversity / perceptual buckets: empty
+    assert(graft.operators.Keywords.collocationsTopK(noDocs, "text").count() === 0L)
+    assert(Similarity.signedProject(noEmb, "vec_id", "embedding", 64, 4).count() === 0L)
+    assert(graft.multimodal.Multimodal.perceptualDupClusters(
+      Seq.empty[(Long, Seq[Float])].toDF("doc_id", "feature")).count() === 0L)
+  }
 }

@@ -644,6 +644,23 @@ class NorthStarSpec extends SparkTestBase {
     assert(Dedup.duplicatedSpans(d, windowTokens = 8, minOccurrences = 3L).isEmpty)
   }
 
+  test("dHash: gradient bits by position; clusters bucket equal hashes only") {
+    val f = Seq(
+      // rising then falling: bits 0,1 set (f2>f1, f3>f2), rest clear
+      (1L, Seq(0.1f, 0.2f, 0.3f, 0.1f, 0.1f, 0.1f, 0.1f, 0.1f)),
+      (2L, Seq(0.1f, 0.2f, 0.3f, 0.1f, 0.1f, 0.1f, 0.1f, 0.1f)), // same signature
+      (3L, Seq(0.9f, 0.2f, 0.1f, 0.1f, 0.1f, 0.1f, 0.1f, 0.2f))  // different
+    ).toDF("doc_id", "feature")
+    val h = f.select($"doc_id", Multimodal.dHash($"feature").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) === 3L) // bits 0 and 1
+    assert(h(1L) === h(2L))
+    assert(h(1L) !== h(3L))
+    val clusters = Multimodal.perceptualDupClusters(f)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(clusters.toSeq === Seq((3L, 2L, 1L))) // only the 1-2 pair buckets
+  }
+
   test("collocationsTopK: exact lift math, minCount fence, tie order") {
     // "aa bb" ×5 adjacent; "cc" never adjacent to itself; U = 20 tokens
     val d = docs(

@@ -305,4 +305,47 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"),
       s"d15 shuffles the |labels|-row centroid table into a sort-merge join:\n$p")
   }
+
+  test("scd2: ONE exchange on the key; both windows reuse its partitioning") {
+    val p = plan(SparkEntry.queries("q39_scd2")(spark, sf))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1, s"scd2 should shuffle once on user_id, got $exchanges:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"scd2 pays a global sort:\n$p")
+  }
+
+  test("signed projection is a codegen'd per-row map: no exchange, no HOF") {
+    val p = plan(SparkEntry.queries("s09_random_projection")(spark, sf)
+      .where("j = 0")) // keep the generator but exercise the projection path
+    assert(p.contains("signedproject") || p.contains("signed_project") ||
+      p.contains("SignedProject"), s"s09 lost the kernel expression:\n$p")
+    assert(!p.contains("Exchange"), s"s09 shuffles a pure per-row map:\n$p")
+  }
+
+  test("dsir scoring is a shuffle-free fold; no explode, no join at score time") {
+    val wts = Array.fill(256)(1L)
+    val p = plan(graft.operators.Importance.scoreDocs(
+      Tables.documents(spark, sf), "doc_id", "text", wts))
+    assert(!p.contains("Exchange"), s"t33 scoring shuffles:\n$p")
+    assert(!p.contains("Generate"), s"t33 scoring explodes tokens:\n$p")
+  }
+
+  test("budget select: bounded per-score fit + pushdown filter, no global sort") {
+    val p = plan(SparkEntry.queries("t32_token_budget")(spark, sf))
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"t32 pays a global ORDER BY:\n$p")
+    // the only window runs over the single boundary class, partitioned on
+    // the score column — never an empty partition spec over the corpus
+    assert(!p.contains("windowspecdefinition()"),
+      s"t32 runs an unpartitioned window:\n$p")
+  }
+
+  test("hll sketch: one partial-agg exchange, estimator stays in the projection") {
+    val p = plan(SparkEntry.queries("t36_hll_sketch")(spark, sf))
+    assert(p.contains("hll_sketch"), s"t36 lost the register aggregate:\n$p")
+    assert(p.contains("partial_hll_sketch") || p.contains("partial"),
+      s"t36 ships rows instead of partial registers:\n$p")
+    assert(!p.toLowerCase.contains("windowspecdefinition"),
+      s"t36 ranks through a window:\n$p")
+  }
 }

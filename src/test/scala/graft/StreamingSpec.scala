@@ -432,11 +432,15 @@ class StreamingSpec extends SparkTestBase {
     // readStream pipeline with no state and no watermark — asserted by
     // running the identical projection both ways
     import graft.functions.TextFunctions
+    // a tiny DSIR weight table — the foldable-literal scoring fold is as
+    // stateless as the kernels, so it rides the same parity check
+    val wts = Array.tabulate(64)(i => (i % 7).toLong - 3L)
     def stages(df: DataFrame): DataFrame = df.select(
       col("doc_id"),
       TextFunctions.dedupLinesInDoc(col("text")).as("deduped"),
       TextFunctions.scrubPii(col("text")).as("redacted"),
-      TextFunctions.tokenCount(col("text")).as("n_tok"))
+      TextFunctions.tokenCount(col("text")).as("n_tok"),
+      graft.operators.Importance.scoreColumn(col("text"), wts).as("dsir_e6"))
     val in = MemoryStream[StreamDocFixture](spark)
     val q = stages(in.toDF()).writeStream
       .format("memory").queryName("curation_maps").outputMode("append")
