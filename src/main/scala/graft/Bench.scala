@@ -162,6 +162,8 @@ object Bench {
       graft.multimodal.Multimodal.perceptualDupClusters(
         graft.multimodal.Multimodal.decodeStub(
           graft.multimodal.Multimodal.mediaDataset(spark, tinyDocs)).toDF()).count()
+      graft.ops.ScaleOps.skewReport(tinyEv.select(col("user_id")), "user_id").count()
+      tinyDocs.select(TextFunctions.normalizeText(col("text"))).count()
       // r7 fourth batch: the scd2 change-run windows (q39: struct lag +
       // lead over change rows) and the budget prefix selection (t32:
       // per-score fit + boundary-class cumulative window)

@@ -121,6 +121,13 @@ object GraftExtensions {
         arity("graft_kmv_mins", 2, args)
         graft.expressions.KmvMins(args.head, intLit(args(1), "k"))
       }),
+    ("graft_hll",
+      info("graft_hll",
+        "graft_hll(hash, p) - HyperLogLog register vector: array<bigint> of 2^p rho maxes"),
+      (args: Seq[Expression]) => {
+        arity("graft_hll", 2, args)
+        HllSketch(args.head, intLit(args(1), "p"))
+      }),
     ("graft_quantiles",
       info("graft_quantiles",
         "graft_quantiles(value, permille...) - exact discrete quantiles: struct<qs: array<bigint>, n_rows>"),
@@ -140,6 +147,13 @@ object GraftExtensions {
       info("graft_dot_i8",
         "graft_dot_i8(arr_byte, arr_byte) - integer dot product of int8-quantized vectors"),
       (args: Seq[Expression]) => { arity("graft_dot_i8", 2, args); DotI8(args.head, args(1)) }),
+    ("graft_normalize_text",
+      info("graft_normalize_text",
+        "graft_normalize_text(str) - NFC + ROOT lowercase + ASCII whitespace collapse/trim"),
+      (args: Seq[Expression]) => {
+        arity("graft_normalize_text", 1, args)
+        NormalizeTextExpr(args.head)
+      }),
     ("graft_pii_stats",
       info("graft_pii_stats",
         "graft_pii_stats(str) - [emails, ipv4s, phones] PII token counts"),

@@ -160,6 +160,16 @@ case class PiiStatsExpr(child: Expression) extends KernelCall with StringInput {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** NFC + ROOT-lowercase + collapsed ASCII whitespace (TextKernels doc). */
+case class NormalizeTextExpr(child: Expression) extends KernelCall with StringInput {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(s: Any): Any =
+    TextKernels.normalizeText(s.asInstanceOf[UTF8String])
+  override def kernelCall(ctx: CodegenContext, c: String): String =
+    s"graft.expressions.TextKernels.normalizeText($c)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** PII tokens replaced by placeholders, whitespace preserved. */
 case class PiiScrubExpr(child: Expression) extends KernelCall with StringInput {
   override def dataType: DataType = StringType
@@ -256,6 +266,7 @@ object TextExpressions {
   def ngramRepetition(c: Column, n: Int): Column = col(NgramRepetitionExpr(ex(c), n))
   def piiStats(c: Column): Column = col(PiiStatsExpr(ex(c)))
   def piiScrub(c: Column): Column = col(PiiScrubExpr(ex(c)))
+  def normalizeText(c: Column): Column = col(NormalizeTextExpr(ex(c)))
   def dedupLinesInDoc(c: Column): Column = col(DedupLinesInDocExpr(ex(c)))
   def ngramList(c: Column, n: Int): Column = col(NgramListExpr(ex(c), n))
   def deflateLen(c: Column): Column = col(DeflateLenExpr(ex(c)))

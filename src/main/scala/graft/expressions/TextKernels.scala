@@ -538,4 +538,36 @@ object TextKernels {
     while (j < 32) { if (votes(j) > 0) r |= 1L << j; j += 1 }
     r
   }
+
+  /** Canonical text normalization, the first stage of every curation
+    * pipeline: Unicode NFC composition (decomposed `e`+U+0301 ≡ composed
+    * `é` — without it, visually-identical docs evade exact dedup), then
+    * ROOT-locale lowercase, then runs of ASCII whitespace
+    * `[ \t\n\f\r]` collapsed to one space with ends trimmed.
+    * EXACTLY this whitespace set (not Character.isWhitespace, which would
+    * pull in U+2000-class spaces the SQL replay's `\s` does not match) —
+    * the oracle is `trim(regexp_replace(lower(nfc_normalize(s)),
+    * '[ \t\n\v\f\r]+', ' ', 'g'))`, same operation order. */
+  def normalizeText(s: UTF8String): UTF8String = {
+    val nfc = java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC)
+    val lower = nfc.toLowerCase(java.util.Locale.ROOT)
+    val len = lower.length
+    val sb = new java.lang.StringBuilder(len)
+    var pendingSpace = false
+    var started = false
+    var i = 0
+    while (i < len) {
+      val c = lower.charAt(i)
+      val ws = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+      if (ws) {
+        if (started) pendingSpace = true
+      } else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+        started = true
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
 }

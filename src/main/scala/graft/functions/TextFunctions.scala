@@ -72,6 +72,10 @@ object TextFunctions {
     * between quality filtering and packing. */
   def scrubPii(c: Column): Column = TextExpressions.piiScrub(c)
 
+  /** Canonical text normalization: NFC + ROOT lowercase + ASCII
+    * whitespace collapse/trim (see TextKernels.normalizeText). */
+  def normalizeText(c: Column): Column = TextExpressions.normalizeText(c)
+
   /** Text with every repeat of an earlier line in the SAME document
     * dropped ('\n' segments, empties kept, first occurrence wins) — the
     * intra-document exact dedup stage (C4-style repeated-line removal),

@@ -103,24 +103,6 @@ object Mixture {
     }
   }
 
-  /** Deterministic stratified sample: the `kPerGroup` rows of each group
-    * whose salted key hash ranks smallest — "take a random k per source"
-    * with no RNG, reproducible on any engine (hash rank replaces the
-    * random draw; a fixed salt freezes the draw, a new salt is a fresh
-    * one).
-    *
-    * Shape: ONE grouped bounded-heap aggregate ([[graft.expressions
-    * .TopKByScore]]) with map-side partials — each partition contributes
-    * at most `kPerGroup` rows per group to the exchange. The usual
-    * window-rank formulation (`row_number over (partition by group order
-    * by hash)`) shuffles and sorts the WHOLE corpus; this shuffles
-    * `O(partitions × groups × k)` rows. The hash is truncated to 48 bits
-    * (`>> 12`, the KMV trick) so the heap's double-typed score stays
-    * exact; ranking is (hash asc, key asc) — ties deterministic, so the
-    * DuckDB oracle reproduces the sample bit-for-bit.
-    *
-    * Output: `(groupCol, rank, keyCol)`, rank 1-based within each group.
-    */
   /** Budget-constrained greedy selection: rank rows by (`scoreCol` desc,
     * `idCol` asc) and keep the PREFIX whose running `costCol` total
     * (inclusive) stays ≤ `budget` — "take the best documents until the
@@ -150,6 +132,22 @@ object Mixture {
   def budgetSelect(df: DataFrame, idCol: String, scoreCol: String,
       costCol: String, budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
+    budgetSelectImpl(df, idCol, scoreCol, costCol, _ => budget)
+  }
+
+  /** [[budgetSelect]] with the budget as a FRACTION `num/den` of the
+    * TOTAL cost ("keep the best half of the corpus by tokens") — the
+    * total comes from the same per-score fit the selection already runs,
+    * so the fractional form costs one corpus pass less than computing
+    * the total separately and passing it to [[budgetSelect]]. */
+  def budgetSelectFraction(df: DataFrame, idCol: String, scoreCol: String,
+      costCol: String, num: Long, den: Long): DataFrame = {
+    require(num >= 0 && den > 0, s"need num >= 0 and den > 0, got $num/$den")
+    budgetSelectImpl(df, idCol, scoreCol, costCol, total => total * num / den)
+  }
+
+  private def budgetSelectImpl(df: DataFrame, idCol: String, scoreCol: String,
+      costCol: String, budgetOf: Long => Long): DataFrame = {
     val score = col(scoreCol).cast("long")
     val cost = col(costCol).cast("long")
     val rows = df.filter(score.isNotNull && cost.isNotNull)
@@ -159,6 +157,7 @@ object Mixture {
       .collect()
       .map { r => (r.getLong(0), r.getLong(1), r.getLong(2)) }
       .sortBy { case (s, _, _) => -s }
+    val budget = budgetOf(totals.map(_._2).sum)
     totals.foreach { case (s, _, cmin) =>
       require(cmin >= 0, s"budgetSelect: negative $costCol in score class $s")
     }
@@ -187,6 +186,24 @@ object Mixture {
     }
   }
 
+  /** Deterministic stratified sample: the `kPerGroup` rows of each group
+    * whose salted key hash ranks smallest — "take a random k per source"
+    * with no RNG, reproducible on any engine (hash rank replaces the
+    * random draw; a fixed salt freezes the draw, a new salt is a fresh
+    * one).
+    *
+    * Shape: ONE grouped bounded-heap aggregate ([[graft.expressions
+    * .TopKByScore]]) with map-side partials — each partition contributes
+    * at most `kPerGroup` rows per group to the exchange. The usual
+    * window-rank formulation (`row_number over (partition by group order
+    * by hash)`) shuffles and sorts the WHOLE corpus; this shuffles
+    * `O(partitions × groups × k)` rows. The hash is truncated to 48 bits
+    * (`>> 12`, the KMV trick) so the heap's double-typed score stays
+    * exact; ranking is (hash asc, key asc) — ties deterministic, so the
+    * DuckDB oracle reproduces the sample bit-for-bit.
+    *
+    * Output: `(groupCol, rank, keyCol)`, rank 1-based within each group.
+    */
   def stratifiedSample(df: DataFrame, keyCol: String, groupCol: String,
       kPerGroup: Int, salt: String = ""): DataFrame = {
     require(kPerGroup > 0, s"kPerGroup must be positive, got $kPerGroup")

@@ -342,6 +342,22 @@ object Similarity {
     IvfIndex(assignToCells(emb, cent).withColumn("nn", norm(col("embedding"))), cent, nCells)
   }
 
+  /** Incremental index maintenance — the serving-path answer to "new
+    * vectors arrived, don't refit": assign the delta against the FROZEN
+    * centroids and append. Assignments of old vectors never move (the
+    * centroids are immutable inputs), so the extended index is exactly
+    * what a full [[buildIvf]] over base∪delta with the SAME centroids
+    * would produce — the property the s11 oracle checks. Periodic refits
+    * remain a policy decision (rebuild + [[saveIvf]]); between them this
+    * keeps freshness at the cost of one broadcast assignment pass over
+    * the delta only. */
+  def extendIvf(index: IvfIndex, newEmb: DataFrame): IvfIndex =
+    IvfIndex(
+      index.assigned.unionByName(
+        assignToCells(newEmb, index.centroids)
+          .withColumn("nn", norm(col("embedding")))),
+      index.centroids, index.nCells)
+
   /** Persist an [[IvfIndex]] as its serving layout: `assigned` (vectors +
     * precomputed norms + cell ids) written as a catalog table BUCKETED BY
     * `cell` via [[graft.ops.Layout.writeBucketed]], centroids as a plain

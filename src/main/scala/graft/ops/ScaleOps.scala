@@ -183,4 +183,32 @@ object ScaleOps {
     import org.apache.spark.sql.types._
     t == LongType || t == IntegerType || t == ShortType || t == ByteType
   }
+
+  /** Join/aggregation-key skew diagnosis — the report to run BEFORE
+    * choosing between a plain join, [[saltedJoin]], or an AQE skew hint:
+    * one row of per-key-count statistics. `skew_permille` is
+    * `⌊1000 · max/avg⌋` rows-per-key (1000 = perfectly uniform; 50000 =
+    * the hottest key carries 50× its fair share — salt it). p50/p99 come
+    * from the exact definitional-rank quantile machinery, so the whole
+    * report is integer math and engine-reproducible.
+    *
+    * Shape: one count aggregate keyed on `keyCol` (map-side partials),
+    * then ONE global aggregate over the per-key counts whose state is
+    * O(distinct counts) — no window, no sort, nothing driver-side but
+    * the single output row. Null keys count as a key (they hash to one
+    * reducer like any other value — the usual skew culprit). */
+  def skewReport(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__cnt"))
+    counts
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("__cnt")).as("n_rows"),
+        max(col("__cnt")).as("max_rows_per_key"),
+        graft.expressions.QuantileHistogram.quantiles(col("__cnt"), Seq(500, 990)).as("__q"))
+      .select(col("n_keys"), col("n_rows"), col("max_rows_per_key"),
+        element_at(col("__q.qs"), 1).as("p50_rows_per_key"),
+        element_at(col("__q.qs"), 2).as("p99_rows_per_key"),
+        expr("CAST((1000 * max_rows_per_key * n_keys) DIV n_rows AS BIGINT)")
+          .as("skew_permille"))
+  }
 }

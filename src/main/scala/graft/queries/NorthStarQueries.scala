@@ -141,7 +141,12 @@ object NorthStarQueries {
     * as a WITH-clause CTE prefix (`e`, `samp`, `c0..c$iters`, `asg`) —
     * the shared front half of every IVF-backed oracle (s02/s05 probes,
     * d11 semantic dedup). */
-  private def ivfFitCtes(nCells: Int, iters: Int, sampleMod: Int): String = {
+  /** @param fitFilter extra predicate restricting which vectors the
+    *        k-means FIT sees (sample + init); assignment still covers all
+    *        of `e` — the incremental-index oracle (s11) fits on the base
+    *        corpus and assigns base + delta with the frozen centroids. */
+  private def ivfFitCtes(nCells: Int, iters: Int, sampleMod: Int,
+      fitFilter: String = "TRUE"): String = {
     val iterCtes = (1 to iters).map { i =>
       val prev = s"c${i - 1}"
       s"""a$i AS (SELECT vec_id, v, cid AS cell FROM (
@@ -160,10 +165,10 @@ object NorthStarQueries {
     }
     val fin = s"c$iters"
     s"""e AS (SELECT vec_id, embedding AS v FROM embeddings),
-       |samp AS (SELECT vec_id, v FROM e WHERE vec_id % $sampleMod = 0),
+       |samp AS (SELECT vec_id, v FROM e WHERE vec_id % $sampleMod = 0 AND ($fitFilter)),
        |c0 AS (SELECT CAST(vec_id AS INT) AS cid,
        |              list_transform(v, x -> ${microSql("x")}/1000000.0) AS cv
-       |       FROM e WHERE vec_id < $nCells),
+       |       FROM e WHERE vec_id < $nCells AND ($fitFilter)),
        |${iterCtes.mkString(",\n")},
        |asg AS (SELECT vec_id, v, cid AS cell FROM (
        |          SELECT e.vec_id, e.v, c.cid,
@@ -379,15 +384,27 @@ object NorthStarQueries {
     "t32_token_budget" -> ((s, d) => {
       // Budget-constrained final cut: best documents by the t03 quality
       // score until half the corpus's token budget is spent (prefix rule).
-      // No global sort — one bounded per-score fit, a pushdown filter for
-      // the classes that fit wholesale, and a cumulative window over the
-      // single boundary class only (Mixture.budgetSelect).
+      // No global sort — one bounded per-score fit (which also yields the
+      // total, so the half-budget costs no extra corpus pass), a pushdown
+      // filter for the classes that fit wholesale, and a cumulative window
+      // over the single boundary class only.
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), qualityScore(col("text")).as("quality"),
           tokenCount(col("text")).cast("long").as("n_tokens"))
-      val total = docs.agg(sum(col("n_tokens"))).collect()(0).getLong(0)
-      graft.operators.Mixture.budgetSelect(
-        docs, "doc_id", "quality", "n_tokens", total / 2)
+      graft.operators.Mixture.budgetSelectFraction(
+        docs, "doc_id", "quality", "n_tokens", 1L, 2L)
+    }),
+    "s11_ivf_delta" -> ((s, d) => {
+      // Incremental IVF maintenance: fit on the base corpus (vec_id % 10
+      // != 9), then assign the newly-arrived delta against the FROZEN
+      // centroids (extendIvf — one broadcast pass over the delta, no
+      // refit). Hash-equality with a frozen-centroid assignment over
+      // base ∪ delta proves extension ≡ rebuild-at-same-centroids.
+      val emb = Tables.embeddings(s, d)
+      val base = emb.filter(pmod(col("vec_id"), lit(10)) =!= 9)
+      val delta = emb.filter(pmod(col("vec_id"), lit(10)) === 9)
+      val ext = Similarity.extendIvf(Similarity.buildIvf(base, nCells = 16), delta)
+      ext.assigned.select(col("vec_id"), col("cell").cast("int").as("cell"))
     }),
     "t36_hll_sketch" -> ((s, d) => {
       // Per-source distinct-token estimate through HyperLogLog — fixed
@@ -412,6 +429,23 @@ object NorthStarQueries {
       // fit + one bounded-heap aggregate.
       Similarity.diversitySample(Tables.embeddings(s, d),
         kPerCell = 8, nCells = 16, salt = "div")
+    }),
+    "t37_normalize" -> ((s, d) => {
+      // Canonical text normalization (stage 0 of every curation run):
+      // NFC composition + ROOT lowercase + ASCII whitespace collapse, one
+      // codegen'd kernel per row. The corpus is ASCII-lowercase already,
+      // so every 3rd doc gets a planted specimen (decomposed accents,
+      // uppercase, tab/vertical-tab runs) — identically in the oracle —
+      // proving composition actually unifies what exact dedup would miss.
+      val planted = Tables.documents(s, d).withColumn("t2",
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(col("text"), lit("\tCafé NAÏVE  ok")))
+          .otherwise(col("text")))
+      planted
+        .select(col("doc_id"), TextFunctions.normalizeText(col("t2")).as("normalized"),
+          col("t2"))
+        .select(col("doc_id"), col("normalized"),
+          (col("normalized") =!= col("t2")).cast("long").as("changed"))
     }),
     "t35_mad_outliers" -> ((s, d) => {
       // Robust length-anomaly gate: 3-MADs-out on doc length, all exact
@@ -1570,6 +1604,13 @@ object NorthStarQueries {
          |SELECT doc_id, quality, n_tokens FROM c, b
          |WHERE cum <= budget ORDER BY doc_id""".stripMargin
     },
+    // fit restricted to the base corpus, assignment over everything with
+    // the frozen final centroids — exactly what extendIvf materializes
+    "s11_ivf_delta" ->
+      s"""WITH ${ivfFitCtes(nCells = 16, iters = 2, sampleMod = 7,
+            fitFilter = "vec_id % 10 <> 9")}
+         |SELECT vec_id, CAST(cell AS INTEGER) AS cell
+         |FROM asg ORDER BY vec_id""".stripMargin,
     // register vector rebuilt from DISTINCT hashes (max is idempotent):
     // idx = h mod 256, rho = 52-bit-field leading zeros + 1 via an exact
     // powers-of-two join (no log2 floats); estimator replayed in HUGEINT
@@ -1619,6 +1660,22 @@ object NorthStarQueries {
          |      FROM hh)
          |SELECT CAST(cell AS INTEGER) AS cell, CAST(rank AS INT) AS rank, vec_id
          |FROM r WHERE rank <= 8 ORDER BY cell, rank""".stripMargin,
+    // same specimen via chr() codepoints; nfc_normalize + unicode lower +
+    // the EXPLICIT ASCII whitespace class (chr-built, no escape ambiguity)
+    // replay the kernel's three stages in the same order
+    "t37_normalize" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0
+        |       THEN text || chr(9)||'Cafe'||chr(769)||' NAI'||chr(776)||'VE '||chr(11)||' ok'
+        |       ELSE text END AS t2 FROM documents),
+        |n AS (SELECT doc_id, t2,
+        |        trim(regexp_replace(lower(nfc_normalize(t2)),
+        |          '['||chr(32)||chr(9)||chr(10)||chr(11)||chr(12)||chr(13)||']+',
+        |          ' ', 'g')) AS normalized
+        |      FROM d)
+        |SELECT doc_id, normalized,
+        |       CAST(CASE WHEN normalized <> t2 THEN 1 ELSE 0 END AS BIGINT) AS changed
+        |FROM n ORDER BY doc_id""".stripMargin,
     // both medians replay the q28/q30 definitional rank rule; the gate
     // itself is pure integer comparison
     "t35_mad_outliers" ->

@@ -371,6 +371,12 @@ object RelationalQueries {
         .select(col("c_custkey"))
       graft.ops.ScaleOps.bloomAntiJoin(ev, "user_id", banned, "c_custkey")
     }),
+    "q41_skew_report" -> ((s, d) => {
+      // Key-skew diagnosis for the events:user_id join key — the report
+      // that decides plain join vs saltedJoin vs AQE hints. Two
+      // aggregates, exact integer stats, one output row.
+      graft.ops.ScaleOps.skewReport(Tables.events(s, d), "user_id")
+    }),
     "q40_unpivot" -> ((s, d) => {
       // UNPIVOT (melt): wide per-row metric columns into long
       // (metric, value) form — the normalization inverse of q26's pivot.
@@ -667,6 +673,21 @@ object RelationalQueries {
         |                  WHERE c.c_mktsegment = 'BUILDING'
         |                    AND c.c_custkey = e.user_id)
         |ORDER BY event_id""".stripMargin,
+    "q41_skew_report" ->
+      """WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY 1),
+        |h AS (SELECT cnt, COUNT(*) AS k FROM c GROUP BY 1),
+        |w AS (SELECT cnt, CAST(SUM(k) OVER (ORDER BY cnt) AS BIGINT) AS cum,
+        |             CAST(SUM(k) OVER () AS BIGINT) AS n FROM h),
+        |q AS (SELECT MIN(CASE WHEN cum > (500*(n-1))//1000 THEN cnt END) AS p50,
+        |             MIN(CASE WHEN cum > (990*(n-1))//1000 THEN cnt END) AS p99 FROM w),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |             CAST(MAX(cnt) AS BIGINT) AS mx FROM c)
+        |SELECT t.n_keys, t.n_rows, t.mx AS max_rows_per_key,
+        |       q.p50 AS p50_rows_per_key, q.p99 AS p99_rows_per_key,
+        |       CAST((1000 * t.mx * t.n_keys) // t.n_rows AS BIGINT) AS skew_permille
+        |FROM t, q""".stripMargin,
     "q40_unpivot" ->
       """WITH b AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
         |       CAST(ROUND(l_quantity) AS BIGINT) AS qty,

@@ -169,6 +169,20 @@ class MixtureSpec extends SparkTestBase {
     assert(got === want && got.nonEmpty && got.size < 500)
   }
 
+  test("budgetSelectFraction ≡ budgetSelect at the explicitly-computed total") {
+    val toy = Seq(
+      (1L, 9L, 10L), (2L, 5L, 10L), (3L, 5L, 10L), (4L, 5L, 10L), (5L, 2L, 10L)
+    ).toDF("id", "score", "cost")
+    val frac = Mixture.budgetSelectFraction(toy, "id", "score", "cost", 1L, 2L)
+      .select($"id").as[Long].collect().toSet
+    val fixed = Mixture.budgetSelect(toy, "id", "score", "cost", 50L / 2L)
+      .select($"id").as[Long].collect().toSet
+    assert(frac === fixed && frac === Set(1L, 2L))
+    intercept[IllegalArgumentException] {
+      Mixture.budgetSelectFraction(toy, "id", "score", "cost", 1L, 0L)
+    }
+  }
+
   test("budgetSelect: null evidence is excluded, negative costs fail loudly") {
     val toy = Seq(
       (1L, Some(5L), Some(10L)), (2L, None, Some(10L)), (3L, Some(5L), None)

@@ -644,6 +644,41 @@ class NorthStarSpec extends SparkTestBase {
     assert(Dedup.duplicatedSpans(d, windowTokens = 8, minOccurrences = 3L).isEmpty)
   }
 
+  test("extendIvf: base assignments frozen, delta lands on the same centroids") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = emb.filter(pmod($"vec_id", lit(10)) =!= 9)
+    val delta = emb.filter(pmod($"vec_id", lit(10)) === 9)
+    val idx = Similarity.buildIvf(base, nCells = 8)
+    val ext = Similarity.extendIvf(idx, delta)
+    // every vector present exactly once; base rows byte-identical
+    assert(ext.assigned.count() === emb.count())
+    val baseCells = idx.assigned.select($"vec_id", $"cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val extCells = ext.assigned.select($"vec_id", $"cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    baseCells.foreach { case (id, c) => assert(extCells(id) === c) }
+    // the delta really went through the frozen centroids: probing the
+    // extended index can return delta vectors as neighbors
+    assert(extCells.keySet.exists(_ % 10 == 9))
+    // centroids are the SAME object — no refit happened
+    assert(ext.centroids eq idx.centroids)
+  }
+
+  test("skewReport: exact integer stats under the definitional rank rule") {
+    val rows = (Seq.fill(8)("hot") ++ (1 to 8).map(i => s"k$i"))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "key")
+    val r = graft.ops.ScaleOps.skewReport(rows, "key").head()
+    assert(r.getLong(0) === 9L)  // n_keys
+    assert(r.getLong(1) === 16L) // n_rows
+    assert(r.getLong(2) === 8L)  // max
+    // counts multiset {1×8, 8}: rank rule puts both p50 and p99 at 1
+    assert(r.getLong(3) === 1L && r.getLong(4) === 1L)
+    assert(r.getLong(5) === 4500L) // 1000*8*9/16
+    // null keys are counted as a key, not dropped
+    val withNull = rows.union(Seq((99L, null: String)).toDF("id", "key"))
+    assert(graft.ops.ScaleOps.skewReport(withNull, "key").head().getLong(0) === 10L)
+  }
+
   test("dHash: gradient bits by position; clusters bucket equal hashes only") {
     val f = Seq(
       // rising then falling: bits 0,1 set (f2>f1, f3>f2), rest clear

@@ -117,6 +117,19 @@ class SketchesSpec extends SparkTestBase {
     assert(r.getLong(0) === 2L && r.getLong(1) === 5L)
   }
 
+  test("graft_hll SQL surface plans the same register aggregate") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    spark.range(500).select(
+        graft.functions.TextFunctions.hash60(concat(lit("q:"), $"id")).as("h"))
+      .createOrReplaceTempView("hll_in")
+    val viaSql = spark.sql("SELECT graft_hll(h, 8) AS sk FROM hll_in")
+      .head().getSeq[Long](0)
+    val viaApi = spark.table("hll_in")
+      .agg(Sketches.hll(col("h"), 8).as("sk")).head().getSeq[Long](0)
+    assert(viaSql === viaApi)
+  }
+
   // grouped random values: group id 1-3, small value domain to force ties
   private val groupedGen: Gen[List[(Int, Long)]] =
     Gen.nonEmptyListOf(for {

@@ -245,4 +245,26 @@ class TextExprSpec extends SparkTestBase {
       .filter(not($"n" <=> $"m")).count()
     assert(stats === 0L)
   }
+
+  test("normalizeText: NFC unification, ROOT lowercase, whitespace collapse") {
+    import graft.functions.TextFunctions.normalizeText
+    val composed = "Café"            // precomposed é
+    val decomposed = "Café"         // e + combining acute
+    val rows = Seq(
+      (1L, s"\t $composed  WORLD"),
+      (2L, s"$decomposed world"),
+      (3L, "already normal"),
+      (4L, ""),
+      (5L, null: String)
+    ).toDF("id", "t").select($"id", normalizeText($"t").as("n"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // composed and decomposed inputs land on the SAME bytes — the exact
+    // property that makes exact dedup see through unicode variants
+    assert(rows(1L) === Some("café world"))
+    assert(rows(2L).get.startsWith("café"))
+    assert(rows(1L).get.takeWhile(_ != ' ') === rows(2L).get.takeWhile(_ != ' '))
+    assert(rows(3L) === Some("already normal"))
+    assert(rows(4L) === Some(""))
+    assert(rows(5L) === None)
+  }
 }
