@@ -164,6 +164,11 @@ object Bench {
           graft.multimodal.Multimodal.mediaDataset(spark, tinyDocs)).toDF()).count()
       graft.ops.ScaleOps.skewReport(tinyEv.select(col("user_id")), "user_id").count()
       tinyDocs.select(TextFunctions.normalizeText(col("text"))).count()
+      Similarity.recallAtK(tinyEmb, tinyEmb.limit(3), k = 2, nCells = 2, nprobe = 1).count()
+      graft.ops.Temporal.scd2(
+          tinyEv.select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+          Seq("user_id"), "ts", Seq("event_id"), Seq("event_type"))
+        .filter(col("valid_to").isNull).count()
       // r7 fourth batch: the scd2 change-run windows (q39: struct lag +
       // lead over change rows) and the budget prefix selection (t32:
       // per-score fit + boundary-class cumulative window)

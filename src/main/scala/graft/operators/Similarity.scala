@@ -342,6 +342,32 @@ object Similarity {
     IvfIndex(assignToCells(emb, cent).withColumn("nn", norm(col("embedding"))), cent, nCells)
   }
 
+  /** ANN quality evaluation — recall@k of the IVF probe against the
+    * brute-force ground truth on a (sampled) query set: the number every
+    * index deployment tunes `nprobe`/`nCells` against (the
+    * [[tuneNprobe]] utility reads per-query recall; this is the one-row
+    * corpus-level report, oracle-checkable). `recall_permille =
+    * ⌊1000·hits/truth⌋` with truth = the brute top-k pair set — exact
+    * integer math.
+    *
+    * Cost is dominated by the brute ground truth (O(|Q|·N·d)), which is
+    * why the QUERY SET is the sampling knob: evaluate on 0.1% of queries,
+    * serve with the fitted setting. */
+  def recallAtK(emb: DataFrame, queries: DataFrame, k: Int, nCells: Int,
+      nprobe: Int, iters: Int = 2, sampleMod: Int = 7): DataFrame = {
+    val approx = ivfKnn(emb, queries, k, nCells, nprobe, iters, sampleMod)
+      .select(col("query_id"), col("neighbor_id"))
+    val truth = bruteForceKnn(emb, queries, k)
+      .select(col("query_id").as("tq"), col("neighbor_id").as("tn"))
+    val hits = approx.join(truth,
+      col("query_id") === col("tq") && col("neighbor_id") === col("tn"))
+    truth
+      .agg(count_distinct(col("tq")).as("n_queries"), count(lit(1)).as("n_truth"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .select(col("n_queries"), col("n_truth"), col("n_hits"),
+        expr("CAST((1000 * n_hits) DIV n_truth AS BIGINT)").as("recall_permille"))
+  }
+
   /** Incremental index maintenance — the serving-path answer to "new
     * vectors arrived, don't refit": assign the delta against the FROZEN
     * centroids and append. Assignments of old vectors never move (the

@@ -394,6 +394,14 @@ object NorthStarQueries {
       graft.operators.Mixture.budgetSelectFraction(
         docs, "doc_id", "quality", "n_tokens", 1L, 2L)
     }),
+    "s12_ann_recall" -> ((s, d) => {
+      // ANN recall@5 report: the IVF probe (nprobe=2 of 16 cells) scored
+      // against brute-force ground truth on the 20-query eval sample —
+      // the index-tuning number, as one oracle-exact row.
+      val emb = Tables.embeddings(s, d)
+      Similarity.recallAtK(emb, emb.filter(col("vec_id") < 20),
+        k = 5, nCells = 16, nprobe = 2)
+    }),
     "s11_ivf_delta" -> ((s, d) => {
       // Incremental IVF maintenance: fit on the base corpus (vec_id % 10
       // != 9), then assign the newly-arrived delta against the FROZEN
@@ -1604,6 +1612,34 @@ object NorthStarQueries {
          |SELECT doc_id, quality, n_tokens FROM c, b
          |WHERE cum <= budget ORDER BY doc_id""".stripMargin
     },
+    // ivf side = the s02/s05 oracle pipeline, truth side = the s01 brute
+    // pipeline; recall = exact pair-set intersection
+    "s12_ann_recall" ->
+      s"""WITH ${ivfFitCtes(nCells = 16, iters = 2, sampleMod = 7)},
+         |probes AS (SELECT query_id, qv, cell FROM (
+         |          SELECT q.vec_id AS query_id, q.v AS qv, c.cid AS cell,
+         |                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |                   ORDER BY ${cosWSql("q.v", "c.cv")} DESC, c.cid) AS rn
+         |          FROM e q, c2 c WHERE q.vec_id < 20) WHERE rn <= 2),
+         |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+         |                  ${cosE6Sql("p.qv", "a.v")} AS ce
+         |           FROM probes p JOIN asg a ON p.cell = a.cell AND p.query_id <> a.vec_id),
+         |ir AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+         |         ORDER BY ce DESC, neighbor_id) AS rank FROM scored),
+         |iv AS (SELECT query_id, neighbor_id FROM ir WHERE rank <= 5),
+         |bs AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+         |              ${cosE6Sql("q.v", "x.v")} AS ce
+         |       FROM e q JOIN e x ON x.vec_id <> q.vec_id WHERE q.vec_id < 20),
+         |br AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+         |         ORDER BY ce DESC, neighbor_id) AS rank FROM bs),
+         |tv AS (SELECT query_id, neighbor_id FROM br WHERE rank <= 5),
+         |agg AS (SELECT
+         |  CAST((SELECT COUNT(DISTINCT query_id) FROM tv) AS BIGINT) AS n_queries,
+         |  CAST((SELECT COUNT(*) FROM tv) AS BIGINT) AS n_truth,
+         |  CAST((SELECT COUNT(*) FROM iv JOIN tv USING (query_id, neighbor_id)) AS BIGINT) AS n_hits)
+         |SELECT n_queries, n_truth, n_hits,
+         |       CAST((1000 * n_hits) // n_truth AS BIGINT) AS recall_permille
+         |FROM agg""".stripMargin,
     // fit restricted to the base corpus, assignment over everything with
     // the frozen final centroids — exactly what extendIvf materializes
     "s11_ivf_delta" ->

@@ -371,6 +371,20 @@ object RelationalQueries {
         .select(col("c_custkey"))
       graft.ops.ScaleOps.bloomAntiJoin(ev, "user_id", banned, "c_custkey")
     }),
+    "q42_scd2_snapshot" -> ((s, d) => {
+      // Point-in-time snapshot over the q39 history — the time-travel
+      // read SCD2 exists to serve ("every user's attribute as of Jan 15
+      // noon"): a pure interval-containment filter over the history,
+      // pushdown/partition-pruning friendly; exactly one row per key
+      // whose history started by then.
+      val hist = graft.ops.Temporal.scd2(
+        Tables.events(s, d), keyCols = Seq("user_id"), tsCol = "ts",
+        tieCols = Seq("event_id"), valueCols = Seq("event_type"))
+      hist
+        .filter(graft.ops.Temporal.asOfTime(hist,
+          to_timestamp(lit("2024-01-15 12:00:00"))))
+        .select(col("user_id"), col("event_type"), col("version"))
+    }),
     "q41_skew_report" -> ((s, d) => {
       // Key-skew diagnosis for the events:user_id join key — the report
       // that decides plain join vs saltedJoin vs AQE hints. Two
@@ -673,6 +687,24 @@ object RelationalQueries {
         |                  WHERE c.c_mktsegment = 'BUILDING'
         |                    AND c.c_custkey = e.user_id)
         |ORDER BY event_id""".stripMargin,
+    "q42_scd2_snapshot" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |ch AS (
+        |  SELECT user_id, event_type, ts, event_id FROM o
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |iv AS (
+        |  SELECT user_id, event_type, ts AS vf,
+        |         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version
+        |  FROM ch)
+        |SELECT user_id, event_type, version
+        |FROM iv
+        |WHERE vf <= TIMESTAMP '2024-01-15 12:00:00'
+        |  AND (vt IS NULL OR vt > TIMESTAMP '2024-01-15 12:00:00')
+        |ORDER BY user_id""".stripMargin,
     "q41_skew_report" ->
       """WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
         |           FROM events GROUP BY 1),

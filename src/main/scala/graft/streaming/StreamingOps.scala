@@ -240,6 +240,39 @@ object StreamingOps {
       .agg(graft.operators.Sketches.hll(hash, p).as("hll"))
       .select(col("window.start").as("window_start"), col("hll"))
 
+  /** Watermarked per-window key-skew monitor — the streaming face of
+    * [[graft.ops.ScaleOps.skewReport]], for watching a join/grouping
+    * key's hot-spot ratio drift in production: per closed window, one
+    * row of per-key-count statistics (exact integer math, definitional-
+    * rank p50/p99). TWO chained stateful aggregations on the same
+    * event-time window (the Spark 3.5+ multiple-stateful-operator append
+    * shape, as in [[streamingBm25]]): (window, key) counts first — a key
+    * split across micro-batches still counts as one — then the
+    * fixed-state stats aggregate. State: O(keys) per open window in
+    * stage 1, O(distinct counts) in stage 2. */
+  def windowedSkewStream(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      windowWidth: String = "1 hour",
+      watermark: String = "24 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowWidth).as("window"), col(keyCol))
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(col("window"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("__cnt")).as("n_rows"),
+        max(col("__cnt")).as("max_rows_per_key"),
+        graft.expressions.QuantileHistogram.quantiles(col("__cnt"), Seq(500, 990)).as("__q"))
+      .select(col("window.start").as("window_start"),
+        col("n_keys"), col("n_rows"), col("max_rows_per_key"),
+        element_at(col("__q.qs"), 1).as("p50_rows_per_key"),
+        element_at(col("__q.qs"), 2).as("p99_rows_per_key"),
+        expr("CAST((1000 * max_rows_per_key * n_keys) DIV n_rows AS BIGINT)")
+          .as("skew_permille"))
+
   /** Watermarked windowed EXACT quantiles over a stream — streaming form
     * of q28, via [[graft.expressions.QuantileHistogram]] (the batch
     * histogram+window plan is two stateful stages, one too many for a

@@ -972,6 +972,52 @@ class StreamingSpec extends SparkTestBase {
     assert(rows === batch)
   }
 
+  test("windowed skew monitor: stream ≡ batch skew stats, keys split across batches") {
+    // key 7 is hot inside the 10:00 window; its rows arrive across TWO
+    // micro-batches — correct n_keys/max only exist if the (window, key)
+    // counts merged through state before the stats stage
+    val b1 = Seq(
+      CallEvent(ts("10:05"), 7L, 1L), CallEvent(ts("10:10"), 7L, 1L),
+      CallEvent(ts("10:15"), 1L, 1L))
+    val b2 = Seq(
+      CallEvent(ts("10:20"), 7L, 1L), CallEvent(ts("10:25"), 2L, 1L),
+      CallEvent(ts("11:40"), 3L, 1L)) // second window
+    val flush = CallEvent(Timestamp.valueOf("2024-01-03 00:00:00"), 99L, 0L)
+    val in = MemoryStream[CallEvent](spark)
+    val out = StreamingOps.windowedSkewStream(
+      in.toDF(), "ts", "user_id", windowWidth = "1 hour", watermark = "10 minutes")
+    val q = out.writeStream
+      .format("memory").queryName("stream_skew").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ck-skew").toString)
+      .start()
+    try {
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      in.addData(flush); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("stream_skew")
+      .filter($"window_start" < Timestamp.valueOf("2024-01-02 00:00:00"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    // 10:00 window: keys {7:3, 1:1, 2:1} -> n_keys 3, n_rows 5, max 3,
+    // counts multiset {1,1,3}: p50 = 1, p99 = 3 (rank (990*2)//1000 = 1,
+    // first cum > 1 is ... cum(1)=2 > 1 -> p50=p99=1); skew = 1000*3*3/5
+    val batch = (b1 ++ b2).toDF()
+      .groupBy(window($"ts", "1 hour").as("w"), $"user_id")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"w").agg(count(lit(1)).as("nk"), sum($"c").as("nr"),
+        max($"c").as("mx"),
+        graft.expressions.QuantileHistogram.quantiles($"c", Seq(500, 990)).as("q"))
+      .select($"w.start", $"nk", $"nr", $"mx",
+        element_at($"q.qs", 1), element_at($"q.qs", 2),
+        expr("CAST((1000 * mx * nk) DIV nr AS BIGINT)"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got === batch)
+    assert(got.exists { case (w, nk, nr, mx, _, _, sk) =>
+      w === ts("10:00") && nk === 3L && nr === 5L && mx === 3L && sk === 1800L })
+  }
+
   test("windowed HLL registers: stream ≡ batch hll per window, bit-for-bit") {
     val sf = "/root/testdata/sf0.001"
     val events = graft.Tables.events(spark, sf)
