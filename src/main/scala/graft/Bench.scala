@@ -165,6 +165,9 @@ object Bench {
       graft.ops.ScaleOps.skewReport(tinyEv.select(col("user_id")), "user_id").count()
       tinyDocs.select(TextFunctions.normalizeText(col("text"))).count()
       Similarity.recallAtK(tinyEmb, tinyEmb.limit(3), k = 2, nCells = 2, nprobe = 1).count()
+      graft.ops.Temporal.funnelStages(
+        tinyEv.select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+        "user_id", "ts", "event_id", "event_type", Seq("view", "click")).count()
       graft.ops.Temporal.scd2(
           tinyEv.select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
           Seq("user_id"), "ts", Seq("event_id"), Seq("event_type"))

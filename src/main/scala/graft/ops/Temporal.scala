@@ -63,6 +63,41 @@ object Temporal {
         Seq(col("valid_from"), col("valid_to"), col("version"), col("is_current")): _*)
   }
 
+  /** Ordered-sequence funnel analysis: per key, the furthest stage of
+    * `stages` reachable as a SUBSEQUENCE of the key's events in
+    * (`tsCol`, `tieCol`) order — "view → click → purchase", the
+    * behavioral-analytics staple SQL engines bolt on as MATCH_RECOGNIZE.
+    * Greedy earliest-match is used (fold over the ordered events); greedy
+    * matching decides subsequence existence exactly, so the result is
+    * order-theoretic, not heuristic.
+    *
+    * Scale shape: ONE exchange on the key; the per-key aggregate buffers
+    * that key's own events (the same per-group bound as tf-idf's per-doc
+    * token set), then the stage is one fold per key — no window over the
+    * corpus, no self-joins per stage (the k-join SQL formulation pays
+    * k-1 joins; this pays none).
+    *
+    * @return one row per key: (keyCol, stage) with stage in
+    *         [0, stages.length] — 0 = never entered the funnel
+    */
+  def funnelStages(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnelStages needs at least one stage")
+    require(stages.distinct.size == stages.size,
+      "funnelStages: repeated stage names make the greedy fold ambiguous to read — " +
+        "model repeat steps as distinct stage labels upstream")
+    val ordered = df
+      .groupBy(col(keyCol))
+      .agg(array_sort(collect_list(struct(col(tsCol), col(tieCol), col(typeCol))))
+        .as("__seq"))
+    val step = (st: Column, e: Column) =>
+      stages.zipWithIndex.foldLeft(st) { case (acc, (name, i)) =>
+        when(st === i && e.getField(typeCol) === name, lit(i + 1)).otherwise(acc)
+      }
+    ordered.select(col(keyCol),
+      aggregate(col("__seq"), lit(0), step).cast("long").as("stage"))
+  }
+
   /** Point-in-time lookup against an [[scd2]] history: the value row
     * whose interval contains `at` (`valid_from <= at < valid_to`,
     * open-ended current rows match any later time). A pure filter over

@@ -371,6 +371,20 @@ object RelationalQueries {
         .select(col("c_custkey"))
       graft.ops.ScaleOps.bloomAntiJoin(ev, "user_id", banned, "c_custkey")
     }),
+    "q43_funnel" -> ((s, d) => {
+      // Behavioral funnel: furthest view -> click -> purchase stage each
+      // user reaches as an ordered subsequence, rolled up to stage
+      // counts. One exchange on user_id, a per-key fold, no per-stage
+      // self-joins. Restricted to the first three days — over the full
+      // month every user completes and the report collapses to one row.
+      graft.ops.Temporal.funnelStages(
+          Tables.events(s, d).filter(col("ts") < lit("2024-01-04")),
+          keyCol = "user_id", tsCol = "ts",
+          tieCol = "event_id", typeCol = "event_type",
+          stages = Seq("view", "click", "purchase"))
+        .groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
     "q42_scd2_snapshot" -> ((s, d) => {
       // Point-in-time snapshot over the q39 history — the time-travel
       // read SCD2 exists to serve ("every user's attribute as of Jan 15
@@ -687,6 +701,28 @@ object RelationalQueries {
         |                  WHERE c.c_mktsegment = 'BUILDING'
         |                    AND c.c_custkey = e.user_id)
         |ORDER BY event_id""".stripMargin,
+    // greedy earliest-match per stage: min position of each stage type
+    // strictly after the previous stage's match — greedy ≡ subsequence
+    // existence, so the k-join replay equals the operator's single fold
+    "q43_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-04 00:00:00'),
+        |p1 AS (SELECT user_id, MIN(pos) AS v FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |p2 AS (SELECT e.user_id, MIN(pos) AS c FROM e JOIN p1 USING (user_id)
+        |       WHERE event_type = 'click' AND pos > p1.v GROUP BY 1),
+        |p3 AS (SELECT e.user_id, MIN(pos) AS p FROM e JOIN p2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND pos > p2.c GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |st AS (SELECT u.user_id,
+        |         CASE WHEN p3.user_id IS NOT NULL THEN 3
+        |              WHEN p2.user_id IS NOT NULL THEN 2
+        |              WHEN p1.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage
+        |       FROM u LEFT JOIN p1 USING (user_id) LEFT JOIN p2 USING (user_id)
+        |                 LEFT JOIN p3 USING (user_id))
+        |SELECT CAST(stage AS BIGINT) AS stage, CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM st GROUP BY 1 ORDER BY 1""".stripMargin,
     "q42_scd2_snapshot" ->
       """WITH o AS (
         |  SELECT user_id, event_type, ts, event_id,

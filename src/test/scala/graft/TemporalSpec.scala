@@ -63,6 +63,35 @@ class TemporalSpec extends SparkTestBase {
     }
   }
 
+  test("funnelStages: greedy subsequence per key, order by (ts, tie)") {
+    val ev = Seq(
+      // key 1 completes: view ... click ... purchase (with noise between)
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 01:00:00"), 2L, "error"),
+      (1L, ts("2024-01-01 02:00:00"), 3L, "click"),
+      (1L, ts("2024-01-01 03:00:00"), 4L, "purchase"),
+      // key 2: purchase BEFORE view/click — order matters, stage stops at 2
+      (2L, ts("2024-01-01 00:00:00"), 5L, "purchase"),
+      (2L, ts("2024-01-01 01:00:00"), 6L, "view"),
+      (2L, ts("2024-01-01 02:00:00"), 7L, "click"),
+      // key 3: never enters
+      (3L, ts("2024-01-01 00:00:00"), 8L, "error"),
+      // key 4: same-ts tie — seq decides (view before click at one instant)
+      (4L, ts("2024-01-01 00:00:00"), 10L, "click"),
+      (4L, ts("2024-01-01 00:00:00"), 9L, "view")
+    ).toDF("k", "ts", "seq", "v")
+    val got = Temporal.funnelStages(ev, "k", "ts", "seq", "v",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 2L, 3L -> 0L, 4L -> 2L))
+    intercept[IllegalArgumentException] {
+      Temporal.funnelStages(ev, "k", "ts", "seq", "v", Seq("view", "view"))
+    }
+    intercept[IllegalArgumentException] {
+      Temporal.funnelStages(ev, "k", "ts", "seq", "v", Seq.empty)
+    }
+  }
+
   test("asOfTime: point-in-time lookup returns exactly the covering version") {
     val hist = Temporal.scd2(log, Seq("k"), "ts", Seq("seq"), Seq("v"))
     // mid-run: 01:30 inside [00:00, 02:00) → version 1 value x
