@@ -339,6 +339,48 @@ object Sketches {
     }
   }
 
+  /** Per-group winsorization (quantile clipping) — the robust feature
+    * normalization that tames heavy-tailed numeric columns before model
+    * training: within each group, values below the group's `loPermille`
+    * quantile are raised to it and values above `hiPermille` lowered to
+    * it, with both edges computed by the same definitional rank rule as
+    * [[quantileBuckets]]/q30 (exact integer, engine-portable).
+    *
+    * Scale shape: the fit is ONE grouped [[graft.expressions
+    * .QuantileHistogram]] aggregate (per-group state bounded by the value
+    * domain; the fit output is |groups| rows — dimension-table sized),
+    * broadcast back onto the big side, so the clip itself is a pure
+    * per-row map with NO second shuffle of the data. This is the
+    * fit/transform split every 100 TB normalizer needs: the big table is
+    * touched twice read-only, never re-partitioned.
+    *
+    * Null values keep null `winsorized`/`clipped` tags (unknown, not
+    * clipped); a group whose values are all null never reaches the fit
+    * and likewise tags null.
+    *
+    * @return df ++ (winsorized: long clipped into [lo, hi],
+    *         clipped: long 0/1 — whether the value moved)
+    */
+  def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      loPermille: Int, hiPermille: Int): DataFrame = {
+    require(groupCols.nonEmpty, "winsorize needs at least one group column")
+    require(0 <= loPermille && loPermille < hiPermille && hiPermille <= 1000,
+      s"need 0 <= lo < hi <= 1000 permille, got [$loPermille, $hiPermille]")
+    val reserved = Seq("__lo", "__hi", "winsorized", "clipped").filter(df.columns.contains)
+    require(reserved.isEmpty, s"winsorize reserves column names: ${reserved.mkString(", ")}")
+    val v = col(valueCol).cast("long")
+    val keys = groupCols.map(col)
+    val fit = df.filter(v.isNotNull)
+      .groupBy(keys: _*)
+      .agg(graft.expressions.QuantileHistogram.quantiles(v, Seq(loPermille, hiPermille)).as("__q"))
+      .select(keys :+ element_at(col("__q.qs"), 1).as("__lo")
+        :+ element_at(col("__q.qs"), 2).as("__hi"): _*)
+    df.join(broadcast(fit), groupCols, "left")
+      .withColumn("winsorized", when(v.isNotNull, least(greatest(v, col("__lo")), col("__hi"))))
+      .withColumn("clipped", when(v.isNotNull, (v < col("__lo") || v > col("__hi")).cast("long")))
+      .drop("__lo", "__hi")
+  }
+
   def quantileBuckets(df: DataFrame, valueCol: String, permilles: Seq[Int]): DataFrame = {
     require(permilles.nonEmpty, "need at least one breakpoint permille")
     val v = col(valueCol).cast("long")

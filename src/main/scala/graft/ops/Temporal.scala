@@ -98,6 +98,38 @@ object Temporal {
       aggregate(col("__seq"), lit(0), step).cast("long").as("stage"))
   }
 
+  /** Cohort retention analysis: assign every key to the cohort of its
+    * FIRST active day, then count how many of each cohort's keys were
+    * active again `day_offset` days later — the product-analytics
+    * retention triangle ("of users who first appeared on day D, how many
+    * came back on D+k?").
+    *
+    * Scale shape: ONE exchange on the key. The per-key aggregate collects
+    * the key's DISTINCT active days (bounded by the calendar span of the
+    * data, not by event volume — a 31-day month caps the set at 31
+    * entries no matter how many billions of events a key produced); the
+    * cohort day is the set's min, offsets explode from the same set, and
+    * the final (cohort, offset) rollup is a tiny second aggregate over
+    * ≤ span² group rows per partition. No self-join of activity against
+    * first-activity — the classic two-scan formulation pays a second
+    * shuffle of the full activity table for the same answer.
+    *
+    * @return (cohort_day: 'yyyy-MM-dd' string, day_offset: long ≥ 0,
+    *         n_users: long) — each key counts at most once per
+    *         (cohort_day, day_offset) because offsets come from a set
+    */
+  def cohortRetention(df: DataFrame, keyCol: String, tsCol: String): DataFrame =
+    df
+      .select(col(keyCol).as("__k"), to_date(col(tsCol)).as("__day"))
+      .groupBy(col("__k"))
+      .agg(collect_set(col("__day")).as("__days"))
+      .select(array_min(col("__days")).as("__cohort"),
+        explode(col("__days")).as("__day"))
+      .groupBy(
+        date_format(col("__cohort"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("__day"), col("__cohort")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+
   /** Point-in-time lookup against an [[scd2]] history: the value row
     * whose interval contains `at` (`valid_from <= at < valid_to`,
     * open-ended current rows match any later time). A pure filter over

@@ -467,6 +467,18 @@ object NorthStarQueries {
           .otherwise(lit(0L))).cast("long").as("value"))
       graft.operators.Sketches.madOutliers(docs, "value", kMilli = 3000L)
     }),
+    "t38_winsorize" -> ((s, d) => {
+      // Per-group winsorization: event values clipped into each
+      // event_type's [p05, p95] — grouped quantile fit (ONE histogram
+      // aggregate, |groups| fit rows) broadcast back for a shuffle-free
+      // per-row clip. The heavy-tail tamer run before any mean/σ feature.
+      val ev = Tables.events(s, d).select(col("event_id"), col("event_type"),
+        graft.ops.RelationalOps.cents(col("value")).as("value_cents"))
+      graft.operators.Sketches.winsorize(ev, Seq("event_type"), "value_cents",
+          loPermille = 50, hiPermille = 950)
+        .select(col("event_id"), col("event_type"), col("value_cents"),
+          col("winsorized"), col("clipped"))
+    }),
     "s09_random_projection" -> ((s, d) => {
       // Signed random projection 64 -> 16 dims: a data-independent ±1
       // matrix from the portable md5 hash, applied as one shuffle-free
@@ -1732,6 +1744,24 @@ object NorthStarQueries {
         |       CAST(CASE WHEN deviation * 1000 > 3000 * mad.m THEN 1 ELSE 0 END
         |            AS BIGINT) AS is_outlier
         |FROM d, mad ORDER BY doc_id""".stripMargin,
+    // per-group edges replay the q28/q30 definitional rank rule
+    // partitioned by group; the clip is pure integer LEAST/GREATEST
+    "t38_winsorize" ->
+      """WITH v AS (SELECT event_id, event_type,
+        |        CAST(ROUND(value*100) AS BIGINT) AS value_cents FROM events),
+        |h AS (SELECT event_type, value_cents AS x, COUNT(*) AS cnt FROM v GROUP BY 1, 2),
+        |w AS (SELECT event_type, x,
+        |        CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY x) AS BIGINT) AS cum,
+        |        CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n FROM h),
+        |bp AS (SELECT event_type,
+        |         MIN(CASE WHEN cum > (50*(n-1))//1000 THEN x END) AS lo,
+        |         MIN(CASE WHEN cum > (950*(n-1))//1000 THEN x END) AS hi
+        |       FROM w GROUP BY 1)
+        |SELECT v.event_id, v.event_type, v.value_cents,
+        |       CAST(LEAST(GREATEST(v.value_cents, bp.lo), bp.hi) AS BIGINT) AS winsorized,
+        |       CAST(CASE WHEN v.value_cents < bp.lo OR v.value_cents > bp.hi
+        |            THEN 1 ELSE 0 END AS BIGINT) AS clipped
+        |FROM v JOIN bp USING (event_type) ORDER BY event_id""".stripMargin,
     // sign matrix rebuilt from the same md5 parity; after the per-element
     // micro-round everything is exact integer math
     "s09_random_projection" ->

@@ -435,6 +435,13 @@ object RelationalQueries {
           date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
           col("version"), col("is_current"))
     }),
+    "q44_cohort_retention" -> ((s, d) => {
+      // Cohort retention triangle: users bucketed by first-active day,
+      // counted on each later active day — ONE exchange on user_id (the
+      // per-user distinct-day set is calendar-bounded), no activity-vs-
+      // first-activity self-join.
+      graft.ops.Temporal.cohortRetention(Tables.events(s, d), "user_id", "ts")
+    }),
   )
 
   /** Shared definitional quantile oracle for q28 (multi-stage plan) and
@@ -790,5 +797,16 @@ object RelationalQueries {
         |       version,
         |       CAST(CASE WHEN vt IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
         |FROM iv ORDER BY user_id, version""".stripMargin,
+    // two-scan replay of the single-exchange operator: distinct activity
+    // days joined against each user's first day; COUNT(*) is per-user
+    // distinct by construction (d is DISTINCT)
+    "q44_cohort_retention" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY 1)
+        |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+        |       CAST(d.day - c.cohort_day AS BIGINT) AS day_offset,
+        |       CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM d JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -399,4 +399,39 @@ class SketchesSpec extends SparkTestBase {
     assert(ex.getMessage.contains("hll_sketch") ||
       Option(ex.getCause).exists(_.getMessage.contains("hll_sketch")))
   }
+
+  test("winsorize: per-group clip equals sort-and-index edges; nulls stay null") {
+    import spark.implicits._
+    // group a: 1..20 (p100/p900 edges by rank rule: idx > (p*(n-1))//1000)
+    // group b: constant 7 — lo = hi = 7, nothing clips
+    // group c: all-null values — winsorized/clipped stay null
+    val rows =
+      (1 to 20).map(i => ("a", Some(i.toLong))) ++
+      (1 to 5).map(_ => ("b", Some(7L))) ++
+      Seq(("c", None: Option[Long]), ("a", None: Option[Long]))
+    val df = rows.toDF("g", "v")
+    val out = Sketches.winsorize(df, Seq("g"), "v", 100, 900)
+      .collect()
+      .map(r => (r.getString(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+    // definitional edges for 1..20: lo = min idx with cum > (100*19)//1000=1
+    //   -> value 3 has cum 3 > 1? value 2 cum 2 > 1 -> lo = 2
+    // hi: cum > (900*19)//1000 = 17 -> value 18 (cum 18) -> hi = 18
+    val a = out.filter(r => r._1 == "a" && r._2.isDefined)
+    assert(a.forall { case (_, Some(v), Some(w), Some(c)) =>
+      w == math.min(math.max(v, 2L), 18L) && c == (if (v < 2L || v > 18L) 1L else 0L)
+    case _ => false })
+    assert(a.count(_._4.contains(1L)) === 3) // 1, 19, 20 clipped
+    val b = out.filter(_._1 == "b")
+    assert(b.forall(r => r._3.contains(7L) && r._4.contains(0L)))
+    // null values (both in a fitted group and an unfitted one) tag null
+    assert(out.filter(_._2.isEmpty).forall(r => r._3.isEmpty && r._4.isEmpty))
+    // contract checks fail loudly
+    intercept[IllegalArgumentException] { Sketches.winsorize(df, Seq.empty, "v", 1, 2) }
+    intercept[IllegalArgumentException] { Sketches.winsorize(df, Seq("g"), "v", 500, 500) }
+    intercept[IllegalArgumentException] {
+      Sketches.winsorize(df.withColumn("clipped", lit(1)), Seq("g"), "v", 1, 2)
+    }
+  }
 }

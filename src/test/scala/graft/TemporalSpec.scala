@@ -92,6 +92,31 @@ class TemporalSpec extends SparkTestBase {
     }
   }
 
+  test("cohortRetention: first-day cohorts, distinct-day offsets, one count per key") {
+    val ev = Seq(
+      // user 1: first day Jan 1, back Jan 2 and Jan 4 (twice on Jan 2 —
+      // must still count once per (cohort, offset))
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-02 09:00:00")),
+      (1L, ts("2024-01-02 23:00:00")),
+      (1L, ts("2024-01-04 01:00:00")),
+      // user 2: same cohort day, never returns
+      (2L, ts("2024-01-01 23:59:59")),
+      // user 3: later cohort, returns next day
+      (3L, ts("2024-01-03 00:00:00")),
+      (3L, ts("2024-01-04 12:00:00"))
+    ).toDF("u", "ts")
+    val got = Temporal.cohortRetention(ev, "u", "ts")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      ("2024-01-01", 0L) -> 2L, // users 1 and 2 on their own day-0
+      ("2024-01-01", 1L) -> 1L,
+      ("2024-01-01", 3L) -> 1L,
+      ("2024-01-03", 0L) -> 1L,
+      ("2024-01-03", 1L) -> 1L))
+  }
+
   test("asOfTime: point-in-time lookup returns exactly the covering version") {
     val hist = Temporal.scd2(log, Seq("k"), "ts", Seq("seq"), Seq("v"))
     // mid-run: 01:30 inside [00:00, 02:00) → version 1 value x
