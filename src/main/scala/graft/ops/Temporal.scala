@@ -98,6 +98,49 @@ object Temporal {
       aggregate(col("__seq"), lit(0), step).cast("long").as("stage"))
   }
 
+  /** MERGE-style CDC apply: fold a change log (upserts + deletes) into a
+    * base snapshot — the batch equivalent of `MERGE INTO base USING
+    * changes` with last-writer-wins semantics. Per key, the LATEST change
+    * in (`tsCol`, `tieCols`) order decides: `deleteOp` removes the key,
+    * any other op replaces the key's value columns (insert if the key was
+    * absent from base); keys with no change pass through untouched.
+    *
+    * Value columns are inferred as base's non-key columns; `changes` must
+    * carry the same key + value columns plus (`opCol`, `tsCol`,
+    * `tieCols`). Intermediate change states are never materialized — the
+    * per-key reduction is ONE `max_by` aggregate (map-side partial, so
+    * the shuffle carries one row per changed key, not the change
+    * volume), then ONE key-equi join against base. A delta-sized change
+    * set broadcast-joins under AQE; SCD2 ([[scd2]]) is the
+    * history-preserving sibling when intermediate states must survive.
+    *
+    * @return base schema: keyCols ++ value columns, post-merge
+    */
+  def applyChanges(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+      tsCol: String, tieCols: Seq[String], opCol: String,
+      deleteOp: String = "D"): DataFrame = {
+    require(keyCols.nonEmpty, "applyChanges needs at least one key column")
+    val valueCols = base.columns.filterNot(keyCols.contains).toSeq
+    require(valueCols.nonEmpty, "base must have at least one non-key value column")
+    require(!valueCols.contains("__c") && !base.columns.contains("__c"),
+      "applyChanges reserves column name __c")
+    val missing = (keyCols ++ valueCols ++ Seq(opCol, tsCol) ++ tieCols)
+      .filterNot(changes.columns.contains)
+    require(missing.isEmpty,
+      s"changes is missing columns: ${missing.mkString(", ")}")
+    val keys = keyCols.map(col)
+    val latest = changes
+      .groupBy(keys: _*)
+      .agg(max_by(
+        struct((valueCols :+ opCol).map(col): _*),
+        struct((tsCol +: tieCols).map(col): _*)).as("__c"))
+    val hasChange = col("__c").isNotNull
+    base.join(latest, keyCols, "full_outer")
+      .filter(!hasChange || col("__c").getField(opCol) =!= deleteOp)
+      .select(keys ++ valueCols.map(v =>
+        when(hasChange, col("__c").getField(v)).otherwise(col(v)).as(v)): _*)
+  }
+
   /** Cohort retention analysis: assign every key to the cohort of its
     * FIRST active day, then count how many of each cohort's keys were
     * active again `day_offset` days later — the product-analytics

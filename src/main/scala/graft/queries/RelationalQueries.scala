@@ -442,6 +442,21 @@ object RelationalQueries {
       // first-activity self-join.
       graft.ops.Temporal.cohortRetention(Tables.events(s, d), "user_id", "ts")
     }),
+    "q45_merge_changes" -> ((s, d) => {
+      // MERGE-style CDC apply: the events stream read as a change log
+      // over the customer segment snapshot — 'error' deletes the key,
+      // anything else upserts a derived segment; last (ts, event_id)
+      // writer wins. One max_by aggregate + one key join; intermediate
+      // change states never materialize.
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey").as("id"), col("c_mktsegment").as("segment"))
+      val changes = Tables.events(s, d).select(
+        col("user_id").as("id"), col("ts"), col("event_id"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+        concat(lit("seg_"), col("event_type")).as("segment"))
+      graft.ops.Temporal.applyChanges(base, changes,
+        keyCols = Seq("id"), tsCol = "ts", tieCols = Seq("event_id"), opCol = "op")
+    }),
   )
 
   /** Shared definitional quantile oracle for q28 (multi-stage plan) and
@@ -808,5 +823,23 @@ object RelationalQueries {
         |       CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM d JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // window-rank replay of the max_by reduction; FULL OUTER + op filter
+    // reproduces upsert/insert/delete/pass-through in one pass
+    "q45_merge_changes" ->
+      """WITH ch AS (SELECT user_id AS id, ts, event_id,
+        |        CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |        'seg_' || event_type AS segment
+        |      FROM events),
+        |last AS (SELECT id, op, segment FROM (
+        |        SELECT id, op, segment,
+        |               ROW_NUMBER() OVER (PARTITION BY id
+        |                 ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM ch) WHERE rn = 1),
+        |b AS (SELECT c_custkey AS id, c_mktsegment AS segment FROM customer)
+        |SELECT COALESCE(b.id, l.id) AS id,
+        |       CASE WHEN l.id IS NOT NULL THEN l.segment ELSE b.segment END AS segment
+        |FROM b FULL OUTER JOIN last l ON b.id = l.id
+        |WHERE l.op IS NULL OR l.op <> 'D'
+        |ORDER BY id""".stripMargin,
   )
 }

@@ -92,6 +92,38 @@ class TemporalSpec extends SparkTestBase {
     }
   }
 
+  test("applyChanges: last-writer-wins upsert/insert/delete/pass-through") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+    val changes = Seq(
+      // key 1: upsert then delete — delete wins (later ts)
+      (1L, ts("2024-01-01 00:00:00"), 1L, "U", "a2"),
+      (1L, ts("2024-01-01 01:00:00"), 2L, "D", "zz"),
+      // key 2: delete then upsert — upsert wins
+      (2L, ts("2024-01-01 00:00:00"), 3L, "D", "zz"),
+      (2L, ts("2024-01-01 01:00:00"), 4L, "U", "b2"),
+      // key 3: same-ts tie — higher tie wins
+      (3L, ts("2024-01-01 00:00:00"), 6L, "U", "c-win"),
+      (3L, ts("2024-01-01 00:00:00"), 5L, "U", "c-lose"),
+      // key 5: insert (absent from base)
+      (5L, ts("2024-01-01 00:00:00"), 7L, "U", "e"),
+      // key 6: delete of a key never in base — stays absent
+      (6L, ts("2024-01-01 00:00:00"), 8L, "D", "zz")
+    ).toDF("k", "ts", "seq", "op", "v")
+    val got = Temporal.applyChanges(base, changes,
+        keyCols = Seq("k"), tsCol = "ts", tieCols = Seq("seq"), opCol = "op")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // key 4 passes through untouched; 1 and 6 deleted
+    assert(got === Map(2L -> "b2", 3L -> "c-win", 4L -> "d", 5L -> "e"))
+    intercept[IllegalArgumentException] {
+      Temporal.applyChanges(base, changes.drop("op"),
+        Seq("k"), "ts", Seq("seq"), "op")
+    }
+    intercept[IllegalArgumentException] {
+      Temporal.applyChanges(base.select("k"), changes,
+        Seq("k"), "ts", Seq("seq"), "op")
+    }
+  }
+
   test("cohortRetention: first-day cohorts, distinct-day offsets, one count per key") {
     val ev = Seq(
       // user 1: first day Jan 1, back Jan 2 and Jan 4 (twice on Jan 2 —
