@@ -73,15 +73,63 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 12,
       rowsPerBand: Int = 3,
-      minJaccardPermille: Int = 800): DataFrame = {
+      minJaccardPermille: Int = 800): DataFrame =
+    verifyJaccard(lshCandidatePairs(docs, shingleN, numHashes, rowsPerBand),
+      hashedShingleSets(docs, shingleN), minJaccardPermille)
+
+  /** The UNVERIFIED candidate pairs of [[minhashLshPairs]]'s banding —
+    * docs colliding on at least one LSH band (equi-join on (band, hash),
+    * `doc_a < doc_b`, distinct). Exposed for candidate-quality auditing
+    * ([[lshEvalReport]]) and for callers composing their own verify. */
+  def lshCandidatePairs(
+      docs: DataFrame,
+      shingleN: Int = 3,
+      numHashes: Int = 12,
+      rowsPerBand: Int = 3): DataFrame = {
     val bands = bandFrame(docs, shingleN, numHashes, rowsPerBand)
-    val cand = bands.as("x")
+    bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cand, hashedShingleSets(docs, shingleN), minJaccardPermille)
+  }
+
+  /** Candidate-quality audit of the MinHash-LSH banding against exact
+    * n-gram-Jaccard ground truth — the dedup twin of the ANN recall
+    * report ([[graft.operators.Similarity.recallAtK]]): ONE row
+    * (n_candidates, n_truth, n_hits, precision_permille,
+    * recall_permille). Recall < 1000 means the banding scheme
+    * (numHashes × rowsPerBand) misses true near-dup pairs — the number
+    * that decides whether to add bands before a 100 TB run; precision
+    * says how much exact-verify work the candidates waste.
+    *
+    * Truth comes from [[ngramJaccardPairs]] (prefix-filtered, exact — no
+    * all-pairs scan); the audit is meant for a SAMPLED corpus slice at
+    * scale, like the recall report's query sample. Zero-denominator
+    * edges (no candidates / no true pairs) report null rates rather
+    * than dividing by zero.
+    */
+  def lshEvalReport(
+      docs: DataFrame,
+      shingleN: Int = 3,
+      numHashes: Int = 12,
+      rowsPerBand: Int = 3,
+      minJaccardPermille: Int = 800): DataFrame = {
+    val cand = lshCandidatePairs(docs, shingleN, numHashes, rowsPerBand)
+    val truth = ngramJaccardPairs(docs, shingleN, minJaccardPermille)
+      .select(col("doc_a"), col("doc_b"))
+    val hits = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    cand.agg(count(lit(1)).as("n_candidates"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .select(col("n_candidates"), col("n_truth"), col("n_hits"),
+        when(col("n_candidates") > 0,
+          expr("CAST((1000 * n_hits) DIV n_candidates AS BIGINT)"))
+          .as("precision_permille"),
+        when(col("n_truth") > 0,
+          expr("CAST((1000 * n_hits) DIV n_truth AS BIGINT)"))
+          .as("recall_permille"))
   }
 
   /** `(doc_id, band, bh)` LSH bucket rows for a corpus: map-side min-agg

@@ -248,6 +248,13 @@ object NorthStarQueries {
     "d03_simhash" -> ((s, d) => {
       Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 3)
     }),
+    "d16_lsh_eval" -> ((s, d) => {
+      // Candidate-quality audit: does 12 hashes x 4 bands of 3 actually
+      // capture the jaccard>=0.8 truth on this corpus, and how much
+      // verify work do the candidates waste? One row; the number that
+      // sizes the banding scheme before a 100 TB run.
+      Dedup.lshEvalReport(Tables.documents(s, d))
+    }),
     "d04_ngram_jaccard" -> ((s, d) => {
       Dedup.ngramJaccardPairs(Tables.documents(s, d), minPermille = 500)
     }),
@@ -1103,6 +1110,42 @@ object NorthStarQueries {
          |JOIN sz sb ON sb.doc_id = c.doc_b
          |WHERE 1000 * i.inter_cnt >= 800 * (sa.n + sb.n - i.inter_cnt)
          |ORDER BY c.doc_a, c.doc_b""".stripMargin,
+    // d02's band CTEs give the candidates, d04's inter/sz CTEs the
+    // jaccard>=800 truth; the report is three scalar counts + guarded
+    // integer rates
+    "d16_lsh_eval" ->
+      s"""WITH ws AS (SELECT doc_id, $WsSql AS w FROM documents),
+         |sh AS (SELECT doc_id, $Shingles3Sql AS s FROM ws),
+         |ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+         |mh AS (SELECT doc_id, i, MIN(${h60("CAST(i AS VARCHAR)||':'||sh")}) AS mh
+         |       FROM ex, range(12) t(i) GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, i // 3 AS band,
+         |                 md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bh
+         |          FROM mh GROUP BY doc_id, i // 3),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+         |inter AS (SELECT ea.doc_id AS doc_a, eb.doc_id AS doc_b, COUNT(*) AS inter_cnt
+         |          FROM ex ea JOIN ex eb ON ea.sh = eb.sh AND ea.doc_id < eb.doc_id
+         |          GROUP BY 1, 2),
+         |tr AS (SELECT i.doc_a, i.doc_b FROM inter i
+         |       JOIN sz sa ON sa.doc_id = i.doc_a
+         |       JOIN sz sb ON sb.doc_id = i.doc_b
+         |       WHERE 1000 * i.inter_cnt >= 800 * (sa.n + sb.n - i.inter_cnt)),
+         |hit AS (SELECT t.doc_a FROM tr t
+         |        JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
+         |n AS (SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
+         |             (SELECT COUNT(*) FROM tr) AS n_truth,
+         |             (SELECT COUNT(*) FROM hit) AS n_hits)
+         |SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
+         |       CAST(n_truth AS BIGINT) AS n_truth,
+         |       CAST(n_hits AS BIGINT) AS n_hits,
+         |       CAST(CASE WHEN n_candidates > 0
+         |            THEN (1000 * n_hits) // n_candidates END AS BIGINT) AS precision_permille,
+         |       CAST(CASE WHEN n_truth > 0
+         |            THEN (1000 * n_hits) // n_truth END AS BIGINT) AS recall_permille
+         |FROM n""".stripMargin,
     // delta dedup replay: d02's shingle/minhash/band CTEs over ALL docs,
     // the id-250 fence separating corpus from batch; rejections = exact
     // digest vs corpus, exact digest vs lower batch id, or a verified

@@ -26,6 +26,29 @@ class NorthStarSpec extends SparkTestBase {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("lshEvalReport: counts candidates vs jaccard truth; empty corpus gives null rates") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    // 1-2 near-dup (true + captured); 3-4 share HALF their shingles —
+    // candidates by some band collision are possible but they are NOT
+    // jaccard>=0.8 truth, so precision may dip while recall holds
+    val half = (1 to 15).map(i => s"tok$i").mkString(" ") + " " +
+      (1 to 15).map(i => s"zzz$i").mkString(" ")
+    val r = Dedup.lshEvalReport(
+      docs((1L, base), (2L, base + " extra"), (3L, half), (4L, half + " more")))
+      .collect()(0)
+    val (nc, nt, nh) = (r.getAs[Long]("n_candidates"), r.getAs[Long]("n_truth"),
+      r.getAs[Long]("n_hits"))
+    assert(nt >= 1L && nh >= 1L && nh <= math.min(nc, nt))
+    assert(r.getAs[Long]("recall_permille") === (1000 * nh) / nt)
+    assert(r.getAs[Long]("precision_permille") === (1000 * nh) / nc)
+    // empty corpus: zero counts, rates null not division-by-zero
+    val e = Dedup.lshEvalReport(Seq.empty[(Long, String)].toDF("doc_id", "text"))
+      .collect()(0)
+    assert(e.getAs[Long]("n_candidates") === 0L && e.getAs[Long]("n_truth") === 0L)
+    assert(e.isNullAt(e.fieldIndex("precision_permille")) &&
+      e.isNullAt(e.fieldIndex("recall_permille")))
+  }
+
   test("simhash: identical docs collide at hamming 0; disjoint docs don't pair") {
     val t = "spark window batch stream table join"
     val o = "zzz yyy xxx www vvv uuu"
