@@ -205,6 +205,113 @@ object VectorKernels {
     }
     s
   }
+
+  /** PQ subspace assignment: argmax over `nCodes` codewords of
+    * `cos(v[off..off+sd), codeword_c) = dot/(|v_sub|·cn_c)` — ties →
+    * lowest code. Bit-identical to the column form it replaced
+    * (`dotWiden(sub, cvLit) / (norm(sub) * cn)` under a struct argmax):
+    * every sum is the same sequential float-widened loop, `cns` carries
+    * the constant-folded `sqrt(dotWiden(cv, cv))` values. One compact
+    * kernel instead of an nCodes-arm expression tree — the Catalyst
+    * analysis/janino cost of the literal-heavy form was the dominant
+    * per-call cost of the PQ fit, not the data. */
+  def pqAssign(arr: ArrayData, book: Array[Double], cns: Array[Double],
+      off: Int, sd: Int): Int = {
+    if (arr.numElements() < off + sd) throw new IllegalArgumentException(
+      s"pq_assign: vector has ${arr.numElements()} dims, need ${off + sd}")
+    val v = new Array[Double](sd)
+    var i = 0
+    var nvAcc = 0.0
+    while (i < sd) {
+      val x = arr.getFloat(off + i).toDouble
+      v(i) = x
+      nvAcc += x * x
+      i += 1
+    }
+    val nv = math.sqrt(nvAcc)
+    val nCodes = cns.length
+    var best = Double.NegativeInfinity
+    var bestCode = 0
+    var c = 0
+    while (c < nCodes) {
+      var dot = 0.0
+      val base = c * sd
+      var k = 0
+      while (k < sd) { dot += v(k) * book(base + k); k += 1 }
+      val score = dot / (nv * cns(c))
+      if (score > best) { best = score; bestCode = c }
+      c += 1
+    }
+    bestCode
+  }
+
+  /** PQ ADC lookup table for one subspace of a query vector:
+    * `t[c] = round(1e6·dot(q_sub, codeword_c))` as exact longs — the
+    * micro-round replicates Spark `round()` (BigDecimal HALF_UP), each
+    * dot the sequential widened loop. */
+  def pqAdcTable(arr: ArrayData, book: Array[Double], nCodes: Int,
+      off: Int, sd: Int): ArrayData = {
+    if (arr.numElements() < off + sd) throw new IllegalArgumentException(
+      s"pq_adc_table: vector has ${arr.numElements()} dims, need ${off + sd}")
+    val v = new Array[Double](sd)
+    var i = 0
+    while (i < sd) { v(i) = arr.getFloat(off + i).toDouble; i += 1 }
+    val out = new Array[Long](nCodes)
+    var c = 0
+    while (c < nCodes) {
+      var dot = 0.0
+      val base = c * sd
+      var k = 0
+      while (k < sd) { dot += v(k) * book(base + k); k += 1 }
+      out(c) = java.math.BigDecimal.valueOf(dot * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** PQ subspace code assignment of an `array<float>` against a fixed
+  * flattened codebook (index-build state, nCodes×sd doubles — same class
+  * as [[QuantizeI8]]'s scales). `cns` are the codeword norms, precomputed
+  * with the identical sequential loop. */
+case class PqAssignExpr(child: Expression, book: Array[Double],
+    cns: Array[Double], off: Int, sd: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"pq_assign expects array<float>, got $t")
+  }
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.pqAssign(a.asInstanceOf[ArrayData], book, cns, off, sd)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bookRef = ctx.addReferenceObj("book", book, "double[]")
+    val cnsRef = ctx.addReferenceObj("cns", cns, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.VectorKernels.pqAssign($c, $bookRef, $cnsRef, $off, $sd);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** PQ ADC lookup-table build for one subspace of a query `array<float>`. */
+case class PqAdcTableExpr(child: Expression, book: Array[Double],
+    nCodes: Int, off: Int, sd: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"pq_adc_table expects array<float>, got $t")
+  }
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.pqAdcTable(a.asInstanceOf[ArrayData], book, nCodes, off, sd)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bookRef = ctx.addReferenceObj("book", book, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.VectorKernels.pqAdcTable($c, $bookRef, $nCodes, $off, $sd);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** int8 quantization of an `array<float>` against fixed per-dimension
@@ -290,4 +397,28 @@ object VectorExpressions {
   def dotWiden(a: Column, b: Column): Column =
     GraftColumnShim.column(
       DotProductWiden(GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
+
+  /** Column wrapper for PqAssignExpr: codebook rows flattened, codeword
+    * norms precomputed with the kernel's own sequential loop. */
+  def pqAssign(a: Column, book: Seq[Array[Double]], off: Int): Column = {
+    require(book.nonEmpty, "pq_assign needs a non-empty codebook")
+    val sd = book.head.length
+    require(book.forall(_.length == sd), "pq_assign codewords must share one width")
+    val cns = book.map { cw =>
+      var s = 0.0; var i = 0
+      while (i < cw.length) { s += cw(i) * cw(i); i += 1 }
+      math.sqrt(s)
+    }.toArray
+    GraftColumnShim.column(PqAssignExpr(
+      GraftColumnShim.expression(a), book.flatten.toArray, cns, off, sd))
+  }
+
+  /** Column wrapper for PqAdcTableExpr. */
+  def pqAdcTable(a: Column, book: Seq[Array[Double]], off: Int): Column = {
+    require(book.nonEmpty, "pq_adc_table needs a non-empty codebook")
+    val sd = book.head.length
+    require(book.forall(_.length == sd), "pq_adc_table codewords must share one width")
+    GraftColumnShim.column(PqAdcTableExpr(
+      GraftColumnShim.expression(a), book.flatten.toArray, book.length, off, sd))
+  }
 }

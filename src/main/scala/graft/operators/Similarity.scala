@@ -224,6 +224,162 @@ object Similarity {
     topKNeighbors(scored, k)
   }
 
+  /** Product-quantization model: per subspace, an ordered codebook of
+    * `(code id, codeword)` pairs fit by the SAME deterministic sampled
+    * k-means rule as the IVF index ([[kmeansCentroids]] over the sliced
+    * corpus), so the whole model replays bit-identically on any
+    * IEEE-double engine. Driver-held state is nSub×nCodes×subDim doubles
+    * — index-build metadata, not data. */
+  final case class PqModel(dims: Int, nSub: Int, nCodes: Int,
+      books: Seq[Seq[(Int, Array[Double])]]) {
+    def subDim: Int = dims / nSub
+  }
+
+  /** Fit PQ codebooks: the embedding space splits into `nSub` contiguous
+    * subspaces of `dims / nSub` dims; each gets `nCodes` centroids by the
+    * [[kmeansCentroids]] rule applied to the corpus SLICED to that
+    * subspace (same sample fence, init and Lloyd rounds — one fit rule in
+    * the library, not two).
+    *
+    * All subspaces fit FUSED: each Lloyd round is ONE job over the shared
+    * sample — per row, every subspace's argmax assignment (the codebooks
+    * ride in as literals, exactly [[encodePq]]'s expression), exploded to
+    * (sub, cell, dim) micro-sums. Identical arithmetic to nSub separate
+    * [[kmeansCentroids]] runs (the grouping key gained `sub`, the values
+    * didn't change — the s13 oracle replays the fits per-subspace and
+    * hash-matches), at 1/nSub the job count: the driver round-trip, not
+    * the scan, dominates an index fit. */
+  def fitPq(emb: DataFrame, dims: Int = 64, nSub: Int = 4, nCodes: Int = 16,
+      iters: Int = 2, sampleMod: Int = 7): PqModel = {
+    require(nSub > 0 && dims % nSub == 0,
+      s"dims ($dims) must split evenly into nSub ($nSub) subspaces")
+    require(iters >= 0 && sampleMod > 0,
+      s"need iters >= 0, sampleMod > 0; got ($iters, $sampleMod)")
+    val sd = dims / nSub
+    // init: first nCodes vectors micro-rounded, sliced on the driver
+    // (slicing micro-longs == micro-rounding the slice)
+    val initRows = emb.filter(col("vec_id") < nCodes)
+      .select(col("vec_id").cast("int").as("cid"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * lit(1e6)).cast("long")).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toArray)
+      .sortBy(_._1)
+    var books: Array[Array[(Int, Array[Long])]] = Array.tabulate(nSub)(j =>
+      initRows.map { case (cid, m) => cid -> m.slice(j * sd, (j + 1) * sd) })
+    if (initRows.nonEmpty && iters > 0) {
+      val sample = emb.filter(col("vec_id") % sampleMod === 0)
+        .select(col("vec_id"), col("embedding")).persist()
+      try {
+        for (_ <- 1 to iters) {
+          val perSub = (0 until nSub).map { j =>
+            val sub = slice(col("embedding"), j * sd + 1, sd)
+            struct(lit(j).as("sub"),
+              VectorExpressions.pqAssign(col("embedding"),
+                books(j).toSeq.map(_._2.map(_.toDouble / 1e6)), off = j * sd).as("cell"),
+              sub.as("v"))
+          }
+          val sums = sample.select(explode(array(perSub: _*)).as("a"))
+            .select(col("a.sub"), col("a.cell"), posexplode(col("a.v")).as(Seq("dim", "x")))
+            .groupBy(col("sub"), col("cell"), col("dim"))
+            .agg(count(lit(1)).as("n"),
+              sum(round(col("x").cast("double") * lit(1e6)).cast("long")).as("sum_e6"))
+            .select(col("sub"), col("cell"), col("dim"),
+              floor(col("sum_e6") / col("n")).cast("long").as("mean_e6"))
+            .collect()
+          val bySub = sums.groupBy(_.getInt(0))
+          books = Array.tabulate(nSub) { j =>
+            // kernel cells are BOOK POSITIONS (== cid for the dense
+            // first-nCodes init; keyed positionally so the bookkeeping
+            // never depends on that)
+            val byCell = bySub.getOrElse(j, Array.empty[org.apache.spark.sql.Row])
+              .groupBy(_.getInt(1))
+            books(j).zipWithIndex.map { case ((cid, prev), idx) =>
+              cid -> byCell.get(idx).fold(prev) { rows =>
+                val arr = prev.clone()
+                rows.foreach(r => arr(r.getInt(2)) = r.getLong(3))
+                arr
+              }
+            }
+          }
+        }
+      } finally sample.unpersist(blocking = false)
+    }
+    PqModel(dims, nSub, nCodes,
+      books.map(_.map { case (cid, m) => cid -> m.map(_.toDouble / 1e6) }.toSeq).toSeq)
+  }
+
+  /** Encode the corpus against a [[PqModel]]: per subspace the vector's
+    * nearest codeword by the assignment rule of the IVF index (cosine,
+    * ties → lowest code id), computed as a PURE PER-ROW map — the
+    * codebooks ride into the expression as literals, so encoding is
+    * shuffle-free and linear in corpus size (nSub×nCodes subDim-dot
+    * products per row, the PQ-optimal encode cost).
+    *
+    * @return (vec_id, code0..code{nSub-1}: int) — nSub SMALL ints per
+    *         vector instead of `dims` floats: the ~`dims·4/nSub`-fold
+    *         compression that lets a 100 TB corpus's candidate scan read
+    *         codes, not vectors
+    */
+  def encodePq(emb: DataFrame, model: PqModel): DataFrame = {
+    val sd = model.subDim
+    val codeCols = (0 until model.nSub).map { j =>
+      if (model.books(j).isEmpty) lit(null).cast("int").as(s"code$j")
+      else VectorExpressions.pqAssign(col("embedding"),
+        model.books(j).map(_._2), off = j * sd).as(s"code$j")
+    }
+    emb.select(col("vec_id") +: codeCols: _*)
+  }
+
+  /** Product-quantization two-stage ANN (Jégou et al., PAMI'11 —
+    * asymmetric distance computation): coarse-rank the corpus by the
+    * ADC approximation of the query dot product — per query ONE small
+    * lookup table per subspace (`t_j[c] = ⌊1e6·⟨q_j, codeword_c⟩⌉`,
+    * nSub×nCodes micro-exact longs), per corpus row just nSub table
+    * lookups + integer adds over its CODES — then exactly rescore the
+    * top `coarseK` with true cosine, like [[quantizedKnn]].
+    *
+    * Scale shape: encode is a shuffle-free map ([[encodePq]]); the
+    * coarse scan reads nSub ints per corpus row (not `dims` floats) with
+    * the query tables broadcast, collapsing per-partition through the
+    * same bounded [[graft.expressions.TopKByScore]] heaps; only
+    * candidates are ever joined back to full vectors. The ADC table is
+    * integer-exact, so coarse ranking is engine-portable; recall loss
+    * comes only from ADC-rank inversions past `coarseK` (`coarseK` =
+    * corpus size degenerates to exact brute force, spec-asserted).
+    */
+  def pqKnn(emb: DataFrame, queries: DataFrame, k: Int, dims: Int = 64,
+      nSub: Int = 4, nCodes: Int = 16, coarseK: Int = 0,
+      iters: Int = 2, sampleMod: Int = 7): DataFrame = {
+    val ck = if (coarseK > 0) coarseK else 4 * k
+    require(ck >= k, s"coarseK ($ck) must be >= k ($k)")
+    val model = fitPq(emb, dims, nSub, nCodes, iters, sampleMod)
+    val sd = model.subDim
+    val codes = spread(encodePq(emb, model))
+    val tabCols = (0 until model.nSub).map { j =>
+      VectorExpressions.pqAdcTable(col("embedding"),
+        model.books(j).map(_._2), off = j * sd).as(s"t$j")
+    }
+    val qtab = queries.select(col("vec_id").as("query_id") +: tabCols: _*)
+    val adc = (0 until model.nSub)
+      .map(j => element_at(col(s"t$j"), col(s"code$j") + 1))
+      .reduce(_ + _)
+    val cand = codes
+      .join(broadcast(qtab), col("query_id") =!= col("vec_id"))
+      .withColumn("adc", adc)
+      .groupBy(col("query_id"))
+      .agg(TopKByScore.topK(col("adc").cast("double"), col("vec_id"), ck).as("top"))
+      .select(col("query_id"), explode(col("top")).as("nb"))
+      .select(col("query_id"), col("nb.id").as("neighbor_id"))
+    val qv = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"), norm(col("embedding")).as("qn"))
+    val scored = broadcast(cand)
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nv"), norm(col("embedding")).as("nn")), "neighbor_id")
+      .join(broadcast(qv), "query_id")
+      .withColumn("cos_e6", cosE6From(col("qv"), col("nv"), col("qn"), col("nn")))
+    topKNeighbors(scored, k)
+  }
+
   /** Deterministic sampled k-means centroids for the IVF index —
     * THE centroid rule, in one place (assignment and probing must use the
     * same centroids or probes would target cells nothing was assigned to).

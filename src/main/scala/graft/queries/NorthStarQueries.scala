@@ -145,36 +145,44 @@ object NorthStarQueries {
     *        k-means FIT sees (sample + init); assignment still covers all
     *        of `e` — the incremental-index oracle (s11) fits on the base
     *        corpus and assigns base + delta with the frozen centroids. */
+  /** @param dims  subspace/vector width of `vExpr` (drives the per-dim
+    *        mean unroll)
+    *  @param vExpr DuckDB expression over `embeddings` producing the fit
+    *        vector — `embedding` for the full space, a 1-based slice
+    *        (`embedding[17:32]`) for a PQ subspace
+    *  @param sfx   CTE-name suffix so several fits (one per PQ subspace)
+    *        can share one WITH clause without colliding */
   private def ivfFitCtes(nCells: Int, iters: Int, sampleMod: Int,
-      fitFilter: String = "TRUE"): String = {
+      fitFilter: String = "TRUE", dims: Int = 64, vExpr: String = "embedding",
+      sfx: String = ""): String = {
     val iterCtes = (1 to iters).map { i =>
-      val prev = s"c${i - 1}"
-      s"""a$i AS (SELECT vec_id, v, cid AS cell FROM (
+      val prev = s"c${i - 1}$sfx"
+      s"""a$i$sfx AS (SELECT vec_id, v, cid AS cell FROM (
          |  SELECT s.vec_id, s.v, c.cid,
          |         ROW_NUMBER() OVER (PARTITION BY s.vec_id
          |           ORDER BY ${cosWSql("s.v", "c.cv")} DESC, c.cid) AS rn
-         |  FROM samp s, $prev c) WHERE rn = 1),
-         |m$i AS (SELECT cell, CAST(t.i AS INT) AS dim, COUNT(*) AS n,
+         |  FROM samp$sfx s, $prev c) WHERE rn = 1),
+         |m$i$sfx AS (SELECT cell, CAST(t.i AS INT) AS dim, COUNT(*) AS n,
          |               SUM(${microSql("v[t.i+1]")}) AS sum_e6
-         |        FROM a$i, range(64) t(i) GROUP BY cell, t.i),
-         |n$i AS (SELECT cell, list(CAST(FLOOR(sum_e6::DOUBLE / n) AS BIGINT)/1000000.0
+         |        FROM a$i$sfx, range($dims) t(i) GROUP BY cell, t.i),
+         |n$i$sfx AS (SELECT cell, list(CAST(FLOOR(sum_e6::DOUBLE / n) AS BIGINT)/1000000.0
          |                          ORDER BY dim) AS cv
-         |        FROM m$i GROUP BY cell),
-         |c$i AS (SELECT p.cid, COALESCE(nn.cv, p.cv) AS cv
-         |        FROM $prev p LEFT JOIN n$i nn ON nn.cell = p.cid)""".stripMargin
+         |        FROM m$i$sfx GROUP BY cell),
+         |c$i$sfx AS (SELECT p.cid, COALESCE(nn.cv, p.cv) AS cv
+         |        FROM $prev p LEFT JOIN n$i$sfx nn ON nn.cell = p.cid)""".stripMargin
     }
-    val fin = s"c$iters"
-    s"""e AS (SELECT vec_id, embedding AS v FROM embeddings),
-       |samp AS (SELECT vec_id, v FROM e WHERE vec_id % $sampleMod = 0 AND ($fitFilter)),
-       |c0 AS (SELECT CAST(vec_id AS INT) AS cid,
+    val fin = s"c$iters$sfx"
+    s"""e$sfx AS (SELECT vec_id, $vExpr AS v FROM embeddings),
+       |samp$sfx AS (SELECT vec_id, v FROM e$sfx WHERE vec_id % $sampleMod = 0 AND ($fitFilter)),
+       |c0$sfx AS (SELECT CAST(vec_id AS INT) AS cid,
        |              list_transform(v, x -> ${microSql("x")}/1000000.0) AS cv
-       |       FROM e WHERE vec_id < $nCells AND ($fitFilter)),
+       |       FROM e$sfx WHERE vec_id < $nCells AND ($fitFilter)),
        |${iterCtes.mkString(",\n")},
-       |asg AS (SELECT vec_id, v, cid AS cell FROM (
+       |asg$sfx AS (SELECT vec_id, v, cid AS cell FROM (
        |          SELECT e.vec_id, e.v, c.cid,
        |                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |                   ORDER BY ${cosWSql("e.v", "c.cv")} DESC, c.cid) AS rn
-       |          FROM e, $fin c) WHERE rn = 1)""".stripMargin
+       |          FROM e$sfx e, $fin c) WHERE rn = 1)""".stripMargin
   }
 
   private def ivfOracleSql(nCells: Int, nprobe: Int, k: Int, iters: Int,
@@ -994,6 +1002,14 @@ object NorthStarQueries {
       // is explicit.
       val emb = Tables.embeddings(s, d)
       Similarity.quantizedKnn(emb, emb.filter(col("vec_id") < 20), k = 5, coarseK = 20)
+    }),
+    "s13_knn_pq" -> ((s, d) => {
+      // Product-quantization ANN (ADC): 4 subspace codebooks of 16 codes,
+      // corpus scanned as 4 ints/row against broadcast per-query lookup
+      // tables, exact cosine rescore of the top-20 — the
+      // memory-bandwidth-optimal coarse stage for a 100 TB corpus.
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqKnn(emb, emb.filter(col("vec_id") < 20), k = 5, coarseK = 20)
     }),
     "s06_hard_negatives" -> ((s, d) => {
       // Contrastive hard-negative mining: top-5 different-label neighbors
@@ -2097,6 +2113,49 @@ object NorthStarQueries {
          |        ORDER BY cos_e6 DESC, neighbor_id) AS rank FROM resc)
          |SELECT query_id, rank, neighbor_id, cos_e6 FROM r WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+    // four subspace k-means fits (the shared ivfFitCtes, sliced + name-
+    // suffixed), ADC tables as micro-exact longs, integer coarse rank,
+    // exact cosine rescore — CTE-for-CTE what Similarity.pqKnn computes
+    "s13_knn_pq" -> {
+      val nSub = 4
+      val sd = 16
+      val fits = (0 until nSub).map { j =>
+        ivfFitCtes(nCells = 16, iters = 2, sampleMod = 7,
+          dims = sd, vExpr = s"embedding[${j * sd + 1}:${(j + 1) * sd}]", sfx = s"_s$j")
+      }.mkString(",\n")
+      val tabs = (0 until nSub).map { j =>
+        s"""tab_s$j AS (SELECT q.vec_id AS query_id, c.cid,
+           |  CAST(ROUND(list_sum(list_transform(range(len(q.v)),
+           |    i -> q.v[i+1]::DOUBLE * c.cv[i+1]))*1e6) AS BIGINT) AS t
+           |  FROM e_s$j q, c2_s$j c WHERE q.vec_id < 20)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $fits,
+         |$tabs,
+         |adc AS (SELECT t0.query_id, a0.vec_id AS neighbor_id,
+         |          (t0.t + t1.t + t2.t + t3.t) AS adc
+         |        FROM asg_s0 a0
+         |        JOIN asg_s1 a1 USING (vec_id)
+         |        JOIN asg_s2 a2 USING (vec_id)
+         |        JOIN asg_s3 a3 USING (vec_id)
+         |        JOIN tab_s0 t0 ON t0.cid = a0.cell
+         |        JOIN tab_s1 t1 ON t1.cid = a1.cell AND t1.query_id = t0.query_id
+         |        JOIN tab_s2 t2 ON t2.cid = a2.cell AND t2.query_id = t0.query_id
+         |        JOIN tab_s3 t3 ON t3.cid = a3.cell AND t3.query_id = t0.query_id
+         |        WHERE t0.query_id <> a0.vec_id),
+         |cand AS (SELECT query_id, neighbor_id FROM (
+         |          SELECT query_id, neighbor_id,
+         |                 ROW_NUMBER() OVER (PARTITION BY query_id
+         |                   ORDER BY adc DESC, neighbor_id) AS r
+         |          FROM adc) WHERE r <= 20),
+         |fq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings),
+         |fc AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+         |resc AS (SELECT cand.query_id, cand.neighbor_id, ${cosE6Sql("qv", "nv")} AS cos_e6
+         |         FROM cand JOIN fq USING (query_id) JOIN fc USING (neighbor_id)),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY cos_e6 DESC, neighbor_id) AS rank FROM resc)
+         |SELECT query_id, rank, neighbor_id, cos_e6 FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
     "t01_token_count" ->
       s"""SELECT doc_id,
          |       CAST(len($WsSql) AS BIGINT) AS n_tokens,

@@ -322,6 +322,22 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Exchange"), s"s09 shuffles a pure per-row map:\n$p")
   }
 
+  test("pq encode is a shuffle-free kernel map; coarse scan carries codes, not vectors") {
+    val emb = Tables.embeddings(spark, sf)
+    val model = graft.operators.Similarity.fitPq(emb)
+    val pe = plan(graft.operators.Similarity.encodePq(emb, model))
+    assert(pe.contains("pqassign") || pe.contains("pq_assign") || pe.contains("PqAssign"),
+      s"encode lost the kernel expression:\n$pe")
+    assert(!pe.contains("Exchange"), s"pq encode shuffles a pure per-row map:\n$pe")
+    // the full two-stage plan never scores raw embeddings in the coarse
+    // stage: the only embedding reads feed the query tables and the
+    // candidate rescore (both candidate-sized), and the ADC table build
+    // is the kernel
+    val pk = plan(graft.operators.Similarity.pqKnn(emb, emb.limit(3), k = 2, coarseK = 4))
+    assert(pk.contains("pqadctable") || pk.contains("pq_adc_table") || pk.contains("PqAdcTable"),
+      s"pqKnn lost the ADC table kernel:\n$pk")
+  }
+
   test("dsir scoring is a shuffle-free fold; no explode, no join at score time") {
     val wts = Array.fill(256)(1L)
     val p = plan(graft.operators.Importance.scoreDocs(

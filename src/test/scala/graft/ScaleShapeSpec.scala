@@ -73,6 +73,49 @@ class ScaleShapeSpec extends SparkTestBase {
     assert(recall >= 0.8, f"quantized recall@5 $recall%.3f under 0.8 floor")
   }
 
+  test("PQ kNN is exact when coarseK covers the corpus; ADC recall floor at 4k") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" < 10)
+    val n = emb.count().toInt
+    val brute = Similarity.bruteForceKnn(emb, q, k = 5)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    // rescoring every vector exactly == brute force, whatever ADC lost
+    val full = Similarity.pqKnn(emb, q, k = 5, coarseK = n)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(brute.nonEmpty)
+    assert(full === brute)
+    // default 4k fence: 4x16 codebooks keep most true neighbors
+    def topSets(rows: Seq[Seq[Any]]): Map[Any, Set[Any]] =
+      rows.groupBy(_.head).view.mapValues(_.map(_(2)).toSet).toMap
+    val bSets = topSets(brute)
+    def recallOf(ck: Int): Double = {
+      val pSets = topSets(Similarity.pqKnn(emb, q, k = 5, coarseK = ck)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq)
+      bSets.map { case (qid, t) =>
+        pSets.getOrElse(qid, Set.empty).intersect(t).size.toDouble / t.size
+      }.sum / bSets.size
+    }
+    // 4x16 spherical codebooks on near-random synthetic embeddings are
+    // PQ's worst case — the floor documents measured behavior, and the
+    // candidate fence is provably monotone (a wider coarse set is a
+    // superset, so recall can only grow; s12-style evaluation is how a
+    // real deployment picks the fence)
+    val r20 = recallOf(20)
+    val r40 = recallOf(40)
+    info(f"PQ ADC recall@5: coarse@20 $r20%.3f, coarse@40 $r40%.3f")
+    assert(r20 >= 0.2, f"PQ recall@5 $r20%.3f under 0.2 floor")
+    assert(r40 >= r20, "widening the coarse fence must not lose recall")
+    // codes are dense ints in [0, nCodes)
+    val model = Similarity.fitPq(emb)
+    val codes = Similarity.encodePq(emb, model)
+    assert(codes.columns.toSeq === Seq("vec_id", "code0", "code1", "code2", "code3"))
+    val bad = codes.filter(
+      (0 until 4).map(j => col(s"code$j") < 0 || col(s"code$j") >= 16).reduce(_ || _))
+      .count()
+    assert(bad === 0L)
+    intercept[IllegalArgumentException] { Similarity.fitPq(emb, dims = 64, nSub = 7) }
+  }
+
   test("int8 kernels: floor quantization with clamp; integer dot") {
     import graft.expressions.VectorExpressions
     val scales = Array(2.0, 1.0, 4.0)
