@@ -308,6 +308,41 @@ object Multimodal {
         .otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Scene-cut detection over a video's frame stream: per sampled frame,
+    * the permille feature-distance to the previous frame
+    * (`Σ_i |p_t[i] − p_{t−1}[i]|`), flagged a cut when it exceeds
+    * `threshold` — the shot-boundary pass a video curation pipeline runs
+    * before picking representative frames.
+    *
+    * Per-frame features come from the decoder seam: with the stub codec
+    * they are a deterministic arithmetic schedule over the media feature
+    * (`p_t[i] = (m_i · (t+i+1)) mod 1000`, `m_i` the micro-rounded media
+    * feature — oracle-exact); a real codec supplies true per-frame
+    * vectors through the same shape. The Spark plumbing is the real
+    * thing either way: frames AND their deltas derive from one media
+    * row (a per-row fold over the frame sequence — NO window over a
+    * frames table, NO shuffle; the classic lag-per-frame formulation
+    * re-partitions every frame of every video by doc_id).
+    *
+    * @return (doc_id, frame_idx ≥ 1, delta_permille, is_cut 0/1) for
+    *         videos with at least two frames
+    */
+  def sceneCuts(features: DataFrame, threshold: Long = 2600L): DataFrame = {
+    require(threshold >= 0, s"threshold must be >= 0, got $threshold")
+    features.toDF()
+      .filter(col("kind") === "video" && col("n_frames") >= 2)
+      .withColumn("m", expr("transform(feature, x -> CAST(ROUND(1000*x) AS BIGINT))"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, n_frames - 1), t -> named_struct(" +
+          "'frame_idx', CAST(t AS BIGINT), " +
+          "'delta', aggregate(sequence(0, size(m) - 1), CAST(0 AS BIGINT), (acc, i) -> " +
+          "acc + abs((element_at(m, i + 1) * (t + i + 1)) % 1000 " +
+          "- (element_at(m, i + 1) * (t + i)) % 1000))))")).as("f"))
+      .select(col("doc_id"), col("f.frame_idx").as("frame_idx"),
+        col("f.delta").as("delta_permille"),
+        (col("f.delta") > threshold).cast("long").as("is_cut"))
+  }
+
   /** Perceptual-duplicate candidate buckets: images sharing a [[dHash]]
     * value, with cluster size and the canonical (min) doc. Like LSH bands,
     * the hash buckets CANDIDATES — a byte-exact or feature-distance verify

@@ -100,4 +100,38 @@ object Keywords {
       .limit(k)
       .select(col("pair"), col("n_pair"), col("n_w1"), col("n_w2"), col("lift_ppm"))
   }
+
+  /** Vocabulary-growth (Heaps-law) curve at bucket granularity: for each
+    * ingestion bucket of `bucketSize` docs (by `idCol` order — the
+    * training order), how many NEVER-SEEN-BEFORE token types it
+    * introduces, and the cumulative vocabulary after it — the curve that
+    * says when a corpus stops teaching a tokenizer new types.
+    *
+    * Scale shape: token first-occurrence is ONE exchange keyed token
+    * (min doc id per type — map-side partials, cardinality = vocabulary),
+    * rolled up to |corpus|/bucketSize bucket rows; the cumulative sum
+    * runs over THAT bucket frame, never over docs or tokens (the
+    * per-doc curve would drag a window across the corpus; the bucket
+    * granularity is the honest scale shape AND the chart anyone reads).
+    * Buckets introducing nothing new still appear (count 0).
+    *
+    * @return (bucket, new_types, cum_types) ordered-agnostic rows;
+    *         bucket = floor(id / bucketSize)
+    */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+      bucketSize: Long): DataFrame = {
+    require(bucketSize >= 1, s"vocabGrowth needs bucketSize >= 1, got $bucketSize")
+    val firstSeen = docs
+      .select(col(idCol).as("__id"), explode(array_distinct(tokens(col(textCol)))).as("t"))
+      .groupBy(col("t")).agg(min(col("__id")).as("first_id"))
+      .groupBy(expr(s"first_id DIV $bucketSize").as("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    val buckets = docs
+      .select(expr(s"$idCol DIV $bucketSize").as("bucket")).distinct()
+    buckets.join(firstSeen, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("cum_types", sum(col("new_types")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+  }
 }

@@ -173,6 +173,38 @@ object Temporal {
         datediff(col("__day"), col("__cohort")).cast("long").as("day_offset"))
       .agg(count(lit(1)).as("n_users"))
 
+  /** Sequential path extraction: every length-`n` run of consecutive
+    * event types per key, in (`tsCol`, `tieCol`) order, joined with '>'
+    * — the "what do users do next" n-gram view behavioral analytics
+    * builds top-paths reports from (downstream: `groupBy(path).count`,
+    * top-k).
+    *
+    * Scale shape: ONE exchange on the key (the same grouped ordered
+    * collect as [[funnelStages]], per-key state bounded by the key's own
+    * events); paths then explode from each key's sequence as a per-row
+    * transform. The window-lag formulation computes the same rows but
+    * re-sorts every partition for each of the n-1 leads.
+    *
+    * @return (keyCol, path) — one row per position where a full n-gram
+    *         fits; keys with fewer than `n` events contribute nothing
+    */
+  def eventPaths(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, typeCol: String, n: Int = 3): DataFrame = {
+    require(n >= 2, s"eventPaths needs n >= 2, got $n")
+    val ordered = df
+      .groupBy(col(keyCol))
+      .agg(array_sort(collect_list(struct(col(tsCol), col(tieCol), col(typeCol))))
+        .as("__seq"))
+      .select(col(keyCol),
+        expr(s"transform(__seq, x -> x.$typeCol)").as("__types"))
+      .filter(size(col("__types")) >= n)
+    val gram = (0 until n).map(o => s"element_at(__types, i + $o + 1)").mkString(", ")
+    ordered
+      .select(col(keyCol), explode(expr(
+        s"transform(sequence(0, size(__types) - $n), i -> concat_ws('>', $gram))"))
+        .as("path"))
+  }
+
   /** Point-in-time lookup against an [[scd2]] history: the value row
     * whose interval contains `at` (`valid_from <= at < valid_to`,
     * open-ended current rows match any later time). A pure filter over

@@ -482,6 +482,22 @@ object NorthStarQueries {
           .otherwise(lit(0L))).cast("long").as("value"))
       graft.operators.Sketches.madOutliers(docs, "value", kMilli = 3000L)
     }),
+    "t39_vocab_growth" -> ((s, d) => {
+      // Heaps-law vocabulary curve at 50-doc bucket granularity: new
+      // token types per ingestion bucket + cumulative vocabulary — one
+      // exchange keyed token (cardinality = vocabulary), cumulative
+      // window over bucket rows only.
+      graft.operators.Keywords.vocabGrowth(
+        Tables.documents(s, d), "doc_id", "text", bucketSize = 50L)
+    }),
+    "m06_scene_cuts" -> ((s, d) => {
+      // Shot-boundary detection: per-frame feature deltas from ONE media
+      // row each (per-row fold over the frame schedule, no frames-table
+      // window, no shuffle); stub frame features are a deterministic
+      // arithmetic schedule, so every delta is oracle-exact.
+      Multimodal.sceneCuts(Multimodal.decodeStub(
+        Multimodal.mediaDataset(s, Tables.documents(s, d))).toDF())
+    }),
     "t38_winsorize" -> ((s, d) => {
       // Per-group winsorization: event values clipped into each
       // event_type's [p05, p95] — grouped quantile fit (ONE histogram
@@ -1803,6 +1819,48 @@ object NorthStarQueries {
         |       CAST(CASE WHEN deviation * 1000 > 3000 * mad.m THEN 1 ELSE 0 END
         |            AS BIGINT) AS is_outlier
         |FROM d, mad ORDER BY doc_id""".stripMargin,
+    // token first-occurrence min per type, bucket rollup, left join keeps
+    // empty buckets, cumulative over bucket rows
+    "t39_vocab_growth" ->
+      s"""WITH ws AS (SELECT doc_id, $WsSql AS w FROM documents),
+         |ex AS (SELECT doc_id, unnest(list_distinct(w)) AS t FROM ws),
+         |ft AS (SELECT t, MIN(doc_id) AS first_id FROM ex GROUP BY 1),
+         |nb AS (SELECT first_id // 50 AS bucket,
+         |              CAST(COUNT(*) AS BIGINT) AS new_types FROM ft GROUP BY 1),
+         |bk AS (SELECT DISTINCT doc_id // 50 AS bucket FROM documents),
+         |j AS (SELECT bk.bucket, COALESCE(nb.new_types, 0) AS new_types
+         |      FROM bk LEFT JOIN nb USING (bucket))
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |       CAST(new_types AS BIGINT) AS new_types,
+         |       CAST(SUM(new_types) OVER (ORDER BY bucket) AS BIGINT) AS cum_types
+         |FROM j ORDER BY bucket""".stripMargin,
+    // m02's payload-byte CTEs + the stub frame-feature schedule; every
+    // delta is pure integer arithmetic
+    "m06_scene_cuts" ->
+      """WITH p AS (SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    hex(encode(text)) AS h,
+        |    octet_length(encode(text)) AS nb FROM documents),
+        |b AS (SELECT doc_id, kind, nb,
+        |    CASE WHEN nb >= 1 THEN (strpos('0123456789ABCDEF', substr(h, 1, 1)) - 1) * 16
+        |                         + (strpos('0123456789ABCDEF', substr(h, 2, 1)) - 1)
+        |         ELSE 0 END AS b0,
+        |    CASE WHEN nb >= 2 THEN (strpos('0123456789ABCDEF', substr(h, 3, 1)) - 1) * 16
+        |                         + (strpos('0123456789ABCDEF', substr(h, 4, 1)) - 1)
+        |         ELSE 0 END AS b1 FROM p),
+        |v AS (SELECT doc_id, nb, b0, b1, 1 + nb % 30 AS n_frames FROM b
+        |      WHERE kind = 'video' AND 1 + nb % 30 >= 2),
+        |fr AS (SELECT doc_id, nb, b0, b1,
+        |              CAST(unnest(range(1, n_frames)) AS BIGINT) AS t FROM v),
+        |d AS (SELECT doc_id, t AS frame_idx,
+        |        CAST(list_sum(list_transform(range(8), i ->
+        |          abs((((nb*(i+1)+b0*31+b1*7) % 1000) * (t+i+1)) % 1000
+        |            - (((nb*(i+1)+b0*31+b1*7) % 1000) * (t+i)) % 1000))) AS BIGINT)
+        |          AS delta_permille
+        |      FROM fr)
+        |SELECT doc_id, frame_idx, delta_permille,
+        |       CAST(CASE WHEN delta_permille > 2600 THEN 1 ELSE 0 END AS BIGINT) AS is_cut
+        |FROM d ORDER BY doc_id, frame_idx""".stripMargin,
     // per-group edges replay the q28/q30 definitional rank rule
     // partitioned by group; the clip is pure integer LEAST/GREATEST
     "t38_winsorize" ->

@@ -442,6 +442,16 @@ object RelationalQueries {
       // first-activity self-join.
       graft.ops.Temporal.cohortRetention(Tables.events(s, d), "user_id", "ts")
     }),
+    "q46_event_paths" -> ((s, d) => {
+      // Top-10 three-step behavioral paths ("what do users do next"):
+      // per-user ordered type sequences from ONE exchange on user_id,
+      // n-grams exploded per row, counted, TakeOrdered tail.
+      graft.ops.Temporal.eventPaths(Tables.events(s, d),
+          keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+          typeCol = "event_type", n = 3)
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(10)
+    }),
     "q45_merge_changes" -> ((s, d) => {
       // MERGE-style CDC apply: the events stream read as a change log
       // over the customer segment snapshot — 'error' deletes the key,
@@ -823,6 +833,17 @@ object RelationalQueries {
         |       CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM d JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // lead-window replay of the grouped ordered-sequence n-grams: a
+    // trigram exists exactly where two leads are non-null
+    "q46_event_paths" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |  LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+        |  LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t3
+        |  FROM events),
+        |p AS (SELECT event_type || '>' || t2 || '>' || t3 AS path
+        |      FROM o WHERE t3 IS NOT NULL)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM p GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
     // window-rank replay of the max_by reduction; FULL OUTER + op filter
     // reproduces upsert/insert/delete/pass-through in one pass
     "q45_merge_changes" ->

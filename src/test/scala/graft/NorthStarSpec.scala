@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 import graft.operators.{Dedup, Similarity}
-import graft.multimodal.{MediaRecord, Multimodal}
+import graft.multimodal.{MediaFeatures, MediaRecord, Multimodal}
 
 class NorthStarSpec extends SparkTestBase {
   import spark.implicits._
@@ -24,6 +24,37 @@ class NorthStarSpec extends SparkTestBase {
     val pairs = Dedup.minhashLshPairs(docs((1L, base), (2L, nearDup), (3L, other)))
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((1L, 2L)))
+  }
+
+  test("vocabGrowth: first-occurrence buckets, zero-buckets kept, cum monotone") {
+    val d = Seq(
+      (0L, "a b"), (1L, "a c"),      // bucket 0: types a b c
+      (2L, "a b c"),                 // bucket 1: nothing new
+      (4L, "d d d"),                 // bucket 2: type d
+      (5L, "")                       // bucket 2 too: empty doc
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Keywords.vocabGrowth(d, "doc_id", "text", bucketSize = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got === Seq((0L, 3L, 3L), (1L, 0L, 3L), (2L, 1L, 4L)))
+    intercept[IllegalArgumentException] {
+      graft.operators.Keywords.vocabGrowth(d, "doc_id", "text", bucketSize = 0L)
+    }
+  }
+
+  test("sceneCuts: per-frame deltas from one row; images and 1-frame videos excluded") {
+    import spark.implicits._
+    val feats = Seq(
+      // video, 3 frames, constant feature 0.5 -> m=500;
+      // p(t,i) = 500*(t+i+1) % 1000 alternates 0/500 by parity of (t+i+1)
+      MediaFeatures(1L, "video", 16, 16, 3, Array.fill(8)(0.5f)),
+      MediaFeatures(2L, "image", 16, 16, 1, Array.fill(8)(0.9f)),
+      MediaFeatures(3L, "video", 16, 16, 1, Array.fill(8)(0.9f))
+    ).toDF()
+    val got = Multimodal.sceneCuts(feats, threshold = 2600L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    // every p flips 0<->500 per t step: delta = 8*500 = 4000 -> cut
+    assert(got === Seq((1L, 1L, 4000L, 1L), (1L, 2L, 4000L, 1L)))
   }
 
   test("lshEvalReport: counts candidates vs jaccard truth; empty corpus gives null rates") {

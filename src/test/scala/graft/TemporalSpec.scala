@@ -149,6 +149,31 @@ class TemporalSpec extends SparkTestBase {
       ("2024-01-03", 1L) -> 1L))
   }
 
+  test("eventPaths: ordered n-grams per key; short keys contribute nothing") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 01:00:00"), 2L, "b"),
+      (1L, ts("2024-01-01 02:00:00"), 3L, "c"),
+      (1L, ts("2024-01-01 03:00:00"), 4L, "d"),
+      // key 2: exactly n-1 events — no path
+      (2L, ts("2024-01-01 00:00:00"), 5L, "a"),
+      (2L, ts("2024-01-01 01:00:00"), 6L, "b"),
+      // key 3: same-ts tie ordered by event_id
+      (3L, ts("2024-01-01 00:00:00"), 9L, "z"),
+      (3L, ts("2024-01-01 00:00:00"), 7L, "x"),
+      (3L, ts("2024-01-01 00:00:00"), 8L, "y")
+    ).toDF("k", "ts", "seq", "v")
+    val got = Temporal.eventPaths(ev, "k", "ts", "seq", "v", n = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "a>b>c"), (1L, "b>c>d"), (3L, "x>y>z")))
+    val two = Temporal.eventPaths(ev, "k", "ts", "seq", "v", n = 2)
+      .filter($"k" === 2L).collect().map(_.getString(1)).toSeq
+    assert(two === Seq("a>b"))
+    intercept[IllegalArgumentException] {
+      Temporal.eventPaths(ev, "k", "ts", "seq", "v", n = 1)
+    }
+  }
+
   test("asOfTime: point-in-time lookup returns exactly the covering version") {
     val hist = Temporal.scd2(log, Seq("k"), "ts", Seq("seq"), Seq("v"))
     // mid-run: 01:30 inside [00:00, 02:00) → version 1 value x
