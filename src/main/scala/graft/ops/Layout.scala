@@ -66,6 +66,35 @@ object Layout {
       .parquet(dir)
   }
 
+  /** Write an event table date-partitioned (`day=YYYY-MM-DD/`
+    * directories) — THE layout for time-series facts at 100 TB: a query
+    * filtering on `day` (or on the timestamp it derives from, via the
+    * derived-column filter the caller adds) reads ONLY the matching
+    * directories; everything else is pruned at planning time, before a
+    * single byte of parquet opens. One writer wave, at most
+    * `maxFilesPerDay` files per partition (repartition on (day, slice) —
+    * without it every input task writes every day: tiny-file explosion).
+    *
+    * Readers get pruning through [[readDayPartitioned]]; LayoutSpec pins
+    * `PartitionFilters` carrying the day predicate and the unpruned
+    * directory count. */
+  def writeDayPartitioned(df: DataFrame, tsCol: String, dir: String,
+      maxFilesPerDay: Int = 1): Unit = {
+    require(maxFilesPerDay > 0, s"maxFilesPerDay must be positive, got $maxFilesPerDay")
+    import org.apache.spark.sql.functions._
+    df.withColumn("day", date_format(col(tsCol), "yyyy-MM-dd"))
+      .repartition(col("day"), pmod(spark_partition_id(), lit(maxFilesPerDay)))
+      .write.mode(SaveMode.ErrorIfExists)
+      .partitionBy("day")
+      .parquet(dir)
+  }
+
+  /** Read a [[writeDayPartitioned]] table. Filter on `day` (string
+    * 'yyyy-MM-dd') for partition pruning — a predicate on the raw
+    * timestamp column alone cannot prune directories. */
+  def readDayPartitioned(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
   /** Cluster `df` by the z-order (Morton) key of two columns — the
     * multi-dimensional layout pass behind Delta/Iceberg's OPTIMIZE
     * ZORDER. Range-partition on the key (`numFiles` output slices with

@@ -75,6 +75,20 @@ case class Scd2State(open: Option[Scd2Run], pending: Seq[Scd2Pending])
 case class Scd2Closed(key: Long, value: String, valid_from: java.sql.Timestamp,
     valid_to: java.sql.Timestamp, version: Long)
 
+/** streamingFunnel input: one behavioral event ((ts, seq) orders replays). */
+case class FunnelInput(key: Long, ts: java.sql.Timestamp, seq: Long, etype: String)
+
+/** A buffered event not yet certified by the watermark. */
+case class FunnelPending(tsUs: Long, seq: Long, etype: String)
+
+/** Per-key funnel state: the furthest stage reached (O(1)) plus the
+  * uncertified buffer (bounded by the watermark horizon). */
+case class FunnelState(stage: Int, pending: Seq[FunnelPending])
+
+/** A stage ADVANCE — append-mode output; a key's stage only ever grows,
+  * so each advance is final the moment it is emitted. */
+case class FunnelAdvance(key: Long, stage: Long, ts: java.sql.Timestamp)
+
 /** Structured Streaming counterparts of graft.ops.CoreOps — the engine's
   * re-expression of the reference's *streaming* runtime semantics
   * (Kafka Streams continuous topologies), on Spark's micro-batch model.
@@ -835,6 +849,56 @@ object StreamingOps {
           state.update(Scd2State(open, pending))
           // re-arm so buffered rows flush when the watermark passes them
           // even if this key never sees another record
+          pending.map(_.tsUs).minOption.foreach(t =>
+            state.setTimeoutTimestamp(
+              math.max(t / 1000L, state.getCurrentWatermarkMs() + 1)))
+          out.result().iterator
+      }
+  }
+
+  /** Streaming funnel — the live face of
+    * [[graft.ops.Temporal.funnelStages]]: per key, watermark-certified
+    * events replay in (ts, seq) order through the same greedy fold, and
+    * every time the furthest-stage counter ADVANCES the new stage is
+    * emitted with the advancing event's timestamp (append mode — a
+    * stage never regresses, so each advance is final on emission; the
+    * live "conversions so far" feed a dashboard counts by stage).
+    *
+    * State per key: one int (the stage) plus the not-yet-certified
+    * buffer — the [[streamingScd2]] discipline, which is what makes the
+    * greedy fold correct under out-of-order arrival (greedy matching is
+    * order-sensitive; folding uncertified rows early could claim a
+    * match batch replay would order differently). StreamingSpec proves
+    * final stages ≡ the batch operator under multi-batch out-of-order
+    * arrival. Expects columns `key: long, ts: timestamp, seq: long,
+    * etype: string`.
+    */
+  def streamingFunnel(events: DataFrame, stages: Seq[String],
+      watermark: String = "1 hour"): Dataset[FunnelAdvance] = {
+    require(stages.nonEmpty, "streamingFunnel needs at least one stage")
+    require(stages.distinct.size == stages.size,
+      "streamingFunnel: repeated stage names make the greedy fold ambiguous")
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .select(col("key"), col("ts"), col("seq"), col("etype")).as[FunnelInput]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[FunnelState, FunnelAdvance](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[FunnelInput], state: GroupState[FunnelState]) =>
+          val st = state.getOption.getOrElse(FunnelState(0, Nil))
+          val rs = if (state.hasTimedOut) Array.empty[FunnelInput] else rows.toArray
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val all = st.pending ++ rs.map(x => FunnelPending(tsMicros(x.ts), x.seq, x.etype))
+          val (ready, pending) = all.partition(_.tsUs < wmUs)
+          var stage = st.stage
+          val out = Seq.newBuilder[FunnelAdvance]
+          ready.sortBy(p => (p.tsUs, p.seq)).foreach { p =>
+            if (stage < stages.length && p.etype == stages(stage)) {
+              stage += 1
+              out += FunnelAdvance(key, stage.toLong, microsTs(p.tsUs))
+            }
+          }
+          state.update(FunnelState(stage, pending))
           pending.map(_.tsUs).minOption.foreach(t =>
             state.setTimeoutTimestamp(
               math.max(t / 1000L, state.getCurrentWatermarkMs() + 1)))

@@ -11,6 +11,40 @@ import org.apache.spark.sql.functions._
   */
 class BucketedJoinSpec extends SparkTestBase {
 
+  test("writeDayPartitioned: day filters prune to matching directories only") {
+    import graft.ops.Layout
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val dir = java.nio.file.Files.createTempDirectory("day-part").toString + "/out"
+    Layout.writeDayPartitioned(ev, "ts", dir)
+    val back = Layout.readDayPartitioned(spark, dir)
+    // lossless round trip (day is additive)
+    assert(back.count() === ev.count())
+    // partition values read back type-inferred (DATE here)
+    val dayVal = back.select(col("day")).distinct().orderBy(col("day"))
+      .limit(1).collect()(0).get(0)
+    val day = dayVal.toString // directory form: yyyy-MM-dd
+    val pruned = back.filter(col("day") === lit(dayVal))
+    // collect() runs the dataset's OWN cached queryExecution (count()
+    // would plan a separate aggregate whose metrics we can't reach)
+    assert(pruned.collect().nonEmpty)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan in plan"))
+    // the day predicate rides as a PARTITION filter (planning-time prune,
+    // not a post-read filter) ...
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "day")),
+      s"day predicate not in partition filters: ${scan.partitionFilters}")
+    // ... and the executed scan opened exactly that day's single file
+    // (maxFilesPerDay = 1), out of ~31 day directories written
+    assert(scan.metrics("numFiles").value === 1L,
+      s"expected 1 file read for day=$day, got ${scan.metrics("numFiles").value}")
+    assert(back.inputFiles.length > 1)
+    intercept[IllegalArgumentException] {
+      Layout.writeDayPartitioned(ev, "ts", dir + "2", maxFilesPerDay = 0)
+    }
+  }
+
   test("writeTrainingShards: one ordered file per shard dir, rows in training order") {
     import graft.operators.Splits
     import graft.ops.Layout

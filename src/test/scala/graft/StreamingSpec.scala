@@ -18,6 +18,7 @@ case class AsofLeftFix(key: Long, id: Long, ts: Timestamp, value: Double)
 case class AsofRightFix(key: Long, ts: Timestamp, value: Double)
 case class QueryEvent(ts: Timestamp, query_id: Int, text: String)
 case class Scd2Fix(key: Long, ts: Timestamp, seq: Long, value: String)
+case class FunnelFix(key: Long, ts: Timestamp, seq: Long, etype: String)
 
 /** Streaming semantics mirrored from the reference's TopologyTestDriver
   * tests (CallsEnrichedAppTest.java) on MemoryStream micro-batches:
@@ -1078,6 +1079,55 @@ class StreamingSpec extends SparkTestBase {
       (1L, "a", ts("10:00"), ts("10:40"), 1L),
       (1L, "b", ts("10:40"), ts("11:00"), 2L)))
     assert(got === batch)
+  }
+
+  test("streaming funnel: final stages ≡ batch greedy fold, out-of-order across batches") {
+    val rows = Seq(
+      // key 1 completes view->click->purchase, with the CLICK arriving in
+      // an earlier micro-batch than the VIEW it must follow
+      FunnelFix(1L, ts("10:00"), 1L, "view"),
+      FunnelFix(1L, ts("10:20"), 2L, "click"),
+      FunnelFix(1L, ts("10:40"), 3L, "purchase"),
+      // key 2: purchase BEFORE view in event time — greedy stops at 2
+      FunnelFix(2L, ts("10:00"), 4L, "purchase"),
+      FunnelFix(2L, ts("10:10"), 5L, "view"),
+      FunnelFix(2L, ts("10:30"), 6L, "click"),
+      // key 3: noise only
+      FunnelFix(3L, ts("10:05"), 7L, "error"))
+    val flush = FunnelFix(99L, Timestamp.valueOf("2024-01-02 12:00:00"), 9L, "view")
+    val in = MemoryStream[FunnelFix](spark)
+    val out = StreamingOps.streamingFunnel(
+      in.toDF(), Seq("view", "click", "purchase"), watermark = "1 hour")
+    val q = out.writeStream
+      .format("memory").queryName("stream_funnel").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ck-funnel").toString)
+      .start()
+    try {
+      // the click and purchase arrive BEFORE key 1's view; nothing is
+      // certified yet, so no advance may be claimed out of order
+      in.addData(rows(1), rows(2), rows(3))
+      q.processAllAvailable()
+      assert(spark.table("stream_funnel").count() === 0L)
+      in.addData(rows(0), rows(4), rows(5), rows(6))
+      q.processAllAvailable()
+      in.addData(flush)
+      q.processAllAvailable()
+    } finally q.stop()
+    val advances = spark.table("stream_funnel")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    // each advance carries the advancing event's timestamp
+    assert(advances.toSet === Set(
+      (1L, 1L, ts("10:00")), (1L, 2L, ts("10:20")), (1L, 3L, ts("10:40")),
+      (2L, 1L, ts("10:10")), (2L, 2L, ts("10:30"))))
+    // final stage per key ≡ the batch operator over the CERTIFIED rows
+    // (the flush row exists only to push the watermark; the stream never
+    // certifies it, so the batch comparison excludes it too)
+    val finalStages = advances.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val batch = graft.ops.Temporal.funnelStages(rows.toDF(),
+        "key", "ts", "seq", "etype", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch.filter(_._2 > 0L) === finalStages)
+    assert(batch(3L) === 0L)
   }
 
   test("streaming BM25 over a static index ≡ the batch served probe, state across batches") {
