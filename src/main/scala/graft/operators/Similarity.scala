@@ -704,6 +704,76 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos_e6"))
   }
 
+  /** Embedding-space contamination: training vectors within cosine
+    * `minCosE6/1e6` of ANY eval vector — the decontamination pass that
+    * catches PARAPHRASED eval leakage the n-gram containment check
+    * (d08's `contaminationPairs`) cannot see. Exact recall, like
+    * [[embeddingNearDupPairs]]: both sides land on the same anchor grid
+    * (anchors fit from the EVAL side — any fixed anchors preserve the
+    * adjacent-cell guarantee), candidates are cell-equi-joined, and
+    * every candidate is exactly verified.
+    *
+    * Scale shape: the eval side is release-sized (thousands), so IT
+    * carries the 9 neighbor-cell offsets and broadcasts; the training
+    * corpus is scanned ONCE, bucketed per row, and only rows landing in
+    * a cell some eval vector's neighborhood touches ever reach the
+    * verify — the train×train pair space (what running the self-join
+    * dedup over train∪eval would pay) is never formed.
+    *
+    * @return (train_id, eval_id, cos_e6) — one row per contaminated
+    *         (train, eval) pair at exact micro-unit cosine
+    */
+  def semanticContamination(train: DataFrame, eval: DataFrame,
+      minCosE6: Long): DataFrame = {
+    val t = (minCosE6.toDouble - 1.0) / 1e6
+    val eps = math.sqrt(math.max(2.0 - 2.0 * t, 1e-9))
+    def unit(a: Array[Double]): Option[Array[Double]] = {
+      val n = math.sqrt(a.map(x => x * x).sum)
+      if (n > 1e-12) Some(a.map(_ / n)) else None
+    }
+    val evBase = eval.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val nonZero = evBase.filter(col("nrm") > 0)
+    val a0 = nonZero.orderBy(col("vec_id")).select(col("embedding")).head(1)
+      .headOption.map(_.getSeq[Float](0).toArray.map(_.toDouble)).flatMap(unit)
+    val anchors: Seq[Array[Double]] = a0 match {
+      case None => Nil
+      case Some(u0) =>
+        val u0Lit = typedLit(u0.map(_.toFloat))
+        val a1 = nonZero
+          .withColumn("ac", abs(dot(col("embedding"), u0Lit) / col("nrm")))
+          .orderBy(col("ac"), col("vec_id")).select(col("embedding")).head(1)
+          .headOption.map(_.getSeq[Float](0).toArray.map(_.toDouble)).flatMap(unit)
+        val u1 = a1.flatMap { v =>
+          val proj = v.zip(u0).map { case (x, y) => x * y }.sum
+          unit(v.zip(u0).map { case (x, y) => x - proj * y })
+        }
+        Seq(Some(u0), u1).flatten
+    }
+    def cellCol(i: Int): Column =
+      if (i < anchors.length)
+        floor(dot(col("embedding"), typedLit(anchors(i).map(_.toFloat))) / col("nrm") / lit(eps))
+          .cast("long")
+      else lit(0L)
+    val offs: Seq[(Int, Int)] = for { i <- -1 to 1; j <- -1 to 1 } yield (i, j)
+    val evalSide = evBase
+      .withColumn("c0", cellCol(0)).withColumn("c1", cellCol(1))
+      .select(col("vec_id").as("eval_id"), col("embedding").as("ve"), col("nrm").as("ne"),
+        col("c0"), col("c1"))
+      .withColumn("off", explode(typedLit(offs)))
+      .select(col("eval_id"), col("ve"), col("ne"),
+        (col("c0") + col("off._1")).as("p0"), (col("c1") + col("off._2")).as("p1"))
+    val trainSide = train
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .withColumn("c0", cellCol(0)).withColumn("c1", cellCol(1))
+      .select(col("vec_id").as("train_id"), col("embedding").as("vt"), col("nrm").as("nt"),
+        col("c0").as("b0"), col("c1").as("b1"))
+    spread(trainSide).join(broadcast(evalSide),
+        col("p0") === col("b0") && col("p1") === col("b1"))
+      .withColumn("cos_e6", cosE6From(col("vt"), col("ve"), col("nt"), col("ne")))
+      .filter(col("cos_e6") >= minCosE6)
+      .select(col("train_id"), col("eval_id"), col("cos_e6"))
+  }
+
   /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
     * arXiv:2303.09540): assign every vector to a k-means cell with the
     * same deterministic sampled fit the IVF index uses ([[buildIvf]]),

@@ -256,6 +256,17 @@ object NorthStarQueries {
     "d03_simhash" -> ((s, d) => {
       Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 3)
     }),
+    "d17_semantic_contamination" -> ((s, d) => {
+      // Embedding-space decontamination: training vectors (id >= 100)
+      // within cosine 0.4 of any eval vector (id < 100) — paraphrase
+      // leakage the n-gram check (d08) can't see. Exact recall: shared
+      // anchor grid, eval side carries the neighbor offsets and
+      // broadcasts; the train corpus is scanned once.
+      val emb = Tables.embeddings(s, d)
+      Similarity.semanticContamination(
+        emb.filter(col("vec_id") >= 100), emb.filter(col("vec_id") < 100),
+        minCosE6 = 400000L)
+    }),
     "d16_lsh_eval" -> ((s, d) => {
       // Candidate-quality audit: does 12 hashes x 4 bands of 3 actually
       // capture the jaccard>=0.8 truth on this corpus, and how much
@@ -1251,6 +1262,15 @@ object NorthStarQueries {
     "d06_dedup_components" ->
       s"""$componentsCteSql
          |SELECT doc_id, component FROM comp""".stripMargin,
+    // the grid bucketing is a pure optimization with exact recall, so the
+    // definitional check is the brute-force cross join
+    "d17_semantic_contamination" ->
+      s"""SELECT a.vec_id AS train_id, b.vec_id AS eval_id,
+         |       ${cosE6Sql("a.embedding", "b.embedding")} AS cos_e6
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.vec_id >= 100 AND b.vec_id < 100
+         |WHERE ${cosE6Sql("a.embedding", "b.embedding")} >= 400000
+         |ORDER BY train_id, eval_id""".stripMargin,
     // cluster-size distribution over the same components closure
     "d13_component_sizes" ->
       s"""$componentsCteSql,

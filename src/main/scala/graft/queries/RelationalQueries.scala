@@ -327,6 +327,24 @@ object RelationalQueries {
         .groupBy(col("band_id"))
         .agg(count(lit(1)).as("n_items"), sum(col("price_cents")).as("sum_cents"))
     }),
+    "q47_lateral_topk" -> ((s, d) => {
+      // LATERAL correlated subquery (SQL surface): each BUILDING-segment
+      // customer's top-2 priciest orders. Catalyst decorrelates the
+      // lateral into a join + per-key rank — no per-row re-execution;
+      // the DataFrame twin is a window rank, pinned equal by the oracle.
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.price_cents
+        FROM (SELECT c_custkey FROM customer_v WHERE c_mktsegment = 'BUILDING') c,
+        LATERAL (
+          SELECT o.o_orderkey,
+                 CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS price_cents
+          FROM orders_v o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY price_cents DESC, o.o_orderkey
+          LIMIT 2) t""")
+    }),
     "q35_scalar_subquery" -> ((s, d) => {
       // SQL-surface query: a correlated scalar subquery authored as raw
       // SQL through spark.sql — Catalyst decorrelates it into an outer
@@ -833,6 +851,19 @@ object RelationalQueries {
         |       CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM d JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // same LATERAL shape; inner-join semantics (customers with no orders
+    // contribute nothing), identical tie order
+    "q47_lateral_topk" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.price_cents
+        |FROM (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') c,
+        |LATERAL (
+        |  SELECT o.o_orderkey,
+        |         CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY price_cents DESC, o.o_orderkey
+        |  LIMIT 2) t
+        |ORDER BY c.c_custkey, t.price_cents DESC, t.o_orderkey""".stripMargin,
     // lead-window replay of the grouped ordered-sequence n-grams: a
     // trigram exists exactly where two leads are non-null
     "q46_event_paths" ->

@@ -73,6 +73,26 @@ class ScaleShapeSpec extends SparkTestBase {
     assert(recall >= 0.8, f"quantized recall@5 $recall%.3f under 0.8 floor")
   }
 
+  test("semanticContamination ≡ brute-force cross pairs; empty eval yields empty") {
+    val emb = Tables.embeddings(spark, sf)
+    val train = emb.filter($"vec_id" >= 20)
+    val eval = emb.filter($"vec_id" < 20)
+    val fast = Similarity.semanticContamination(train, eval, minCosE6 = 300000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // naive: every cross pair exactly scored
+    val naive = train.select($"vec_id".as("train_id"), $"embedding".as("vt"))
+      .crossJoin(eval.select($"vec_id".as("eval_id"), $"embedding".as("ve")))
+      .withColumn("cos_e6", Similarity.cosineE6($"vt", $"ve"))
+      .filter($"cos_e6" >= 300000L)
+      .select("train_id", "eval_id", "cos_e6")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fast.nonEmpty)
+    assert(fast === naive)
+    val none = Similarity.semanticContamination(
+      train, eval.filter($"vec_id" < 0), minCosE6 = 300000L)
+    assert(none.count() === 0L)
+  }
+
   test("PQ kNN is exact when coarseK covers the corpus; ADC recall floor at 4k") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter($"vec_id" < 10)
