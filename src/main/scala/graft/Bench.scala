@@ -110,12 +110,19 @@ object Bench {
         val jdir = new java.io.File(System.getProperty("java.io.tmpdir"),
           "graft_jsonl_warm").getAbsolutePath
         graft.sources.Jsonl.write(tinyDocs.select(col("doc_id"), col("text")), jdir)
+        // aggregate OVER a data column: a bare count() prunes the scan
+        // down to _corrupt_record alone, which Spark rejects
+        // (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — and an exception here used
+        // to abort the REST of the warmup, silently un-warming every
+        // family registered after this block. A projection alone doesn't
+        // survive count()'s pruning; count(doc_id) keeps the column live.
         graft.sources.Jsonl.readLogAndContinue(spark, jdir,
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("doc_id",
               org.apache.spark.sql.types.LongType),
             org.apache.spark.sql.types.StructField("text",
-              org.apache.spark.sql.types.StringType)))).count()
+              org.apache.spark.sql.types.StringType))))
+          .agg(count(col("doc_id"))).collect()
       }
       // r7 second batch: the symmetric-delete variant explode + levenshtein
       // verify (d14) and the banded label-filtered heap (s06) each compile

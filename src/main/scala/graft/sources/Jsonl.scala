@@ -45,7 +45,15 @@ object Jsonl {
       .json(dir)
 
   /** Read jsonl, dropping corrupt lines (the S8 LogAndContinue policy in
-    * its batch form): parsed rows only, data columns only. */
+    * its batch form): parsed rows only, data columns only.
+    *
+    * Caveat (Spark limitation): a downstream query must reference at
+    * least one DATA column — a bare `count()` prunes the scan to
+    * `_corrupt_record` alone, which Spark rejects with
+    * UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN (the corrupt
+    * column only materializes while parsing data columns). A plain
+    * projection does NOT survive count()'s pruning — count survivors
+    * with `.agg(count(col("<data col>")))` instead. */
   def readLogAndContinue(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     read(spark, dir, schema)
       .filter(col("_corrupt_record").isNull)
