@@ -41,8 +41,11 @@ object Bench {
       // their own generated classes — without these lines that janino
       // cost lands inside the family's first measured rep
       Similarity.quantizedKnn(tinyEmb, tinyEmb.limit(3), k = 2, coarseK = 4).count()
-      // r7: PQ assign/ADC kernels + the codes⋈tables coarse join shape
+      // r7: PQ assign/ADC kernels + the codes⋈tables coarse join shape,
+      // and the IVF-PQ probe-window + cell-join composition
       Similarity.pqKnn(tinyEmb, tinyEmb.limit(3), k = 2, nCodes = 2, coarseK = 4).count()
+      Similarity.ivfPqKnn(tinyEmb, tinyEmb.limit(3), k = 2, nCells = 2,
+        nprobe = 1, nCodes = 2, coarseK = 4).count()
       tinyDocs.select(
         graft.functions.TextFunctions.ngramRepetition(org.apache.spark.sql.functions.col("text"), 1),
         graft.functions.TextFunctions.ngramRepetition(org.apache.spark.sql.functions.col("text"), 3)).count()

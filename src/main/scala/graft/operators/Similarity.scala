@@ -380,6 +380,84 @@ object Similarity {
     topKNeighbors(scored, k)
   }
 
+  /** IVF-PQ two-level ANN — the FAISS `IVFx,PQy` architecture, the
+    * serving layout for corpora where even PQ codes are too many to scan
+    * per query: a coarse IVF partition picks `nprobe` cells per query,
+    * and WITHIN the probed cells ranking runs on PQ codes via the ADC
+    * tables ([[pqKnn]]'s discipline), then the top `coarseK` candidates
+    * rescore exactly. Cell assignment reuses the PQ assignment kernel
+    * over the FULL space (same argmax-cosine rule as [[ivfKnn]]'s
+    * assignToCells, per-row and shuffle-free).
+    *
+    * Scale shape: corpus rows carry (cell, nSub codes) — a handful of
+    * ints; the scan per query touches only probed cells (equi-join on
+    * cell against the broadcast probe set), each candidate costs nSub
+    * table lookups, and full vectors are read only for the coarseK
+    * rescore. Recall loss = IVF probe loss ∪ ADC-rank loss past
+    * coarseK — measure both with [[recallAtK]]-style sampling before
+    * committing an (nCells, nprobe, coarseK) triple.
+    */
+  def ivfPqKnn(emb: DataFrame, queries: DataFrame, k: Int, nCells: Int = 16,
+      nprobe: Int = 2, dims: Int = 64, nSub: Int = 4, nCodes: Int = 16,
+      coarseK: Int = 0, iters: Int = 2, sampleMod: Int = 7): DataFrame = {
+    val ck = if (coarseK > 0) coarseK else 4 * k
+    require(ck >= k, s"coarseK ($ck) must be >= k ($k)")
+    require(nprobe >= 1 && nprobe <= nCells, s"need 1 <= nprobe <= nCells, got $nprobe/$nCells")
+    import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cent = kmeansCentroids(emb, nCells, iters, sampleMod)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).toSeq
+    val model = fitPq(emb, dims, nSub, nCodes, iters, sampleMod)
+    val sd = model.subDim
+    if (cent.isEmpty) return topKNeighbors(
+      emb.limit(0).select(col("vec_id").as("query_id"), lit(0L).as("cos_e6"),
+        col("vec_id").as("neighbor_id")), k)
+    val corpus = spread(emb.select(
+      col("vec_id") +:
+        VectorExpressions.pqAssign(col("embedding"), cent.map(_._2), off = 0).as("cell") +:
+        (0 until nSub).map(j => VectorExpressions.pqAssign(col("embedding"),
+          model.books(j).map(_._2), off = j * sd).as(s"code$j")): _*))
+    val centDf = cent.toDF("cid", "cv")
+      .select(col("cid"), col("cv"),
+        sqrt(VectorExpressions.dotWiden(col("cv"), col("cv"))).as("cn"))
+    val probes = queries.select(col("vec_id").as("query_id"), col("embedding"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("pc",
+        VectorExpressions.dotWiden(col("embedding"), col("cv")) /
+          (norm(col("embedding")) * col("cn")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("pc").desc, col("cid"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("cid").as("cell"))
+    val tabCols = (0 until nSub).map { j =>
+      VectorExpressions.pqAdcTable(col("embedding"),
+        model.books(j).map(_._2), off = j * sd).as(s"t$j")
+    }
+    val qtab = queries.select(col("vec_id").as("query_id") +: tabCols: _*)
+    val probeTabs = probes.join(qtab, "query_id")
+    val adc = (0 until nSub)
+      .map(j => element_at(col(s"t$j"), col(s"code$j") + 1))
+      .reduce(_ + _)
+    val cand = corpus
+      .join(broadcast(probeTabs), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("adc", adc)
+      .groupBy(col("query_id"))
+      .agg(TopKByScore.topK(col("adc").cast("double"), col("vec_id"), ck).as("top"))
+      .select(col("query_id"), explode(col("top")).as("nb"))
+      .select(col("query_id"), col("nb.id").as("neighbor_id"))
+    val qv = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"), norm(col("embedding")).as("qn"))
+    val scored = broadcast(cand)
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nv"), norm(col("embedding")).as("nn")), "neighbor_id")
+      .join(broadcast(qv), "query_id")
+      .withColumn("cos_e6", cosE6From(col("qv"), col("nv"), col("qn"), col("nn")))
+    topKNeighbors(scored, k)
+  }
+
   /** Deterministic sampled k-means centroids for the IVF index —
     * THE centroid rule, in one place (assignment and probing must use the
     * same centroids or probes would target cells nothing was assigned to).

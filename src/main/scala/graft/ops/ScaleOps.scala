@@ -211,4 +211,31 @@ object ScaleOps {
         expr("CAST((1000 * max_rows_per_key * n_keys) DIV n_rows AS BIGINT)")
           .as("skew_permille"))
   }
+
+  /** Incremental aggregate maintenance (the IVM move): merge a NEW
+    * batch's aggregate state into the standing aggregate WITHOUT
+    * rescanning the base data — `merged = base ⊞ delta` where every
+    * non-key column is additive (counts, long sums; avg = keep sum+count
+    * and divide downstream, the [[SaltedMetric]] decomposition). The
+    * 100 TB shape: history is touched never — the join's left side is
+    * the key-cardinality aggregate STATE, the right side one batch's
+    * state (typically broadcast), so refreshing a dashboard over years
+    * of events costs one delta scan + one state-sized join.
+    *
+    * Keys appearing on one side pass through with the other side's
+    * contribution as 0; both frames must share the schema exactly.
+    */
+  def mergeAggregates(base: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "mergeAggregates needs at least one key column")
+    require(base.columns.toSeq == delta.columns.toSeq,
+      s"aggregate state schemas differ: ${base.columns.mkString(",")} vs ${delta.columns.mkString(",")}")
+    val vals = base.columns.filterNot(keys.contains).toSeq
+    require(vals.nonEmpty, "mergeAggregates needs at least one additive value column")
+    val clash = vals.filter(v => base.columns.contains(s"__d_$v"))
+    require(clash.isEmpty, s"mergeAggregates reserves __d_* names: ${clash.mkString(",")}")
+    val d2 = vals.foldLeft(delta)((df, v) => df.withColumnRenamed(v, s"__d_$v"))
+    base.join(d2, keys, "full_outer")
+      .select(keys.map(col) ++ vals.map(v =>
+        (coalesce(col(v), lit(0L)) + coalesce(col(s"__d_$v"), lit(0L))).as(v)): _*)
+  }
 }

@@ -1030,6 +1030,15 @@ object NorthStarQueries {
       val emb = Tables.embeddings(s, d)
       Similarity.quantizedKnn(emb, emb.filter(col("vec_id") < 20), k = 5, coarseK = 20)
     }),
+    "s14_knn_ivfpq" -> ((s, d) => {
+      // IVF-PQ (FAISS IVF16,PQ4x16): coarse cell probe (nprobe=2) +
+      // in-cell ADC ranking on 4-int codes + exact rescore of the
+      // top-20 — the two-level layout where neither the vectors nor
+      // even all codes are scanned per query.
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfPqKnn(emb, emb.filter(col("vec_id") < 20),
+        k = 5, nCells = 16, nprobe = 2, coarseK = 20)
+    }),
     "s13_knn_pq" -> ((s, d) => {
       // Product-quantization ANN (ADC): 4 subspace codebooks of 16 codes,
       // corpus scanned as 4 ints/row against broadcast per-query lookup
@@ -2191,6 +2200,57 @@ object NorthStarQueries {
          |        ORDER BY cos_e6 DESC, neighbor_id) AS rank FROM resc)
          |SELECT query_id, rank, neighbor_id, cos_e6 FROM r WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+    // the full-space fit (cells + probes) composed with the four
+    // subspace fits and ADC tables of s13; candidates exist only inside
+    // probed cells
+    "s14_knn_ivfpq" -> {
+      val nSub = 4
+      val sd = 16
+      val fits = ivfFitCtes(nCells = 16, iters = 2, sampleMod = 7) + ",\n" +
+        (0 until nSub).map { j =>
+          ivfFitCtes(nCells = 16, iters = 2, sampleMod = 7,
+            dims = sd, vExpr = s"embedding[${j * sd + 1}:${(j + 1) * sd}]", sfx = s"_s$j")
+        }.mkString(",\n")
+      val tabs = (0 until nSub).map { j =>
+        s"""tab_s$j AS (SELECT q.vec_id AS query_id, c.cid,
+           |  CAST(ROUND(list_sum(list_transform(range(len(q.v)),
+           |    i -> q.v[i+1]::DOUBLE * c.cv[i+1]))*1e6) AS BIGINT) AS t
+           |  FROM e_s$j q, c2_s$j c WHERE q.vec_id < 20)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $fits,
+         |probes AS (SELECT query_id, cell FROM (
+         |   SELECT q.vec_id AS query_id, c.cid AS cell,
+         |          ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |            ORDER BY ${cosWSql("q.v", "c.cv")} DESC, c.cid) AS rn
+         |   FROM e q, c2 c WHERE q.vec_id < 20) WHERE rn <= 2),
+         |$tabs,
+         |adc AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+         |          (t0.t + t1.t + t2.t + t3.t) AS adc
+         |        FROM asg a
+         |        JOIN probes p ON p.cell = a.cell
+         |        JOIN asg_s0 a0 ON a0.vec_id = a.vec_id
+         |        JOIN asg_s1 a1 ON a1.vec_id = a.vec_id
+         |        JOIN asg_s2 a2 ON a2.vec_id = a.vec_id
+         |        JOIN asg_s3 a3 ON a3.vec_id = a.vec_id
+         |        JOIN tab_s0 t0 ON t0.cid = a0.cell AND t0.query_id = p.query_id
+         |        JOIN tab_s1 t1 ON t1.cid = a1.cell AND t1.query_id = p.query_id
+         |        JOIN tab_s2 t2 ON t2.cid = a2.cell AND t2.query_id = p.query_id
+         |        JOIN tab_s3 t3 ON t3.cid = a3.cell AND t3.query_id = p.query_id
+         |        WHERE p.query_id <> a.vec_id),
+         |cand AS (SELECT query_id, neighbor_id FROM (
+         |          SELECT query_id, neighbor_id,
+         |                 ROW_NUMBER() OVER (PARTITION BY query_id
+         |                   ORDER BY adc DESC, neighbor_id) AS r
+         |          FROM adc) WHERE r <= 20),
+         |fq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings),
+         |fc AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+         |resc AS (SELECT cand.query_id, cand.neighbor_id, ${cosE6Sql("qv", "nv")} AS cos_e6
+         |         FROM cand JOIN fq USING (query_id) JOIN fc USING (neighbor_id)),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY cos_e6 DESC, neighbor_id) AS rank FROM resc)
+         |SELECT query_id, rank, neighbor_id, cos_e6 FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
     // four subspace k-means fits (the shared ivfFitCtes, sliced + name-
     // suffixed), ADC tables as micro-exact longs, integer coarse rank,
     // exact cosine rescore — CTE-for-CTE what Similarity.pqKnn computes

@@ -327,6 +327,20 @@ object RelationalQueries {
         .groupBy(col("band_id"))
         .agg(count(lit(1)).as("n_items"), sum(col("price_cents")).as("sum_cents"))
     }),
+    "q48_incremental_agg" -> ((s, d) => {
+      // Incremental view maintenance: the standing per-user aggregate
+      // refreshed by MERGING the new batch's aggregate state — base
+      // events are never rescanned; the join touches key-cardinality
+      // state only. Oracle = the full recompute it must equal.
+      val ev = Tables.events(s, d)
+      def aggOf(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("sum_cents"))
+      graft.ops.ScaleOps.mergeAggregates(
+        aggOf(ev.filter(col("ts") < lit("2024-01-20"))),
+        aggOf(ev.filter(col("ts") >= lit("2024-01-20"))),
+        Seq("user_id"))
+    }),
     "q47_lateral_topk" -> ((s, d) => {
       // LATERAL correlated subquery (SQL surface): each BUILDING-segment
       // customer's top-2 priciest orders. Catalyst decorrelates the
@@ -851,6 +865,12 @@ object RelationalQueries {
         |       CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM d JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the definitional check: the merged state must equal a full
+    // recompute over base ∪ delta
+    "q48_incremental_agg" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // same LATERAL shape; inner-join semantics (customers with no orders
     // contribute nothing), identical tie order
     "q47_lateral_topk" ->

@@ -73,6 +73,45 @@ class ScaleShapeSpec extends SparkTestBase {
     assert(recall >= 0.8, f"quantized recall@5 $recall%.3f under 0.8 floor")
   }
 
+  test("mergeAggregates ≡ full recompute; one-sided keys; contracts loud") {
+    import graft.ops.ScaleOps
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"value")
+      .withColumn("cents", round($"value" * 100).cast("long"))
+    def aggOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"user_id").agg(count(lit(1)).as("n"), sum($"cents").as("s"))
+    // split so both one-sided cases occur (odd/even users overlap fully;
+    // use a value split instead: low/high cents)
+    val base = aggOf(ev.filter($"cents" < 5000))
+    val delta = aggOf(ev.filter($"cents" >= 5000))
+    val merged = ScaleOps.mergeAggregates(base, delta, Seq("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = aggOf(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged.nonEmpty && merged === full)
+    intercept[IllegalArgumentException] {
+      ScaleOps.mergeAggregates(base, delta.withColumnRenamed("s", "x"), Seq("user_id"))
+    }
+    intercept[IllegalArgumentException] {
+      ScaleOps.mergeAggregates(base.select($"user_id"), base.select($"user_id"), Seq("user_id"))
+    }
+  }
+
+  test("ivfPqKnn degenerates to brute force at nprobe=nCells, coarseK=corpus") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" < 10)
+    val n = emb.count().toInt
+    val brute = Similarity.bruteForceKnn(emb, q, k = 5)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val full = Similarity.ivfPqKnn(emb, q, k = 5, nCells = 4, nprobe = 4, coarseK = n)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(brute.nonEmpty)
+    assert(full === brute)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqKnn(emb, q, k = 5, nCells = 4, nprobe = 5)
+    }
+  }
+
   test("semanticContamination ≡ brute-force cross pairs; empty eval yields empty") {
     val emb = Tables.embeddings(spark, sf)
     val train = emb.filter($"vec_id" >= 20)
