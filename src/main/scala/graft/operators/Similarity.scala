@@ -354,6 +354,9 @@ object Similarity {
     require(ck >= k, s"coarseK ($ck) must be >= k ($k)")
     val model = fitPq(emb, dims, nSub, nCodes, iters, sampleMod)
     val sd = model.subDim
+    if (model.books.head.isEmpty) // empty corpus: no codebooks, no neighbors
+      return topKNeighbors(emb.limit(0).select(col("vec_id").as("query_id"),
+        lit(0L).as("cos_e6"), col("vec_id").as("neighbor_id")), k)
     val codes = spread(encodePq(emb, model))
     val tabCols = (0 until model.nSub).map { j =>
       VectorExpressions.pqAdcTable(col("embedding"),

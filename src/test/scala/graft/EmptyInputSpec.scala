@@ -119,4 +119,37 @@ class EmptyInputSpec extends SparkTestBase {
     assert(graft.multimodal.Multimodal.perceptualDupClusters(
       Seq.empty[(Long, Seq[Float])].toDF("doc_id", "feature")).count() === 0L)
   }
+
+  test("fourth-session operators survive empty inputs") {
+    val noTsRows = Seq.empty[(Long, java.sql.Timestamp, Long, String)]
+      .toDF("k", "ts", "seq", "v")
+    // cohorts / paths of an empty stream: empty
+    assert(graft.ops.Temporal.cohortRetention(noTsRows, "k", "ts").count() === 0L)
+    assert(graft.ops.Temporal.eventPaths(noTsRows, "k", "ts", "seq", "v").count() === 0L)
+    // CDC apply with an empty change log: base passes through untouched
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val applied = graft.ops.Temporal.applyChanges(
+      base, noTsRows.withColumnRenamed("v", "op").withColumn("v", lit("x")),
+      Seq("k"), "ts", Seq("seq"), "op")
+    assert(applied.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      === Set((1L, "a"), (2L, "b")))
+    // winsorize of all-null and empty frames keeps schema, tags null
+    val noVals = Seq.empty[(String, Option[Long])].toDF("g", "x")
+    val w = graft.operators.Sketches.winsorize(noVals, Seq("g"), "x", 100, 900)
+    assert(w.count() === 0L && w.columns.contains("winsorized"))
+    // vocab growth / scene cuts / merge / PQ family: empty in, empty out
+    assert(graft.operators.Keywords.vocabGrowth(noDocs, "doc_id", "text", 10L)
+      .count() === 0L)
+    assert(graft.multimodal.Multimodal.sceneCuts(
+      Seq.empty[(Long, String, Int, Int, Int, Seq[Float])]
+        .toDF("doc_id", "kind", "width", "height", "n_frames", "feature"))
+      .count() === 0L)
+    val noAgg = Seq.empty[(Long, Long)].toDF("k", "n")
+    assert(graft.ops.ScaleOps.mergeAggregates(noAgg, noAgg, Seq("k")).count() === 0L)
+    assert(Similarity.pqKnn(noEmb, noEmb, k = 2).count() === 0L)
+    assert(Similarity.ivfPqKnn(noEmb, noEmb, k = 2, nCells = 2, nprobe = 1)
+      .count() === 0L)
+    assert(Similarity.semanticContamination(noEmb, noEmb, 500000L).count() === 0L)
+    assert(graft.operators.Dedup.lshEvalReport(noDocs).count() === 1L) // one null-rate row
+  }
 }
