@@ -722,6 +722,31 @@ object NorthStarQueries {
         .select(col("token"), col("exact_count"),
           Sketches.cmsCount(col("__cms"), col("token"), 4, 512).as("cms_count"))
     }),
+    "t40_csv_roundtrip" -> ((s, d) => {
+      // The CSV boundary, t26's sibling: export documents as RFC-quoted
+      // CSV, read back with explicit schema plus one planted corrupt
+      // line (non-numeric id -> corrupt, dropped per S8), digest per
+      // row. Hash-equality vs the parquet-side oracle proves the hop is
+      // lossless through commas/quotes and the corrupt row was dropped.
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_csv_" + java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
+      graft.sources.Csv.write(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars")),
+        dir)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "planted_corrupt.csv"),
+        "not_a_number,some text,en,web,42\n".getBytes("UTF-8"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+      graft.sources.Csv.readLogAndContinue(s, dir, schema)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("fp"))
+    }),
     "t26_jsonl_roundtrip" -> ((s, d) => {
       // The jsonl boundary: export documents as json-lines, read them back
       // with an explicit schema plus one planted corrupt line, drop the
@@ -1594,6 +1619,10 @@ object NorthStarQueries {
     // directly — equality proves the roundtrip lost nothing and the
     // planted corrupt line was dropped
     "t26_jsonl_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // roundtrip identity: the csv hop must reproduce the parquet rows
+    "t40_csv_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars, md5(text) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
     // grouped KMV replay: k smallest distinct 48-bit hashes per source
