@@ -78,6 +78,19 @@ case class Scd2Closed(key: Long, value: String, valid_from: java.sql.Timestamp,
 /** streamingFunnel input: one behavioral event ((ts, seq) orders replays). */
 case class FunnelInput(key: Long, ts: java.sql.Timestamp, seq: Long, etype: String)
 
+/** streamingRetention input: one activity event. */
+case class RetentionInput(key: Long, ts: java.sql.Timestamp)
+
+/** Per-key retention state: the cohort day (epoch days; -1 = unset) and
+  * the key's distinct ACTIVE days so far (calendar-bounded, like the
+  * batch operator's per-key set), plus the uncertified buffer. */
+case class RetentionState(cohortDay: Int, seen: Seq[Int], pending: Seq[Long])
+
+/** A first-visit-of-a-day record — append-mode output; a (key, day) pair
+  * emits exactly once, so `groupBy(cohort_day, day_offset).count` over
+  * the sink IS the retention triangle. */
+case class CohortVisit(key: Long, cohort_day: String, day_offset: Long)
+
 /** A buffered event not yet certified by the watermark. */
 case class FunnelPending(tsUs: Long, seq: Long, etype: String)
 
@@ -900,6 +913,56 @@ object StreamingOps {
           }
           state.update(FunnelState(stage, pending))
           pending.map(_.tsUs).minOption.foreach(t =>
+            state.setTimeoutTimestamp(
+              math.max(t / 1000L, state.getCurrentWatermarkMs() + 1)))
+          out.result().iterator
+      }
+  }
+
+  /** Streaming cohort retention — the live face of
+    * [[graft.ops.Temporal.cohortRetention]]: per key, the FIRST certified
+    * active day fixes the cohort, and every later first-visit-of-a-day
+    * emits one (key, cohort_day, day_offset) record in append mode (a
+    * (key, day) pair emits exactly once, so a downstream
+    * `groupBy(cohort_day, day_offset).count` over the sink is the live
+    * retention triangle — counts only ever grow).
+    *
+    * State per key: the cohort day + the distinct active-day set (the
+    * batch operator's calendar-bounded per-key state) + the uncertified
+    * buffer under the [[streamingScd2]] watermark discipline — ordered
+    * replay is what makes "first certified day" the true minimum under
+    * out-of-order arrival. Expects `key: long, ts: timestamp`. Days are
+    * UTC epoch days of the event time.
+    */
+  def streamingRetention(events: DataFrame,
+      watermark: String = "1 hour"): Dataset[CohortVisit] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .select(col("key"), col("ts")).as[RetentionInput]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[RetentionState, CohortVisit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[RetentionInput], state: GroupState[RetentionState]) =>
+          val st = state.getOption.getOrElse(RetentionState(-1, Nil, Nil))
+          val rs = if (state.hasTimedOut) Array.empty[RetentionInput] else rows.toArray
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val all = st.pending ++ rs.map(x => tsMicros(x.ts))
+          val (ready, pending) = all.partition(_ < wmUs)
+          var cohort = st.cohortDay
+          var seen = st.seen
+          val out = Seq.newBuilder[CohortVisit]
+          ready.sorted.foreach { us =>
+            val day = Math.floorDiv(us, 86400000000L).toInt
+            if (cohort < 0) cohort = day
+            if (!seen.contains(day)) {
+              seen = seen :+ day
+              out += CohortVisit(key,
+                java.time.LocalDate.ofEpochDay(cohort.toLong).toString,
+                (day - cohort).toLong)
+            }
+          }
+          state.update(RetentionState(cohort, seen, pending))
+          pending.minOption.foreach(t =>
             state.setTimeoutTimestamp(
               math.max(t / 1000L, state.getCurrentWatermarkMs() + 1)))
           out.result().iterator

@@ -6,7 +6,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.streaming.{CallsStreamPipeline, KafkaIO, StreamingOps}
+import graft.streaming.{CallsStreamPipeline, KafkaIO, RetentionInput, StreamingOps}
 import org.apache.spark.sql.types._
 
 case class CallEvent(ts: Timestamp, user_id: Long, value: Long)
@@ -1128,6 +1128,57 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(batch.filter(_._2 > 0L) === finalStages)
     assert(batch(3L) === 0L)
+  }
+
+  test("streaming retention: per-(key,day) emits once; triangle ≡ batch, out-of-order") {
+    def at(day: String, hhmm: String) = Timestamp.valueOf(s"2024-01-$day $hhmm:00")
+    val rows = Seq(
+      // user 1: days 01, 02 (twice), 04
+      RetentionInput(1L, at("01", "10:00")),
+      RetentionInput(1L, at("02", "09:00")),
+      RetentionInput(1L, at("02", "23:00")),
+      RetentionInput(1L, at("04", "01:00")),
+      // user 2: day 01 only
+      RetentionInput(2L, at("01", "23:59")),
+      // user 3: days 03, 04
+      RetentionInput(3L, at("03", "00:00")),
+      RetentionInput(3L, at("04", "12:00")))
+    val flush = RetentionInput(99L, Timestamp.valueOf("2024-02-01 12:00:00"))
+    val in = MemoryStream[RetentionInput](spark)
+    // a 10-day watermark keeps every real row uncertified until the
+    // flush — cross-batch arrival order is then fully decoupled from
+    // event order (a 1h watermark would certify day 2 before day 1's
+    // opener ever arrived, which is a watermark-contract violation by
+    // the data, not an operator bug)
+    val out = StreamingOps.streamingRetention(in.toDF(), watermark = "10 days")
+    val q = out.writeStream
+      .format("memory").queryName("stream_retention").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ck-ret").toString)
+      .start()
+    try {
+      // user 1's day-02 and day-04 visits arrive BEFORE the day-01
+      // opener: if the cohort were fixed on arrival order it would be
+      // wrong; the watermark replay must fix it at day 01
+      in.addData(rows(1), rows(3), rows(5))
+      q.processAllAvailable()
+      assert(spark.table("stream_retention").count() === 0L)
+      in.addData(rows(0), rows(2), rows(4), rows(6))
+      q.processAllAvailable()
+      assert(spark.table("stream_retention").count() === 0L)
+      in.addData(flush)
+      q.processAllAvailable()
+    } finally q.stop()
+    val visits = spark.table("stream_retention")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // exactly one emission per (key, day): user 1's double day-02 visit
+    // emits once
+    assert(visits.length === visits.toSet.size)
+    val triangle = visits.groupBy(v => (v._2, v._3)).view.mapValues(_.length.toLong).toMap
+    val batch = graft.ops.Temporal.cohortRetention(
+        rows.toDF("key", "ts"), "key", "ts")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(triangle === batch)
+    assert(triangle(("2024-01-01", 0L)) === 2L) // users 1 and 2
   }
 
   test("streaming BM25 over a static index ≡ the batch served probe, state across batches") {
