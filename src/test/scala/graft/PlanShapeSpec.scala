@@ -322,6 +322,29 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Exchange"), s"s09 shuffles a pure per-row map:\n$p")
   }
 
+  test("fourth-session query shapes: exchange budgets and broadcast fits") {
+    // shuffle exchanges only — BroadcastExchange is the cheap kind the
+    // pins WANT to see
+    def exchanges(p: String): Int =
+      "Exchange (hashpartitioning|rangepartitioning|RoundRobin)".r.findAllIn(p).length
+    // q44 cohort: one exchange on the key + the tiny rollup of per-key
+    // rows — never a third pass over the events
+    val q44 = plan(SparkEntry.queries("q44_cohort_retention")(spark, sf))
+    assert(exchanges(q44) <= 2, s"q44 re-shuffles the events:\n$q44")
+    assert(!q44.contains("Window"), s"q44 grew a window:\n$q44")
+    // t38 winsorize: the per-group fit broadcasts back — the clip adds NO
+    // exchange of the big side
+    val t38 = plan(SparkEntry.queries("t38_winsorize")(spark, sf))
+    assert(t38.contains("BroadcastHashJoin"), s"t38 lost the broadcast fit:\n$t38")
+    assert(exchanges(t38) <= 1, s"t38 shuffles the big side for the clip:\n$t38")
+    // q45 CDC apply: the max_by reduction + one key join, nothing more
+    val q45 = plan(SparkEntry.queries("q45_merge_changes")(spark, sf))
+    assert(!q45.contains("Window"), s"q45 ranks with a window instead of max_by:\n$q45")
+    // q46 paths: grouped ordered collect, no per-lead window re-sorts
+    val q46 = plan(SparkEntry.queries("q46_event_paths")(spark, sf))
+    assert(!q46.contains("Window"), s"q46 grew lead windows:\n$q46")
+  }
+
   test("pq encode is a shuffle-free kernel map; coarse scan carries codes, not vectors") {
     val emb = Tables.embeddings(spark, sf)
     val model = graft.operators.Similarity.fitPq(emb)
