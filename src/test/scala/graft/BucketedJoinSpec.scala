@@ -45,6 +45,32 @@ class BucketedJoinSpec extends SparkTestBase {
     }
   }
 
+  test("day-partitioned fact ⋈ filtered dim triggers dynamic partition pruning") {
+    import graft.ops.Layout
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val dir = java.nio.file.Files.createTempDirectory("day-dpp").toString + "/out"
+    Layout.writeDayPartitioned(ev, "ts", dir)
+    val fact = Layout.readDayPartitioned(spark, dir)
+    // a dim whose filter picks ONE day — the classic star-join shape
+    // where the fact's partitions to read are only known at runtime
+    import spark.implicits._
+    // the dim must be a real source (a LocalRelation's filter constant-
+    // folds away and DPP sees no selective predicate to derive from)
+    val dimDir = java.nio.file.Files.createTempDirectory("day-dim").toString + "/dim"
+    Seq(("2024-01-01", "launch"), ("2024-01-03", "promo"), ("2024-01-05", "sale"))
+      .toDF("d", "label").select(to_date($"d").as("day"), $"label")
+      .write.parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val joined = fact.join(dim.filter($"label" === "launch"), Seq("day"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning in the fact scan:\n$plan")
+    // and the runtime result is exactly that day's rows
+    val expect = fact.filter($"day" === to_date(lit("2024-01-01"))).count()
+    assert(joined.count() === expect && expect > 0)
+  }
+
   test("writeTrainingShards: one ordered file per shard dir, rows in training order") {
     import graft.operators.Splits
     import graft.ops.Layout
