@@ -173,6 +173,40 @@ object Temporal {
         datediff(col("__day"), col("__cohort")).cast("long").as("day_offset"))
       .agg(count(lit(1)).as("n_users"))
 
+  /** Daily resampling with forward fill — the gap-filling pass that turns
+    * an irregular event stream into the dense per-key daily series
+    * time-series consumers (features, charts, SCD reads) expect: per key,
+    * one row per calendar day of the key's own [first, last] active
+    * span, carrying the day's CLOSING value (latest by (ts, tie) within
+    * the day) and the forward-filled value (last close at or before the
+    * day — gaps inherit, days before the first observation stay null
+    * only never: day one is an observation by construction).
+    *
+    * Scale shape: the daily close is ONE exchange on (key, day) with a
+    * max_by (map-side partials — intraday volume collapses before the
+    * shuffle); the grid explodes from each key's (min, max) day pair
+    * (span-bounded, like [[cohortRetention]]'s set); the fill is a
+    * running `last(ignoreNulls)` over each key's OWN grid rows — a
+    * window over |span| rows per key, never over raw events.
+    *
+    * @return (keyCol, day: date, close_cents-style raw value: nullable,
+    *         filled: forward-filled value)
+    */
+  def resampleDailyFfill(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String): DataFrame = {
+    val daily = df
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(max_by(col(valueCol), struct(col(tsCol), col(tieCol))).as("close"))
+    val grid = df
+      .groupBy(col(keyCol))
+      .agg(min(to_date(col(tsCol))).as("__d0"), max(to_date(col(tsCol))).as("__d1"))
+      .select(col(keyCol), explode(sequence(col("__d0"), col("__d1"))).as("day"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(daily, Seq(keyCol, "day"), "left")
+      .withColumn("filled", last(col("close"), ignoreNulls = true).over(w))
+  }
+
   /** Sequential path extraction: every length-`n` run of consecutive
     * event types per key, in (`tsCol`, `tieCol`) order, joined with '>'
     * — the "what do users do next" n-gram view behavioral analytics

@@ -327,6 +327,19 @@ object RelationalQueries {
         .groupBy(col("band_id"))
         .agg(count(lit(1)).as("n_items"), sum(col("price_cents")).as("sum_cents"))
     }),
+    "q49_resample_ffill" -> ((s, d) => {
+      // Daily gap-filled value series per user: closing cents per active
+      // day, dense grid over each user's own span, forward-filled — one
+      // (key, day) close exchange + a span-bounded per-key window; the
+      // window never sees raw events.
+      graft.ops.Temporal.resampleDailyFfill(
+          Tables.events(s, d)
+            .select(col("user_id"), col("ts"), col("event_id"),
+              cents(col("value")).as("cents")),
+          keyCol = "user_id", tsCol = "ts", tieCol = "event_id", valueCol = "cents")
+        .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("close"), col("filled"))
+    }),
     "q48_incremental_agg" -> ((s, d) => {
       // Incremental view maintenance: the standing per-user aggregate
       // refreshed by MERGING the new batch's aggregate state — base
@@ -865,6 +878,27 @@ object RelationalQueries {
         |       CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM d JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // generate_series grid + rank-1 close + IGNORE NULLS running last —
+    // the definitional replay of the close/ffill rules
+    "q49_resample_ffill" ->
+      """WITH ev AS (SELECT user_id, ts, event_id,
+        |        CAST(ROUND(value*100) AS BIGINT) AS cents FROM events),
+        |dd AS (SELECT user_id, day, cents AS close FROM (
+        |        SELECT user_id, CAST(ts AS DATE) AS day, cents,
+        |               ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |                 ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM ev) WHERE rn = 1),
+        |b AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0,
+        |             MAX(CAST(ts AS DATE)) AS d1 FROM ev GROUP BY 1),
+        |g AS (SELECT user_id,
+        |        CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |      FROM b)
+        |SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day, dd.close,
+        |       LAST_VALUE(dd.close IGNORE NULLS) OVER (
+        |         PARTITION BY g.user_id ORDER BY g.day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM g LEFT JOIN dd ON dd.user_id = g.user_id AND dd.day = g.day
+        |ORDER BY g.user_id, g.day""".stripMargin,
     // the definitional check: the merged state must equal a full
     // recompute over base ∪ delta
     "q48_incremental_agg" ->

@@ -149,6 +149,28 @@ class TemporalSpec extends SparkTestBase {
       ("2024-01-03", 1L) -> 1L))
   }
 
+  test("resampleDailyFfill: dense span grid, intraday close, gaps forward-fill") {
+    val ev = Seq(
+      // key 1: days 1 (two events — later wins), 2 missing, 3 present
+      (1L, ts("2024-01-01 09:00:00"), 1L, 10L),
+      (1L, ts("2024-01-01 18:00:00"), 2L, 20L),
+      (1L, ts("2024-01-03 12:00:00"), 3L, 30L),
+      // key 2: single day
+      (2L, ts("2024-01-05 00:00:00"), 4L, 77L)
+    ).toDF("k", "ts", "seq", "v")
+    val got = Temporal.resampleDailyFfill(ev, "k", "ts", "seq", "v")
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString,
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+      .sortBy(t => (t._1, t._2))
+    assert(got === Seq(
+      (1L, "2024-01-01", Some(20L), Some(20L)), // intraday close = later event
+      (1L, "2024-01-02", None, Some(20L)),      // gap forward-fills
+      (1L, "2024-01-03", Some(30L), Some(30L)),
+      (2L, "2024-01-05", Some(77L), Some(77L))))
+  }
+
   test("eventPaths: ordered n-grams per key; short keys contribute nothing") {
     val ev = Seq(
       (1L, ts("2024-01-01 00:00:00"), 1L, "a"),
