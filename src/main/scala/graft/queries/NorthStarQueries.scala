@@ -722,6 +722,26 @@ object NorthStarQueries {
         .select(col("token"), col("exact_count"),
           Sketches.cmsCount(col("__cms"), col("token"), 4, 512).as("cms_count"))
     }),
+    "t41_lang_fertility" -> ((s, d) => {
+      // Tokenizer planning table: per declared language, corpus volume
+      // and the fertility ratios (chars/word-token, BPE-ish tokens per
+      // word token) that size a tokenizer's budget per language — one
+      // grouped aggregate over kernel token counts, exact integer
+      // permille ratios.
+      Tables.documents(s, d)
+        .select(col("lang"), col("text"),
+          tokenCount(col("text")).cast("long").as("nt"),
+          bpeTokenCount(col("text")).cast("long").as("nb"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("n_chars"),
+          sum(col("nt")).as("n_tokens"),
+          sum(col("nb")).as("n_bpe_tokens"))
+        .withColumn("chars_per_token_permille",
+          expr("CAST(1000 * n_chars DIV greatest(n_tokens, 1) AS BIGINT)"))
+        .withColumn("bpe_per_token_permille",
+          expr("CAST(1000 * n_bpe_tokens DIV greatest(n_tokens, 1) AS BIGINT)"))
+    }),
     "t40_csv_roundtrip" -> ((s, d) => {
       // The CSV boundary, t26's sibling: export documents as RFC-quoted
       // CSV, read back with explicit schema plus one planted corrupt
@@ -1621,6 +1641,22 @@ object NorthStarQueries {
     "t26_jsonl_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars, md5(text) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the same whitespace/BPE-regex token rules as t01, grouped; ratios
+    // in guarded integer permille
+    "t41_lang_fertility" ->
+      s"""WITH m AS (SELECT lang, length(text) AS nc,
+         |        len($WsSql) AS nt,
+         |        len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS nb
+         |      FROM documents)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(nc) AS BIGINT) AS n_chars,
+         |       CAST(SUM(nt) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(nb) AS BIGINT) AS n_bpe_tokens,
+         |       CAST(1000 * SUM(nc) // GREATEST(SUM(nt), 1) AS BIGINT)
+         |         AS chars_per_token_permille,
+         |       CAST(1000 * SUM(nb) // GREATEST(SUM(nt), 1) AS BIGINT)
+         |         AS bpe_per_token_permille
+         |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
     // roundtrip identity: the csv hop must reproduce the parquet rows
     "t40_csv_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars, md5(text) AS fp
