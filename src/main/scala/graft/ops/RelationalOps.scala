@@ -80,4 +80,45 @@ object RelationalOps {
       .filter(col(valueCol) >= col(loCol) && col(valueCol) <= col(hiCol))
       .drop("__band")
   }
+
+  /** Snapshot reconciliation ("data diff"): classify every key across two
+    * table versions as `added` (B only), `removed` (A only), `changed`
+    * (both, any value column differs) or `same` — the audit a pipeline
+    * runs before promoting a rebuilt table, and the summary a CDC
+    * consumer reconciles against. Comparison is per-column null-safe
+    * (`<=>`), so null→value and value→null count as changes and
+    * null <=> null does not.
+    *
+    * Scale shape: ONE full-outer equi-join on the keys — both sides
+    * shuffle once; with pre-bucketed snapshots ([[graft.ops.Layout
+    * .writeBucketed]]) even that exchange disappears. No row hashing:
+    * hashing collapses columns but costs a serialization pass and makes
+    * null/order pitfalls invisible; the column comparison is codegen'd
+    * anyway.
+    *
+    * @return keys ++ (status: string) — one row per key present in
+    *         either version
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "snapshotDiff needs at least one key column")
+    require(a.columns.toSeq == b.columns.toSeq,
+      s"snapshot schemas differ: ${a.columns.mkString(",")} vs ${b.columns.mkString(",")}")
+    val vals = a.columns.filterNot(keys.contains).toSeq
+    val reserved = (Seq("__a", "__b", "status") ++ vals.map("__b_" + _))
+      .filter(a.columns.contains)
+    require(reserved.isEmpty, s"snapshotDiff reserves: ${reserved.mkString(",")}")
+    val av = a.withColumn("__a", lit(1))
+    val bv = vals.foldLeft(b)((df, v) => df.withColumnRenamed(v, s"__b_$v"))
+      .withColumn("__b", lit(1))
+    val sameCond =
+      if (vals.isEmpty) lit(true)
+      else vals.map(v => col(v) <=> col(s"__b_$v")).reduce(_ && _)
+    av.join(bv, keys, "full_outer")
+      .withColumn("status",
+        when(col("__b").isNull, lit("removed"))
+          .when(col("__a").isNull, lit("added"))
+          .when(sameCond, lit("same"))
+          .otherwise(lit("changed")))
+      .select(keys.map(col) :+ col("status"): _*)
+  }
 }

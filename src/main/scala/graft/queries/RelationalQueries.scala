@@ -327,6 +327,23 @@ object RelationalQueries {
         .groupBy(col("band_id"))
         .agg(count(lit(1)).as("n_items"), sum(col("price_cents")).as("sum_cents"))
     }),
+    "q50_snapshot_diff" -> ((s, d) => {
+      // Data diff between two table versions (the pre-promotion audit):
+      // snapshot B deterministically drops every 7th customer, rewrites
+      // every 5th's segment, and adds a shifted copy of every 11th; the
+      // diff classifies each key in ONE full-outer key join, null-safe
+      // per-column compare, no row hashing.
+      val a = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val b = a.filter(pmod(col("c_custkey"), lit(7)) =!= 0)
+        .withColumn("c_mktsegment",
+          when(pmod(col("c_custkey"), lit(5)) === 0, lit("REWRITTEN"))
+            .otherwise(col("c_mktsegment")))
+        .unionByName(a.filter(pmod(col("c_custkey"), lit(11)) === 0)
+          .select((col("c_custkey") + 1000000).as("c_custkey"),
+            col("c_name"), col("c_mktsegment")))
+      graft.ops.RelationalOps.snapshotDiff(a, b, Seq("c_custkey"))
+    }),
     "q49_resample_ffill" -> ((s, d) => {
       // Daily gap-filled value series per user: closing cents per active
       // day, dense grid over each user's own span, forward-filled — one
@@ -878,6 +895,25 @@ object RelationalQueries {
         |       CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM d JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the same B derivation; FULL OUTER + IS NOT DISTINCT FROM replays
+    // the null-safe per-column compare
+    "q50_snapshot_diff" ->
+      """WITH a AS (SELECT c_custkey, c_name, c_mktsegment FROM customer),
+        |b AS (SELECT c_custkey, c_name,
+        |        CASE WHEN c_custkey % 5 = 0 THEN 'REWRITTEN'
+        |             ELSE c_mktsegment END AS c_mktsegment
+        |      FROM a WHERE c_custkey % 7 <> 0
+        |      UNION ALL
+        |      SELECT c_custkey + 1000000, c_name, c_mktsegment
+        |      FROM a WHERE c_custkey % 11 = 0)
+        |SELECT COALESCE(a.c_custkey, b.c_custkey) AS c_custkey,
+        |       CASE WHEN b.c_custkey IS NULL THEN 'removed'
+        |            WHEN a.c_custkey IS NULL THEN 'added'
+        |            WHEN a.c_name IS NOT DISTINCT FROM b.c_name
+        |             AND a.c_mktsegment IS NOT DISTINCT FROM b.c_mktsegment
+        |            THEN 'same' ELSE 'changed' END AS status
+        |FROM a FULL OUTER JOIN b ON a.c_custkey = b.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
     // generate_series grid + rank-1 close + IGNORE NULLS running last —
     // the definitional replay of the close/ffill rules
     "q49_resample_ffill" ->

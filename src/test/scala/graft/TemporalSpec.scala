@@ -149,6 +149,22 @@ class TemporalSpec extends SparkTestBase {
       ("2024-01-03", 1L) -> 1L))
   }
 
+  test("snapshotDiff: added/removed/changed/same with null-safe compares") {
+    import graft.ops.RelationalOps
+    val a = Seq((1L, Some("x")), (2L, Some("y")), (3L, None: Option[String]),
+      (4L, Some("z"))).toDF("k", "v")
+    val b = Seq((1L, Some("x")), (2L, Some("CHANGED")), (3L, Some("now-set")),
+      (5L, Some("new"))).toDF("k", "v")
+    val got = RelationalOps.snapshotDiff(a, b, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "same", 2L -> "changed",
+      3L -> "changed", // null -> value IS a change under <=>
+      4L -> "removed", 5L -> "added"))
+    intercept[IllegalArgumentException] {
+      RelationalOps.snapshotDiff(a, b.withColumnRenamed("v", "w"), Seq("k"))
+    }
+  }
+
   test("resampleDailyFfill: dense span grid, intraday close, gaps forward-fill") {
     val ev = Seq(
       // key 1: days 1 (two events — later wins), 2 missing, 3 present
