@@ -253,31 +253,60 @@ object Similarity {
       iters: Int = 2, sampleMod: Int = 7): PqModel = {
     require(nSub > 0 && dims % nSub == 0,
       s"dims ($dims) must split evenly into nSub ($nSub) subspaces")
+    val sd = dims / nSub
+    val books = fitBooks(emb,
+      (0 until nSub).map(j => SubFit(j * sd, sd, nCodes)), iters, sampleMod)
+    PqModel(dims, nSub, nCodes,
+      books.map(_.map { case (cid, m) => cid -> m.map(_.toDouble / 1e6) }.toSeq).toSeq)
+  }
+
+  /** One independent k-means problem inside a fused [[fitBooks]] run:
+    * the slice `[off, off+sd)` fit to `nCodes` codewords. */
+  private final case class SubFit(off: Int, sd: Int, nCodes: Int)
+
+  /** The fused deterministic fit engine behind [[fitPq]] and
+    * [[ivfPqKnn]]: every spec (a subspace codebook, or the FULL-space
+    * IVF centroids as the `(0, dims, nCells)` spec) runs the
+    * [[kmeansCentroids]] rule — first-`nCodes` micro-rounded init,
+    * Lloyd rounds over the shared `vec_id % sampleMod` sample with
+    * argmax-cosine assignment, exact micro-unit floor means, empty
+    * cells keeping their previous codeword — but ALL specs share one
+    * job per round (per-row per-spec kernel assignment, exploded to
+    * (spec, cell, dim) micro-sums). Identical arithmetic to running the
+    * fits separately (the grouping key gained `spec`; the values
+    * didn't change — the s13/s14 oracles replay each fit independently
+    * and hash-match), at 1/|specs| the driver round-trips. */
+  private def fitBooks(emb: DataFrame, specs: Seq[SubFit], iters: Int,
+      sampleMod: Int): Array[Array[(Int, Array[Long])]] = {
     require(iters >= 0 && sampleMod > 0,
       s"need iters >= 0, sampleMod > 0; got ($iters, $sampleMod)")
-    val sd = dims / nSub
-    // init: first nCodes vectors micro-rounded, sliced on the driver
+    val maxCodes = specs.map(_.nCodes).max
+    // init: first-k vectors micro-rounded, sliced on the driver
     // (slicing micro-longs == micro-rounding the slice)
-    val initRows = emb.filter(col("vec_id") < nCodes)
+    val initRows = emb.filter(col("vec_id") < maxCodes)
       .select(col("vec_id").cast("int").as("cid"),
         transform(col("embedding"),
           x => round(x.cast("double") * lit(1e6)).cast("long")).as("m"))
       .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toArray)
       .sortBy(_._1)
-    var books: Array[Array[(Int, Array[Long])]] = Array.tabulate(nSub)(j =>
-      initRows.map { case (cid, m) => cid -> m.slice(j * sd, (j + 1) * sd) })
+    var books: Array[Array[(Int, Array[Long])]] = specs.toArray.map { sp =>
+      initRows.filter(_._1 < sp.nCodes)
+        .map { case (cid, m) => cid -> m.slice(sp.off, sp.off + sp.sd) }
+    }
     if (initRows.nonEmpty && iters > 0) {
       val sample = emb.filter(col("vec_id") % sampleMod === 0)
         .select(col("vec_id"), col("embedding")).persist()
       try {
         for (_ <- 1 to iters) {
-          val perSub = (0 until nSub).map { j =>
-            val sub = slice(col("embedding"), j * sd + 1, sd)
-            struct(lit(j).as("sub"),
-              VectorExpressions.pqAssign(col("embedding"),
-                books(j).toSeq.map(_._2.map(_.toDouble / 1e6)), off = j * sd).as("cell"),
-              sub.as("v"))
-          }
+          val perSub = specs.zipWithIndex
+            .filter { case (_, j) => books(j).nonEmpty }
+            .map { case (sp, j) =>
+              val sub = slice(col("embedding"), sp.off + 1, sp.sd)
+              struct(lit(j).as("sub"),
+                VectorExpressions.pqAssign(col("embedding"),
+                  books(j).toSeq.map(_._2.map(_.toDouble / 1e6)), off = sp.off).as("cell"),
+                sub.as("v"))
+            }
           val sums = sample.select(explode(array(perSub: _*)).as("a"))
             .select(col("a.sub"), col("a.cell"), posexplode(col("a.v")).as(Seq("dim", "x")))
             .groupBy(col("sub"), col("cell"), col("dim"))
@@ -287,7 +316,7 @@ object Similarity {
               floor(col("sum_e6") / col("n")).cast("long").as("mean_e6"))
             .collect()
           val bySub = sums.groupBy(_.getInt(0))
-          books = Array.tabulate(nSub) { j =>
+          books = Array.tabulate(specs.length) { j =>
             // kernel cells are BOOK POSITIONS (== cid for the dense
             // first-nCodes init; keyed positionally so the bookkeeping
             // never depends on that)
@@ -304,8 +333,7 @@ object Similarity {
         }
       } finally sample.unpersist(blocking = false)
     }
-    PqModel(dims, nSub, nCodes,
-      books.map(_.map { case (cid, m) => cid -> m.map(_.toDouble / 1e6) }.toSeq).toSeq)
+    books
   }
 
   /** Encode the corpus against a [[PqModel]]: per subspace the vector's
@@ -406,14 +434,23 @@ object Similarity {
     val ck = if (coarseK > 0) coarseK else 4 * k
     require(ck >= k, s"coarseK ($ck) must be >= k ($k)")
     require(nprobe >= 1 && nprobe <= nCells, s"need 1 <= nprobe <= nCells, got $nprobe/$nCells")
+    require(nSub > 0 && dims % nSub == 0,
+      s"dims ($dims) must split evenly into nSub ($nSub) subspaces")
     import org.apache.spark.sql.expressions.Window
     val spark = emb.sparkSession
     import spark.implicits._
-    val cent = kmeansCentroids(emb, nCells, iters, sampleMod)
-      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-      .sortBy(_._1).toSeq
-    val model = fitPq(emb, dims, nSub, nCodes, iters, sampleMod)
-    val sd = model.subDim
+    val sd = dims / nSub
+    // ONE fused fit for the centroids AND every subspace codebook —
+    // each an independent k-means problem by the same rule, so they
+    // share the init collect and the per-round job instead of doubling
+    // the driver round-trips (the fit, not the scan, dominates)
+    val all = fitBooks(emb,
+      SubFit(0, dims, nCells) +: (0 until nSub).map(j => SubFit(j * sd, sd, nCodes)),
+      iters, sampleMod)
+    val cent = all.head.toSeq
+      .map { case (cid, m) => cid -> m.map(_.toDouble / 1e6) }
+    val model = PqModel(dims, nSub, nCodes,
+      all.tail.map(_.map { case (cid, m) => cid -> m.map(_.toDouble / 1e6) }.toSeq).toSeq)
     if (cent.isEmpty) return topKNeighbors(
       emb.limit(0).select(col("vec_id").as("query_id"), lit(0L).as("cos_e6"),
         col("vec_id").as("neighbor_id")), k)
