@@ -586,13 +586,24 @@ object Similarity {
       sqrt(VectorExpressions.dotWiden(col("cv"), col("cv"))).as("cn"))
 
   private def assignToCells(emb: DataFrame, cent: DataFrame): DataFrame = {
-    spread(emb).crossJoin(broadcast(withCentNorm(cent)))
-      .withColumn("cell_cos", cosToCent(col("embedding"), col("cv"), col("cn")))
-      .groupBy(col("vec_id"))
-      .agg(
-        first(col("embedding")).as("embedding"),
-        max_by(col("cid"), struct(col("cell_cos"), (-col("cid")).as("tie"))).as("cell"))
-      .select(col("vec_id"), col("embedding"), col("cell"))
+    // Per-row kernel argmax (the PqAssign expression — same cosine rule,
+    // ties → lowest cid) instead of the former
+    // crossJoin(centroids) + groupBy(vec_id) max_by: assignment is a pure
+    // map now, so the CORPUS-sized exchange every index build and Lloyd
+    // round used to pay is gone. Centroids collect to the driver first —
+    // nCells rows, index-build state, the same class as the literal
+    // centroid frames they come from.
+    val book = cent.select(col("cid"), col("cv")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    if (book.isEmpty)
+      return emb.select(col("vec_id"), col("embedding"), lit(null).cast("int").as("cell"))
+    val assign = VectorExpressions.pqAssign(col("embedding"), book.toSeq.map(_._2), off = 0)
+    // kernel cells are book POSITIONS; map back to cids when they are
+    // not the dense 0-based identity
+    val cellCol =
+      if (book.map(_._1).zipWithIndex.forall { case (c, i) => c == i }) assign
+      else element_at(typedLit(book.map(_._1).toSeq), assign + 1)
+    emb.select(col("vec_id"), col("embedding"), cellCol.as("cell"))
   }
 
   /** A built IVF index: cell-assigned vectors (with precomputed norms) and
