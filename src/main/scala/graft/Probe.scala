@@ -23,22 +23,29 @@ object Probe {
       r
     }
 
-    val emb = Tables.embeddings(spark, sfDir)
-    time("warmup") {
-      SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
-      emb.count()
-    }
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    time("warmup")(docs.count())
 
-    import graft.operators.Similarity
+    import graft.expressions.TextExpressions
+    import graft.functions.TextFunctions.hash60
+    def oldBands = {
+      val mhCols = (0 until 12).map(i =>
+        min(hash60(concat(lit(i.toString), lit(":"), col("sh")))).as(s"mh$i"))
+      docs.select(col("doc_id"), explode(TextExpressions.wordShingles(col("text"), 3)).as("sh"))
+        .groupBy(col("doc_id"))
+        .agg(mhCols.head, mhCols.tail: _*)
+    }
+    def newBands = docs.select(col("doc_id"), posexplode(
+      TextExpressions.minhashBands(col("text"), 3, 12, 3)).as(Seq("band", "bh")))
     (1 to 3).foreach { pass =>
       println(s"--- pass $pass ---")
-      val model = time("fitPq")(Similarity.fitPq(emb))
-      val codes = Similarity.encodePq(emb, model)
-      time("encodePq (noop)")(codes.write.mode("overwrite").format("noop").save())
-      val out = time("pqKnn full")(
-        Similarity.pqKnn(emb, emb.filter(col("vec_id") < 20), k = 5, coarseK = 20))
-      time("pqKnn write")(out.write.mode("overwrite").format("noop").save())
+      time("old agg bands (noop)")(oldBands.write.mode("overwrite").format("noop").save())
+      time("new kernel bands (noop)")(newBands.write.mode("overwrite").format("noop").save())
+      time("shingleHashes only (noop)")(
+        docs.select(col("doc_id"), TextExpressions.shingleHashes(col("text"), 3))
+          .write.mode("overwrite").format("noop").save())
     }
+    println("input partitions: " + docs.rdd.getNumPartitions)
     spark.stop()
   }
 }

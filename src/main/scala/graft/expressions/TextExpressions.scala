@@ -78,6 +78,29 @@ case class ShingleHashesExpr(child: Expression, n: Int) extends KernelCall with 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Per-row MinHash signature over distinct word n-gram shingles — the
+  * shuffle-free signature build behind LSH banding. */
+case class MinhashSigExpr(child: Expression, n: Int, numHashes: Int)
+    extends KernelCall with StringInput {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(s: Any): Any =
+    TextKernels.minhashSig(s.asInstanceOf[UTF8String], n, numHashes)
+  override def kernelCall(ctx: CodegenContext, c: String): String =
+    s"graft.expressions.TextKernels.minhashSig($c, $n, $numHashes)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Per-row LSH band hashes (minhash signature → per-band md5 hex). */
+case class MinhashBandsExpr(child: Expression, n: Int, numHashes: Int, rowsPerBand: Int)
+    extends KernelCall with StringInput {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(s: Any): Any =
+    TextKernels.minhashBands(s.asInstanceOf[UTF8String], n, numHashes, rowsPerBand)
+  override def kernelCall(ctx: CodegenContext, c: String): String =
+    s"graft.expressions.TextKernels.minhashBands($c, $n, $numHashes, $rowsPerBand)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** 60-bit md5-derived hash (≡ conv(substring(md5(x),1,15),16,10)::long). */
 case class Hash60Expr(child: Expression) extends KernelCall with StringInput {
   override def dataType: DataType = LongType
@@ -262,6 +285,10 @@ object TextExpressions {
 
   def tokens(c: Column): Column = col(TokensExpr(ex(c)))
   def wordShingles(c: Column, n: Int): Column = col(WordShinglesExpr(ex(c), n))
+  def minhashSig(c: Column, n: Int, numHashes: Int): Column =
+    col(MinhashSigExpr(ex(c), n, numHashes))
+  def minhashBands(c: Column, n: Int, numHashes: Int, rowsPerBand: Int): Column =
+    col(MinhashBandsExpr(ex(c), n, numHashes, rowsPerBand))
   def shingleHashes(c: Column, n: Int): Column = col(ShingleHashesExpr(ex(c), n))
   def ngramRepetition(c: Column, n: Int): Column = col(NgramRepetitionExpr(ex(c), n))
   def piiStats(c: Column): Column = col(PiiStatsExpr(ex(c)))

@@ -113,6 +113,86 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** MinHash signature of the document's distinct word n-gram shingles:
+    * `sig[i] = min over shingles of hash60(i + ":" + shingle)` — the
+    * SAME values the exploded `groupBy(doc_id).agg(min(hash60(concat(i,
+    * ":", sh))))` form produced (identical UTF-8 bytes into the same
+    * md5 path), computed in ONE row pass so LSH banding never pays a
+    * corpus exchange for signatures. Empty shingle sets return an empty
+    * array (the exploded form produced no row — callers filter). */
+  def minhashSig(s: UTF8String, n: Int, numHashes: Int): ArrayData = {
+    val sh = shingles(s, n)
+    val m = sh.numElements()
+    if (m == 0) return new GenericArrayData(Array.empty[Long])
+    // md5("k:" ++ shingle) built incrementally: the "k:" prefixes encode
+    // once per call and each shingle's UTF-8 bytes once per shingle —
+    // the naive string-concat form re-encoded the shingle numHashes
+    // times and dominated the kernel
+    val prefixes = Array.tabulate(numHashes)(k =>
+      (k.toString + ":").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val d = md5Local.get()
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val sb = sh.getUTF8String(i).getBytes
+      var k = 0
+      while (k < numHashes) {
+        d.reset()
+        d.update(prefixes(k))
+        d.update(sb)
+        val h = d.digest()
+        var v = 0L
+        var b = 0
+        while (b < 8) { v = (v << 8) | (h(b) & 0xffL); b += 1 }
+        val hv = v >>> 4
+        if (hv < sig(k)) sig(k) = hv
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** LSH band hashes from a [[minhashSig]] signature: band `b` =
+    * lowercase-hex md5 of the comma-joined DECIMAL signature rows
+    * `sig[b*r] .. sig[b*r+r-1]` — exactly the `md5(concat_ws(","))` of
+    * the shared bandStructs rule (BandRuleSpec pins the two in
+    * lockstep). One kernel call per row: exposing the signature as a
+    * column and slicing it per band re-evaluates the signature kernel
+    * once PER BAND COLUMN after projection collapse (the s09 lesson,
+    * measured 2.5× on d02). Empty signature → empty array (no bands,
+    * like the agg form's absent row). */
+  def minhashBands(s: UTF8String, n: Int, numHashes: Int, rowsPerBand: Int): ArrayData = {
+    val sig = minhashSig(s, n, numHashes)
+    if (sig.numElements() == 0) return new GenericArrayData(Array.empty[Any])
+    val numBands = numHashes / rowsPerBand
+    val d = md5Local.get()
+    val hexDigits = "0123456789abcdef"
+    val out = new Array[AnyRef](numBands)
+    var b = 0
+    while (b < numBands) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < rowsPerBand) {
+        if (j > 0) sb.append(',')
+        sb.append(sig.getLong(b * rowsPerBand + j))
+        j += 1
+      }
+      d.reset()
+      val h = d.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hx = new Array[Char](32)
+      var q = 0
+      while (q < 16) {
+        hx(q * 2) = hexDigits.charAt((h(q) >> 4) & 0xf)
+        hx(q * 2 + 1) = hexDigits.charAt(h(q) & 0xf)
+        q += 1
+      }
+      out(b) = UTF8String.fromString(new String(hx))
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Size of the intersection of two ascending long arrays (merge walk). */
   def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
     var i = 0

@@ -140,13 +140,30 @@ object Dedup {
       numHashes: Int, rowsPerBand: Int): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
     val numBands = numHashes / rowsPerBand
-    val mhCols = (0 until numHashes).map(i =>
-      min(hash60(concat(lit(i.toString), lit(":"), col("sh")))).as(s"mh$i"))
-    explodedShingles(docs, shingleN)
-      .groupBy(col("doc_id"))
-      .agg(mhCols.head, mhCols.tail: _*)
-      .select(col("doc_id"), explode(array(bandStructs(numBands, rowsPerBand): _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    // ONE kernel call per row (MinhashBandsExpr): signature minima AND
+    // per-band md5s — same values as the former exploded
+    // groupBy(doc_id) min-agg + bandStructs (BandRuleSpec pins the
+    // lockstep), so the band build is shuffle-FREE. Slicing an exposed
+    // signature column per band re-evaluated the signature kernel once
+    // per band column after projection collapse — the s09 lesson.
+    // Shingle-less docs return an empty array (no bands, like the agg
+    // form's absent row).
+    //
+    // Parallelism note: at scale the kernel fans out with the file
+    // splits; a SMALL corpus arriving as one split would serialize the
+    // hashing in one task, so only then is the input round-robined
+    // first (the Similarity.spread rationale — never an unconditional
+    // exchange of the full text at 100 TB).
+    val src =
+      if (docs.rdd.getNumPartitions <
+          docs.sparkSession.sessionState.conf.numShufflePartitions)
+        docs.repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      else docs
+    src
+      .select(col("doc_id"), posexplode(
+          TextExpressions.minhashBands(col("text"), shingleN, numHashes, rowsPerBand))
+        .as(Seq("band", "bh")))
+      .select(col("doc_id"), col("band").cast("long").as("band"), col("bh"))
   }
 
   /** LSH band structs over MinHash signature columns `mh0..mh{n-1}`: band

@@ -73,6 +73,33 @@ class ScaleShapeSpec extends SparkTestBase {
     assert(recall >= 0.8, f"quantized recall@5 $recall%.3f under 0.8 floor")
   }
 
+  test("kernel LSH bands ≡ exploded min-agg + bandStructs on real docs") {
+    // BandRuleSpec: the per-row MinhashBands kernel and the shared
+    // bandStructs rule (still used by the streaming operator) must never
+    // drift — same signature minima, same comma-joined md5s
+    import graft.expressions.TextExpressions
+    import graft.functions.TextFunctions.hash60
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val mhCols = (0 until 12).map(i =>
+      min(hash60(concat(lit(i.toString), lit(":"), col("sh")))).as(s"mh$i"))
+    val aggForm = docs
+      .select(col("doc_id"), explode(TextExpressions.wordShingles(col("text"), 3)).as("sh"))
+      .groupBy(col("doc_id"))
+      .agg(mhCols.head, mhCols.tail: _*)
+      .select(col("doc_id"),
+        explode(array(Dedup.bandStructs(numBands = 4, rowsPerBand = 3): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val kernelForm = docs
+      .select(col("doc_id"), posexplode(
+          TextExpressions.minhashBands(col("text"), 3, 12, 3)).as(Seq("band", "bh")))
+      .select(col("doc_id"), col("band").cast("long"), col("bh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(kernelForm.nonEmpty)
+    assert(kernelForm === aggForm)
+  }
+
   test("mergeAggregates ≡ full recompute; one-sided keys; contracts loud") {
     import graft.ops.ScaleOps
     val ev = Tables.events(spark, sf)
