@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative graph algorithms beyond the transitive-closure fixpoint in
+  * [[Dedup.components]] — currently PageRank, the canonical "importance
+  * over a link graph" signal a web-scale curation pipeline uses to weight
+  * domains/documents (quality ∝ authority of linking sources).
+  *
+  * All rank arithmetic is exact integer micro-units with floor division on
+  * non-negative operands, so every engine (and the DuckDB oracle's
+  * unrolled-CTE replay) produces bit-identical ranks — no float summation
+  * order, no convergence epsilon.
+  */
+object Graphs {
+
+  /** PageRank over an edge list, `iters` synchronous iterations in exact
+    * integer micro-units (per-node formulation, teleport base
+    * `1e6·(100-dampE2)/100`, so ranks sum to ≈ 1e6·|V|):
+    *
+    *   r0(v)   = 1_000_000
+    *   r_i(v)  = teleport + (dampE2 · Σ_{u→v} (r_{i-1}(u) div od(u))) div 100
+    *
+    * Dangling mass (nodes with no out-edges) is dropped, matching the
+    * "toolbar" PageRank variant; nodes with no in-edges settle at the
+    * teleport base. Self-loops are the caller's choice — edges pass
+    * through distinct() but are otherwise taken as given.
+    *
+    * Scale shape (the Pregel cost model): the edge list joined with its
+    * out-degrees is computed ONCE, hash-partitioned by `src`, and
+    * persisted — each iteration then pays exactly two exchanges, ranks
+    * shuffled to the edge partitioning (join on src) and contributions
+    * aggregated by dst (map-side partial sums). Ranks are |V|-sized,
+    * edges |E|-sized; nothing corpus-sized is ever collected. Per-round
+    * lazy persists cut lineage exactly like the components fixpoint
+    * (Dedup.scala) so iteration i+1 does not recompute iteration i.
+    *
+    * @param edges (src: long-castable, dst: long-castable) directed edges
+    * @return (node: long, rank_e6: long)
+    */
+  def pageRank(edges: DataFrame, iters: Int, dampE2: Int = 85): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(dampE2 >= 0 && dampE2 <= 100, s"dampE2 must be in [0,100], got $dampE2")
+    val teleport = 1000000L * (100 - dampE2) / 100
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .distinct()
+    // Out-degree rides with every edge so the per-iteration contribution is
+    // a pure projection after the ranks join; partitioned by src once so
+    // iterations shuffle only the |V|-sized ranks frame, never the edges.
+    val eod = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("od")), "src")
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var ranks = nodes.select(col("node"), lit(1000000L).as("rank_e6"))
+    for (_ <- 1 to iters) {
+      val contrib = eod
+        .join(ranks, eod("src") === ranks("node"))
+        .select(col("dst"), expr("rank_e6 div od").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("in_c"))
+      ranks = nodes
+        .join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            expr(s"($dampE2 * coalesce(in_c, CAST(0 AS BIGINT))) div 100"))
+            .as("rank_e6"))
+    }
+    // Materialize the final ranks (|V| rows) so the iteration scaffolding
+    // can be released immediately — the fixpoint discipline of
+    // Dedup.components: one tiny action here, then downstream consumers
+    // read the cached |V|-sized result instead of replaying `iters`
+    // rounds per action.
+    val out = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    eod.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
+}

@@ -256,6 +256,69 @@ object NorthStarQueries {
     "d03_simhash" -> ((s, d) => {
       Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 3)
     }),
+    "d18_trade_pagerank" -> ((s, d) => {
+      // PageRank over the supplier-nation → customer-nation trade graph
+      // (3 exact-integer iterations) — the authority signal a web-scale
+      // curation pipeline computes over the domain link graph to weight
+      // source quality. Edge derivation is one fact-table pass (distinct
+      // nation pairs, self-loops dropped); the rank loop is Graphs
+      // .pageRank's two-exchanges-per-iteration Pregel shape. Ranks in
+      // micro-units with floor division throughout, so the DuckDB
+      // oracle's unrolled 3-CTE replay is bit-identical.
+      val ord = Tables.orders(s, d)
+      val cust = Tables.customer(s, d)
+      val sup = Tables.supplier(s, d)
+      val edges = Tables.lineitem(s, d)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_nationkey").cast("long").as("src"),
+          col("c_nationkey").cast("long").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      graft.operators.Graphs.pageRank(edges, iters = 3)
+        .join(Tables.nation(s, d), col("node") === col("n_nationkey"))
+        .select(col("n_name"), col("rank_e6"))
+    }),
+    "t42_k_anonymity" -> ((s, d) => {
+      // k-anonymity release gate: group count over the quasi-identifier
+      // tuple (segment, nation, $1000 balance band) with a k>=5 flag per
+      // equivalence class — the privacy audit run before any record-level
+      // data release. ONE grouped aggregate with map-side partials; the
+      // band is computed from exact cents so the bucket edge can't drift.
+      Tables.customer(s, d)
+        .select(col("c_mktsegment"), col("c_nationkey"),
+          floor(graft.ops.RelationalOps.cents(col("c_acctbal")) / lit(100000.0))
+            .cast("long").as("bal_band"))
+        .groupBy(col("c_mktsegment"), col("c_nationkey"), col("bal_band"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("k_anonymous", (col("n") >= 5).cast("int"))
+    }),
+    "t43_trend_slope" -> ((s, d) => {
+      // Per-series OLS trend: slope of daily event volume per event type
+      // over day index, closed-form from five grouped sums — the
+      // drift/trend detector over ingestion telemetry. Two aggregates
+      // (daily counts, then per-type moment sums — both map-side
+      // partial); the slope is computed from exact integer moments, and
+      // 1e6·num/den is one IEEE-correctly-rounded double division +
+      // floor, identical in any engine.
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+        .select(col("event_type"),
+          datediff(col("day"), lit("2024-01-01")).cast("long").as("x"), col("y"))
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("event_type"), col("n_days"),
+          when(col("n_days") * col("sxx") - col("sx") * col("sx") === 0L,
+            lit(null).cast("long"))
+            .otherwise(floor(lit(1000000.0) *
+              (col("n_days") * col("sxy") - col("sx") * col("sy")) /
+              (col("n_days") * col("sxx") - col("sx") * col("sx")))
+              .cast("long"))
+            .as("slope_e6"))
+    }),
     "d17_semantic_contamination" -> ((s, d) => {
       // Embedding-space decontamination: training vectors (id >= 100)
       // within cosine 0.4 of any eval vector (id < 100) — paraphrase
@@ -1180,6 +1243,66 @@ object NorthStarQueries {
   // ---- oracles ----
 
   val oracleSql: Map[String, String] = Map(
+    // Exact-integer PageRank replayed as 3 unrolled CTE rounds: DuckDB's
+    // `//` (floor div) ≡ Spark's `div` on the non-negative rank domain.
+    "d18_trade_pagerank" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS src,
+        |                  CAST(c_nationkey AS BIGINT) AS dst
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE s_nationkey <> c_nationkey),
+        |outd AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |r1 AS (SELECT n.node,
+        |         CAST(150000 + (85 * COALESCE(SUM(p.r // o.od), 0)) // 100 AS BIGINT) AS r
+        |       FROM nodes n
+        |       LEFT JOIN edges e ON e.dst = n.node
+        |       LEFT JOIN outd o ON o.src = e.src
+        |       LEFT JOIN r0 p ON p.node = e.src
+        |       GROUP BY n.node),
+        |r2 AS (SELECT n.node,
+        |         CAST(150000 + (85 * COALESCE(SUM(p.r // o.od), 0)) // 100 AS BIGINT) AS r
+        |       FROM nodes n
+        |       LEFT JOIN edges e ON e.dst = n.node
+        |       LEFT JOIN outd o ON o.src = e.src
+        |       LEFT JOIN r1 p ON p.node = e.src
+        |       GROUP BY n.node),
+        |r3 AS (SELECT n.node,
+        |         CAST(150000 + (85 * COALESCE(SUM(p.r // o.od), 0)) // 100 AS BIGINT) AS r
+        |       FROM nodes n
+        |       LEFT JOIN edges e ON e.dst = n.node
+        |       LEFT JOIN outd o ON o.src = e.src
+        |       LEFT JOIN r2 p ON p.node = e.src
+        |       GROUP BY n.node)
+        |SELECT n_name, r AS rank_e6
+        |FROM r3 JOIN nation ON node = n_nationkey""".stripMargin,
+    "t42_k_anonymity" ->
+      """SELECT c_mktsegment, c_nationkey,
+        |       CAST(FLOOR(CAST(ROUND(c_acctbal*100) AS BIGINT) / 100000.0) AS BIGINT) AS bal_band,
+        |       COUNT(*) AS n,
+        |       CAST(COUNT(*) >= 5 AS INT) AS k_anonymous
+        |FROM customer
+        |GROUP BY c_mktsegment, c_nationkey, bal_band""".stripMargin,
+    "t43_trend_slope" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         datediff('day', DATE '2024-01-01',
+        |                  CAST(date_trunc('day', ts) AS DATE)) AS x,
+        |         COUNT(*) AS y
+        |  FROM events GROUP BY event_type, x),
+        |m AS (SELECT event_type, COUNT(*) AS n_days, SUM(x) AS sx, SUM(y) AS sy,
+        |             SUM(x*x) AS sxx, SUM(x*y) AS sxy
+        |      FROM daily GROUP BY event_type)
+        |SELECT event_type, n_days,
+        |       CASE WHEN n_days*sxx - sx*sx = 0 THEN NULL
+        |            ELSE CAST(FLOOR(1000000.0 * (n_days*sxy - sx*sy)
+        |                            / (n_days*sxx - sx*sx)) AS BIGINT)
+        |       END AS slope_e6
+        |FROM m""".stripMargin,
     "d01_exact_dedup" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM (SELECT doc_id, text FROM documents

@@ -327,6 +327,73 @@ object RelationalQueries {
         .groupBy(col("band_id"))
         .agg(count(lit(1)).as("n_items"), sum(col("price_cents")).as("sum_cents"))
     }),
+    "q51_local_supplier_volume" -> ((s, d) => {
+      // TPC-H Q5 shape — the canonical star join: one fact table
+      // (lineitem) against four dimensions plus the c_nationkey =
+      // s_nationkey "local supplier" constraint that correlates two
+      // dimension arms. The 100 TB plan: date filter pushed to the
+      // orders scan, region/nation/supplier broadcast (dims are tiny at
+      // any scale), lineitem⋈orders is the single big shuffle on
+      // orderkey; customer joins on custkey post-filter. Revenue in
+      // exact cents² so the hash can't drift on float order.
+      val reg = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val nat = Tables.nation(s, d)
+      val sup = Tables.supplier(s, d)
+      val cust = Tables.customer(s, d)
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+      val li = Tables.lineitem(s, d)
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(sup, li("l_suppkey") === sup("s_suppkey") &&
+          cust("c_nationkey") === sup("s_nationkey"))
+        .join(nat, sup("s_nationkey") === nat("n_nationkey"))
+        .join(reg, nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(cents(col("l_extendedprice")) *
+          (lit(100L) - cents(col("l_discount")))).as("revenue_c2"))
+    }),
+    "q52_small_qty_revenue" -> ((s, d) => {
+      // TPC-H Q17 shape — a correlated aggregate join: revenue from
+      // lineitems whose quantity is below 20% of their part's average.
+      // The per-part stats are ONE grouped aggregate over the already
+      // part-filtered fact slice, joined back on partkey (at 100 TB the
+      // stats side is |parts-of-brand| rows — broadcast); the threshold
+      // compare is exact integer (5·qty·n < Σqty ⟺ qty < avg/5 since
+      // quantities are integral), so no float avg can flip a row.
+      val p = Tables.part(s, d).filter(col("p_brand") === "Brand#12")
+        .select(col("p_partkey"))
+      val li = Tables.lineitem(s, d)
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+          cents(col("l_extendedprice")).as("price_c"))
+      val stats = li.groupBy(col("l_partkey"))
+        .agg(sum(col("qty")).as("tq"), count(lit(1)).as("nq"))
+      li.join(stats, "l_partkey")
+        .filter(lit(5L) * col("qty") * col("nq") < col("tq"))
+        .agg(sum(col("price_c")).as("small_qty_revenue_c"),
+          count(lit(1)).as("n_small"))
+    }),
+    "q53_activity_islands" -> ((s, d) => {
+      // Gaps-and-islands: maximal runs of consecutive active days per
+      // user (the classic streak/sessionization-by-day analysis). One
+      // distinct on (user, day), one per-user window (row_number), and
+      // the island group-by reuses the same user partitioning — day −
+      // row_number is constant within a run, so islands fall out of a
+      // plain groupBy with no self-join and no per-row gap scan.
+      val days = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      days
+        .withColumn("grp",
+          datediff(col("day"), lit("2024-01-01")) - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(date_format(min(col("day")), "yyyy-MM-dd").as("island_start"),
+          date_format(max(col("day")), "yyyy-MM-dd").as("island_end"),
+          count(lit(1)).as("n_days"))
+        .drop("grp")
+    }),
     "q50_snapshot_diff" -> ((s, d) => {
       // Data diff between two table versions (the pre-promotion audit):
       // snapshot B deterministically drops every 7th customer, rewrites
@@ -895,6 +962,46 @@ object RelationalQueries {
         |       CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM d JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q51_local_supplier_volume" ->
+      """SELECT n_name,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        |           * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c2
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "q52_small_qty_revenue" ->
+      """WITH li AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |         CAST(ROUND(l_extendedprice*100) AS BIGINT) AS price_c
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#12'),
+        |st AS (SELECT l_partkey, SUM(qty) AS tq, COUNT(*) AS nq
+        |       FROM li GROUP BY l_partkey)
+        |SELECT CAST(SUM(price_c) AS BIGINT) AS small_qty_revenue_c,
+        |       COUNT(*) AS n_small
+        |FROM li JOIN st USING (l_partkey)
+        |WHERE 5*qty*nq < tq""".stripMargin,
+    "q53_activity_islands" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, day,
+        |         datediff('day', DATE '2024-01-01', day)
+        |           - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM days)
+        |SELECT user_id,
+        |       strftime(MIN(day), '%Y-%m-%d') AS island_start,
+        |       strftime(MAX(day), '%Y-%m-%d') AS island_end,
+        |       COUNT(*) AS n_days
+        |FROM w GROUP BY user_id, grp""".stripMargin,
     // the same B derivation; FULL OUTER + IS NOT DISTINCT FROM replays
     // the null-safe per-column compare
     "q50_snapshot_diff" ->

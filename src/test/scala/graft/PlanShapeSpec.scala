@@ -101,9 +101,14 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("rangepartitioning"), s"unexpected global sort exchange:\n$p")
   }
 
-  test("minhash signatures aggregate partially before the shuffle") {
+  test("minhash banding is a per-row kernel — no signature aggregate, no corpus exchange") {
+    // Since the MinhashBandsExpr kernel (band hashes computed per row),
+    // banding needs NO exploded groupBy(doc_id) min-agg at all: the only
+    // aggregate left in the plan is the candidate-pair distinct. Pin the
+    // kernel's presence and the absence of the old signature min-agg.
     val p = plan(SparkEntry.queries("d02_minhash_lsh")(spark, sf))
-    assert(p.contains("partial_min"), s"signature min-aggs not map-side partial:\n$p")
+    assert(p.contains("minhashbandsexpr"), s"per-row band kernel missing:\n$p")
+    assert(!p.contains("partial_min"), s"stale exploded signature min-agg returned:\n$p")
   }
 
   test("latest-by-key is one shuffle on the key, no global sort, no window") {
