@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions
@@ -28,6 +29,30 @@ object NorthStarQueries {
   /** hash60 of a SQL string expression. */
   private def h60(e: String): String =
     s"('0x'||substr(md5($e),1,15))::BIGINT"
+
+  /** 6 unrolled BPE training rounds (≡ Bpe.trainMerges k=6): round i
+    * re-splits the round-(i-1) corpus state on the double-space joint,
+    * counts adjacent pairs, takes the (count desc, pair asc) winner, and
+    * applies it with the same non-overlapping literal replace (chr(1)
+    * joint) the Spark trainer uses. */
+  private val BpeOracleSql: String = {
+    val rounds = (1 to 6).map { i =>
+      s"""tok$i AS (SELECT string_split(s, '  ') AS t FROM c${i - 1}),
+         |p$i AS (SELECT unnest(list_transform(range(len(t) - 1),
+         |          j -> t[j+1] || '  ' || t[j+2])) AS pair FROM tok$i),
+         |b$i AS (SELECT pair, COUNT(*) AS c FROM p$i
+         |        GROUP BY pair ORDER BY c DESC, pair LIMIT 1),
+         |c$i AS (SELECT replace(s, (SELECT pair FROM b$i),
+         |          replace((SELECT pair FROM b$i), '  ', chr(1))) AS s FROM c${i - 1})"""
+        .stripMargin
+    }.mkString(",\n")
+    val steps = (1 to 6)
+      .map(i => s"SELECT $i AS step, pair, c AS n_occurrences FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH c0 AS (SELECT array_to_string($WsSql, '  ') AS s FROM documents),
+       |$rounds
+       |$steps""".stripMargin
+  }
 
   /** distinct word-3-gram shingles of token list `w`. */
   private val Shingles3Sql =
@@ -318,6 +343,44 @@ object NorthStarQueries {
               (col("n_days") * col("sxx") - col("sx") * col("sx")))
               .cast("long"))
             .as("slope_e6"))
+    }),
+    "t45_bpe_train" -> ((s, d) => {
+      // Full BPE merge-rule training, 6 rounds — t22's single pair-count
+      // iterated into the real trainer loop (Bpe.trainMerges): each round
+      // is one corpus pass + a greedy corpus-wide fuse of the winning
+      // pair. The oracle replays all 6 rounds as unrolled CTEs with the
+      // identical double-space/replace representation, so the learned
+      // rules (and their counts, which shift as merges eat pair
+      // occurrences) are pinned exactly, round over round.
+      graft.operators.Bpe.trainMerges(s,
+        Tables.documents(s, d).select(col("text")), k = 6)
+    }),
+    "t44_changepoint" -> ((s, d) => {
+      // Single-changepoint detection (AMOC, integer-scaled): per series,
+      // the split day maximizing |S_t·(n−t) − (S_n−S_t)·t| — the
+      // cross-multiplied form of the prefix-mean vs suffix-mean gap, so
+      // the argmax needs no division and stays exact-integer. Day-level
+      // series are calendar-bounded (≤ span days per key no matter the
+      // event volume), so the per-key windows run over tiny frames; the
+      // daily rollup is the only corpus-sized exchange. Ties break to
+      // the earliest split via the (score, −t) argmax.
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      val wRun = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val wAll = Window.partitionBy(col("event_type"))
+      daily
+        .withColumn("t", row_number().over(wRun).cast("long"))
+        .withColumn("st", sum(col("y")).over(wRun))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("sn", sum(col("y")).over(wAll))
+        .filter(col("t") < col("n"))
+        .withColumn("score",
+          abs(col("st") * (col("n") - col("t")) - (col("sn") - col("st")) * col("t")))
+        .groupBy(col("event_type"))
+        .agg(max_by(date_format(col("day"), "yyyy-MM-dd"),
+            struct(col("score"), -col("t"))).as("split_day"),
+          max(col("score")).as("score"))
     }),
     "d17_semantic_contamination" -> ((s, d) => {
       // Embedding-space decontamination: training vectors (id >= 100)
@@ -1280,6 +1343,24 @@ object NorthStarQueries {
         |       GROUP BY n.node)
         |SELECT n_name, r AS rank_e6
         |FROM r3 JOIN nation ON node = n_nationkey""".stripMargin,
+    "t45_bpe_train" -> BpeOracleSql,
+    "t44_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         COUNT(*) AS y
+        |  FROM events GROUP BY event_type, day),
+        |scored AS (
+        |  SELECT event_type, day,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t,
+        |         SUM(y) OVER (PARTITION BY event_type ORDER BY day) AS st,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n,
+        |         SUM(y) OVER (PARTITION BY event_type) AS sn
+        |  FROM daily)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS split_day,
+        |       CAST(ABS(st*(n-t) - (sn-st)*t) AS BIGINT) AS score
+        |FROM scored WHERE t < n
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+        |  ORDER BY ABS(st*(n-t) - (sn-st)*t) DESC, t ASC) = 1""".stripMargin,
     "t42_k_anonymity" ->
       """SELECT c_mktsegment, c_nationkey,
         |       CAST(FLOOR(CAST(ROUND(c_acctbal*100) AS BIGINT) / 100000.0) AS BIGINT) AS bal_band,

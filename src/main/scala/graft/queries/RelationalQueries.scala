@@ -327,6 +327,48 @@ object RelationalQueries {
         .groupBy(col("band_id"))
         .agg(count(lit(1)).as("n_items"), sum(col("price_cents")).as("sum_cents"))
     }),
+    "q54_hierarchy_rollup" -> ((s, d) => {
+      // WITH RECURSIVE semantics — Spark's missing SQL shape — as the
+      // bounded iterative-join fixpoint (ops.Hierarchy): per-part subtree
+      // totals over the derived decimal-digit forest (parent = id div 10,
+      // roots below 10, depth ~log10 |parts|). The DuckDB oracle runs a
+      // REAL recursive CTE; matching it pins the loop's semantics, not
+      // just its arithmetic. Frontier-driven: depth is discovered by
+      // convergence, one equi-join per level, closure rows = Σ depth(n).
+      val nodes = Tables.part(s, d).select(
+        col("p_partkey").as("id"),
+        when(col("p_partkey") >= 10, expr("p_partkey DIV 10")).as("parent"),
+        cents(col("p_retailprice")).as("value"))
+      graft.ops.Hierarchy.subtreeRollup(nodes)
+        .select(col("id").as("part_id"), col("n_nodes"),
+          col("subtree_value").as("subtree_retail_c"))
+    }),
+    "q55_attribution" -> ((s, d) => {
+      // Last-touch marketing attribution: each purchase credits the
+      // user's most recent non-purchase event within a 7-day lookback,
+      // else 'direct'. The point-in-time lookup is the as-of join's
+      // union+forward-carry shape (ONE shuffle on user_id, no per-key
+      // range join); the lookback bound is a post-carry filter, exact to
+      // the microsecond. Touch ties at one timestamp collapse
+      // deterministically to the highest event_id before the join.
+      val ev = Tables.events(s, d)
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          cents(col("value")).as("value_c"))
+        .withColumn("ts_m1", col("ts") - expr("INTERVAL 1 MICROSECOND"))
+      val touches = ev.filter(col("event_type") =!= "purchase")
+        .groupBy(col("user_id"), col("ts").as("tts"))
+        .agg(max_by(col("event_type"), col("event_id")).as("ch"))
+      graft.operators.AsofJoin.asofJoin(
+          purch, touches.select(col("user_id"), col("tts"), col("ch")),
+          Seq("user_id"), "ts_m1", "tts", Seq("ch"))
+        .select(col("value_c"),
+          when(col("asof_ts").isNotNull &&
+            col("asof_ts") >= col("ts") - expr("INTERVAL 7 DAYS"),
+            col("asof_ch")).otherwise(lit("direct")).as("channel"))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_conversions"), sum(col("value_c")).as("revenue_c"))
+    }),
     "q51_local_supplier_volume" -> ((s, d) => {
       // TPC-H Q5 shape — the canonical star join: one fact table
       // (lineitem) against four dimensions plus the c_nationkey =
@@ -962,6 +1004,34 @@ object RelationalQueries {
         |       CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM d JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the oracle runs DuckDB's REAL recursive CTE against the iterative
+    // fixpoint — semantics pinned, not just arithmetic
+    "q54_hierarchy_rollup" ->
+      """WITH RECURSIVE up AS (
+        |  SELECT p_partkey AS node, p_partkey AS anc FROM part
+        |  UNION ALL
+        |  SELECT node, anc // 10 AS anc FROM up WHERE anc >= 10)
+        |SELECT anc AS part_id, COUNT(*) AS n_nodes,
+        |       CAST(SUM(CAST(ROUND(p_retailprice*100) AS BIGINT)) AS BIGINT) AS subtree_retail_c
+        |FROM up JOIN part ON node = p_partkey
+        |GROUP BY anc""".stripMargin,
+    "q55_attribution" ->
+      """WITH purch AS (
+        |  SELECT event_id, user_id, ts, CAST(ROUND(value*100) AS BIGINT) AS value_c
+        |  FROM events WHERE event_type = 'purchase'),
+        |touch AS (
+        |  SELECT user_id, ts, arg_max(event_type, event_id) AS ch
+        |  FROM events WHERE event_type <> 'purchase' GROUP BY user_id, ts),
+        |att AS (
+        |  SELECT p.value_c,
+        |         (SELECT t.ch FROM touch t
+        |          WHERE t.user_id = p.user_id AND t.ts < p.ts
+        |            AND t.ts >= p.ts - INTERVAL 7 DAY
+        |          ORDER BY t.ts DESC LIMIT 1) AS ch
+        |  FROM purch p)
+        |SELECT COALESCE(ch, 'direct') AS channel, COUNT(*) AS n_conversions,
+        |       CAST(SUM(value_c) AS BIGINT) AS revenue_c
+        |FROM att GROUP BY channel""".stripMargin,
     "q51_local_supplier_volume" ->
       """SELECT n_name,
         |       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
