@@ -34,24 +34,51 @@ object NorthStarQueries {
     * re-splits the round-(i-1) corpus state on the double-space joint,
     * counts adjacent pairs, takes the (count desc, pair asc) winner, and
     * applies it with the same non-overlapping literal replace (chr(1)
-    * joint) the Spark trainer uses. */
-  private val BpeOracleSql: String = {
+    * joint) the Spark trainer uses. `c0` defines the initial corpus state
+    * (must emit `s` plus any carried columns); `carry` is the "col1,
+    * col2, "-style prefix re-selected through every round. */
+  private def bpeChainSql(c0: String, carry: String): String = {
     val rounds = (1 to 6).map { i =>
       s"""tok$i AS (SELECT string_split(s, '  ') AS t FROM c${i - 1}),
          |p$i AS (SELECT unnest(list_transform(range(len(t) - 1),
          |          j -> t[j+1] || '  ' || t[j+2])) AS pair FROM tok$i),
          |b$i AS (SELECT pair, COUNT(*) AS c FROM p$i
          |        GROUP BY pair ORDER BY c DESC, pair LIMIT 1),
-         |c$i AS (SELECT replace(s, (SELECT pair FROM b$i),
+         |c$i AS (SELECT ${carry}replace(s, (SELECT pair FROM b$i),
          |          replace((SELECT pair FROM b$i), '  ', chr(1))) AS s FROM c${i - 1})"""
         .stripMargin
     }.mkString(",\n")
+    s"""WITH c0 AS ($c0),
+       |$rounds""".stripMargin
+  }
+
+  private val BpeOracleSql: String = {
     val steps = (1 to 6)
       .map(i => s"SELECT $i AS step, pair, c AS n_occurrences FROM b$i")
       .mkString("\nUNION ALL\n")
-    s"""WITH c0 AS (SELECT array_to_string($WsSql, '  ') AS s FROM documents),
-       |$rounds
+    s"""${bpeChainSql(s"SELECT array_to_string($WsSql, '  ') AS s FROM documents", "")}
        |$steps""".stripMargin
+  }
+
+  /** t46: the encode side — rules fit on the every-3rd-doc sample (the
+    * training chain below), then applied to the FULL corpus as 6 nested
+    * literal replaces; per-source token counts before/after. */
+  private val BpeFertilityOracleSql: String = {
+    val chain = bpeChainSql(
+      s"SELECT array_to_string($WsSql, '  ') AS s FROM documents WHERE doc_id % 3 = 0",
+      "")
+    val encoded = (1 to 6).foldLeft(s"array_to_string($WsSql, '  ')") { (acc, i) =>
+      s"replace($acc, (SELECT pair FROM b$i), replace((SELECT pair FROM b$i), '  ', chr(1)))"
+    }
+    s"""$chain
+       |SELECT source, COUNT(*) AS n_docs,
+       |       CAST(SUM(n_before) AS BIGINT) AS tok_before,
+       |       CAST(SUM(n_after) AS BIGINT) AS tok_after,
+       |       CAST((1000 * (SUM(n_before) - SUM(n_after))) // SUM(n_before) AS BIGINT) AS saved_permille
+       |FROM (SELECT source, len($WsSql) AS n_before,
+       |        CASE WHEN s = '' THEN 0 ELSE len(string_split(s, '  ')) END AS n_after
+       |      FROM (SELECT source, text, $encoded AS s FROM documents))
+       |GROUP BY source""".stripMargin
   }
 
   /** distinct word-3-gram shingles of token list `w`. */
@@ -343,6 +370,28 @@ object NorthStarQueries {
               (col("n_days") * col("sxx") - col("sx") * col("sx")))
               .cast("long"))
             .as("slope_e6"))
+    }),
+    "t46_bpe_fertility" -> ((s, d) => {
+      // Train 6 merges on the every-3rd-doc SAMPLE (the fit/transform
+      // split every 100 TB normalizer uses — same pattern as the IVF and
+      // quantile fits), then ENCODE the full corpus with them and report
+      // per-source compression: the fertility gain a tokenizer team
+      // reads before shipping a vocab. Training collects only the 6
+      // winning rules to the driver; encode is a shuffle-free per-row
+      // fold of 6 literal replaces; the report is one grouped aggregate.
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+      val rules = graft.operators.Bpe.trainMerges(s,
+          docs.filter(pmod(col("doc_id"), lit(3)) === 0).select(col("text")), k = 6)
+        .orderBy(col("step")).collect().map(_.getString(1)).toSeq
+      graft.operators.Bpe.encode(docs, rules)
+        .select(col("source"),
+          size(tokens(col("text"))).cast("long").as("nb"),
+          size(col("bpe_tokens")).cast("long").as("na"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nb")).as("tok_before"), sum(col("na")).as("tok_after"))
+        .withColumn("saved_permille",
+          expr("(1000 * (tok_before - tok_after)) div tok_before"))
     }),
     "t45_bpe_train" -> ((s, d) => {
       // Full BPE merge-rule training, 6 rounds — t22's single pair-count
@@ -1344,6 +1393,7 @@ object NorthStarQueries {
         |SELECT n_name, r AS rank_e6
         |FROM r3 JOIN nation ON node = n_nationkey""".stripMargin,
     "t45_bpe_train" -> BpeOracleSql,
+    "t46_bpe_fertility" -> BpeFertilityOracleSql,
     "t44_changepoint" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,

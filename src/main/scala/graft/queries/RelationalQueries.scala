@@ -327,6 +327,45 @@ object RelationalQueries {
         .groupBy(col("band_id"))
         .agg(count(lit(1)).as("n_items"), sum(col("price_cents")).as("sum_cents"))
     }),
+    "q56_rolling_dau" -> ((s, d) => {
+      // 7-day rolling distinct active users per day. Exact rolling
+      // DISTINCT cannot ride a running-sum window (distinct doesn't
+      // subtract), and the naive form is a per-day self-join over the
+      // lookback. The scale shape: distinct (user, day) once, explode
+      // each into its 7 target days (pure map), then one two-phase
+      // count-distinct per target day — shuffle volume is 7×|user-days|,
+      // never |events|, and no window touches the corpus.
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val activeDays = ud.select(col("day").as("tday")).distinct()
+      ud.select(col("user_id"), col("day"),
+          explode(sequence(lit(0), lit(6))).as("off"))
+        .select(col("user_id"), date_add(col("day"), col("off")).as("tday"))
+        .join(activeDays, "tday")
+        .groupBy(col("tday"))
+        .agg(countDistinct(col("user_id")).as("dau_7d"))
+        .select(date_format(col("tday"), "yyyy-MM-dd").as("day"), col("dau_7d"))
+    }),
+    "q57_time_to_convert" -> ((s, d) => {
+      // Signup→purchase conversion-latency histogram: per user, days
+      // from first signup to first at-or-after purchase; never-converted
+      // users land in the -1 bucket. Two filtered min-aggregates and one
+      // key join (both map-side partial) — no per-user window, no
+      // event-level self-join; the histogram is a second tiny aggregate.
+      val ev = Tables.events(s, d)
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("su_ts"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+      su.join(pu, Seq("user_id"), "left")
+        .groupBy(col("user_id"), col("su_ts"))
+        .agg(min(when(col("ts") >= col("su_ts"), col("ts"))).as("fp_ts"))
+        .select(when(col("fp_ts").isNull, lit(-1))
+          .otherwise(datediff(to_date(col("fp_ts")), to_date(col("su_ts"))))
+          .cast("int").as("days_to_convert"))
+        .groupBy(col("days_to_convert"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
     "q54_hierarchy_rollup" -> ((s, d) => {
       // WITH RECURSIVE semantics — Spark's missing SQL shape — as the
       // bounded iterative-join fixpoint (ops.Hierarchy): per-part subtree
@@ -1004,6 +1043,33 @@ object RelationalQueries {
         |       CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM d JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q56_rolling_dau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events),
+        |ad AS (SELECT DISTINCT day AS tday FROM ud),
+        |c AS (SELECT user_id, day + CAST(r.o AS INTEGER) AS tday
+        |      FROM ud CROSS JOIN (SELECT unnest(range(7)) AS o) r)
+        |SELECT strftime(c.tday, '%Y-%m-%d') AS day,
+        |       COUNT(DISTINCT user_id) AS dau_7d
+        |FROM c JOIN ad ON c.tday = ad.tday
+        |GROUP BY c.tday""".stripMargin,
+    "q57_time_to_convert" ->
+      """WITH su AS (
+        |  SELECT user_id, MIN(ts) AS su_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |pu AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |fp AS (
+        |  SELECT su.user_id, su.su_ts,
+        |         MIN(CASE WHEN pu.ts >= su.su_ts THEN pu.ts END) AS fp_ts
+        |  FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+        |  GROUP BY su.user_id, su.su_ts)
+        |SELECT CAST(CASE WHEN fp_ts IS NULL THEN -1
+        |            ELSE datediff('day', CAST(date_trunc('day', su_ts) AS DATE),
+        |                          CAST(date_trunc('day', fp_ts) AS DATE)) END AS INTEGER)
+        |         AS days_to_convert,
+        |       COUNT(*) AS n_users
+        |FROM fp GROUP BY days_to_convert""".stripMargin,
     // the oracle runs DuckDB's REAL recursive CTE against the iterative
     // fixpoint — semantics pinned, not just arithmetic
     "q54_hierarchy_rollup" ->

@@ -111,6 +111,41 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("partial_min"), s"stale exploded signature min-agg returned:\n$p")
   }
 
+  test("q51 star join: date filter pushed, dims broadcast, no cartesian") {
+    val p = plan(SparkEntry.queries("q51_local_supplier_volume")(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"order-date filter not pushed to the orders scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"no dimension broadcast:\n$p")
+    for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!p.contains(bad), s"$bad in a star join:\n$p")
+  }
+
+  test("q52 correlated-agg join: per-part stats aggregate partially, then equi-join back") {
+    val p = plan(SparkEntry.queries("q52_small_qty_revenue")(spark, sf))
+    assert(p.contains("partial_sum"), s"stats not map-side partial:\n$p")
+    for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!p.contains(bad), s"$bad in the threshold join:\n$p")
+  }
+
+  test("q55 attribution: as-of carry, no range join anywhere") {
+    val p = plan(SparkEntry.queries("q55_attribution")(spark, sf))
+    for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"))
+      assert(!p.contains(bad), s"attribution planned a $bad:\n$p")
+    assert(p.contains("Window"), s"forward-carry window missing:\n$p")
+  }
+
+  test("pageRank iteration reads the persisted edge frame, never re-derives it") {
+    import org.apache.spark.sql.functions._
+    val edges = Tables.supplier(spark, sf)
+      .select((col("s_suppkey") % 7).as("src"), (col("s_suppkey") % 5).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val r = graft.operators.Graphs.pageRank(edges, iters = 2)
+    val p = plan(r)
+    assert(p.contains("InMemoryTableScan"), s"iterations recompute instead of reusing cache:\n$p")
+    for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!p.contains(bad), s"$bad in the rank loop:\n$p")
+  }
+
   test("latest-by-key is one shuffle on the key, no global sort, no window") {
     val p = plan(SparkEntry.queries("r04_latest_by_key")(spark, sf))
     assert(p.contains("hashpartitioning(o_custkey"), s"not hash-partitioned by key:\n$p")
