@@ -238,4 +238,32 @@ object ScaleOps {
       .select(keys.map(col) ++ vals.map(v =>
         (coalesce(col(v), lit(0L)) + coalesce(col(s"__d_$v"), lit(0L))).as(v)): _*)
   }
+
+  /** Incremental JOIN-view maintenance (insert-only deltas): the new rows
+    * an equi-join view gains when batch ΔA arrives on the left and ΔC on
+    * the right are exactly
+    *
+    *   ΔV  =  ΔA ⋈ C₀  ∪  A₀ ⋈ ΔC  ∪  ΔA ⋈ ΔC
+    *
+    * — the cross-term included once, never the old⋈old term: V₀ is not
+    * rescanned, which is the whole point at 100 TB (the maintained view
+    * `V₀ ∪ ΔV` equals the full recompute by distributivity of ⋈ over ∪).
+    *
+    * Scale shape: both deltas are batch-sized, so the two mixed terms are
+    * broadcast joins against the big frames (one pass over each old side,
+    * no shuffle of A₀/C₀) and the delta⋈delta term is broadcast⋈broadcast
+    * — the caller holds the old sides as they already sit (bucketed,
+    * partitioned); nothing here repartitions them. Updates/deletes are
+    * [[graft.ops.Temporal.applyChanges]]' keyed-upsert territory — apply
+    * them to A/C first, then rebuild affected keys; this operator is the
+    * append-only fast path ingestion pipelines live on.
+    */
+  def incrementalJoin(aOld: DataFrame, aDelta: DataFrame,
+      cOld: DataFrame, cDelta: DataFrame,
+      aKey: String, cKey: String): DataFrame = {
+    val cond = col(aKey) === col(cKey)
+    broadcast(aDelta).join(cOld, cond)
+      .unionByName(aOld.join(broadcast(cDelta), cond))
+      .unionByName(aDelta.join(broadcast(cDelta), cond))
+  }
 }

@@ -327,6 +327,29 @@ object RelationalQueries {
         .groupBy(col("band_id"))
         .agg(count(lit(1)).as("n_items"), sum(col("price_cents")).as("sum_cents"))
     }),
+    "q58_incremental_join" -> ((s, d) => {
+      // Materialized JOIN-view maintenance: orders⋈customer kept fresh
+      // under insert-only batches on BOTH sides (every-10th order and
+      // every-7th customer arrive as deltas). The maintained view is
+      // V0 ∪ ΔV with ΔV = ΔA⋈C0 ∪ A0⋈ΔC ∪ ΔA⋈ΔC — V0's join is the
+      // only old⋈old work, done once; the delta terms broadcast the
+      // batch side and never reshuffle the base frames. The oracle is
+      // the full recompute the algebra must equal, aggregated by
+      // segment so the hash covers every maintained row.
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), cents(col("o_totalprice")).as("price_c"))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val a0 = ord.filter(pmod(col("o_orderkey"), lit(10)) =!= 0)
+      val da = ord.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+      val c0 = cust.filter(pmod(col("c_custkey"), lit(7)) =!= 0)
+      val dc = cust.filter(pmod(col("c_custkey"), lit(7)) === 0)
+      val v0 = a0.join(c0, col("o_custkey") === col("c_custkey"))
+      val dv = graft.ops.ScaleOps.incrementalJoin(a0, da, c0, dc, "o_custkey", "c_custkey")
+      v0.unionByName(dv)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("price_c")).as("revenue_c"))
+    }),
     "q56_rolling_dau" -> ((s, d) => {
       // 7-day rolling distinct active users per day. Exact rolling
       // DISTINCT cannot ride a running-sum window (distinct doesn't
@@ -1043,6 +1066,14 @@ object RelationalQueries {
         |       CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM d JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the full recompute the maintained view must equal by join-∪
+    // distributivity — if any delta term is lost or double-counted the
+    // counts/sums drift and the hash catches it
+    "q58_incremental_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
     "q56_rolling_dau" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day

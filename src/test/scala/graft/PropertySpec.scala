@@ -267,4 +267,30 @@ class PropertySpec extends SparkTestBase {
       assert(got === want)
     }
   }
+
+  test("incremental join maintenance ≡ full recompute on random splits") {
+    // V0 ∪ ΔV must equal (A0∪ΔA) ⋈ (C0∪ΔC) for ANY split of either side —
+    // the distributivity law ScaleOps.incrementalJoin implements; a lost
+    // or double-counted delta term breaks multiset equality.
+    val splitGen = for {
+      rowsA <- Gen.nonEmptyListOf(Gen.zip(Gen.choose(1L, 30L), Gen.choose(1L, 8L)))
+      rowsC <- Gen.nonEmptyListOf(Gen.zip(Gen.choose(1L, 8L), Gen.choose(0L, 99L)))
+      ma <- Gen.choose(2, 5)
+      mc <- Gen.choose(2, 5)
+    } yield (rowsA, rowsC, ma, mc)
+    forSamples(splitGen, 15) { case (rowsA, rowsC, ma, mc) =>
+      val a = rowsA.toDF("a_id", "k").select(col("a_id"), col("k").as("a_k"))
+      val c = rowsC.toDF("c_k", "v").select(col("c_k"), col("v"))
+      val a0 = a.filter(pmod(col("a_id"), lit(ma)) =!= 0)
+      val da = a.filter(pmod(col("a_id"), lit(ma)) === 0)
+      val c0 = c.filter(pmod(col("v"), lit(mc)) =!= 0)
+      val dc = c.filter(pmod(col("v"), lit(mc)) === 0)
+      val maintained = a0.join(c0, col("a_k") === col("c_k"))
+        .unionByName(graft.ops.ScaleOps.incrementalJoin(a0, da, c0, dc, "a_k", "c_k"))
+        .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      val full = a.join(c, col("a_k") === col("c_k"))
+        .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      assert(maintained === full)
+    }
+  }
 }
