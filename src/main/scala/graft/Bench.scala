@@ -193,6 +193,20 @@ object Bench {
       graft.operators.Mixture.budgetSelect(
         tinyDocs.select(col("doc_id"), lit(1L).as("s"), col("n_chars")),
         "doc_id", "s", "n_chars", 100L).count()
+      // fifth-session families: the BPE pair-transform + literal-replace
+      // shapes (t45/t46), the pageRank contribution join loop (d18), the
+      // hierarchy frontier climb (q54), and the as-of attribution carry
+      // over the touch pre-aggregate (q55) each compile generated classes
+      graft.operators.Bpe.trainMerges(spark,
+        tinyDocs.select(col("text")).limit(5), k = 1)
+      graft.operators.Bpe.encode(tinyDocs.limit(3), Seq("the  data")).count()
+      graft.operators.Graphs.pageRank(
+        tinyEv.select((col("user_id") % 5).as("src"), (col("event_id") % 5).as("dst"))
+          .filter(col("src") =!= col("dst")).limit(10), iters = 1).count()
+      graft.ops.Hierarchy.subtreeRollup(
+        spark.range(8).select(col("id"),
+          when(col("id") >= 2, col("id") / 2).cast("long").as("parent"),
+          lit(1L).as("value"))).count()
       tinyDocs.unpersist(blocking = true); tinyEmb.unpersist(blocking = true)
       tinyEv.unpersist(blocking = true)
     } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }

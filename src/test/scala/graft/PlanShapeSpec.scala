@@ -146,6 +146,21 @@ class PlanShapeSpec extends SparkTestBase {
       assert(!p.contains(bad), s"$bad in the rank loop:\n$p")
   }
 
+  test("q56 rolling distinct: explode + two-phase count-distinct, no corpus window") {
+    val p = plan(SparkEntry.queries("q56_rolling_dau")(spark, sf))
+    assert(!p.contains("Window"), s"rolling distinct dragged a window across the corpus:\n$p")
+    assert(p.contains("Expand") || p.contains("partial_count"),
+      s"count-distinct not two-phase:\n$p")
+  }
+
+  test("q58 incremental join: every delta term broadcasts, no sort-merge, no cartesian") {
+    val p = plan(SparkEntry.queries("q58_incremental_join")(spark, sf))
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 3, s"expected >=3 broadcast delta joins, saw $bhj:\n$p")
+    for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!p.contains(bad), s"$bad in view maintenance:\n$p")
+  }
+
   test("latest-by-key is one shuffle on the key, no global sort, no window") {
     val p = plan(SparkEntry.queries("r04_latest_by_key")(spark, sf))
     assert(p.contains("hashpartitioning(o_custkey"), s"not hash-partitioned by key:\n$p")
