@@ -53,11 +53,17 @@ object Bpe {
     var step = 1
     var dry = false
     while (step <= k && !dry) {
+      // Pair counting rides the codegen'd ngramList kernel (single-space
+      // joined bigrams over the whitespace-run-split state — the double
+      // joints collapse, the  -joined merged tokens pass through).
+      // Mapping to the double-space pair is bijective AND
+      // order-preserving: tokens contain no spaces, so for any two pairs
+      // the first differing character position compares identically
+      // whether the joint is one space or two — the (count desc, pair
+      // asc) winner is the same one the interpreted-HOF form (and the
+      // oracle's double-space CTEs) would pick.
       val best = corpus
-        .select(split(col("s"), "  ", -1).as("t"))
-        .select(explode(expr(
-          "transform(slice(t, 1, size(t) - 1), (x, i) -> concat(x, '  ', element_at(t, i + 2)))"))
-          .as("pair"))
+        .select(explode(graft.functions.TextFunctions.ngramList(col("s"), 2)).as("pair"))
         .groupBy(col("pair")).agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("pair").asc)
         .limit(1)
@@ -67,7 +73,7 @@ object Bpe {
         // reference trainers' stopping rule) rather than learn noise
         dry = true
       } else {
-        val pair = best(0).getString(0)
+        val pair = best(0).getString(0).replace(" ", "  ")
         val cnt = best(0).getLong(1)
         learned += ((step, pair, cnt))
         val next = corpus
