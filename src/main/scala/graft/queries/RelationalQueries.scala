@@ -327,6 +327,28 @@ object RelationalQueries {
         .groupBy(col("band_id"))
         .agg(count(lit(1)).as("n_items"), sum(col("price_cents")).as("sum_cents"))
     }),
+    "q59_running_distinct" -> ((s, d) => {
+      // Cumulative distinct users per day — COUNT(DISTINCT) OVER, which
+      // Spark (and most engines) refuse to plan. The canonical rewrite:
+      // mark each user's FIRST day (one aggregate, map-side partial),
+      // count first-appearances per day, then one running sum over the
+      // tiny per-day frame. The corpus is touched once; the window runs
+      // over ≤ span-days rows, never over events.
+      val firstDay = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .groupBy(col("user_id")).agg(min(col("day")).as("fday"))
+        .groupBy(col("fday")).agg(count(lit(1)).as("n_new"))
+      val allDays = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day")).distinct()
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      allDays
+        .join(firstDay, col("day") === col("fday"), "left")
+        .select(col("day"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+        .withColumn("cum_distinct_users", sum(col("n_new")).over(w))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_new"), col("cum_distinct_users"))
+    }),
     "q58_incremental_join" -> ((s, d) => {
       // Materialized JOIN-view maintenance: orders⋈customer kept fresh
       // under insert-only batches on BOTH sides (every-10th order and
@@ -1066,6 +1088,21 @@ object RelationalQueries {
         |       CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM d JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // DuckDB CAN plan COUNT(DISTINCT) OVER — the oracle uses the real
+    // thing against the first-seen rewrite
+    "q59_running_distinct" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events),
+        |fd AS (SELECT user_id, MIN(day) AS fday FROM ud GROUP BY user_id),
+        |days AS (SELECT DISTINCT day FROM ud)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day,
+        |       CAST(COUNT(fd.user_id) AS BIGINT) AS n_new,
+        |       CAST(SUM(COUNT(fd.user_id))
+        |         OVER (ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |         AS cum_distinct_users
+        |FROM days d LEFT JOIN fd ON fd.fday = d.day
+        |GROUP BY d.day""".stripMargin,
     // the full recompute the maintained view must equal by join-∪
     // distributivity — if any delta term is lost or double-counted the
     // counts/sums drift and the hash catches it
