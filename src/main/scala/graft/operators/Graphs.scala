@@ -40,18 +40,38 @@ object Graphs {
     * @param edges (src: long-castable, dst: long-castable) directed edges
     * @return (node: long, rank_e6: long)
     */
-  def pageRank(edges: DataFrame, iters: Int, dampE2: Int = 85): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int, dampE2: Int = 85): DataFrame =
+    pageRankWeighted(
+      edges.select(col("src"), col("dst")).distinct().withColumn("w", lit(1L)),
+      iters, dampE2)
+
+  /** [[pageRank]] with per-edge weights: node u spreads its rank in
+    * proportion to edge weight, `contribution(u→v) = (r(u)·w_uv) div sw(u)`
+    * with `sw(u) = Σ_v w_uv` — the domain-authority form where link
+    * multiplicity (or trust) matters. The unweighted entry point is the
+    * w=1 special case of this loop (`(r·1) div od` ≡ `r div od`, so its
+    * results are bit-identical to the standalone formulation).
+    *
+    * Integer contract: ranks stay ≤ |V|·1e6 (mass is never created), so
+    * the r·w product needs `max_weight < 2^63 / (|V|·1e6)` — loud
+    * overflow territory only for weights beyond ~10¹² on a million-node
+    * graph; weigh down (divide all weights by a constant) before calling
+    * if the corpus is hotter than that.
+    *
+    * @param edges (src, dst, w: long-castable positive weights); duplicate
+    *              (src,dst) rows are NOT collapsed — pre-aggregate weights
+    */
+  def pageRankWeighted(edges: DataFrame, iters: Int, dampE2: Int = 85): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(dampE2 >= 0 && dampE2 <= 100, s"dampE2 must be in [0,100], got $dampE2")
     val teleport = 1000000L * (100 - dampE2) / 100
-    val e = edges
-      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .distinct()
-    // Out-degree rides with every edge so the per-iteration contribution is
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+    // Out-weight rides with every edge so the per-iteration contribution is
     // a pure projection after the ranks join; partitioned by src once so
     // iterations shuffle only the |V|-sized ranks frame, never the edges.
     val eod = e
-      .join(e.groupBy("src").agg(count(lit(1)).as("od")), "src")
+      .join(e.groupBy("src").agg(sum(col("w")).as("sw")), "src")
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
@@ -63,7 +83,7 @@ object Graphs {
     for (_ <- 1 to iters) {
       val contrib = eod
         .join(ranks, eod("src") === ranks("node"))
-        .select(col("dst"), expr("rank_e6 div od").as("c"))
+        .select(col("dst"), expr("(rank_e6 * w) div sw").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("in_c"))
       ranks = nodes
         .join(contrib, nodes("node") === contrib("dst"), "left")

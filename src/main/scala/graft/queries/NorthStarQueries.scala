@@ -308,6 +308,27 @@ object NorthStarQueries {
     "d03_simhash" -> ((s, d) => {
       Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 3)
     }),
+    "d19_weighted_pagerank" -> ((s, d) => {
+      // d18's graph with edge weights = lineitem counts per nation pair:
+      // authority now follows trade VOLUME, not mere adjacency — the form
+      // a domain-weighting pass actually uses (a domain linked a million
+      // times outranks one linked once). Same two-exchanges-per-iteration
+      // loop; contribution = (r·w) div Σw stays exact-integer.
+      val ord = Tables.orders(s, d)
+      val cust = Tables.customer(s, d)
+      val sup = Tables.supplier(s, d)
+      val edges = Tables.lineitem(s, d)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_nationkey").cast("long").as("src"),
+          col("c_nationkey").cast("long").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      graft.operators.Graphs.pageRankWeighted(edges, iters = 3)
+        .join(Tables.nation(s, d), col("node") === col("n_nationkey"))
+        .select(col("n_name"), col("rank_e6"))
+    }),
     "d18_trade_pagerank" -> ((s, d) => {
       // PageRank over the supplier-nation → customer-nation trade graph
       // (3 exact-integer iterations) — the authority signal a web-scale
@@ -1355,6 +1376,43 @@ object NorthStarQueries {
   // ---- oracles ----
 
   val oracleSql: Map[String, String] = Map(
+    // weighted variant: contribution = (r·w) // Σw — same unrolled rounds
+    "d19_weighted_pagerank" ->
+      """WITH edges AS (
+        |  SELECT CAST(s_nationkey AS BIGINT) AS src,
+        |         CAST(c_nationkey AS BIGINT) AS dst, COUNT(*) AS w
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE s_nationkey <> c_nationkey
+        |  GROUP BY src, dst),
+        |outw AS (SELECT src, SUM(w) AS sw FROM edges GROUP BY src),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |r1 AS (SELECT n.node,
+        |         CAST(150000 + (85 * COALESCE(SUM((p.r * e.w) // o.sw), 0)) // 100 AS BIGINT) AS r
+        |       FROM nodes n
+        |       LEFT JOIN edges e ON e.dst = n.node
+        |       LEFT JOIN outw o ON o.src = e.src
+        |       LEFT JOIN r0 p ON p.node = e.src
+        |       GROUP BY n.node),
+        |r2 AS (SELECT n.node,
+        |         CAST(150000 + (85 * COALESCE(SUM((p.r * e.w) // o.sw), 0)) // 100 AS BIGINT) AS r
+        |       FROM nodes n
+        |       LEFT JOIN edges e ON e.dst = n.node
+        |       LEFT JOIN outw o ON o.src = e.src
+        |       LEFT JOIN r1 p ON p.node = e.src
+        |       GROUP BY n.node),
+        |r3 AS (SELECT n.node,
+        |         CAST(150000 + (85 * COALESCE(SUM((p.r * e.w) // o.sw), 0)) // 100 AS BIGINT) AS r
+        |       FROM nodes n
+        |       LEFT JOIN edges e ON e.dst = n.node
+        |       LEFT JOIN outw o ON o.src = e.src
+        |       LEFT JOIN r2 p ON p.node = e.src
+        |       GROUP BY n.node)
+        |SELECT n_name, r AS rank_e6
+        |FROM r3 JOIN nation ON node = n_nationkey""".stripMargin,
     // Exact-integer PageRank replayed as 3 unrolled CTE rounds: DuckDB's
     // `//` (floor div) ≡ Spark's `div` on the non-negative rank domain.
     "d18_trade_pagerank" ->

@@ -63,6 +63,22 @@ class GraphsSpec extends SparkTestBase {
     assert(r(1L) === solo(1L) && r(2L) === solo(2L))
   }
 
+  test("weighted rank matches hand-computed (r·w) div Σw update") {
+    // 1 -(w3)-> 2, 1 -(w1)-> 3: node1 spreads 3/4 to 2, 1/4 to 3.
+    // iter1: r(1)=150000; r(2)=150000 + 85*((1e6*3) div 4) div 100
+    //        = 150000 + 85*750000 div 100 = 787500
+    //        r(3)=150000 + 85*250000 div 100 = 362500
+    val w = Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val r = ranks(Graphs.pageRankWeighted(w, iters = 1))
+    assert(r === Map(1L -> 150000L, 2L -> 787500L, 3L -> 362500L))
+  }
+
+  test("unit weights ≡ unweighted pageRank bit-for-bit") {
+    val w1 = triangle.withColumn("w", lit(1L))
+    assert(ranks(Graphs.pageRankWeighted(w1, iters = 4)) ===
+      ranks(Graphs.pageRank(triangle, iters = 4)))
+  }
+
   test("empty edge list yields an empty rank table") {
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
     assert(Graphs.pageRank(empty, iters = 3).count() === 0L)

@@ -268,6 +268,45 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("pageRank invariants on random graphs: teleport floor, source nodes exact") {
+    // every rank ≥ the teleport base; a node with no in-edges sits at
+    // EXACTLY the base after ≥1 iteration; total mass never exceeds the
+    // initial |V|·1e6 (dangling mass only leaks out, never in).
+    val edgeGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(1L, 12L), Gen.choose(1L, 12L))).map(_.filter(e => e._1 != e._2))
+    forSamples(edgeGen.suchThat(_.nonEmpty), 12) { es =>
+      val edges = es.toDF("src", "dst")
+      val r = graft.operators.Graphs.pageRank(edges, iters = 2)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(r.values.forall(_ >= 150000L), s"rank below teleport base in $r")
+      val dsts = es.map(_._2).toSet
+      val sources = r.keySet -- dsts
+      sources.foreach(n => assert(r(n) === 150000L, s"source $n not at base in $r"))
+      assert(r.values.sum <= 1000000L * r.size, s"mass created from nothing in $r")
+    }
+  }
+
+  test("hierarchy rollup conserves value: root subtrees partition the forest total") {
+    // random forests parent(id) = id div k: every node's value lands in
+    // exactly one root subtree, so root sums = grand total; every
+    // subtree count ≥ 1 and the root counts sum to |nodes|.
+    val genForest = for {
+      n <- Gen.choose(3, 40)
+      k <- Gen.choose(2, 5)
+    } yield (n, k)
+    forSamples(genForest, 12) { case (n, k) =>
+      val nodes = (0L until n.toLong).map(i =>
+        (i, if (i >= k) Some(i / k) else None, i * 7 + 1)).toDF("id", "parent", "value")
+      val out = graft.ops.Hierarchy.subtreeRollup(nodes)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val roots = (0L until n.toLong).filter(_ < k)
+      val total = (0L until n.toLong).map(_ * 7 + 1).sum
+      assert(roots.map(out(_)._2).sum === total, "root sums must partition the total")
+      assert(roots.map(out(_)._1).sum === n.toLong, "root counts must partition |nodes|")
+      assert(out.values.forall(_._1 >= 1L))
+    }
+  }
+
   test("incremental join maintenance ≡ full recompute on random splits") {
     // V0 ∪ ΔV must equal (A0∪ΔA) ⋈ (C0∪ΔC) for ANY split of either side —
     // the distributivity law ScaleOps.incrementalJoin implements; a lost
