@@ -103,4 +103,110 @@ object Graphs {
     nodes.unpersist(blocking = false)
     out
   }
+
+  /** Multi-source BFS hop distance: for every node, the minimum number of
+    * directed edges from ANY seed node (seeds at distance 0; unreachable
+    * within `maxRounds` → null). The "how far from a trusted hub" signal
+    * domain-trust pipelines compute.
+    *
+    * Frontier-driven like [[graft.ops.Hierarchy.ancestorClosure]]: round
+    * i relaxes only the nodes first reached at distance i-1 (one
+    * equi-join + anti-join against the settled set per round, each
+    * keyed), so total work is O(|E|·rounds) worst case but each edge is
+    * effectively traversed once per endpoint settlement; the loop stops
+    * at convergence (empty frontier) or `maxRounds`, whichever first —
+    * running past convergence cannot change the result, so a fixed-round
+    * replay (the oracle) agrees whenever it covers the true eccentricity.
+    *
+    * @return (node, dist: int nullable)
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxRounds: Int): DataFrame = {
+    require(maxRounds >= 0, s"maxRounds must be >= 0, got $maxRounds")
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .union(seeds.select(col("node").cast("long")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var settled = seeds.select(col("node").cast("long").as("node"), lit(0).as("dist"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = settled
+    var spent = Vector(settled)
+    var round = 1
+    var frontierSize = frontier.count()
+    while (round <= maxRounds && frontierSize > 0) {
+      val reached = e.join(frontier, e("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+      val fresh = reached.join(settled.select(col("node").as("__s")),
+          reached("node") === col("__s"), "left_anti")
+        .select(col("node"), lit(round).as("dist"))
+      val next = settled.unionByName(fresh).persist(StorageLevel.MEMORY_AND_DISK)
+      frontierSize = next.count() - settled.count()
+      spent :+= next
+      settled = next
+      frontier = fresh
+      round += 1
+    }
+    val out = nodes
+      .join(settled.select(col("node").as("__n"), col("dist")),
+        nodes("node") === col("__n"), "left")
+      .select(col("node"), col("dist"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    (spent :+ e :+ nodes).foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** Clamped synchronous label propagation over a weighted directed graph
+    * (Zhu & Ghahramani style): seed nodes keep their label forever; every
+    * other node re-decides each round as the weight-argmax of its in-
+    * neighbors' current labels (ties → smallest label id; no labeled
+    * in-neighbor → stays unlabeled). The graph-based semi-supervised
+    * labeler a curation pipeline uses to spread a handful of human labels
+    * (spam/quality/topic) over a link or similarity graph.
+    *
+    * Each round is ONE (edges ⋈ labels) equi-join + a grouped weight sum
+    * + a per-node argmax aggregate — two exchanges, all map-side-partial;
+    * votes are exact integer weight sums so the argmax (and the whole
+    * propagation) is engine-portable.
+    *
+    * @param edges (src, dst, w: positive long weights)
+    * @param seeds (node, label: long) — clamped
+    * @return (node, label: long nullable)
+    */
+  def labelPropagate(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seed = seeds.select(col("node").cast("long").as("node"),
+      col("label").cast("long").as("__seed"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var lab = nodes.join(seed, Seq("node"), "left")
+      .select(col("node"), col("__seed").as("label"))
+    for (_ <- 1 to rounds) {
+      val win = e
+        .join(lab.filter(col("label").isNotNull), e("src") === col("node"))
+        .groupBy(col("dst"), col("label")).agg(sum(col("w")).as("v"))
+        .groupBy(col("dst"))
+        .agg(max_by(col("label"), struct(col("v"), -col("label"))).as("__win"))
+      lab = nodes.join(seed, Seq("node"), "left")
+        .join(win, nodes("node") === win("dst"), "left")
+        .select(col("node"), coalesce(col("__seed"), col("__win")).as("label"))
+    }
+    val out = lab.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    seed.unpersist(blocking = false)
+    out
+  }
 }

@@ -308,6 +308,31 @@ object NorthStarQueries {
     "d03_simhash" -> ((s, d) => {
       Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 3)
     }),
+    "d20_label_propagation" -> ((s, d) => {
+      // Graph-based semi-supervised labeling: 8 seed nations keep their
+      // region label; everyone else takes the trade-weight argmax of its
+      // in-neighbors' labels, 2 synchronous clamped rounds (ties →
+      // smallest label). The pattern that spreads a handful of human
+      // spam/quality labels over a 100 TB link graph: two exchanges per
+      // round, integer vote sums, engine-portable argmax.
+      val ord = Tables.orders(s, d)
+      val cust = Tables.customer(s, d)
+      val sup = Tables.supplier(s, d)
+      val edges = Tables.lineitem(s, d)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_nationkey").cast("long").as("src"),
+          col("c_nationkey").cast("long").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      val seeds = Tables.nation(s, d).filter(col("n_nationkey") < 8)
+        .select(col("n_nationkey").cast("long").as("node"),
+          col("n_regionkey").cast("long").as("label"))
+      graft.operators.Graphs.labelPropagate(edges, seeds, rounds = 2)
+        .join(Tables.nation(s, d), col("node") === col("n_nationkey"))
+        .select(col("n_name"), col("label"))
+    }),
     "d19_weighted_pagerank" -> ((s, d) => {
       // d18's graph with edge weights = lineitem counts per nation pair:
       // authority now follows trade VOLUME, not mere adjacency — the form
@@ -1376,6 +1401,42 @@ object NorthStarQueries {
   // ---- oracles ----
 
   val oracleSql: Map[String, String] = Map(
+    // 2 clamped synchronous rounds, weight-argmax with smallest-label
+    // tie-break (QUALIFY replays the argmax deterministically)
+    "d20_label_propagation" ->
+      """WITH edges AS (
+        |  SELECT CAST(s_nationkey AS BIGINT) AS src,
+        |         CAST(c_nationkey AS BIGINT) AS dst, COUNT(*) AS w
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE s_nationkey <> c_nationkey
+        |  GROUP BY src, dst),
+        |seeds AS (SELECT CAST(n_nationkey AS BIGINT) AS node,
+        |                 CAST(n_regionkey AS BIGINT) AS label
+        |          FROM nation WHERE n_nationkey < 8),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |l0 AS (SELECT n.node, s.label FROM nodes n LEFT JOIN seeds s ON n.node = s.node),
+        |w1 AS (SELECT e.dst, l.label, SUM(e.w) AS v
+        |       FROM edges e JOIN l0 l ON e.src = l.node
+        |       WHERE l.label IS NOT NULL GROUP BY e.dst, l.label),
+        |win1 AS (SELECT dst, label FROM w1
+        |         QUALIFY ROW_NUMBER() OVER (PARTITION BY dst
+        |           ORDER BY v DESC, label ASC) = 1),
+        |l1 AS (SELECT n.node, COALESCE(s.label, w.label) AS label
+        |       FROM nodes n LEFT JOIN seeds s ON n.node = s.node
+        |       LEFT JOIN win1 w ON n.node = w.dst),
+        |w2 AS (SELECT e.dst, l.label, SUM(e.w) AS v
+        |       FROM edges e JOIN l1 l ON e.src = l.node
+        |       WHERE l.label IS NOT NULL GROUP BY e.dst, l.label),
+        |win2 AS (SELECT dst, label FROM w2
+        |         QUALIFY ROW_NUMBER() OVER (PARTITION BY dst
+        |           ORDER BY v DESC, label ASC) = 1),
+        |l2 AS (SELECT n.node, COALESCE(s.label, w.label) AS label
+        |       FROM nodes n LEFT JOIN seeds s ON n.node = s.node
+        |       LEFT JOIN win2 w ON n.node = w.dst)
+        |SELECT n_name, label FROM l2 JOIN nation ON node = n_nationkey""".stripMargin,
     // weighted variant: contribution = (r·w) // Σw — same unrolled rounds
     "d19_weighted_pagerank" ->
       """WITH edges AS (

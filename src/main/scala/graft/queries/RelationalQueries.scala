@@ -327,6 +327,29 @@ object RelationalQueries {
         .groupBy(col("band_id"))
         .agg(count(lit(1)).as("n_items"), sum(col("price_cents")).as("sum_cents"))
     }),
+    "q60_bfs_hops" -> ((s, d) => {
+      // Multi-source BFS: trade-hops from any ASIA nation (distance 0 at
+      // the seeds, null = unreachable within 3 rounds) — the
+      // "hops-from-a-trusted-hub" trust signal. Frontier-driven: each
+      // round relaxes only newly-settled nodes (equi-join + anti-join),
+      // stops at convergence; a fixed-round min-relax replay (the
+      // oracle) agrees wherever it covers the true eccentricity.
+      val ord = Tables.orders(s, d)
+      val cust = Tables.customer(s, d)
+      val sup = Tables.supplier(s, d)
+      val edges = Tables.lineitem(s, d)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_nationkey").cast("long").as("src"),
+          col("c_nationkey").cast("long").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val seeds = Tables.nation(s, d).filter(col("n_regionkey") === 2)
+        .select(col("n_nationkey").cast("long").as("node"))
+      graft.operators.Graphs.bfsHops(edges, seeds, maxRounds = 3)
+        .join(Tables.nation(s, d), col("node") === col("n_nationkey"))
+        .select(col("n_name"), col("dist"))
+    }),
     "q59_running_distinct" -> ((s, d) => {
       // Cumulative distinct users per day — COUNT(DISTINCT) OVER, which
       // Spark (and most engines) refuse to plan. The canonical rewrite:
@@ -1088,6 +1111,40 @@ object RelationalQueries {
         |       CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM d JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // 3 unrolled min-relax rounds ≡ the frontier BFS within the covered
+    // eccentricity
+    "q60_bfs_hops" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS src,
+        |                  CAST(c_nationkey AS BIGINT) AS dst
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE s_nationkey <> c_nationkey),
+        |seeds AS (SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation
+        |          WHERE n_regionkey = 2),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        |          UNION SELECT node FROM seeds),
+        |d0 AS (SELECT node, 0 AS dist FROM seeds),
+        |d1 AS (SELECT node, MIN(dist) AS dist FROM (
+        |         SELECT node, dist FROM d0
+        |         UNION ALL
+        |         SELECT e.dst, p.dist + 1 FROM edges e JOIN d0 p ON e.src = p.node
+        |       ) GROUP BY node),
+        |d2 AS (SELECT node, MIN(dist) AS dist FROM (
+        |         SELECT node, dist FROM d1
+        |         UNION ALL
+        |         SELECT e.dst, p.dist + 1 FROM edges e JOIN d1 p ON e.src = p.node
+        |       ) GROUP BY node),
+        |d3 AS (SELECT node, MIN(dist) AS dist FROM (
+        |         SELECT node, dist FROM d2
+        |         UNION ALL
+        |         SELECT e.dst, p.dist + 1 FROM edges e JOIN d2 p ON e.src = p.node
+        |       ) GROUP BY node)
+        |SELECT n_name, CAST(d3.dist AS INTEGER) AS dist
+        |FROM nodes n LEFT JOIN d3 ON n.node = d3.node
+        |JOIN nation ON n.node = n_nationkey""".stripMargin,
     // DuckDB CAN plan COUNT(DISTINCT) OVER — the oracle uses the real
     // thing against the first-seen rewrite
     "q59_running_distinct" ->

@@ -79,6 +79,48 @@ class GraphsSpec extends SparkTestBase {
       ranks(Graphs.pageRank(triangle, iters = 4)))
   }
 
+  test("bfsHops: chain distances, unreachable null, maxRounds cutoff") {
+    // 1 -> 2 -> 3 -> 4, isolated edge 9 -> 10; seed = {1}
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 10L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val full = Graphs.bfsHops(chain, seeds, maxRounds = 5)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(full === Map(1L -> Some(0), 2L -> Some(1), 3L -> Some(2), 4L -> Some(3),
+      9L -> None, 10L -> None))
+    // cutoff at 2 rounds: node 4 (3 hops) stays null
+    val cut = Graphs.bfsHops(chain, seeds, maxRounds = 2)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(cut(4L) === None && cut(3L) === Some(2))
+  }
+
+  test("bfsHops: multi-source takes the nearest seed; convergence stops early") {
+    // 1 -> 2 -> 3 and 5 -> 3: seeds {1, 5} — node 3 settles at 1 hop (via 5)
+    val g = Seq((1L, 2L), (2L, 3L), (5L, 3L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L), Tuple1(5L)).toDF("node")
+    val r = Graphs.bfsHops(g, seeds, maxRounds = 10)
+      .collect().map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    assert(r === Map(1L -> Some(0), 5L -> Some(0), 2L -> Some(1), 3L -> Some(1)))
+  }
+
+  test("labelPropagate: weight argmax, smallest-label tie-break, clamped seeds") {
+    // seeds: 1 -> label 7, 2 -> label 3.
+    // node 10 hears 1 with w=5 and 2 with w=2  => label 7.
+    // node 11 hears 1 with w=4 and 2 with w=4  => tie -> smaller label 3.
+    // node 1 hears 2 with w=9 but is clamped   => stays 7.
+    // node 12 hears nobody labeled             => null.
+    val e = Seq((1L, 10L, 5L), (2L, 10L, 2L), (1L, 11L, 4L), (2L, 11L, 4L),
+      (2L, 1L, 9L), (10L, 12L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq((1L, 7L), (2L, 3L)).toDF("node", "label")
+    val r1 = Graphs.labelPropagate(e, seeds, rounds = 1)
+      .collect().map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    assert(r1(10L) === Some(7L) && r1(11L) === Some(3L) && r1(1L) === Some(7L))
+    assert(r1(12L) === None, "12 has no labeled in-neighbor after 1 round")
+    // round 2: 10 (now labeled 7) reaches 12
+    val r2 = Graphs.labelPropagate(e, seeds, rounds = 2)
+      .collect().map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    assert(r2(12L) === Some(7L))
+  }
+
   test("empty edge list yields an empty rank table") {
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
     assert(Graphs.pageRank(empty, iters = 3).count() === 0L)
