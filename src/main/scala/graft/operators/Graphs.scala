@@ -131,11 +131,15 @@ object Graphs {
       .union(seeds.select(col("node").cast("long")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var settled = seeds.select(col("node").cast("long").as("node"), lit(0).as("dist"))
+    // settled is a lazy union of the per-round PERSISTED frontiers: the
+    // only action per round is the (small) frontier count — the frame
+    // that also decides convergence — never a re-materialization of the
+    // whole settled set.
+    var frontier = seeds.select(col("node").cast("long").as("node"), lit(0).as("dist"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var frontier = settled
-    var spent = Vector(settled)
+    var settled = frontier
+    var spent = Vector(frontier)
     var round = 1
     var frontierSize = frontier.count()
     while (round <= maxRounds && frontierSize > 0) {
@@ -144,10 +148,10 @@ object Graphs {
       val fresh = reached.join(settled.select(col("node").as("__s")),
           reached("node") === col("__s"), "left_anti")
         .select(col("node"), lit(round).as("dist"))
-      val next = settled.unionByName(fresh).persist(StorageLevel.MEMORY_AND_DISK)
-      frontierSize = next.count() - settled.count()
-      spent :+= next
-      settled = next
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      frontierSize = fresh.count()
+      settled = settled.unionByName(fresh)
+      spent :+= fresh
       frontier = fresh
       round += 1
     }
