@@ -327,6 +327,25 @@ object RelationalQueries {
         .groupBy(col("band_id"))
         .agg(count(lit(1)).as("n_items"), sum(col("price_cents")).as("sum_cents"))
     }),
+    "q61_copurchase_pairs" -> ((s, d) => {
+      // Market-basket pair mining (the A-priori candidate step): part
+      // pairs co-occurring in the same order, top-20 by support. The
+      // pair generation is a self-equi-join on the ORDER key — quadratic
+      // only in per-order basket size (bounded ~7 in TPC-H-shaped data,
+      // capped upstream in a real pipeline), linear in orders; the
+      // support count partial-aggregates and top-k is a bounded
+      // TakeOrdered. Duplicate parts within an order collapse first so
+      // support counts orders, not lineitems.
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = op.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      val b = op.select(col("l_orderkey").as("__ok"), col("l_partkey").as("part_b"))
+      a.join(b, col("l_orderkey") === col("__ok") && col("part_a") < col("part_b"))
+        .groupBy(col("part_a"), col("part_b"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+        .limit(20)
+    }),
     "q60_bfs_hops" -> ((s, d) => {
       // Multi-source BFS: trade-hops from any ASIA nation (distance 0 at
       // the seeds, null = unreachable within 3 rounds) — the
@@ -1111,6 +1130,14 @@ object RelationalQueries {
         |       CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM d JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q61_copurchase_pairs" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |       COUNT(*) AS n_orders
+        |FROM op a JOIN op b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY part_a, part_b
+        |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
     // 3 unrolled min-relax rounds ≡ the frontier BFS within the covered
     // eccentricity
     "q60_bfs_hops" ->
