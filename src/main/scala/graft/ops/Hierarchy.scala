@@ -70,11 +70,18 @@ object Hierarchy {
     */
   def subtreeRollup(nodes: DataFrame): DataFrame = {
     val pairs = ancestorClosure(nodes.select(col("id"), col("parent")))
-    pairs
+    val out = pairs
       .join(nodes.select(col("id").as("__vid"), col("value")),
         pairs("node") === col("__vid"))
       .groupBy(col("anc"))
       .agg(count(lit(1)).as("n_nodes"), sum(col("value")).as("subtree_value"))
       .select(col("anc").as("id"), col("n_nodes"), col("subtree_value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the |nodes|-sized rollup so the Σdepth(node)-sized
+    // closure (the only corpus-scale intermediate) can be released now
+    // instead of staying pinned for the session
+    out.count()
+    pairs.unpersist(blocking = false)
+    out
   }
 }

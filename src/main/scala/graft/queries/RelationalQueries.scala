@@ -327,6 +327,25 @@ object RelationalQueries {
         .groupBy(col("band_id"))
         .agg(count(lit(1)).as("n_items"), sum(col("price_cents")).as("sum_cents"))
     }),
+    "q62_json_extract" -> ((s, d) => {
+      // Semi-structured column processing: the events table's `props` is
+      // a JSON string; parse it ONCE per row with an EXPLICIT schema
+      // (from_json — no inference pass, no per-field re-parse like
+      // chained get_json_object) and aggregate the extracted field. The
+      // log-analytics reality: schema-on-read with the parse fused into
+      // the scan projection, malformed JSON → null field, never a task
+      // failure.
+      Tables.events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("k")).as("n_parsed"),
+          sum(col("k")).cast("long").as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    }),
     "q61_copurchase_pairs" -> ((s, d) => {
       // Market-basket pair mining (the A-priori candidate step): part
       // pairs co-occurring in the same order, top-20 by support. The
@@ -1130,6 +1149,13 @@ object RelationalQueries {
         |       CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM d JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q62_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |       COUNT(CAST(props->>'k' AS INTEGER)) AS n_parsed,
+        |       CAST(SUM(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
+        |       CAST(MIN(CAST(props->>'k' AS INTEGER)) AS INTEGER) AS min_k,
+        |       CAST(MAX(CAST(props->>'k' AS INTEGER)) AS INTEGER) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
     "q61_copurchase_pairs" ->
       """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
         |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
