@@ -327,6 +327,23 @@ object RelationalQueries {
         .groupBy(col("band_id"))
         .agg(count(lit(1)).as("n_items"), sum(col("price_cents")).as("sum_cents"))
     }),
+    "q63_supplier_cap" -> ((s, d) => {
+      // TPC-H Q16 shape through the SQL surface: distinct suppliers per
+      // (brand, size) with a NOT IN exclusion subquery. NOT IN is the
+      // null-aware anti-join — semantically NOT the plain left-anti (one
+      // null in the subquery annuls every row), and Spark plans it as a
+      // broadcast null-aware anti join; the exclusion list is tiny at
+      // any scale, the distinct count is the usual two-phase Expand.
+      Tables.part(s, d).createOrReplaceTempView("part_v")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
+      s.sql("""
+        SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS n_supp
+        FROM part_v JOIN lineitem_v ON p_partkey = l_partkey
+        WHERE l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier_v WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_size""")
+    }),
     "q62_json_extract" -> ((s, d) => {
       // Semi-structured column processing: the events table's `props` is
       // a JSON string; parse it ONCE per row with an EXPLICIT schema
@@ -1149,6 +1166,12 @@ object RelationalQueries {
         |       CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM d JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q63_supplier_cap" ->
+      """SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS n_supp
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |WHERE l_suppkey NOT IN
+        |  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_size""".stripMargin,
     "q62_json_extract" ->
       """SELECT event_type, COUNT(*) AS n_events,
         |       COUNT(CAST(props->>'k' AS INTEGER)) AS n_parsed,
