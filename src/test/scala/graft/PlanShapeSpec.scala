@@ -161,6 +161,13 @@ class PlanShapeSpec extends SparkTestBase {
       assert(!p.contains(bad), s"$bad in view maintenance:\n$p")
   }
 
+  test("q63 NOT IN plans the null-aware anti join with a broadcast exclusion list") {
+    val p = plan(SparkEntry.queries("q63_supplier_cap")(spark, sf))
+    assert(p.contains("LeftAnti") && p.contains("BuildRight"),
+      s"NOT IN did not plan an anti join with broadcast exclusion:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in NOT IN:\n$p")
+  }
+
   test("latest-by-key is one shuffle on the key, no global sort, no window") {
     val p = plan(SparkEntry.queries("r04_latest_by_key")(spark, sf))
     assert(p.contains("hashpartitioning(o_custkey"), s"not hash-partitioned by key:\n$p")
