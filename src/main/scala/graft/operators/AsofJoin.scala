@@ -70,8 +70,8 @@ object AsofJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     u.withColumn("__match", last(col("__row"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(left.columns.map(col) ++
-        rightVals.map(v => col(s"__match.$v").as(s"asof_$v")) :+
+      .select(left.columns.toIndexedSeq.map(col) ++
+        rightVals.toIndexedSeq.map(v => col(s"__match.$v").as(s"asof_$v")) :+
         col("__match.__mts").as("asof_ts"): _*)
   }
 
@@ -150,8 +150,8 @@ object AsofJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     u.withColumn("__match", last(col("__row"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(left.columns.map(col) ++
-        rightVals.map(v => col(s"__match.$v").as(s"asof_$v")) :+
+      .select(left.columns.toIndexedSeq.map(col) ++
+        rightVals.toIndexedSeq.map(v => col(s"__match.$v").as(s"asof_$v")) :+
         col("__match.__mts").as("asof_ts"): _*)
   }
 }

@@ -94,7 +94,7 @@ object CoreOps {
     // names from being parsed as field paths
     require(df.columns.distinct.length == df.columns.length,
       s"latestByKey requires unique column names, got ${df.columns.mkString(", ")}")
-    val row = struct(df.columns.map(c => col("`" + c + "`")): _*)
+    val row = struct(df.columns.toIndexedSeq.map(c => col("`" + c + "`")): _*)
     df.groupBy(keys: _*)
       .agg(max_by(row, struct(orderDesc: _*)).as("__latest"))
       .select(col("__latest.*"))

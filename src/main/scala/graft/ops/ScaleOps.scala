@@ -103,7 +103,7 @@ object ScaleOps {
     require(hashable.nonEmpty,
       "saltedJoin needs at least one non-map column to derive the salt from")
     val l = left.withColumn("__salt",
-      pmod(xxhash64(hashable: _*), lit(nSalts.toLong)))
+      pmod(xxhash64(hashable.toIndexedSeq: _*), lit(nSalts.toLong)))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(nSalts.toLong - 1L))))
     l.join(r, Seq(key, "__salt"), if (jt == "left") "left_outer" else "inner")

@@ -327,6 +327,39 @@ object RelationalQueries {
         .groupBy(col("band_id"))
         .agg(count(lit(1)).as("n_items"), sum(col("price_cents")).as("sum_cents"))
     }),
+    "q64_seasonal_residual" -> ((s, d) => {
+      // Seasonal (day-of-week) normalization: each series day scored
+      // against its type's dow baseline — the first stage of any
+      // seasonality-aware anomaly detector. Two tiny aggregates (daily
+      // rollup is the only corpus exchange; baselines are |types|×7
+      // rows, broadcast back); residuals in exact milli-units with floor
+      // division, so the oracle replays them bit-for-bit.
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("dow", dayofweek(col("day")))
+      val base = daily.groupBy(col("event_type"), col("dow"))
+        .agg(expr("(1000 * sum(y)) div count(1)").as("base_e3"))
+      daily.join(base, Seq("event_type", "dow"))
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("y"), col("base_e3"),
+          (col("y") * 1000L - col("base_e3")).as("residual_e3"))
+    }),
+    "q65_revenue_share" -> ((s, d) => {
+      // Share-of-total contribution: per-nation revenue and its permille
+      // of the grand total. The ratio rides an unpartitioned window over
+      // the ALREADY-AGGREGATED |nations| rows — a 25-row frame, not a
+      // corpus sort; the corpus is touched by exactly one partial-agg
+      // exchange.
+      Tables.lineitem(s, d)
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(cents(col("l_extendedprice"))).as("revenue_c"))
+        .withColumn("share_permille",
+          expr("(1000 * revenue_c) div sum(revenue_c) over ()"))
+    }),
     "q63_supplier_cap" -> ((s, d) => {
       // TPC-H Q16 shape through the SQL surface: distinct suppliers per
       // (brand, size) with a NOT IN exclusion subquery. NOT IN is the
@@ -1166,6 +1199,34 @@ object RelationalQueries {
         |       CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM d JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // dow numbering differs across engines (Spark 1-7, DuckDB 0-6) but is
+    // a bijection of the weekday and never emitted — grouping is identical
+    "q64_seasonal_residual" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         COUNT(*) AS y
+        |  FROM events GROUP BY event_type, day),
+        |d2 AS (SELECT event_type, day, y, dayofweek(day) AS dow FROM daily),
+        |base AS (SELECT event_type, dow,
+        |                (1000 * SUM(y)) // COUNT(*) AS base_e3
+        |         FROM d2 GROUP BY event_type, dow)
+        |SELECT d2.event_type, strftime(d2.day, '%Y-%m-%d') AS day, y,
+        |       CAST(base_e3 AS BIGINT) AS base_e3,
+        |       CAST(y*1000 - base_e3 AS BIGINT) AS residual_e3
+        |FROM d2 JOIN base
+        |  ON d2.event_type = base.event_type AND d2.dow = base.dow""".stripMargin,
+    "q65_revenue_share" ->
+      """WITH rev AS (
+        |  SELECT n_name,
+        |         CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS revenue_c
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY n_name)
+        |SELECT n_name, revenue_c,
+        |       CAST((1000 * revenue_c) // SUM(revenue_c) OVER () AS BIGINT)
+        |         AS share_permille
+        |FROM rev""".stripMargin,
     "q63_supplier_cap" ->
       """SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS n_supp
         |FROM part JOIN lineitem ON p_partkey = l_partkey

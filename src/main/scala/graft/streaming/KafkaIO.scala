@@ -98,7 +98,7 @@ object KafkaIO {
   def columnsToPayload(df: DataFrame, keyCol: String): DataFrame =
     df.select(
       col(keyCol).cast("string").as("key"),
-      to_json(struct(df.columns.map(col): _*)).as("value"))
+      to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
 
   /** Encode columns into a binary Avro `value` + string `key` for the
     * sink — the Avro-producing S4 path (the reference's output topics are
@@ -110,6 +110,6 @@ object KafkaIO {
     df.select(
       col(keyCol).cast("string").as("key"),
       AvroSerde.toAvro(
-        struct(df.columns.filter(_ != keyCol).map(col): _*),
+        struct(df.columns.toIndexedSeq.filter(_ != keyCol).map(col): _*),
         writerSchemaJson, confluentHeader, schemaId).as("value"))
 }
