@@ -436,12 +436,21 @@ class StreamingSpec extends SparkTestBase {
     // a tiny DSIR weight table — the foldable-literal scoring fold is as
     // stateless as the kernels, so it rides the same parity check
     val wts = Array.tabulate(64)(i => (i % 7).toLong - 3L)
-    def stages(df: DataFrame): DataFrame = df.select(
-      col("doc_id"),
-      TextFunctions.dedupLinesInDoc(col("text")).as("deduped"),
-      TextFunctions.scrubPii(col("text")).as("redacted"),
-      TextFunctions.tokenCount(col("text")).as("n_tok"),
-      graft.operators.Importance.scoreColumn(col("text"), wts).as("dsir_e6"))
+    def stages(df: DataFrame): DataFrame = graft.operators.Bpe
+      .encode(df, Seq("dup  line"))
+      .select(
+        col("doc_id"),
+        TextFunctions.dedupLinesInDoc(col("text")).as("deduped"),
+        TextFunctions.scrubPii(col("text")).as("redacted"),
+        TextFunctions.tokenCount(col("text")).as("n_tok"),
+        graft.operators.Importance.scoreColumn(col("text"), wts).as("dsir_e6"),
+        // the BPE apply side and the explicit-schema JSON round-trip are
+        // the same class of pure narrow map — streaming-safe by
+        // construction
+        col("bpe_tokens"),
+        from_json(to_json(struct(col("doc_id").cast("int").as("k"))),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
     val in = MemoryStream[StreamDocFixture](spark)
     val q = stages(in.toDF()).writeStream
       .format("memory").queryName("curation_maps").outputMode("append")
