@@ -152,4 +152,35 @@ class EmptyInputSpec extends SparkTestBase {
     assert(Similarity.semanticContamination(noEmb, noEmb, 500000L).count() === 0L)
     assert(graft.operators.Dedup.lshEvalReport(noDocs).count() === 1L) // one null-rate row
   }
+
+  test("fifth-session operators survive empty inputs") {
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val noWEdges = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+    val noSeeds = Seq.empty[Tuple1[Long]].toDF("node")
+    val noLabels = Seq.empty[(Long, Long)].toDF("node", "label")
+    // graphs: empty edge sets yield empty results; empty seed sets leave
+    // everything unreached / unlabeled instead of throwing
+    assert(graft.operators.Graphs.bfsHops(noEdges, noSeeds, maxRounds = 3).count() === 0L)
+    assert(graft.operators.Graphs.labelPropagate(noWEdges, noLabels, rounds = 2)
+      .count() === 0L)
+    val someEdges = Seq((1L, 2L)).toDF("src", "dst")
+    val unreached = graft.operators.Graphs.bfsHops(someEdges, noSeeds, maxRounds = 3)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(unreached === Map(1L -> None, 2L -> None))
+    val unlabeled = graft.operators.Graphs
+      .labelPropagate(someEdges.withColumn("w", lit(1L)), noLabels, rounds = 2)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(unlabeled === Map(1L -> None, 2L -> None))
+    // BPE: a fully empty corpus learns nothing and encodes nothing
+    assert(graft.operators.Bpe.trainMerges(spark, noDocs.select(col("text")), k = 3)
+      .count() === 0L)
+    assert(graft.operators.Bpe.encode(noDocs, Seq("a  b")).count() === 0L)
+    // incremental join: empty deltas contribute nothing; empty bases fine
+    val a0 = Seq((1L, 5L)).toDF("a_id", "a_k")
+    val c0 = Seq((5L, "y")).toDF("c_k", "w2")
+    assert(graft.ops.ScaleOps.incrementalJoin(
+      a0, a0.limit(0), c0, c0.limit(0), "a_k", "c_k").count() === 0L)
+    assert(graft.ops.ScaleOps.incrementalJoin(
+      a0.limit(0), a0, c0.limit(0), c0, "a_k", "c_k").count() === 1L) // dA⋈dC only
+  }
 }
