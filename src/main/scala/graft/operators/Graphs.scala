@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 /** Iterative graph algorithms beyond the transitive-closure fixpoint in
-  * [[Dedup.components]] — currently PageRank, the canonical "importance
-  * over a link graph" signal a web-scale curation pipeline uses to weight
-  * domains/documents (quality ∝ authority of linking sources).
+  * [[Dedup.components]]: PageRank (plain and edge-weighted) — the
+  * "importance over a link graph" signal a web-scale curation pipeline
+  * uses to weight domains/documents — plus multi-source BFS hop distance
+  * ([[bfsHops]]) and clamped label propagation ([[labelPropagate]]).
   *
   * All rank arithmetic is exact integer micro-units with floor division on
   * non-negative operands, so every engine (and the DuckDB oracle's
@@ -187,12 +188,15 @@ object Graphs {
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val seed = seeds.select(col("node").cast("long").as("node"),
       col("label").cast("long").as("__seed"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // isolated seed nodes (no edges) stay in the output with their
+    // clamped label — same node-universe contract as bfsHops
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .union(seed.select(col("node")))
+      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var lab = nodes.join(seed, Seq("node"), "left")
       .select(col("node"), col("__seed").as("label"))

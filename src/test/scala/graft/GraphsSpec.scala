@@ -121,6 +121,15 @@ class GraphsSpec extends SparkTestBase {
     assert(r2(12L) === Some(7L))
   }
 
+  test("labelPropagate keeps isolated seed nodes with their clamped label") {
+    val e = Seq((1L, 2L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq((1L, 7L), (99L, 5L)).toDF("node", "label") // 99 has no edges
+    val r = Graphs.labelPropagate(e, seeds, rounds = 1)
+      .collect().map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    assert(r(99L) === Some(5L))
+    assert(r(2L) === Some(7L))
+  }
+
   test("empty edge list yields an empty rank table") {
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
     assert(Graphs.pageRank(empty, iters = 3).count() === 0L)
