@@ -327,6 +327,27 @@ object RelationalQueries {
         .groupBy(col("band_id"))
         .agg(count(lit(1)).as("n_items"), sum(col("price_cents")).as("sum_cents"))
     }),
+    "q66_twap" -> ((s, d) => {
+      // Time-weighted average value per user (the TWAP metric): each
+      // observation weighted by how long it held (seconds until the next
+      // event; the final observation carries zero weight — the standard
+      // left-closed convention). ONE per-user window for the lead, exact
+      // integer cents×seconds products (well inside long range), floor
+      // division at the end — no float accumulation anywhere.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          cents(col("value")).as("v_c"))
+        .withColumn("dur_s",
+          (unix_timestamp(lead(col("ts"), 1).over(w)) - unix_timestamp(col("ts")))
+            .cast("long"))
+        .filter(col("dur_s").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(sum(col("v_c") * col("dur_s")).as("wsum"), sum(col("dur_s")).as("tsum"))
+        .filter(col("tsum") > 0L)
+        .select(col("user_id"), expr("wsum div tsum").as("twap_c"),
+          col("tsum").as("span_s"))
+    }),
     "q64_seasonal_residual" -> ((s, d) => {
       // Seasonal (day-of-week) normalization: each series day scored
       // against its type's dow baseline — the first stage of any
@@ -1199,6 +1220,22 @@ object RelationalQueries {
         |       CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM d JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // per-timestamp floor-seconds FIRST, then the difference — mirroring
+    // Spark's unix_timestamp exactly (an epoch-µs diff floored would
+    // round differently when fractional parts straddle a second)
+    "q66_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ROUND(value*100) AS BIGINT) AS v_c,
+        |         epoch_us(ts)//1000000 AS sec,
+        |         LEAD(epoch_us(ts)//1000000) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id) AS nsec
+        |  FROM events),
+        |g AS (SELECT user_id, SUM(v_c*(nsec-sec)) AS wsum,
+        |             SUM(nsec-sec) AS tsum
+        |      FROM e WHERE nsec IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, CAST(wsum // tsum AS BIGINT) AS twap_c,
+        |       CAST(tsum AS BIGINT) AS span_s
+        |FROM g WHERE tsum > 0""".stripMargin,
     // dow numbering differs across engines (Spark 1-7, DuckDB 0-6) but is
     // a bijection of the weekday and never emitted — grouping is identical
     "q64_seasonal_residual" ->
