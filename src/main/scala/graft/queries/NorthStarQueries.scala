@@ -81,6 +81,35 @@ object NorthStarQueries {
        |GROUP BY source""".stripMargin
   }
 
+  /** The full MinHash-LSH verified-pairs query (≡ Dedup.minhashLshPairs):
+    * 12 hashes × 4 bands of 3, candidates from band-hash equality, exact
+    * shingle-set verify at jaccard ≥ 800‰. Shared by d02 (ordered pairs)
+    * and d21 (per-source rollup, which nests this as a CTE). */
+  private lazy val MinhashPairsSql: String =
+    s"""WITH ws AS (SELECT doc_id, $WsSql AS w FROM documents),
+       |sh AS (SELECT doc_id, $Shingles3Sql AS s FROM ws),
+       |ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+       |mh AS (SELECT doc_id, i, MIN(${h60("CAST(i AS VARCHAR)||':'||sh")}) AS mh
+       |       FROM ex, range(12) t(i) GROUP BY doc_id, i),
+       |bands AS (SELECT doc_id, i // 3 AS band,
+       |                 md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bh
+       |          FROM mh GROUP BY doc_id, i // 3),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+       |inter AS (SELECT ea.doc_id AS doc_a, eb.doc_id AS doc_b, COUNT(*) AS inter_cnt
+       |          FROM ex ea JOIN ex eb ON ea.sh = eb.sh AND ea.doc_id < eb.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT c.doc_a, c.doc_b, i.inter_cnt,
+       |       sa.n + sb.n - i.inter_cnt AS union_cnt,
+       |       (1000 * i.inter_cnt) // (sa.n + sb.n - i.inter_cnt) AS jac_permille
+       |FROM cand c
+       |JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |JOIN sz sa ON sa.doc_id = c.doc_a
+       |JOIN sz sb ON sb.doc_id = c.doc_b
+       |WHERE 1000 * i.inter_cnt >= 800 * (sa.n + sb.n - i.inter_cnt)""".stripMargin
+
   /** distinct word-3-gram shingles of token list `w`. */
   private val Shingles3Sql =
     "list_distinct(list_transform(range(greatest(len(w)-2, 0)), i -> w[i+1]||' '||w[i+2]||' '||w[i+3]))"
@@ -304,6 +333,21 @@ object NorthStarQueries {
     }),
     "d02_minhash_lsh" -> ((s, d) => {
       Dedup.minhashLshPairs(Tables.documents(s, d))
+    }),
+    "d21_source_dup_matrix" -> ((s, d) => {
+      // Cross-source duplication matrix: verified near-dup pairs rolled
+      // up by (source_a, source_b) — "which crawls duplicate each
+      // other", the report that decides source-level dedup ordering and
+      // crawl budgets. One source-lookup join per pair side over the
+      // already-bounded pair set (candidates only, never the corpus²),
+      // then a grouped count.
+      val docs = Tables.documents(s, d)
+      val src = docs.select(col("doc_id"), col("source"))
+      Dedup.minhashLshPairs(docs)
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("source_a")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("source_b")), "doc_b")
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
     }),
     "d03_simhash" -> ((s, d) => {
       Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 3)
@@ -1559,30 +1603,20 @@ object NorthStarQueries {
         |      UNION ALL SELECT doc_id + 1000000, text FROM documents)
         |GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     "d02_minhash_lsh" ->
-      s"""WITH ws AS (SELECT doc_id, $WsSql AS w FROM documents),
-         |sh AS (SELECT doc_id, $Shingles3Sql AS s FROM ws),
-         |ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
-         |mh AS (SELECT doc_id, i, MIN(${h60("CAST(i AS VARCHAR)||':'||sh")}) AS mh
-         |       FROM ex, range(12) t(i) GROUP BY doc_id, i),
-         |bands AS (SELECT doc_id, i // 3 AS band,
-         |                 md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bh
-         |          FROM mh GROUP BY doc_id, i // 3),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |         FROM bands x JOIN bands y
-         |           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
-         |sz AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
-         |inter AS (SELECT ea.doc_id AS doc_a, eb.doc_id AS doc_b, COUNT(*) AS inter_cnt
-         |          FROM ex ea JOIN ex eb ON ea.sh = eb.sh AND ea.doc_id < eb.doc_id
-         |          GROUP BY 1, 2)
-         |SELECT c.doc_a, c.doc_b, i.inter_cnt,
-         |       sa.n + sb.n - i.inter_cnt AS union_cnt,
-         |       (1000 * i.inter_cnt) // (sa.n + sb.n - i.inter_cnt) AS jac_permille
-         |FROM cand c
-         |JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-         |JOIN sz sa ON sa.doc_id = c.doc_a
-         |JOIN sz sb ON sb.doc_id = c.doc_b
-         |WHERE 1000 * i.inter_cnt >= 800 * (sa.n + sb.n - i.inter_cnt)
+      s"""$MinhashPairsSql
          |ORDER BY c.doc_a, c.doc_b""".stripMargin,
+    // d02's verified pairs rolled up by source pair — the oracle nests
+    // the whole pairs query as one CTE
+    "d21_source_dup_matrix" ->
+      s"""WITH pairs AS (
+         |$MinhashPairsSql
+         |)
+         |SELECT da.source AS source_a, db.source AS source_b,
+         |       COUNT(*) AS n_pairs
+         |FROM pairs p
+         |JOIN documents da ON p.doc_a = da.doc_id
+         |JOIN documents db ON p.doc_b = db.doc_id
+         |GROUP BY source_a, source_b""".stripMargin,
     // d02's band CTEs give the candidates, d04's inter/sz CTEs the
     // jaccard>=800 truth; the report is three scalar counts + guarded
     // integer rates

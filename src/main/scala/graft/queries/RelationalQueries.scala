@@ -327,6 +327,24 @@ object RelationalQueries {
         .groupBy(col("band_id"))
         .agg(count(lit(1)).as("n_items"), sum(col("price_cents")).as("sum_cents"))
     }),
+    "q67_percentile_rank" -> ((s, d) => {
+      // Within-group percentile rank: each customer's balance position
+      // inside its segment as exact permille (1000·(rank−1) div (n−1) —
+      // the integer form of percent_rank, which both engines define but
+      // emit as engine-rounded doubles). Total (cents, custkey) order
+      // makes ranks unique; one window partition, no corpus sort.
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("acct_cents"), col("c_custkey"))
+      val wn = Window.partitionBy(col("c_mktsegment"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          cents(col("c_acctbal")).as("acct_cents"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wn))
+        .select(col("c_custkey"), col("c_mktsegment"), col("acct_cents"),
+          when(col("n") === 1L, lit(0L))
+            .otherwise(expr("(1000 * (rk - 1)) div (n - 1)")).as("pct_permille"))
+    }),
     "q66_twap" -> ((s, d) => {
       // Time-weighted average value per user (the TWAP metric): each
       // observation weighted by how long it held (seconds until the next
@@ -1220,6 +1238,21 @@ object RelationalQueries {
         |       CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM d JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q67_percentile_rank" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         CAST(ROUND(c_acctbal*100) AS BIGINT) AS acct_cents
+        |  FROM customer),
+        |r AS (
+        |  SELECT c_custkey, c_mktsegment, acct_cents,
+        |         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |           ORDER BY acct_cents, c_custkey) AS rk,
+        |         COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+        |  FROM c)
+        |SELECT c_custkey, c_mktsegment, acct_cents,
+        |       CAST(CASE WHEN n = 1 THEN 0
+        |            ELSE (1000 * (rk - 1)) // (n - 1) END AS BIGINT) AS pct_permille
+        |FROM r""".stripMargin,
     // per-timestamp floor-seconds FIRST, then the difference — mirroring
     // Spark's unix_timestamp exactly (an epoch-µs diff floored would
     // round differently when fractional parts straddle a second)
