@@ -34,9 +34,12 @@ object Graphs {
     * persisted — each iteration then pays exactly two exchanges, ranks
     * shuffled to the edge partitioning (join on src) and contributions
     * aggregated by dst (map-side partial sums). Ranks are |V|-sized,
-    * edges |E|-sized; nothing corpus-sized is ever collected. Per-round
-    * lazy persists cut lineage exactly like the components fixpoint
-    * (Dedup.scala) so iteration i+1 does not recompute iteration i.
+    * edges |E|-sized; nothing corpus-sized is ever collected. Each round
+    * is persisted, materialized by one |V|-sized count, and the previous
+    * round's cache dropped — the components fixpoint discipline
+    * (Dedup.scala) — so iteration i+1 executes against round i's cached
+    * blocks (constant plan depth per action), executor loss replays at
+    * most one round, and deep iteration counts stay linear-cost.
     *
     * @param edges (src: long-castable, dst: long-castable) directed edges
     * @return (node: long, rank_e6: long)
@@ -62,6 +65,19 @@ object Graphs {
     * @param edges (src, dst, w: long-castable positive weights); duplicate
     *              (src,dst) rows are NOT collapsed — pre-aggregate weights
     */
+  /** Re-root a persisted, already-materialized frame as a flat scan over
+    * its cached blocks. The logical plan downstream rounds see is one
+    * node, while the RDD keeps its full lineage (a lost cached block
+    * recomputes through the chain, unlike a localCheckpoint truncation).
+    * Without this, iterative loops nest each round's cached ADAPTIVE plan
+    * inside the next round's, and AQE's per-execution plan-update walk
+    * over that nesting goes exponential — measured: rounds 1-10 at
+    * 0.3-0.7 s each, round 12 at 80 s, OOM by round 15, on a SIX-node
+    * graph. The Row↔InternalRow hop this adds touches |V|-sized frames
+    * only. */
+  private def flatView(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
   def pageRankWeighted(edges: DataFrame, iters: Int, dampE2: Int = 85): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(dampE2 >= 0 && dampE2 <= 100, s"dampE2 must be in [0,100], got $dampE2")
@@ -81,25 +97,38 @@ object Graphs {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     var ranks = nodes.select(col("node"), lit(1000000L).as("rank_e6"))
+    // Per-round persist + count + unpersist-previous — the Dedup.components
+    // fixpoint discipline. Each round's action reads the PREVIOUS round from
+    // its cached blocks, so the executed plan per round is constant-depth
+    // (edges ⋈ cached ranks), a lost executor replays at most one round,
+    // and iters=20+ costs 20 bounded rounds instead of one 20-deep lineage
+    // planned and recovered as a unit. The count is |V|-sized — noise next
+    // to the contribution shuffle it materializes.
+    var prevRound: Option[DataFrame] = None
     for (_ <- 1 to iters) {
       val contrib = eod
         .join(ranks, eod("src") === ranks("node"))
         .select(col("dst"), expr("(rank_e6 * w) div sw").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("in_c"))
-      ranks = nodes
+      val next = nodes
         .join(contrib, nodes("node") === contrib("dst"), "left")
         .select(col("node"),
           (lit(teleport) +
             expr(s"($dampE2 * coalesce(in_c, CAST(0 AS BIGINT))) div 100"))
             .as("rank_e6"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      prevRound.foreach(_.unpersist(blocking = false))
+      prevRound = Some(next)
+      ranks = flatView(next)
     }
-    // Materialize the final ranks (|V| rows) so the iteration scaffolding
-    // can be released immediately — the fixpoint discipline of
-    // Dedup.components: one tiny action here, then downstream consumers
-    // read the cached |V|-sized result instead of replaying `iters`
-    // rounds per action.
-    val out = ranks.persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
+    // The last round is already materialized and cached (it IS prevRound);
+    // iters=0 → ranks is the cheap projection over nodes, persisted here.
+    // Either way downstream consumers read a cached |V|-sized result and
+    // the iteration scaffolding is released immediately.
+    val out =
+      if (prevRound.isDefined) ranks
+      else { val o = ranks.persist(StorageLevel.MEMORY_AND_DISK); o.count(); o }
     eod.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     out
@@ -151,9 +180,13 @@ object Graphs {
         .select(col("node"), lit(round).as("dist"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       frontierSize = fresh.count()
-      settled = settled.unionByName(fresh)
+      // flat re-root: settled stays a union of one-node scans over the
+      // cached frontiers instead of nesting each round's adaptive plan
+      // inside the next (the exponential AQE walk — see flatView)
+      val freshFlat = flatView(fresh)
+      settled = settled.unionByName(freshFlat)
       spent :+= fresh
-      frontier = fresh
+      frontier = freshFlat
       round += 1
     }
     val out = nodes
@@ -200,18 +233,28 @@ object Graphs {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var lab = nodes.join(seed, Seq("node"), "left")
       .select(col("node"), col("__seed").as("label"))
+    // Same per-round persist/count/unpersist-previous discipline as the
+    // pageRank loop: round r executes against round r-1's cached blocks,
+    // never a r-deep lineage.
+    var prevRound: Option[DataFrame] = None
     for (_ <- 1 to rounds) {
       val win = e
         .join(lab.filter(col("label").isNotNull), e("src") === col("node"))
         .groupBy(col("dst"), col("label")).agg(sum(col("w")).as("v"))
         .groupBy(col("dst"))
         .agg(max_by(col("label"), struct(col("v"), -col("label"))).as("__win"))
-      lab = nodes.join(seed, Seq("node"), "left")
+      val next = nodes.join(seed, Seq("node"), "left")
         .join(win, nodes("node") === win("dst"), "left")
         .select(col("node"), coalesce(col("__seed"), col("__win")).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      prevRound.foreach(_.unpersist(blocking = false))
+      prevRound = Some(next)
+      lab = flatView(next)
     }
-    val out = lab.persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
+    val out =
+      if (prevRound.isDefined) lab
+      else { val o = lab.persist(StorageLevel.MEMORY_AND_DISK); o.count(); o }
     e.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     seed.unpersist(blocking = false)

@@ -134,16 +134,21 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("Window"), s"forward-carry window missing:\n$p")
   }
 
-  test("pageRank iteration reads the persisted edge frame, never re-derives it") {
+  test("pageRank returns a flat materialized scan — no iteration lineage in the consumer plan") {
     import org.apache.spark.sql.functions._
     val edges = Tables.supplier(spark, sf)
       .select((col("s_suppkey") % 7).as("src"), (col("s_suppkey") % 5).as("dst"))
       .filter(col("src") =!= col("dst"))
     val r = graft.operators.Graphs.pageRank(edges, iters = 2)
     val p = plan(r)
-    assert(p.contains("InMemoryTableScan"), s"iterations recompute instead of reusing cache:\n$p")
-    for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin"))
-      assert(!p.contains(bad), s"$bad in the rank loop:\n$p")
+    // every round is persisted, counted, then re-rooted as a flat scan
+    // over its cached blocks (Graphs.flatView), so what a consumer plans
+    // over is ONE scan node — no joins, no exchanges, none of the
+    // iteration scaffolding (and therefore no chance of replaying it)
+    assert(p.contains("ExistingRDD") || p.contains("InMemoryTableScan"),
+      s"rank output is not a materialized scan:\n$p")
+    for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Join", "Exchange"))
+      assert(!p.contains(bad), s"$bad leaked into the consumer-visible rank plan:\n$p")
   }
 
   test("q56 rolling distinct: explode + two-phase count-distinct, no corpus window") {

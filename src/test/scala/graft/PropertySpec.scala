@@ -286,6 +286,51 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("deep graph iteration (25 rounds): exact fixpoints, per-round-bounded executed stages") {
+    // Guards the per-round persist/count/unpersist discipline in the
+    // pageRank and labelPropagate loops: each round must execute against
+    // the PREVIOUS round's cached blocks (DAGScheduler stops descending a
+    // lineage at a fully-cached RDD, so ancestor stages are never
+    // resubmitted). If the persist is ever dropped while the per-round
+    // action stays, round i replays rounds 1..i-1 and the submitted-stage
+    // total goes quadratic — far past the linear bound below. Stage events
+    // are filtered by job group so parallel suites on the shared session
+    // can't inflate the count.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted}
+    val group = "graft-deep-iter-test"
+    val submitted = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
+        if (s.properties != null &&
+            group == s.properties.getProperty("spark.jobGroup.id"))
+          submitted.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    spark.sparkContext.setJobGroup(group, "deep graph iteration bound")
+    try {
+      // directed 6-cycle: out-degree 1 everywhere, so the exact integer
+      // rank is the fixpoint 1_000_000 at EVERY depth — closed-form
+      // checkable at 25 iterations
+      val cyc = (0L until 6L).map(i => (i, (i + 1) % 6)).toDF("src", "dst")
+      val r = graft.operators.Graphs.pageRank(cyc, iters = 25)
+        .collect().map(_.getLong(1))
+      assert(r.length === 6 && r.forall(_ === 1000000L))
+      // chain 0→1→…→9 seeded at node 0: 25 rounds ≥ diameter, so the
+      // label must have reached every node
+      val chain = (0L until 9L).map(i => (i, i + 1, 1L)).toDF("src", "dst", "w")
+      val lab = graft.operators.Graphs.labelPropagate(
+          chain, Seq((0L, 7L)).toDF("node", "label"), rounds = 25)
+        .collect().map(x => Option(x.get(1)))
+      assert(lab.length === 10 && lab.forall(_.contains(7L)))
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    // 2×25 rounds at a handful of executed stages each; the quadratic
+    // failure mode lands in the thousands
+    assert(submitted.get() < 600, s"stage blowup: ${submitted.get()} stages submitted")
+  }
+
   test("hierarchy rollup conserves value: root subtrees partition the forest total") {
     // random forests parent(id) = id div k: every node's value lands in
     // exactly one root subtree, so root sums = grand total; every
