@@ -907,27 +907,30 @@ object NorthStarQueries {
         .limit(50)
     }),
     "t23_compress_ratio" -> ((s, d) => {
-      // Compression-ratio quality signal (the Dolma/Gopher heuristic):
-      // deflate bytes over raw bytes, permille — templated/repetitive
-      // docs score low, prose sits in a mid band, mojibake near 1000.
-      // One codegen'd kernel pass, no shuffle. The corpus is uniform
-      // prose, so every third doc gets a highly-repetitive tail planted
-      // to make the band structure visible. Exact deflate counts are
-      // zlib-version-dependent → this is the engine's one ROWS-ONLY
-      // query (no oracleSql entry, per the driver contract); the
-      // signal's properties are spec-pinned instead (TextExprSpec).
+      // Compressibility quality signal in its engine-portable form:
+      // window NOVELTY — distinct 8-token windows over total windows,
+      // permille. Templated/repetitive docs repeat their windows and
+      // score low, unique prose sits near 1000: the same band structure
+      // the Dolma/Gopher deflate-ratio heuristic reads, but as exact
+      // n-gram multiset facts DuckDB replays bit-for-bit. (The zlib
+      // deflate-length signal survives as TextFunctions.deflateLen,
+      // spec-pinned in TextExprSpec — deflate byte counts are
+      // library-version-dependent and kept this row rows-only for seven
+      // rounds.) Every third doc gets a highly-repetitive tail planted
+      // so the band structure is visible in the uniform-prose corpus.
+      // One codegen'd kernel pass + array_distinct, no shuffle.
       val planted = Tables.documents(s, d).withColumn("t2",
         when(pmod(col("doc_id"), lit(3)) === 0,
           concat(col("text"), lit(" "), repeat(lit("lorem ipsum "), 40)))
           .otherwise(col("text")))
       planted
+        .select(col("doc_id"), TextFunctions.ngramList(col("t2"), 8).as("w"))
         .select(col("doc_id"),
-          octet_length(col("t2")).cast("long").as("n_bytes"),
-          TextFunctions.deflateLen(col("t2")).as("n_deflate"))
-        .withColumn("ratio_permille",
-          when(col("n_bytes") === 0L, lit(0L))
-            .otherwise(lit(1000L) * col("n_deflate") / col("n_bytes"))
-            .cast("long"))
+          size(col("w")).cast("long").as("n_windows"),
+          size(array_distinct(col("w"))).cast("long").as("n_distinct"))
+        .withColumn("novelty_permille",
+          when(col("n_windows") === 0L, lit(1000L))
+            .otherwise(expr("(1000 * n_distinct) div n_windows")))
     }),
     "t22_bpe_pairs" -> ((s, d) => {
       // The BPE/WordPiece merge-rule inner loop at corpus scale: count
@@ -1974,6 +1977,29 @@ object NorthStarQueries {
          |SELECT pair, COUNT(*) AS n_occurrences
          |FROM p GROUP BY pair
          |ORDER BY n_occurrences DESC, pair LIMIT 30""".stripMargin,
+    // window novelty: the same planted tail, 8-token windows by position
+    // (t24's slice idiom), distinct/total per doc; short docs (< 8
+    // tokens) have no windows and score the fully-novel 1000
+    "t23_compress_ratio" ->
+      s"""WITH base AS (SELECT doc_id,
+         |        CASE WHEN doc_id % 3 = 0 THEN text || ' ' || repeat('lorem ipsum ', 40)
+         |             ELSE text END AS text
+         |      FROM documents),
+         |ws AS (SELECT doc_id, $WsSql AS w FROM base),
+         |g AS (SELECT doc_id, unnest(list_transform(range(GREATEST(len(w) - 7, 0)),
+         |                    i -> array_to_string(w[i+1:i+8], ' '))) AS g8
+         |      FROM ws),
+         |a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+         |             CAST(COUNT(DISTINCT g8) AS BIGINT) AS n_distinct
+         |      FROM g GROUP BY 1)
+         |SELECT ws.doc_id,
+         |       CAST(COALESCE(n_windows, 0) AS BIGINT) AS n_windows,
+         |       CAST(COALESCE(n_distinct, 0) AS BIGINT) AS n_distinct,
+         |       CAST(CASE WHEN COALESCE(n_windows, 0) = 0 THEN 1000
+         |                 ELSE (1000 * n_distinct) // n_windows END AS BIGINT)
+         |         AS novelty_permille
+         |FROM ws LEFT JOIN a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // window-hash span replay: 8-token windows by position, hot-hash
     // semi-join, gaps-and-islands merge (lag + running sum) per doc
     "t24_dup_spans" ->
