@@ -754,6 +754,66 @@ object Similarity {
     }.getOrElse(index.nCells)
   }
 
+  /** Recall@k at EVERY probe level in one pass — the tuning-curve report
+    * ([[tuneNprobe]] finds one operating point; this measures the whole
+    * knee, per corpus, as oracle-checkable rows). One row per level:
+    * `(nprobe, n_queries, n_truth, n_hits, recall_permille)`.
+    *
+    * Cost shape: the index is built ONCE, the brute ground truth runs
+    * ONCE, and the probe join runs ONCE at max(nprobes) with each
+    * candidate tagged by its cell's probe rank — level ℓ's approximate
+    * top-k is then a filter (`cell_rank < ℓ`) + bounded heap over that
+    * cached candidate frame, NOT a fresh corpus join per level. Valid
+    * because [[TopKByScore]]'s descending output is prefix-consistent:
+    * the first ℓ of the top-max cells ARE the top-ℓ cells, same
+    * tie-breaks. Both reused frames are persisted, the 5-row report is
+    * materialized, and the scaffolding is dropped before returning. */
+  def recallSweep(emb: DataFrame, queries: DataFrame, k: Int, nCells: Int,
+      nprobes: Seq[Int], iters: Int = 2, sampleMod: Int = 7): DataFrame = {
+    require(nprobes.nonEmpty, "nprobes must be non-empty")
+    require(nprobes.forall(np => np > 0 && np <= nCells),
+      s"every nprobe must be in [1, nCells=$nCells], got $nprobes")
+    val index = buildIvf(emb, nCells, iters, sampleMod)
+    val maxNp = nprobes.max
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .crossJoin(broadcast(withCentNorm(index.centroids)))
+      .withColumn("cell_cos", cosToCent(col("qv"), col("cv"), col("cn")))
+      .groupBy(col("query_id"))
+      .agg(
+        first(col("qv")).as("qv"),
+        TopKByScore.topK(col("cell_cos"), col("cid"), maxNp).as("cells"))
+      .select(col("query_id"), col("qv"), norm(col("qv")).as("qn"),
+        posexplode(col("cells.id")).as(Seq("cell_rank", "cell")))
+    val scored = probes.join(index.assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("neighbor_id", col("vec_id"))
+      .withColumn("cos_e6", cosE6From(col("qv"), col("embedding"), col("qn"), col("nn")))
+      .select(col("query_id"), col("neighbor_id"), col("cos_e6"), col("cell_rank"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val truth = bruteForceKnn(emb, queries, k)
+      .select(col("query_id").as("tq"), col("neighbor_id").as("tn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val levels = nprobes.distinct.sorted.map { np =>
+      val approx = topKNeighbors(scored.filter(col("cell_rank") < np), k)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = approx.join(truth,
+        col("query_id") === col("tq") && col("neighbor_id") === col("tn"))
+      truth
+        .agg(count_distinct(col("tq")).as("n_queries"), count(lit(1)).as("n_truth"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+        .select(lit(np.toLong).as("nprobe"), col("n_queries"), col("n_truth"),
+          col("n_hits"),
+          expr("CAST((1000 * n_hits) DIV n_truth AS BIGINT)").as("recall_permille"))
+    }
+    val out = levels.reduce(_ unionByName _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    scored.unpersist(blocking = false)
+    truth.unpersist(blocking = false)
+    out
+  }
+
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold,
     * with EXACT recall, via grid-bucketed candidate generation instead of
     * an all-pairs nested-loop join.

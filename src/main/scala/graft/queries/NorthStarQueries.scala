@@ -696,6 +696,16 @@ object NorthStarQueries {
       Similarity.recallAtK(emb, emb.filter(col("vec_id") < 20),
         k = 5, nCells = 16, nprobe = 2)
     }),
+    "s15_recall_sweep" -> ((s, d) => {
+      // The full IVF tuning curve: recall@5 at nprobe ∈ {1,2,4,8,16} of
+      // 16 cells in ONE pass (index + brute truth built once, levels
+      // derived from a single max-probe candidate frame) — measures the
+      // recall knee per corpus instead of asserting it. nprobe=16 probes
+      // every cell, so its row is the exact-search fixpoint (1000‰).
+      val emb = Tables.embeddings(s, d)
+      Similarity.recallSweep(emb, emb.filter(col("vec_id") < 20),
+        k = 5, nCells = 16, nprobes = Seq(1, 2, 4, 8, 16))
+    }),
     "s11_ivf_delta" -> ((s, d) => {
       // Incremental IVF maintenance: fit on the base corpus (vec_id % 10
       // != 9), then assign the newly-arrived delta against the FROZEN
@@ -2257,6 +2267,42 @@ object NorthStarQueries {
          |SELECT n_queries, n_truth, n_hits,
          |       CAST((1000 * n_hits) // n_truth AS BIGINT) AS recall_permille
          |FROM agg""".stripMargin,
+    // the s12 replay with the probe ROW_NUMBER kept as the cell rank and
+    // a levels table joined in: level ℓ's approximate top-k reads the
+    // same scored CTE filtered to rn <= ℓ — the prefix-consistency the
+    // Spark operator leans on, spelled out in SQL
+    "s15_recall_sweep" ->
+      s"""WITH ${ivfFitCtes(nCells = 16, iters = 2, sampleMod = 7)},
+         |lv AS (SELECT CAST(unnest([1, 2, 4, 8, 16]) AS BIGINT) AS nprobe),
+         |probes AS (SELECT query_id, qv, cell, rn FROM (
+         |          SELECT q.vec_id AS query_id, q.v AS qv, c.cid AS cell,
+         |                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |                   ORDER BY ${cosWSql("q.v", "c.cv")} DESC, c.cid) AS rn
+         |          FROM e q, c2 c WHERE q.vec_id < 20) WHERE rn <= 16),
+         |scored AS (SELECT p.query_id, p.rn, a.vec_id AS neighbor_id,
+         |                  ${cosE6Sql("p.qv", "a.v")} AS ce
+         |           FROM probes p JOIN asg a ON p.cell = a.cell AND p.query_id <> a.vec_id),
+         |iv AS (SELECT nprobe, query_id, neighbor_id FROM (
+         |          SELECT l.nprobe, s.query_id, s.neighbor_id,
+         |                 ROW_NUMBER() OVER (PARTITION BY l.nprobe, s.query_id
+         |                   ORDER BY s.ce DESC, s.neighbor_id) AS rank
+         |          FROM lv l JOIN scored s ON s.rn <= l.nprobe) WHERE rank <= 5),
+         |bs AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+         |              ${cosE6Sql("q.v", "x.v")} AS ce
+         |       FROM e q JOIN e x ON x.vec_id <> q.vec_id WHERE q.vec_id < 20),
+         |br AS (SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+         |         ORDER BY ce DESC, neighbor_id) AS rank FROM bs),
+         |tv AS (SELECT query_id, neighbor_id FROM br WHERE rank <= 5),
+         |tq AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+         |              CAST(COUNT(*) AS BIGINT) AS n_truth FROM tv),
+         |hits AS (SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |         FROM iv JOIN tv USING (query_id, neighbor_id) GROUP BY 1)
+         |SELECT l.nprobe, tq.n_queries, tq.n_truth,
+         |       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |       CAST((1000 * COALESCE(h.n_hits, 0)) // tq.n_truth AS BIGINT)
+         |         AS recall_permille
+         |FROM lv l CROSS JOIN tq LEFT JOIN hits h ON h.nprobe = l.nprobe
+         |ORDER BY l.nprobe""".stripMargin,
     // fit restricted to the base corpus, assignment over everything with
     // the frozen final centroids — exactly what extendIvf materializes
     "s11_ivf_delta" ->

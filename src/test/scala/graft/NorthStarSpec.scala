@@ -415,6 +415,30 @@ class NorthStarSpec extends SparkTestBase {
     assert(ivf === brute)
   }
 
+  test("recallSweep: per-level rows match recallAtK, recall is monotone, full probe is exact") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 8)
+    val sweep = Similarity.recallSweep(emb, q, k = 3, nCells = 4, nprobes = Seq(1, 2, 4))
+      .orderBy("nprobe").collect()
+      .map(r => r.getAs[Long]("nprobe") ->
+        (r.getAs[Long]("n_queries"), r.getAs[Long]("n_truth"),
+         r.getAs[Long]("n_hits"), r.getAs[Long]("recall_permille")))
+    assert(sweep.map(_._1).toSeq === Seq(1L, 2L, 4L))
+    // each level must equal the standalone single-level report — the
+    // shared-candidate-frame derivation is an optimization, not a new
+    // semantics
+    sweep.foreach { case (np, row) =>
+      val single = Similarity.recallAtK(emb, q, k = 3, nCells = 4, nprobe = np.toInt)
+        .collect()(0)
+      assert(row === (single.getAs[Long]("n_queries"), single.getAs[Long]("n_truth"),
+        single.getAs[Long]("n_hits"), single.getAs[Long]("recall_permille")),
+        s"sweep row at nprobe=$np diverges from recallAtK")
+    }
+    // probing more cells never loses a true neighbor; probing all is exact
+    assert(sweep.map(_._2._4).toSeq === sweep.map(_._2._4).toSeq.sorted, s"recall not monotone: $sweep")
+    assert(sweep.last._2._4 === 1000L, s"full probe not exact: ${sweep.last}")
+  }
+
   test("prebuilt IVF index probes identically to the per-call form") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = emb.filter(col("vec_id") < 10)
