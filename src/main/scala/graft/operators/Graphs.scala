@@ -34,12 +34,13 @@ object Graphs {
     * persisted — each iteration then pays exactly two exchanges, ranks
     * shuffled to the edge partitioning (join on src) and contributions
     * aggregated by dst (map-side partial sums). Ranks are |V|-sized,
-    * edges |E|-sized; nothing corpus-sized is ever collected. Each round
-    * is persisted, materialized by one |V|-sized count, and the previous
-    * round's cache dropped — the components fixpoint discipline
-    * (Dedup.scala) — so iteration i+1 executes against round i's cached
-    * blocks (constant plan depth per action), executor loss replays at
-    * most one round, and deep iteration counts stay linear-cost.
+    * edges |E|-sized; nothing corpus-sized is ever collected. Lineage is
+    * cut (persist + |V|-sized count + flat re-root, previous cut dropped)
+    * every few rounds and at the last — the components fixpoint
+    * discipline (Dedup.scala) at the CutEvery cadence — so every action
+    * plans at bounded depth, executor loss replays at most CutEvery
+    * rounds, and deep iteration counts stay linear-cost while shallow
+    * runs pay a single materialization.
     *
     * @param edges (src: long-castable, dst: long-castable) directed edges
     * @return (node: long, rank_e6: long)
@@ -78,6 +79,16 @@ object Graphs {
   private def flatView(df: DataFrame): DataFrame =
     df.sparkSession.createDataFrame(df.rdd, df.schema)
 
+  /** Lineage-cut cadence for the iterative loops: materialize + re-root
+    * every CutEvery rounds (and at the last). Shallow runs — the 2-5
+    * iteration shapes a board query uses — pay exactly ONE materialization
+    * (identical action count to a cut-at-the-end-only loop), while deep
+    * runs keep every action's plan at depth ≤ CutEvery, far below the
+    * measured AQE-nesting blowup onset (~11 nested rounds; see
+    * [[flatView]]). Executor loss replays at most CutEvery rounds from
+    * the previous cut's cached blocks. */
+  private val CutEvery = 4
+
   def pageRankWeighted(edges: DataFrame, iters: Int, dampE2: Int = 85): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(dampE2 >= 0 && dampE2 <= 100, s"dampE2 must be in [0,100], got $dampE2")
@@ -97,15 +108,12 @@ object Graphs {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     var ranks = nodes.select(col("node"), lit(1000000L).as("rank_e6"))
-    // Per-round persist + count + unpersist-previous — the Dedup.components
-    // fixpoint discipline. Each round's action reads the PREVIOUS round from
-    // its cached blocks, so the executed plan per round is constant-depth
-    // (edges ⋈ cached ranks), a lost executor replays at most one round,
-    // and iters=20+ costs 20 bounded rounds instead of one 20-deep lineage
-    // planned and recovered as a unit. The count is |V|-sized — noise next
-    // to the contribution shuffle it materializes.
-    var prevRound: Option[DataFrame] = None
-    for (_ <- 1 to iters) {
+    // Lineage cut every CutEvery rounds and at the last (see CutEvery):
+    // persist + one |V|-sized count + unpersist-previous-cut + flat
+    // re-root, the Dedup.components fixpoint discipline at a cadence
+    // that leaves shallow runs a single materialization.
+    var prevCut: Option[DataFrame] = None
+    for (r <- 1 to iters) {
       val contrib = eod
         .join(ranks, eod("src") === ranks("node"))
         .select(col("dst"), expr("(rank_e6 * w) div sw").as("c"))
@@ -116,19 +124,20 @@ object Graphs {
           (lit(teleport) +
             expr(s"($dampE2 * coalesce(in_c, CAST(0 AS BIGINT))) div 100"))
             .as("rank_e6"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      prevRound.foreach(_.unpersist(blocking = false))
-      prevRound = Some(next)
-      ranks = flatView(next)
+      ranks = if (r % CutEvery == 0 || r == iters) {
+        val cut = next.persist(StorageLevel.MEMORY_AND_DISK)
+        cut.count()
+        prevCut.foreach(_.unpersist(blocking = false))
+        prevCut = Some(cut)
+        flatView(cut)
+      } else next
     }
-    // The last round is already materialized and cached (it IS prevRound);
-    // iters=0 → ranks is the cheap projection over nodes, persisted here.
-    // Either way downstream consumers read a cached |V|-sized result and
-    // the iteration scaffolding is released immediately.
+    // iters=0 → materialize the cheap projection over nodes so consumers
+    // still read a cached |V|-sized result; otherwise the last round's
+    // cut already holds the cache and `ranks` is its flat view.
     val out =
-      if (prevRound.isDefined) ranks
-      else { val o = ranks.persist(StorageLevel.MEMORY_AND_DISK); o.count(); o }
+      if (prevCut.isDefined) ranks
+      else { val o = ranks.persist(StorageLevel.MEMORY_AND_DISK); o.count(); flatView(o) }
     eod.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     out
@@ -180,10 +189,12 @@ object Graphs {
         .select(col("node"), lit(round).as("dist"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       frontierSize = fresh.count()
-      // flat re-root: settled stays a union of one-node scans over the
-      // cached frontiers instead of nesting each round's adaptive plan
-      // inside the next (the exponential AQE walk — see flatView)
-      val freshFlat = flatView(fresh)
+      // flat re-root at the CutEvery cadence: settled stays a union of
+      // bounded-depth scans over the cached frontiers instead of nesting
+      // every round's adaptive plan inside the next (the exponential AQE
+      // walk — see flatView); shallow searches skip the Row↔InternalRow
+      // hop entirely
+      val freshFlat = if (round % CutEvery == 0) flatView(fresh) else fresh
       settled = settled.unionByName(freshFlat)
       spent :+= fresh
       frontier = freshFlat
@@ -233,11 +244,9 @@ object Graphs {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var lab = nodes.join(seed, Seq("node"), "left")
       .select(col("node"), col("__seed").as("label"))
-    // Same per-round persist/count/unpersist-previous discipline as the
-    // pageRank loop: round r executes against round r-1's cached blocks,
-    // never a r-deep lineage.
-    var prevRound: Option[DataFrame] = None
-    for (_ <- 1 to rounds) {
+    // Same CutEvery lineage-cut cadence as the pageRank loop.
+    var prevCut: Option[DataFrame] = None
+    for (r <- 1 to rounds) {
       val win = e
         .join(lab.filter(col("label").isNotNull), e("src") === col("node"))
         .groupBy(col("dst"), col("label")).agg(sum(col("w")).as("v"))
@@ -246,15 +255,17 @@ object Graphs {
       val next = nodes.join(seed, Seq("node"), "left")
         .join(win, nodes("node") === win("dst"), "left")
         .select(col("node"), coalesce(col("__seed"), col("__win")).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      prevRound.foreach(_.unpersist(blocking = false))
-      prevRound = Some(next)
-      lab = flatView(next)
+      lab = if (r % CutEvery == 0 || r == rounds) {
+        val cut = next.persist(StorageLevel.MEMORY_AND_DISK)
+        cut.count()
+        prevCut.foreach(_.unpersist(blocking = false))
+        prevCut = Some(cut)
+        flatView(cut)
+      } else next
     }
     val out =
-      if (prevRound.isDefined) lab
-      else { val o = lab.persist(StorageLevel.MEMORY_AND_DISK); o.count(); o }
+      if (prevCut.isDefined) lab
+      else { val o = lab.persist(StorageLevel.MEMORY_AND_DISK); o.count(); flatView(o) }
     e.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     seed.unpersist(blocking = false)

@@ -278,6 +278,57 @@ class StreamingSpec extends SparkTestBase {
     assert(store.toMap === Map("600" -> ((3L, 8L)), "700" -> ((1L, 9L))))
   }
 
+  test("changelog upsert sink: a replayed batchId after restart converges (exactly-once)") {
+    // The §7.5 exactly-once story, executed: crash between a batch's side
+    // effects and its commit marker → on restart Spark re-delivers that
+    // batch UNDER THE SAME batchId, and a keyed-overwrite upsert leaves
+    // the sink exactly where it settled. Simulated faithfully: run two
+    // batches, delete <checkpoint>/commits/1, restart the same topology
+    // on a source holding the same offset-aligned blocks.
+    import scala.jdk.CollectionConverters._
+    val ckDir = Files.createTempDirectory("ck-replay")
+    val store = scala.collection.concurrent.TrieMap[String, (Long, Long)]()
+    val delivered = new java.util.concurrent.CopyOnWriteArrayList[Long]()
+    def startSink(in: MemoryStream[CallEvent]) = {
+      val agg = CallsStreamPipeline.aggregate(in.toDF())
+        .select($"id_telef_origen".as("key"), $"calls_count", $"total_duracion_origen")
+      StreamingOps.changelogUpsertSink(agg, ckDir.toString) { (batch, id) =>
+        delivered.add(id)
+        batch.collect().foreach(r =>
+          store(r.getString(0)) = (r.getLong(1), r.getLong(2)))
+      }.start()
+    }
+    val batch0 = Seq(CallEvent(ts("10:05"), 600L, 3), CallEvent(ts("10:10"), 600L, 2))
+    val batch1 = Seq(CallEvent(ts("10:20"), 600L, 3), CallEvent(ts("10:30"), 700L, 9))
+    val in1 = MemoryStream[CallEvent](spark)
+    val q1 = startSink(in1)
+    try {
+      in1.addData(batch0); q1.processAllAvailable()
+      in1.addData(batch1); q1.processAllAvailable()
+    } finally { q1.stop(); q1.awaitTermination() }
+    val settled = store.toMap
+    assert(settled === Map("600" -> ((3L, 8L)), "700" -> ((1L, 9L))))
+    // crash simulation: everything after batch 0's commit is lost (the
+    // run may append a trailing watermark-advance batch after the data
+    // batches, so every marker past 0 goes — restart then re-executes
+    // each logged-but-uncommitted batch in order, batch 1's data first)
+    Files.list(ckDir.resolve("commits")).iterator().asScala
+      .filter(p => p.getFileName.toString.forall(_.isDigit) &&
+        p.getFileName.toString.toLong >= 1L)
+      .foreach(Files.delete)
+    // a committed MemoryStream purges delivered blocks, so the restart
+    // source is rebuilt with the SAME blocks in the SAME order — offsets
+    // (block indexes) line up with the checkpoint's batch-1 offset range
+    val in2 = MemoryStream[CallEvent](spark)
+    in2.addData(batch0); in2.addData(batch1)
+    val q2 = startSink(in2)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(delivered.asScala.count(_ == 1L) === 2,
+      s"batch 1 was not re-delivered under its id: $delivered")
+    assert(store.toMap === settled,
+      "re-delivered batch moved the sink — upsert is not replay-idempotent")
+  }
+
   test("hopping windows: each event lands in width/slide overlapping windows") {
     val in = MemoryStream[CallEvent](spark)
     val agg = StreamingOps.hoppingAggStream(
