@@ -308,14 +308,23 @@ class StreamingSpec extends SparkTestBase {
     } finally { q1.stop(); q1.awaitTermination() }
     val settled = store.toMap
     assert(settled === Map("600" -> ((3L, 8L)), "700" -> ((1L, 9L))))
-    // crash simulation: everything after batch 0's commit is lost (the
-    // run may append a trailing watermark-advance batch after the data
-    // batches, so every marker past 0 goes — restart then re-executes
-    // each logged-but-uncommitted batch in order, batch 1's data first)
-    Files.list(ckDir.resolve("commits")).iterator().asScala
-      .filter(p => p.getFileName.toString.forall(_.isDigit) &&
-        p.getFileName.toString.toLong >= 1L)
-      .foreach(Files.delete)
+    // Crash simulation at the canonical point: batch 1's offsets were
+    // logged and its side effects ran, but its commit marker never
+    // landed. The checkpoint is rolled back to exactly that state —
+    // commits/{0}, offsets/{0,1} — dropping the trailing
+    // watermark-advance batch the first run appended, because Spark's
+    // restart contract replays precisely ONE uncommitted batch
+    // (latestBatchId == latestCommitted + 1), which is the only gap a
+    // real crash can leave. Stale .crc twins go with their files.
+    def rollBack(dir: java.nio.file.Path, keepThrough: Long): Unit =
+      Files.list(dir).iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString.stripPrefix(".").stripSuffix(".crc")
+          n.forall(_.isDigit) && n.nonEmpty && n.toLong > keepThrough
+        }
+        .toList.foreach(Files.delete)
+    rollBack(ckDir.resolve("commits"), keepThrough = 0L)
+    rollBack(ckDir.resolve("offsets"), keepThrough = 1L)
     // a committed MemoryStream purges delivered blocks, so the restart
     // source is rebuilt with the SAME blocks in the SAME order — offsets
     // (block indexes) line up with the checkpoint's batch-1 offset range
