@@ -814,6 +814,61 @@ object Similarity {
     out
   }
 
+  /** Margin-based bitext mining (the Artetxe & Schwenk ratio-margin rule
+    * behind LASER/CCMatrix-style parallel-corpus construction): for each
+    * source vector, its best target match scored by
+    * `margin = cos(x,y) / ((avgₖ(x→tgt) + avgₖ(y→src)) / 2)` — raw cosine
+    * normalized by BOTH neighborhoods' density, so hubs (vectors close to
+    * everything) stop winning every pairing. Returns the top-1 target per
+    * query source: `(src_id, tgt_id, cos_e6, margin_e6)` with
+    * `margin_e6 = (2·10⁶·cos_e6) div (avg_src_e6 + avg_tgt_e6)` in exact
+    * integer math.
+    *
+    * Scale shape (the mining-run layout): both directions ride the IVF
+    * index, never brute force — forward probes the target index with the
+    * query sample, backward probes the source index with ONLY the
+    * distinct forward candidates (bounded by |queries|·k). Corpus-sized
+    * work is two index builds (amortizable via [[buildIvf]]+persist across
+    * mining batches) plus bucketed probes; no all-pairs join exists at
+    * any step.
+    *
+    * Portability contract: averages are taken over the NON-NEGATIVE
+    * members of each top-k (keeps every integer division on positive
+    * ground — Spark's `div` truncates toward zero while DuckDB's `//`
+    * floors, and they only agree above zero); negative-cosine candidate
+    * pairs are dropped for the same reason (they are noise for mining
+    * anyway). A query whose whole neighborhood is negative yields no row.
+    */
+  def bitextMarginMine(src: DataFrame, tgt: DataFrame, queries: DataFrame,
+      k: Int, nCells: Int, nprobe: Int,
+      iters: Int = 2, sampleMod: Int = 7): DataFrame = {
+    val fwd = ivfKnnWith(buildIvf(tgt, nCells, iters, sampleMod), queries, k, nprobe)
+      .filter(col("cos_e6") >= 0L)
+      .select(col("query_id"), col("neighbor_id"), col("cos_e6"))
+    val avgFwd = fwd.groupBy(col("query_id"))
+      .agg(expr("sum(cos_e6) div count(1)").as("avg_src"))
+    val candVecs = tgt.join(
+      fwd.select(col("neighbor_id")).distinct(),
+      tgt("vec_id") === col("neighbor_id"), "left_semi")
+    val bwd = ivfKnnWith(buildIvf(src, nCells, iters, sampleMod), candVecs, k, nprobe)
+      .filter(col("cos_e6") >= 0L)
+    val avgBwd = bwd.groupBy(col("query_id").as("__nb"))
+      .agg(expr("sum(cos_e6) div count(1)").as("avg_tgt"))
+    val margins = fwd
+      .join(avgFwd, Seq("query_id"))
+      .join(avgBwd, col("neighbor_id") === col("__nb"))
+      .filter(col("avg_src") + col("avg_tgt") > 0L)
+      .withColumn("margin_e6",
+        expr("(2000000 * cos_e6) div (avg_src + avg_tgt)"))
+    margins
+      .withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("margin_e6").desc, col("neighbor_id"))))
+      .filter(col("__r") === 1)
+      .select(col("query_id").as("src_id"), col("neighbor_id").as("tgt_id"),
+        col("cos_e6"), col("margin_e6"))
+  }
+
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ threshold,
     * with EXACT recall, via grid-bucketed candidate generation instead of
     * an all-pairs nested-loop join.

@@ -706,6 +706,19 @@ object NorthStarQueries {
       Similarity.recallSweep(emb, emb.filter(col("vec_id") < 20),
         k = 5, nCells = 16, nprobes = Seq(1, 2, 4, 8, 16))
     }),
+    "s17_bitext_margin" -> ((s, d) => {
+      // Margin-based bitext mining over a two-"language" split of the
+      // embedding corpus (even ids = source, odd = target): each sampled
+      // source's best target by the ratio margin — raw cosine normalized
+      // by both sides' top-4 neighborhood density, hub vectors demoted.
+      // Both directions ride the IVF index (two deterministic fits), the
+      // backward pass probes only the forward candidates.
+      val emb = Tables.embeddings(s, d)
+      val src = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val tgt = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      Similarity.bitextMarginMine(src, tgt, src.filter(col("vec_id") < 40),
+        k = 4, nCells = 16, nprobe = 4)
+    }),
     "s11_ivf_delta" -> ((s, d) => {
       // Incremental IVF maintenance: fit on the base corpus (vec_id % 10
       // != 9), then assign the newly-arrived delta against the FROZEN
@@ -2303,6 +2316,59 @@ object NorthStarQueries {
          |         AS recall_permille
          |FROM lv l CROSS JOIN tq LEFT JOIN hits h ON h.nprobe = l.nprobe
          |ORDER BY l.nprobe""".stripMargin,
+    // two independent fits (sfx x/y, fitFilter by id parity), each side's
+    // assignments parity-filtered to mirror the per-side buildIvf; probes
+    // replay the s02 pattern in both directions, averages over the
+    // non-negative top-4 (the operator's portability contract), ratio
+    // margin in integer micro-units, top-1 per source
+    "s17_bitext_margin" ->
+      s"""WITH ${ivfFitCtes(nCells = 16, iters = 2, sampleMod = 7,
+            fitFilter = "vec_id % 2 = 0", sfx = "x")},
+         |${ivfFitCtes(nCells = 16, iters = 2, sampleMod = 7,
+            fitFilter = "vec_id % 2 = 1", sfx = "y")},
+         |pf AS (SELECT query_id, qv, cell FROM (
+         |       SELECT q.vec_id AS query_id, q.v AS qv, c.cid AS cell,
+         |              ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |                ORDER BY ${cosWSql("q.v", "c.cv")} DESC, c.cid) AS rn
+         |       FROM ex q, c2y c WHERE q.vec_id < 40 AND q.vec_id % 2 = 0)
+         |       WHERE rn <= 4),
+         |sf AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+         |              ${cosE6Sql("p.qv", "a.v")} AS ce
+         |       FROM pf p JOIN asgy a ON p.cell = a.cell AND a.vec_id % 2 = 1),
+         |fwd AS (SELECT query_id, neighbor_id, ce FROM (
+         |        SELECT query_id, neighbor_id, ce,
+         |               ROW_NUMBER() OVER (PARTITION BY query_id
+         |                 ORDER BY ce DESC, neighbor_id) AS rn
+         |        FROM sf) WHERE rn <= 4 AND ce >= 0),
+         |avf AS (SELECT query_id, SUM(ce) // COUNT(*) AS avg_src
+         |        FROM fwd GROUP BY 1),
+         |bq AS (SELECT vec_id, v FROM ey
+         |       WHERE vec_id IN (SELECT DISTINCT neighbor_id FROM fwd)),
+         |pb AS (SELECT query_id, qv, cell FROM (
+         |       SELECT q.vec_id AS query_id, q.v AS qv, c.cid AS cell,
+         |              ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |                ORDER BY ${cosWSql("q.v", "c.cv")} DESC, c.cid) AS rn
+         |       FROM bq q, c2x c) WHERE rn <= 4),
+         |sb AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+         |              ${cosE6Sql("p.qv", "a.v")} AS ce
+         |       FROM pb p JOIN asgx a ON p.cell = a.cell AND a.vec_id % 2 = 0),
+         |bwd AS (SELECT query_id, neighbor_id, ce FROM (
+         |        SELECT query_id, neighbor_id, ce,
+         |               ROW_NUMBER() OVER (PARTITION BY query_id
+         |                 ORDER BY ce DESC, neighbor_id) AS rn
+         |        FROM sb) WHERE rn <= 4 AND ce >= 0),
+         |avb AS (SELECT query_id AS nb, SUM(ce) // COUNT(*) AS avg_tgt
+         |        FROM bwd GROUP BY 1),
+         |j AS (SELECT f.query_id, f.neighbor_id, f.ce,
+         |             (2000000 * f.ce) // (avg_src + avg_tgt) AS margin_e6
+         |      FROM fwd f JOIN avf USING (query_id)
+         |      JOIN avb ON f.neighbor_id = avb.nb
+         |      WHERE avg_src + avg_tgt > 0)
+         |SELECT query_id AS src_id, neighbor_id AS tgt_id,
+         |       CAST(ce AS BIGINT) AS cos_e6, CAST(margin_e6 AS BIGINT) AS margin_e6
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY margin_e6 DESC, neighbor_id) AS rk FROM j)
+         |WHERE rk = 1 ORDER BY src_id""".stripMargin,
     // fit restricted to the base corpus, assignment over everything with
     // the frozen final centroids — exactly what extendIvf materializes
     "s11_ivf_delta" ->

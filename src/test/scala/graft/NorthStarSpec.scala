@@ -439,6 +439,45 @@ class NorthStarSpec extends SparkTestBase {
     assert(sweep.last._2._4 === 1000L, s"full probe not exact: ${sweep.last}")
   }
 
+  test("bitextMarginMine under full probe ≡ brute-force-derived ratio margin") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val src = emb.filter(col("vec_id") % 2 === 0)
+    val tgt = emb.filter(col("vec_id") % 2 === 1)
+    val queries = src.filter(col("vec_id") < 8)
+    // nprobe = nCells probes every cell → both directions are exact, so
+    // the mining rule can be replayed from brute-force top-k in plain
+    // Scala: top-3 filtered to non-negative cosine, avg = sum div count,
+    // margin = (2e6·cos) div (avg_src + avg_tgt), best target per source
+    val k = 3
+    def topk(corpus: org.apache.spark.sql.DataFrame, qs: org.apache.spark.sql.DataFrame) =
+      graft.operators.Similarity.bruteForceKnn(corpus, qs, k)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+          r.getAs[Long]("cos_e6")))
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).filter(_._2 >= 0L).toSeq).toMap
+    val fwd = topk(tgt, queries)
+    val candIds = fwd.values.flatten.map(_._1).toSet
+    val bwd = topk(src, tgt.filter(col("vec_id").isInCollection(candIds)))
+    val expected = fwd.flatMap { case (q, nbrs) =>
+      if (nbrs.isEmpty) None else {
+        val avgSrc = nbrs.map(_._2).sum / nbrs.size
+        val scoredNbrs = nbrs.flatMap { case (nb, ce) =>
+          bwd.get(nb).filter(_.nonEmpty).map(_.map(_._2)).map(cs => cs.sum / cs.size)
+            .filter(avgTgt => avgSrc + avgTgt > 0L)
+            .map(avgTgt => (nb, ce, 2000000L * ce / (avgSrc + avgTgt)))
+        }
+        if (scoredNbrs.isEmpty) None
+        else Some {
+          val best = scoredNbrs.minBy { case (nb, _, m) => (-m, nb) }
+          (q, best._1, best._2, best._3)
+        }
+      }
+    }.toSet
+    val got = graft.operators.Similarity.bitextMarginMine(
+        src, tgt, queries, k = k, nCells = 4, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expected && got.nonEmpty)
+  }
+
   test("prebuilt IVF index probes identically to the per-call form") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = emb.filter(col("vec_id") < 10)
