@@ -117,6 +117,40 @@ object TextSearch {
     scoreAndRank(tf, stats, qt, k, k1, b)
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of any number of ranked
+    * retrieval legs — the standard way to combine lexical (BM25) and
+    * dense (ANN) results without score calibration: each leg contributes
+    * `1e6 div (rrfK + rank)` per (query, doc), fused score = the sum,
+    * top-`k` per query by (fused desc, doc_id). Rank-only fusion makes
+    * incommensurable scores (BM25 micro-logs vs cosine micro-units)
+    * composable, and the integer point table is engine-exact.
+    *
+    * Scale shape: input legs are already top-k'd (|Q|·k rows each), so
+    * the whole fusion is one union + one grouped sum + one bounded heap —
+    * nothing corpus-sized. Each leg frame needs (query_id, doc_id, rank).
+    */
+  def rrfFuse(legs: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    require(legs.nonEmpty, "need at least one ranked leg")
+    require(k > 0 && rrfK >= 0, s"need k > 0 and rrfK >= 0, got ($k, $rrfK)")
+    val pts = legs.map(_.select(
+        col("query_id").cast("long").as("query_id"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("rank").cast("long").as("rank")))
+      .reduce(_ unionByName _)
+      .withColumn("pt", expr(s"CAST(1000000 AS BIGINT) div ($rrfK + rank)"))
+    pts.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("pt")).as("rrf_e6"))
+      .groupBy(col("query_id"))
+      .agg(graft.expressions.TopKByScore.topK(
+        col("rrf_e6").cast("double"), col("doc_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "m")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("m.id").as("doc_id"),
+        col("m.score").cast("long").as("rrf_e6"))
+  }
+
   /** Top-`k` BM25 matches per query against a pre-built [[TextIndex]] —
     * the serving shape: the postings filter (`term IN (...)`) reaches the
     * bucketed scan, so a probe touches only the query terms' buckets and

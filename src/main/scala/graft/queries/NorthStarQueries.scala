@@ -174,7 +174,14 @@ object NorthStarQueries {
     * per-(query, doc) sum. Shared by s07 (ad-hoc scan) and s08 (served
     * posting-list probe) — identical counts by construction. */
   private def bm25OracleSql: String =
-    s"""WITH d AS (SELECT doc_id, $WsSql AS w FROM documents),
+    s"""WITH $bm25Ctes
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score_e6
+       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** The replay's CTE chain alone (ends at ranked `r`) — shared with the
+    * hybrid-fusion oracle, which appends the dense leg and the RRF sum. */
+  private def bm25Ctes: String =
+    s"""d AS (SELECT doc_id, $WsSql AS w FROM documents),
        |dd AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl FROM d),
        |st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dd),
        |qt(query_id, term) AS (VALUES $bm25QtValuesSql),
@@ -193,9 +200,7 @@ object NorthStarQueries {
        |ag AS (SELECT query_id, doc_id, CAST(SUM(c_e6) AS BIGINT) AS score_e6
        |       FROM sc GROUP BY 1, 2),
        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-       |        ORDER BY score_e6 DESC, doc_id) AS rank FROM ag)
-       |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score_e6
-       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+       |        ORDER BY score_e6 DESC, doc_id) AS rank FROM ag)""".stripMargin
 
   /** cosine(float list `a`, double centroid list `c`) — a's elements
     * widened to double, summed in list order (≡ the
@@ -705,6 +710,22 @@ object NorthStarQueries {
       val emb = Tables.embeddings(s, d)
       Similarity.recallSweep(emb, emb.filter(col("vec_id") < 20),
         k = 5, nCells = 16, nprobes = Seq(1, 2, 4, 8, 16))
+    }),
+    "s16_hybrid_rrf" -> ((s, d) => {
+      // Hybrid retrieval: BM25 lexical top-10 fused with IVF dense top-10
+      // by reciprocal-rank fusion — rank-only combination, no score
+      // calibration between micro-log BM25 and micro-unit cosine. Each
+      // query is its fixture text on the lexical leg and its id-aligned
+      // embedding on the dense leg.
+      val emb = Tables.embeddings(s, d)
+      val lex = graft.operators.TextSearch.bm25TopK(
+        Tables.documents(s, d), "doc_id", "text", Bm25Queries, k = 10)
+      val dense = Similarity.ivfKnn(
+          emb, emb.filter(col("vec_id") < Bm25Queries.length),
+          k = 10, nCells = 16, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      graft.operators.TextSearch.rrfFuse(
+        Seq(lex.select(col("query_id"), col("doc_id"), col("rank")), dense), k = 10)
     }),
     "s17_bitext_margin" -> ((s, d) => {
       // Margin-based bitext mining over a two-"language" split of the
@@ -2316,6 +2337,33 @@ object NorthStarQueries {
          |         AS recall_permille
          |FROM lv l CROSS JOIN tq LEFT JOIN hits h ON h.nprobe = l.nprobe
          |ORDER BY l.nprobe""".stripMargin,
+    // lexical leg = the shared BM25 CTE chain, dense leg = the s02 fit +
+    // probe replay with the self-pair excluded; both top-10s union into
+    // the integer RRF point table, fused rank ties by doc_id
+    "s16_hybrid_rrf" ->
+      s"""WITH $bm25Ctes,
+         |${ivfFitCtes(nCells = 16, iters = 2, sampleMod = 7)},
+         |dp AS (SELECT query_id, qv, cell FROM (
+         |       SELECT q.vec_id AS query_id, q.v AS qv, c.cid AS cell,
+         |              ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |                ORDER BY ${cosWSql("q.v", "c.cv")} DESC, c.cid) AS rn
+         |       FROM e q, c2 c WHERE q.vec_id < 3) WHERE rn <= 4),
+         |ds AS (SELECT p.query_id, a.vec_id AS doc_id,
+         |              ${cosE6Sql("p.qv", "a.v")} AS ce
+         |       FROM dp p JOIN asg a ON p.cell = a.cell AND p.query_id <> a.vec_id),
+         |dr AS (SELECT query_id, doc_id, ROW_NUMBER() OVER (PARTITION BY query_id
+         |         ORDER BY ce DESC, doc_id) AS rank FROM ds),
+         |un AS (SELECT query_id, doc_id, 1000000 // (60 + rank) AS pt FROM (
+         |       SELECT query_id, doc_id, rank FROM r WHERE rank <= 10
+         |       UNION ALL
+         |       SELECT query_id, doc_id, rank FROM dr WHERE rank <= 10)),
+         |fu AS (SELECT query_id, doc_id, CAST(SUM(pt) AS BIGINT) AS rrf_e6
+         |       FROM un GROUP BY 1, 2),
+         |fr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |         ORDER BY rrf_e6 DESC, doc_id) AS rank FROM fu)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+         |       doc_id, rrf_e6
+         |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // two independent fits (sfx x/y, fitFilter by id parity), each side's
     // assignments parity-filtered to mirror the per-side buildIvf; probes
     // replay the s02 pattern in both directions, averages over the

@@ -12,6 +12,23 @@ class RetrievalSpec extends SparkTestBase {
 
   private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
 
+  test("rrfFuse: integer point table, cross-leg sum, tie-break by doc_id") {
+    // leg A ranks docs (1,2,3); leg B ranks (3,9). Points at rrfK=60:
+    // rank1→16393, rank2→16129, rank3→15873. Doc 3 fuses 15873+16393 =
+    // 32266 and must beat every single-leg doc; docs 2 and 9 both score
+    // 16129 — the tie breaks to the lower doc_id.
+    val legA = Seq((7L, 1L, 1), (7L, 2L, 2), (7L, 3L, 3)).toDF("query_id", "doc_id", "rank")
+    val legB = Seq((7L, 3L, 1), (7L, 9L, 2)).toDF("query_id", "doc_id", "rank")
+    val got = graft.operators.TextSearch.rrfFuse(Seq(legA, legB), k = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq(
+      (1, 3L, 15873L + 16393L),
+      (2, 1L, 16393L),
+      (3, 2L, 16129L),
+      (4, 9L, 16129L)))
+  }
+
   // ---- BM25 ----
 
   /** Straight-line in-memory BM25 (same formula, same micro-rounding):
