@@ -67,6 +67,26 @@ object TextSearch {
     TextIndex(postings, stats)
   }
 
+  /** Incremental index maintenance — the serving-path answer to "new
+    * docs arrived, don't re-tokenize the corpus" (the text twin of
+    * `Similarity.extendIvf`): tokenize and aggregate ONLY the delta,
+    * append its postings, and fold its (n_docs, sum_dl) into the stats
+    * row. Postings are per-doc facts, so the extended index is
+    * bit-identical to a full [[buildTextIndex]] over base ∪ delta — and
+    * because BM25's corpus-global terms (idf via df and n_docs, avgdl)
+    * are recomputed per probe from postings + stats, probe scores through
+    * the extended index equal rebuild scores exactly (what the s18
+    * oracle checks). Doc ids must be disjoint from the base
+    * (re-ingesting a doc would double its postings). */
+  def extendTextIndex(index: TextIndex, newDocs: DataFrame,
+      idCol: String, textCol: String): TextIndex = {
+    val delta = buildTextIndex(newDocs, idCol, textCol)
+    TextIndex(
+      index.postings.unionByName(delta.postings),
+      index.stats.unionByName(delta.stats)
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl")))
+  }
+
   /** Persist an index as a term-bucketed table (+ `_stats` side table):
     * probes prune to the buckets holding the query terms instead of
     * scanning all postings. */

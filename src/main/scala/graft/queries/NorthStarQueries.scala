@@ -711,6 +711,20 @@ object NorthStarQueries {
       Similarity.recallSweep(emb, emb.filter(col("vec_id") < 20),
         k = 5, nCells = 16, nprobes = Seq(1, 2, 4, 8, 16))
     }),
+    "s18_bm25_delta" -> ((s, d) => {
+      // Incremental text-index maintenance: build postings on the base
+      // corpus (doc_id % 10 != 9), extend with the newly-arrived delta
+      // (tokenizing ONLY the delta), probe through the extended index.
+      // Hash-equality with the full-corpus BM25 replay proves
+      // extension ≡ rebuild — including the corpus-global idf/avgdl
+      // terms, which read the folded stats row.
+      val docs = Tables.documents(s, d)
+      val ext = graft.operators.TextSearch.extendTextIndex(
+        graft.operators.TextSearch.buildTextIndex(
+          docs.filter(pmod(col("doc_id"), lit(10)) =!= 9), "doc_id", "text"),
+        docs.filter(pmod(col("doc_id"), lit(10)) === 9), "doc_id", "text")
+      graft.operators.TextSearch.bm25TopKWith(ext, Bm25Queries, k = 10)
+    }),
     "s16_hybrid_rrf" -> ((s, d) => {
       // Hybrid retrieval: BM25 lexical top-10 fused with IVF dense top-10
       // by reciprocal-rank fusion — rank-only combination, no score
@@ -2337,6 +2351,9 @@ object NorthStarQueries {
          |         AS recall_permille
          |FROM lv l CROSS JOIN tq LEFT JOIN hits h ON h.nprobe = l.nprobe
          |ORDER BY l.nprobe""".stripMargin,
+    // extension ≡ rebuild, so the oracle IS the full-corpus replay (the
+    // s11 pattern applied to text)
+    "s18_bm25_delta" -> bm25OracleSql,
     // lexical leg = the shared BM25 CTE chain, dense leg = the s02 fit +
     // probe replay with the self-pair excluded; both top-10s union into
     // the integer RRF point table, fused rank ties by doc_id

@@ -548,6 +548,42 @@ object StreamingOps {
         upsert(batch.toDF(), batchId)
       }
 
+  /** Streaming ingestion dedup against a FROZEN corpus release — the
+    * serving face of `Dedup.dedupDeltaWith`: each micro-batch of arriving
+    * docs is screened against the release's prebuilt digest + LSH band
+    * frames (exact and near dup), and the SURVIVING docs are handed to
+    * `sink(survivors, batchId)` — an idempotent per-batch upsert, same
+    * replay contract as [[changelogUpsertSink]]. Per batch this pays
+    * exactly the batch-mode `dedupDeltaWith` cost: candidate generation
+    * is an equi-join against the persisted band frame, never corpus².
+    *
+    * Within-batch duplicates collapse (lowest id wins), like the batch
+    * path. Duplicates ACROSS stream batches are the release cadence's
+    * concern — fold accepted batches into the corpus frames when cutting
+    * the next release, or chain [[streamingLshNearDup]] upstream for
+    * intra-stream collisions. `corpus`/`digests`/`bands` must be the
+    * matched build from `corpusDigests`/`corpusBands` (persist them — a
+    * re-derivation per batch would re-shingle the corpus every trigger).
+    */
+  def deltaDedupSink(
+      newDocs: DataFrame, // columns: doc_id (long), text (string), streaming
+      corpus: DataFrame,
+      digests: DataFrame,
+      bands: DataFrame,
+      checkpointDir: String,
+      shingleN: Int = 3,
+      numHashes: Int = 12,
+      rowsPerBand: Int = 3,
+      minJaccardPermille: Int = 800)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.operators.Dedup.dedupDeltaWith(corpus, digests, bands,
+          batch.toDF(), shingleN, numHashes, rowsPerBand, minJaccardPermille), batchId)
+      }
+
   /** Streaming MinHash-LSH near-duplicate detection: the streaming
     * counterpart of Dedup.minhashLshPairs (same signature scheme, same
     * banding), emitting a candidate hit whenever an incoming document

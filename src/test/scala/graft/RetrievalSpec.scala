@@ -12,6 +12,26 @@ class RetrievalSpec extends SparkTestBase {
 
   private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
 
+  test("extendTextIndex ≡ rebuild over base ∪ delta, postings and stats") {
+    val base = docs((1L, "the quick fox"), (2L, "quick quick data"))
+    val delta = docs((3L, "fox data the the"))
+    val ext = graft.operators.TextSearch.extendTextIndex(
+      graft.operators.TextSearch.buildTextIndex(base, "doc_id", "text"),
+      delta, "doc_id", "text")
+    val full = graft.operators.TextSearch.buildTextIndex(
+      base.unionByName(delta), "doc_id", "text")
+    assert(ext.postings.collect().map(_.toSeq).toSet ===
+      full.postings.collect().map(_.toSeq).toSet)
+    assert(ext.stats.collect().map(_.toSeq).toSeq ===
+      full.stats.collect().map(_.toSeq).toSeq)
+    // and the probe path scores identically through either index
+    val q = Seq(0 -> "quick fox")
+    assert(graft.operators.TextSearch.bm25TopKWith(ext, q, k = 3)
+      .collect().map(_.toSeq).toSet ===
+      graft.operators.TextSearch.bm25TopKWith(full, q, k = 3)
+        .collect().map(_.toSeq).toSet)
+  }
+
   test("rrfFuse: integer point table, cross-leg sum, tie-break by doc_id") {
     // leg A ranks docs (1,2,3); leg B ranks (3,9). Points at rrfK=60:
     // rank1→16393, rank2→16129, rank3→15873. Doc 3 fuses 15873+16393 =

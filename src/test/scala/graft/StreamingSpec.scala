@@ -446,6 +446,38 @@ class StreamingSpec extends SparkTestBase {
     assert(pairs === Set((4L, 5L)), s"expected only the in-horizon pair, got $pairs")
   }
 
+  test("streaming delta dedup against a frozen release ≡ batch dedupDeltaWith per batch") {
+    import graft.operators.Dedup
+    val long = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 30).map(i => s"zzz$i").mkString(" ")
+    val corpus = Seq((1L, long), (2L, other)).toDF("doc_id", "text")
+    val digests = Dedup.corpusDigests(corpus).persist()
+    val bands = Dedup.corpusBands(corpus).persist()
+    // batch A: exact dup of corpus doc 1 + a novel doc;
+    // batch B: near-dup of corpus doc 1 + within-batch exact pair
+    val batchA = Seq((10L, long), (11L, "completely new words here"))
+    val batchB = Seq((20L, long + " extra"), (21L, "fresh thing"), (22L, "fresh thing"))
+    val in = MemoryStream[(Long, String)](spark)
+    val got = scala.collection.concurrent.TrieMap[Long, Set[Long]]()
+    val q = StreamingOps.deltaDedupSink(
+      in.toDF().toDF("doc_id", "text"), corpus, digests, bands,
+      Files.createTempDirectory("ck-ddd").toString) { (survivors, id) =>
+        got(id) = survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+      }.start()
+    try {
+      in.addData(batchA); q.processAllAvailable()
+      in.addData(batchB); q.processAllAvailable()
+    } finally q.stop()
+    def batchMode(rows: Seq[(Long, String)]) =
+      Dedup.dedupDeltaWith(corpus, digests, bands, rows.toDF("doc_id", "text"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.toMap === Map(0L -> batchMode(batchA), 1L -> batchMode(batchB)))
+    // and the screen actually screened: exact dup 10, near-dup 20, and
+    // within-batch copy 22 are gone; novelties survive
+    assert(got(0L) === Set(11L) && got(1L) === Set(21L))
+    digests.unpersist(); bands.unpersist()
+  }
+
   test("streaming LSH near-dup flags band collisions with the canonical doc") {
     val in = MemoryStream[StreamDocFixture](spark)
     val hits = StreamingOps.streamingLshNearDup(
