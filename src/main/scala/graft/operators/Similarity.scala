@@ -650,7 +650,7 @@ object Similarity {
       .agg(count_distinct(col("tq")).as("n_queries"), count(lit(1)).as("n_truth"))
       .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
       .select(col("n_queries"), col("n_truth"), col("n_hits"),
-        expr("CAST((1000 * n_hits) DIV n_truth AS BIGINT)").as("recall_permille"))
+        expr("CAST(IF(n_truth = 0, NULL, (1000 * n_hits) DIV n_truth) AS BIGINT)").as("recall_permille"))
   }
 
   /** Incremental index maintenance — the serving-path answer to "new
@@ -804,7 +804,7 @@ object Similarity {
         .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
         .select(lit(np.toLong).as("nprobe"), col("n_queries"), col("n_truth"),
           col("n_hits"),
-          expr("CAST((1000 * n_hits) DIV n_truth AS BIGINT)").as("recall_permille"))
+          expr("CAST(IF(n_truth = 0, NULL, (1000 * n_hits) DIV n_truth) AS BIGINT)").as("recall_permille"))
     }
     val out = levels.reduce(_ unionByName _)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -39,6 +39,32 @@ class EmptyInputSpec extends SparkTestBase {
     assert(Similarity.embeddingNearDupPairs(noEmb, 400000L).count() === 0L)
   }
 
+  test("round-8 retrieval/mining operators survive empty inputs") {
+    // margin mining: empty queries and empty target side both collapse
+    // to no pairs (nothing fails inside the two IVF builds)
+    val someEmb = Seq((0L, Seq(1f, 0f)), (2L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    assert(graft.operators.Similarity.bitextMarginMine(
+      someEmb, someEmb, noEmb, k = 2, nCells = 2, nprobe = 2).count() === 0L)
+    assert(graft.operators.Similarity.bitextMarginMine(
+      someEmb, noEmb, someEmb, k = 2, nCells = 2, nprobe = 2).count() === 0L)
+    // recall sweep on an empty query set: one row per level, zero counts
+    val sweep = graft.operators.Similarity.recallSweep(
+      someEmb, noEmb, k = 2, nCells = 2, nprobes = Seq(1, 2)).collect()
+    assert(sweep.length === 2 && sweep.forall(r => r.getLong(2) === 0L))
+    // RRF over an empty leg set union: empty in, empty out, schema intact
+    val noLeg = Seq.empty[(Long, Long, Int)].toDF("query_id", "doc_id", "rank")
+    val fused = graft.operators.TextSearch.rrfFuse(Seq(noLeg, noLeg), k = 3)
+    assert(fused.columns.toSeq === Seq("query_id", "rank", "doc_id", "rrf_e6"))
+    assert(fused.count() === 0L)
+    // extending an index with an empty delta changes nothing
+    val someDocs2 = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val base = graft.operators.TextSearch.buildTextIndex(someDocs2, "doc_id", "text")
+    val ext = graft.operators.TextSearch.extendTextIndex(base, noDocs, "doc_id", "text")
+    assert(ext.postings.collect().map(_.toSeq).toSet ===
+      base.postings.collect().map(_.toSeq).toSet)
+    assert(ext.stats.collect().head.toSeq === base.stats.collect().head.toSeq)
+  }
+
   test("r4 operators return empty (or all-assigned) on empty inputs") {
     // contamination: empty on either side
     val someDocs = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
