@@ -151,6 +151,27 @@ class PlanShapeSpec extends SparkTestBase {
       assert(!p.contains(bad), s"$bad leaked into the consumer-visible rank plan:\n$p")
   }
 
+  test("s16 RRF fusion: bounded heap aggregate, no window, no cartesian") {
+    val p = plan(SparkEntry.queries("s16_hybrid_rrf")(spark, sf))
+    // fused top-k rides the TopKByScore heap (two-phase aggregate), not a
+    // rank window over the union; no all-pairs product anywhere. (The
+    // BM25 leg's 1-row stats broadcast legitimately plans as a
+    // BroadcastNestedLoopJoin — the bounded stat-frame pattern — so only
+    // a true CartesianProduct is forbidden.)
+    assert(!p.contains("Window"), s"RRF dragged a window over the fused set:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the fusion plan:\n$p")
+    assert(p.contains("top_k_by_score"), s"fused top-k is not the bounded heap:\n$p")
+  }
+
+  test("s17 bitext margin: no cartesian; the top-1 pick is a rank-limited window") {
+    val p = plan(SparkEntry.queries("s17_bitext_margin")(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in the mining plan:\n$p")
+    // the only window is the |Q|·k-sized top-1-per-source pick, and the
+    // rank-limit pushes into it (WindowGroupLimit) so nothing beyond one
+    // row per group is ever buffered
+    assert(p.contains("WindowGroupLimit"), s"top-1 pick missing the group limit:\n$p")
+  }
+
   test("q56 rolling distinct: explode + two-phase count-distinct, no corpus window") {
     val p = plan(SparkEntry.queries("q56_rolling_dau")(spark, sf))
     assert(!p.contains("Window"), s"rolling distinct dragged a window across the corpus:\n$p")
