@@ -245,4 +245,42 @@ object Temporal {
     * the history — partition pruning and predicate pushdown apply. */
   def asOfTime(history: DataFrame, at: Column): Column =
     col("valid_from") <= at && (col("valid_to").isNull || col("valid_to") > at)
+
+  /** Per-day PEAK concurrency of half-open intervals `[start, end)` — the
+    * sweep line every capacity/occupancy question reduces to (how many
+    * sessions/calls/jobs were open at the worst moment of each day).
+    *
+    * Distributed sweep, NOT one global ordered window (the textbook
+    * single-partition formulation dies at corpus scale): ±1 deltas are
+    * summed WITHIN each day by a day-partitioned running window (state
+    * bounded by the day's events), while cross-day carry-in is a
+    * day-level prefix sum over the per-day delta totals — #days rows, so
+    * its single-partition window is microscopic by construction. Peak =
+    * max(within-day running sum + carry). Touching intervals don't
+    * overlap: at equal timestamps the `delta` sort key drains -1 ends
+    * before +1 starts; ties among EQUAL (t, delta) rows permute freely
+    * but cannot change a max. Days that only ever see interval ENDS
+    * (tails crossing midnight past the last start) still report — their
+    * peak is the carry plus the leading partial sums.
+    *
+    * @return (day: date, peak_concurrency: long), one row per day any
+    *         delta lands on
+    */
+  def peakConcurrency(df: DataFrame, startCol: Column, endCol: Column): DataFrame = {
+    val deltas = df.select(startCol.as("t"), lit(1L).as("delta"))
+      .unionByName(df.select(endCol.as("t"), lit(-1L).as("delta")))
+      .withColumn("day", to_date(col("t")))
+    val carries = deltas.groupBy(col("day")).agg(sum(col("delta")).as("day_sum"))
+      .withColumn("carry", coalesce(
+        sum(col("day_sum")).over(Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("day"), col("carry"))
+    deltas
+      .withColumn("run", sum(col("delta")).over(
+        Window.partitionBy(col("day")).orderBy(col("t"), col("delta"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .join(carries, Seq("day"))
+      .groupBy(col("day"))
+      .agg(max(col("run") + col("carry")).as("peak_concurrency"))
+  }
 }

@@ -651,6 +651,19 @@ object RelationalQueries {
         .agg(sum(col("price_c")).as("small_qty_revenue_c"),
           count(lit(1)).as("n_small"))
     }),
+    "q68_peak_concurrency" -> ((s, d) => {
+      // Sweep-line occupancy: each event opens a session [ts, ts +
+      // floor(value·60) seconds); per day, the peak number concurrently
+      // open. The distributed sweep (day-partitioned running sums + a
+      // #days-sized carry prefix) lives in Temporal.peakConcurrency —
+      // no global ordered window anywhere near the event volume.
+      val ev = Tables.events(s, d)
+      graft.ops.Temporal.peakConcurrency(ev,
+          col("ts"),
+          expr("ts + make_interval(0, 0, 0, 0, 0, 0, CAST(FLOOR(value * 60) AS INT))"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("peak_concurrency"))
+    }),
     "q53_activity_islands" -> ((s, d) => {
       // Gaps-and-islands: maximal runs of consecutive active days per
       // user (the classic streak/sessionization-by-day analysis). One
@@ -1456,6 +1469,25 @@ object RelationalQueries {
         |       COUNT(*) AS n_small
         |FROM li JOIN st USING (l_partkey)
         |WHERE 5*qty*nq < tq""".stripMargin,
+    // same distributed-sweep construction: ±1 deltas, within-day running
+    // sum ordered (t, delta) so ends drain before starts at ties, plus a
+    // day-level carry prefix for intervals crossing midnight
+    "q68_peak_concurrency" ->
+      """WITH dl AS (
+        |  SELECT ts AS t, 1 AS delta FROM events
+        |  UNION ALL
+        |  SELECT ts + to_seconds(CAST(FLOOR(value * 60) AS BIGINT)), -1 FROM events),
+        |dd AS (SELECT t, delta, CAST(t AS DATE) AS day FROM dl),
+        |ds AS (SELECT day, SUM(delta) AS day_sum FROM dd GROUP BY 1),
+        |cr AS (SELECT day, COALESCE(SUM(day_sum) OVER (ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS carry
+        |       FROM ds),
+        |rn AS (SELECT day, SUM(delta) OVER (PARTITION BY day ORDER BY t, delta
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |       FROM dd)
+        |SELECT strftime(rn.day, '%Y-%m-%d') AS day,
+        |       CAST(MAX(run + carry) AS BIGINT) AS peak_concurrency
+        |FROM rn JOIN cr USING (day) GROUP BY 1 ORDER BY 1""".stripMargin,
     "q53_activity_islands" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day

@@ -9,6 +9,28 @@ class TemporalSpec extends SparkTestBase {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("peakConcurrency: midnight carry, touching intervals don't overlap, end-only days report") {
+    import org.apache.spark.sql.functions._
+    // A crosses midnight; B overlaps A on day 1 (peak 2); on day 2 the
+    // carried A overlaps C (peak 2), D starts exactly when C and A end
+    // (touching, not concurrent), leaving D alone (1)
+    val iv = Seq(
+      (ts("2024-01-01 23:00:00"), ts("2024-01-02 01:00:00")), // A
+      (ts("2024-01-01 23:30:00"), ts("2024-01-01 23:45:00")), // B
+      (ts("2024-01-02 00:30:00"), ts("2024-01-02 01:00:00")), // C
+      (ts("2024-01-02 01:00:00"), ts("2024-01-02 01:30:00"))  // D
+    ).toDF("s", "e")
+    val got = graft.ops.Temporal.peakConcurrency(iv, col("s"), col("e"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(got === Map("2024-01-01" -> 2L, "2024-01-02" -> 2L))
+    // an interval whose end is the only delta on its day: the day still
+    // reports, at the carried-in level before the end drains it
+    val tail = Seq((ts("2024-01-03 12:00:00"), ts("2024-01-04 06:00:00"))).toDF("s", "e")
+    val got2 = graft.ops.Temporal.peakConcurrency(tail, col("s"), col("e"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(got2 === Map("2024-01-03" -> 1L, "2024-01-04" -> 0L))
+  }
+
   private def log = Seq(
     // key 1: x, x (no change), y, x — three value runs
     (1L, ts("2024-01-01 00:00:00"), 1L, "x"),
