@@ -359,6 +359,15 @@ object Dedup {
       prevRound = Some(next)
       labels = next.drop("__changed")
       round += 1
+      // Every 4th round on the cached-persist path, re-root labels as a
+      // flat scan over the round's cached blocks (RDD lineage intact for
+      // recovery). Cached ADAPTIVE plans nested round-in-round send AQE's
+      // plan-update walk exponential past ~11 levels (measured in the
+      // Graphs loops — 80 s/round by depth 12, OOM by 15); deep label
+      // graphs hit the same wall without this. The reliable-checkpoint
+      // path already truncates to a LogicalRDD per round.
+      if (round % 4 == 0 && !reliableCheckpoint)
+        labels = labels.sparkSession.createDataFrame(labels.rdd, labels.schema)
     }
     // the edge set is dead after convergence (every propagation round is
     // materialized); only the FINAL round's cache stays pinned for the

@@ -331,6 +331,20 @@ class PropertySpec extends SparkTestBase {
     assert(submitted.get() < 600, s"stage blowup: ${submitted.get()} stages submitted")
   }
 
+  test("components converges on a 25-hop chain — deep fixpoint stays bounded") {
+    // min-label propagation crosses one hop per round, so a 26-node path
+    // needs ~25 rounds: exactly the depth where nested cached adaptive
+    // plans went exponential in the graph loops. The every-4th-round flat
+    // re-root keeps each round constant-cost; without it this test runs
+    // minutes-to-OOM instead of seconds.
+    val n = 26
+    val docs = (1 to n).map(i => (i.toLong, s"d$i")).toDF("doc_id", "text")
+    val pairs = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("doc_a", "doc_b")
+    val got = graft.operators.Dedup.components(docs, pairs, maxRounds = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (1 to n).map(i => i.toLong -> 1L).toMap)
+  }
+
   test("hierarchy rollup conserves value: root subtrees partition the forest total") {
     // random forests parent(id) = id div k: every node's value lands in
     // exactly one root subtree, so root sums = grand total; every
