@@ -233,6 +233,18 @@ case class NgramListExpr(child: Expression, n: Int) extends KernelCall with Stri
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Distinct ≤ maxDist-deletion variants incl. the string itself — the
+  * SymSpell index-key set (EntityResolution blocking). */
+case class DeletionVariantsExpr(child: Expression, maxDist: Int)
+    extends KernelCall with StringInput {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(s: Any): Any =
+    TextKernels.deletionVariants(s.asInstanceOf[UTF8String], maxDist)
+  override def kernelCall(ctx: CodegenContext, c: String): String =
+    s"graft.expressions.TextKernels.deletionVariants($c, $maxDist)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Repeats of earlier lines within the document dropped (intra-doc dedup). */
 case class DedupLinesInDocExpr(child: Expression) extends KernelCall with StringInput {
   override def dataType: DataType = StringType
@@ -296,6 +308,8 @@ object TextExpressions {
   def normalizeText(c: Column): Column = col(NormalizeTextExpr(ex(c)))
   def dedupLinesInDoc(c: Column): Column = col(DedupLinesInDocExpr(ex(c)))
   def ngramList(c: Column, n: Int): Column = col(NgramListExpr(ex(c), n))
+  def deletionVariants(c: Column, maxDist: Int): Column =
+    col(DeletionVariantsExpr(ex(c), maxDist))
   def deflateLen(c: Column): Column = col(DeflateLenExpr(ex(c)))
   def hashedLinearScore(c: Column, nBuckets: Int): Column =
     col(HashedLinearScoreExpr(ex(c), nBuckets))

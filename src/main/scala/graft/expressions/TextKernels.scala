@@ -650,4 +650,41 @@ object TextKernels {
     }
     UTF8String.fromString(sb.toString)
   }
+  /** All distinct strings reachable from `s` by at most `maxDist`
+    * character deletions, `s` itself included — the SymSpell index-key
+    * set. Characters are what Spark's `length`/`substring` count
+    * (UTF8String chars), so this is positionally identical to the
+    * `transform(sequence(1, length(s)), i -> concat(substring(s, 1, i-1),
+    * substring(s, i+1, length(s))))` HOF chain it replaces — but one
+    * codegen'd call instead of an interpreted lambda tree that
+    * re-evaluates O(len) two-substring concats plus an `array_union`
+    * per row. */
+  def deletionVariants(s: UTF8String, maxDist: Int): ArrayData = {
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    seen.add(s)
+    val n = s.numChars()
+    if (n > 0 && maxDist >= 1) {
+      val gen1 = new java.util.ArrayList[UTF8String](n)
+      var i = 0
+      while (i < n) {
+        val v = UTF8String.concat(s.substring(0, i), s.substring(i + 1, n))
+        gen1.add(v)
+        seen.add(v)
+        i += 1
+      }
+      if (maxDist >= 2) {
+        val it = gen1.iterator()
+        while (it.hasNext) {
+          val t = it.next()
+          val m = t.numChars()
+          var j = 0
+          while (j < m) {
+            seen.add(UTF8String.concat(t.substring(0, j), t.substring(j + 1, m)))
+            j += 1
+          }
+        }
+      }
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
 }

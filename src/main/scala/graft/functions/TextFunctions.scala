@@ -89,6 +89,8 @@ object TextFunctions {
     * explode + grouped count for pair/gram frequency passes (the BPE
     * merge-rule inner loop). */
   def ngramList(c: Column, n: Int): Column = TextExpressions.ngramList(c, n)
+  def deletionVariants(c: Column, maxDist: Int): Column =
+    TextExpressions.deletionVariants(c, maxDist)
 
   /** Raw-deflate byte count of the UTF-8 text (level 6, thread-local
     * Deflater) — the compression-ratio quality signal: templated or

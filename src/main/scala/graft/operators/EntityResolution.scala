@@ -33,22 +33,15 @@ import org.apache.spark.sql.functions._
   */
 object EntityResolution {
 
-  /** `s` with the character at 1-based position `i` deleted. */
-  private def del(s: String, i: String): String =
-    s"concat(substring($s, 1, $i - 1), substring($s, $i + 1, length($s)))"
-
   /** All distinct strings reachable from `s` by at most `maxDist`
-    * character deletions (including `s` itself). Guarded so zero-length
-    * strings index under themselves (sequence(1,0) would descend). */
-  private def deletionKeys(maxDist: Int): Column = {
-    val v1 = s"transform(sequence(1, length(s)), i -> ${del("s", "i")})"
-    val v2 = s"flatten(transform($v1, t -> transform(sequence(1, length(t)), j -> ${del("t", "j")})))"
-    val keys = maxDist match {
-      case 1 => s"array_union(array(s), $v1)"
-      case 2 => s"array_union(array(s), array_union($v1, $v2))"
-    }
-    expr(s"CASE WHEN length(s) = 0 THEN array(s) ELSE $keys END")
-  }
+    * character deletions (including `s` itself) — one codegen'd kernel
+    * call (`TextKernels.deletionVariants`) instead of the interpreted
+    * transform/sequence/substring lambda tree it replaces, which
+    * re-evaluated O(len) two-substring concats plus an array_union per
+    * row (TextExprSpec pins kernel ≡ HOF on ASCII, unicode, and empty
+    * strings). */
+  private def deletionKeys(maxDist: Int): Column =
+    graft.functions.TextFunctions.deletionVariants(col("s"), maxDist)
 
   /** All pairs `(id_a, id_b, dist)` with `lev(str_a, str_b) <= maxDist`
     * and `id_a < id_b`, found via symmetric-delete blocking + exact

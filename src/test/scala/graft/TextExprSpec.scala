@@ -36,6 +36,33 @@ class TextExprSpec extends SparkTestBase {
       assertSame(wordShingles($"text", n), TextFunctions.wordShinglesHof($"text", n))
   }
 
+  test("deletionVariants kernel ≡ transform/sequence/array_union HOF, maxDist=1,2") {
+    // the HOF chain the kernel replaced (EntityResolution's former
+    // deletionKeys), compared as SETS (sort_array) — generation order is
+    // not part of the contract, the distinct key set is
+    def hof(maxDist: Int): org.apache.spark.sql.Column = {
+      def del(s: String, i: String) =
+        s"concat(substring($s, 1, $i - 1), substring($s, $i + 1, length($s)))"
+      val v1 = s"transform(sequence(1, length(text)), i -> ${del("text", "i")})"
+      val v2 = s"flatten(transform($v1, t -> transform(sequence(1, length(t)), j -> ${del("t", "j")})))"
+      val keys = maxDist match {
+        case 1 => s"array_union(array(text), $v1)"
+        case 2 => s"array_union(array(text), array_union($v1, $v2))"
+      }
+      expr(s"CASE WHEN length(text) = 0 THEN array(text) ELSE $keys END")
+    }
+    // cap the corpus strings to keep the O(len²) maxDist=2 HOF replay
+    // test-sized; the cap column exercises the same kernel path
+    val short = corpus.select($"doc_id", substring($"text", 1, 24).as("text"))
+    for (d <- Seq(1, 2)) {
+      val diffs = short.select(
+          sort_array(TextFunctions.deletionVariants($"text", d)).as("f"),
+          sort_array(hof(d)).as("s"))
+        .filter(not($"f" <=> $"s")).count()
+      assert(diffs === 0L, s"kernel diverges from HOF at maxDist=$d")
+    }
+  }
+
   test("ngramRepetition kernel ≡ count-by-gram HOF, n=1,3") {
     for (n <- Seq(1, 3))
       assertSame(TextFunctions.ngramRepetition($"text", n),
