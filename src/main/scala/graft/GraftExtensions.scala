@@ -169,6 +169,13 @@ object GraftExtensions {
         arity("graft_ngram_list", 2, args)
         NgramListExpr(args.head, intLit(args(1), "n-gram width"))
       }),
+    ("graft_deletion_variants",
+      info("graft_deletion_variants",
+        "graft_deletion_variants(str, maxDist) - distinct <=maxDist-deletion variants incl. the string (SymSpell blocking keys)"),
+      (args: Seq[Expression]) => {
+        arity("graft_deletion_variants", 2, args)
+        DeletionVariantsExpr(args.head, intLit(args(1), "max edit distance"))
+      }),
     ("graft_deflate_len",
       info("graft_deflate_len",
         "graft_deflate_len(str) - raw-deflate byte count of the UTF-8 text (compression-ratio quality signal)"),

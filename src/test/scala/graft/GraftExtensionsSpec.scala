@@ -99,7 +99,7 @@ class GraftExtensionsSpec extends SparkTestBase {
       "graft_sorted_intersect_count", "graft_fingerprint", "graft_simhash32",
       "graft_dot", "graft_top_k", "graft_kmv", "graft_kmv_mins", "graft_quantiles",
       "graft_ngram_repetition", "graft_dot_i8", "graft_dedup_lines_in_doc",
-      "graft_ngram_list", "graft_deflate_len")
+      "graft_ngram_list", "graft_deflate_len", "graft_deletion_variants")
     val names = GraftExtensions.functions.map(_._1)
     assert(names.distinct === names, "duplicate function names in registry")
     assert(names.forall(_.startsWith("graft_")), "registry names must be graft_-prefixed")
