@@ -271,9 +271,23 @@ object Bench {
         .asScala.map(_.getCollectionTime).sum
     }
     val calStart = calMs()
+    // Per-query JOB COUNT (driver-blocking Spark jobs): queries differ
+    // 1-20x in how many jobs they dispatch, and dispatch latency is the
+    // environment variable that poisons round-over-round diffs. Counting
+    // jobs lets the JSON carry a dispatch-NORMALIZED per-query time
+    // (median - jobs x cal) so a diff can separate environment from code
+    // without a quiet-host rerun. Listener events post asynchronously but
+    // drain in ms; job counts are per-rep averages rounded down.
+    val jobCounter = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCounter.incrementAndGet(); ()
+      }
+    })
     def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-        tag: String): Double = {
+        tag: String): (Double, Long) = {
       val gc0 = gcMillis()
+      val jobs0 = jobCounter.get()
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // noop sink materializes every output column (a bare count() would
@@ -284,13 +298,25 @@ object Bench {
       }.sorted
       val leaked = sweepLeaks()
       val median = times(times.length / 2)
+      val jobs = (jobCounter.get() - jobs0) / reps
       System.err.println(f"[bench] $tag $name%-28s median=$median%7.3f " +
-        f"leaked_rdds=$leaked%3d gc_ms=${gcMillis() - gc0}%5d")
-      median
+        f"jobs=$jobs%3d leaked_rdds=$leaked%3d gc_ms=${gcMillis() - gc0}%5d")
+      (median, jobs)
     }
-    val results = selected.map { case (name, fn) => name -> measure(name, fn, "board") }
+    val measured = selected.map { case (name, fn) => name -> measure(name, fn, "board") }
+    val results = measured.map { case (k, (m, _)) => k -> m }
+    val jobsPer = measured.map { case (k, (_, j)) => k -> j }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val jobsJson = jobsPer.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // dispatch-normalized per-query time: median minus the dispatch floor
+    // this host charged for the query's job count (board-start cal) —
+    // round-over-round diffs of THIS field separate code from environment
+    val qsNorm = results.map { case (k, v) =>
+      val norm = math.max(0.0, v - jobsPer.getOrElse(k, 0L) * calStart / 1000.0)
+      s"\"" + k + "\":" + norm
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Self-adjudication: re-run every suspicious query fixed-class in the
     // SAME process, after a full sweep, with a fresh dispatch calibration
@@ -300,21 +326,43 @@ object Bench {
     // in-board median cleared an absolute heavy-tail bar.
     // (the gate still prints in SPARK_GRAFT_BENCH_ONLY triage runs, but
     // adjudication is skipped — those runs ARE the fixed-class measurement)
+    //
+    // REPEAT-UNTIL-STABLE (r8 lesson: a single rerun landed in the same
+    // noisy window as the board and published a false 18x fixed_class for
+    // s15): rerun until two consecutive medians agree within 1.5x, cap 3
+    // attempts, publish the MIN attempt and the calibration measured next
+    // to it. An entry whose accompanying cal exceeds 2x the board-start
+    // cal is annotated env_suspect — the counter-measurement itself ran
+    // on a degraded host and should not be trusted over a quiet rerun.
     val gateFlagged = regressionFlagged(results)
     val flaggedNames =
       if (only.isDefined) Seq.empty
       else (gateFlagged ++ results.filter(_._2 > 2.0).keys).toSeq.distinct
         .sortBy(n => -results(n)).take(24)
     val adjudicated = flaggedNames.map { name =>
-      val cal = calMs()
-      val fixed = measure(name, selected(name), "fixed")
-      name -> ((results(name), fixed, cal))
+      var attempts = List.empty[(Double, Double)] // newest first: (median, cal)
+      var stable = false
+      while (!stable && attempts.length < 3) {
+        val cal = calMs()
+        val (fixed, _) = measure(name, selected(name), "fixed")
+        attempts ::= ((fixed, cal))
+        stable = attempts.length >= 2 && {
+          val a = attempts.head._1; val b = attempts(1)._1
+          math.max(a, b) <= 1.5 * math.min(a, b)
+        }
+      }
+      val (best, calAt) = attempts.minBy(_._1)
+      val suspect = calAt > 2.0 * calStart
+      if (!stable || suspect) System.err.println(
+        f"[bench] ADJUDICATION $name: stable=$stable env_suspect=$suspect " +
+          f"attempts=${attempts.length} best=$best%.3f cal=$calAt%.1f")
+      name -> ((results(name), best, calAt, attempts.length, stable, suspect))
     }
-    val adjJson = adjudicated.map { case (n, (inb, fx, c)) =>
-      s""""$n":{"in_board":$inb,"fixed_class":$fx,"cal_ms":$c}"""
+    val adjJson = adjudicated.map { case (n, (inb, fx, c, att, st, sus)) =>
+      s""""$n":{"in_board":$inb,"fixed_class":$fx,"cal_ms":$c,"attempts":$att,"stable":$st,"env_suspect":$sus}"""
     }.mkString("{", ",", "}")
     val calEnd = calMs()
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cal_job_ms":$calEnd,"cal_board_start_ms":$calStart,"adjudicated":$adjJson}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_norm":$qsNorm,"jobs":$jobsJson,"sf":"$sfDir","cal_job_ms":$calEnd,"cal_board_start_ms":$calStart,"adjudicated":$adjJson}"""
     println(line)
     // also persist the line verbatim: the driver keeps only a truncated log
     // tail, which cut r4's total — a file survives any tail length

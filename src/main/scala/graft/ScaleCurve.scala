@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve probe (not part of the driver contract): measures the
+  * heavy operators at 1×/3×/10× synthetic corpus blowups and fits the
+  * cost exponent α from t(f) ≈ t(1)·f^α — the local-mode evidence that
+  * the candidate-generation plans really are ~linear in corpus size, not
+  * quietly quadratic (the failure mode that only shows at 100 TB).
+  *
+  * Blowup construction (disjoint-shard isomorphism): replica i of the
+  * corpus is the original with every token suffixed `_i` (documents),
+  * every embedding perturbed in one i-dependent dimension, every customer
+  * name suffixed with a tripled i-th letter (pairwise Levenshtein ≥ 3
+  * between replica markers, so no cross-replica pairs at maxDist=1).
+  * Replicas therefore share NO shingles / near-neighbors / ER-blocks
+  * across shards: the true output grows exactly linearly with f, and any
+  * super-linear runtime is the ENGINE's doing (shuffle, skew, candidate
+  * blowup), which is precisely what the probe exists to catch. Blown-up
+  * inputs are materialized to parquet first so generation cost and
+  * single-split input skew are excluded from the timings.
+  *
+  * Usage: ScaleCurve [sfDir] — prints one JSON line per (op, factor) and
+  * a fitted-exponent summary table.
+  */
+object ScaleCurve {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-curve")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val factors = Seq(1, 3, 10)
+    val base = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale_curve"))
+    base.mkdirs()
+
+    // ---- blowup builders (replica id shift keeps key spaces disjoint) ----
+    val Shift = 10000000L
+    def reps(f: Int) = explode(sequence(lit(0), lit(f - 1))).as("i")
+
+    def blowDocs(f: Int): DataFrame =
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+        .select(col("doc_id"), col("text"), reps(f))
+        .select((col("doc_id") + col("i") * Shift).as("doc_id"),
+          when(col("i") === 0, col("text"))
+            .otherwise(array_join(transform(split(col("text"), " "),
+              t => concat(t, lit("_"), col("i"))), " ")).as("text"))
+
+    def blowEmb(f: Int): DataFrame =
+      Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+        .select(col("vec_id"), col("embedding"), reps(f))
+        .select((col("vec_id") + col("i") * Shift).as("vec_id"),
+          expr("""transform(embedding, (x, j) ->
+                 CAST(x + CASE WHEN j = i % size(embedding)
+                               THEN 0.05D * (i % 7 + 1) ELSE 0.0D END AS FLOAT))""")
+            .as("embedding"))
+
+    def blowCust(f: Int): DataFrame =
+      Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_name"))
+        .select(col("c_custkey"), col("c_name"), reps(f))
+        .select((col("c_custkey") + col("i") * Shift).as("c_custkey"),
+          when(col("i") === 0, col("c_name"))
+            .otherwise(concat(col("c_name"), lit(" "),
+              expr("repeat(chr(97 + i % 26), 3)"))).as("c_name"))
+
+    def materialize(name: String, f: Int, df: DataFrame): DataFrame = {
+      val path = s"${base.getAbsolutePath}/${name}_x$f"
+      if (!new java.io.File(path, "_SUCCESS").exists())
+        df.repartition(cpus.toInt).write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+
+    // ---- measured operators (board-query configurations) ----
+    import graft.operators.{Dedup, EntityResolution, Similarity}
+    def ops(docs: DataFrame, emb: DataFrame, cust: DataFrame,
+        queries: DataFrame): Seq[(String, () => DataFrame)] = Seq(
+      "d02_minhash_lsh" -> (() => Dedup.minhashLshPairs(docs)),
+      "d04_ngram_jaccard" -> (() => Dedup.ngramJaccardPairs(docs)),
+      "d14_fuzzy_er" -> (() =>
+        EntityResolution.fuzzyPairs(cust, "c_custkey", "c_name", maxDist = 1)),
+      "s02_knn_ivf" -> (() =>
+        Similarity.ivfKnn(emb, queries, k = 5, nCells = 16, nprobe = 2)),
+      "s15_recall_sweep" -> (() =>
+        Similarity.recallSweep(emb, queries, k = 5, nCells = 16,
+          nprobes = Seq(1, 2, 4, 8, 16))))
+
+    val results = scala.collection.mutable.Map[(String, Int), Double]()
+    factors.foreach { f =>
+      val docs = materialize("documents", f, blowDocs(f))
+      val emb = materialize("embeddings", f, blowEmb(f))
+      val cust = materialize("customer", f, blowCust(f))
+      // fixed query set (shard-0 vectors): corpus side scales, probe
+      // side constant — the serving shape whose scaling matters
+      val queries = emb.filter(col("vec_id") < 100)
+      ops(docs, emb, cust, queries).foreach { case (name, thunk) =>
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          thunk().write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        val med = times(1)
+        results((name, f)) = med
+        println(f"""{"op":"$name","factor":$f,"median_sec":$med%.3f}""")
+      }
+    }
+    println("op, t1, t3, t10, alpha_3 (ln(t3/t1)/ln3), alpha_10 (ln(t10/t1)/ln10)")
+    ops(null, null, null, null).map(_._1).foreach { name =>
+      val t1 = results((name, 1)); val t3 = results((name, 3)); val t10 = results((name, 10))
+      val a3 = math.log(t3 / t1) / math.log(3.0)
+      val a10 = math.log(t10 / t1) / math.log(10.0)
+      println(f"$name%-20s $t1%7.2f $t3%7.2f $t10%7.2f   $a3%5.2f   $a10%5.2f")
+    }
+    spark.stop()
+  }
+}

@@ -237,6 +237,7 @@ case class NgramListExpr(child: Expression, n: Int) extends KernelCall with Stri
   * SymSpell index-key set (EntityResolution blocking). */
 case class DeletionVariantsExpr(child: Expression, maxDist: Int)
     extends KernelCall with StringInput {
+  require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(s: Any): Any =
     TextKernels.deletionVariants(s.asInstanceOf[UTF8String], maxDist)

@@ -662,28 +662,29 @@ object TextKernels {
   def deletionVariants(s: UTF8String, maxDist: Int): ArrayData = {
     val seen = new java.util.LinkedHashSet[UTF8String]()
     seen.add(s)
-    val n = s.numChars()
-    if (n > 0 && maxDist >= 1) {
-      val gen1 = new java.util.ArrayList[UTF8String](n)
-      var i = 0
-      while (i < n) {
-        val v = UTF8String.concat(s.substring(0, i), s.substring(i + 1, n))
-        gen1.add(v)
-        seen.add(v)
-        i += 1
-      }
-      if (maxDist >= 2) {
-        val it = gen1.iterator()
-        while (it.hasNext) {
-          val t = it.next()
-          val m = t.numChars()
-          var j = 0
-          while (j < m) {
-            seen.add(UTF8String.concat(t.substring(0, j), t.substring(j + 1, m)))
-            j += 1
-          }
+    // BFS one deletion level at a time: the frontier at depth d holds the
+    // NEW distance-d strings, so depth d+1 never regenerates a shorter
+    // variant's children twice and the loop terminates at maxDist (or when
+    // strings run out of characters). Arbitrary maxDist — the set size is
+    // C(n, maxDist)-ish, the caller's blocking-cost knob, not a kernel cap.
+    var frontier = new java.util.ArrayList[UTF8String](1)
+    frontier.add(s)
+    var d = 0
+    while (d < maxDist && !frontier.isEmpty) {
+      val next = new java.util.ArrayList[UTF8String](frontier.size * 4)
+      val it = frontier.iterator()
+      while (it.hasNext) {
+        val t = it.next()
+        val m = t.numChars()
+        var j = 0
+        while (j < m) {
+          val v = UTF8String.concat(t.substring(0, j), t.substring(j + 1, m))
+          if (seen.add(v)) next.add(v)
+          j += 1
         }
       }
+      frontier = next
+      d += 1
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
   }

@@ -89,6 +89,30 @@ object Graphs {
     * the previous cut's cached blocks. */
   private val CutEvery = 4
 
+  /** Cache-release contract for the iterative operators
+    * ([[pageRank]]/[[pageRankWeighted]]/[[labelPropagate]]/[[bfsHops]]):
+    * each RETURNS the persisted, already-materialized |V|-sized result
+    * frame — the pin is on the returned frame itself, so
+    * `result.unpersist()` releases every block the call left registered
+    * (eod/nodes/intermediate cuts are released internally before return).
+    * A long-lived session calling these per-batch MUST release: either
+    * `result.unpersist()` once consumed, or — for results known bounded
+    * (a nation/domain-level graph, a top-k report) — [[detachSmall]],
+    * which copies the rows into a plan-free LocalRelation and releases
+    * immediately, leaving zero registered blocks. Callers that feed the
+    * result into a further iterative loop should re-root it themselves
+    * (`createDataFrame(df.rdd, df.schema)`) to keep AQE plan nesting at
+    * depth 1. */
+  def detachSmall(df: DataFrame, maxRows: Int = 1 << 20): DataFrame = {
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"detachSmall: result exceeds $maxRows rows — keep the persisted frame " +
+        "and release with unpersist() after consumption instead")
+    df.unpersist(blocking = false)
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   def pageRankWeighted(edges: DataFrame, iters: Int, dampE2: Int = 85): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(dampE2 >= 0 && dampE2 <= 100, s"dampE2 must be in [0,100], got $dampE2")
@@ -133,11 +157,12 @@ object Graphs {
       } else next
     }
     // iters=0 → materialize the cheap projection over nodes so consumers
-    // still read a cached |V|-sized result; otherwise the last round's
-    // cut already holds the cache and `ranks` is its flat view.
-    val out =
-      if (prevCut.isDefined) ranks
-      else { val o = ranks.persist(StorageLevel.MEMORY_AND_DISK); o.count(); flatView(o) }
+    // still read a cached |V|-sized result. Return the PERSISTED frame
+    // itself (not a flat view over it) so the caller's unpersist()
+    // actually releases the pin — see the [[detachSmall]] contract.
+    val out = prevCut.getOrElse {
+      val o = ranks.persist(StorageLevel.MEMORY_AND_DISK); o.count(); o
+    }
     eod.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     out
@@ -263,9 +288,10 @@ object Graphs {
         flatView(cut)
       } else next
     }
-    val out =
-      if (prevCut.isDefined) lab
-      else { val o = lab.persist(StorageLevel.MEMORY_AND_DISK); o.count(); flatView(o) }
+    // return the persisted frame itself — caller-releasable (detachSmall)
+    val out = prevCut.getOrElse {
+      val o = lab.persist(StorageLevel.MEMORY_AND_DISK); o.count(); o
+    }
     e.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     seed.unpersist(blocking = false)

@@ -700,8 +700,17 @@ object Similarity {
     ivfKnnWith(buildIvf(emb, nCells, iters, sampleMod), queries, k, nprobe)
 
   /** Probe a pre-built [[IvfIndex]] — amortizes the index build across
-    * query batches. */
-  def ivfKnnWith(index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    * query batches.
+    *
+    * `excludeSelf` (default true) drops candidates whose `vec_id` equals
+    * the probing `query_id` — correct for SELF-search (queries drawn from
+    * the indexed corpus, where the best match is trivially yourself), but
+    * it MUST be false for cross-corpus probes (e.g. bitext mining), where
+    * src and tgt id spaces may overlap and id-equality is coincidence, not
+    * identity — silently dropping the aligned (i, i) pair there loses
+    * exactly the rows being mined. */
+  def ivfKnnWith(index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     require(nprobe > 0 && nprobe <= index.nCells,
       s"nprobe must be in [1, nCells=${index.nCells}], got $nprobe")
     val assigned = index.assigned
@@ -716,8 +725,8 @@ object Similarity {
         TopKByScore.topK(col("cell_cos"), col("cid"), nprobe).as("cells"))
       .select(col("query_id"), col("qv"), norm(col("qv")).as("qn"),
         explode(col("cells.id")).as("cell"))
-    val scored = probes.join(assigned, Seq("cell"))
-      .filter(col("query_id") =!= col("vec_id"))
+    val joined = probes.join(assigned, Seq("cell"))
+    val scored = (if (excludeSelf) joined.filter(col("query_id") =!= col("vec_id")) else joined)
       .withColumn("neighbor_id", col("vec_id"))
       .withColumn("cos_e6", cosE6From(col("qv"), col("embedding"), col("qn"), col("nn")))
     topKNeighbors(scored, k)
@@ -767,7 +776,13 @@ object Similarity {
     * because [[TopKByScore]]'s descending output is prefix-consistent:
     * the first ℓ of the top-max cells ARE the top-ℓ cells, same
     * tie-breaks. Both reused frames are persisted, the 5-row report is
-    * materialized, and the scaffolding is dropped before returning. */
+    * materialized, and the scaffolding is dropped before returning.
+    *
+    * When `max(nprobes) == nCells` the max-level probe visits EVERY cell —
+    * it IS exact search (same self-exclusion, same cosE6, same
+    * (score desc, id asc) heap tie-breaks as [[bruteForceKnn]]) — so the
+    * ground truth is derived from the already-persisted candidate frame
+    * instead of paying a second full corpus×queries pass. */
   def recallSweep(emb: DataFrame, queries: DataFrame, k: Int, nCells: Int,
       nprobes: Seq[Int], iters: Int = 2, sampleMod: Int = 7): DataFrame = {
     require(nprobes.nonEmpty, "nprobes must be non-empty")
@@ -791,7 +806,8 @@ object Similarity {
       .withColumn("cos_e6", cosE6From(col("qv"), col("embedding"), col("qn"), col("nn")))
       .select(col("query_id"), col("neighbor_id"), col("cos_e6"), col("cell_rank"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val truth = bruteForceKnn(emb, queries, k)
+    val truth = (if (maxNp == nCells) topKNeighbors(scored, k)
+        else bruteForceKnn(emb, queries, k))
       .select(col("query_id").as("tq"), col("neighbor_id").as("tn"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val levels = nprobes.distinct.sorted.map { np =>
@@ -838,19 +854,34 @@ object Similarity {
     * floors, and they only agree above zero); negative-cosine candidate
     * pairs are dropped for the same reason (they are noise for mining
     * anyway). A query whose whole neighborhood is negative yields no row.
+    *
+    * Both probes run with `excludeSelf = false`: these are CROSS-corpus
+    * lookups, so a src id equalling a tgt id is a coincidence of id
+    * spaces, not a self-match — with overlapping id spaces the aligned
+    * (i, i) pair is precisely the row mining exists to find.
     */
   def bitextMarginMine(src: DataFrame, tgt: DataFrame, queries: DataFrame,
       k: Int, nCells: Int, nprobe: Int,
-      iters: Int = 2, sampleMod: Int = 7): DataFrame = {
-    val fwd = ivfKnnWith(buildIvf(tgt, nCells, iters, sampleMod), queries, k, nprobe)
+      iters: Int = 2, sampleMod: Int = 7): DataFrame =
+    bitextMarginMineWith(buildIvf(src, nCells, iters, sampleMod),
+      buildIvf(tgt, nCells, iters, sampleMod), queries, k, nprobe)
+
+  /** [[bitextMarginMine]] against PREBUILT indexes — the mining-run and
+    * streaming serving shape: both corpus-sized index builds are paid once
+    * (persist them), each query batch pays only the two probe passes.
+    * `tgtIndex.assigned` doubles as the candidate-vector source for the
+    * backward probe, so the raw target frame is never re-read. */
+  def bitextMarginMineWith(srcIndex: IvfIndex, tgtIndex: IvfIndex,
+      queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val fwd = ivfKnnWith(tgtIndex, queries, k, nprobe, excludeSelf = false)
       .filter(col("cos_e6") >= 0L)
       .select(col("query_id"), col("neighbor_id"), col("cos_e6"))
     val avgFwd = fwd.groupBy(col("query_id"))
       .agg(expr("sum(cos_e6) div count(1)").as("avg_src"))
-    val candVecs = tgt.join(
+    val candVecs = tgtIndex.assigned.select(col("vec_id"), col("embedding")).join(
       fwd.select(col("neighbor_id")).distinct(),
-      tgt("vec_id") === col("neighbor_id"), "left_semi")
-    val bwd = ivfKnnWith(buildIvf(src, nCells, iters, sampleMod), candVecs, k, nprobe)
+      col("vec_id") === col("neighbor_id"), "left_semi")
+    val bwd = ivfKnnWith(srcIndex, candVecs, k, nprobe, excludeSelf = false)
       .filter(col("cos_e6") >= 0L)
     val avgBwd = bwd.groupBy(col("query_id").as("__nb"))
       .agg(expr("sum(cos_e6) div count(1)").as("avg_tgt"))

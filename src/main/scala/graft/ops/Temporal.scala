@@ -256,12 +256,15 @@ object Temporal {
     * bounded by the day's events), while cross-day carry-in is a
     * day-level prefix sum over the per-day delta totals — #days rows, so
     * its single-partition window is microscopic by construction. Peak =
-    * max(within-day running sum + carry). Touching intervals don't
+    * max(carry, max(within-day running sum + carry)) — the bare carry is
+    * the day-START level (sessions still open at midnight, before the
+    * day's first delta) and must compete: a day whose first delta is an
+    * interval END would otherwise under-report. Touching intervals don't
     * overlap: at equal timestamps the `delta` sort key drains -1 ends
     * before +1 starts; ties among EQUAL (t, delta) rows permute freely
     * but cannot change a max. Days that only ever see interval ENDS
     * (tails crossing midnight past the last start) still report — their
-    * peak is the carry plus the leading partial sums.
+    * peak is the carry itself (the level before the end drains it).
     *
     * @return (day: date, peak_concurrency: long), one row per day any
     *         delta lands on
@@ -281,6 +284,7 @@ object Temporal {
           .rowsBetween(Window.unboundedPreceding, 0)))
       .join(carries, Seq("day"))
       .groupBy(col("day"))
-      .agg(max(col("run") + col("carry")).as("peak_concurrency"))
+      .agg(greatest(max(col("run") + col("carry")), max(col("carry")))
+        .as("peak_concurrency"))
   }
 }

@@ -327,9 +327,169 @@ object NorthStarQueries {
     s"CASE WHEN list_sum(list_transform(th, h -> ((h >> $j) & 1)*2 - 1)) > 0 THEN ${1L << j} ELSE 0 END"
   }.mkString("(", " + ", ")")
 
+  /** c01's full-pipeline replay: every stage of the bounded
+    * CurationPipeline.curate configuration re-derived in DuckDB — the
+    * same planted-PII corpus, then MinHash-LSH pairs → connected
+    * components → keep-longest (d02/d06/d09's CTEs over the planted
+    * text), shingle-containment decontamination vs the %10 eval slice
+    * (d08), the t03 quality score bucketed at the p250 fence over the
+    * SURVIVORS (t12's rank-fence formula — the breakpoint must be fit on
+    * the post-contamination corpus, exactly as the pipeline does),
+    * token-level PII redaction (t13), the component-keyed split fences
+    * (d07), and the per-(split/source) packing windows (t07). One
+    * hash-green run proves the operators COMPOSE — each stage consuming
+    * the previous stage's survivors — not just pass in isolation. */
+  private def curationOracleSql: String = {
+    val allStops = graft.functions.TextFunctions.langProfiles.flatMap(_._2).distinct
+      .map(w => s"'$w'").mkString(",")
+    val em = """^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+$"""
+    val ip = """^(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)(\.(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)){3}$"""
+    val ph = """^\+?[0-9](-?[0-9]){6,14}$"""
+    s"""WITH RECURSIVE docs0 AS (
+       |  SELECT doc_id, source, text ||
+       |    CASE WHEN doc_id % 7 = 0 THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+       |    CASE WHEN doc_id % 5 = 0 THEN ' 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END ||
+       |    CASE WHEN doc_id % 3 = 0 THEN ' +34-91-555-01' || CAST(doc_id % 10 AS VARCHAR) ELSE '' END ||
+       |    CASE WHEN doc_id % 11 = 0 THEN ' bad@@example.com 300.1.2.3 12-34' ELSE '' END AS text
+       |  FROM documents),
+       |ws AS (SELECT doc_id, $WsSql AS w FROM docs0),
+       |sh AS (SELECT doc_id, $Shingles3Sql AS s FROM ws),
+       |ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+       |mh AS (SELECT doc_id, i, MIN(${h60("CAST(i AS VARCHAR)||':'||sh")}) AS mh
+       |       FROM ex, range(12) t(i) GROUP BY doc_id, i),
+       |bands AS (SELECT doc_id, i // 3 AS band,
+       |                 md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bh
+       |          FROM mh GROUP BY doc_id, i // 3),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+       |inter AS (SELECT ea.doc_id AS doc_a, eb.doc_id AS doc_b, COUNT(*) AS inter_cnt
+       |          FROM ex ea JOIN ex eb ON ea.sh = eb.sh AND ea.doc_id < eb.doc_id
+       |          GROUP BY 1, 2),
+       |pairs AS (SELECT c.doc_a, c.doc_b
+       |          FROM cand c
+       |          JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |          JOIN sz sa ON sa.doc_id = c.doc_a
+       |          JOIN sz sb ON sb.doc_id = c.doc_b
+       |          WHERE 1000 * i.inter_cnt >= 800 * (sa.n + sb.n - i.inter_cnt)),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(doc, lab) AS (
+       |  SELECT doc_id, doc_id FROM docs0
+       |  UNION
+       |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.doc),
+       |comp AS (SELECT doc AS doc_id, MIN(lab) AS component
+       |         FROM reach GROUP BY doc),
+       |tl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok FROM ws),
+       |keptid AS (SELECT doc_id FROM (
+       |    SELECT c.doc_id, ROW_NUMBER() OVER (PARTITION BY c.component
+       |      ORDER BY tl.n_tok DESC, c.doc_id) AS rn
+       |    FROM comp c JOIN tl ON tl.doc_id = c.doc_id) WHERE rn = 1),
+       |esh AS (SELECT doc_id + 2000000 AS eval_id, s FROM sh WHERE doc_id % 10 = 0),
+       |esz AS (SELECT eval_id, CAST(len(s) AS BIGINT) AS n_ev FROM esh WHERE len(s) > 0),
+       |eex AS (SELECT eval_id, unnest(s) AS sh FROM esh),
+       |tex AS (SELECT k.doc_id AS train_id, e.sh FROM keptid k
+       |        JOIN ex e ON e.doc_id = k.doc_id),
+       |cint AS (SELECT train_id, eval_id, COUNT(*) AS inter_cnt
+       |         FROM tex JOIN eex USING (sh) GROUP BY 1, 2),
+       |flag AS (SELECT DISTINCT train_id FROM cint JOIN esz USING (eval_id)
+       |         WHERE (1000 * inter_cnt) // n_ev >= 500),
+       |clean AS (SELECT doc_id FROM keptid
+       |          WHERE doc_id NOT IN (SELECT train_id FROM flag)),
+       |qm AS (SELECT ws.doc_id,
+       |        CAST(len(w) AS BIGINT) AS n_tok,
+       |        (1000 * len(list_filter(w, t -> list_contains([$allStops], t))))
+       |          // greatest(len(w), 1) AS stop_permille,
+       |        (1000 * len(list_filter(w, t -> regexp_matches(t, '^[a-z]+$$'))))
+       |          // greatest(len(w), 1) AS alpha_permille
+       |       FROM ws JOIN clean ON ws.doc_id = clean.doc_id),
+       |q AS (SELECT doc_id,
+       |        CAST(CASE WHEN n_tok BETWEEN 10 AND 10000 THEN 500 ELSE 0 END
+       |             + stop_permille // 2 + alpha_permille // 4 AS BIGINT) AS quality
+       |      FROM qm),
+       |h AS (SELECT quality, COUNT(*) AS cnt FROM q GROUP BY 1),
+       |w2 AS (SELECT quality,
+       |         CAST(SUM(cnt) OVER (ORDER BY quality) AS BIGINT) AS cum,
+       |         CAST(SUM(cnt) OVER () AS BIGINT) AS n
+       |       FROM h),
+       |bp AS (SELECT MIN(CASE WHEN cum > (250*(n-1))//1000 THEN quality END) AS b1
+       |       FROM w2),
+       |good AS (SELECT q.doc_id, q.quality, CAST(1 AS BIGINT) AS bucket
+       |         FROM q, bp WHERE q.quality > bp.b1),
+       |red AS (SELECT d.doc_id, array_to_string(list_transform(string_split(d.text, ' '), x ->
+       |          CASE WHEN regexp_matches(x, '$em') THEN '<EMAIL>'
+       |               WHEN regexp_matches(x, '$ip') THEN '<IP>'
+       |               WHEN regexp_matches(x, '$ph') THEN '<PHONE>'
+       |               ELSE x END), ' ') AS rtext
+       |        FROM docs0 d JOIN good g ON d.doc_id = g.doc_id),
+       |spl AS (SELECT g.doc_id, c.component,
+       |          CASE WHEN ${h60("CAST(c.component AS VARCHAR)")} % 1000 < 900 THEN 'train'
+       |               WHEN ${h60("CAST(c.component AS VARCHAR)")} % 1000 < 950 THEN 'val'
+       |               ELSE 'test' END AS split
+       |        FROM good g JOIN comp c ON g.doc_id = c.doc_id),
+       |pk AS (SELECT g.doc_id, spl.component, g.quality, g.bucket, spl.split,
+       |          spl.split || '/' || d.source AS shard,
+       |          CAST(len(list_filter(string_split(r.rtext, ' '), t -> len(t) > 0))
+       |            AS BIGINT) AS n_tokens,
+       |          md5(r.rtext) AS text_md5
+       |        FROM good g
+       |        JOIN spl ON spl.doc_id = g.doc_id
+       |        JOIN red r ON r.doc_id = g.doc_id
+       |        JOIN docs0 d ON d.doc_id = g.doc_id),
+       |o AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+       |          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |          AS BIGINT) AS token_offset
+       |      FROM pk)
+       |SELECT doc_id, component, quality, bucket, split, shard, n_tokens,
+       |       token_offset, CAST(token_offset // 2048 AS BIGINT) AS chunk_id, text_md5
+       |FROM o ORDER BY doc_id""".stripMargin
+  }
+
   // ---- queries ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c01_curation_e2e" -> ((s, d) => {
+      // The END-TO-END curation pipeline as one oracle-checked query —
+      // the product story: near-dup dedup (keep-longest) → shingle
+      // decontamination vs a held-out eval slice → quality-quantile floor
+      // → PII redaction → leakage-safe component-keyed split → per-shard
+      // token packing, all composed by CurationPipeline.curate with each
+      // stage consuming the previous stage's survivors. PII specimens are
+      // PLANTED (t13's doc_id arithmetic) so the redaction stage provably
+      // does work in composition; eval docs are the %10 slice re-id'd
+      // +2e6 (d08's fixture), so decontamination drops real rows. Output
+      // carries every stage's evidence: component (dedup), quality +
+      // bucket (filter), split (leakage fence), shard/n_tokens/
+      // token_offset/chunk_id (packing), md5(text) (redaction).
+      val planted = Tables.documents(s, d).withColumn("text", concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" user"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+            lit("."), pmod(col("doc_id"), lit(100)).cast("string")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" +34-91-555-01"), pmod(col("doc_id"), lit(10)).cast("string")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          lit(" bad@@example.com 300.1.2.3 12-34")).otherwise(lit(""))))
+      val evalDocs = planted.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      graft.pipelines.CurationPipeline.curate(
+          planted, evalDocs,
+          contaminationPermille = 500,
+          qualityBreakpoints = Seq(250),
+          minQualityBucket = 1,
+          packBudget = 2048,
+          intraDocDedup = false) // t19 proves the stage standalone; off here
+                                 // so the oracle replays the planted text verbatim
+        .select(col("doc_id"), col("component"), col("quality"), col("bucket"),
+          col("split"), col("shard"), col("n_tokens"), col("token_offset"),
+          col("chunk_id"), md5(col("text")).as("text_md5"))
+    }),
     "d01_exact_dedup" -> ((s, d) => {
       // Exact dedup over a corpus with manufactured exact copies.
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -378,7 +538,11 @@ object NorthStarQueries {
       val seeds = Tables.nation(s, d).filter(col("n_nationkey") < 8)
         .select(col("n_nationkey").cast("long").as("node"),
           col("n_regionkey").cast("long").as("label"))
-      graft.operators.Graphs.labelPropagate(edges, seeds, rounds = 2)
+      // nation-sized result: detachSmall copies the materialized 25 rows
+      // into a LocalRelation and releases every cached block immediately
+      // (the release contract — leaked_rdds stays 0 in the bench census)
+      graft.operators.Graphs.detachSmall(
+          graft.operators.Graphs.labelPropagate(edges, seeds, rounds = 2))
         .join(Tables.nation(s, d), col("node") === col("n_nationkey"))
         .select(col("n_name"), col("label"))
     }),
@@ -399,7 +563,9 @@ object NorthStarQueries {
           col("c_nationkey").cast("long").as("dst"))
         .filter(col("src") =!= col("dst"))
         .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
-      graft.operators.Graphs.pageRankWeighted(edges, iters = 3)
+      // nation-sized result → detachSmall (zero blocks left registered)
+      graft.operators.Graphs.detachSmall(
+          graft.operators.Graphs.pageRankWeighted(edges, iters = 3))
         .join(Tables.nation(s, d), col("node") === col("n_nationkey"))
         .select(col("n_name"), col("rank_e6"))
     }),
@@ -422,7 +588,9 @@ object NorthStarQueries {
         .select(col("s_nationkey").cast("long").as("src"),
           col("c_nationkey").cast("long").as("dst"))
         .filter(col("src") =!= col("dst"))
-      graft.operators.Graphs.pageRank(edges, iters = 3)
+      // nation-sized result → detachSmall (zero blocks left registered)
+      graft.operators.Graphs.detachSmall(
+          graft.operators.Graphs.pageRank(edges, iters = 3))
         .join(Tables.nation(s, d), col("node") === col("n_nationkey"))
         .select(col("n_name"), col("rank_e6"))
     }),
@@ -1506,6 +1674,8 @@ object NorthStarQueries {
   // ---- oracles ----
 
   val oracleSql: Map[String, String] = Map(
+    // the end-to-end pipeline replay — see curationOracleSql
+    "c01_curation_e2e" -> curationOracleSql,
     // 2 clamped synchronous rounds, weight-argmax with smallest-label
     // tie-break (QUALIFY replays the argmax deterministically)
     "d20_label_propagation" ->

@@ -473,7 +473,9 @@ object RelationalQueries {
         .filter(col("src") =!= col("dst"))
       val seeds = Tables.nation(s, d).filter(col("n_regionkey") === 2)
         .select(col("n_nationkey").cast("long").as("node"))
-      graft.operators.Graphs.bfsHops(edges, seeds, maxRounds = 3)
+      // nation-sized result → detachSmall (zero blocks left registered)
+      graft.operators.Graphs.detachSmall(
+          graft.operators.Graphs.bfsHops(edges, seeds, maxRounds = 3))
         .join(Tables.nation(s, d), col("node") === col("n_nationkey"))
         .select(col("n_name"), col("dist"))
     }),
@@ -1486,7 +1488,8 @@ object RelationalQueries {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
         |       FROM dd)
         |SELECT strftime(rn.day, '%Y-%m-%d') AS day,
-        |       CAST(MAX(run + carry) AS BIGINT) AS peak_concurrency
+        |       CAST(GREATEST(MAX(run + carry), MAX(carry)) AS BIGINT)
+        |         AS peak_concurrency
         |FROM rn JOIN cr USING (day) GROUP BY 1 ORDER BY 1""".stripMargin,
     "q53_activity_islands" ->
       """WITH days AS (

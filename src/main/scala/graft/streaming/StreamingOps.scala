@@ -584,6 +584,73 @@ object StreamingOps {
           batch.toDF(), shingleN, numHashes, rowsPerBand, minJaccardPermille), batchId)
       }
 
+  /** Streaming hybrid retrieval — the serving face of the s16 shape: each
+    * micro-batch of user queries `(query_id, text, embedding)` runs the
+    * lexical leg against a prebuilt [[graft.operators.TextSearch.TextIndex]]
+    * and the dense leg against a prebuilt
+    * [[graft.operators.Similarity.IvfIndex]], fuses them with
+    * [[graft.operators.TextSearch.rrfFuse]], and hands the fused top-k to
+    * `sink(results, batchId)` (idempotent per-batch upsert — same replay
+    * contract as [[changelogUpsertSink]]). Batch ≡ stream by construction:
+    * the per-batch body IS the batch operators.
+    *
+    * The batch's query TEXTS are collected to the driver — bounded state
+    * by definition (a trigger's worth of user queries, not corpus data;
+    * the BM25 leg needs literal terms to prune the postings scan). Both
+    * indexes should be persisted by the caller — that is the point of the
+    * serving shape. Empty micro-batches skip the sink call. */
+  def hybridSearchSink(
+      queries: DataFrame, // streaming: query_id (long), text (string), embedding (array<float>)
+      textIndex: graft.operators.TextSearch.TextIndex,
+      ivf: graft.operators.Similarity.IvfIndex,
+      k: Int,
+      nprobe: Int,
+      rrfK: Int = 60,
+      checkpointDir: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.toDF().persist()
+        try {
+          val qText = b.select(col("query_id").cast("long"), col("text"))
+            .collect().map(r => r.getLong(0).toInt -> r.getString(1)).toSeq
+          if (qText.nonEmpty) {
+            val lex = graft.operators.TextSearch.bm25TopKWith(textIndex, qText, k)
+              .select(col("query_id"), col("doc_id"), col("rank"))
+            val dense = graft.operators.Similarity.ivfKnnWith(ivf,
+                b.select(col("query_id").as("vec_id"), col("embedding")), k, nprobe)
+              .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+            sink(graft.operators.TextSearch.rrfFuse(Seq(lex, dense), k, rrfK), batchId)
+          }
+        } finally { b.unpersist(blocking = false); () }
+      }
+
+  /** Streaming bitext mining — the serving face of the s17 shape: each
+    * micro-batch of source-side vectors `(vec_id, embedding)` is margin-
+    * mined against PREBUILT source/target IVF indexes
+    * ([[graft.operators.Similarity.bitextMarginMineWith]] — the corpus-
+    * sized index builds are paid once, per batch only the two probe
+    * passes run), and the mined `(src_id, tgt_id, cos_e6, margin_e6)`
+    * pairs go to `sink(results, batchId)` with the usual idempotent-
+    * upsert replay contract. Batch ≡ stream by construction. */
+  def bitextMineSink(
+      srcQueries: DataFrame, // streaming: vec_id (long), embedding (array<float>)
+      srcIndex: graft.operators.Similarity.IvfIndex,
+      tgtIndex: graft.operators.Similarity.IvfIndex,
+      k: Int,
+      nprobe: Int,
+      checkpointDir: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    srcQueries.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.operators.Similarity.bitextMarginMineWith(
+          srcIndex, tgtIndex, batch.toDF(), k, nprobe), batchId)
+      }
+
   /** Streaming MinHash-LSH near-duplicate detection: the streaming
     * counterpart of Dedup.minhashLshPairs (same signature scheme, same
     * banding), emitting a candidate hit whenever an incoming document

@@ -134,4 +134,35 @@ class GraphsSpec extends SparkTestBase {
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
     assert(Graphs.pageRank(empty, iters = 3).count() === 0L)
   }
+
+  test("release contract: detachSmall leaves zero registered blocks, values unchanged") {
+    def registered() = spark.sparkContext.getPersistentRDDs.size
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    assert(registered() === 0)
+    // each operator returns a persisted frame the CALLER owns...
+    val pr = Graphs.pageRank(triangle, iters = 5)
+    assert(registered() > 0, "result frame is pinned for reuse until released")
+    val pinned = ranks(pr)
+    // ...and detachSmall copies it off the cache and releases everything
+    val local = Graphs.detachSmall(pr)
+    assert(registered() === 0, "detachSmall must release every block")
+    assert(ranks(local) === pinned)
+    // direct unpersist() on the returned frame works too (the pin is on
+    // the returned frame itself, not an internal wrapper)
+    val lp = Graphs.labelPropagate(
+      Seq((1L, 2L, 1L)).toDF("src", "dst", "w"),
+      Seq((1L, 7L)).toDF("node", "label"), rounds = 2)
+    assert(registered() > 0)
+    lp.unpersist(blocking = true)
+    assert(registered() === 0)
+    val bfs = Graphs.bfsHops(triangle, Seq(Tuple1(1L)).toDF("node"), maxRounds = 3)
+    assert(registered() > 0)
+    assert(Graphs.detachSmall(bfs).count() === 3L)
+    assert(registered() === 0)
+    // the bound is a loud guard, not a truncation
+    val big = Graphs.pageRank(triangle, iters = 1)
+    intercept[IllegalArgumentException] { Graphs.detachSmall(big, maxRows = 2) }
+    big.unpersist(blocking = true)
+  }
 }

@@ -478,6 +478,21 @@ class NorthStarSpec extends SparkTestBase {
     assert(got === expected && got.nonEmpty)
   }
 
+  test("bitextMarginMine with overlapping id spaces keeps the aligned (i,i) pair") {
+    // src and tgt share vec_ids 0-3 — the aligned translation pair
+    // id-collides by construction. Cross-corpus probes must NOT treat id
+    // equality as a self-match: before excludeSelf=false these four rows
+    // were silently dropped and mining returned the wrong (or no) pair.
+    val src = vecs((0L, Seq(1f, 0f, 0f)), (1L, Seq(0f, 1f, 0f)),
+      (2L, Seq(0f, 0f, 1f)), (3L, Seq(0.7f, 0.7f, 0f)))
+    val tgt = vecs((0L, Seq(0.99f, 0.05f, 0f)), (1L, Seq(0.05f, 0.99f, 0f)),
+      (2L, Seq(0f, 0.05f, 0.99f)), (3L, Seq(0.69f, 0.71f, 0.02f)))
+    val got = graft.operators.Similarity.bitextMarginMine(
+        src, tgt, src, k = 2, nCells = 2, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("prebuilt IVF index probes identically to the per-call form") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = emb.filter(col("vec_id") < 10)

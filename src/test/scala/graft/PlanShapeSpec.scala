@@ -141,14 +141,24 @@ class PlanShapeSpec extends SparkTestBase {
       .filter(col("src") =!= col("dst"))
     val r = graft.operators.Graphs.pageRank(edges, iters = 2)
     val p = plan(r)
-    // every round is persisted, counted, then re-rooted as a flat scan
-    // over its cached blocks (Graphs.flatView), so what a consumer plans
-    // over is ONE scan node — no joins, no exchanges, none of the
-    // iteration scaffolding (and therefore no chance of replaying it)
+    // rounds are persisted, counted, and re-rooted INSIDE the loop
+    // (Graphs.flatView), and the returned frame is the final persisted
+    // cut — the caller-releasable handle (unpersist() works; see the
+    // release contract). What a consumer PLANS over is the single cached
+    // scan: no join/exchange may appear above it. The iteration lineage
+    // printed UNDER InMemoryRelation is the recompute-on-block-loss
+    // fallback, not planner-visible work, so only the plan prefix above
+    // the relation is asserted scaffold-free.
     assert(p.contains("ExistingRDD") || p.contains("InMemoryTableScan"),
       s"rank output is not a materialized scan:\n$p")
+    val consumerVisible = p.indexOf("InMemoryRelation") match {
+      case -1 => p
+      case i => p.substring(0, i)
+    }
     for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Join", "Exchange"))
-      assert(!p.contains(bad), s"$bad leaked into the consumer-visible rank plan:\n$p")
+      assert(!consumerVisible.contains(bad),
+        s"$bad leaked into the consumer-visible rank plan:\n$p")
+    r.unpersist(blocking = true)
   }
 
   test("s16 RRF fusion: bounded heap aggregate, no window, no cartesian") {

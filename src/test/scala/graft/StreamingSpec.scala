@@ -19,6 +19,8 @@ case class AsofRightFix(key: Long, ts: Timestamp, value: Double)
 case class QueryEvent(ts: Timestamp, query_id: Int, text: String)
 case class Scd2Fix(key: Long, ts: Timestamp, seq: Long, value: String)
 case class FunnelFix(key: Long, ts: Timestamp, seq: Long, etype: String)
+case class HybridQueryFix(query_id: Long, text: String, embedding: Seq[Float])
+case class BitextQueryFix(vec_id: Long, embedding: Seq[Float])
 
 /** Streaming semantics mirrored from the reference's TopologyTestDriver
   * tests (CallsEnrichedAppTest.java) on MemoryStream micro-batches:
@@ -1352,5 +1354,88 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.length === batch.length)
     assert(streamed.groupBy(identity).view.mapValues(_.size).toMap ===
       batch.groupBy(identity).view.mapValues(_.size).toMap)
+  }
+
+  test("hybridSearchSink: per-batch fused top-k ≡ batch rrfFuse over the same indexes") {
+    import graft.operators.{Similarity, TextSearch}
+    // tiny corpus where lexical and dense legs DISAGREE, so fusion is
+    // doing real work: doc 1 matches the query terms, doc 3 is the
+    // nearest embedding
+    val docs = Seq(
+      (1L, "spark hash join plan"), (2L, "window functions and frames"),
+      (3L, "unrelated prose entirely"), (4L, "hash join hash join hash")
+    ).toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0.6f, 0.8f)), (3L, Seq(0f, 1f)), (4L, Seq(0.8f, 0.6f))
+    ).toDF("vec_id", "embedding")
+    val tIdx = TextSearch.buildTextIndex(docs, "doc_id", "text")
+    val ivf = Similarity.buildIvf(emb, nCells = 2).persist()
+    val batchA = Seq(HybridQueryFix(0L, "hash join", Seq(0f, 1f)))
+    val batchB = Seq(HybridQueryFix(1L, "window frames", Seq(1f, 0f)),
+      HybridQueryFix(2L, "spark plan", Seq(0.6f, 0.8f)))
+    val in = MemoryStream[HybridQueryFix](spark)
+    val got = scala.collection.concurrent.TrieMap[Long, Set[Seq[Any]]]()
+    val q = StreamingOps.hybridSearchSink(
+      in.toDF(), tIdx, ivf, k = 3, nprobe = 2,
+      checkpointDir = Files.createTempDirectory("ck-hybrid").toString) { (fused, id) =>
+        got(id) = fused.collect().map(_.toSeq).toSet
+      }.start()
+    try {
+      in.addData(batchA); q.processAllAvailable()
+      in.addData(batchB); q.processAllAvailable()
+    } finally q.stop()
+    def batchMode(qs: Seq[HybridQueryFix]) = {
+      val lex = TextSearch.bm25TopKWith(tIdx,
+          qs.map(h => h.query_id.toInt -> h.text), k = 3)
+        .select($"query_id", $"doc_id", $"rank")
+      val dense = Similarity.ivfKnnWith(ivf,
+          qs.map(h => (h.query_id, h.embedding)).toDF("vec_id", "embedding"),
+          k = 3, nprobe = 2)
+        .select($"query_id", $"neighbor_id".as("doc_id"), $"rank")
+      TextSearch.rrfFuse(Seq(lex, dense), k = 3).collect().map(_.toSeq).toSet
+    }
+    assert(got.toMap === Map(0L -> batchMode(batchA), 1L -> batchMode(batchB)))
+    // the fused ranking actually blends the legs: for "hash join"/(0,1)
+    // both doc 1 (lexical winner, also dense-visible) and doc 3 (dense
+    // winner) appear in the top-3
+    val top = got(0L).map(r => r(2).asInstanceOf[Long])
+    assert(top.contains(1L) && top.contains(3L))
+    ivf.unpersist()
+  }
+
+  test("bitextMineSink: per-batch mined pairs ≡ bitextMarginMineWith on the same indexes") {
+    import graft.operators.Similarity
+    // overlapping id spaces on purpose — the excludeSelf=false contract
+    // must hold through the streaming face too
+    val src = Seq((0L, Seq(1f, 0f, 0f)), (1L, Seq(0f, 1f, 0f)),
+      (2L, Seq(0f, 0f, 1f))).toDF("vec_id", "embedding")
+    val tgt = Seq((0L, Seq(0.99f, 0.05f, 0f)), (1L, Seq(0.05f, 0.99f, 0f)),
+      (2L, Seq(0f, 0.05f, 0.99f))).toDF("vec_id", "embedding")
+    val sIdx = Similarity.buildIvf(src, nCells = 2).persist()
+    val tIdx = Similarity.buildIvf(tgt, nCells = 2).persist()
+    val batchA = Seq(BitextQueryFix(0L, Seq(1f, 0f, 0f)))
+    val batchB = Seq(BitextQueryFix(1L, Seq(0f, 1f, 0f)),
+      BitextQueryFix(2L, Seq(0f, 0f, 1f)))
+    val in = MemoryStream[BitextQueryFix](spark)
+    val got = scala.collection.concurrent.TrieMap[Long, Set[Seq[Any]]]()
+    val q = StreamingOps.bitextMineSink(
+      in.toDF(), sIdx, tIdx, k = 2, nprobe = 2,
+      checkpointDir = Files.createTempDirectory("ck-bitext").toString) { (mined, id) =>
+        got(id) = mined.collect().map(_.toSeq).toSet
+      }.start()
+    try {
+      in.addData(batchA); q.processAllAvailable()
+      in.addData(batchB); q.processAllAvailable()
+    } finally q.stop()
+    def batchMode(qs: Seq[BitextQueryFix]) =
+      Similarity.bitextMarginMineWith(sIdx, tIdx,
+          qs.map(b => (b.vec_id, b.embedding)).toDF("vec_id", "embedding"),
+          k = 2, nprobe = 2)
+        .collect().map(_.toSeq).toSet
+    assert(got.toMap === Map(0L -> batchMode(batchA), 1L -> batchMode(batchB)))
+    // aligned (i,i) pairs survive the id collision in every batch
+    assert(got(0L).map(r => (r(0), r(1))) === Set((0L, 0L)))
+    assert(got(1L).map(r => (r(0), r(1))) === Set((1L, 1L), (2L, 2L)))
+    sIdx.unpersist(); tIdx.unpersist()
   }
 }

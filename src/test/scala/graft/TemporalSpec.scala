@@ -24,11 +24,12 @@ class TemporalSpec extends SparkTestBase {
       .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
     assert(got === Map("2024-01-01" -> 2L, "2024-01-02" -> 2L))
     // an interval whose end is the only delta on its day: the day still
-    // reports, at the carried-in level before the end drains it
+    // reports, at the carried-in level before the end drains it — the
+    // session WAS open from midnight to 06:00, so the peak is 1, not 0
     val tail = Seq((ts("2024-01-03 12:00:00"), ts("2024-01-04 06:00:00"))).toDF("s", "e")
     val got2 = graft.ops.Temporal.peakConcurrency(tail, col("s"), col("e"))
       .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
-    assert(got2 === Map("2024-01-03" -> 1L, "2024-01-04" -> 0L))
+    assert(got2 === Map("2024-01-03" -> 1L, "2024-01-04" -> 1L))
   }
 
   private def log = Seq(

@@ -63,6 +63,23 @@ class TextExprSpec extends SparkTestBase {
     }
   }
 
+  test("deletionVariants generalizes past maxDist=2 (BFS levels, no silent cap)") {
+    // "abcd" at maxDist=3: all subsequences of length >= 1 → sizes 4,3,2,1
+    // = C(4,0)+C(4,1)+C(4,2)+C(4,3) = 1+4+6+4 = 15 distinct strings
+    val got = Seq(Tuple1("abcd")).toDF("text")
+      .select(sort_array(TextFunctions.deletionVariants($"text", 3)).as("v"))
+      .head().getSeq[String](0)
+    assert(got.length === 15)
+    assert(got.contains("a") && got.contains("bd") && got.contains("abcd"))
+    // maxDist >= length: bottoms out at the empty string, still terminates
+    val all = Seq(Tuple1("ab")).toDF("text")
+      .select(sort_array(TextFunctions.deletionVariants($"text", 9)).as("v"))
+      .head().getSeq[String](0)
+    assert(all === Seq("", "a", "ab", "b"))
+    // negative maxDist is rejected at construction, not silently clamped
+    intercept[IllegalArgumentException] { TextFunctions.deletionVariants($"text", -1) }
+  }
+
   test("ngramRepetition kernel ≡ count-by-gram HOF, n=1,3") {
     for (n <- Seq(1, 3))
       assertSame(TextFunctions.ngramRepetition($"text", n),
