@@ -101,4 +101,45 @@ object EntityResolution {
       .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
+
+  /** Cross-source record LINKAGE: all pairs `(left_id, right_id, dist)`
+    * with `lev(left_str, right_str) <= maxDist` — [[fuzzyPairs]]' blocking
+    * applied across TWO catalogs (the master-data reconciliation shape:
+    * link a vendor feed to the canonical entity table). Id spaces are
+    * independent (no ordering constraint between sides, and equal ids on
+    * opposite sides are distinct entities — same cross-corpus stance as
+    * bitext mining). Same completeness argument: a true pair reaches a
+    * common ≤ maxDist-deletion key from both sides, so candidates are an
+    * equi-join of the two deletion indexes; exact banded-Levenshtein
+    * verify restores precision. `maxBucket` fences keys hot on EITHER
+    * side (join fan-out is the per-key product). */
+  def fuzzyLink(left: DataFrame, leftId: String, leftStr: String,
+      right: DataFrame, rightId: String, rightStr: String,
+      maxDist: Int = 1, maxBucket: Int = 0): DataFrame = {
+    require(maxDist == 1 || maxDist == 2, s"maxDist must be 1 or 2, got $maxDist")
+    def prep(df: DataFrame, id: String, s: String) = df
+      .select(col(id).cast("long").as("id"), col(s).cast("string").as("s"))
+      .filter(col("s").isNotNull)
+    def keyed(base: DataFrame) = base
+      .select(col("id"), explode(deletionKeys(maxDist)).as("v"))
+      .select(col("id"), graft.functions.TextFunctions.hash60(col("v")).as("k"))
+    val lb = prep(left, leftId, leftStr)
+    val rb = prep(right, rightId, rightStr)
+    def fence(k: DataFrame): DataFrame =
+      if (maxBucket <= 0) k
+      else k.join(
+        k.groupBy(col("k")).agg(count(lit(1)).as("n"))
+          .filter(col("n") > maxBucket).select(col("k")),
+        Seq("k"), "left_anti")
+    val lk = fence(keyed(lb)).select(col("k"), col("id").as("left_id"))
+    val rk = fence(keyed(rb)).select(col("k"), col("id").as("right_id"))
+    val cand = lk.join(rk, Seq("k"))
+      .select(col("left_id"), col("right_id")).distinct()
+    cand
+      .join(lb.select(col("id").as("left_id"), col("s").as("s_a")), Seq("left_id"))
+      .join(rb.select(col("id").as("right_id"), col("s").as("s_b")), Seq("right_id"))
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
+      .select(col("left_id"), col("right_id"), col("dist"))
+  }
 }

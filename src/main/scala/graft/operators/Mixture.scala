@@ -225,4 +225,44 @@ object Mixture {
       .select(col(groupCol), (col("pos") + 1).cast("int").as("rank"),
         col("kv.id").as(keyCol))
   }
+
+  /** Per-source KL divergence from the corpus-wide token distribution —
+    * the mixture-drift monitor: KL(source ‖ corpus) spikes when a
+    * source's unigram distribution departs from the blend it feeds
+    * (crawl drift, a broken extractor, boilerplate injection), exactly
+    * the signal that decides re-weighting between releases.
+    *
+    *   KL(s) = Σ_t p_s(t) · ln(p_s(t) / q(t)),  p_s = ct/st, q = gt/T
+    *
+    * in micro-nats, each term micro-rounded BEFORE the per-source sum so
+    * both engines add the same longs in any order (the t29 bigram-LM
+    * portability recipe); within-term double arithmetic is written with
+    * one fixed association mirrored verbatim by the oracle. Every
+    * source term has q(t) > 0 by construction (the corpus includes the
+    * source), so no smoothing is needed and KL is finite and ≥ 0 up to
+    * per-term rounding.
+    *
+    * Scale shape: three grouped aggregates (by (source, token), by
+    * source, by token — all map-side partial) + one 1-row stat frame
+    * broadcast; join keys are the aggregate keys, nothing quadratic.
+    *
+    * @return (source, n_tokens, n_terms, kl_e6) — one row per source
+    */
+  def klBySource(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(sourceCol).as("source"),
+      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("token"))
+    val ct = toks.groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+    val st = ct.groupBy(col("source")).agg(sum(col("c")).as("st"))
+    val gt = ct.groupBy(col("token")).agg(sum(col("c")).as("gt"))
+    val tot = ct.agg(sum(col("c")).as("tt"))
+    ct.join(st, "source")
+      .join(gt, "token")
+      .crossJoin(broadcast(tot))
+      .withColumn("k", expr(
+        "CAST(ROUND(1e6 * ((CAST(c AS DOUBLE) / st) * " +
+          "ln((CAST(c AS DOUBLE) * tt) / (CAST(st AS DOUBLE) * gt)))) AS BIGINT)"))
+      .groupBy(col("source"))
+      .agg(max(col("st")).as("n_tokens"), count(lit(1)).as("n_terms"),
+        sum(col("k")).as("kl_e6"))
+  }
 }

@@ -810,24 +810,47 @@ object Similarity {
         else bruteForceKnn(emb, queries, k))
       .select(col("query_id").as("tq"), col("neighbor_id").as("tn"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val levels = nprobes.distinct.sorted.map { np =>
-      val approx = topKNeighbors(scored.filter(col("cell_rank") < np), k)
-        .select(col("query_id"), col("neighbor_id"))
-      val hits = approx.join(truth,
+    // ALL levels in ONE plan, not one query per level: each candidate row
+    // fans out to exactly the levels that admit it (bounded ×|levels|
+    // inflation over an already-bounded frame), then one heap per
+    // (level, query), one hits join, one grouped count. Per-level filter
+    // before the heap ≡ fan-out then group-by-level — identical candidate
+    // multiset per (level, query), so the report is hash-identical to the
+    // per-level loop it replaces. The win is DISPATCH, not arithmetic: a
+    // per-level loop pays the driver's per-job floor |levels|× (measured:
+    // the whole query was ~0 s compute after dispatch normalization); the
+    // fused plan pays it once — the same reason the sweep exists instead
+    // of |levels| separate recallAtK calls.
+    val lv = nprobes.distinct.sorted.map(_.toLong)
+    val admitted = org.apache.spark.sql.functions.filter(
+      typedLit(lv), l => col("cell_rank") < l)
+    val approx = scored
+      .select(col("query_id"), col("neighbor_id"), col("cos_e6"),
+        explode(admitted).as("nprobe"))
+      .groupBy(col("nprobe"), col("query_id"))
+      .agg(graft.expressions.TopKByScore.topK(
+        col("cos_e6").cast("double"), col("neighbor_id"), k).as("top"))
+      .select(col("nprobe"), col("query_id"), explode(col("top.id")).as("neighbor_id"))
+    val hitCounts = approx.join(truth,
         col("query_id") === col("tq") && col("neighbor_id") === col("tn"))
-      truth
-        .agg(count_distinct(col("tq")).as("n_queries"), count(lit(1)).as("n_truth"))
-        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
-        .select(lit(np.toLong).as("nprobe"), col("n_queries"), col("n_truth"),
-          col("n_hits"),
-          expr("CAST(IF(n_truth = 0, NULL, (1000 * n_hits) DIV n_truth) AS BIGINT)").as("recall_permille"))
-    }
-    val out = levels.reduce(_ unionByName _)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
+    val stats = truth
+      .agg(count_distinct(col("tq")).as("n_queries"), count(lit(1)).as("n_truth"))
+    import scored.sparkSession.implicits._
+    val out = lv.toDF("nprobe")
+      .crossJoin(stats)
+      .join(hitCounts, Seq("nprobe"), "left")
+      .select(col("nprobe"), col("n_queries"), col("n_truth"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr("CAST(IF(n_truth = 0, NULL, (1000 * n_hits) DIV n_truth) AS BIGINT)").as("recall_permille"))
+    // the report is |levels| rows — hand it over as a plan-free
+    // LocalRelation (one action materializes the whole sweep), then drop
+    // the scaffolding caches: the call leaves nothing registered
+    val rows = out.collect()
     scored.unpersist(blocking = false)
     truth.unpersist(blocking = false)
-    out
+    scored.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), out.schema)
   }
 
   /** Margin-based bitext mining (the Artetxe & Schwenk ratio-margin rule

@@ -65,6 +65,12 @@ object Hierarchy {
     * category-total query. One [[ancestorClosure]] + one grouped
     * aggregate with map-side partials on the ancestor key.
     *
+    * Cache-release contract (same as [[graft.operators.Graphs]]): the
+    * returned |nodes|-sized frame is persisted and materialized — the pin
+    * is on the returned frame, so `out.unpersist()` releases it, or
+    * [[graft.operators.Graphs.detachSmall]] hands a bounded rollup over
+    * as a LocalRelation leaving zero registered blocks.
+    *
     * @param nodes (id, parent, value) — parent null at roots, value long
     * @return (id, n_nodes, subtree_value)
     */

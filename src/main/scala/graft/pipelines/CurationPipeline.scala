@@ -69,7 +69,8 @@ object CurationPipeline {
       blockedDomains: Seq[String] = Nil,
       maxPerDomain: Option[Int] = None,
       maxLineOccurrences: Option[Long] = None,
-      intraDocDedup: Boolean = true): DataFrame = {
+      intraDocDedup: Boolean = true,
+      detachBound: Option[Int] = None): DataFrame = {
     require(minQualityBucket >= 0 && minQualityBucket <= qualityBreakpoints.size,
       s"minQualityBucket must be in [0, ${qualityBreakpoints.size}], got $minQualityBucket")
     require(urlCol.isDefined || (blockedDomains.isEmpty && maxPerDomain.isEmpty),
@@ -168,7 +169,30 @@ object CurationPipeline {
     // 5. pack into token-budget chunks per (split, source) shard
     val sharded = split.withColumn("shard",
       concat_ws("/", col("split"), col("source")))
-    Packing.packChunks(sharded, "shard", packBudget,
+    val packed = Packing.packChunks(sharded, "shard", packBudget,
       TextFunctions.tokenCount(col("text")).cast("long"))
+
+    // Cache contract: the returned plan references the pinned `comps`
+    // frame (releasing it pre-return would recompute the LSH fixpoint on
+    // consumption), so by default the PIN OUTLIVES the call and belongs
+    // to the caller's consuming action — at corpus scale you write the
+    // result and move on, and a long-lived session clears its cache
+    // between curation runs. `detachBound` opts into the bounded-result
+    // handover instead: materialize the curated corpus once, release
+    // every internal cache, and return a plan-free LocalRelation —
+    // zero blocks left registered (the test/bench-harness shape; the
+    // bound is a loud guard against collecting an unbounded corpus).
+    detachBound.fold(packed) { cap =>
+      // single pass straight to the driver (persisting the text-heavy
+      // frame first would pay an extra materialization for nothing —
+      // the rows are leaving the cluster either way)
+      val rows = packed.limit(cap + 1).collect()
+      require(rows.length <= cap,
+        s"curate detachBound: result exceeds $cap rows — drop detachBound " +
+          "and write the returned frame instead")
+      comps.unpersist(blocking = false)
+      packed.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), packed.schema)
+    }
   }
 }

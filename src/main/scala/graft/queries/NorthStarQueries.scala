@@ -484,11 +484,40 @@ object NorthStarQueries {
           qualityBreakpoints = Seq(250),
           minQualityBucket = 1,
           packBudget = 2048,
-          intraDocDedup = false) // t19 proves the stage standalone; off here
+          intraDocDedup = false, // t19 proves the stage standalone; off here
                                  // so the oracle replays the planted text verbatim
+          detachBound = Some(1 << 21)) // bounded-survivor handover: zero
+                                       // cached blocks left after the query
         .select(col("doc_id"), col("component"), col("quality"), col("bucket"),
           col("split"), col("shard"), col("n_tokens"), col("token_offset"),
           col("chunk_id"), md5(col("text")).as("text_md5"))
+    }),
+    "t47_source_kl" -> ((s, d) => {
+      // Mixture-drift monitor: KL(source ‖ corpus) over unigram
+      // distributions in micro-nats, each term micro-rounded before the
+      // per-source sum (t29's portability recipe). Three map-side-partial
+      // aggregates + a 1-row total broadcast — nothing quadratic.
+      graft.operators.Mixture.klBySource(Tables.documents(s, d), "source", "text")
+    }),
+    "d22_fuzzy_link" -> ((s, d) => {
+      // Cross-source record LINKAGE: the customer table linked to a
+      // deterministically perturbed second catalog of itself (four
+      // mutation classes — deletion, insertion, substitution, and a
+      // distance-2 miss that must NOT match at maxDist=1 — plus exact
+      // copies). Symmetric-delete blocking across BOTH deletion indexes,
+      // banded-Levenshtein verify; the oracle is deliberately all-pairs
+      // so a recall bug in the cross-index blocking cannot hide.
+      val cust = Tables.customer(s, d)
+      val right = cust.select((col("c_custkey") + 5000000L).as("rid"),
+        when(pmod(col("c_custkey"), lit(5)) === 0,
+          expr("substring(c_name, 1, length(c_name) - 1)"))
+          .when(pmod(col("c_custkey"), lit(5)) === 1, concat(col("c_name"), lit("x")))
+          .when(pmod(col("c_custkey"), lit(5)) === 2,
+            concat(expr("substring(c_name, 1, length(c_name) - 1)"), lit("Z")))
+          .when(pmod(col("c_custkey"), lit(5)) === 3, concat(col("c_name"), lit("xy")))
+          .otherwise(col("c_name")).as("rname"))
+      graft.operators.EntityResolution.fuzzyLink(
+        cust, "c_custkey", "c_name", right, "rid", "rname", maxDist = 1)
     }),
     "d01_exact_dedup" -> ((s, d) => {
       // Exact dedup over a corpus with manufactured exact copies.
@@ -1676,6 +1705,38 @@ object NorthStarQueries {
   val oracleSql: Map[String, String] = Map(
     // the end-to-end pipeline replay — see curationOracleSql
     "c01_curation_e2e" -> curationOracleSql,
+    // same aggregate chain, same one fixed double association inside each
+    // term, micro-rounded before the order-free sum (the t29 recipe)
+    "t47_source_kl" ->
+      s"""WITH ws AS (SELECT source, $WsSql AS w FROM documents),
+         |t AS (SELECT source, unnest(w) AS token FROM ws),
+         |ct AS (SELECT source, token, COUNT(*) AS c FROM t GROUP BY 1, 2),
+         |st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS st FROM ct GROUP BY 1),
+         |gt AS (SELECT token, CAST(SUM(c) AS BIGINT) AS gt FROM ct GROUP BY 1),
+         |tt AS (SELECT CAST(SUM(c) AS BIGINT) AS tt FROM ct),
+         |terms AS (SELECT ct.source,
+         |    CAST(ROUND(1e6 * ((CAST(c AS DOUBLE) / st) *
+         |      ln((CAST(c AS DOUBLE) * tt) / (CAST(st AS DOUBLE) * gt)))) AS BIGINT) AS k
+         |  FROM ct JOIN st USING (source) JOIN gt USING (token) CROSS JOIN tt),
+         |ag AS (SELECT source, COUNT(*) AS n_terms, CAST(SUM(k) AS BIGINT) AS kl_e6
+         |       FROM terms GROUP BY source)
+         |SELECT ag.source, st.st AS n_tokens, ag.n_terms, ag.kl_e6
+         |FROM ag JOIN st USING (source) ORDER BY ag.source""".stripMargin,
+    // all-pairs on purpose (like d14): the oracle must not share the
+    // cross-index blocking, or a recall bug would be invisible
+    "d22_fuzzy_link" ->
+      """WITH r AS (SELECT c_custkey + 5000000 AS rid,
+        |  CASE c_custkey % 5
+        |    WHEN 0 THEN substr(c_name, 1, length(c_name) - 1)
+        |    WHEN 1 THEN c_name || 'x'
+        |    WHEN 2 THEN substr(c_name, 1, length(c_name) - 1) || 'Z'
+        |    WHEN 3 THEN c_name || 'xy'
+        |    ELSE c_name END AS rname
+        |  FROM customer)
+        |SELECT a.c_custkey AS left_id, CAST(r.rid AS BIGINT) AS right_id,
+        |       CAST(levenshtein(a.c_name, r.rname) AS BIGINT) AS dist
+        |FROM customer a JOIN r ON levenshtein(a.c_name, r.rname) <= 1
+        |ORDER BY left_id, right_id""".stripMargin,
     // 2 clamped synchronous rounds, weight-argmax with smallest-label
     // tie-break (QUALIFY replays the argmax deterministically)
     "d20_label_propagation" ->

@@ -479,6 +479,27 @@ object RelationalQueries {
         .join(Tables.nation(s, d), col("node") === col("n_nationkey"))
         .select(col("n_name"), col("dist"))
     }),
+    "q69_triangle_count" -> ((s, d) => {
+      // Per-nation triangle participation in the undirected trade graph —
+      // the local-closure signal that separates organic link
+      // neighborhoods from star-shaped spam at corpus scale. Oriented
+      // wedge join (a<b<c), each triangle counted once, closed by a
+      // left-semi probe — two equi-joins over the edge list, never
+      // nodes².
+      val ord = Tables.orders(s, d)
+      val cust = Tables.customer(s, d)
+      val sup = Tables.supplier(s, d)
+      val edges = Tables.lineitem(s, d)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_nationkey").cast("long").as("src"),
+          col("c_nationkey").cast("long").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      graft.operators.Graphs.triangles(edges)
+        .join(Tables.nation(s, d), col("node") === col("n_nationkey"))
+        .select(col("n_name"), col("n_triangles"))
+    }),
     "q59_running_distinct" -> ((s, d) => {
       // Cumulative distinct users per day — COUNT(DISTINCT) OVER, which
       // Spark (and most engines) refuse to plan. The canonical rewrite:
@@ -575,7 +596,10 @@ object RelationalQueries {
         col("p_partkey").as("id"),
         when(col("p_partkey") >= 10, expr("p_partkey DIV 10")).as("parent"),
         cents(col("p_retailprice")).as("value"))
-      graft.ops.Hierarchy.subtreeRollup(nodes)
+      // |parts|-bounded rollup → detachSmall hands it over as a
+      // LocalRelation and releases the loop's cache (leaked_rdds = 0)
+      graft.operators.Graphs.detachSmall(
+          graft.ops.Hierarchy.subtreeRollup(nodes), maxRows = 1 << 22)
         .select(col("id").as("part_id"), col("n_nodes"),
           col("subtree_value").as("subtree_retail_c"))
     }),
@@ -1335,6 +1359,26 @@ object RelationalQueries {
         |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
     // 3 unrolled min-relax rounds ≡ the frontier BFS within the covered
     // eccentricity
+    // same canonical a<b edge set; wedges joined on the middle vertex,
+    // closed by the third join — the oracle replays the oriented count
+    "q69_triangle_count" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT
+        |    LEAST(CAST(s_nationkey AS BIGINT), CAST(c_nationkey AS BIGINT)) AS a,
+        |    GREATEST(CAST(s_nationkey AS BIGINT), CAST(c_nationkey AS BIGINT)) AS b
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE s_nationkey <> c_nationkey),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM e0 e1 JOIN e0 e2 ON e1.b = e2.a
+        |        JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |nd AS (SELECT unnest([x, y, z]) AS node FROM tri),
+        |ag AS (SELECT node, COUNT(*) AS n_triangles FROM nd GROUP BY node)
+        |SELECT n_name, CAST(n_triangles AS BIGINT) AS n_triangles
+        |FROM ag JOIN nation ON node = n_nationkey
+        |ORDER BY n_name""".stripMargin,
     "q60_bfs_hops" ->
       """WITH edges AS (
         |  SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS src,

@@ -51,6 +51,27 @@ class EntityResolutionSpec extends SparkTestBase {
     assert(got === pairs(naive) && got.nonEmpty)
   }
 
+  test("fuzzyLink ≡ all-pairs cross Levenshtein; equal ids on opposite sides are distinct entities") {
+    // left catalog and a mutated right catalog sharing id values on
+    // purpose — cross-corpus linkage must not self-exclude on id equality
+    val left = Seq((1L, "acme corp"), (2L, "bolt ltd"), (3L, "cairn plc"))
+      .toDF("id", "name")
+    val right = Seq(
+      (1L, "acme corpx"),  // id collides with left 1, dist 1 — must link
+      (2L, "bolt ltdxy"),  // dist 2 — must NOT link at maxDist=1
+      (9L, "cairn plc"),   // exact copy, dist 0
+      (10L, "zzz")).toDF("id", "name")
+    val got = EntityResolution.fuzzyLink(left, "id", "name", right, "id", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val naive = left.select($"id".as("lid"), $"name".as("ln"))
+      .crossJoin(right.select($"id".as("rid"), $"name".as("rn")))
+      .withColumn("dist", levenshtein($"ln", $"rn").cast("long"))
+      .filter($"dist" <= 1)
+      .collect().map(r => (r.getAs[Long]("lid"), r.getAs[Long]("rid"), r.getAs[Long]("dist"))).toSet
+    assert(got === naive)
+    assert(got === Set((1L, 1L, 1L), (3L, 9L, 0L)))
+  }
+
   test("maxBucket drops only pairs that relied on a hot key") {
     // ten strings sharing the hot full-string key "dup" plus one clean
     // pair; capping at 5 kills the dup-group pairs, keeps the clean pair

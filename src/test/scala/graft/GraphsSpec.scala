@@ -135,6 +135,26 @@ class GraphsSpec extends SparkTestBase {
     assert(Graphs.pageRank(empty, iters = 3).count() === 0L)
   }
 
+  test("triangles: oriented wedge count, direction/multi-edge/self-loop immune") {
+    // K4 on {1,2,3,4}: C(4,3)=4 triangles, every node in exactly 3;
+    // node 5 hangs off a star (no closure), self-loop and reversed +
+    // duplicate edges must not change anything
+    val e = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 2L), (2L, 3L),           // reverse + duplicate
+      (4L, 4L),                     // self-loop
+      (1L, 5L)                      // dangling spoke
+    ).toDF("src", "dst")
+    val got = Graphs.triangles(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // single triangle sanity + empty graph
+    val one = Graphs.triangles(Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    assert(Graphs.triangles(Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")).count() === 0L)
+  }
+
   test("release contract: detachSmall leaves zero registered blocks, values unchanged") {
     def registered() = spark.sparkContext.getPersistentRDDs.size
     spark.catalog.clearCache()

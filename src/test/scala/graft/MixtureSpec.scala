@@ -197,4 +197,22 @@ class MixtureSpec extends SparkTestBase {
       Mixture.budgetSelect(toy, "id", "score", "cost", -1L)
     }
   }
+
+  test("klBySource: hand-computed micro-nat divergences; identical sources read ~0") {
+    // corpus tokens: x×3, y×1 (T=4). Source A = [x, x]: KL = 1·ln(4/3)
+    // = 287682 µnat. Source B = [x, y]: 0.5·ln(2/3) + 0.5·ln(2) →
+    // −202733 + 346574 = 143841 µnat (each term micro-rounded first).
+    val docs = Seq(("A", "x x"), ("B", "x y")).toDF("source", "text")
+    val got = Mixture.klBySource(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("A") === ((2L, 1L, 287682L)))
+    assert(got("B") === ((2L, 2L, 143841L)))
+    // two sources with the SAME distribution: both KL ≈ 0 (exactly 0
+    // here — every p equals q so every ln term is ln(1))
+    val same = Seq(("A", "x y"), ("B", "x y")).toDF("source", "text")
+    val z = Mixture.klBySource(same, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(z === Map("A" -> 0L, "B" -> 0L))
+  }
 }
