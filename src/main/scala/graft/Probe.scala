@@ -1,51 +1,67 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Ad-hoc timing probe (not part of the driver contract). */
 object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .appName("graft-probe")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("d18_trade_pagerank", "d19_weighted_pagerank",
+        "d20_label_propagation", "q60_bfs_hops")
+    val spark = GraftSession.create("graft-probe",
+      master = Some("local[32]"), shufflePartitions = Some(32))
+    spark.sparkContext.setLogLevel("ERROR")
 
-    def time[T](name: String)(f: => T): T = {
+    @volatile var jobs = 0
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    })
+
+    def time(name: String)(f: => Long): Unit = {
+      val j0 = jobs
       val t0 = System.nanoTime()
-      val r = f
-      println(f"$name%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-      r
+      val n = f
+      println(f"$name%-26s ${(System.nanoTime() - t0) / 1e9}%7.2f s  jobs=${jobs - j0}%3d  rows=$n  " +
+        s"blocks=${spark.sparkContext.getPersistentRDDs.size}")
     }
 
-    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
-    time("warmup")(docs.count())
+    val qs = SparkEntry.queries
+    // warmup
+    time("warmup " + names.head)(qs(names.head)(spark, sfDir).count())
+    spark.catalog.clearCache()
+    (1 to 3).foreach { p =>
+      names.foreach { n =>
+        time(s"pass$p $n") {
+          val c = qs(n)(spark, sfDir).count()
+          spark.catalog.clearCache()
+          c
+        }
+      }
+    }
 
-    import graft.expressions.TextExpressions
-    import graft.functions.TextFunctions.hash60
-    def oldBands = {
-      val mhCols = (0 until 12).map(i =>
-        min(hash60(concat(lit(i.toString), lit(":"), col("sh")))).as(s"mh$i"))
-      docs.select(col("doc_id"), explode(TextExpressions.wordShingles(col("text"), 3)).as("sh"))
-        .groupBy(col("doc_id"))
-        .agg(mhCols.head, mhCols.tail: _*)
+    // loop-only: pre-persisted edge frame, pageRank直接
+    import org.apache.spark.sql.functions._
+    val ord = Tables.orders(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    val sup = Tables.supplier(spark, sfDir)
+    val edges = Tables.lineitem(spark, sfDir)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").cast("long").as("src"),
+        col("c_nationkey").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .persist()
+    edges.count()
+    println("--- loop-only (edges persisted) ---")
+    (1 to 3).foreach { p =>
+      time(s"pass$p pageRank loop-only") {
+        val r = graft.operators.Graphs.pageRank(edges, iters = 3)
+        val n = r.count(); r.unpersist(blocking = true); n
+      }
     }
-    def newBands = docs.select(col("doc_id"), posexplode(
-      TextExpressions.minhashBands(col("text"), 3, 12, 3)).as(Seq("band", "bh")))
-    (1 to 3).foreach { pass =>
-      println(s"--- pass $pass ---")
-      time("old agg bands (noop)")(oldBands.write.mode("overwrite").format("noop").save())
-      time("new kernel bands (noop)")(newBands.write.mode("overwrite").format("noop").save())
-      time("shingleHashes only (noop)")(
-        docs.select(col("doc_id"), TextExpressions.shingleHashes(col("text"), 3))
-          .write.mode("overwrite").format("noop").save())
-    }
-    println("input partitions: " + docs.rdd.getNumPartitions)
     spark.stop()
   }
 }

@@ -89,6 +89,54 @@ object Graphs {
     * the previous cut's cached blocks. */
   private val CutEvery = 4
 
+  /** Shuffle-partition count for an iterative loop whose per-round frames
+    * are |V|-sized and whose cached edge side is |E|-sized: enough
+    * partitions that no task sorts more than ~4M edge rows or ~64k node
+    * rows, but NEVER above the session's `spark.sql.shuffle.partitions` —
+    * the caller sized that for the corpus, and a loop only shrinks it when
+    * the graph is measurably smaller (a nation/domain graph inside a
+    * corpus-sized session). Both counts are already on hand: the loops
+    * materialize their edge and node caches before iterating. */
+  private def loopPartitions(sessionSp: Int, nEdges: Long, nNodes: Long): Int = {
+    val sized = math.max(1L, math.max((nEdges + (1L << 22) - 1) >> 22,
+      (nNodes + (1L << 16) - 1) >> 16))
+    math.min(math.max(sessionSp, 1).toLong, sized).toInt
+  }
+
+  /** Run `f` with `spark.sql.shuffle.partitions` pinned to `nPart` and AQE
+    * OFF, restoring both afterwards. Iterative loops are the one place
+    * static planning beats adaptive: every round re-executes the same
+    * known shape (ranks/frontier shuffled to the pre-partitioned edge
+    * cache, then a map-side-partial aggregate), so per-round AQE
+    * re-planning buys no information while charging a driver walk and a
+    * stage-job dispatch per exchange per round — measured on the board's
+    * graph queries: identical results, 25 → 3 driver jobs, ~2× wall-time.
+    * AQE's skew-join split could not help these joins anyway (the big side
+    * is a CACHED pre-partitioned frame, not a re-splittable shuffle), and
+    * dst-skew collapses in the partial aggregate before the exchange.
+    * Confs are session-scoped: a concurrent query on the same session
+    * during the loop would plan under these values — callers running
+    * dense multi-tenant sessions should serialize graph fixpoints. */
+  private def withLoopScope[T](spark: org.apache.spark.sql.SparkSession,
+      nPart: Int)(f: => T): T = {
+    // Broadcasts are also off in-scope: a loop join's big side is the
+    // pre-partitioned edge cache, so a broadcast can only ever replace the
+    // |V|-sized side's 1-exchange shuffle — and each broadcast exchange is
+    // its own driver job per round. In the small-graph regime (where the
+    // threshold would even trigger) the shuffle is a near-single-task
+    // exchange anyway; in the corpus regime the threshold never triggers.
+    val keys = Seq("spark.sql.shuffle.partitions" -> nPart.toString,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> spark.conf.get(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  private def sessionShufflePartitions(df: DataFrame): Int =
+    scala.util.Try(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(200)
+
   /** Cache-release contract for the iterative operators
     * ([[pageRank]]/[[pageRankWeighted]]/[[labelPropagate]]/[[bfsHops]]):
     * each RETURNS the persisted, already-materialized |V|-sized result
@@ -117,55 +165,73 @@ object Graphs {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(dampE2 >= 0 && dampE2 <= 100, s"dampE2 must be in [0,100], got $dampE2")
     val teleport = 1000000L * (100 - dampE2) / 100
+    // Cache the projected edge frame FIRST: it feeds three consumers (the
+    // eod join's probe side, the eod join's out-weight aggregate, and the
+    // node universe) — uncached, each would re-execute the caller's whole
+    // edge-building plan (a multi-join at corpus scale). The count both
+    // materializes the cache and hands us |E| for loop sizing.
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
-    // Out-weight rides with every edge so the per-iteration contribution is
-    // a pure projection after the ranks join; partitioned by src once so
-    // iterations shuffle only the |V|-sized ranks frame, never the edges.
-    val eod = e
-      .join(e.groupBy("src").agg(sum(col("w")).as("sw")), "src")
-      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nE = e.count()
+    // |V| <= 2|E| always (every node has an incident edge here), so the
+    // edge count alone sizes the loop — the node-universe distinct then
+    // runs INSIDE the scope at the loop's own partitioning.
+    val nPart = loopPartitions(sessionShufflePartitions(e), nE, 2 * nE)
+    withLoopScope(e.sparkSession, nPart) {
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      nodes.count()
+      // Out-weight rides with every edge so the per-iteration contribution
+      // is a pure projection after the ranks join; partitioned by src once
+      // so iterations shuffle only the |V|-sized ranks frame, never the
+      // edges. Materialized eagerly so the raw edge cache can be released
+      // before the loop (holding both doubles the cached edge bytes).
+      val eod = e
+        .join(e.groupBy("src").agg(sum(col("w")).as("sw")), "src")
+        .repartition(nPart, col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      eod.count()
+      e.unpersist(blocking = false)
 
-    var ranks = nodes.select(col("node"), lit(1000000L).as("rank_e6"))
-    // Lineage cut every CutEvery rounds and at the last (see CutEvery):
-    // persist + one |V|-sized count + unpersist-previous-cut + flat
-    // re-root, the Dedup.components fixpoint discipline at a cadence
-    // that leaves shallow runs a single materialization.
-    var prevCut: Option[DataFrame] = None
-    for (r <- 1 to iters) {
-      val contrib = eod
-        .join(ranks, eod("src") === ranks("node"))
-        .select(col("dst"), expr("(rank_e6 * w) div sw").as("c"))
-        .groupBy("dst").agg(sum(col("c")).as("in_c"))
-      val next = nodes
-        .join(contrib, nodes("node") === contrib("dst"), "left")
-        .select(col("node"),
-          (lit(teleport) +
-            expr(s"($dampE2 * coalesce(in_c, CAST(0 AS BIGINT))) div 100"))
-            .as("rank_e6"))
-      ranks = if (r % CutEvery == 0 || r == iters) {
-        val cut = next.persist(StorageLevel.MEMORY_AND_DISK)
-        cut.count()
-        prevCut.foreach(_.unpersist(blocking = false))
-        prevCut = Some(cut)
-        flatView(cut)
-      } else next
+      var ranks = nodes.select(col("node"), lit(1000000L).as("rank_e6"))
+      // Lineage cut every CutEvery rounds and at the last (see CutEvery):
+      // persist + one |V|-sized count + unpersist-previous-cut + flat
+      // re-root, the Dedup.components fixpoint discipline at a cadence
+      // that leaves shallow runs a single materialization.
+      var prevCut: Option[DataFrame] = None
+      for (r <- 1 to iters) {
+        val contrib = eod
+          .join(ranks, eod("src") === ranks("node"))
+          .select(col("dst"), expr("(rank_e6 * w) div sw").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("in_c"))
+        val next = nodes
+          .join(contrib, nodes("node") === contrib("dst"), "left")
+          .select(col("node"),
+            (lit(teleport) +
+              expr(s"($dampE2 * coalesce(in_c, CAST(0 AS BIGINT))) div 100"))
+              .as("rank_e6"))
+        ranks = if (r % CutEvery == 0 || r == iters) {
+          val cut = next.persist(StorageLevel.MEMORY_AND_DISK)
+          cut.count()
+          prevCut.foreach(_.unpersist(blocking = false))
+          prevCut = Some(cut)
+          flatView(cut)
+        } else next
+      }
+      // iters=0 → materialize the cheap projection over nodes so consumers
+      // still read a cached |V|-sized result. Return the PERSISTED frame
+      // itself (not a flat view over it) so the caller's unpersist()
+      // actually releases the pin — see the [[detachSmall]] contract.
+      val out = prevCut.getOrElse {
+        val o = ranks.persist(StorageLevel.MEMORY_AND_DISK); o.count(); o
+      }
+      eod.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+      out
     }
-    // iters=0 → materialize the cheap projection over nodes so consumers
-    // still read a cached |V|-sized result. Return the PERSISTED frame
-    // itself (not a flat view over it) so the caller's unpersist()
-    // actually releases the pin — see the [[detachSmall]] contract.
-    val out = prevCut.getOrElse {
-      val o = ranks.persist(StorageLevel.MEMORY_AND_DISK); o.count(); o
-    }
-    eod.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
-    out
   }
 
   /** Per-node triangle participation counts of the UNDIRECTED simple
@@ -219,53 +285,70 @@ object Graphs {
     */
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxRounds: Int): DataFrame = {
     require(maxRounds >= 0, s"maxRounds must be >= 0, got $maxRounds")
-    val e = edges
+    val e0 = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .union(seeds.select(col("node").cast("long")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // settled is a lazy union of the per-round PERSISTED frontiers: the
-    // only action per round is the (small) frontier count — the frame
-    // that also decides convergence — never a re-materialization of the
-    // whole settled set.
-    var frontier = seeds.select(col("node").cast("long").as("node"), lit(0).as("dist"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var settled = frontier
-    var spent = Vector(frontier)
-    var round = 1
-    var frontierSize = frontier.count()
-    while (round <= maxRounds && frontierSize > 0) {
-      val reached = e.join(frontier, e("src") === frontier("node"))
-        .select(col("dst").as("node")).distinct()
-      val fresh = reached.join(settled.select(col("node").as("__s")),
-          reached("node") === col("__s"), "left_anti")
-        .select(col("node"), lit(round).as("dist"))
+    val nE = e0.count()
+    // sized by |E| alone: |V| <= 2|E| + |seeds|, and a seed set larger
+    // than the edge list is not a graph problem
+    val nPart = loopPartitions(sessionShufflePartitions(e0), nE, 2 * nE)
+    withLoopScope(e0.sparkSession, nPart) {
+      val nodes = e0.select(col("src").as("node"))
+        .union(e0.select(col("dst").as("node")))
+        .union(seeds.select(col("node").cast("long")))
+        .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
-      frontierSize = fresh.count()
-      // flat re-root at the CutEvery cadence: settled stays a union of
-      // bounded-depth scans over the cached frontiers instead of nesting
-      // every round's adaptive plan inside the next (the exponential AQE
-      // walk — see flatView); shallow searches skip the Row↔InternalRow
-      // hop entirely
-      val freshFlat = if (round % CutEvery == 0) flatView(fresh) else fresh
-      settled = settled.unionByName(freshFlat)
-      spent :+= fresh
-      frontier = freshFlat
-      round += 1
+      nodes.count()
+      // Re-hang the edge cache on the JOIN key: distinct() leaves the
+      // frame hash-partitioned on (src, dst), which does NOT satisfy the
+      // per-round join's src-distribution — without this one-time
+      // repartition, EVERY round re-shuffles the whole |E| frame to reach
+      // the frontier (rounds × |E| exchange bytes at corpus scale; the
+      // frontier is the side that should move).
+      val e = e0.repartition(nPart, col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      e0.unpersist(blocking = false)
+      // settled is a lazy union of the per-round PERSISTED frontiers: the
+      // only action per round is the (small) frontier count — the frame
+      // that also decides convergence — never a re-materialization of the
+      // whole settled set.
+      var frontier = seeds.select(col("node").cast("long").as("node"), lit(0).as("dist"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var settled = frontier
+      var spent = Vector(frontier)
+      var round = 1
+      var frontierSize = frontier.count()
+      while (round <= maxRounds && frontierSize > 0) {
+        val reached = e.join(frontier, e("src") === frontier("node"))
+          .select(col("dst").as("node")).distinct()
+        val fresh = reached.join(settled.select(col("node").as("__s")),
+            reached("node") === col("__s"), "left_anti")
+          .select(col("node"), lit(round).as("dist"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        frontierSize = fresh.count()
+        // flat re-root at the CutEvery cadence: settled stays a union of
+        // bounded-depth scans over the cached frontiers instead of nesting
+        // every round's adaptive plan inside the next (the exponential AQE
+        // walk — see flatView); shallow searches skip the Row↔InternalRow
+        // hop entirely
+        val freshFlat = if (round % CutEvery == 0) flatView(fresh) else fresh
+        settled = settled.unionByName(freshFlat)
+        spent :+= fresh
+        frontier = freshFlat
+        round += 1
+      }
+      val out = nodes
+        .join(settled.select(col("node").as("__n"), col("dist")),
+          nodes("node") === col("__n"), "left")
+        .select(col("node"), col("dist"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      (spent :+ e :+ nodes).foreach(_.unpersist(blocking = false))
+      out
     }
-    val out = nodes
-      .join(settled.select(col("node").as("__n"), col("dist")),
-        nodes("node") === col("__n"), "left")
-      .select(col("node"), col("dist"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    (spent :+ e :+ nodes).foreach(_.unpersist(blocking = false))
-    out
   }
 
   /** Clamped synchronous label propagation over a weighted directed graph
@@ -287,47 +370,60 @@ object Graphs {
     */
   def labelPropagate(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    val e = edges.select(col("src").cast("long").as("src"),
+    val e0 = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val seed = seeds.select(col("node").cast("long").as("node"),
-      col("label").cast("long").as("__seed"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // isolated seed nodes (no edges) stay in the output with their
-    // clamped label — same node-universe contract as bfsHops
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .union(seed.select(col("node")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var lab = nodes.join(seed, Seq("node"), "left")
-      .select(col("node"), col("__seed").as("label"))
-    // Same CutEvery lineage-cut cadence as the pageRank loop.
-    var prevCut: Option[DataFrame] = None
-    for (r <- 1 to rounds) {
-      val win = e
-        .join(lab.filter(col("label").isNotNull), e("src") === col("node"))
-        .groupBy(col("dst"), col("label")).agg(sum(col("w")).as("v"))
-        .groupBy(col("dst"))
-        .agg(max_by(col("label"), struct(col("v"), -col("label"))).as("__win"))
-      val next = nodes.join(seed, Seq("node"), "left")
-        .join(win, nodes("node") === win("dst"), "left")
-        .select(col("node"), coalesce(col("__seed"), col("__win")).as("label"))
-      lab = if (r % CutEvery == 0 || r == rounds) {
-        val cut = next.persist(StorageLevel.MEMORY_AND_DISK)
-        cut.count()
-        prevCut.foreach(_.unpersist(blocking = false))
-        prevCut = Some(cut)
-        flatView(cut)
-      } else next
+    val nE = e0.count()
+    val nPart = loopPartitions(sessionShufflePartitions(e0), nE, 2 * nE)
+    withLoopScope(e0.sparkSession, nPart) {
+      val seed = seeds.select(col("node").cast("long").as("node"),
+        col("label").cast("long").as("__seed"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // isolated seed nodes (no edges) stay in the output with their
+      // clamped label — same node-universe contract as bfsHops
+      val nodes = e0.select(col("src").as("node"))
+        .union(e0.select(col("dst").as("node")))
+        .union(seed.select(col("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      nodes.count()
+      // One-time re-hang on the join key (see bfsHops): the caller's edge
+      // frame arrives with arbitrary partitioning, so without this every
+      // round's labels join re-shuffles the whole |E| frame instead of
+      // moving only the |V|-sized label frame.
+      val e = e0.repartition(nPart, col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      e0.unpersist(blocking = false)
+      var lab = nodes.join(seed, Seq("node"), "left")
+        .select(col("node"), col("__seed").as("label"))
+      // Same CutEvery lineage-cut cadence as the pageRank loop.
+      var prevCut: Option[DataFrame] = None
+      for (r <- 1 to rounds) {
+        val win = e
+          .join(lab.filter(col("label").isNotNull), e("src") === col("node"))
+          .groupBy(col("dst"), col("label")).agg(sum(col("w")).as("v"))
+          .groupBy(col("dst"))
+          .agg(max_by(col("label"), struct(col("v"), -col("label"))).as("__win"))
+        val next = nodes.join(seed, Seq("node"), "left")
+          .join(win, nodes("node") === win("dst"), "left")
+          .select(col("node"), coalesce(col("__seed"), col("__win")).as("label"))
+        lab = if (r % CutEvery == 0 || r == rounds) {
+          val cut = next.persist(StorageLevel.MEMORY_AND_DISK)
+          cut.count()
+          prevCut.foreach(_.unpersist(blocking = false))
+          prevCut = Some(cut)
+          flatView(cut)
+        } else next
+      }
+      // return the persisted frame itself — caller-releasable (detachSmall)
+      val out = prevCut.getOrElse {
+        val o = lab.persist(StorageLevel.MEMORY_AND_DISK); o.count(); o
+      }
+      e.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+      seed.unpersist(blocking = false)
+      out
     }
-    // return the persisted frame itself — caller-releasable (detachSmall)
-    val out = prevCut.getOrElse {
-      val o = lab.persist(StorageLevel.MEMORY_AND_DISK); o.count(); o
-    }
-    e.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
-    seed.unpersist(blocking = false)
-    out
   }
 }
