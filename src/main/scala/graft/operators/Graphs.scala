@@ -426,4 +426,90 @@ object Graphs {
       out
     }
   }
+
+  /** Bounded-round k-core peel over an undirected graph: repeatedly drop
+    * every node whose degree (within the surviving subgraph) is < `k`,
+    * up to `maxRounds` rounds or to fixpoint, whichever first. At
+    * fixpoint — which the loop detects and which a spec-pinned round
+    * budget should cover — the result IS the k-core: the maximal
+    * subgraph where every node keeps ≥ k neighbors. The graph-curation
+    * use: a link or co-occurrence neighborhood that survives a 2- or
+    * 3-core is organically dense; star-shaped spam and tree-like chaff
+    * peel away entirely (their leaves fall first, then the hubs).
+    *
+    * Input edges are canonicalized (direction and multiplicity dropped,
+    * self-loops removed); isolated nodes never enter (degree 0 < k ≤ 1).
+    * If `maxRounds` is hit before fixpoint, the returned degrees are the
+    * last recompute's — exactly the value an unrolled `maxRounds`-level
+    * replay (the DuckDB oracle) produces, so bounded-round runs stay
+    * engine-portable even un-converged.
+    *
+    * Scale shape: the doubled edge list is repartitioned ONCE on `node`
+    * and cached; each round pays one semi-join per endpoint against the
+    * |alive|-sized survivor frame plus one map-side-partial degree
+    * aggregate, under the same static loop scope as the other fixpoints
+    * (AQE off, partitions sized to the measured |E| — one driver job per
+    * round, the convergence count). Nothing node²; peel work shrinks
+    * with the surviving set. Returns the persisted frame itself —
+    * same release contract as [[pageRank]] (see [[detachSmall]]).
+    *
+    * @param edges (src: long-castable, dst: long-castable), read undirected
+    * @return (node: long, deg: long) — survivors with their core degree
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 0, s"maxRounds must be >= 0, got $maxRounds")
+    val und = edges
+      .select(col("src").cast("long").as("s"), col("dst").cast("long").as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nE = und.count()
+    val nPart = loopPartitions(sessionShufflePartitions(und), 2 * nE, 2 * nE)
+    withLoopScope(und.sparkSession, nPart) {
+      // both orientations, re-hung on the peel key (see bfsHops: without
+      // this every round re-shuffles the whole edge frame)
+      val dir = und.select(col("a").as("node"), col("b").as("other"))
+        .unionByName(und.select(col("b").as("node"), col("a").as("other")))
+        .repartition(nPart, col("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      dir.count()
+      und.unpersist(blocking = false)
+      var deg = dir.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      var prevCut: Option[DataFrame] = None
+      var prevAlive = -1L
+      var round = 0
+      var converged = false
+      while (round < maxRounds && !converged) {
+        round += 1
+        val cut = deg.filter(col("deg") >= k).persist(StorageLevel.MEMORY_AND_DISK)
+        val nAlive = cut.count()
+        prevCut.foreach(_.unpersist(blocking = false))
+        prevCut = Some(cut)
+        if (nAlive == prevAlive) {
+          // the filter removed nothing and deg was computed over exactly
+          // this survivor set — cut is the k-core with its core degrees
+          converged = true
+        } else {
+          prevAlive = nAlive
+          val alive = flatView(cut).select(col("node"))
+          deg = dir
+            .join(alive, Seq("node"), "left_semi")
+            .join(alive.select(col("node").as("other")), Seq("other"), "left_semi")
+            .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        }
+      }
+      val out = if (converged) prevCut.get else {
+        // maxRounds exhausted: one more filter over the last recompute,
+        // matching the oracle's final ≥ k cut
+        val o = deg.filter(col("deg") >= k).persist(StorageLevel.MEMORY_AND_DISK)
+        o.count()
+        prevCut.foreach(_.unpersist(blocking = false))
+        o
+      }
+      dir.unpersist(blocking = false)
+      out
+    }
+  }
 }

@@ -911,7 +911,59 @@ object RelationalQueries {
       graft.ops.Temporal.applyChanges(base, changes,
         keyCols = Seq("id"), tsCol = "ts", tieCols = Seq("event_id"), opCol = "op")
     }),
+    "q70_kcore" -> ((s, d) => {
+      // 2-core of the co-purchase graph (part pairs supported by >= 2
+      // orders): peel leaves until every surviving part keeps >= 2
+      // co-purchase neighbors — the organic-density filter that drops
+      // tree-like chaff and star-spam neighborhoods a raw support
+      // threshold keeps. Peel converges in <= 5 rounds at both test SFs
+      // (8-round budget; loop early-exits at fixpoint, and the unrolled
+      // oracle's extra levels are no-ops past it). Edge derivation is one
+      // self-equi-join on the order key, quadratic only in basket size.
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = op.select(col("l_orderkey"), col("l_partkey").as("src"))
+      val b = op.select(col("l_orderkey").as("__ok"), col("l_partkey").as("dst"))
+      val edges = a.join(b, col("l_orderkey") === col("__ok") && col("src") < col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 2)
+        .select(col("src"), col("dst"))
+      // core is a bounded slice of the part universe → detachSmall
+      graft.operators.Graphs.detachSmall(
+          graft.operators.Graphs.kCore(edges, k = 2, maxRounds = 8))
+        .select(col("node").as("part_key"), col("deg").as("core_deg"))
+    }),
   )
+
+  /** Unrolled bounded-round k-core replay for q70: level i recomputes
+    * degrees over edges whose BOTH endpoints survived level i-1 — the
+    * same filter-then-recount the Spark peel loop runs, so a fixpoint
+    * reached within `rounds` (spec-pinned at the test SFs) makes every
+    * further level a no-op and the two engines bit-agree. Every CTE is
+    * MATERIALIZED: each a_i is referenced twice by d_i, so default CTE
+    * inlining would expand the chain into 2^rounds copies of the base
+    * co-purchase join (measured: the un-hinted form runs for MINUTES at
+    * sf0.01 and never finishes at sf0.1; hinted, milliseconds). */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    val levels = (1 to rounds).map { i =>
+      s"""a$i AS MATERIALIZED (SELECT node FROM d${i - 1} WHERE deg >= $k),
+         |d$i AS MATERIALIZED (SELECT dir.node, COUNT(*) AS deg FROM dir
+         |        JOIN a$i x ON dir.node = x.node
+         |        JOIN a$i y ON dir.other = y.node GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e AS MATERIALIZED (
+       |      SELECT CAST(a.l_partkey AS BIGINT) AS a, CAST(b.l_partkey AS BIGINT) AS b
+       |      FROM op a JOIN op b
+       |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |dir AS MATERIALIZED (SELECT a AS node, b AS other FROM e
+       |        UNION ALL SELECT b, a FROM e),
+       |d0 AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM dir GROUP BY node),
+       |$levels
+       |SELECT node AS part_key, CAST(deg AS BIGINT) AS core_deg
+       |FROM d$rounds WHERE deg >= $k""".stripMargin
+  }
 
   /** Shared definitional quantile oracle for q28 (multi-stage plan) and
     * q30 (one-operator aggregate): same explicit rank rule as
@@ -1637,5 +1689,6 @@ object RelationalQueries {
         |FROM b FULL OUTER JOIN last l ON b.id = l.id
         |WHERE l.op IS NULL OR l.op <> 'D'
         |ORDER BY id""".stripMargin,
+    "q70_kcore" -> kCoreOracleSql(k = 2, rounds = 8),
   )
 }

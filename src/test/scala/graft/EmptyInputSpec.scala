@@ -197,6 +197,10 @@ class EmptyInputSpec extends SparkTestBase {
       .labelPropagate(someEdges.withColumn("w", lit(1L)), noLabels, rounds = 2)
       .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
     assert(unlabeled === Map(1L -> None, 2L -> None))
+    // k-core: empty edge set -> empty core; self-loop-only graph too
+    assert(graft.operators.Graphs.kCore(noEdges, k = 1, maxRounds = 4).count() === 0L)
+    assert(graft.operators.Graphs.kCore(
+      Seq((7L, 7L)).toDF("src", "dst"), k = 1, maxRounds = 4).count() === 0L)
     // BPE: a fully empty corpus learns nothing and encodes nothing
     assert(graft.operators.Bpe.trainMerges(spark, noDocs.select(col("text")), k = 3)
       .count() === 0L)

@@ -185,4 +185,46 @@ class GraphsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { Graphs.detachSmall(big, maxRows = 2) }
     big.unpersist(blocking = true)
   }
+
+  private def cores(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("kCore peels a lollipop to its clique, leaves first then the stalk") {
+    // K4 on {1,2,3,4} with a path 4-5-6 hanging off: the 2-core is exactly
+    // the K4 (everyone at degree 3); 6 falls in round 1 (deg 1), then 5
+    // (its only surviving neighbor is 4). Direction and duplicates must
+    // not matter.
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 4L), (5L, 6L)).toDF("src", "dst")
+    val got = cores(Graphs.kCore(e, k = 2, maxRounds = 8))
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k above the max degree: empty core, not an error
+    assert(Graphs.kCore(e, k = 4, maxRounds = 8).count() === 0L)
+  }
+
+  test("kCore bounded-round semantics match the unrolled replay mid-peel") {
+    // chain 1-2-3-4-5: full peel to empty takes 2 rounds at k=2
+    // (ends fall, then everything). maxRounds=1 must return the
+    // one-level-unrolled value: survivors {2,3,4} with degrees recomputed
+    // inside {2,3,4} — 2-3-4 chain -> deg(3)=2, deg(2)=deg(4)=1, final
+    // >=k cut keeps only node 3.
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    assert(cores(Graphs.kCore(chain, k = 2, maxRounds = 1)) === Map(3L -> 2L))
+    assert(Graphs.kCore(chain, k = 2, maxRounds = 8).count() === 0L)
+    // maxRounds=0: degrees over the raw graph, single >=k cut
+    assert(cores(Graphs.kCore(chain, k = 2, maxRounds = 0)) ===
+      Map(2L -> 2L, 3L -> 2L, 4L -> 2L))
+  }
+
+  test("kCore self-loops dropped, isolated never enter, release contract") {
+    def registered() = spark.sparkContext.getPersistentRDDs.size
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val e = Seq((1L, 1L), (1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val kc = Graphs.kCore(e, k = 2, maxRounds = 8)
+    assert(cores(kc) === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    assert(registered() > 0, "result frame is pinned until released")
+    assert(cores(Graphs.detachSmall(kc)) === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    assert(registered() === 0, "detachSmall must release every block")
+  }
 }
