@@ -581,18 +581,30 @@ object Dedup {
   def dedupDeltaWith(corpus: DataFrame, digests: DataFrame, bands: DataFrame,
       newDocs: DataFrame, shingleN: Int = 3,
       numHashes: Int = 12, rowsPerBand: Int = 3,
-      minJaccardPermille: Int = 800): DataFrame = {
+      minJaccardPermille: Int = 800): DataFrame =
+    // Serving-shaped batch: the same known plan re-executes per ingestion
+    // call, so AQE re-planning buys nothing and charges a driver job per
+    // exchange per batch (measured: 45 → 4 driver jobs on the board
+    // query, results identical). Join strategies don't regress — every
+    // join here is on derived frames whose static estimates never
+    // broadcast, and band/bucket keys are uniform by construction so
+    // skew-split has nothing to do. See PlanScope.
+    graft.ops.PlanScope.staticBatch(newDocs.sparkSession) {
     // Guard the id contract the "lower id wins" rules lean on: batch ids
     // strictly above corpus ids. An overlapping id would silently merge
-    // two docs' shingle sets in the verify union below. One tiny job over
-    // two column-pruned aggregates — cheap next to the LSH pass.
+    // two docs' shingle sets in the verify union below. The guard rides
+    // the checkpoint action below as a 0-row-or-raise union branch
+    // (assert_true over the 1-row aggregate pair) instead of paying its
+    // own driver job — it still fires inside THIS call, before any
+    // result is exposed, whether or not any duplicate was rejected.
     val idGuard = corpus.agg(max(col("doc_id")).as("__mx"))
-      .crossJoin(newDocs.agg(min(col("doc_id")).as("__mn"))).head()
-    if (!idGuard.isNullAt(0) && !idGuard.isNullAt(1))
-      require(idGuard.getLong(0) < idGuard.getLong(1),
-        s"dedupDelta id contract violated: max(corpus.doc_id)=${idGuard.getLong(0)} " +
-          s">= min(newDocs.doc_id)=${idGuard.getLong(1)} — batch ids must sit " +
-          "strictly above corpus ids (monotonic ingestion layout)")
+      .crossJoin(newDocs.agg(min(col("doc_id")).as("__mn")))
+      .select(assert_true(col("__mx").isNull || col("__mn").isNull ||
+          col("__mx") < col("__mn"),
+        concat(lit("dedupDelta id contract violated: max(corpus.doc_id)="),
+          col("__mx"), lit(" >= min(newDocs.doc_id)="), col("__mn"),
+          lit(" — batch ids must sit strictly above corpus ids " +
+            "(monotonic ingestion layout)"))).as("__guard"))
     val fpNew = newDocs.select(col("doc_id"), md5(col("text")).as("__fp"))
     val exactVsCorpus = fpNew
       .join(digests.select(col("fp").as("__fp")), Seq("__fp"), "left_semi")
@@ -602,22 +614,27 @@ object Dedup {
       .filter(col("doc_id") =!= col("__keep"))
       .select(col("doc_id"))
     val bNew = bandFrame(newDocs, shingleN, numHashes, rowsPerBand)
-    // per-side duplicates (a pair colliding in several bands — bounded by
-    // the band count) ride to the ONE final distinct: deduping each side
-    // separately would add two more exchanges of the same pair rows for
-    // at most a few-× row reduction that the distinct's map-side partial
-    // aggregation already provides
-    val candCross = bands.as("x")
-      .join(bNew.as("y"), col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    val candWithin = bNew.as("x")
-      .join(bNew.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // ONE tagged self-join replaces the former corpus×new + new×new pair:
+    // both sides shuffle the SAME union frame on (band, bh), so
+    // ReuseExchange computes the exchange once (three exchanges → one).
+    // Pair orientation is preserved exactly: corpus→new pairs need no id
+    // ordering (the guard puts every corpus id below every batch id) and
+    // new→new pairs keep the a<b canon. Per-side duplicates (a pair
+    // colliding in several bands — bounded by the band count) ride to
+    // the ONE final distinct, whose map-side partial aggregation already
+    // collapses them.
+    val bandsAll = bands.select(col("doc_id"), col("band"), col("bh"),
+        lit(false).as("__new"))
+      .unionByName(bNew.select(col("doc_id"), col("band"), col("bh"),
+        lit(true).as("__new")))
     // pinned: consumed twice (the involved-ids semi-join below + the
-    // verify), and its lineage re-runs the LSH band joins — O(pairs) rows
-    val cand = candCross.unionByName(candWithin).distinct()
+    // verify), and its lineage re-runs the LSH band join — O(pairs) rows
+    val cand = bandsAll.as("x")
+      .join(bandsAll.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("y.__new") && (!col("x.__new") || col("x.doc_id") < col("y.doc_id")))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // only docs that actually appear in a candidate pair get their text
     // re-read and shingled for the exact verify — the verify join touches
@@ -637,9 +654,16 @@ object Dedup {
     // are RDD-level, reclaimed by the ContextCleaner once the returned
     // frame is unreferenced). localCheckpoint trades executor-loss
     // recovery for that cleanup — the right trade for a per-batch serving
-    // call whose whole lineage is one batch anyway.
+    // call whose whole lineage is one batch anyway. The id-contract
+    // guard is a 0-row-or-raise union branch on this same action
+    // (assert_true returns null on pass → the row filters away; raises
+    // on violation), so the whole serving pass is ONE job and the guard
+    // fires even when no duplicate was rejected.
+    val guardBranch = idGuard.filter(col("__guard").isNotNull)
+      .select(lit(0L).as("doc_id"))
     val rejected = exactVsCorpus.unionByName(exactWithin)
-      .unionByName(rejectedNear).distinct().localCheckpoint()
+      .unionByName(rejectedNear).unionByName(guardBranch).distinct()
+      .localCheckpoint()
     cand.unpersist()
     newDocs.join(rejected, Seq("doc_id"), "left_anti")
   }

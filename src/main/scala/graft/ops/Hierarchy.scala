@@ -33,7 +33,14 @@ object Hierarchy {
     * @param nodes (id, parent, ...) — parent null at roots
     * @return (node, anc) — one row per (node, ancestor-or-self)
     */
-  def ancestorClosure(nodes: DataFrame): DataFrame = {
+  def ancestorClosure(nodes: DataFrame): DataFrame =
+    // Fixpoint loop = known shape re-executed per round: AQE re-planning
+    // buys nothing and charges a driver job per exchange per round
+    // (PlanScope rationale; measured on q54's board config: 30 → ~8
+    // driver jobs, results identical). Unlike the Graphs loops,
+    // broadcasts stay ON — the parent map is the small side here and
+    // static planning still broadcasts it from its size estimate.
+    PlanScope.staticBatch(nodes.sparkSession) {
     val parentMap = nodes.select(col("id").as("__cid"), col("parent").as("__pp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var levels = Vector(nodes.select(col("id").as("node"), col("id").as("anc")))
@@ -58,7 +65,7 @@ object Hierarchy {
     spent.foreach(_.unpersist(blocking = false))
     parentMap.unpersist(blocking = false)
     out
-  }
+    }
 
   /** Per-node subtree rollup: for every node, the count and value sum of
     * its whole subtree (itself + all descendants) — the BOM-explosion /
@@ -74,7 +81,7 @@ object Hierarchy {
     * @param nodes (id, parent, value) — parent null at roots, value long
     * @return (id, n_nodes, subtree_value)
     */
-  def subtreeRollup(nodes: DataFrame): DataFrame = {
+  def subtreeRollup(nodes: DataFrame): DataFrame = PlanScope.staticBatch(nodes.sparkSession) {
     val pairs = ancestorClosure(nodes.select(col("id"), col("parent")))
     val out = pairs
       .join(nodes.select(col("id").as("__vid"), col("value")),

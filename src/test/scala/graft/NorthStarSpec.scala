@@ -171,6 +171,19 @@ class NorthStarSpec extends SparkTestBase {
     assert(got === Set(12L))
   }
 
+  test("dedupDelta id contract fires inside the call, even with zero rejected docs") {
+    // batch id BELOW the corpus max and fully novel text: nothing is
+    // rejected, so a guard attached only to rejected ROWS would silently
+    // pass — the contract must still fail loudly at the call
+    val corpus = docs((5L, (1 to 30).map(i => s"c$i").mkString(" ")))
+    val batch = docs((3L, (1 to 30).map(i => s"n$i").mkString(" ")))
+    val ex = intercept[Exception] { Dedup.dedupDelta(corpus, batch) }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    assert(msgs(ex).contains("id contract violated"),
+      s"expected the id-contract message, got: ${msgs(ex).take(300)}")
+  }
+
   test("dedupLines drops corpus-hot lines, keeps order, empties fully-boilerplate docs") {
     // "ad" appears 3× corpus-wide (> max 2) → dropped everywhere;
     // "body one/two/three" unique → kept; doc 4 is ALL boilerplate → "".
