@@ -303,6 +303,13 @@ object Dedup {
       maxRounds: Int = 20,
       reliableCheckpoint: Boolean = false): DataFrame = {
     componentsRuns.incrementAndGet()
+    // Fixpoint loop = known shape re-executed per round (PlanScope
+    // rationale, same as the Graphs loops): AQE re-planning buys no
+    // information round-over-round and charges a driver job per exchange
+    // per round. The convergence counts run under the static scope; the
+    // RETURNED frame executes under the caller's conf (the scope is
+    // restored at return), so the consuming action keeps AQE.
+    graft.ops.PlanScope.staticBatch(docs.sparkSession) {
     // Local lineage cuts are lazy persists, not eager checkpoints: the
     // per-round convergence count is then the ONLY driver-blocking action
     // each round (it populates the cache as it runs), instead of a
@@ -313,10 +320,10 @@ object Dedup {
     def cut(df: DataFrame): DataFrame =
       if (reliableCheckpoint) df.checkpoint(true)
       else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // hash edges by src before checkpointing: AQE coalesces the shuffle to
-    // as few partitions as the (small, pair-graph-sized) data needs, so
-    // every propagation round runs over a right-sized layout instead of the
-    // pair join's full fan-out
+    // hash edges by src before checkpointing, at the session's shuffle
+    // partitioning — the caller sized that for the corpus; a small pair
+    // graph just runs light tasks per round (cheaper than the per-round
+    // AQE coalesce jobs the old adaptive layout paid)
     // both edge directions from ONE pass over pairs: a union of two
     // projections would execute the (expensive) pair-generation subtree
     // twice — the branches differ, so no exchange reuse saves it
@@ -380,6 +387,7 @@ object Dedup {
       .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("component"))
     labels.union(singletons)
+    }
   }
 
   /** End-to-end near-dedup: keep only each component's canonical document
