@@ -391,4 +391,65 @@ class PropertySpec extends SparkTestBase {
       assert(maintained === full)
     }
   }
+
+  test("kCore ≡ reference peel on random graphs, any k, to fixpoint") {
+    // Reference: literal sequential peel over an in-memory adjacency map —
+    // the definition, no banding/round tricks. The distributed loop must
+    // match survivors AND core degrees exactly for any random graph.
+    def referenceKCore(edges: List[(Long, Long)], k: Int): Map[Long, Long] = {
+      val und = edges.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+        .withDefaultValue(Set.empty)
+      und.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+      var alive = adj.keySet.toSet
+      var changed = true
+      while (changed) {
+        val next = alive.filter(v => (adj(v) & alive).size >= k)
+        changed = next != alive
+        alive = next
+      }
+      alive.iterator.map(v => v -> (adj(v) & alive).size.toLong).toMap
+    }
+    val graphGen = for {
+      edges <- Gen.nonEmptyListOf(
+        Gen.zip(Gen.choose(1L, 12L), Gen.choose(1L, 12L)))
+      k <- Gen.choose(1, 4)
+    } yield (edges, k)
+    forSamples(graphGen, 12) { case (edges, k) =>
+      val got = graft.operators.Graphs
+        .kCore(edges.toDF("src", "dst"), k, maxRounds = 16)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === referenceKCore(edges, k),
+        s"kCore mismatch at k=$k on edges=$edges")
+    }
+  }
+
+  test("dedupDelta serving pass stays within its driver-job budget") {
+    // The static-plan scope exists so a per-batch ingestion call costs a
+    // HANDFUL of driver jobs, not one per exchange (45 before the scope).
+    // Generous bound: the checkpoint action + broadcast-exchange jobs +
+    // the consuming count. A regression that re-enables per-exchange
+    // dispatch blows well past it.
+    val corpus = (1L to 40L).map(i => (i, s"corpus doc $i " + (1 to 20)
+      .map(j => s"tok${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    val batch = (100L to 120L).map(i => (i, s"batch doc $i " + (1 to 20)
+      .map(j => s"new${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    var jobs = 0
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val out = graft.operators.Dedup.dedupDelta(corpus, batch)
+      assert(out.count() === 21L)
+      // listener events post asynchronously; drain within a small, bounded
+      // wait before reading the counter
+      val deadline = System.nanoTime() + 2_000_000_000L
+      while (System.nanoTime() < deadline && jobs == 0) Thread.sleep(20)
+      Thread.sleep(200)
+      assert(jobs <= 15, s"dedupDelta dispatched $jobs driver jobs (budget 15)")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
 }
