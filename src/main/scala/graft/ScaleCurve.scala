@@ -70,6 +70,21 @@ object ScaleCurve {
             .otherwise(concat(col("c_name"), lit(" "),
               expr("repeat(chr(97 + i % 26), 3)"))).as("c_name"))
 
+    // relational fact-table blowup: order/part/supplier keys shift per
+    // replica, so baskets stay isomorphic and no co-purchase pair, join
+    // row, or graph edge crosses replicas — true output exactly linear
+    def blowLineitem(f: Int): DataFrame =
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_returnflag"), col("l_linestatus"))
+        .select(col("*"), reps(f))
+        .select((col("l_orderkey") + col("i") * Shift).as("l_orderkey"),
+          (col("l_partkey") + col("i") * Shift).as("l_partkey"),
+          (col("l_suppkey") + col("i") * Shift).as("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_returnflag"), col("l_linestatus"))
+
     def materialize(name: String, f: Int, df: DataFrame): DataFrame = {
       val path = s"${base.getAbsolutePath}/${name}_x$f"
       if (!new java.io.File(path, "_SUCCESS").exists())
@@ -80,7 +95,7 @@ object ScaleCurve {
     // ---- measured operators (board-query configurations) ----
     import graft.operators.{Dedup, EntityResolution, Similarity}
     def ops(docs: DataFrame, emb: DataFrame, cust: DataFrame,
-        queries: DataFrame): Seq[(String, () => DataFrame)] = Seq(
+        queries: DataFrame, li: DataFrame): Seq[(String, () => DataFrame)] = Seq(
       "d02_minhash_lsh" -> (() => Dedup.minhashLshPairs(docs)),
       "d04_ngram_jaccard" -> (() => Dedup.ngramJaccardPairs(docs)),
       "d14_fuzzy_er" -> (() =>
@@ -89,17 +104,56 @@ object ScaleCurve {
         Similarity.ivfKnn(emb, queries, k = 5, nCells = 16, nprobe = 2)),
       "s15_recall_sweep" -> (() =>
         Similarity.recallSweep(emb, queries, k = 5, nCells = 16,
-          nprobes = Seq(1, 2, 4, 8, 16))))
+          nprobes = Seq(1, 2, 4, 8, 16))),
+      // serving-shaped delta dedup: the BATCH stays constant (250 shard-0
+      // docs, half exact dupes of the corpus, half novel) while the
+      // corpus release grows with f — the per-batch ingestion scaling
+      // that matters is the corpus-side digest/band build, expected
+      // ~linear; batch ids sit above every replica id (the id contract)
+      "d12_delta_dedup" -> (() => {
+        val batch = docs.filter(col("doc_id") < 250)
+          .select((col("doc_id") + lit(1000L * Shift)).as("doc_id"),
+            when(pmod(col("doc_id"), lit(2)) === 0, col("text"))
+              .otherwise(concat(col("text"), lit(" novel_tail_token"))).as("text"))
+        Dedup.dedupDelta(docs, batch)
+      }),
+      // relational family: pure-scan grouped agg (the linear floor every
+      // other plan should track), the basket self-join candidate
+      // generator, and the k-core peel on top of it
+      "q22_pricing_agg" -> (() =>
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_quantity")).as("sum_qty"),
+            count(lit(1)).as("n"),
+            sum(graft.ops.RelationalOps.cents(col("l_extendedprice"))).as("rev_cents"))),
+      "q61_copurchase" -> (() => {
+        val op = li.select(col("l_orderkey"), col("l_partkey")).distinct()
+        op.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+          .join(op.select(col("l_orderkey").as("__ok"), col("l_partkey").as("part_b")),
+            col("l_orderkey") === col("__ok") && col("part_a") < col("part_b"))
+          .groupBy(col("part_a"), col("part_b")).agg(count(lit(1)).as("n_orders"))
+      }),
+      "q70_kcore" -> (() => {
+        val op = li.select(col("l_orderkey"), col("l_partkey")).distinct()
+        val edges = op.select(col("l_orderkey"), col("l_partkey").as("src"))
+          .join(op.select(col("l_orderkey").as("__ok"), col("l_partkey").as("dst")),
+            col("l_orderkey") === col("__ok") && col("src") < col("dst"))
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_orders"))
+          .filter(col("n_orders") >= 2)
+          .select(col("src"), col("dst"))
+        graft.operators.Graphs.detachSmall(
+          graft.operators.Graphs.kCore(edges, k = 2, maxRounds = 8))
+      }))
 
     val results = scala.collection.mutable.Map[(String, Int), Double]()
     factors.foreach { f =>
       val docs = materialize("documents", f, blowDocs(f))
       val emb = materialize("embeddings", f, blowEmb(f))
       val cust = materialize("customer", f, blowCust(f))
+      val li = materialize("lineitem", f, blowLineitem(f))
       // fixed query set (shard-0 vectors): corpus side scales, probe
       // side constant — the serving shape whose scaling matters
       val queries = emb.filter(col("vec_id") < 100)
-      ops(docs, emb, cust, queries).foreach { case (name, thunk) =>
+      ops(docs, emb, cust, queries, li).foreach { case (name, thunk) =>
         val times = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
           thunk().write.mode("overwrite").format("noop").save()
@@ -113,7 +167,7 @@ object ScaleCurve {
       }
     }
     println("op, t1, t3, t10, alpha_3 (ln(t3/t1)/ln3), alpha_10 (ln(t10/t1)/ln10)")
-    ops(null, null, null, null).map(_._1).foreach { name =>
+    ops(null, null, null, null, null).map(_._1).foreach { name =>
       val t1 = results((name, 1)); val t3 = results((name, 3)); val t10 = results((name, 10))
       val a3 = math.log(t3 / t1) / math.log(3.0)
       val a10 = math.log(t10 / t1) / math.log(10.0)
