@@ -280,6 +280,9 @@ object Similarity {
       sampleMod: Int): Array[Array[(Int, Array[Long])]] = {
     require(iters >= 0 && sampleMod > 0,
       s"need iters >= 0, sampleMod > 0; got ($iters, $sampleMod)")
+    // same static-scope rationale as kmeansCentroids: one known fused
+    // aggregate per Lloyd round, values conf-independent
+    graft.ops.PlanScope.staticBatch(emb.sparkSession) {
     val maxCodes = specs.map(_.nCodes).max
     // init: first-k vectors micro-rounded, sliced on the driver
     // (slicing micro-longs == micro-rounding the slice)
@@ -334,6 +337,7 @@ object Similarity {
       } finally sample.unpersist(blocking = false)
     }
     books
+    }
   }
 
   /** Encode the corpus against a [[PqModel]]: per subspace the vector's
@@ -524,6 +528,13 @@ object Similarity {
     require(nCells > 0 && iters >= 0 && sampleMod > 0,
       s"need nCells > 0, iters >= 0, sampleMod > 0; got ($nCells, $iters, $sampleMod)")
     val spark = emb.sparkSession
+    // Lloyd loop = iterative fit re-executing one known aggregate shape
+    // per round over the cached sample (PlanScope rationale; the fit's
+    // dispatch-normalized compute is ~0 on the board): static scope makes
+    // each round ONE driver job instead of one per exchange. Centroid
+    // VALUES are conf-independent — the s02-family oracles replay the
+    // fit and stay hash-green.
+    graft.ops.PlanScope.staticBatch(spark) {
     val microArr = transform(col("embedding"),
       x => round(x.cast("double") * lit(1e6)).cast("long"))
     // init: first nCells vectors by id, micro-rounded. The interpreted HOF
@@ -557,6 +568,7 @@ object Similarity {
       } finally sample.unpersist(blocking = false)
     }
     centroidFrame(spark, cents)
+    }
   }
 
   /** Literal `(cid, cv array<double>)` frame from driver-held micro-long
