@@ -45,6 +45,11 @@ object Bpe {
 
   def trainMerges(spark: SparkSession, docs: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // one known count-and-argmax plan per merge rule over the cached
+    // corpus state — the pure-dispatch iterative shape (PlanScope
+    // rationale): static scope halves the per-rule driver jobs; the
+    // learned rules are conf-independent
+    graft.ops.PlanScope.staticBatch(spark) {
     var corpus = docs
       .select(array_join(graft.functions.TextFunctions.tokens(col("text")), "  ").as("s"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -87,6 +92,7 @@ object Bpe {
     spent.foreach(_.unpersist(blocking = false))
     import spark.implicits._
     learned.toSeq.toDF("step", "pair", "n_occurrences")
+    }
   }
 
   /** Apply learned merges to a corpus: the ENCODE side of [[trainMerges]]
