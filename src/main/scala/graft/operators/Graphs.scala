@@ -427,6 +427,78 @@ object Graphs {
     }
   }
 
+  /** Bounded-round multi-source weighted shortest paths (Bellman-Ford
+    * min-relax): for every node, the minimum total edge weight from ANY
+    * seed within `rounds` hops (seeds at distance 0; unreachable within
+    * the budget → null). The weighted companion to [[bfsHops]] — the
+    * "cheapest trust path" signal when edges carry counts or costs —
+    * with the synchronous relax semantics every engine replays exactly:
+    * round i improves each node once from all in-edges, so a
+    * fixed-round unrolled SQL replay (the oracle) is bit-identical,
+    * converged or not. Running past convergence cannot change distances
+    * (min-relax is monotone), so a budget covering the true weighted
+    * diameter returns the exact shortest paths.
+    *
+    * Scale shape: same as [[bfsHops]] — edges cached and repartitioned
+    * once on `src` under the static loop scope, each round ONE
+    * relax-join + min-aggregate, the |V|-sized distance frame is the
+    * only moving side; per-round cost O(|E|), rounds bounded. Unlike the
+    * frontier BFS, every round relaxes ALL settled nodes (weighted
+    * distances can improve after first settlement), which is the honest
+    * Bellman-Ford cost model. Returns the persisted frame — the
+    * [[detachSmall]] release contract.
+    *
+    * @param edges (src, dst, w: non-negative long weights)
+    * @param seeds (node)
+    * @return (node: long, dist: long nullable)
+    */
+  def ssspBounded(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val e0 = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nE = e0.count()
+    val nPart = loopPartitions(sessionShufflePartitions(e0), nE, 2 * nE)
+    withLoopScope(e0.sparkSession, nPart) {
+      val nodes = e0.select(col("src").as("node"))
+        .union(e0.select(col("dst").as("node")))
+        .union(seeds.select(col("node").cast("long")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      nodes.count()
+      val e = e0.repartition(nPart, col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      e0.unpersist(blocking = false)
+      var dist = seeds.select(col("node").cast("long").as("node"), lit(0L).as("dist"))
+        .distinct()
+      var prevCut: Option[DataFrame] = None
+      for (r <- 1 to rounds) {
+        val relaxed = e.join(dist, e("src") === dist("node"))
+          .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        val next = dist.unionByName(relaxed)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        dist = if (r % CutEvery == 0 || r == rounds) {
+          val cut = next.persist(StorageLevel.MEMORY_AND_DISK)
+          cut.count()
+          prevCut.foreach(_.unpersist(blocking = false))
+          prevCut = Some(cut)
+          flatView(cut)
+        } else next
+      }
+      val out = nodes
+        .join(dist.select(col("node").as("__n"), col("dist")),
+          nodes("node") === col("__n"), "left")
+        .select(col("node"), col("dist"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      prevCut.foreach(_.unpersist(blocking = false))
+      e.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+      out
+    }
+  }
+
   /** Bounded-round k-core peel over an undirected graph: repeatedly drop
     * every node whose degree (within the surviving subgraph) is < `k`,
     * up to `maxRounds` rounds or to fixpoint, whichever first. At

@@ -911,6 +911,34 @@ object RelationalQueries {
       graft.ops.Temporal.applyChanges(base, changes,
         keyCols = Seq("id"), tsCol = "ts", tieCols = Seq("event_id"), opCol = "op")
     }),
+    "q71_sssp" -> ((s, d) => {
+      // Cheapest weighted trade path from any ASIA nation within 3 hops:
+      // edge weight = 1000 DIV shipment count, so heavily-traded lanes
+      // are cheap — the "trust distance" a domain-authority pipeline
+      // computes over a weighted link graph. Bounded Bellman-Ford
+      // min-relax (3 synchronous rounds, exactly what the unrolled
+      // oracle replays); null = unreachable within the budget.
+      val ord = Tables.orders(s, d)
+      val cust = Tables.customer(s, d)
+      val sup = Tables.supplier(s, d)
+      val edges = Tables.lineitem(s, d)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_nationkey").cast("long").as("src"),
+          col("c_nationkey").cast("long").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+        .select(col("src"), col("dst"),
+          floor(lit(1000) / col("n")).cast("long").as("w"))
+      val seeds = Tables.nation(s, d).filter(col("n_regionkey") === 2)
+        .select(col("n_nationkey").cast("long").as("node"))
+      // nation-sized result → detachSmall (zero blocks left registered)
+      graft.operators.Graphs.detachSmall(
+          graft.operators.Graphs.ssspBounded(edges, seeds, rounds = 3))
+        .join(Tables.nation(s, d), col("node") === col("n_nationkey"))
+        .select(col("n_name"), col("dist"))
+    }),
     "q70_kcore" -> ((s, d) => {
       // 2-core of the co-purchase graph (part pairs supported by >= 2
       // orders): peel leaves until every surviving part keeps >= 2
@@ -1690,5 +1718,41 @@ object RelationalQueries {
         |WHERE l.op IS NULL OR l.op <> 'D'
         |ORDER BY id""".stripMargin,
     "q70_kcore" -> kCoreOracleSql(k = 2, rounds = 8),
+    // 3 unrolled weighted min-relax rounds ≡ the bounded Bellman-Ford;
+    // every CTE MATERIALIZED (each d_i is referenced twice by d_{i+1})
+    "q71_sssp" ->
+      """WITH edges AS MATERIALIZED (
+        |  SELECT src, dst, CAST(FLOOR(1000.0 / n) AS BIGINT) AS w FROM (
+        |    SELECT CAST(s_nationkey AS BIGINT) AS src,
+        |           CAST(c_nationkey AS BIGINT) AS dst, COUNT(*) AS n
+        |    FROM lineitem
+        |    JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |    WHERE s_nationkey <> c_nationkey
+        |    GROUP BY 1, 2)),
+        |seeds AS MATERIALIZED (SELECT CAST(n_nationkey AS BIGINT) AS node
+        |          FROM nation WHERE n_regionkey = 2),
+        |nodes AS MATERIALIZED (SELECT src AS node FROM edges
+        |          UNION SELECT dst FROM edges UNION SELECT node FROM seeds),
+        |d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds),
+        |d1 AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM (
+        |         SELECT node, dist FROM d0
+        |         UNION ALL
+        |         SELECT e.dst, p.dist + e.w FROM edges e JOIN d0 p ON e.src = p.node
+        |       ) GROUP BY node),
+        |d2 AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM (
+        |         SELECT node, dist FROM d1
+        |         UNION ALL
+        |         SELECT e.dst, p.dist + e.w FROM edges e JOIN d1 p ON e.src = p.node
+        |       ) GROUP BY node),
+        |d3 AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM (
+        |         SELECT node, dist FROM d2
+        |         UNION ALL
+        |         SELECT e.dst, p.dist + e.w FROM edges e JOIN d2 p ON e.src = p.node
+        |       ) GROUP BY node)
+        |SELECT n_name, CAST(d3.dist AS BIGINT) AS dist
+        |FROM nodes n LEFT JOIN d3 ON n.node = d3.node
+        |JOIN nation ON n.node = n_nationkey""".stripMargin,
   )
 }

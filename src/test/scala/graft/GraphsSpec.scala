@@ -189,6 +189,40 @@ class GraphsSpec extends SparkTestBase {
   private def cores(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
     df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  private def dists(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] =
+    df.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+  test("ssspBounded: weighted min-relax beats hop-count, improves past settlement") {
+    // 1->2 w=10, 1->3 w=1, 3->2 w=1: node 2's 1-hop distance is 10 but
+    // the 2-hop path through 3 costs 2 — round 2 must IMPROVE an
+    // already-settled node (the case frontier-BFS semantics would miss).
+    val e = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 2L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    assert(dists(Graphs.ssspBounded(e, seeds, rounds = 1)) ===
+      Map(1L -> Some(0L), 2L -> Some(10L), 3L -> Some(1L)))
+    assert(dists(Graphs.ssspBounded(e, seeds, rounds = 2)) ===
+      Map(1L -> Some(0L), 2L -> Some(2L), 3L -> Some(1L)))
+  }
+
+  test("ssspBounded: multi-source min, unreachable null, rounds=0, release") {
+    def registered() = spark.sparkContext.getPersistentRDDs.size
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    // two seeds, a node nearer each; 99 is upstream-only -> unreachable
+    val e = Seq((1L, 5L, 2L), (2L, 5L, 1L), (99L, 1L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(Tuple1(1L), Tuple1(2L)).toDF("node")
+    val out = Graphs.ssspBounded(e, seeds, rounds = 3)
+    assert(dists(out) === Map(1L -> Some(0L), 2L -> Some(0L),
+      5L -> Some(1L), 99L -> None))
+    assert(registered() > 0)
+    assert(Graphs.detachSmall(out).count() === 4L)
+    assert(registered() === 0, "detachSmall must release every block")
+    // zero rounds: seeds at 0, everything else null
+    assert(dists(Graphs.ssspBounded(e, seeds, rounds = 0)) ===
+      Map(1L -> Some(0L), 2L -> Some(0L), 5L -> None, 99L -> None))
+  }
+
   test("kCore peels a lollipop to its clique, leaves first then the stalk") {
     // K4 on {1,2,3,4} with a path 4-5-6 hanging off: the 2-core is exactly
     // the K4 (everyone at degree 3); 6 falls in round 1 (deg 1), then 5
