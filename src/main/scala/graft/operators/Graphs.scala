@@ -173,7 +173,14 @@ object Graphs {
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nE = e.count()
+    // The caller's edge-building plan (a multi-join at corpus scale)
+    // executes HERE, inside this count — under the static scope, since
+    // the board census reads the graph queries' normalized compute at ~0:
+    // the derivation's cost locally is all AQE per-exchange dispatch.
+    // Broadcasts stay on (static size estimates still broadcast small
+    // dims; at 100 TB estimates are big and the static choice is the
+    // same sort-merge AQE would keep — no runtime filter shrinks a side).
+    val nE = graft.ops.PlanScope.staticBatch(e.sparkSession)(e.count())
     // |V| <= 2|E| always (every node has an incident edge here), so the
     // edge count alone sizes the loop — the node-universe distinct then
     // runs INSIDE the scope at the loop's own partitioning.
@@ -289,7 +296,8 @@ object Graphs {
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nE = e0.count()
+    // derivation executes in this count — static scope, see pageRankWeighted
+    val nE = graft.ops.PlanScope.staticBatch(e0.sparkSession)(e0.count())
     // sized by |E| alone: |V| <= 2|E| + |seeds|, and a seed set larger
     // than the edge list is not a graph problem
     val nPart = loopPartitions(sessionShufflePartitions(e0), nE, 2 * nE)
@@ -373,7 +381,8 @@ object Graphs {
     val e0 = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nE = e0.count()
+    // derivation executes in this count — static scope, see pageRankWeighted
+    val nE = graft.ops.PlanScope.staticBatch(e0.sparkSession)(e0.count())
     val nPart = loopPartitions(sessionShufflePartitions(e0), nE, 2 * nE)
     withLoopScope(e0.sparkSession, nPart) {
       val seed = seeds.select(col("node").cast("long").as("node"),
@@ -457,7 +466,8 @@ object Graphs {
     val e0 = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nE = e0.count()
+    // derivation executes in this count — static scope, see pageRankWeighted
+    val nE = graft.ops.PlanScope.staticBatch(e0.sparkSession)(e0.count())
     val nPart = loopPartitions(sessionShufflePartitions(e0), nE, 2 * nE)
     withLoopScope(e0.sparkSession, nPart) {
       val nodes = e0.select(col("src").as("node"))
@@ -537,7 +547,8 @@ object Graphs {
       .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nE = und.count()
+    // derivation executes in this count — static scope, see pageRankWeighted
+    val nE = graft.ops.PlanScope.staticBatch(und.sparkSession)(und.count())
     val nPart = loopPartitions(sessionShufflePartitions(und), 2 * nE, 2 * nE)
     withLoopScope(und.sparkSession, nPart) {
       // both orientations, re-hung on the peel key (see bfsHops: without
