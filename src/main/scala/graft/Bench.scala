@@ -207,6 +207,26 @@ object Bench {
         spark.range(8).select(col("id"),
           when(col("id") >= 2, col("id") / 2).cast("long").as("parent"),
           lit(1L).as("value"))).count()
+      // C2 ramp for the isolated-scope planning paths (session-clone
+      // analysis, view rebind, static planning): the scope machinery
+      // reaches steady state after a handful of invocations, not one —
+      // without this ramp the FIRST measured scoped family's median-of-3
+      // runs ~1.5-2x its steady latency (measured: q54 1.4-1.7 s as a
+      // 3-rep median vs 0.95 s from rep ~4 on). Three extra passes over
+      // tiny slices of the main scoped shapes cover it; mid-board
+      // queries are warm from their predecessors either way.
+      for (_ <- 1 to 3) {
+        graft.ops.Hierarchy.subtreeRollup(
+          spark.range(8).select(col("id"),
+            when(col("id") >= 2, col("id") / 2).cast("long").as("parent"),
+            lit(1L).as("value"))).unpersist(blocking = false)
+        Similarity.ivfKnn(tinyEmb, tinyEmb.limit(3), k = 2, nCells = 2, nprobe = 1).count()
+        Dedup.dedupDelta(tinyDocs.filter(col("doc_id") < 20),
+          tinyDocs.filter(col("doc_id") >= 20)).count()
+        graft.operators.Graphs.pageRank(
+          tinyEv.select((col("user_id") % 5).as("src"), (col("event_id") % 5).as("dst"))
+            .filter(col("src") =!= col("dst")).limit(10), iters = 1).unpersist(blocking = false)
+      }
       tinyDocs.unpersist(blocking = true); tinyEmb.unpersist(blocking = true)
       tinyEv.unpersist(blocking = true)
     } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }

@@ -298,18 +298,21 @@ object Dedup {
     * flip this on for production runs.
     */
   def components(
-      docs: DataFrame,
-      pairs: DataFrame,
+      docs0: DataFrame,
+      pairs0: DataFrame,
       maxRounds: Int = 20,
       reliableCheckpoint: Boolean = false): DataFrame = {
     componentsRuns.incrementAndGet()
     // Fixpoint loop = known shape re-executed per round (PlanScope
     // rationale, same as the Graphs loops): AQE re-planning buys no
     // information round-over-round and charges a driver job per exchange
-    // per round. The convergence counts run under the static scope; the
-    // RETURNED frame executes under the caller's conf (the scope is
-    // restored at return), so the consuming action keeps AQE.
-    graft.ops.PlanScope.staticBatch(docs.sparkSession) {
+    // per round. The scope is a conf-ISOLATED pooled session clone —
+    // concurrent queries on the caller's session keep AQE while the
+    // fixpoint runs; the returned frame plans statically downstream
+    // (the clone's conf is immutable).
+    graft.ops.PlanScope.isolatedStatic(docs0.sparkSession) { scoped =>
+    val docs = graft.ops.PlanScope.rebind(docs0, scoped)
+    val pairs = graft.ops.PlanScope.rebind(pairs0, scoped)
     // Local lineage cuts are lazy persists, not eager checkpoints: the
     // per-round convergence count is then the ONLY driver-blocking action
     // each round (it populates the cache as it runs), instead of a
@@ -586,8 +589,8 @@ object Dedup {
     * (the same build-over-the-exact-set contract as a persisted Bloom
     * blob). `corpus` itself is only consulted for the text of
     * candidate-hit docs. */
-  def dedupDeltaWith(corpus: DataFrame, digests: DataFrame, bands: DataFrame,
-      newDocs: DataFrame, shingleN: Int = 3,
+  def dedupDeltaWith(corpus0: DataFrame, digests0: DataFrame, bands0: DataFrame,
+      newDocs0: DataFrame, shingleN: Int = 3,
       numHashes: Int = 12, rowsPerBand: Int = 3,
       minJaccardPermille: Int = 800): DataFrame =
     // Serving-shaped batch: the same known plan re-executes per ingestion
@@ -596,8 +599,18 @@ object Dedup {
     // query, results identical). Join strategies don't regress — every
     // join here is on derived frames whose static estimates never
     // broadcast, and band/bucket keys are uniform by construction so
-    // skew-split has nothing to do. See PlanScope.
-    graft.ops.PlanScope.staticBatch(newDocs.sparkSession) {
+    // skew-split has nothing to do. The scope is a conf-ISOLATED pooled
+    // session clone (PlanScope.isolated): concurrent ingestion batches
+    // — the serving scenario this operator exists for — run fully in
+    // parallel, and a concurrent ad-hoc query on the caller's session
+    // plans under AQE as usual. Persisted corpus-side frames (the
+    // steady-state digests/bands) cross in as cached-block scans; derived
+    // ones re-plan statically in the scope.
+    graft.ops.PlanScope.isolatedStatic(newDocs0.sparkSession) { scoped =>
+    val corpus = graft.ops.PlanScope.rebind(corpus0, scoped)
+    val digests = graft.ops.PlanScope.rebind(digests0, scoped)
+    val bands = graft.ops.PlanScope.rebind(bands0, scoped)
+    val newDocs = graft.ops.PlanScope.rebind(newDocs0, scoped)
     // Guard the id contract the "lower id wins" rules lean on: batch ids
     // strictly above corpus ids. An overlapping id would silently merge
     // two docs' shingle sets in the verify union below. The guard rides
@@ -667,6 +680,14 @@ object Dedup {
     // (assert_true returns null on pass → the row filters away; raises
     // on violation), so the whole serving pass is ONE job and the guard
     // fires even when no duplicate was rejected.
+    // Spark-version assumption, pinned here and by NorthStarSpec's
+    // "id contract fires with zero rejected docs" regression test: this
+    // relies on Catalyst NOT constant-folding IsNotNull over assert_true's
+    // NullType output and NOT pruning the statically-empty-looking union
+    // arm (assert_true is non-foldable/non-deterministic-tagged in 4.x,
+    // which blocks both rules today). If a future optimizer learns to drop
+    // the branch, the spec fails loudly — switch to an eager one-job
+    // idGuard.head() at that point rather than weakening the contract.
     val guardBranch = idGuard.filter(col("__guard").isNotNull)
       .select(lit(0L).as("doc_id"))
     val rejected = exactVsCorpus.unionByName(exactWithin)

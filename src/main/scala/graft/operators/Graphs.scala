@@ -1,19 +1,59 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
+
+import graft.ops.PlanScope
 
 /** Iterative graph algorithms beyond the transitive-closure fixpoint in
   * [[Dedup.components]]: PageRank (plain and edge-weighted) — the
   * "importance over a link graph" signal a web-scale curation pipeline
   * uses to weight domains/documents — plus multi-source BFS hop distance
-  * ([[bfsHops]]) and clamped label propagation ([[labelPropagate]]).
+  * ([[bfsHops]]), bounded Bellman-Ford shortest paths ([[ssspBounded]]),
+  * clamped label propagation ([[labelPropagate]]) and bounded k-core
+  * peel ([[kCore]]).
   *
   * All rank arithmetic is exact integer micro-units with floor division on
   * non-negative operands, so every engine (and the DuckDB oracle's
   * unrolled-CTE replay) produces bit-identical ranks — no float summation
   * order, no convergence epsilon.
+  *
+  * == Plan scoping ==
+  * Every iterative operator runs on conf-ISOLATED session clones
+  * ([[graft.ops.PlanScope.isolated]], pooled by conf fingerprint): a
+  * concurrent query on the caller's session NEVER observes the loop's
+  * confs — it plans under AQE as usual while a fixpoint runs. Two scopes
+  * per operator:
+  *
+  *  - a DERIVATION scope (AQE off, broadcasts on): the caller's
+  *    edge-building plan — a corpus-scale multi-join — executes inside
+  *    the one materializing count. Static planning is the measured local
+  *    win (the board census reads these derivations' normalized compute
+  *    at ~0: their cost here is all AQE per-exchange dispatch), and
+  *    broadcasts still reach small dims from static size estimates. On a
+  *    cluster where the derivation's join keys are skewed, pass
+  *    `deriveAdaptive = true` to run the materializing count under the
+  *    caller's own (adaptive) conf instead — skew-split and partition
+  *    coalescing apply, at the price of one driver job per exchange.
+  *  - a LOOP scope (AQE off, partitions pinned to the measured edge
+  *    count, broadcasts off): every round re-executes the same known
+  *    shape (|V|-sized frame shuffled to the pre-partitioned edge cache,
+  *    then a map-side-partial aggregate), so per-round re-planning buys
+  *    no information while charging a driver walk and a stage-job
+  *    dispatch per exchange per round — measured on the board's graph
+  *    queries: identical results, 25 → 3 driver jobs, ~2× wall-time.
+  *    AQE's skew-join split could not help these joins anyway (the big
+  *    side is a CACHED pre-partitioned frame, not a re-splittable
+  *    shuffle), and dst-skew collapses in the partial aggregate before
+  *    the exchange. Broadcasts are off because a loop join's big side is
+  *    the edge cache, so a broadcast could only replace the |V|-sized
+  *    side's one-exchange shuffle — while charging a broadcast-build
+  *    driver job per round.
+  *
+  * Results are persisted, materialized |V|-sized frames bound to the
+  * loop scope's session (its conf is immutable, so they plan statically
+  * downstream — see [[detachSmall]] for the release contract).
   */
 object Graphs {
 
@@ -45,33 +85,18 @@ object Graphs {
     * @param edges (src: long-castable, dst: long-castable) directed edges
     * @return (node: long, rank_e6: long)
     */
-  def pageRank(edges: DataFrame, iters: Int, dampE2: Int = 85): DataFrame =
+  def pageRank(edges: DataFrame, iters: Int, dampE2: Int = 85,
+      deriveAdaptive: Boolean = false): DataFrame =
     pageRankWeighted(
       edges.select(col("src"), col("dst")).distinct().withColumn("w", lit(1L)),
-      iters, dampE2)
+      iters, dampE2, deriveAdaptive)
 
-  /** [[pageRank]] with per-edge weights: node u spreads its rank in
-    * proportion to edge weight, `contribution(u→v) = (r(u)·w_uv) div sw(u)`
-    * with `sw(u) = Σ_v w_uv` — the domain-authority form where link
-    * multiplicity (or trust) matters. The unweighted entry point is the
-    * w=1 special case of this loop (`(r·1) div od` ≡ `r div od`, so its
-    * results are bit-identical to the standalone formulation).
-    *
-    * Integer contract: ranks stay ≤ |V|·1e6 (mass is never created), so
-    * the r·w product needs `max_weight < 2^63 / (|V|·1e6)` — loud
-    * overflow territory only for weights beyond ~10¹² on a million-node
-    * graph; weigh down (divide all weights by a constant) before calling
-    * if the corpus is hotter than that.
-    *
-    * @param edges (src, dst, w: long-castable positive weights); duplicate
-    *              (src,dst) rows are NOT collapsed — pre-aggregate weights
-    */
   /** Re-root a persisted, already-materialized frame as a flat scan over
     * its cached blocks. The logical plan downstream rounds see is one
     * node, while the RDD keeps its full lineage (a lost cached block
     * recomputes through the chain, unlike a localCheckpoint truncation).
     * Without this, iterative loops nest each round's cached ADAPTIVE plan
-    * inside the next round's, and AQE's per-execution plan-update walk
+    * inside the next, and AQE's per-execution plan-update walk
     * over that nesting goes exponential — measured: rounds 1-10 at
     * 0.3-0.7 s each, round 12 at 80 s, OOM by round 15, on a SIX-node
     * graph. The Row↔InternalRow hop this adds touches |V|-sized frames
@@ -97,58 +122,51 @@ object Graphs {
     * the graph is measurably smaller (a nation/domain graph inside a
     * corpus-sized session). Both counts are already on hand: the loops
     * materialize their edge and node caches before iterating. */
-  private def loopPartitions(sessionSp: Int, nEdges: Long, nNodes: Long): Int = {
+  private[graft] def loopPartitions(sessionSp: Int, nEdges: Long, nNodes: Long): Int = {
     val sized = math.max(1L, math.max((nEdges + (1L << 22) - 1) >> 22,
       (nNodes + (1L << 16) - 1) >> 16))
     math.min(math.max(sessionSp, 1).toLong, sized).toInt
-  }
-
-  /** Run `f` with `spark.sql.shuffle.partitions` pinned to `nPart` and AQE
-    * OFF, restoring both afterwards. Iterative loops are the one place
-    * static planning beats adaptive: every round re-executes the same
-    * known shape (ranks/frontier shuffled to the pre-partitioned edge
-    * cache, then a map-side-partial aggregate), so per-round AQE
-    * re-planning buys no information while charging a driver walk and a
-    * stage-job dispatch per exchange per round — measured on the board's
-    * graph queries: identical results, 25 → 3 driver jobs, ~2× wall-time.
-    * AQE's skew-join split could not help these joins anyway (the big side
-    * is a CACHED pre-partitioned frame, not a re-splittable shuffle), and
-    * dst-skew collapses in the partial aggregate before the exchange.
-    * Confs are session-scoped: a concurrent query on the same session
-    * during the loop would plan under these values — callers running
-    * dense multi-tenant sessions should serialize graph fixpoints. */
-  private def withLoopScope[T](spark: org.apache.spark.sql.SparkSession,
-      nPart: Int)(f: => T): T = {
-    // Broadcasts are also off in-scope: a loop join's big side is the
-    // pre-partitioned edge cache, so a broadcast can only ever replace the
-    // |V|-sized side's 1-exchange shuffle — and each broadcast exchange is
-    // its own driver job per round. In the small-graph regime (where the
-    // threshold would even trigger) the shuffle is a near-single-task
-    // exchange anyway; in the corpus regime the threshold never triggers.
-    val keys = Seq("spark.sql.shuffle.partitions" -> nPart.toString,
-      "spark.sql.adaptive.enabled" -> "false",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val prev = keys.map { case (k, _) => k -> spark.conf.get(k) }
-    keys.foreach { case (k, v) => spark.conf.set(k, v) }
-    try f finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
   private def sessionShufflePartitions(df: DataFrame): Int =
     scala.util.Try(
       df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(200)
 
+  /** Materialize the operator's projected edge frame into cache and hand
+    * back (cached frame, |rows|): the caller's whole edge-building plan
+    * executes inside this one count. Runs in the static derivation scope
+    * by default (see the object doc), or under the caller's adaptive
+    * conf with `deriveAdaptive = true`. */
+  private def deriveEdges(edges: DataFrame, projected: DataFrame => DataFrame,
+      deriveAdaptive: Boolean): (DataFrame, Long) =
+    if (deriveAdaptive) {
+      val e = projected(edges).persist(StorageLevel.MEMORY_AND_DISK)
+      (e, e.count())
+    } else PlanScope.isolatedStatic(edges.sparkSession) { derive =>
+      val e = projected(PlanScope.rebind(edges, derive))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      (e, e.count())
+    }
+
+  /** The loop scope's conf fingerprint (see the object doc). */
+  private def loopConfs(nPart: Int): Seq[(String, String)] = Seq(
+    "spark.sql.adaptive.enabled" -> "false",
+    "spark.sql.shuffle.partitions" -> nPart.toString,
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
   /** Cache-release contract for the iterative operators
-    * ([[pageRank]]/[[pageRankWeighted]]/[[labelPropagate]]/[[bfsHops]]):
-    * each RETURNS the persisted, already-materialized |V|-sized result
-    * frame — the pin is on the returned frame itself, so
-    * `result.unpersist()` releases every block the call left registered
-    * (eod/nodes/intermediate cuts are released internally before return).
-    * A long-lived session calling these per-batch MUST release: either
-    * `result.unpersist()` once consumed, or — for results known bounded
-    * (a nation/domain-level graph, a top-k report) — [[detachSmall]],
-    * which copies the rows into a plan-free LocalRelation and releases
-    * immediately, leaving zero registered blocks. Callers that feed the
-    * result into a further iterative loop should re-root it themselves
+    * ([[pageRank]]/[[pageRankWeighted]]/[[labelPropagate]]/[[bfsHops]]/
+    * [[ssspBounded]]/[[kCore]]): each RETURNS the persisted,
+    * already-materialized |V|-sized result frame — the pin is on the
+    * returned frame itself, so `result.unpersist()` releases every block
+    * the call left registered (edge/node/intermediate cuts are released
+    * internally before return). A long-lived session calling these
+    * per-batch MUST release: either `result.unpersist()` once consumed,
+    * or — for results known bounded (a nation/domain-level graph, a
+    * top-k report) — [[detachSmall]], which copies the rows into a
+    * plan-free LocalRelation and releases immediately, leaving zero
+    * registered blocks. Callers that feed the result into a further
+    * iterative loop should re-root it themselves
     * (`createDataFrame(df.rdd, df.schema)`) to keep AQE plan nesting at
     * depth 1. */
   def detachSmall(df: DataFrame, maxRows: Int = 1 << 20): DataFrame = {
@@ -161,36 +179,48 @@ object Graphs {
       java.util.Arrays.asList(rows: _*), df.schema)
   }
 
-  def pageRankWeighted(edges: DataFrame, iters: Int, dampE2: Int = 85): DataFrame = {
+  /** [[pageRank]] with per-edge weights: node u spreads its rank in
+    * proportion to edge weight, `contribution(u→v) = (r(u)·w_uv) div sw(u)`
+    * with `sw(u) = Σ_v w_uv` — the domain-authority form where link
+    * multiplicity (or trust) matters. The unweighted entry point is the
+    * w=1 special case of this loop (`(r·1) div od` ≡ `r div od`, so its
+    * results are bit-identical to the standalone formulation).
+    *
+    * Integer contract: ranks stay ≤ |V|·1e6 (mass is never created), so
+    * the r·w product needs `max_weight < 2^63 / (|V|·1e6)` — loud
+    * overflow territory only for weights beyond ~10¹² on a million-node
+    * graph; weigh down (divide all weights by a constant) before calling
+    * if the corpus is hotter than that.
+    *
+    * @param edges (src, dst, w: long-castable positive weights); duplicate
+    *              (src,dst) rows are NOT collapsed — pre-aggregate weights
+    */
+  def pageRankWeighted(edges: DataFrame, iters: Int, dampE2: Int = 85,
+      deriveAdaptive: Boolean = false): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(dampE2 >= 0 && dampE2 <= 100, s"dampE2 must be in [0,100], got $dampE2")
     val teleport = 1000000L * (100 - dampE2) / 100
-    // Cache the projected edge frame FIRST: it feeds three consumers (the
-    // eod join's probe side, the eod join's out-weight aggregate, and the
-    // node universe) — uncached, each would re-execute the caller's whole
-    // edge-building plan (a multi-join at corpus scale). The count both
-    // materializes the cache and hands us |E| for loop sizing.
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // The caller's edge-building plan (a multi-join at corpus scale)
-    // executes HERE, inside this count — under the static scope, since
-    // the board census reads the graph queries' normalized compute at ~0:
-    // the derivation's cost locally is all AQE per-exchange dispatch.
-    // Broadcasts stay on (static size estimates still broadcast small
-    // dims; at 100 TB estimates are big and the static choice is the
-    // same sort-merge AQE would keep — no runtime filter shrinks a side).
-    val nE = graft.ops.PlanScope.staticBatch(e.sparkSession)(e.count())
+    val caller = edges.sparkSession
+    val sessionSp = sessionShufflePartitions(edges)
+    // Cache the projected edge frame FIRST: it feeds the eod join's probe
+    // side and the eod join's out-weight aggregate — uncached, each would
+    // re-execute the caller's whole edge-building plan (a multi-join at
+    // corpus scale). The count both materializes the cache and hands us
+    // |E| for loop sizing.
+    val (e0, nE) = deriveEdges(edges, _.select(
+      col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
+      col("w").cast("long").as("w")), deriveAdaptive)
     // |V| <= 2|E| always (every node has an incident edge here), so the
     // edge count alone sizes the loop — the node-universe distinct then
     // runs INSIDE the scope at the loop's own partitioning.
-    val nPart = loopPartitions(sessionShufflePartitions(e), nE, 2 * nE)
-    withLoopScope(e.sparkSession, nPart) {
-      val nodes = e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node")))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      nodes.count()
+    val nPart = loopPartitions(sessionSp, nE, 2 * nE)
+    PlanScope.isolated(caller, loopConfs(nPart): _*) { scoped =>
+      // RDD hop, not a view re-plan: the view route re-analyzes the
+      // derivation plan, which does NOT match the cache entry through the
+      // scope boundary — measured: the whole corpus multi-join re-executed
+      // serially inside the loop scope (1.8 s vs a 40 ms cache read on
+      // q60's board config). The LogicalRDD reads e0's cached blocks.
+      val e = PlanScope.rebindRows(e0, scoped)
       // Out-weight rides with every edge so the per-iteration contribution
       // is a pure projection after the ranks join; partitioned by src once
       // so iterations shuffle only the |V|-sized ranks frame, never the
@@ -201,7 +231,15 @@ object Graphs {
         .repartition(nPart, col("src"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       eod.count()
-      e.unpersist(blocking = false)
+      e0.unpersist(blocking = false)
+      // Node universe from the CACHED eod (the inner out-weight join keeps
+      // every edge row, so src∪dst over eod ≡ over the raw edges). Lazily
+      // persisted — the first round's cut materializes it; no standalone
+      // driver job.
+      val nodes = eod.select(col("src").as("node"))
+        .union(eod.select(col("dst").as("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
 
       var ranks = nodes.select(col("node"), lit(1000000L).as("rank_e6"))
       // Lineage cut every CutEvery rounds and at the last (see CutEvery):
@@ -255,7 +293,8 @@ object Graphs {
     * power-law graphs at corpus scale, orient by (degree, id) instead of
     * raw id to cap the hub quadratic (same count, different wedge
     * distribution). Only nodes in ≥ 1 triangle appear; left-join the
-    * node universe for dense reports.
+    * node universe for dense reports. Not iterative — plans under the
+    * caller's own (adaptive) conf like any ad-hoc corpus query.
     *
     * @param edges (src, dst) long-castable; orientation ignored
     * @return (node: long, n_triangles: long)
@@ -287,48 +326,47 @@ object Graphs {
     * at convergence (empty frontier) or `maxRounds`, whichever first —
     * running past convergence cannot change the result, so a fixed-round
     * replay (the oracle) agrees whenever it covers the true eccentricity.
+    * The seed frontier is not pre-counted: round 1's convergence count
+    * materializes it (the sentinel entry), one driver job per round.
     *
     * @return (node, dist: int nullable)
     */
-  def bfsHops(edges: DataFrame, seeds: DataFrame, maxRounds: Int): DataFrame = {
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxRounds: Int,
+      deriveAdaptive: Boolean = false): DataFrame = {
     require(maxRounds >= 0, s"maxRounds must be >= 0, got $maxRounds")
-    val e0 = edges
-      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // derivation executes in this count — static scope, see pageRankWeighted
-    val nE = graft.ops.PlanScope.staticBatch(e0.sparkSession)(e0.count())
+    val caller = edges.sparkSession
+    val sessionSp = sessionShufflePartitions(edges)
+    val (e0, nE) = deriveEdges(edges, _.select(
+      col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .distinct(), deriveAdaptive)
     // sized by |E| alone: |V| <= 2|E| + |seeds|, and a seed set larger
     // than the edge list is not a graph problem
-    val nPart = loopPartitions(sessionShufflePartitions(e0), nE, 2 * nE)
-    withLoopScope(e0.sparkSession, nPart) {
-      val nodes = e0.select(col("src").as("node"))
-        .union(e0.select(col("dst").as("node")))
-        .union(seeds.select(col("node").cast("long")))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      nodes.count()
+    val nPart = loopPartitions(sessionSp, nE, 2 * nE)
+    PlanScope.isolated(caller, loopConfs(nPart): _*) { scoped =>
       // Re-hang the edge cache on the JOIN key: distinct() leaves the
       // frame hash-partitioned on (src, dst), which does NOT satisfy the
       // per-round join's src-distribution — without this one-time
       // repartition, EVERY round re-shuffles the whole |E| frame to reach
       // the frontier (rounds × |E| exchange bytes at corpus scale; the
       // frontier is the side that should move).
-      val e = e0.repartition(nPart, col("src"))
+      val e = PlanScope.rebindRows(e0, scoped) // cached-block hop, see pageRankWeighted
+        .repartition(nPart, col("src"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       e.count()
       e0.unpersist(blocking = false)
+      val seedNodes = PlanScope.rebind(seeds, scoped)
+        .select(col("node").cast("long").as("node"))
       // settled is a lazy union of the per-round PERSISTED frontiers: the
       // only action per round is the (small) frontier count — the frame
       // that also decides convergence — never a re-materialization of the
       // whole settled set.
-      var frontier = seeds.select(col("node").cast("long").as("node"), lit(0).as("dist"))
+      var frontier = seedNodes.select(col("node"), lit(0).as("dist"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
       var settled = frontier
       var spent = Vector(frontier)
       var round = 1
-      var frontierSize = frontier.count()
+      var frontierSize = 1L // sentinel — round 1's count materializes the seeds
       while (round <= maxRounds && frontierSize > 0) {
         val reached = e.join(frontier, e("src") === frontier("node"))
           .select(col("dst").as("node")).distinct()
@@ -348,13 +386,19 @@ object Graphs {
         frontier = freshFlat
         round += 1
       }
+      // node universe from the loop-cached edge frame + seeds — lazily
+      // persisted; the out materialization below is its only driver job
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .union(seedNodes)
+        .distinct()
       val out = nodes
         .join(settled.select(col("node").as("__n"), col("dist")),
           nodes("node") === col("__n"), "left")
         .select(col("node"), col("dist"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       out.count()
-      (spent :+ e :+ nodes).foreach(_.unpersist(blocking = false))
+      (spent :+ e).foreach(_.unpersist(blocking = false))
       out
     }
   }
@@ -376,34 +420,38 @@ object Graphs {
     * @param seeds (node, label: long) — clamped
     * @return (node, label: long nullable)
     */
-  def labelPropagate(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+  def labelPropagate(edges: DataFrame, seeds: DataFrame, rounds: Int,
+      deriveAdaptive: Boolean = false): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    val e0 = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // derivation executes in this count — static scope, see pageRankWeighted
-    val nE = graft.ops.PlanScope.staticBatch(e0.sparkSession)(e0.count())
-    val nPart = loopPartitions(sessionShufflePartitions(e0), nE, 2 * nE)
-    withLoopScope(e0.sparkSession, nPart) {
-      val seed = seeds.select(col("node").cast("long").as("node"),
-        col("label").cast("long").as("__seed"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // isolated seed nodes (no edges) stay in the output with their
-      // clamped label — same node-universe contract as bfsHops
-      val nodes = e0.select(col("src").as("node"))
-        .union(e0.select(col("dst").as("node")))
-        .union(seed.select(col("node")))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      nodes.count()
+    val caller = edges.sparkSession
+    val sessionSp = sessionShufflePartitions(edges)
+    val (e0, nE) = deriveEdges(edges, _.select(
+      col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
+      col("w").cast("long").as("w")), deriveAdaptive)
+    val nPart = loopPartitions(sessionSp, nE, 2 * nE)
+    PlanScope.isolated(caller, loopConfs(nPart): _*) { scoped =>
       // One-time re-hang on the join key (see bfsHops): the caller's edge
       // frame arrives with arbitrary partitioning, so without this every
       // round's labels join re-shuffles the whole |E| frame instead of
       // moving only the |V|-sized label frame.
-      val e = e0.repartition(nPart, col("src"))
+      val e = PlanScope.rebindRows(e0, scoped) // cached-block hop, see pageRankWeighted
+        .repartition(nPart, col("src"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       e.count()
       e0.unpersist(blocking = false)
+      val seed = PlanScope.rebind(seeds, scoped)
+        .select(col("node").cast("long").as("node"),
+          col("label").cast("long").as("__seed"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // isolated seed nodes (no edges) stay in the output with their
+      // clamped label — same node-universe contract as bfsHops. Lazily
+      // persisted from the loop-cached edge frame: the first round's cut
+      // materializes both caches, no standalone driver job.
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .union(seed.select(col("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
       var lab = nodes.join(seed, Seq("node"), "left")
         .select(col("node"), col("__seed").as("label"))
       // Same CutEvery lineage-cut cadence as the pageRank loop.
@@ -449,38 +497,36 @@ object Graphs {
     * diameter returns the exact shortest paths.
     *
     * Scale shape: same as [[bfsHops]] — edges cached and repartitioned
-    * once on `src` under the static loop scope, each round ONE
-    * relax-join + min-aggregate, the |V|-sized distance frame is the
-    * only moving side; per-round cost O(|E|), rounds bounded. Unlike the
-    * frontier BFS, every round relaxes ALL settled nodes (weighted
-    * distances can improve after first settlement), which is the honest
-    * Bellman-Ford cost model. Returns the persisted frame — the
-    * [[detachSmall]] release contract.
+    * once on `src` under the loop scope, each round ONE relax-join +
+    * min-aggregate, the |V|-sized distance frame is the only moving
+    * side; per-round cost O(|E|), rounds bounded. Unlike the frontier
+    * BFS, every round relaxes ALL settled nodes (weighted distances can
+    * improve after first settlement), which is the honest Bellman-Ford
+    * cost model. Returns the persisted frame — the [[detachSmall]]
+    * release contract.
     *
     * @param edges (src, dst, w: non-negative long weights)
     * @param seeds (node)
     * @return (node: long, dist: long nullable)
     */
-  def ssspBounded(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+  def ssspBounded(edges: DataFrame, seeds: DataFrame, rounds: Int,
+      deriveAdaptive: Boolean = false): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    val e0 = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // derivation executes in this count — static scope, see pageRankWeighted
-    val nE = graft.ops.PlanScope.staticBatch(e0.sparkSession)(e0.count())
-    val nPart = loopPartitions(sessionShufflePartitions(e0), nE, 2 * nE)
-    withLoopScope(e0.sparkSession, nPart) {
-      val nodes = e0.select(col("src").as("node"))
-        .union(e0.select(col("dst").as("node")))
-        .union(seeds.select(col("node").cast("long")))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      nodes.count()
-      val e = e0.repartition(nPart, col("src"))
+    val caller = edges.sparkSession
+    val sessionSp = sessionShufflePartitions(edges)
+    val (e0, nE) = deriveEdges(edges, _.select(
+      col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
+      col("w").cast("long").as("w")), deriveAdaptive)
+    val nPart = loopPartitions(sessionSp, nE, 2 * nE)
+    PlanScope.isolated(caller, loopConfs(nPart): _*) { scoped =>
+      val e = PlanScope.rebindRows(e0, scoped) // cached-block hop, see pageRankWeighted
+        .repartition(nPart, col("src"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       e.count()
       e0.unpersist(blocking = false)
-      var dist = seeds.select(col("node").cast("long").as("node"), lit(0L).as("dist"))
+      val seedNodes = PlanScope.rebind(seeds, scoped)
+        .select(col("node").cast("long").as("node"))
+      var dist = seedNodes.select(col("node"), lit(0L).as("dist"))
         .distinct()
       var prevCut: Option[DataFrame] = None
       for (r <- 1 to rounds) {
@@ -496,6 +542,12 @@ object Graphs {
           flatView(cut)
         } else next
       }
+      // node universe from the loop-cached edge frame + seeds — lazy, the
+      // out materialization is its only driver job
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .union(seedNodes)
+        .distinct()
       val out = nodes
         .join(dist.select(col("node").as("__n"), col("dist")),
           nodes("node") === col("__n"), "left")
@@ -504,7 +556,6 @@ object Graphs {
       out.count()
       prevCut.foreach(_.unpersist(blocking = false))
       e.unpersist(blocking = false)
-      nodes.unpersist(blocking = false)
       out
     }
   }
@@ -529,32 +580,33 @@ object Graphs {
     * Scale shape: the doubled edge list is repartitioned ONCE on `node`
     * and cached; each round pays one semi-join per endpoint against the
     * |alive|-sized survivor frame plus one map-side-partial degree
-    * aggregate, under the same static loop scope as the other fixpoints
-    * (AQE off, partitions sized to the measured |E| — one driver job per
-    * round, the convergence count). Nothing node²; peel work shrinks
-    * with the surviving set. Returns the persisted frame itself —
-    * same release contract as [[pageRank]] (see [[detachSmall]]).
+    * aggregate, under the loop scope (AQE off, partitions sized to the
+    * measured |E| — one driver job per round, the convergence count).
+    * Nothing node²; peel work shrinks with the surviving set. Returns
+    * the persisted frame itself — same release contract as [[pageRank]]
+    * (see [[detachSmall]]).
     *
     * @param edges (src: long-castable, dst: long-castable), read undirected
     * @return (node: long, deg: long) — survivors with their core degree
     */
-  def kCore(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int,
+      deriveAdaptive: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxRounds >= 0, s"maxRounds must be >= 0, got $maxRounds")
-    val und = edges
-      .select(col("src").cast("long").as("s"), col("dst").cast("long").as("d"))
+    val caller = edges.sparkSession
+    val sessionSp = sessionShufflePartitions(edges)
+    val (und, nE) = deriveEdges(edges, _.select(
+        col("src").cast("long").as("s"), col("dst").cast("long").as("d"))
       .filter(col("s") =!= col("d"))
       .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // derivation executes in this count — static scope, see pageRankWeighted
-    val nE = graft.ops.PlanScope.staticBatch(und.sparkSession)(und.count())
-    val nPart = loopPartitions(sessionShufflePartitions(und), 2 * nE, 2 * nE)
-    withLoopScope(und.sparkSession, nPart) {
+      .distinct(), deriveAdaptive)
+    val nPart = loopPartitions(sessionSp, 2 * nE, 2 * nE)
+    PlanScope.isolated(caller, loopConfs(nPart): _*) { scoped =>
       // both orientations, re-hung on the peel key (see bfsHops: without
       // this every round re-shuffles the whole edge frame)
-      val dir = und.select(col("a").as("node"), col("b").as("other"))
-        .unionByName(und.select(col("b").as("node"), col("a").as("other")))
+      val undS = PlanScope.rebindRows(und, scoped) // cached-block hop, see pageRankWeighted
+      val dir = undS.select(col("a").as("node"), col("b").as("other"))
+        .unionByName(undS.select(col("b").as("node"), col("a").as("other")))
         .repartition(nPart, col("node"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       dir.count()

@@ -200,10 +200,14 @@ object Similarity {
     * oracle replays the whole pipeline. Recall loss comes only from
     * coarse-rank inversions beyond `coarseK` (default 4k); `coarseK` =
     * corpus size degenerates to exact brute force (spec-asserted). */
-  def quantizedKnn(emb: DataFrame, queries: DataFrame, k: Int,
+  def quantizedKnn(emb0: DataFrame, queries0: DataFrame, k: Int,
       coarseK: Int = 0, scalesIn: Option[Array[Double]] = None): DataFrame = {
     val ck = if (coarseK > 0) coarseK else 4 * k
     require(ck >= k, s"coarseK ($ck) must be >= k ($k)")
+    // fit + coarse scan + rescore on one conf-isolated static scope (see ivfKnn)
+    graft.ops.PlanScope.isolatedStaticFor(emb0) { scoped =>
+    val emb = graft.ops.PlanScope.rebind(emb0, scoped)
+    val queries = graft.ops.PlanScope.rebind(queries0, scoped)
     val scales = scalesIn.getOrElse(quantizationScales(emb))
     def qz = VectorExpressions.quantizeI8(col("embedding"), scales)
     val q = queries.select(col("vec_id").as("query_id"), qz.as("q8"))
@@ -222,6 +226,7 @@ object Similarity {
       .join(broadcast(qv), "query_id")
       .withColumn("cos_e6", cosE6From(col("qv"), col("nv"), col("qn"), col("nn")))
     topKNeighbors(scored, k)
+    }
   }
 
   /** Product-quantization model: per subspace, an ordered codebook of
@@ -379,16 +384,21 @@ object Similarity {
     * comes only from ADC-rank inversions past `coarseK` (`coarseK` =
     * corpus size degenerates to exact brute force, spec-asserted).
     */
-  def pqKnn(emb: DataFrame, queries: DataFrame, k: Int, dims: Int = 64,
+  def pqKnn(emb0: DataFrame, queries0: DataFrame, k: Int, dims: Int = 64,
       nSub: Int = 4, nCodes: Int = 16, coarseK: Int = 0,
       iters: Int = 2, sampleMod: Int = 7): DataFrame = {
     val ck = if (coarseK > 0) coarseK else 4 * k
     require(ck >= k, s"coarseK ($ck) must be >= k ($k)")
+    // fused fit + ADC scan + rescore on one conf-isolated static scope (see ivfKnn)
+    graft.ops.PlanScope.isolatedStaticFor(emb0) { scoped =>
+    val emb = graft.ops.PlanScope.rebind(emb0, scoped)
+    val queries = graft.ops.PlanScope.rebind(queries0, scoped)
     val model = fitPq(emb, dims, nSub, nCodes, iters, sampleMod)
     val sd = model.subDim
     if (model.books.head.isEmpty) // empty corpus: no codebooks, no neighbors
-      return topKNeighbors(emb.limit(0).select(col("vec_id").as("query_id"),
+      topKNeighbors(emb.limit(0).select(col("vec_id").as("query_id"),
         lit(0L).as("cos_e6"), col("vec_id").as("neighbor_id")), k)
+    else {
     val codes = spread(encodePq(emb, model))
     val tabCols = (0 until model.nSub).map { j =>
       VectorExpressions.pqAdcTable(col("embedding"),
@@ -413,6 +423,8 @@ object Similarity {
       .join(broadcast(qv), "query_id")
       .withColumn("cos_e6", cosE6From(col("qv"), col("nv"), col("qn"), col("nn")))
     topKNeighbors(scored, k)
+    }
+    }
   }
 
   /** IVF-PQ two-level ANN — the FAISS `IVFx,PQy` architecture, the
@@ -432,7 +444,7 @@ object Similarity {
     * coarseK — measure both with [[recallAtK]]-style sampling before
     * committing an (nCells, nprobe, coarseK) triple.
     */
-  def ivfPqKnn(emb: DataFrame, queries: DataFrame, k: Int, nCells: Int = 16,
+  def ivfPqKnn(emb0: DataFrame, queries0: DataFrame, k: Int, nCells: Int = 16,
       nprobe: Int = 2, dims: Int = 64, nSub: Int = 4, nCodes: Int = 16,
       coarseK: Int = 0, iters: Int = 2, sampleMod: Int = 7): DataFrame = {
     val ck = if (coarseK > 0) coarseK else 4 * k
@@ -441,7 +453,12 @@ object Similarity {
     require(nSub > 0 && dims % nSub == 0,
       s"dims ($dims) must split evenly into nSub ($nSub) subspaces")
     import org.apache.spark.sql.expressions.Window
-    val spark = emb.sparkSession
+    // fused fit + probed ADC scan + rescore on one conf-isolated static
+    // scope (see ivfKnn)
+    graft.ops.PlanScope.isolatedStaticFor(emb0) { scoped =>
+    val emb = graft.ops.PlanScope.rebind(emb0, scoped)
+    val queries = graft.ops.PlanScope.rebind(queries0, scoped)
+    val spark = scoped
     import spark.implicits._
     val sd = dims / nSub
     // ONE fused fit for the centroids AND every subspace codebook —
@@ -455,9 +472,10 @@ object Similarity {
       .map { case (cid, m) => cid -> m.map(_.toDouble / 1e6) }
     val model = PqModel(dims, nSub, nCodes,
       all.tail.map(_.map { case (cid, m) => cid -> m.map(_.toDouble / 1e6) }.toSeq).toSeq)
-    if (cent.isEmpty) return topKNeighbors(
+    if (cent.isEmpty) topKNeighbors(
       emb.limit(0).select(col("vec_id").as("query_id"), lit(0L).as("cos_e6"),
         col("vec_id").as("neighbor_id")), k)
+    else {
     val corpus = spread(emb.select(
       col("vec_id") +:
         VectorExpressions.pqAssign(col("embedding"), cent.map(_._2), off = 0).as("cell") +:
@@ -500,6 +518,8 @@ object Similarity {
       .join(broadcast(qv), "query_id")
       .withColumn("cos_e6", cosE6From(col("qv"), col("nv"), col("qn"), col("nn")))
     topKNeighbors(scored, k)
+    }
+    }
   }
 
   /** Deterministic sampled k-means centroids for the IVF index —
@@ -650,8 +670,11 @@ object Similarity {
     * Cost is dominated by the brute ground truth (O(|Q|·N·d)), which is
     * why the QUERY SET is the sampling knob: evaluate on 0.1% of queries,
     * serve with the fitted setting. */
-  def recallAtK(emb: DataFrame, queries: DataFrame, k: Int, nCells: Int,
-      nprobe: Int, iters: Int = 2, sampleMod: Int = 7): DataFrame = {
+  def recallAtK(emb0: DataFrame, queries0: DataFrame, k: Int, nCells: Int,
+      nprobe: Int, iters: Int = 2, sampleMod: Int = 7): DataFrame =
+      graft.ops.PlanScope.isolatedStaticFor(emb0) { scoped =>
+    val emb = graft.ops.PlanScope.rebind(emb0, scoped)
+    val queries = graft.ops.PlanScope.rebind(queries0, scoped)
     val approx = ivfKnn(emb, queries, k, nCells, nprobe, iters, sampleMod)
       .select(col("query_id"), col("neighbor_id"))
     val truth = bruteForceKnn(emb, queries, k)
@@ -707,9 +730,18 @@ object Similarity {
 
   /** IVF-probed approximate top-k: each query probes its `nprobe` closest
     * cells and runs exact cosine only inside them. */
-  def ivfKnn(emb: DataFrame, queries: DataFrame, k: Int, nCells: Int, nprobe: Int,
+  def ivfKnn(emb0: DataFrame, queries0: DataFrame, k: Int, nCells: Int, nprobe: Int,
       iters: Int = 2, sampleMod: Int = 7): DataFrame =
-    ivfKnnWith(buildIvf(emb, nCells, iters, sampleMod), queries, k, nprobe)
+    // Build+probe is a known plan shape re-executed per call: run it on a
+    // conf-isolated static scope (one driver job per action instead of
+    // one per AQE exchange; concurrent caller queries keep AQE). The
+    // served path (buildIvf + persist + ivfKnnWith) stays unscoped — a
+    // long-lived index plans under its owner's conf.
+    graft.ops.PlanScope.isolatedStaticFor(emb0) { scoped =>
+      ivfKnnWith(
+        buildIvf(graft.ops.PlanScope.rebind(emb0, scoped), nCells, iters, sampleMod),
+        graft.ops.PlanScope.rebind(queries0, scoped), k, nprobe)
+    }
 
   /** Probe a pre-built [[IvfIndex]] — amortizes the index build across
     * query batches.
@@ -795,11 +827,16 @@ object Similarity {
     * (score desc, id asc) heap tie-breaks as [[bruteForceKnn]]) — so the
     * ground truth is derived from the already-persisted candidate frame
     * instead of paying a second full corpus×queries pass. */
-  def recallSweep(emb: DataFrame, queries: DataFrame, k: Int, nCells: Int,
+  def recallSweep(emb0: DataFrame, queries0: DataFrame, k: Int, nCells: Int,
       nprobes: Seq[Int], iters: Int = 2, sampleMod: Int = 7): DataFrame = {
     require(nprobes.nonEmpty, "nprobes must be non-empty")
     require(nprobes.forall(np => np > 0 && np <= nCells),
       s"every nprobe must be in [1, nCells=$nCells], got $nprobes")
+    // whole sweep on a conf-isolated static scope (see ivfKnn) — the
+    // returned |levels|-row LocalRelation is plan-free anyway
+    graft.ops.PlanScope.isolatedStaticFor(emb0) { scoped =>
+    val emb = graft.ops.PlanScope.rebind(emb0, scoped)
+    val queries = graft.ops.PlanScope.rebind(queries0, scoped)
     val index = buildIvf(emb, nCells, iters, sampleMod)
     val maxNp = nprobes.max
     val probes = queries
@@ -863,6 +900,7 @@ object Similarity {
     truth.unpersist(blocking = false)
     scored.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), out.schema)
+    }
   }
 
   /** Margin-based bitext mining (the Artetxe & Schwenk ratio-margin rule
@@ -895,11 +933,18 @@ object Similarity {
     * spaces, not a self-match — with overlapping id spaces the aligned
     * (i, i) pair is precisely the row mining exists to find.
     */
-  def bitextMarginMine(src: DataFrame, tgt: DataFrame, queries: DataFrame,
+  def bitextMarginMine(src0: DataFrame, tgt0: DataFrame, queries0: DataFrame,
       k: Int, nCells: Int, nprobe: Int,
       iters: Int = 2, sampleMod: Int = 7): DataFrame =
-    bitextMarginMineWith(buildIvf(src, nCells, iters, sampleMod),
-      buildIvf(tgt, nCells, iters, sampleMod), queries, k, nprobe)
+    // both fits + both probe passes on one conf-isolated static scope
+    // (see ivfKnn); the prebuilt-index entry point stays unscoped for
+    // serving callers with persisted indexes
+    graft.ops.PlanScope.isolatedStaticFor(src0) { scoped =>
+      bitextMarginMineWith(
+        buildIvf(graft.ops.PlanScope.rebind(src0, scoped), nCells, iters, sampleMod),
+        buildIvf(graft.ops.PlanScope.rebind(tgt0, scoped), nCells, iters, sampleMod),
+        graft.ops.PlanScope.rebind(queries0, scoped), k, nprobe)
+    }
 
   /** [[bitextMarginMine]] against PREBUILT indexes — the mining-run and
     * streaming serving shape: both corpus-sized index builds are paid once

@@ -114,13 +114,21 @@ object TextSearch {
     *         broken by lower doc id; score in micro-units (exact long)
     */
   def bm25TopK(
-      docs: DataFrame,
+      docs0: DataFrame,
       idCol: String,
       textCol: String,
       queries: Seq[(Int, String)],
       k: Int,
       k1: Double = 1.5,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75): DataFrame =
+    // Ad-hoc scan + score is a known plan shape re-executed per call: run
+    // it on a conf-isolated static scope (one driver job per action, no
+    // AQE per-exchange dispatch; concurrent caller queries keep AQE).
+    // The served path (buildTextIndex + bm25TopKWith) stays unscoped — a
+    // long-lived index plans under its owner's conf, and its postings
+    // pushdown must stay on the index frame's own plan.
+    graft.ops.PlanScope.isolatedStaticFor(docs0) { scoped =>
+    val docs = graft.ops.PlanScope.rebind(docs0, scoped)
     val (qt, terms) = queryTerms(docs.sparkSession, queries)
     val toks = docs.select(
       col(idCol).as("doc_id"),
@@ -135,7 +143,7 @@ object TextSearch {
         element_at(termArr, col("ti") + 1).as("term"), col("tf"))
     val stats = toks.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     scoreAndRank(tf, stats, qt, k, k1, b)
-  }
+    }
 
   /** Reciprocal-rank fusion (Cormack et al. 2009) of any number of ranked
     * retrieval legs — the standard way to combine lexical (BM25) and

@@ -70,11 +70,18 @@ object CurationPipeline {
       maxPerDomain: Option[Int] = None,
       maxLineOccurrences: Option[Long] = None,
       intraDocDedup: Boolean = true,
+      spanScrubWindow: Option[Int] = None,
+      docEmb: Option[DataFrame] = None,
+      evalEmb: Option[DataFrame] = None,
+      semanticMinCosE6: Long = 400000L,
       detachBound: Option[Int] = None): DataFrame = {
     require(minQualityBucket >= 0 && minQualityBucket <= qualityBreakpoints.size,
       s"minQualityBucket must be in [0, ${qualityBreakpoints.size}], got $minQualityBucket")
     require(urlCol.isDefined || (blockedDomains.isEmpty && maxPerDomain.isEmpty),
       "blockedDomains/maxPerDomain need urlCol: there is no domain to key on without a URL column")
+    require(docEmb.isDefined == evalEmb.isDefined,
+      "semantic decontamination needs BOTH docEmb (train vectors keyed by doc_id) " +
+        "and evalEmb (eval-release vectors) — or neither")
 
     // 0. domain hygiene (only when the corpus carries URLs)
     val docs0 = urlCol.fold(docs) { u =>
@@ -128,6 +135,21 @@ object CurationPipeline {
           Seq("doc_id"))
     }
 
+    // 0c. corpus-wide duplicated-SPAN scrub (opt-in via spanScrubWindow)
+    // — the Lee et al. substring-level stage: maximal runs of window-hash
+    // duplicated tokens removed from every doc, docs scrubbed to nothing
+    // exit. BEFORE near-dup detection, so shared boilerplate spans
+    // (licence blocks, templated paragraphs) can no longer vouch for an
+    // LSH pair between otherwise-unique docs — the same ordering
+    // rationale as the line-dedup stage, one granularity finer.
+    val docsS = spanScrubWindow.fold(docsL) { w =>
+      docsL.drop("text").join(
+        Dedup.scrubDuplicatedSpans(docsL, windowTokens = w)
+          .filter(col("n_kept") > 0)
+          .select(col("doc_id"), col("clean_text").as("text")),
+        Seq("doc_id"))
+    }
+
     // 1. dedup: keep the longest doc of every near-dup component.
     // components() is EAGER (its convergence counts run the fixpoint at
     // call time) and is the single most expensive stage at corpus scale —
@@ -136,11 +158,11 @@ object CurationPipeline {
     // The cache stays pinned for the caller's consuming action, same
     // policy as components' own final-round cache; on block loss Spark
     // recomputes from the pair pipeline (correct, just slower).
-    val pairs = Dedup.minhashLshPairs(docsL)
-    val comps = Dedup.components(docsL, pairs)
+    val pairs = Dedup.minhashLshPairs(docsS)
+    val comps = Dedup.components(docsS, pairs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val kept = docsL.join(
-      Dedup.dedupCorpusByComponents(docsL, comps,
+    val kept = docsS.join(
+      Dedup.dedupCorpusByComponents(docsS, comps,
           TextFunctions.tokenCount(col("text")).cast("long"))
         .select(col("kept_doc_id").as("doc_id")),
       Seq("doc_id"))
@@ -149,7 +171,24 @@ object CurationPipeline {
     val flagged = Dedup.contaminationPairs(kept, evalDocs,
         minPermille = contaminationPermille, maxTrainDf = maxTrainDf)
       .select(col("train_id").as("doc_id")).distinct()
-    val clean = kept.join(flagged, Seq("doc_id"), "left_anti")
+    val cleanNgram = kept.join(flagged, Seq("doc_id"), "left_anti")
+
+    // 2b. SEMANTIC decontamination (opt-in via docEmb + evalEmb): drop
+    // survivors whose embedding sits within cosine semanticMinCosE6/1e6
+    // of ANY eval vector — the paraphrase leakage the shingle containment
+    // above cannot see (graft.operators.Similarity.semanticContamination:
+    // shared anchor grid, eval side broadcasts the neighbor offsets, the
+    // train corpus is scanned once — never train×train). Docs without an
+    // embedding row pass through unflagged: only the n-gram fence covers
+    // them, the honest semantics for a partially-embedded corpus.
+    val clean = docEmb.fold(cleanNgram) { de =>
+      val trainEmb = de.select(col("doc_id").as("vec_id"), col("embedding"))
+        .join(cleanNgram.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+      val flaggedSem = graft.operators.Similarity.semanticContamination(
+          trainEmb, evalEmb.get, semanticMinCosE6)
+        .select(col("train_id").as("doc_id")).distinct()
+      cleanNgram.join(flaggedSem, Seq("doc_id"), "left_anti")
+    }
 
     // 3. quality floor: quantile-bucket the quality score, keep the top
     val scored = Sketches.quantileBuckets(

@@ -446,9 +446,171 @@ object NorthStarQueries {
        |FROM o ORDER BY doc_id""".stripMargin
   }
 
+  /** c02: the c01 composition plus the two remaining curation stages,
+    * still ONE DuckDB statement — duplicated-SPAN scrub (t27's window-hash
+    * replay) feeding the near-dup chain, and SEMANTIC decontamination
+    * (d17's exact-cosine fence) joining the shingle fence at the clean
+    * cut. Multi-use CTEs are MATERIALIZED (the k-core lesson: DuckDB
+    * inlines by default, and this chain references ws0/ws/ex several
+    * times each). PII redaction is off (c01 proves it), so the packed
+    * text is the scrubbed text verbatim. */
+  private def c02OracleSql: String = {
+    val allStops = graft.functions.TextFunctions.langProfiles.flatMap(_._2).distinct
+      .map(w => s"'$w'").mkString(",")
+    s"""WITH RECURSIVE docs0 AS MATERIALIZED (
+       |  SELECT doc_id, source, text ||
+       |    CASE WHEN doc_id % 4 = 0 THEN ' this work is licensed for research evaluation use only under the sample terms' ELSE '' END AS text
+       |  FROM documents),
+       |ws0 AS MATERIALIZED (SELECT doc_id, $WsSql AS w FROM docs0),
+       |wins AS (SELECT doc_id, unnest(range(GREATEST(len(w) - 7, 0))) AS pos, w FROM ws0),
+       |wh AS MATERIALIZED (SELECT doc_id, pos,
+       |        ${h60("array_to_string(w[pos+1:pos+8], ' ')")} AS h
+       |      FROM wins),
+       |hot AS (SELECT h FROM wh GROUP BY h HAVING COUNT(*) >= 2),
+       |dup AS MATERIALIZED (SELECT doc_id, pos FROM wh WHERE h IN (SELECT h FROM hot)),
+       |toksc AS (SELECT doc_id, unnest(range(len(w))) AS i, w FROM ws0),
+       |keptt AS (SELECT t.doc_id, t.i, t.w[t.i + 1] AS tok FROM toksc t
+       |          WHERE NOT EXISTS (SELECT 1 FROM dup d
+       |                 WHERE d.doc_id = t.doc_id AND t.i BETWEEN d.pos AND d.pos + 7)),
+       |docs1 AS MATERIALIZED (
+       |  SELECT k.doc_id, d.source, string_agg(k.tok, ' ' ORDER BY k.i) AS text,
+       |         COUNT(*) AS n_kept
+       |  FROM keptt k JOIN docs0 d ON d.doc_id = k.doc_id
+       |  GROUP BY k.doc_id, d.source),
+       |ws AS MATERIALIZED (SELECT doc_id, $WsSql AS w FROM docs1),
+       |sh AS MATERIALIZED (SELECT doc_id, $Shingles3Sql AS s FROM ws),
+       |ex AS MATERIALIZED (SELECT doc_id, unnest(s) AS sh FROM sh),
+       |mh AS (SELECT doc_id, i, MIN(${h60("CAST(i AS VARCHAR)||':'||sh")}) AS mh
+       |       FROM ex, range(12) t(i) GROUP BY doc_id, i),
+       |bands AS MATERIALIZED (SELECT doc_id, i // 3 AS band,
+       |                 md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bh
+       |          FROM mh GROUP BY doc_id, i // 3),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+       |inter AS (SELECT ea.doc_id AS doc_a, eb.doc_id AS doc_b, COUNT(*) AS inter_cnt
+       |          FROM ex ea JOIN ex eb ON ea.sh = eb.sh AND ea.doc_id < eb.doc_id
+       |          GROUP BY 1, 2),
+       |pairs AS MATERIALIZED (SELECT c.doc_a, c.doc_b
+       |          FROM cand c
+       |          JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |          JOIN sz sa ON sa.doc_id = c.doc_a
+       |          JOIN sz sb ON sb.doc_id = c.doc_b
+       |          WHERE 1000 * i.inter_cnt >= 800 * (sa.n + sb.n - i.inter_cnt)),
+       |edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(doc, lab) AS (
+       |  SELECT doc_id, doc_id FROM docs1
+       |  UNION
+       |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.doc),
+       |comp AS MATERIALIZED (SELECT doc AS doc_id, MIN(lab) AS component
+       |         FROM reach GROUP BY doc),
+       |tl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok FROM ws),
+       |keptid AS MATERIALIZED (SELECT doc_id FROM (
+       |    SELECT c.doc_id, ROW_NUMBER() OVER (PARTITION BY c.component
+       |      ORDER BY tl.n_tok DESC, c.doc_id) AS rn
+       |    FROM comp c JOIN tl ON tl.doc_id = c.doc_id) WHERE rn = 1),
+       |esh AS (SELECT doc_id + 2000000 AS eval_id,
+       |          list_distinct(list_transform(range(greatest(len(w)-2, 0)),
+       |            i -> w[i+1]||' '||w[i+2]||' '||w[i+3])) AS s
+       |        FROM ws0 WHERE doc_id % 10 = 0),
+       |esz AS (SELECT eval_id, CAST(len(s) AS BIGINT) AS n_ev FROM esh WHERE len(s) > 0),
+       |eex AS (SELECT eval_id, unnest(s) AS sh FROM esh),
+       |tex AS (SELECT k.doc_id AS train_id, e.sh FROM keptid k
+       |        JOIN ex e ON e.doc_id = k.doc_id),
+       |cint AS (SELECT train_id, eval_id, COUNT(*) AS inter_cnt
+       |         FROM tex JOIN eex USING (sh) GROUP BY 1, 2),
+       |flag AS (SELECT DISTINCT train_id FROM cint JOIN esz USING (eval_id)
+       |         WHERE (1000 * inter_cnt) // n_ev >= 500),
+       |semflag AS (SELECT DISTINCT a.vec_id AS train_id
+       |            FROM embeddings a JOIN embeddings b ON b.vec_id % 10 = 0
+       |            WHERE ${cosE6Sql("a.embedding", "b.embedding")} >= 400000),
+       |clean AS MATERIALIZED (SELECT doc_id FROM keptid
+       |          WHERE doc_id NOT IN (SELECT train_id FROM flag)
+       |            AND doc_id NOT IN (SELECT train_id FROM semflag)),
+       |qm AS (SELECT ws.doc_id,
+       |        CAST(len(w) AS BIGINT) AS n_tok,
+       |        (1000 * len(list_filter(w, t -> list_contains([$allStops], t))))
+       |          // greatest(len(w), 1) AS stop_permille,
+       |        (1000 * len(list_filter(w, t -> regexp_matches(t, '^[a-z]+$$'))))
+       |          // greatest(len(w), 1) AS alpha_permille
+       |       FROM ws JOIN clean ON ws.doc_id = clean.doc_id),
+       |q AS MATERIALIZED (SELECT doc_id,
+       |        CAST(CASE WHEN n_tok BETWEEN 10 AND 10000 THEN 500 ELSE 0 END
+       |             + stop_permille // 2 + alpha_permille // 4 AS BIGINT) AS quality
+       |      FROM qm),
+       |h AS (SELECT quality, COUNT(*) AS cnt FROM q GROUP BY 1),
+       |w2 AS (SELECT quality,
+       |         CAST(SUM(cnt) OVER (ORDER BY quality) AS BIGINT) AS cum,
+       |         CAST(SUM(cnt) OVER () AS BIGINT) AS n
+       |       FROM h),
+       |bp AS (SELECT MIN(CASE WHEN cum > (250*(n-1))//1000 THEN quality END) AS b1
+       |       FROM w2),
+       |good AS MATERIALIZED (SELECT q.doc_id, q.quality, CAST(1 AS BIGINT) AS bucket
+       |         FROM q, bp WHERE q.quality > bp.b1),
+       |spl AS (SELECT g.doc_id, c.component,
+       |          CASE WHEN ${h60("CAST(c.component AS VARCHAR)")} % 1000 < 900 THEN 'train'
+       |               WHEN ${h60("CAST(c.component AS VARCHAR)")} % 1000 < 950 THEN 'val'
+       |               ELSE 'test' END AS split
+       |        FROM good g JOIN comp c ON g.doc_id = c.doc_id),
+       |pk AS (SELECT g.doc_id, spl.component, g.quality, g.bucket, spl.split,
+       |          spl.split || '/' || d1.source AS shard,
+       |          CAST(d1.n_kept AS BIGINT) AS n_tokens,
+       |          md5(d1.text) AS text_md5
+       |        FROM good g
+       |        JOIN spl ON spl.doc_id = g.doc_id
+       |        JOIN docs1 d1 ON d1.doc_id = g.doc_id),
+       |o AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+       |          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |          AS BIGINT) AS token_offset
+       |      FROM pk)
+       |SELECT doc_id, component, quality, bucket, split, shard, n_tokens,
+       |       token_offset, CAST(token_offset // 2048 AS BIGINT) AS chunk_id, text_md5
+       |FROM o ORDER BY doc_id""".stripMargin
+  }
+
   // ---- queries ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c02_curation_full" -> ((s, d) => {
+      // c01's composed pipeline plus the two remaining curation stages,
+      // still replayed by ONE DuckDB statement: corpus-wide
+      // duplicated-SPAN scrub (the Lee-et-al substring stage, run before
+      // near-dup detection so the planted licence boilerplate cannot
+      // vouch for an LSH pair between otherwise-unique docs) and
+      // SEMANTIC decontamination (d17's exact-cosine paraphrase fence
+      // over the embedding table, vec_id ≡ doc_id; docs without an
+      // embedding pass through to the n-gram fence only). Span specimens
+      // are PLANTED — every 4th doc gains the same licence sentence — so
+      // the scrub provably does work in composition; PII redaction is
+      // off here (c01 proves it) so the oracle replays the scrubbed
+      // text verbatim.
+      val planted = Tables.documents(s, d).withColumn("text",
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(col("text"), lit(" this work is licensed for research " +
+            "evaluation use only under the sample terms")))
+          .otherwise(col("text")))
+      val evalDocs = planted.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      val emb = Tables.embeddings(s, d)
+      graft.pipelines.CurationPipeline.curate(
+          planted, evalDocs,
+          contaminationPermille = 500,
+          qualityBreakpoints = Seq(250),
+          minQualityBucket = 1,
+          packBudget = 2048,
+          redactPii = false,
+          intraDocDedup = false,
+          spanScrubWindow = Some(8),
+          docEmb = Some(emb.select(col("vec_id").as("doc_id"), col("embedding"))),
+          evalEmb = Some(emb.filter(pmod(col("vec_id"), lit(10)) === 0)),
+          semanticMinCosE6 = 400000L,
+          detachBound = Some(1 << 21))
+        .select(col("doc_id"), col("component"), col("quality"), col("bucket"),
+          col("split"), col("shard"), col("n_tokens"), col("token_offset"),
+          col("chunk_id"), md5(col("text")).as("text_md5"))
+    }),
     "c01_curation_e2e" -> ((s, d) => {
       // The END-TO-END curation pipeline as one oracle-checked query —
       // the product story: near-dup dedup (keep-longest) → shingle
@@ -1705,6 +1867,9 @@ object NorthStarQueries {
   val oracleSql: Map[String, String] = Map(
     // the end-to-end pipeline replay — see curationOracleSql
     "c01_curation_e2e" -> curationOracleSql,
+    // the full-stage composition: span scrub + semantic fence added to
+    // c01's chain, one statement, heavy CTEs MATERIALIZED
+    "c02_curation_full" -> c02OracleSql,
     // same aggregate chain, same one fixed double association inside each
     // term, micro-rounded before the order-free sum (the t29 recipe)
     "t47_source_kl" ->

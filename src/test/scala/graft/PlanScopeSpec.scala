@@ -1,10 +1,14 @@
 package graft
 
 import graft.ops.PlanScope
+import org.apache.spark.sql.functions._
 
-/** The static-plan scope is session-global state — restoring it exactly
-  * (on success, on exception, and under nesting) is what makes wrapping
-  * operators in it safe for callers. */
+/** The plan scope is what makes wrapping operators in conf overrides safe
+  * for callers: the isolated form must never leak confs to the caller's
+  * session (a concurrent query plans under AQE as usual, mid-scope), and
+  * the legacy mutating form must restore exactly — on success, on
+  * exception, under nesting, for previously-UNSET keys — and fail loudly
+  * on cross-thread entry instead of racing the restore. */
 class PlanScopeSpec extends SparkTestBase {
 
   private val Key = "spark.sql.adaptive.enabled"
@@ -34,5 +38,83 @@ class PlanScopeSpec extends SparkTestBase {
       assert(spark.conf.get("spark.sql.shuffle.partitions") === "7")
     }
     assert(spark.conf.get("spark.sql.shuffle.partitions") === before)
+  }
+
+  test("a key with no explicit value is restored by UNSET, not pinned") {
+    // AQE is not set by the test session builder, so it reports as
+    // not-explicitly-set (conf.contains reads explicit settings only)
+    assume(!spark.conf.getAll.contains(Key), s"$Key unexpectedly pre-set")
+    PlanScope.staticBatch(spark) { assert(spark.conf.get(Key) === "false") }
+    assert(!spark.conf.getAll.contains(Key),
+      "restore must unset a previously-unset key, not pin its resolved default")
+    assert(spark.conf.get(Key) === "true")
+  }
+
+  test("cross-thread entry into the mutating scope fails loudly") {
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    @volatile var fromOtherThread: Option[Throwable] = None
+    val holder = new Thread(() =>
+      PlanScope.staticBatch(spark) { entered.countDown(); release.await() })
+    holder.start()
+    entered.await()
+    try {
+      val e = intercept[IllegalStateException] {
+        PlanScope.staticBatch(spark) { fail("must not enter") }
+      }
+      assert(e.getMessage.contains("already scoped"))
+    } finally { release.countDown(); holder.join() }
+    // after the holder exits, entry works again (guard entry released)
+    PlanScope.staticBatch(spark) { assert(spark.conf.get(Key) === "false") }
+    assert(fromOtherThread.isEmpty)
+  }
+
+  test("isolated scope: the caller's session keeps AQE mid-scope") {
+    val df = spark.range(100).toDF("x")
+    PlanScope.isolatedStatic(spark) { clone =>
+      assert(clone.conf.get(Key) === "false")
+      // the caller's session is untouched — a concurrent query there
+      // still plans adaptively while the scope is live
+      assert(spark.conf.get(Key) === "true")
+      val concurrent = df.groupBy(col("x") % 7).count()
+      assert(concurrent.queryExecution.executedPlan.toString
+        .contains("AdaptiveSparkPlan"))
+      // clone semantics match the caller (seeded conf): same timezone,
+      // same shuffle partitions
+      assert(clone.conf.get("spark.sql.session.timeZone")
+        === spark.conf.get("spark.sql.session.timeZone"))
+      assert(clone.conf.get("spark.sql.shuffle.partitions")
+        === spark.conf.get("spark.sql.shuffle.partitions"))
+    }
+    assert(spark.conf.get(Key) === "true")
+  }
+
+  test("rebind re-plans a caller frame under the clone's conf") {
+    val df = spark.range(1000).toDF("x").withColumn("k", col("x") % 13)
+    val (rows, adaptive) = PlanScope.isolatedStatic(spark) { clone =>
+      val re = PlanScope.rebind(df, clone)
+      val agg = re.groupBy("k").agg(sum("x").as("s"))
+      (agg.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1),
+        agg.queryExecution.executedPlan.toString.contains("AdaptiveSparkPlan"))
+    }
+    assert(!adaptive, "plan built on the clone must be static (AQE off)")
+    val oracle = df.groupBy("k").agg(sum("x").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(rows === oracle)
+    // the temp-view hop cleaned up after itself
+    assert(spark.catalog.listTables("global_temp").count() === 0)
+  }
+
+  test("rebindRows hands a clone-planned result back without the clone") {
+    val out = PlanScope.isolatedStatic(spark) { clone =>
+      val re = PlanScope.rebind(spark.range(50).toDF("x"), clone)
+        .groupBy((col("x") % 5).as("k")).agg(count(lit(1)).as("n"))
+      PlanScope.rebindRows(re, spark)
+    }
+    // materializes AFTER the scope ended, under the caller's session,
+    // replaying the clone-planned lineage
+    assert(out.sparkSession eq spark)
+    assert(out.schema.fieldNames.toSeq === Seq("k", "n"))
+    assert(out.collect().map(_.getLong(1)).sum === 50L)
   }
 }

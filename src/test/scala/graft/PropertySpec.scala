@@ -435,21 +435,37 @@ class PropertySpec extends SparkTestBase {
       .map(j => s"tok${i}_$j").mkString(" "))).toDF("doc_id", "text")
     val batch = (100L to 120L).map(i => (i, s"batch doc $i " + (1 to 20)
       .map(j => s"new${i}_$j").mkString(" "))).toDF("doc_id", "text")
-    var jobs = 0
+    // Count ONLY jobs tagged with this call's job group: any concurrent
+    // activity on the shared session (parallel suites, listener-bus lag
+    // from a previous test) would otherwise inflate the count and flake
+    // the budget in the over-counting direction. The group id rides the
+    // context's thread-local properties, so it tags the scoped clone's
+    // jobs too.
+    val group = "dedup-delta-budget"
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val l = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
-          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (Option(j.properties)
+            .exists(_.getProperty("spark.jobGroup.id") == group)) {
+          jobs.incrementAndGet(); ()
+        }
     }
     spark.sparkContext.addSparkListener(l)
+    spark.sparkContext.setJobGroup(group, "dedupDelta job budget", false)
     try {
       val out = graft.operators.Dedup.dedupDelta(corpus, batch)
       assert(out.count() === 21L)
       // listener events post asynchronously; drain within a small, bounded
       // wait before reading the counter
       val deadline = System.nanoTime() + 2_000_000_000L
-      while (System.nanoTime() < deadline && jobs == 0) Thread.sleep(20)
+      while (System.nanoTime() < deadline && jobs.get() == 0) Thread.sleep(20)
       Thread.sleep(200)
-      assert(jobs <= 15, s"dedupDelta dispatched $jobs driver jobs (budget 15)")
-    } finally spark.sparkContext.removeSparkListener(l)
+      assert(jobs.get() <= 15,
+        s"dedupDelta dispatched ${jobs.get()} driver jobs (budget 15)")
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(l)
+    }
   }
 }
