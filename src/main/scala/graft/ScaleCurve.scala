@@ -36,7 +36,11 @@ object ScaleCurve {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val factors = Seq(1, 3, 10)
+    val factors = Seq(1, 3, 10, 30)
+    // the 30x decade exists for the SELF-JOIN candidate generators (the
+    // queries whose marginal exponent was the open scale risk) — the rest
+    // of the family stops at 10x, where its ~linear fit is already pinned
+    val deepOps = Set("d14_fuzzy_er", "d14_fuzzy_er_skew", "q61_copurchase")
     val base = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale_curve"))
     base.mkdirs()
@@ -70,6 +74,27 @@ object ScaleCurve {
             .otherwise(concat(col("c_name"), lit(" "),
               expr("repeat(chr(97 + i % 26), 3)"))).as("c_name"))
 
+    // Skewed ER variant: 5% of every replica collapses into ONE hot name
+    // cluster (26 names one character apart — every pair within
+    // maxDist=1's blocking reach), because the uniform synthetic names
+    // flatter SymSpell blocking: their deletion-variant blocks are tiny,
+    // so the Σ block² verify term never bites. The hot cluster makes the
+    // quadratic-within-block term REAL (≈ (|cust|/20)²/2 verify pairs per
+    // replica) while replicas stay disjoint — output still exactly linear
+    // in f, so α isolates the engine.
+    def blowCustSkew(f: Int): DataFrame =
+      Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_name"))
+        .select(col("c_custkey"),
+          when(pmod(col("c_custkey"), lit(20)) === 0,
+            concat(lit("hotblock shared name "),
+              expr("chr(97 + CAST(c_custkey / 20 AS INT) % 26)")))
+            .otherwise(col("c_name")).as("c_name"))
+        .select(col("c_custkey"), col("c_name"), reps(f))
+        .select((col("c_custkey") + col("i") * Shift).as("c_custkey"),
+          when(col("i") === 0, col("c_name"))
+            .otherwise(concat(col("c_name"), lit(" "),
+              expr("repeat(chr(97 + i % 26), 3)"))).as("c_name"))
+
     // relational fact-table blowup: order/part/supplier keys shift per
     // replica, so baskets stay isomorphic and no co-purchase pair, join
     // row, or graph edge crosses replicas — true output exactly linear
@@ -95,11 +120,13 @@ object ScaleCurve {
     // ---- measured operators (board-query configurations) ----
     import graft.operators.{Dedup, EntityResolution, Similarity}
     def ops(docs: DataFrame, emb: DataFrame, cust: DataFrame,
-        queries: DataFrame, li: DataFrame): Seq[(String, () => DataFrame)] = Seq(
+        queries: DataFrame, li: DataFrame, custSkew: DataFrame): Seq[(String, () => DataFrame)] = Seq(
       "d02_minhash_lsh" -> (() => Dedup.minhashLshPairs(docs)),
       "d04_ngram_jaccard" -> (() => Dedup.ngramJaccardPairs(docs)),
       "d14_fuzzy_er" -> (() =>
         EntityResolution.fuzzyPairs(cust, "c_custkey", "c_name", maxDist = 1)),
+      "d14_fuzzy_er_skew" -> (() =>
+        EntityResolution.fuzzyPairs(custSkew, "c_custkey", "c_name", maxDist = 1)),
       "s02_knn_ivf" -> (() =>
         Similarity.ivfKnn(emb, queries, k = 5, nCells = 16, nprobe = 2)),
       "s15_recall_sweep" -> (() =>
@@ -146,14 +173,20 @@ object ScaleCurve {
 
     val results = scala.collection.mutable.Map[(String, Int), Double]()
     factors.foreach { f =>
-      val docs = materialize("documents", f, blowDocs(f))
-      val emb = materialize("embeddings", f, blowEmb(f))
+      val deepOnly = f > 10
+      // the 30x decade touches only the deep ops' tables — the doc/emb
+      // blowups would dominate the probe's own runtime for nothing
+      val docs = if (deepOnly) null else materialize("documents", f, blowDocs(f))
+      val emb = if (deepOnly) null else materialize("embeddings", f, blowEmb(f))
       val cust = materialize("customer", f, blowCust(f))
+      val custSkew = materialize("customer_skew", f, blowCustSkew(f))
       val li = materialize("lineitem", f, blowLineitem(f))
       // fixed query set (shard-0 vectors): corpus side scales, probe
       // side constant — the serving shape whose scaling matters
-      val queries = emb.filter(col("vec_id") < 100)
-      ops(docs, emb, cust, queries, li).foreach { case (name, thunk) =>
+      val queries = if (deepOnly) null else emb.filter(col("vec_id") < 100)
+      ops(docs, emb, cust, queries, li, custSkew)
+        .filter { case (name, _) => !deepOnly || deepOps(name) }
+        .foreach { case (name, thunk) =>
         val times = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
           thunk().write.mode("overwrite").format("noop").save()
@@ -166,12 +199,16 @@ object ScaleCurve {
         println(f"""{"op":"$name","factor":$f,"median_sec":$med%.3f}""")
       }
     }
-    println("op, t1, t3, t10, alpha_3 (ln(t3/t1)/ln3), alpha_10 (ln(t10/t1)/ln10)")
-    ops(null, null, null, null, null).map(_._1).foreach { name =>
+    println("op, t1, t3, t10, t30, alpha_10 (ln(t10/t1)/ln10), " +
+      "alpha_m10 (marginal ln(t10/t3)/ln(10/3)), alpha_m30 (marginal ln(t30/t10)/ln3)")
+    ops(null, null, null, null, null, null).map(_._1).foreach { name =>
       val t1 = results((name, 1)); val t3 = results((name, 3)); val t10 = results((name, 10))
-      val a3 = math.log(t3 / t1) / math.log(3.0)
       val a10 = math.log(t10 / t1) / math.log(10.0)
-      println(f"$name%-20s $t1%7.2f $t3%7.2f $t10%7.2f   $a3%5.2f   $a10%5.2f")
+      val am10 = math.log(t10 / t3) / math.log(10.0 / 3.0)
+      val (t30s, am30s) = results.get((name, 30)).fold(("      -", "    -")) { t30 =>
+        (f"$t30%7.2f", f"${math.log(t30 / t10) / math.log(3.0)}%5.2f")
+      }
+      println(f"$name%-20s $t1%7.2f $t3%7.2f $t10%7.2f $t30s   $a10%5.2f   $am10%5.2f   $am30s")
     }
     spark.stop()
   }

@@ -142,13 +142,28 @@ object CurationPipeline {
     // (licence blocks, templated paragraphs) can no longer vouch for an
     // LSH pair between otherwise-unique docs — the same ordering
     // rationale as the line-dedup stage, one granularity finer.
-    val docsS = spanScrubWindow.fold(docsL) { w =>
-      docsL.drop("text").join(
+    // The scrub output feeds MANY consumers (LSH pairs, the components
+    // fixpoint, keep-longest, the kept re-join, quality, packing). It is
+    // pinned, materialized eagerly, and FLAT RE-ROOTED (the Graphs
+    // lineage-cut discipline): left lazy, every consumer's analyzed plan
+    // carries the whole window-hash subtree and the composed query pays
+    // seconds of repeated Catalyst walks plus re-executions (measured:
+    // ~4x its honest cost). The scrubbed corpus is the stage boundary a
+    // 100 TB run would checkpoint at anyway. Released in the detachBound
+    // handover; otherwise the pin rides the returned plan under the
+    // caller's cache contract.
+    val docsSPin = spanScrubWindow.map { w =>
+      val pinned = docsL.drop("text").join(
         Dedup.scrubDuplicatedSpans(docsL, windowTokens = w)
           .filter(col("n_kept") > 0)
           .select(col("doc_id"), col("clean_text").as("text")),
         Seq("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pinned.count()
+      pinned
     }
+    val docsS = docsSPin.fold(docsL)(p =>
+      p.sparkSession.createDataFrame(p.rdd, p.schema))
 
     // 1. dedup: keep the longest doc of every near-dup component.
     // components() is EAGER (its convergence counts run the fixpoint at
@@ -182,8 +197,13 @@ object CurationPipeline {
     // embedding row pass through unflagged: only the n-gram fence covers
     // them, the honest semantics for a partially-embedded corpus.
     val clean = docEmb.fold(cleanNgram) { de =>
+      // flag over the FULL embedding table, not the survivors: the
+      // anti-join below ignores flags on already-dropped ids, so the set
+      // is identical — while a survivor semi-join would duplicate the
+      // whole dedup subtree inside the flag leg's plan (measured: the
+      // composed query re-executed the chain twice). The grid join is
+      // one pass over the embedding table either way.
       val trainEmb = de.select(col("doc_id").as("vec_id"), col("embedding"))
-        .join(cleanNgram.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
       val flaggedSem = graft.operators.Similarity.semanticContamination(
           trainEmb, evalEmb.get, semanticMinCosE6)
         .select(col("train_id").as("doc_id")).distinct()
@@ -230,6 +250,7 @@ object CurationPipeline {
         s"curate detachBound: result exceeds $cap rows — drop detachBound " +
           "and write the returned frame instead")
       comps.unpersist(blocking = false)
+      docsSPin.foreach(_.unpersist(blocking = false))
       packed.sparkSession.createDataFrame(
         java.util.Arrays.asList(rows: _*), packed.schema)
     }

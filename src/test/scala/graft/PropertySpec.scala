@@ -468,4 +468,88 @@ class PropertySpec extends SparkTestBase {
       spark.sparkContext.removeSparkListener(l)
     }
   }
+  test("serving extension is associative: chained text-index extends ≡ rebuild") {
+    // extend∘extend∘extend over three deltas must equal one rebuild over
+    // the whole corpus — postings, stats, AND the probe path — so
+    // repeated serving ingestion can never drift from a fresh index.
+    val corpusGen: Gen[List[String]] = Gen.listOfN(16, for {
+      n <- Gen.choose(3, 8)
+      ws <- Gen.listOfN(n, Gen.oneOf("the", "fox", "data", "quick", "delta",
+        "corpus", "span", "index"))
+    } yield ws.mkString(" "))
+    forSamples(corpusGen, 4) { texts =>
+      val all = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val Seq(base, d1, d2, d3) = (0 until 4).map(q =>
+        all.filter(pmod(col("doc_id"), lit(4)) === q))
+      import graft.operators.TextSearch
+      val chained = TextSearch.extendTextIndex(
+        TextSearch.extendTextIndex(
+          TextSearch.extendTextIndex(
+            TextSearch.buildTextIndex(base, "doc_id", "text"),
+            d1, "doc_id", "text"),
+          d2, "doc_id", "text"),
+        d3, "doc_id", "text")
+      val rebuilt = TextSearch.buildTextIndex(all, "doc_id", "text")
+      assert(chained.postings.collect().map(_.toSeq).toSet ===
+        rebuilt.postings.collect().map(_.toSeq).toSet)
+      assert(chained.stats.collect().map(_.toSeq).toSeq ===
+        rebuilt.stats.collect().map(_.toSeq).toSeq)
+      val q = Seq(0 -> "quick data", 1 -> "fox")
+      assert(TextSearch.bm25TopKWith(chained, q, k = 3).collect().map(_.toSeq).toSet ===
+        TextSearch.bm25TopKWith(rebuilt, q, k = 3).collect().map(_.toSeq).toSet)
+    }
+  }
+
+  test("serving extension is associative: chained IVF extends ≡ one extend") {
+    // extend(extend(extend(i, d1), d2), d3) ≡ extend(i, d1 ∪ d2 ∪ d3):
+    // assignments land on the SAME frozen centroids whichever way the
+    // deltas arrive, and no extend ever refits. (Rebuild-at-same-centroids
+    // equivalence for ONE delta is the s11 oracle; associativity is what
+    // lets a serving loop ingest per batch without drift.)
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = emb.filter(pmod($"vec_id", lit(4)) === 0)
+    val deltas = (1 to 3).map(q => emb.filter(pmod($"vec_id", lit(4)) === q))
+    val idx = Similarity.buildIvf(base, nCells = 8)
+    val chained = deltas.foldLeft(idx)(Similarity.extendIvf)
+    val oneShot = Similarity.extendIvf(idx, deltas.reduce(_ unionByName _))
+    assert(chained.centroids eq idx.centroids)
+    assert(oneShot.centroids eq idx.centroids)
+    val a = chained.assigned.select($"vec_id", $"cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = oneShot.assigned.select($"vec_id", $"cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a === b)
+    assert(a.keySet.size.toLong === emb.count())
+  }
+
+  test("serving extension is associative: chained delta-dedup ≡ per-step rebuild") {
+    // Three ingestion batches against a growing corpus: serving with
+    // UNIONED corpus-side frames (digests/bands extended by each step's
+    // ACCEPTED docs — the steady-state loop) admits exactly the same docs
+    // as rebuilding the digest/band frames from the full corpus each step.
+    // Union-of-distinct digests may carry duplicates across releases; the
+    // semi-join probe is insensitive to them — that insensitivity is the
+    // property ingestion relies on.
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    var corpus = docs.filter($"doc_id" < 60)
+    var digests = Dedup.corpusDigests(corpus)
+    var bands = Dedup.corpusBands(corpus)
+    for (b <- 0 until 3) {
+      val lo = 60 + 40 * b
+      val batch = docs.filter($"doc_id" >= lo && $"doc_id" < lo + 40)
+      val servedIds = Dedup.dedupDeltaWith(corpus, digests, bands, batch)
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      val rebuiltIds = Dedup.dedupDelta(corpus, batch)
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      assert(servedIds === rebuiltIds, s"batch $b diverged")
+      val accepted = batch.join(
+        servedIds.toSeq.toDF("doc_id"), Seq("doc_id"), "left_semi")
+      digests = digests.unionByName(Dedup.corpusDigests(accepted))
+      bands = bands.unionByName(Dedup.corpusBands(accepted))
+      corpus = corpus.unionByName(accepted)
+    }
+  }
 }
