@@ -40,7 +40,8 @@ object ScaleCurve {
     // the 30x decade exists for the SELF-JOIN candidate generators (the
     // queries whose marginal exponent was the open scale risk) — the rest
     // of the family stops at 10x, where its ~linear fit is already pinned
-    val deepOps = Set("d14_fuzzy_er", "d14_fuzzy_er_skew", "q61_copurchase")
+    val deepOps = Set("d14_fuzzy_er", "d14_fuzzy_er_skew",
+      "d14_fuzzy_er_skew_capped", "q61_copurchase")
     val base = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale_curve"))
     base.mkdirs()
@@ -127,6 +128,12 @@ object ScaleCurve {
         EntityResolution.fuzzyPairs(cust, "c_custkey", "c_name", maxDist = 1)),
       "d14_fuzzy_er_skew" -> (() =>
         EntityResolution.fuzzyPairs(custSkew, "c_custkey", "c_name", maxDist = 1)),
+      // the production remedy for the hot cluster: maxBucket fences keys
+      // whose deletion-variant bucket explodes, trading those pathological
+      // pairs away — the curve should flatten back to the uniform slope
+      "d14_fuzzy_er_skew_capped" -> (() =>
+        EntityResolution.fuzzyPairs(custSkew, "c_custkey", "c_name",
+          maxDist = 1, maxBucket = 64)),
       "s02_knn_ivf" -> (() =>
         Similarity.ivfKnn(emb, queries, k = 5, nCells = 16, nprobe = 2)),
       "s15_recall_sweep" -> (() =>
@@ -184,8 +191,13 @@ object ScaleCurve {
       // fixed query set (shard-0 vectors): corpus side scales, probe
       // side constant — the serving shape whose scaling matters
       val queries = if (deepOnly) null else emb.filter(col("vec_id") < 100)
+      // SPARK_GRAFT_SCALE_ONLY=a,b re-measures a subset against the
+      // already-materialized blowups (iterating on one op's curve)
+      val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
       ops(docs, emb, cust, queries, li, custSkew)
         .filter { case (name, _) => !deepOnly || deepOps(name) }
+        .filter { case (name, _) => only.forall(_(name)) }
         .foreach { case (name, thunk) =>
         val times = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
@@ -201,7 +213,8 @@ object ScaleCurve {
     }
     println("op, t1, t3, t10, t30, alpha_10 (ln(t10/t1)/ln10), " +
       "alpha_m10 (marginal ln(t10/t3)/ln(10/3)), alpha_m30 (marginal ln(t30/t10)/ln3)")
-    ops(null, null, null, null, null, null).map(_._1).foreach { name =>
+    ops(null, null, null, null, null, null).map(_._1)
+      .filter(name => results.contains((name, 1))).foreach { name =>
       val t1 = results((name, 1)); val t3 = results((name, 3)); val t10 = results((name, 10))
       val a10 = math.log(t10 / t1) / math.log(10.0)
       val am10 = math.log(t10 / t3) / math.log(10.0 / 3.0)

@@ -111,11 +111,20 @@ object Dedup {
     * than dividing by zero.
     */
   def lshEvalReport(
-      docs: DataFrame,
+      docs0: DataFrame,
       shingleN: Int = 3,
       numHashes: Int = 12,
       rowsPerBand: Int = 3,
       minJaccardPermille: Int = 800): DataFrame = {
+    // One known-shape audit plan producing a 1-row report: conf-isolated
+    // static scope (see PlanScope) — its ~10 exchanges were pure AQE
+    // dispatch on the board (normalized compute ~0; 16 -> 8 driver
+    // jobs), and a concurrent caller query keeps AQE. Session-width
+    // partitions, NOT size-estimated: the exact-jaccard truth join is
+    // compute-heavy per byte, and the estimate serialized it (measured
+    // +0.9 s at 1 partition).
+    graft.ops.PlanScope.isolatedStatic(docs0.sparkSession) { scoped =>
+    val docs = graft.ops.PlanScope.rebind(docs0, scoped)
     val cand = lshCandidatePairs(docs, shingleN, numHashes, rowsPerBand)
     val truth = ngramJaccardPairs(docs, shingleN, minJaccardPermille)
       .select(col("doc_a"), col("doc_b"))
@@ -130,6 +139,7 @@ object Dedup {
         when(col("n_truth") > 0,
           expr("CAST((1000 * n_hits) DIV n_truth AS BIGINT)"))
           .as("recall_permille"))
+    }
   }
 
   /** `(doc_id, band, bh)` LSH bucket rows for a corpus: map-side min-agg

@@ -111,7 +111,16 @@ object LanguageModel {
         coalesce(col("sum_logp_e6"), lit(0L)).as("sum_logp_e6"))
   }
 
-  /** One-shot fit-and-score on the same corpus. */
-  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    scoreBigram(fitBigramModel(docs, textCol), docs, idCol, textCol)
+  /** One-shot fit-and-score on the same corpus. Runs on a conf-isolated
+    * static scope (the fit's count joins and the score join are one
+    * known shape — its exchanges were pure AQE dispatch on the board,
+    * 11 -> ~5 driver jobs); the fit/score SPLIT path stays unscoped, so
+    * a serving caller's persisted model frames plan under their owner's
+    * conf. Session-width partitions (the d16 lesson: per-byte-heavy
+    * token aggregates serialize under the size estimate). */
+  def bigramLogProb(docs0: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.ops.PlanScope.isolatedStatic(docs0.sparkSession) { scoped =>
+      val docs = graft.ops.PlanScope.rebind(docs0, scoped)
+      scoreBigram(fitBigramModel(docs, textCol), docs, idCol, textCol)
+    }
 }

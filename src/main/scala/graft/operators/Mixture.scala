@@ -248,7 +248,12 @@ object Mixture {
     *
     * @return (source, n_tokens, n_terms, kl_e6) — one row per source
     */
-  def klBySource(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+  def klBySource(docs0: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    // one known-shape drift report (three partial aggregates + a 1-row
+    // broadcast): conf-isolated static scope, see PlanScope — board
+    // census read its exchanges as pure AQE dispatch
+    graft.ops.PlanScope.isolatedStatic(docs0.sparkSession) { scoped =>
+    val docs = graft.ops.PlanScope.rebind(docs0, scoped)
     val toks = docs.select(col(sourceCol).as("source"),
       explode(graft.functions.TextFunctions.tokens(col(textCol))).as("token"))
     val ct = toks.groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
@@ -264,5 +269,6 @@ object Mixture {
       .groupBy(col("source"))
       .agg(max(col("st")).as("n_tokens"), count(lit(1)).as("n_terms"),
         sum(col("k")).as("kl_e6"))
+    }
   }
 }

@@ -833,8 +833,11 @@ object NorthStarQueries {
       // reads before shipping a vocab. Training collects only the 6
       // winning rules to the driver; encode is a shuffle-free per-row
       // fold of 6 literal replaces; the report is one grouped aggregate.
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
-      val rules = graft.operators.Bpe.trainMerges(s,
+      // fit + encode + report on one conf-isolated static scope (the
+      // trainMerges loop's own staticBatch no-ops inside it)
+      graft.ops.PlanScope.isolatedStatic(s) { scoped =>
+      val docs = Tables.documents(scoped, d).select(col("doc_id"), col("source"), col("text"))
+      val rules = graft.operators.Bpe.trainMerges(scoped,
           docs.filter(pmod(col("doc_id"), lit(3)) === 0).select(col("text")), k = 6)
         .orderBy(col("step")).collect().map(_.getString(1)).toSeq
       graft.operators.Bpe.encode(docs, rules)
@@ -846,6 +849,7 @@ object NorthStarQueries {
           sum(col("nb")).as("tok_before"), sum(col("na")).as("tok_after"))
         .withColumn("saved_permille",
           expr("(1000 * (tok_before - tok_after)) div tok_before"))
+      }
     }),
     "t45_bpe_train" -> ((s, d) => {
       // Full BPE merge-rule training, 6 rounds — t22's single pair-count
@@ -1076,13 +1080,20 @@ object NorthStarQueries {
       // (tokenizing ONLY the delta), probe through the extended index.
       // Hash-equality with the full-corpus BM25 replay proves
       // extension ≡ rebuild — including the corpus-global idf/avgdl
-      // terms, which read the folded stats row.
-      val docs = Tables.documents(s, d)
-      val ext = graft.operators.TextSearch.extendTextIndex(
-        graft.operators.TextSearch.buildTextIndex(
-          docs.filter(pmod(col("doc_id"), lit(10)) =!= 9), "doc_id", "text"),
-        docs.filter(pmod(col("doc_id"), lit(10)) === 9), "doc_id", "text")
-      graft.operators.TextSearch.bm25TopKWith(ext, Bm25Queries, k = 10)
+      // terms, which read the folded stats row. The whole
+      // extend-then-probe composition is the per-batch serving plan, so
+      // it builds on a conf-isolated static scope (board census: its
+      // exchanges were pure AQE dispatch, norm ~0); a served PERSISTED
+      // index would instead probe through bm25TopKWith on its owner's
+      // session, keeping the postings pushdown on the cached plan.
+      graft.ops.PlanScope.isolatedStatic(s) { scoped =>
+        val docs = Tables.documents(scoped, d)
+        val ext = graft.operators.TextSearch.extendTextIndex(
+          graft.operators.TextSearch.buildTextIndex(
+            docs.filter(pmod(col("doc_id"), lit(10)) =!= 9), "doc_id", "text"),
+          docs.filter(pmod(col("doc_id"), lit(10)) === 9), "doc_id", "text")
+        graft.operators.TextSearch.bm25TopKWith(ext, Bm25Queries, k = 10)
+      }
     }),
     "s16_hybrid_rrf" -> ((s, d) => {
       // Hybrid retrieval: BM25 lexical top-10 fused with IVF dense top-10
@@ -1246,11 +1257,17 @@ object NorthStarQueries {
       // on the even-id half only, odd-id docs scored against counts they
       // never contributed to. Bigrams unseen at fit drop via the inner
       // join (n_bigrams counts scored evidence, not doc length).
-      val docs = Tables.documents(s, d)
-      val model = graft.operators.LanguageModel.fitBigramModel(
-        docs.filter(col("doc_id") % 2 === 0), "text")
-      graft.operators.LanguageModel.scoreBigram(model,
-        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      // the fit+score composition is one serving-shaped plan — built on
+      // a conf-isolated static scope like s18 (exchanges were pure AQE
+      // dispatch); a PERSISTED model would score via scoreBigram on its
+      // owner's session instead
+      graft.ops.PlanScope.isolatedStatic(s) { scoped =>
+        val docs = Tables.documents(scoped, d)
+        val model = graft.operators.LanguageModel.fitBigramModel(
+          docs.filter(col("doc_id") % 2 === 0), "text")
+        graft.operators.LanguageModel.scoreBigram(model,
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      }
     }),
     "d09_dedup_keep_longest" -> ((s, d) => {
       // Score-aware dedup: per near-dup component keep the LONGEST doc
