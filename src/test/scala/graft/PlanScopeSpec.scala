@@ -105,6 +105,51 @@ class PlanScopeSpec extends SparkTestBase {
     assert(spark.catalog.listTables("global_temp").count() === 0)
   }
 
+  test("isolated clones POOL by conf fingerprint and reuse in-scope") {
+    // same confs → the same clone session (its conf is immutable, so
+    // sharing is safe and the SessionState warmup is paid once); a scope
+    // opened on a session that already satisfies the confs runs THERE
+    // (operator composition re-uses the enclosing scope's clone)
+    val (a, b, nested) = PlanScope.isolatedStatic(spark) { c1 =>
+      val inner = PlanScope.isolatedStatic(c1) { c2 => c2 }
+      (c1, PlanScope.isolatedStatic(spark) { c2 => c2 }, inner)
+    }
+    assert(a eq b, "equal fingerprints must share one pooled clone")
+    assert(nested eq a, "a satisfied scope must run on the enclosing clone")
+    val other = PlanScope.isolated(spark,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "2") { c => c }
+    assert(!(other eq a), "different fingerprints get their own clone")
+  }
+
+  test("sizedPartitions: plan-estimate sizing, power-of-2, session cap") {
+    import spark.implicits._
+    // a tiny local frame sizes to 1 partition
+    assert(PlanScope.sizedPartitions(Seq(1L, 2L, 3L).toDF("x")) === 1)
+    // a huge estimate is capped by the session's own setting
+    val sessionSp = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val big = Seq.fill(64)("y" * 1024).toDF("t")
+    assert(PlanScope.sizedPartitions(big, bytesPerPartition = 16) === sessionSp)
+    // between the extremes the count rounds UP to a power of two, so the
+    // clone pool stays bounded as data grows
+    val mid = PlanScope.sizedPartitions(big, bytesPerPartition = 40000)
+    assert(mid >= 1 && mid <= sessionSp && Integer.bitCount(mid) === 1)
+  }
+
+  test("rebind of a PERSISTED frame keeps the cache (rows hop, no re-plan)") {
+    val df = spark.range(200).toDF("x").persist()
+    df.count()
+    val re = PlanScope.isolatedStatic(spark) { clone =>
+      PlanScope.rebind(df, clone)
+    }
+    // the hop is the RDD route: a flat scan, not a re-analyzed view (the
+    // view wrapper would defeat the CacheManager's canonicalized match
+    // and silently recompute the plan inside the scope)
+    assert(re.queryExecution.analyzed.getClass.getSimpleName === "LogicalRDD")
+    assert(re.collect().length === 200)
+    df.unpersist()
+  }
+
   test("rebindRows hands a clone-planned result back without the clone") {
     val out = PlanScope.isolatedStatic(spark) { clone =>
       val re = PlanScope.rebind(spark.range(50).toDF("x"), clone)
