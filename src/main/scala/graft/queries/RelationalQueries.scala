@@ -500,6 +500,26 @@ object RelationalQueries {
         .join(Tables.nation(s, d), col("node") === col("n_nationkey"))
         .select(col("n_name"), col("n_triangles"))
     }),
+    "q72_triangle_degree" -> ((s, d) => {
+      // q69's triangle count through the DEGREE-ORDERED orientation —
+      // the hub-safe plan a power-law graph needs at 100 TB (wedges form
+      // at each triangle's minimum-degree vertex, O(|E|^1.5) worst case
+      // instead of hub-degree²). Same graph, same oracle as q69: the two
+      // plans hash-agreeing IS the equivalence proof at data scale.
+      val ord = Tables.orders(s, d)
+      val cust = Tables.customer(s, d)
+      val sup = Tables.supplier(s, d)
+      val edges = Tables.lineitem(s, d)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_nationkey").cast("long").as("src"),
+          col("c_nationkey").cast("long").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      graft.operators.Graphs.trianglesDegreeOrdered(edges)
+        .join(Tables.nation(s, d), col("node") === col("n_nationkey"))
+        .select(col("n_name"), col("n_triangles"))
+    }),
     "q59_running_distinct" -> ((s, d) => {
       // Cumulative distinct users per day — COUNT(DISTINCT) OVER, which
       // Spark (and most engines) refuse to plan. The canonical rewrite:
@@ -1015,6 +1035,28 @@ object RelationalQueries {
         |       MAX(n) AS n_rows
         |FROM w GROUP BY flag ORDER BY flag""".stripMargin
 
+  /** Per-nation triangle participation over the trade graph — shared by
+    * q69 (raw-id orientation) and q72 (degree-ordered orientation): both
+    * plans must hash-match this single replay. */
+  private def triangleOracleSql: String =
+    """WITH e0 AS (
+      |  SELECT DISTINCT
+      |    LEAST(CAST(s_nationkey AS BIGINT), CAST(c_nationkey AS BIGINT)) AS a,
+      |    GREATEST(CAST(s_nationkey AS BIGINT), CAST(c_nationkey AS BIGINT)) AS b
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  WHERE s_nationkey <> c_nationkey),
+      |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |        FROM e0 e1 JOIN e0 e2 ON e1.b = e2.a
+      |        JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |nd AS (SELECT unnest([x, y, z]) AS node FROM tri),
+      |ag AS (SELECT node, COUNT(*) AS n_triangles FROM nd GROUP BY node)
+      |SELECT n_name, CAST(n_triangles AS BIGINT) AS n_triangles
+      |FROM ag JOIN nation ON node = n_nationkey
+      |ORDER BY n_name""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q10_topk" ->
       """SELECT c_custkey, c_name, CAST(ROUND(c_acctbal*100) AS BIGINT) AS acct_cents
@@ -1441,24 +1483,12 @@ object RelationalQueries {
     // eccentricity
     // same canonical a<b edge set; wedges joined on the middle vertex,
     // closed by the third join — the oracle replays the oriented count
-    "q69_triangle_count" ->
-      """WITH e0 AS (
-        |  SELECT DISTINCT
-        |    LEAST(CAST(s_nationkey AS BIGINT), CAST(c_nationkey AS BIGINT)) AS a,
-        |    GREATEST(CAST(s_nationkey AS BIGINT), CAST(c_nationkey AS BIGINT)) AS b
-        |  FROM lineitem
-        |  JOIN orders ON l_orderkey = o_orderkey
-        |  JOIN customer ON o_custkey = c_custkey
-        |  JOIN supplier ON l_suppkey = s_suppkey
-        |  WHERE s_nationkey <> c_nationkey),
-        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
-        |        FROM e0 e1 JOIN e0 e2 ON e1.b = e2.a
-        |        JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b),
-        |nd AS (SELECT unnest([x, y, z]) AS node FROM tri),
-        |ag AS (SELECT node, COUNT(*) AS n_triangles FROM nd GROUP BY node)
-        |SELECT n_name, CAST(n_triangles AS BIGINT) AS n_triangles
-        |FROM ag JOIN nation ON node = n_nationkey
-        |ORDER BY n_name""".stripMargin,
+    "q69_triangle_count" -> triangleOracleSql,
+    // the degree-ordered plan answers the SAME question over the same
+    // graph — one oracle covers both orientations, and a hash mismatch
+    // between them would expose an orientation/count bug immediately
+    "q72_triangle_degree" -> triangleOracleSql,
+
     "q60_bfs_hops" ->
       """WITH edges AS (
         |  SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS src,

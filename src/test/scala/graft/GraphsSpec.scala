@@ -155,6 +155,31 @@ class GraphsSpec extends SparkTestBase {
     assert(Graphs.triangles(Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")).count() === 0L)
   }
 
+  test("trianglesDegreeOrdered ≡ triangles, including a hub-skewed graph") {
+    // the degree-ordered orientation must count the SAME triangles while
+    // never forming the hub's quadratic wedge set. Fixture: a 12-spoke
+    // hub (node 0) with three of the spokes also pairwise connected (so
+    // hub triangles exist), plus a separate K4 and a dangling chain.
+    val hub = (1L to 12L).map(i => (0L, i))
+    val closing = Seq((1L, 2L), (2L, 3L), (1L, 3L)) // spoke triangle + hub closures
+    val k4 = Seq((20L, 21L), (20L, 22L), (20L, 23L), (21L, 22L), (21L, 23L), (22L, 23L))
+    val chain = Seq((30L, 31L), (31L, 32L))
+    val e = (hub ++ closing ++ k4 ++ chain).toDF("src", "dst")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = toMap(Graphs.triangles(e))
+    val ordered = toMap(Graphs.trianglesDegreeOrdered(e))
+    assert(ordered === base)
+    // hand-check the hub's share: triangles (0,1,2), (0,2,3), (0,1,3),
+    // (1,2,3) → node 0 in 3, nodes 1-3 in 3 each; K4 nodes in 3 each
+    assert(ordered(0L) === 3L)
+    assert((20L to 23L).forall(n => ordered(n) === 3L))
+    // degree TIES everywhere (a pure triangle): id tie-break still counts once
+    val tri = toMap(Graphs.trianglesDegreeOrdered(
+      Seq((7L, 8L), (8L, 9L), (9L, 7L)).toDF("src", "dst")))
+    assert(tri === Map(7L -> 1L, 8L -> 1L, 9L -> 1L))
+  }
+
   test("release contract: detachSmall leaves zero registered blocks, values unchanged") {
     def registered() = spark.sparkContext.getPersistentRDDs.size
     spark.catalog.clearCache()
