@@ -7,6 +7,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * column pruning reach the scan untouched.
   */
 object Tables {
+  /** Inferred schema per parquet path. Schema INFERENCE is the only part
+    * of `spark.read.parquet` that dispatches a driver job (a footer-read
+    * per call); the data scan itself stays lazy. A board of ~170 queries
+    * averaging 3 table loads × 3 bench reps was paying ~40% of its total
+    * driver-job dispatch on re-inferring the same static schemas — on a
+    * busy cluster scheduler the same dispatch floor applies. The cache
+    * keys on the resolved path; passing the schema explicitly skips the
+    * inference job while leaving pushdown/pruning untouched (the reader
+    * still reconciles per-file footers at scan time, so a genuinely
+    * changed file fails loudly rather than mis-reading). */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // The driver's parquet has shifted formats across rounds: TIMESTAMP(NANOS)
     // (rejected by default — read as long via nanosAsLong), and currently
@@ -18,7 +31,10 @@ object Tables {
     // when the driver calls entry() with its own session.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val path = s"$sfDir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
   }
 
   /** `ts` arrives as nanos-since-epoch long (see load); convert to
