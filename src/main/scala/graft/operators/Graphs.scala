@@ -26,16 +26,23 @@ import graft.ops.PlanScope
   * confs — it plans under AQE as usual while a fixpoint runs. Two scopes
   * per operator:
   *
-  *  - a DERIVATION scope (AQE off, broadcasts on): the caller's
-  *    edge-building plan — a corpus-scale multi-join — executes inside
-  *    the one materializing count. Static planning is the measured local
-  *    win (the board census reads these derivations' normalized compute
-  *    at ~0: their cost here is all AQE per-exchange dispatch), and
-  *    broadcasts still reach small dims from static size estimates. On a
-  *    cluster where the derivation's join keys are skewed, pass
-  *    `deriveAdaptive = true` to run the materializing count under the
-  *    caller's own (adaptive) conf instead — skew-split and partition
-  *    coalescing apply, at the price of one driver job per exchange.
+  *  - the edge DERIVATION — a caller-arbitrary, corpus-scale plan (a
+  *    multi-join over fact tables) — runs under the caller's own
+  *    ADAPTIVE conf by default (`deriveAdaptive = true`): it is exactly
+  *    the plan class AQE's skew-split and partition coalescing exist
+  *    for, and a skewed join key in a 100 TB derivation must re-plan at
+  *    runtime or one straggler partition owns the job. The price is one
+  *    driver job per exchange during the one materializing count —
+  *    priced honestly by an interleaved 5-rep A/B at sf0.1 (uniform AND
+  *    an 80%-hot-key skewed derivation): adaptive pays +3 dispatch jobs
+  *    and ~1.2-1.6 s vs the static scope on this dispatch-floor-bound
+  *    host, with identical results — at this data size every partition
+  *    fits and skew-split has nothing to save, so the local measurement
+  *    is pure dispatch cost. The default is a SCALE stance: the
+  *    straggler blowup AQE prevents is unbounded at cluster scale while
+  *    the dispatch cost is bounded and small; `deriveAdaptive = false`
+  *    is the escape hatch for latency-critical small, known-uniform
+  *    derivations.
   *  - a LOOP scope (AQE off, partitions pinned to the measured edge
   *    count, broadcasts off): every round re-executes the same known
   *    shape (|V|-sized frame shuffled to the pre-partitioned edge cache,
@@ -51,9 +58,15 @@ import graft.ops.PlanScope
   *    side's one-exchange shuffle — while charging a broadcast-build
   *    driver job per round.
   *
-  * Results are persisted, materialized |V|-sized frames bound to the
-  * loop scope's session (its conf is immutable, so they plan statically
-  * downstream — see [[detachSmall]] for the release contract).
+  * Results are persisted, materialized |V|-sized frames handed back
+  * BOUND TO THE CALLER'S SESSION: the loop's final cut is re-rooted
+  * through [[graft.ops.PlanScope.rebindRows]] and re-persisted under the
+  * caller before the scope's own pin is released, so any downstream
+  * query composed on the result (e.g. `pageRank(e).join(bigFact)`)
+  * plans under the caller's own conf — AQE, broadcasts, corpus-sized
+  * partitions — not the loop clone's static conf. The handoff costs one
+  * |V|-sized cache-to-cache copy per call; `result.unpersist()` (or
+  * [[detachSmall]]) releases every block the call left registered.
   */
 object Graphs {
 
@@ -86,7 +99,7 @@ object Graphs {
     * @return (node: long, rank_e6: long)
     */
   def pageRank(edges: DataFrame, iters: Int, dampE2: Int = 85,
-      deriveAdaptive: Boolean = false): DataFrame =
+      deriveAdaptive: Boolean = true): DataFrame =
     pageRankWeighted(
       edges.select(col("src"), col("dst")).distinct().withColumn("w", lit(1L)),
       iters, dampE2, deriveAdaptive)
@@ -103,6 +116,21 @@ object Graphs {
     * only. */
   private def flatView(df: DataFrame): DataFrame =
     df.sparkSession.createDataFrame(df.rdd, df.schema)
+
+  /** Exit-boundary handoff for the loop results (see the object doc):
+    * re-root the scope's persisted, materialized result onto the
+    * caller's session, persist + materialize the caller-bound copy
+    * (reads the scope-side cached blocks — one |V|-sized copy, one
+    * driver job), then release the scope-side pin. The returned frame
+    * both PLANS under the caller's conf downstream and satisfies the
+    * `result.unpersist()` release contract. */
+  private def handoff(out: DataFrame, caller: SparkSession): DataFrame = {
+    val bound = PlanScope.rebindRows(out, caller)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    bound.count()
+    out.unpersist(blocking = false)
+    bound
+  }
 
   /** Lineage-cut cadence for the iterative loops: materialize + re-root
     * every CutEvery rounds (and at the last). Shallow runs — the 2-5
@@ -125,7 +153,15 @@ object Graphs {
   private[graft] def loopPartitions(sessionSp: Int, nEdges: Long, nNodes: Long): Int = {
     val sized = math.max(1L, math.max((nEdges + (1L << 22) - 1) >> 22,
       (nNodes + (1L << 16) - 1) >> 16))
-    math.min(math.max(sessionSp, 1).toLong, sized).toInt
+    // round UP to a power of two before the session cap: the count feeds
+    // the loop scope's conf fingerprint (PlanScope.isolated pools one
+    // immortal session clone per distinct fingerprint), so quantizing
+    // keeps the pool bounded at log2 distinct sizes as graphs vary —
+    // the same rationale as PlanScope.sizedPartitions' rounding. The
+    // possible values are {1,2,4,...} ∪ {sessionSp}: still bounded.
+    val pow2 = if (sized >= (1L << 30)) Int.MaxValue
+      else Integer.highestOneBit(sized.toInt * 2 - 1)
+    math.min(math.max(sessionSp, 1).toLong, pow2.toLong).toInt
   }
 
   private def sessionShufflePartitions(df: DataFrame): Int =
@@ -196,7 +232,7 @@ object Graphs {
     *              (src,dst) rows are NOT collapsed — pre-aggregate weights
     */
   def pageRankWeighted(edges: DataFrame, iters: Int, dampE2: Int = 85,
-      deriveAdaptive: Boolean = false): DataFrame = {
+      deriveAdaptive: Boolean = true): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(dampE2 >= 0 && dampE2 <= 100, s"dampE2 must be in [0,100], got $dampE2")
     val teleport = 1000000L * (100 - dampE2) / 100
@@ -275,7 +311,7 @@ object Graphs {
       }
       eod.unpersist(blocking = false)
       nodes.unpersist(blocking = false)
-      out
+      handoff(out, caller)
     }
   }
 
@@ -285,21 +321,35 @@ object Graphs {
     * curation uses to separate organic neighborhoods (high closure) from
     * spam farms and crawler artifacts (star-shaped, closure ≈ 0).
     *
-    * Oriented wedge join, each triangle counted exactly once: edges
-    * canonicalize to `a < b`, wedges `x < y < z` form by joining on the
-    * middle vertex, and a left-semi probe against the canonical edge set
-    * keeps only closed wedges. Scale shape: two equi-joins over the edge
-    * list — never nodes² — with wedge fan-out bounded by Σ deg(v)²; for
-    * power-law graphs at corpus scale, orient by (degree, id) instead of
-    * raw id to cap the hub quadratic (same count, different wedge
-    * distribution). Only nodes in ≥ 1 triangle appear; left-join the
-    * node universe for dense reports. Not iterative — plans under the
-    * caller's own (adaptive) conf like any ad-hoc corpus query.
+    * DEFAULT PLAN: the degree-ordered orientation
+    * ([[trianglesDegreeOrdered]]) — O(|E|^1.5) wedge work on ANY graph,
+    * including power-law hubs. [[trianglesRawOriented]] keeps the
+    * simpler raw-id orientation as the spec cross-check (identical
+    * counts by construction, but Σ deg(v)² wedge fan-out — quadratic in
+    * the hub degree, the wrong default for a 100 TB link graph).
     *
     * @param edges (src, dst) long-castable; orientation ignored
     * @return (node: long, n_triangles: long)
     */
-  def triangles(edges: DataFrame): DataFrame = {
+  def triangles(edges: DataFrame): DataFrame = trianglesDegreeOrdered(edges)
+
+  /** Raw-id-oriented wedge join, each triangle counted exactly once:
+    * edges canonicalize to `a < b`, wedges `x < y < z` form by joining
+    * on the middle vertex, and a left-semi probe against the canonical
+    * edge set keeps only closed wedges. Two equi-joins over the edge
+    * list — never nodes² — but wedge fan-out is Σ deg(v)² under the
+    * raw-id orientation, quadratic in a power-law hub's degree: use
+    * [[triangles]] (degree-ordered) anywhere the degree distribution is
+    * not known to be flat. Kept as the independent formulation the spec
+    * pins [[trianglesDegreeOrdered]]'s counts against. Only nodes in
+    * ≥ 1 triangle appear; left-join the node universe for dense
+    * reports. Not iterative — plans under the caller's own (adaptive)
+    * conf like any ad-hoc corpus query.
+    *
+    * @param edges (src, dst) long-castable; orientation ignored
+    * @return (node: long, n_triangles: long)
+    */
+  def trianglesRawOriented(edges: DataFrame): DataFrame = {
     val und = edges
       .select(col("src").cast("long").as("s"), col("dst").cast("long").as("d"))
       .filter(col("s") =!= col("d"))
@@ -313,14 +363,15 @@ object Graphs {
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
 
-  /** [[triangles]] with DEGREE-ORDERED orientation — the node-iterator++
-    * variant every corpus-scale triangle count runs: edges orient from
-    * the (degree, id)-smaller endpoint to the larger, so every wedge
-    * forms at its triangle's MINIMUM-degree vertex and wedge fan-out is
-    * bounded by Σ out-deg(v)² with out-deg ≤ O(√|E|) for ANY graph —
-    * O(|E|^1.5) total work even on power-law hubs, where raw-id
-    * orientation ([[triangles]]) can go quadratic in the hub degree (a
-    * 10⁶-degree hub contributes 5·10¹¹ wedges there, ~10⁶ here).
+  /** DEGREE-ORDERED triangle counting (what [[triangles]] runs) — the
+    * node-iterator++ variant every corpus-scale triangle count needs:
+    * edges orient from the (degree, id)-smaller endpoint to the larger,
+    * so every wedge forms at its triangle's MINIMUM-degree vertex and
+    * wedge fan-out is bounded by Σ out-deg(v)² with out-deg ≤ O(√|E|)
+    * for ANY graph — O(|E|^1.5) total work even on power-law hubs,
+    * where raw-id orientation ([[trianglesRawOriented]]) can go
+    * quadratic in the hub degree (a 10⁶-degree hub contributes 5·10¹¹
+    * wedges there, ~10⁶ here).
     * Identical counts by construction: each triangle is counted exactly
     * once either way (spec-pinned equality on skewed fixtures, and the
     * q72 board row replays q69's oracle over the same graph). Costs one
@@ -384,7 +435,7 @@ object Graphs {
     * @return (node, dist: int nullable)
     */
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxRounds: Int,
-      deriveAdaptive: Boolean = false): DataFrame = {
+      deriveAdaptive: Boolean = true): DataFrame = {
     require(maxRounds >= 0, s"maxRounds must be >= 0, got $maxRounds")
     val caller = edges.sparkSession
     val sessionSp = sessionShufflePartitions(edges)
@@ -451,7 +502,7 @@ object Graphs {
         .persist(StorageLevel.MEMORY_AND_DISK)
       out.count()
       (spent :+ e).foreach(_.unpersist(blocking = false))
-      out
+      handoff(out, caller)
     }
   }
 
@@ -473,7 +524,7 @@ object Graphs {
     * @return (node, label: long nullable)
     */
   def labelPropagate(edges: DataFrame, seeds: DataFrame, rounds: Int,
-      deriveAdaptive: Boolean = false): DataFrame = {
+      deriveAdaptive: Boolean = true): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     val caller = edges.sparkSession
     val sessionSp = sessionShufflePartitions(edges)
@@ -532,7 +583,7 @@ object Graphs {
       e.unpersist(blocking = false)
       nodes.unpersist(blocking = false)
       seed.unpersist(blocking = false)
-      out
+      handoff(out, caller)
     }
   }
 
@@ -562,7 +613,7 @@ object Graphs {
     * @return (node: long, dist: long nullable)
     */
   def ssspBounded(edges: DataFrame, seeds: DataFrame, rounds: Int,
-      deriveAdaptive: Boolean = false): DataFrame = {
+      deriveAdaptive: Boolean = true): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     val caller = edges.sparkSession
     val sessionSp = sessionShufflePartitions(edges)
@@ -608,7 +659,7 @@ object Graphs {
       out.count()
       prevCut.foreach(_.unpersist(blocking = false))
       e.unpersist(blocking = false)
-      out
+      handoff(out, caller)
     }
   }
 
@@ -642,7 +693,7 @@ object Graphs {
     * @return (node: long, deg: long) — survivors with their core degree
     */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int,
-      deriveAdaptive: Boolean = false): DataFrame = {
+      deriveAdaptive: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxRounds >= 0, s"maxRounds must be >= 0, got $maxRounds")
     val caller = edges.sparkSession
@@ -696,7 +747,7 @@ object Graphs {
         o
       }
       dir.unpersist(blocking = false)
-      out
+      handoff(out, caller)
     }
   }
 }

@@ -482,10 +482,11 @@ object RelationalQueries {
     "q69_triangle_count" -> ((s, d) => {
       // Per-nation triangle participation in the undirected trade graph —
       // the local-closure signal that separates organic link
-      // neighborhoods from star-shaped spam at corpus scale. Oriented
-      // wedge join (a<b<c), each triangle counted once, closed by a
-      // left-semi probe — two equi-joins over the edge list, never
-      // nodes².
+      // neighborhoods from star-shaped spam at corpus scale. Runs the
+      // library DEFAULT plan (degree-ordered orientation: wedges form at
+      // each triangle's minimum-degree vertex, O(|E|^1.5) on any graph —
+      // hub-safe at 100 TB); q72 replays the same graph + oracle through
+      // the raw-id orientation as the independent cross-check.
       val ord = Tables.orders(s, d)
       val cust = Tables.customer(s, d)
       val sup = Tables.supplier(s, d)
@@ -501,11 +502,12 @@ object RelationalQueries {
         .select(col("n_name"), col("n_triangles"))
     }),
     "q72_triangle_degree" -> ((s, d) => {
-      // q69's triangle count through the DEGREE-ORDERED orientation —
-      // the hub-safe plan a power-law graph needs at 100 TB (wedges form
-      // at each triangle's minimum-degree vertex, O(|E|^1.5) worst case
-      // instead of hub-degree²). Same graph, same oracle as q69: the two
-      // plans hash-agreeing IS the equivalence proof at data scale.
+      // q69's triangle count through the RAW-ID orientation — the
+      // independent wedge formulation (a<b<c by id; Σ deg² fan-out,
+      // fine on this nation-sized graph, the wrong default at 100 TB —
+      // which is why the library default q69 runs is degree-ordered).
+      // Same graph, same oracle as q69: the two plans hash-agreeing IS
+      // the equivalence proof at data scale.
       val ord = Tables.orders(s, d)
       val cust = Tables.customer(s, d)
       val sup = Tables.supplier(s, d)
@@ -516,7 +518,7 @@ object RelationalQueries {
         .select(col("s_nationkey").cast("long").as("src"),
           col("c_nationkey").cast("long").as("dst"))
         .filter(col("src") =!= col("dst"))
-      graft.operators.Graphs.trianglesDegreeOrdered(edges)
+      graft.operators.Graphs.trianglesRawOriented(edges)
         .join(Tables.nation(s, d), col("node") === col("n_nationkey"))
         .select(col("n_name"), col("n_triangles"))
     }),

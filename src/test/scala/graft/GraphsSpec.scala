@@ -155,7 +155,7 @@ class GraphsSpec extends SparkTestBase {
     assert(Graphs.triangles(Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")).count() === 0L)
   }
 
-  test("trianglesDegreeOrdered ≡ triangles, including a hub-skewed graph") {
+  test("trianglesDegreeOrdered ≡ trianglesRawOriented, including a hub-skewed graph") {
     // the degree-ordered orientation must count the SAME triangles while
     // never forming the hub's quadratic wedge set. Fixture: a 12-spoke
     // hub (node 0) with three of the spokes also pairwise connected (so
@@ -167,9 +167,14 @@ class GraphsSpec extends SparkTestBase {
     val e = (hub ++ closing ++ k4 ++ chain).toDF("src", "dst")
     def toMap(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val base = toMap(Graphs.triangles(e))
+    // the RAW-ID orientation is the independent formulation the default
+    // (degree-ordered) plan is pinned against — two different wedge
+    // distributions, same counts by construction
+    val base = toMap(Graphs.trianglesRawOriented(e))
     val ordered = toMap(Graphs.trianglesDegreeOrdered(e))
     assert(ordered === base)
+    // and the public default IS the degree-ordered plan
+    assert(toMap(Graphs.triangles(e)) === ordered)
     // hand-check the hub's share: triangles (0,1,2), (0,2,3), (0,1,3),
     // (1,2,3) → node 0 in 3, nodes 1-3 in 3 each; K4 nodes in 3 each
     assert(ordered(0L) === 3L)
