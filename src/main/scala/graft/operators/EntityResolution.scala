@@ -33,6 +33,23 @@ import org.apache.spark.sql.functions._
   */
 object EntityResolution {
 
+  /** Default hot-key fence: candidate keys indexing more than this many
+    * rows are dropped before the candidate join. ON BY DEFAULT — the
+    * 30× ScaleCurve decade measured the unfenced operator's marginal
+    * scaling exponent at α = 1.40 under a 5%-hot-name skew (the
+    * within-block quadratic) vs α = 0.88 with the fence at 64, which was
+    * also absolutely faster (19.1 s → 10.4 s at 30×); a skewed corpus
+    * hits the quadratic precisely when the caller didn't know to ask.
+    * 64 sits above every bucket the benign board catalogs produce
+    * (measured via [[fuzzyHotBuckets]]: max 40 on the 1.5k-name sf0.01
+    * catalogs, 58 on the 15k-name sf0.1 d22 right side — near-constant
+    * in corpus size, since a deletion-variant bucket collects only
+    * ≤ maxDist-away neighbors), so the fence engages only on
+    * pathological key mass — near-identical string clusters, which
+    * [[fuzzyHotBuckets]] audits and exact dedup (d01) removes upstream.
+    * `maxBucket = 0` restores the exact (unfenced) operator. */
+  val DefaultMaxBucket = 64
+
   /** All distinct strings reachable from `s` by at most `maxDist`
     * character deletions (including `s` itself) — one codegen'd kernel
     * call (`TextKernels.deletionVariants`) instead of the interpreted
@@ -48,12 +65,15 @@ object EntityResolution {
     * verify. `maxDist` ∈ {1, 2} (the useful ER range — beyond 2 the
     * deletion index fans out as len², and a token-level matcher like
     * n-gram Jaccard (d04) is the right tool). `maxBucket > 0` drops
-    * candidate keys indexing more than that many rows — a hot-key fence
-    * that trades bounded recall loss for a hard cap on join fan-out;
-    * 0 = exact (default). Null strings are dropped (no match semantics).
+    * candidate keys indexing more than that many rows — the hot-key
+    * fence that caps join fan-out at the price of bounded recall loss
+    * on near-identical clusters, ON by default ([[DefaultMaxBucket]];
+    * pass 0 for the exact unfenced operator, and see
+    * [[fuzzyHotBuckets]] for the dropped-bucket audit). Null strings
+    * are dropped (no match semantics).
     */
   def fuzzyPairs(df: DataFrame, idCol: String, strCol: String,
-      maxDist: Int = 1, maxBucket: Int = 0): DataFrame = {
+      maxDist: Int = 1, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(maxDist == 1 || maxDist == 2, s"maxDist must be 1 or 2, got $maxDist")
     val base = df
       .select(col(idCol).cast("long").as("id"), col(strCol).cast("string").as("s"))
@@ -112,10 +132,12 @@ object EntityResolution {
     * common ≤ maxDist-deletion key from both sides, so candidates are an
     * equi-join of the two deletion indexes; exact banded-Levenshtein
     * verify restores precision. `maxBucket` fences keys hot on EITHER
-    * side (join fan-out is the per-key product). */
+    * side (join fan-out is the per-key product) — ON by default
+    * ([[DefaultMaxBucket]], 0 = exact); audit each side with
+    * [[fuzzyHotBuckets]]. */
   def fuzzyLink(left: DataFrame, leftId: String, leftStr: String,
       right: DataFrame, rightId: String, rightStr: String,
-      maxDist: Int = 1, maxBucket: Int = 0): DataFrame = {
+      maxDist: Int = 1, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(maxDist == 1 || maxDist == 2, s"maxDist must be 1 or 2, got $maxDist")
     def prep(df: DataFrame, id: String, s: String) = df
       .select(col(id).cast("long").as("id"), col(s).cast("string").as("s"))
@@ -141,5 +163,36 @@ object EntityResolution {
       .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist).cast("long"))
       .filter(col("dist") >= 0)
       .select(col("left_id"), col("right_id"), col("dist"))
+  }
+
+  /** Dropped-hot-bucket AUDIT for the default fence (the d16 pattern:
+    * every silent cap ships its census): the deletion-index keys
+    * [[fuzzyPairs]] would fence at this `maxBucket`, with the bucket
+    * size and two example member strings — what a pipeline logs next to
+    * a fenced ER run so the recall trade is visible, and what tells an
+    * operator the corpus needed exact dedup (d01) upstream. For
+    * [[fuzzyLink]], audit each catalog separately (its fence is
+    * per-side). Cost: the same keyed explode as the operator plus ONE
+    * grouped aggregate (count + min/max — O(1) state per key, never a
+    * per-bucket collect); empty when nothing would be fenced.
+    *
+    * @return (key_h60: long, n_rows: long, example_a: string,
+    *         example_b: string) — examples are the bucket's min/max
+    *         strings (equal when one string dominates the bucket)
+    */
+  def fuzzyHotBuckets(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 1, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(maxDist == 1 || maxDist == 2, s"maxDist must be 1 or 2, got $maxDist")
+    require(maxBucket > 0, s"maxBucket must be > 0 to audit a fence, got $maxBucket")
+    df.select(col(idCol).cast("long").as("id"), col(strCol).cast("string").as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("s"), explode(deletionKeys(maxDist)).as("v"))
+      .select(col("s"), graft.functions.TextFunctions.hash60(col("v")).as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("s")).as("example_a"), max(col("s")).as("example_b"))
+      .filter(col("n_rows") > maxBucket)
+      .select(col("k").as("key_h60"), col("n_rows"),
+        col("example_a"), col("example_b"))
   }
 }

@@ -84,4 +84,30 @@ class EntityResolutionSpec extends SparkTestBase {
     val exact = pairs(EntityResolution.fuzzyPairs(df, "id", "name", maxDist = 1))
     assert(capped.subsetOf(exact) && exact.size == 45 + 1)
   }
+
+  test("DEFAULT fence: hot cluster fenced with full recall elsewhere, audit reports the dropped mass") {
+    // 100 identical names — every deletion-variant bucket lands at 100,
+    // above DefaultMaxBucket=64, so the whole cluster is fenced by
+    // default — plus two clean pairs that must keep full recall
+    val rows = (1L to 100L).map(i => (i, "hotname")) ++
+      Seq((200L, "pale"), (201L, "pales"), (300L, "kitten"), (301L, "mitten"))
+    val df = rows.toDF("id", "name")
+    val fenced = pairs(EntityResolution.fuzzyPairs(df, "id", "name")) // defaults
+    val exact = pairs(EntityResolution.fuzzyPairs(df, "id", "name", maxBucket = 0))
+    assert(fenced.contains((200L, 201L, 1L)) && fenced.contains((300L, 301L, 1L)))
+    assert(fenced.subsetOf(exact))
+    // recall accounting: the ONLY lost pairs are the hot cluster's own
+    // C(100,2) — the fence never touches a pair outside the hot buckets
+    val lost = exact -- fenced
+    assert(lost.forall(p => p._1 <= 100L && p._2 <= 100L))
+    assert(lost.size === 100 * 99 / 2)
+    // the audit names every dropped bucket: size + example members
+    val audit = EntityResolution.fuzzyHotBuckets(df, "id", "name")
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getString(3)))
+    assert(audit.nonEmpty &&
+      audit.forall { case (n, a, b) => n == 100L && a == "hotname" && b == "hotname" })
+    // nothing to audit on a benign catalog
+    assert(EntityResolution.fuzzyHotBuckets(
+      Seq((1L, "pale"), (2L, "pales")).toDF("id", "name"), "id", "name").count() === 0L)
+  }
 }
