@@ -311,7 +311,23 @@ object Dedup {
       docs0: DataFrame,
       pairs0: DataFrame,
       maxRounds: Int = 20,
-      reliableCheckpoint: Boolean = false): DataFrame = {
+      reliableCheckpoint: Boolean = false): DataFrame =
+    componentsWithRelease(docs0, pairs0, maxRounds, reliableCheckpoint)._1
+
+  /** [[components]] plus an explicit RELEASE HOOK for the final-round
+    * label cache the returned plan reads. The public contract leaves
+    * that cache pinned for the caller's consuming action (releasing it
+    * pre-return would recompute the whole fixpoint on first
+    * consumption); a composed pipeline that ends in a bounded handover
+    * (CurationPipeline's `detachBound`) instead calls the hook once its
+    * own materialization is done, so "zero blocks left registered"
+    * holds exactly. Idempotent; a no-op on the reliable-checkpoint path
+    * (files, not cache blocks). */
+  private[graft] def componentsWithRelease(
+      docs0: DataFrame,
+      pairs0: DataFrame,
+      maxRounds: Int = 20,
+      reliableCheckpoint: Boolean = false): (DataFrame, () => Unit) = {
     componentsRuns.incrementAndGet()
     // Fixpoint loop = known shape re-executed per round (PlanScope
     // rationale, same as the Graphs loops): AQE re-planning buys no
@@ -399,7 +415,10 @@ object Dedup {
     val singletons = docs.select(col("doc_id"))
       .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("component"))
-    labels.union(singletons)
+    val finalCut = prevRound
+    (labels.union(singletons),
+      () => if (!reliableCheckpoint)
+        finalCut.foreach(_.unpersist(blocking = false)))
     }
   }
 

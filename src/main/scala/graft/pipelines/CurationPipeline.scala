@@ -74,7 +74,8 @@ object CurationPipeline {
       docEmb: Option[DataFrame] = None,
       evalEmb: Option[DataFrame] = None,
       semanticMinCosE6: Long = 400000L,
-      detachBound: Option[Int] = None): DataFrame = {
+      detachBound: Option[Int] = None,
+      staticPlan: Boolean = true): DataFrame = {
     require(minQualityBucket >= 0 && minQualityBucket <= qualityBreakpoints.size,
       s"minQualityBucket must be in [0, ${qualityBreakpoints.size}], got $minQualityBucket")
     require(urlCol.isDefined || (blockedDomains.isEmpty && maxPerDomain.isEmpty),
@@ -82,6 +83,70 @@ object CurationPipeline {
     require(docEmb.isDefined == evalEmb.isDefined,
       "semantic decontamination needs BOTH docEmb (train vectors keyed by doc_id) " +
         "and evalEmb (eval-release vectors) — or neither")
+    // The whole composed chain runs in ONE conf-isolated static scope by
+    // default (`staticPlan = false` restores per-exchange adaptive
+    // planning): the pipeline is a KNOWN 8-10 stage shape whose most
+    // expensive stages (the LSH pair pipeline + components fixpoint)
+    // already ran statically inside components' own scope — the
+    // remaining stages were paying one driver job per AQE-materialized
+    // exchange across the contamination/quality/split/packing chain.
+    // Measured (same-process interleaved A/B, sf0.1 c02 shape, 5 reps):
+    // static 17 driver jobs / 7.6 s median vs adaptive 47 jobs / 9.4 s,
+    // identical output rows — at a measured 80-100 ms per-job dispatch
+    // floor the ~30 saved dispatches are most of the gap, and on a busy
+    // cluster scheduler the same multiplier applies. r9's opposite
+    // verdict for c01 ("AQE helps its text stages") predates the scope
+    // pooling + the schema cache; the LSH pair pipeline was ALREADY
+    // static inside components' own scope either way. Session partition
+    // width is kept (not
+    // estimate-sized): the text stages' exploded intermediates need the
+    // full width, and the tiny tail frames' near-empty tasks are cheaper
+    // than serializing the kernels.
+    // initialNumPartitions: the detachBound guard collect is
+    // `limit(cap+1)` with a deliberately huge cap — the default
+    // incremental limit-collect (1 partition, then ×4 per retry) pays 4
+    // driver jobs re-reading ~1.6× the data before giving up on early
+    // exit; starting at full width makes it ONE job over one pass.
+    val caller = docs.sparkSession
+    if (staticPlan) graft.ops.PlanScope.isolated(caller,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.limit.initialNumPartitions" -> "100000") { scoped =>
+      curateChain(
+        graft.ops.PlanScope.rebind(docs, scoped),
+        graft.ops.PlanScope.rebind(evalDocs, scoped),
+        contaminationPermille, maxTrainDf, qualityBreakpoints, minQualityBucket,
+        splits, salt, packBudget, redactPii, urlCol, blockedDomains, maxPerDomain,
+        maxLineOccurrences, intraDocDedup, spanScrubWindow,
+        docEmb.map(graft.ops.PlanScope.rebind(_, scoped)),
+        evalEmb.map(graft.ops.PlanScope.rebind(_, scoped)),
+        semanticMinCosE6, detachBound, caller)
+    } else curateChain(docs, evalDocs,
+      contaminationPermille, maxTrainDf, qualityBreakpoints, minQualityBucket,
+      splits, salt, packBudget, redactPii, urlCol, blockedDomains, maxPerDomain,
+      maxLineOccurrences, intraDocDedup, spanScrubWindow, docEmb, evalEmb,
+      semanticMinCosE6, detachBound, caller)
+  }
+
+  private def curateChain(docs: DataFrame, evalDocs: DataFrame,
+      contaminationPermille: Int,
+      maxTrainDf: Option[Long],
+      qualityBreakpoints: Seq[Int],
+      minQualityBucket: Int,
+      splits: Seq[(String, Int)],
+      salt: String,
+      packBudget: Long,
+      redactPii: Boolean,
+      urlCol: Option[String],
+      blockedDomains: Seq[String],
+      maxPerDomain: Option[Int],
+      maxLineOccurrences: Option[Long],
+      intraDocDedup: Boolean,
+      spanScrubWindow: Option[Int],
+      docEmb: Option[DataFrame],
+      evalEmb: Option[DataFrame],
+      semanticMinCosE6: Long,
+      detachBound: Option[Int],
+      caller: org.apache.spark.sql.SparkSession): DataFrame = {
 
     // 0. domain hygiene (only when the corpus carries URLs)
     val docs0 = urlCol.fold(docs) { u =>
@@ -174,7 +239,8 @@ object CurationPipeline {
     // policy as components' own final-round cache; on block loss Spark
     // recomputes from the pair pipeline (correct, just slower).
     val pairs = Dedup.minhashLshPairs(docsS)
-    val comps = Dedup.components(docsS, pairs)
+    val (comps0, releaseComponents) = Dedup.componentsWithRelease(docsS, pairs)
+    val comps = comps0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept = docsS.join(
       Dedup.dedupCorpusByComponents(docsS, comps,
@@ -250,8 +316,161 @@ object CurationPipeline {
         s"curate detachBound: result exceeds $cap rows — drop detachBound " +
           "and write the returned frame instead")
       comps.unpersist(blocking = false)
+      releaseComponents() // the fixpoint's final-round cache (see
+                          // componentsWithRelease) — with it, "zero
+                          // blocks left registered" holds exactly
       docsSPin.foreach(_.unpersist(blocking = false))
-      packed.sparkSession.createDataFrame(
+      // LocalRelation built on the CALLER's session: anything composed
+      // on the detached result downstream plans under the caller's own
+      // conf, not the (static) scope clone's
+      caller.createDataFrame(
+        java.util.Arrays.asList(rows: _*), packed.schema)
+    }
+  }
+
+  /** INCREMENTAL curation — admit a new crawl snapshot against a
+    * RELEASED curated corpus, the serving face of [[curate]]: the
+    * released corpus is immutable (its docs were already deduped,
+    * decontaminated, quality-gated, split, and packed), and each
+    * arriving batch runs the same gauntlet AGAINST the release without
+    * ever recomputing it:
+    *
+    *   1. DELTA DEDUP — [[Dedup.dedupDeltaWith]]: batch docs that
+    *      exactly or near-duplicate the corpus (or a lower-id batch doc)
+    *      are rejected; the corpus is touched only through its
+    *      pre-aggregated digest + LSH band frames plus a candidate-hit
+    *      text sliver. Batch ids must sit strictly above corpus ids
+    *      (dedupDelta's guarded id contract).
+    *   2. DELTA DECONTAMINATION — shingle containment of the admitted
+    *      docs vs the eval release ([[Dedup.contaminationPairs]]), plus
+    *      the optional SEMANTIC fence over batch embeddings
+    *      ([[graft.operators.Similarity.semanticContamination]], flags
+    *      computed over the full `docEmb` table — the c02 lesson: a
+    *      survivor semi-join would duplicate the admission chain inside
+    *      the flag leg).
+    *   3. QUALITY — apply the RELEASED quantile fit
+    *      (`qualityBreakValues`, built once per release via
+    *      [[Sketches.quantileFit]]); re-fitting on a batch would drift
+    *      the gate with the batch mix. When absent, the fit is derived
+    *      from the released corpus here (one corpus scan — fine for a
+    *      one-shot call, freeze the artifact for steady-state serving).
+    *   4. SPLIT — leakage-safe by construction WITHOUT a fixpoint:
+    *      every admitted doc near-duplicates neither the corpus nor a
+    *      surviving batch peer (stage 1 guarantees it), so each is its
+    *      own component and splits on its own id — exactly where the
+    *      full-corpus recompute would put it.
+    *   5. PACK — per-(split, source) shard layout over the batch;
+    *      `shardBase` (shard, base_tokens — the released corpus's
+    *      per-shard token totals) rebases offsets/chunk ids so the delta
+    *      APPENDS to the released layout instead of restarting it.
+    *
+    * Stream ≡ batch: drive per-micro-batch via
+    * [[graft.streaming.StreamingOps.curateDeltaSink]] — the body IS this
+    * method, so a one-batch stream equals the batch call exactly.
+    * Admission is conservative relative to a full recompute
+    * (dedupDelta's set-based rule; a batch doc that near-dups a corpus
+    * doc is rejected even where keep-longest would have preferred it) —
+    * at real ingestion ratios the safe direction, and the release
+    * cadence re-runs [[curate]] from raw when the balance matters.
+    *
+    * Same static-scope + detach contract as [[curate]]; all artifacts
+    * (`corpusDigests`/`corpusBands`/`qualityBreakValues`/`shardBase`)
+    * default to a derivation from `corpus` for one-call use.
+    */
+  def curateDelta(corpus: DataFrame, newDocs: DataFrame, evalDocs: DataFrame,
+      corpusDigests: Option[DataFrame] = None,
+      corpusBands: Option[DataFrame] = None,
+      qualityBreakValues: Option[Seq[Long]] = None,
+      contaminationPermille: Int = 500,
+      maxTrainDf: Option[Long] = None,
+      qualityBreakpoints: Seq[Int] = Seq(250),
+      minQualityBucket: Int = 1,
+      splits: Seq[(String, Int)] = Seq("train" -> 900, "val" -> 50, "test" -> 50),
+      salt: String = "",
+      packBudget: Long = 2048,
+      redactPii: Boolean = true,
+      shingleN: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 3,
+      minJaccardPermille: Int = 800,
+      docEmb: Option[DataFrame] = None,
+      evalEmb: Option[DataFrame] = None,
+      semanticMinCosE6: Long = 400000L,
+      shardBase: Option[DataFrame] = None,
+      detachBound: Option[Int] = None,
+      staticPlan: Boolean = true): DataFrame = {
+    require(minQualityBucket >= 0 && minQualityBucket <= qualityBreakpoints.size,
+      s"minQualityBucket must be in [0, ${qualityBreakpoints.size}], got $minQualityBucket")
+    require(docEmb.isDefined == evalEmb.isDefined,
+      "semantic decontamination needs BOTH docEmb and evalEmb — or neither")
+    val caller = newDocs.sparkSession
+    def chain(scoped: org.apache.spark.sql.SparkSession): DataFrame = {
+      def in(df: DataFrame) = graft.ops.PlanScope.rebind(df, scoped)
+      val corpusS = in(corpus)
+      val batchS = in(newDocs)
+      // 1. delta dedup against the release artifacts (derived here when
+      // not supplied — dedupDeltaWith's build-over-the-exact-set contract)
+      val admitted = Dedup.dedupDeltaWith(corpusS,
+        corpusDigests.map(in).getOrElse(Dedup.corpusDigests(corpusS)),
+        corpusBands.map(in).getOrElse(
+          Dedup.corpusBands(corpusS, shingleN, numHashes, rowsPerBand)),
+        batchS, shingleN, numHashes, rowsPerBand, minJaccardPermille)
+      // 2. decontamination (n-gram, then the optional semantic fence)
+      val flagged = Dedup.contaminationPairs(admitted, in(evalDocs),
+          minPermille = contaminationPermille, maxTrainDf = maxTrainDf)
+        .select(col("train_id").as("doc_id")).distinct()
+      val cleanNgram = admitted.join(flagged, Seq("doc_id"), "left_anti")
+      val clean = docEmb.fold(cleanNgram) { de =>
+        val batchEmb = in(de).select(col("doc_id").as("vec_id"), col("embedding"))
+        val flaggedSem = graft.operators.Similarity.semanticContamination(
+            batchEmb, in(evalEmb.get), semanticMinCosE6)
+          .select(col("train_id").as("doc_id")).distinct()
+        cleanNgram.join(flaggedSem, Seq("doc_id"), "left_anti")
+      }
+      // 3. quality gate under the released fit
+      val fit = qualityBreakValues.getOrElse(Sketches.quantileFit(
+        corpusS.withColumn("quality", TextFunctions.qualityScore(col("text"))),
+        "quality", qualityBreakpoints))
+      val scored = Sketches.applyQuantileBuckets(
+        clean.withColumn("quality", TextFunctions.qualityScore(col("text"))),
+        "quality", fit)
+      val good = scored.filter(col("bucket") >= minQualityBucket)
+      // 3b. redact PII (same placement rationale as curate)
+      val redacted =
+        if (redactPii) good.withColumn("text", TextFunctions.scrubPii(col("text")))
+        else good
+      // 4. split — own-id components (see the scaladoc: guaranteed by
+      // stage 1), through the same split path as the batch pipeline
+      val split = Splits.leakageSafeSplit(redacted,
+        redacted.select(col("doc_id"), col("doc_id").as("component")),
+        splits, salt)
+      // 5. pack the batch; rebase onto the released layout when given
+      val sharded = split.withColumn("shard",
+        concat_ws("/", col("split"), col("source")))
+      val packed0 = Packing.packChunks(sharded, "shard", packBudget,
+        TextFunctions.tokenCount(col("text")).cast("long"))
+      shardBase.fold(packed0) { sb =>
+        packed0.join(in(sb).select(col("shard"),
+            col("base_tokens").cast("long").as("__base")), Seq("shard"), "left")
+          .withColumn("token_offset",
+            col("token_offset") + coalesce(col("__base"), lit(0L)))
+          .withColumn("chunk_id", expr(s"token_offset DIV $packBudget"))
+          .drop("__base")
+      }
+    }
+    val packed =
+      if (staticPlan) graft.ops.PlanScope.isolated(caller,
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.limit.initialNumPartitions" -> "100000")(chain)
+      else chain(caller)
+    detachBound.fold(packed) { cap =>
+      val rows = packed.limit(cap + 1).collect()
+      require(rows.length <= cap,
+        s"curateDelta detachBound: result exceeds $cap rows — drop detachBound " +
+          "and write the returned frame instead")
+      // nothing stays in the CacheManager: dedupDeltaWith already
+      // released its candidate pin and its localCheckpoint blocks are
+      // RDD-level, reclaimed by the ContextCleaner once the returned
+      // frame is unreferenced
+      caller.createDataFrame(
         java.util.Arrays.asList(rows: _*), packed.schema)
     }
   }
