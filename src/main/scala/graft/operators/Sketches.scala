@@ -381,16 +381,35 @@ object Sketches {
       .drop("__lo", "__hi")
   }
 
-  def quantileBuckets(df: DataFrame, valueCol: String, permilles: Seq[Int]): DataFrame = {
+  def quantileBuckets(df: DataFrame, valueCol: String, permilles: Seq[Int]): DataFrame =
+    applyQuantileBuckets(df, valueCol, quantileFit(df, valueCol, permilles))
+
+  /** The FIT half of [[quantileBuckets]]: exact breakpoint VALUES at the
+    * given permille ranks (definitional rank rule, engine-portable) —
+    * the release artifact a serving pipeline freezes once per corpus
+    * release and applies to every delta batch
+    * ([[graft.pipelines.CurationPipeline.curateDelta]]); re-fitting on a
+    * small batch would drift the gate with the batch mix. One bounded
+    * aggregate + a |permilles|-row collect; empty when the column has no
+    * non-null values. */
+  def quantileFit(df: DataFrame, valueCol: String, permilles: Seq[Int]): Seq[Long] = {
     require(permilles.nonEmpty, "need at least one breakpoint permille")
     val v = col(valueCol).cast("long")
     val fit = df
       .agg(graft.expressions.QuantileHistogram.quantiles(v, permilles).as("__q"))
       .select(col("__q.qs")).collect()(0)
-    if (fit.isNullAt(0)) // no non-null values: every surviving row tags 0
-      return df.withColumn("bucket", when(v.isNotNull, lit(0L)))
-    val bps = fit.getSeq[Long](0)
-    val bucket = bps.foldLeft(lit(0L)) { (acc, bp) =>
+    if (fit.isNullAt(0)) Seq.empty else fit.getSeq[Long](0)
+  }
+
+  /** The APPLY half of [[quantileBuckets]]: tag each row's bucket (count
+    * of breakpoints strictly below the value) from GIVEN breakpoint
+    * values — a pure per-row map, no fit scan. An empty fit (no non-null
+    * training values) tags every non-null row 0, matching
+    * [[quantileBuckets]]' degenerate case. */
+  def applyQuantileBuckets(df: DataFrame, valueCol: String,
+      breakValues: Seq[Long]): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val bucket = breakValues.foldLeft(lit(0L)) { (acc, bp) =>
       acc + when(v > bp, lit(1L)).otherwise(lit(0L))
     }
     df.withColumn("bucket", when(v.isNotNull, bucket))

@@ -446,6 +446,104 @@ object NorthStarQueries {
        |FROM o ORDER BY doc_id""".stripMargin
   }
 
+  /** c03: the DELTA-ADMISSION replay, one DuckDB statement — d12's
+    * set-based delta-dedup admission (exact-vs-corpus, exact-within,
+    * LSH-verified near-dup vs corpus or lower-id batch doc), d08's
+    * shingle-containment decontamination of the admitted docs, the
+    * quality fit computed over the CORPUS slice and applied to the
+    * batch (the released-artifact semantics), own-id split, per-shard
+    * packing. Multi-use CTEs MATERIALIZED (the k-core lesson). */
+  private def c03OracleSql: String = {
+    val allStops = graft.functions.TextFunctions.langProfiles.flatMap(_._2).distinct
+      .map(w => s"'$w'").mkString(",")
+    s"""WITH corp AS (SELECT doc_id, source, text FROM documents WHERE doc_id < 250),
+       |nw AS (SELECT doc_id, source, text FROM documents WHERE doc_id >= 250),
+       |fpc AS (SELECT DISTINCT md5(text) AS fp FROM corp),
+       |fpn AS (SELECT doc_id, md5(text) AS fp FROM nw),
+       |exc AS (SELECT doc_id FROM fpn WHERE fp IN (SELECT fp FROM fpc)),
+       |exw AS (SELECT f.doc_id FROM fpn f
+       |        JOIN (SELECT fp, MIN(doc_id) AS m FROM fpn GROUP BY fp) g
+       |          ON f.fp = g.fp AND f.doc_id > g.m),
+       |ws AS MATERIALIZED (SELECT doc_id, $WsSql AS w FROM documents),
+       |sh AS MATERIALIZED (SELECT doc_id, $Shingles3Sql AS s FROM ws),
+       |ex AS MATERIALIZED (SELECT doc_id, unnest(s) AS sh FROM sh),
+       |mh AS (SELECT doc_id, i, MIN(${h60("CAST(i AS VARCHAR)||':'||sh")}) AS mh
+       |       FROM ex, range(12) t(i) GROUP BY doc_id, i),
+       |bands AS (SELECT doc_id, i // 3 AS band,
+       |                 md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bh
+       |          FROM mh GROUP BY doc_id, i // 3),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+       |         WHERE y.doc_id >= 250),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+       |inter AS (SELECT ea.doc_id AS doc_a, eb.doc_id AS doc_b, COUNT(*) AS inter_cnt
+       |          FROM ex ea JOIN ex eb ON ea.sh = eb.sh AND ea.doc_id < eb.doc_id
+       |          GROUP BY 1, 2),
+       |rejn AS (SELECT c.doc_b AS doc_id FROM cand c
+       |         JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |         JOIN sz sa ON sa.doc_id = c.doc_a
+       |         JOIN sz sb ON sb.doc_id = c.doc_b
+       |         WHERE 1000 * i.inter_cnt >= 800 * (sa.n + sb.n - i.inter_cnt)),
+       |adm AS MATERIALIZED (SELECT doc_id FROM nw
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM exc
+       |                            UNION SELECT doc_id FROM exw
+       |                            UNION SELECT doc_id FROM rejn)),
+       |esh AS (SELECT doc_id + 2000000 AS eval_id, s FROM sh WHERE doc_id % 10 = 0),
+       |esz AS (SELECT eval_id, CAST(len(s) AS BIGINT) AS n_ev FROM esh WHERE len(s) > 0),
+       |eex AS (SELECT eval_id, unnest(s) AS sh FROM esh),
+       |tex AS (SELECT a.doc_id AS train_id, e.sh FROM adm a
+       |        JOIN ex e ON e.doc_id = a.doc_id),
+       |cint AS (SELECT train_id, eval_id, COUNT(*) AS inter_cnt
+       |         FROM tex JOIN eex USING (sh) GROUP BY 1, 2),
+       |flag AS (SELECT DISTINCT train_id FROM cint JOIN esz USING (eval_id)
+       |         WHERE (1000 * inter_cnt) // n_ev >= 500),
+       |clean AS (SELECT doc_id FROM adm
+       |          WHERE doc_id NOT IN (SELECT train_id FROM flag)),
+       |qm AS (SELECT ws.doc_id,
+       |        CAST(len(w) AS BIGINT) AS n_tok,
+       |        (1000 * len(list_filter(w, t -> list_contains([$allStops], t))))
+       |          // greatest(len(w), 1) AS stop_permille,
+       |        (1000 * len(list_filter(w, t -> regexp_matches(t, '^[a-z]+$$'))))
+       |          // greatest(len(w), 1) AS alpha_permille
+       |       FROM ws),
+       |q AS MATERIALIZED (SELECT doc_id,
+       |        CAST(CASE WHEN n_tok BETWEEN 10 AND 10000 THEN 500 ELSE 0 END
+       |             + stop_permille // 2 + alpha_permille // 4 AS BIGINT) AS quality
+       |      FROM qm),
+       |h AS (SELECT quality, COUNT(*) AS cnt FROM q
+       |      WHERE doc_id < 250 GROUP BY 1),
+       |w2 AS (SELECT quality,
+       |         CAST(SUM(cnt) OVER (ORDER BY quality) AS BIGINT) AS cum,
+       |         CAST(SUM(cnt) OVER () AS BIGINT) AS n
+       |       FROM h),
+       |bp AS (SELECT MIN(CASE WHEN cum > (250*(n-1))//1000 THEN quality END) AS b1
+       |       FROM w2),
+       |good AS (SELECT q.doc_id, q.quality, CAST(1 AS BIGINT) AS bucket
+       |         FROM q JOIN clean ON q.doc_id = clean.doc_id, bp
+       |         WHERE q.quality > bp.b1),
+       |spl AS (SELECT doc_id,
+       |          CASE WHEN ${h60("CAST(doc_id AS VARCHAR)")} % 1000 < 900 THEN 'train'
+       |               WHEN ${h60("CAST(doc_id AS VARCHAR)")} % 1000 < 950 THEN 'val'
+       |               ELSE 'test' END AS split
+       |        FROM good),
+       |tl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok FROM ws),
+       |pk AS (SELECT g.doc_id, g.doc_id AS component, g.quality, g.bucket,
+       |          spl.split, spl.split || '/' || d.source AS shard,
+       |          tl.n_tok AS n_tokens, md5(d.text) AS text_md5
+       |        FROM good g
+       |        JOIN spl ON spl.doc_id = g.doc_id
+       |        JOIN nw d ON d.doc_id = g.doc_id
+       |        JOIN tl ON tl.doc_id = g.doc_id),
+       |o AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+       |          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |          AS BIGINT) AS token_offset
+       |      FROM pk)
+       |SELECT doc_id, component, quality, bucket, split, shard, n_tokens,
+       |       token_offset, CAST(token_offset // 2048 AS BIGINT) AS chunk_id, text_md5
+       |FROM o ORDER BY doc_id""".stripMargin
+  }
+
   /** c02: the c01 composition plus the two remaining curation stages,
     * still ONE DuckDB statement — duplicated-SPAN scrub (t27's window-hash
     * replay) feeding the near-dup chain, and SEMANTIC decontamination
@@ -606,6 +704,36 @@ object NorthStarQueries {
           docEmb = Some(emb.select(col("vec_id").as("doc_id"), col("embedding"))),
           evalEmb = Some(emb.filter(pmod(col("vec_id"), lit(10)) === 0)),
           semanticMinCosE6 = 400000L,
+          detachBound = Some(1 << 21))
+        .select(col("doc_id"), col("component"), col("quality"), col("bucket"),
+          col("split"), col("shard"), col("n_tokens"), col("token_offset"),
+          col("chunk_id"), md5(col("text")).as("text_md5"))
+    }),
+    "c03_curation_delta" -> ((s, d) => {
+      // INCREMENTAL curation — the serving face of c01: docs with id >=
+      // 250 arrive as a new crawl snapshot against the id < 250 released
+      // corpus, and the batch runs the full delta-admission gauntlet
+      // WITHOUT recomputing the release: delta dedup (d12's set-based
+      // admission vs the corpus digest + band artifacts), n-gram
+      // decontamination vs the eval release (d08's fixture), the
+      // RELEASED quality-quantile fit (Sketches.quantileFit on the
+      // corpus, applied — never re-fit — to the batch), own-id
+      // leakage-safe split (admitted docs near-dup nothing, so each is
+      // its own component by construction), and per-shard packing.
+      // PII redaction off (c01 proves it) so the oracle replays raw
+      // text; the one DuckDB statement replays the whole admission.
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") < 250)
+      val batch = docs.filter(col("doc_id") >= 250)
+      val evalDocs = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      graft.pipelines.CurationPipeline.curateDelta(
+          corpus, batch, evalDocs,
+          contaminationPermille = 500,
+          qualityBreakpoints = Seq(250),
+          minQualityBucket = 1,
+          packBudget = 2048,
+          redactPii = false,
           detachBound = Some(1 << 21))
         .select(col("doc_id"), col("component"), col("quality"), col("bucket"),
           col("split"), col("shard"), col("n_tokens"), col("token_offset"),
@@ -1884,6 +2012,8 @@ object NorthStarQueries {
   val oracleSql: Map[String, String] = Map(
     // the end-to-end pipeline replay — see curationOracleSql
     "c01_curation_e2e" -> curationOracleSql,
+    // the delta-admission replay — see c03OracleSql
+    "c03_curation_delta" -> c03OracleSql,
     // the full-stage composition: span scrub + semantic fence added to
     // c01's chain, one statement, heavy CTEs MATERIALIZED
     "c02_curation_full" -> c02OracleSql,

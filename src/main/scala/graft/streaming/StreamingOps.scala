@@ -584,6 +584,55 @@ object StreamingOps {
           batch.toDF(), shingleN, numHashes, rowsPerBand, minJaccardPermille), batchId)
       }
 
+  /** Streaming INCREMENTAL CURATION against a frozen corpus release —
+    * the serving face of
+    * [[graft.pipelines.CurationPipeline.curateDelta]]: each micro-batch
+    * of arriving docs runs the full delta-admission gauntlet (delta
+    * dedup vs the release artifacts → n-gram + optional semantic
+    * decontamination → released quality fit → PII scrub → split → packed
+    * layout) and the train-ready survivors are handed to
+    * `sink(curated, batchId)` — an idempotent per-batch upsert, same
+    * replay contract as [[changelogUpsertSink]]. Stream ≡ batch by
+    * construction: the per-batch body IS `curateDelta`, so a one-batch
+    * stream equals the batch call exactly (spec-pinned).
+    *
+    * Pass the PERSISTED release artifacts (`digests`/`bands` from
+    * `Dedup.corpusDigests`/`corpusBands`, `qualityBreakValues` from
+    * `Sketches.quantileFit`, `shardBase` per-shard totals) — deriving
+    * them per trigger would re-shingle and re-scan the corpus every
+    * batch. Duplicates ACROSS stream batches are the release cadence's
+    * concern (fold accepted batches into the artifacts when cutting the
+    * next release), matching [[deltaDedupSink]]'s contract. */
+  def curateDeltaSink(
+      newDocs: DataFrame, // streaming: doc_id (long), text, source
+      corpus: DataFrame,
+      digests: DataFrame,
+      bands: DataFrame,
+      evalDocs: DataFrame,
+      qualityBreakValues: Seq[Long],
+      checkpointDir: String,
+      contaminationPermille: Int = 500,
+      minQualityBucket: Int = 1,
+      splits: Seq[(String, Int)] = Seq("train" -> 900, "val" -> 50, "test" -> 50),
+      salt: String = "",
+      packBudget: Long = 2048,
+      redactPii: Boolean = true,
+      shardBase: Option[DataFrame] = None)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.pipelines.CurationPipeline.curateDelta(
+          corpus, batch.toDF(), evalDocs,
+          corpusDigests = Some(digests), corpusBands = Some(bands),
+          qualityBreakValues = Some(qualityBreakValues),
+          contaminationPermille = contaminationPermille,
+          minQualityBucket = minQualityBucket,
+          splits = splits, salt = salt, packBudget = packBudget,
+          redactPii = redactPii, shardBase = shardBase), batchId)
+      }
+
   /** Streaming hybrid retrieval — the serving face of the s16 shape: each
     * micro-batch of user queries `(query_id, text, embedding)` runs the
     * lexical leg against a prebuilt [[graft.operators.TextSearch.TextIndex]]

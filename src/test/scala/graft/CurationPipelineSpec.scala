@@ -162,4 +162,92 @@ class CurationPipelineSpec extends SparkTestBase {
     val ran = graft.operators.Dedup.componentsRuns.get() - before
     assert(ran === 1L, s"curate triggered $ran components() executions, expected 1")
   }
+
+  // ---- curateDelta: the incremental (serving) face ----
+
+  test("curateDelta admission gauntlet: dups rejected, leaks quarantined, survivors train-ready") {
+    val long = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 30).map(i => s"zzz$i").mkString(" ")
+    val evalText = (1 to 30).map(i => s"evl$i").mkString(" ")
+    val corpus = Seq((1L, long, "web"), (2L, other, "web"))
+      .toDF("doc_id", "text", "source")
+    val batch = Seq(
+      (10L, long, "web"),            // exact dup of corpus 1 → rejected
+      (11L, long + " extra", "web"), // near-dup of corpus 1 (jac ≈ 965‰) → rejected
+      (12L, evalText, "web"),        // leaks the eval release verbatim → quarantined
+      (13L, "novel " + (1 to 20).map(i => s"new$i").mkString(" "), "web"),
+      (14L, "novel " + (1 to 20).map(i => s"nw$i").mkString(" "), "crawl"))
+      .toDF("doc_id", "text", "source")
+    val ev = Seq((900L, evalText)).toDF("doc_id", "text")
+    val out = CurationPipeline.curateDelta(corpus, batch, ev,
+      qualityBreakValues = Some(Seq(-1L)), // released fit: everything passes
+      redactPii = false, detachBound = Some(1000)).cache()
+    try {
+      val ids = out.select($"doc_id").as[Long].collect().toSet
+      assert(ids === Set(13L, 14L), s"admitted $ids")
+      // own-id components (stage-1 guarantee), quality floor, split totality
+      assert(out.filter($"component" =!= $"doc_id").count() === 0L)
+      assert(out.filter($"bucket" < 1).count() === 0L)
+      val shards = out.select($"shard").as[String].collect()
+      assert(shards.forall(s => s.endsWith("/web") || s.endsWith("/crawl")))
+      // per-shard packed layout starts at zero for an un-rebased batch
+      assert(out.filter($"token_offset" < 0).count() === 0L)
+    } finally { out.unpersist(); () }
+  }
+
+  test("curateDelta: frozen release artifacts ≡ derived-from-corpus, exactly") {
+    import graft.operators.{Dedup, Sketches}
+    val corpus = docs.filter($"doc_id" < 250)
+    val batch = docs.filter($"doc_id" >= 250)
+    val ev = docs.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 2000000L).as("doc_id"), $"text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val derived = rows(CurationPipeline.curateDelta(corpus, batch, ev,
+      redactPii = false, detachBound = Some(1 << 20)))
+    val digests = Dedup.corpusDigests(corpus).persist()
+    val bands = Dedup.corpusBands(corpus).persist()
+    val fit = Sketches.quantileFit(corpus.withColumn("quality",
+      graft.functions.TextFunctions.qualityScore($"text")), "quality", Seq(250))
+    try {
+      val served = rows(CurationPipeline.curateDelta(corpus, batch, ev,
+        corpusDigests = Some(digests), corpusBands = Some(bands),
+        qualityBreakValues = Some(fit),
+        redactPii = false, detachBound = Some(1 << 20)))
+      assert(served === derived && derived.nonEmpty)
+    } finally { digests.unpersist(); bands.unpersist(); () }
+  }
+
+  test("curateDelta shardBase: the delta APPENDS to the released layout") {
+    val batch = Seq(
+      (10L, "novel " + (1 to 20).map(i => s"aa$i").mkString(" "), "web"),
+      (11L, "novel " + (1 to 20).map(i => s"bb$i").mkString(" "), "web"),
+      (12L, "novel " + (1 to 20).map(i => s"cc$i").mkString(" "), "web"))
+      .toDF("doc_id", "text", "source")
+    val corpus = Seq((1L, (1 to 30).map(i => s"zz$i").mkString(" "), "web"))
+      .toDF("doc_id", "text", "source")
+    val ev = Seq((900L, "unrelated eval text nobody leaks")).toDF("doc_id", "text")
+    def run(base: Option[org.apache.spark.sql.DataFrame]) =
+      CurationPipeline.curateDelta(corpus, batch, ev,
+        qualityBreakValues = Some(Seq(-1L)), redactPii = false,
+        shardBase = base, detachBound = Some(1000))
+        .select($"doc_id", $"shard", $"n_tokens", $"token_offset", $"chunk_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val plain = run(None)
+    assert(plain.nonEmpty)
+    // released layout: every shard already holds 5000 tokens
+    val base = plain.map(_._2).distinct.toSeq.toDF("shard")
+      .withColumn("base_tokens", lit(5000L))
+    val rebased = run(Some(base)).map(r => (r._1, r)).toMap
+    plain.foreach { case (id, shard, nt, off, _) =>
+      val (_, rShard, rNt, rOff, rChunk) = rebased(id)
+      assert(rShard === shard && rNt === nt)
+      assert(rOff === off + 5000L, s"doc $id offset not rebased")
+      assert(rChunk === (off + 5000L) / 2048L, s"doc $id chunk not recomputed")
+    }
+    // a shard absent from the base frame rebases by zero (left join)
+    val partial = run(Some(Seq(("no/such-shard", 7000L)).toDF("shard", "base_tokens")))
+      .map(r => (r._1, r._4)).toMap
+    plain.foreach { case (id, _, _, off, _) => assert(partial(id) === off) }
+  }
 }

@@ -480,6 +480,45 @@ class StreamingSpec extends SparkTestBase {
     digests.unpersist(); bands.unpersist()
   }
 
+  test("streaming incremental curation against a frozen release ≡ batch curateDelta per batch") {
+    import graft.operators.Dedup
+    import graft.pipelines.CurationPipeline
+    val long = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 30).map(i => s"zzz$i").mkString(" ")
+    val evalText = (1 to 30).map(i => s"evl$i").mkString(" ")
+    val corpus = Seq((1L, long, "web"), (2L, other, "web"))
+      .toDF("doc_id", "text", "source")
+    val ev = Seq((900L, evalText)).toDF("doc_id", "text")
+    val digests = Dedup.corpusDigests(corpus).persist()
+    val bands = Dedup.corpusBands(corpus).persist()
+    val fit = Seq(-1L) // released quality fit: everything passes
+    // dup of corpus 1, an eval leak, and two clean docs across two shards
+    val batchA = Seq(
+      (10L, long, "web"), (12L, evalText, "web"),
+      (13L, "novel " + (1 to 20).map(i => s"new$i").mkString(" "), "web"),
+      (14L, "novel " + (1 to 20).map(i => s"nw$i").mkString(" "), "crawl"))
+    val in = MemoryStream[(Long, String, String)](spark)
+    val got = scala.collection.concurrent.TrieMap[Long, Set[(Long, String, Long)]]()
+    val q = StreamingOps.curateDeltaSink(
+      in.toDF().toDF("doc_id", "text", "source"), corpus, digests, bands,
+      ev, fit, Files.createTempDirectory("ck-cdelta").toString,
+      redactPii = false) { (curated, id) =>
+        got(id) = curated.select("doc_id", "shard", "token_offset")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      }.start()
+    try { in.addData(batchA: _*); q.processAllAvailable() } finally q.stop()
+    val batchMode = CurationPipeline.curateDelta(
+        corpus, batchA.toDF("doc_id", "text", "source"), ev,
+        corpusDigests = Some(digests), corpusBands = Some(bands),
+        qualityBreakValues = Some(fit), redactPii = false)
+      .select("doc_id", "shard", "token_offset")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got(0L) === batchMode, s"stream ${got(0L)} != batch $batchMode")
+    // and the gauntlet gauntleted: dup 10 and leak 12 gone, 13/14 admitted
+    assert(got(0L).map(_._1) === Set(13L, 14L))
+    digests.unpersist(); bands.unpersist()
+  }
+
   test("streaming LSH near-dup flags band collisions with the canonical doc") {
     val in = MemoryStream[StreamDocFixture](spark)
     val hits = StreamingOps.streamingLshNearDup(
