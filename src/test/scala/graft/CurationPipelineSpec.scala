@@ -218,6 +218,34 @@ class CurationPipelineSpec extends SparkTestBase {
     } finally { digests.unpersist(); bands.unpersist(); () }
   }
 
+  test("curateDelta semantic fence: paraphrase leakage the n-gram gate misses is dropped") {
+    // doc 11 shares NO shingle with the eval release (different words)
+    // but its embedding is nearly parallel to an eval vector — only the
+    // semantic fence can catch it; doc 13 is orthogonal and survives
+    val corpus = Seq((1L, (1 to 30).map(i => s"zz$i").mkString(" "), "web"))
+      .toDF("doc_id", "text", "source")
+    val batch = Seq(
+      (11L, "paraphrased " + (1 to 20).map(i => s"pp$i").mkString(" "), "web"),
+      (13L, "novel " + (1 to 20).map(i => s"new$i").mkString(" "), "web"))
+      .toDF("doc_id", "text", "source")
+    val ev = Seq((900L, (1 to 30).map(i => s"evl$i").mkString(" "))).toDF("doc_id", "text")
+    val e1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val e1ish = Array(0.999f, 0.04f, 0.0f, 0.0f)
+    val ortho = Array(0.0f, 0.0f, 1.0f, 0.0f)
+    val batchEmb = Seq((11L, e1ish), (13L, ortho)).toDF("doc_id", "embedding")
+    val evalEmb = Seq((800L, e1)).toDF("vec_id", "embedding")
+    val out = CurationPipeline.curateDelta(corpus, batch, ev,
+      qualityBreakValues = Some(Seq(-1L)), redactPii = false,
+      docEmb = Some(batchEmb), evalEmb = Some(evalEmb),
+      semanticMinCosE6 = 950000L, detachBound = Some(1000))
+    assert(out.select($"doc_id").as[Long].collect().toSet === Set(13L))
+    // fence off → both survive (the n-gram gate alone sees nothing)
+    val off = CurationPipeline.curateDelta(corpus, batch, ev,
+      qualityBreakValues = Some(Seq(-1L)), redactPii = false,
+      detachBound = Some(1000))
+    assert(off.select($"doc_id").as[Long].collect().toSet === Set(11L, 13L))
+  }
+
   test("curateDelta shardBase: the delta APPENDS to the released layout") {
     val batch = Seq(
       (10L, "novel " + (1 to 20).map(i => s"aa$i").mkString(" "), "web"),
