@@ -126,11 +126,17 @@ object ScaleCurve {
       "d04_ngram_jaccard" -> (() => Dedup.ngramJaccardPairs(docs)),
       "d14_fuzzy_er" -> (() =>
         EntityResolution.fuzzyPairs(cust, "c_custkey", "c_name", maxDist = 1)),
+      // maxBucket = 0 EXPLICITLY: this row measures the UNFENCED hazard
+      // (the quadratic-within-block term the r10 decade read at α 1.40);
+      // since r11 the fence is the operator DEFAULT, so the hazard row
+      // must opt out or it silently measures the remedy twice
       "d14_fuzzy_er_skew" -> (() =>
-        EntityResolution.fuzzyPairs(custSkew, "c_custkey", "c_name", maxDist = 1)),
-      // the production remedy for the hot cluster: maxBucket fences keys
-      // whose deletion-variant bucket explodes, trading those pathological
-      // pairs away — the curve should flatten back to the uniform slope
+        EntityResolution.fuzzyPairs(custSkew, "c_custkey", "c_name",
+          maxDist = 1, maxBucket = 0)),
+      // the production remedy for the hot cluster — the r11 DEFAULT
+      // (maxBucket = 64): fences keys whose deletion-variant bucket
+      // explodes, trading those pathological pairs away — the curve
+      // should flatten back to the uniform slope
       "d14_fuzzy_er_skew_capped" -> (() =>
         EntityResolution.fuzzyPairs(custSkew, "c_custkey", "c_name",
           maxDist = 1, maxBucket = 64)),
@@ -150,6 +156,25 @@ object ScaleCurve {
             when(pmod(col("doc_id"), lit(2)) === 0, col("text"))
               .otherwise(concat(col("text"), lit(" novel_tail_token"))).as("text"))
         Dedup.dedupDelta(docs, batch)
+      }),
+      // composed incremental curation (c03's serving shape): a CONSTANT
+      // batch admitted against a corpus release growing with f — delta
+      // dedup + decontamination + corpus-fit quality gate + split +
+      // packing in one call. Expected ~linear in f: the corpus-side
+      // digest/band build and the quality-fit scan dominate (both one
+      // corpus pass), the batch side is constant, and nothing is
+      // batch×corpus beyond the band-bucket equi-join
+      "c03_curate_delta" -> (() => {
+        val batch = docs.filter(col("doc_id") < 250)
+          .select((col("doc_id") + lit(1000L * Shift)).as("doc_id"),
+            when(pmod(col("doc_id"), lit(2)) === 0, col("text"))
+              .otherwise(concat(col("text"), lit(" novel_tail_token"))).as("text"),
+            lit("web").as("source"))
+        val ev = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select((col("doc_id") + lit(2000L * Shift)).as("doc_id"), col("text"))
+        graft.pipelines.CurationPipeline.curateDelta(
+          docs.withColumn("source", lit("web")), batch, ev,
+          redactPii = false, detachBound = Some(1 << 21))
       }),
       // relational family: pure-scan grouped agg (the linear floor every
       // other plan should track), the basket self-join candidate
