@@ -328,6 +328,93 @@ object CurationPipeline {
     }
   }
 
+  /** The frozen artifacts of a corpus RELEASE — everything a
+    * steady-state [[curateDelta]] serving loop probes INSTEAD of the
+    * corpus: the exact-dup digest frame, the LSH band frame, the quality
+    * quantile fit, and the released layout's per-shard token totals.
+    * Build once per release cut with [[releaseArtifacts]]; pass to every
+    * delta batch (and to
+    * [[graft.streaming.StreamingOps.curateDeltaSink]]). Call
+    * [[Release.unpersist]] when superseded by the next release. */
+  final case class Release(
+      digests: DataFrame,
+      bands: DataFrame,
+      qualityBreakValues: Seq[Long],
+      shardBase: DataFrame) {
+    def unpersist(): Unit = {
+      digests.unpersist(false); bands.unpersist(false)
+      shardBase.unpersist(false); ()
+    }
+  }
+
+  /** Cut the RELEASE ARTIFACTS for a corpus release — the one-per-release
+    * build that turns [[curateDelta]] from a one-call convenience (which
+    * re-derives everything from the corpus per batch) into the
+    * steady-state serving loop (each batch touches the release only
+    * through these bounded frames):
+    *
+    *  - `screenDocs` (doc_id, text): what future batches must not
+    *    duplicate — typically the RAW corpus the release was curated
+    *    from (nothing ever seen is re-admitted, even docs curation
+    *    dropped: re-admitting a previously-rejected doc is never
+    *    right), or the curated survivors for a keep-best-faithful
+    *    screen. Digest + band frames and the quality fit derive from it
+    *    with the SAME banding/quantile params the delta passes will use.
+    *  - `curatedPacked`: [[curate]]'s output (shard, n_tokens) — rolled
+    *    up into the per-shard token totals (`shardBase`) that make delta
+    *    packing APPEND to the released layout.
+    *
+    * The frames are lazily persisted (`MEMORY_AND_DISK`) — the first
+    * batch's probe materializes them; sized O(corpus) rows but only a
+    * digest/band/total per row, never the text. */
+  def releaseArtifacts(screenDocs: DataFrame, curatedPacked: DataFrame,
+      qualityBreakpoints: Seq[Int] = Seq(250),
+      shingleN: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 3): Release = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    Release(
+      Dedup.corpusDigests(screenDocs).persist(lvl),
+      Dedup.corpusBands(screenDocs, shingleN, numHashes, rowsPerBand).persist(lvl),
+      Sketches.quantileFit(
+        screenDocs.withColumn("quality", TextFunctions.qualityScore(col("text"))),
+        "quality", qualityBreakpoints),
+      curatedPacked.groupBy(col("shard"))
+        .agg(sum(col("n_tokens")).as("base_tokens")).persist(lvl))
+  }
+
+  /** [[curateDelta]] against a prebuilt [[Release]] — the steady-state
+    * serving entry point (artifact plumbing done once, per-batch calls
+    * stay one line). */
+  def curateDeltaWith(release: Release, corpus: DataFrame,
+      newDocs: DataFrame, evalDocs: DataFrame,
+      contaminationPermille: Int = 500,
+      maxTrainDf: Option[Long] = None,
+      minQualityBucket: Int = 1,
+      splits: Seq[(String, Int)] = Seq("train" -> 900, "val" -> 50, "test" -> 50),
+      salt: String = "",
+      packBudget: Long = 2048,
+      redactPii: Boolean = true,
+      shingleN: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 3,
+      minJaccardPermille: Int = 800,
+      docEmb: Option[DataFrame] = None,
+      evalEmb: Option[DataFrame] = None,
+      semanticMinCosE6: Long = 400000L,
+      detachBound: Option[Int] = None): DataFrame =
+    curateDelta(corpus, newDocs, evalDocs,
+      corpusDigests = Some(release.digests),
+      corpusBands = Some(release.bands),
+      qualityBreakValues = Some(release.qualityBreakValues),
+      contaminationPermille = contaminationPermille,
+      maxTrainDf = maxTrainDf,
+      minQualityBucket = minQualityBucket,
+      splits = splits, salt = salt, packBudget = packBudget,
+      redactPii = redactPii,
+      shingleN = shingleN, numHashes = numHashes, rowsPerBand = rowsPerBand,
+      minJaccardPermille = minJaccardPermille,
+      docEmb = docEmb, evalEmb = evalEmb,
+      semanticMinCosE6 = semanticMinCosE6,
+      shardBase = Some(release.shardBase),
+      detachBound = detachBound)
+
   /** INCREMENTAL curation — admit a new crawl snapshot against a
     * RELEASED curated corpus, the serving face of [[curate]]: the
     * released corpus is immutable (its docs were already deduped,

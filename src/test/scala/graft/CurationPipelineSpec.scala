@@ -218,6 +218,45 @@ class CurationPipelineSpec extends SparkTestBase {
     } finally { digests.unpersist(); bands.unpersist(); () }
   }
 
+  test("release lifecycle: curate -> releaseArtifacts -> curateDeltaWith appends to the release") {
+    import graft.operators.Sketches
+    val corpus = docs.filter($"doc_id" < 250)
+    val batch = docs.filter($"doc_id" >= 250)
+    val ev = docs.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 2000000L).as("doc_id"), $"text")
+    // cut a release: curate the corpus, freeze the artifacts
+    val curated = CurationPipeline.curate(corpus, ev,
+      redactPii = false, intraDocDedup = false, detachBound = Some(1 << 20))
+    val rel = CurationPipeline.releaseArtifacts(
+      corpus.select($"doc_id", $"text"), curated)
+    try {
+      val out = CurationPipeline.curateDeltaWith(rel, corpus, batch, ev,
+        redactPii = false, detachBound = Some(1 << 20))
+        .select($"doc_id", $"shard", $"token_offset", $"chunk_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      assert(out.nonEmpty)
+      // the delta APPENDS: every admitted doc lands at or past its
+      // shard's released token total (exactly at it for the first doc)
+      val base = rel.shardBase.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      out.groupBy(_._2).foreach { case (shard, rs) =>
+        val b = base.getOrElse(shard, 0L)
+        assert(rs.forall(_._3 >= b), s"shard $shard offsets below released total $b")
+        assert(rs.map(_._3).min === b, s"shard $shard first delta doc not at $b")
+      }
+      // the packaged entry point ≡ the explicit-artifact call, exactly
+      val fit = Sketches.quantileFit(corpus.withColumn("quality",
+        graft.functions.TextFunctions.qualityScore($"text")), "quality", Seq(250))
+      val explicit = CurationPipeline.curateDelta(corpus, batch, ev,
+        corpusDigests = Some(rel.digests), corpusBands = Some(rel.bands),
+        qualityBreakValues = Some(fit), shardBase = Some(rel.shardBase),
+        redactPii = false, detachBound = Some(1 << 20))
+        .select($"doc_id", $"shard", $"token_offset", $"chunk_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      assert(out.sortBy(_._1).toSeq === explicit.sortBy(_._1).toSeq)
+    } finally { rel.unpersist(); () }
+  }
+
   test("curateDelta semantic fence: paraphrase leakage the n-gram gate misses is dropped") {
     // doc 11 shares NO shingle with the eval release (different words)
     // but its embedding is nearly parallel to an eval vector — only the
