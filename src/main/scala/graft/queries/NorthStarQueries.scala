@@ -739,6 +739,54 @@ object NorthStarQueries {
           col("split"), col("shard"), col("n_tokens"), col("token_offset"),
           col("chunk_id"), md5(col("text")).as("text_md5"))
     }),
+    "c04_curation_delta_served" -> ((s, d) => {
+      // The SERVING shape of c03: the batch is admitted against a
+      // PERSISTED release — digest + band tables and the frozen quality
+      // fit (CurationPipeline.releaseArtifacts' frames saved once per
+      // session via ensureServedTable) — instead of re-deriving the
+      // artifacts from the corpus per call. Bench reps 2+ measure the
+      // pure per-batch admission cost a steady-state ingestion loop
+      // pays (the corpus is touched only through the artifact tables
+      // plus the candidate-hit text sliver). artifacts ≡ derived is
+      // spec-pinned (CurationPipelineSpec), so c03's oracle covers this
+      // query verbatim — two different serving postures hash-matching
+      // one replay.
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") < 250)
+      val batch = docs.filter(col("doc_id") >= 250)
+      val evalDocs = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      val t = servedTableName("graft_crel_c04_", d)
+      ensureServedTable(s, t, Seq(s"${t}_bands", s"${t}_fit")) {
+        Dedup.corpusDigests(corpus).write.saveAsTable(t)
+        Dedup.corpusBands(corpus).write.saveAsTable(s"${t}_bands")
+        locally {
+          import s.implicits._
+          // (permille rank, breakpoint value) rows — the rank keys the
+          // read-back order so a multi-breakpoint fit can't scramble
+          graft.operators.Sketches.quantileFit(
+              corpus.withColumn("quality", TextFunctions.qualityScore(col("text"))),
+              "quality", Seq(250))
+            .zipWithIndex.map { case (v, i) => (i, v) }
+            .toDF("rank", "bp").write.saveAsTable(s"${t}_fit")
+        }
+      }
+      val fit = s.table(s"${t}_fit").orderBy(col("rank"))
+        .collect().map(_.getLong(1)).toSeq
+      graft.pipelines.CurationPipeline.curateDelta(
+          corpus, batch, evalDocs,
+          corpusDigests = Some(s.table(t)),
+          corpusBands = Some(s.table(s"${t}_bands")),
+          qualityBreakValues = Some(fit),
+          contaminationPermille = 500,
+          minQualityBucket = 1,
+          packBudget = 2048,
+          redactPii = false,
+          detachBound = Some(1 << 21))
+        .select(col("doc_id"), col("component"), col("quality"), col("bucket"),
+          col("split"), col("shard"), col("n_tokens"), col("token_offset"),
+          col("chunk_id"), md5(col("text")).as("text_md5"))
+    }),
     "c01_curation_e2e" -> ((s, d) => {
       // The END-TO-END curation pipeline as one oracle-checked query —
       // the product story: near-dup dedup (keep-longest) → shingle
@@ -2014,6 +2062,9 @@ object NorthStarQueries {
     "c01_curation_e2e" -> curationOracleSql,
     // the delta-admission replay — see c03OracleSql
     "c03_curation_delta" -> c03OracleSql,
+    // the served posture produces the identical admission (artifacts ≡
+    // derived, spec-pinned) — one replay covers both
+    "c04_curation_delta_served" -> c03OracleSql,
     // the full-stage composition: span scrub + semantic fence added to
     // c01's chain, one statement, heavy CTEs MATERIALIZED
     "c02_curation_full" -> c02OracleSql,
