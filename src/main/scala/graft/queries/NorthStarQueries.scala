@@ -456,15 +456,18 @@ object NorthStarQueries {
   private def c03OracleSql: String = {
     val allStops = graft.functions.TextFunctions.langProfiles.flatMap(_._2).distinct
       .map(w => s"'$w'").mkString(",")
-    s"""WITH corp AS (SELECT doc_id, source, text FROM documents WHERE doc_id < 250),
-       |nw AS (SELECT doc_id, source, text FROM documents WHERE doc_id >= 250),
+    s"""WITH corp AS (SELECT doc_id, source, text FROM documents WHERE doc_id >= 250),
+       |nw AS (SELECT doc_id + 10000000 AS doc_id, source, text
+       |       FROM documents WHERE doc_id < 250),
+       |docs2 AS MATERIALIZED (SELECT doc_id, text FROM corp
+       |         UNION ALL SELECT doc_id, text FROM nw),
        |fpc AS (SELECT DISTINCT md5(text) AS fp FROM corp),
        |fpn AS (SELECT doc_id, md5(text) AS fp FROM nw),
        |exc AS (SELECT doc_id FROM fpn WHERE fp IN (SELECT fp FROM fpc)),
        |exw AS (SELECT f.doc_id FROM fpn f
        |        JOIN (SELECT fp, MIN(doc_id) AS m FROM fpn GROUP BY fp) g
        |          ON f.fp = g.fp AND f.doc_id > g.m),
-       |ws AS MATERIALIZED (SELECT doc_id, $WsSql AS w FROM documents),
+       |ws AS MATERIALIZED (SELECT doc_id, $WsSql AS w FROM docs2),
        |sh AS MATERIALIZED (SELECT doc_id, $Shingles3Sql AS s FROM ws),
        |ex AS MATERIALIZED (SELECT doc_id, unnest(s) AS sh FROM sh),
        |mh AS (SELECT doc_id, i, MIN(${h60("CAST(i AS VARCHAR)||':'||sh")}) AS mh
@@ -475,7 +478,7 @@ object NorthStarQueries {
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |         FROM bands x JOIN bands y
        |           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
-       |         WHERE y.doc_id >= 250),
+       |         WHERE y.doc_id >= 10000000),
        |sz AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
        |inter AS (SELECT ea.doc_id AS doc_a, eb.doc_id AS doc_b, COUNT(*) AS inter_cnt
        |          FROM ex ea JOIN ex eb ON ea.sh = eb.sh AND ea.doc_id < eb.doc_id
@@ -489,7 +492,10 @@ object NorthStarQueries {
        |       WHERE doc_id NOT IN (SELECT doc_id FROM exc
        |                            UNION SELECT doc_id FROM exw
        |                            UNION SELECT doc_id FROM rejn)),
-       |esh AS (SELECT doc_id + 2000000 AS eval_id, s FROM sh WHERE doc_id % 10 = 0),
+       |esh AS (SELECT (CASE WHEN doc_id >= 10000000 THEN doc_id - 10000000
+       |                     ELSE doc_id END) + 2000000 AS eval_id, s FROM sh
+       |        WHERE (CASE WHEN doc_id >= 10000000 THEN doc_id - 10000000
+       |               ELSE doc_id END) % 10 = 0),
        |esz AS (SELECT eval_id, CAST(len(s) AS BIGINT) AS n_ev FROM esh WHERE len(s) > 0),
        |eex AS (SELECT eval_id, unnest(s) AS sh FROM esh),
        |tex AS (SELECT a.doc_id AS train_id, e.sh FROM adm a
@@ -512,7 +518,7 @@ object NorthStarQueries {
        |             + stop_permille // 2 + alpha_permille // 4 AS BIGINT) AS quality
        |      FROM qm),
        |h AS (SELECT quality, COUNT(*) AS cnt FROM q
-       |      WHERE doc_id < 250 GROUP BY 1),
+       |      WHERE doc_id < 10000000 GROUP BY 1),
        |w2 AS (SELECT quality,
        |         CAST(SUM(cnt) OVER (ORDER BY quality) AS BIGINT) AS cum,
        |         CAST(SUM(cnt) OVER () AS BIGINT) AS n
@@ -710,21 +716,26 @@ object NorthStarQueries {
           col("chunk_id"), md5(col("text")).as("text_md5"))
     }),
     "c03_curation_delta" -> ((s, d) => {
-      // INCREMENTAL curation — the serving face of c01: docs with id >=
-      // 250 arrive as a new crawl snapshot against the id < 250 released
+      // INCREMENTAL curation — the serving face of c01, at the REAL
+      // serving ratio (corpus ≫ batch): docs with id < 250 arrive as a
+      // new crawl snapshot (re-id'd +1e7, above every corpus id — the
+      // monotonic-ingestion contract) against the id >= 250 released
       // corpus, and the batch runs the full delta-admission gauntlet
       // WITHOUT recomputing the release: delta dedup (d12's set-based
-      // admission vs the corpus digest + band artifacts), n-gram
-      // decontamination vs the eval release (d08's fixture), the
-      // RELEASED quality-quantile fit (Sketches.quantileFit on the
+      // admission vs the corpus digest + band artifacts; the natural
+      // cross-boundary dup structure provides the rejected specimens),
+      // n-gram decontamination vs the eval release (whose %10 slice
+      // overlaps the batch texts, so the fence provably drops rows),
+      // the RELEASED quality-quantile fit (Sketches.quantileFit on the
       // corpus, applied — never re-fit — to the batch), own-id
       // leakage-safe split (admitted docs near-dup nothing, so each is
       // its own component by construction), and per-shard packing.
       // PII redaction off (c01 proves it) so the oracle replays raw
       // text; the one DuckDB statement replays the whole admission.
       val docs = Tables.documents(s, d)
-      val corpus = docs.filter(col("doc_id") < 250)
-      val batch = docs.filter(col("doc_id") >= 250)
+      val corpus = docs.filter(col("doc_id") >= 250)
+      val batch = docs.filter(col("doc_id") < 250)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"), col("source"))
       val evalDocs = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
         .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
       graft.pipelines.CurationPipeline.curateDelta(
@@ -740,20 +751,22 @@ object NorthStarQueries {
           col("chunk_id"), md5(col("text")).as("text_md5"))
     }),
     "c04_curation_delta_served" -> ((s, d) => {
-      // The SERVING shape of c03: the batch is admitted against a
-      // PERSISTED release — digest + band tables and the frozen quality
-      // fit (CurationPipeline.releaseArtifacts' frames saved once per
-      // session via ensureServedTable) — instead of re-deriving the
-      // artifacts from the corpus per call. Bench reps 2+ measure the
-      // pure per-batch admission cost a steady-state ingestion loop
-      // pays (the corpus is touched only through the artifact tables
-      // plus the candidate-hit text sliver). artifacts ≡ derived is
-      // spec-pinned (CurationPipelineSpec), so c03's oracle covers this
-      // query verbatim — two different serving postures hash-matching
-      // one replay.
+      // The SERVING shape of c03: the same small batch is admitted
+      // against a PERSISTED release — digest + band tables and the
+      // frozen quality fit (CurationPipeline.releaseArtifacts' frames
+      // saved once per session via ensureServedTable) — instead of
+      // re-deriving the artifacts from the big corpus per call. Bench
+      // reps 2+ measure the pure per-batch admission cost a
+      // steady-state ingestion loop pays (the corpus is touched only
+      // through the artifact tables plus the candidate-hit text
+      // sliver). artifacts ≡ derived is spec-pinned
+      // (CurationPipelineSpec), so c03's oracle covers this query
+      // verbatim — two different serving postures hash-matching one
+      // replay.
       val docs = Tables.documents(s, d)
-      val corpus = docs.filter(col("doc_id") < 250)
-      val batch = docs.filter(col("doc_id") >= 250)
+      val corpus = docs.filter(col("doc_id") >= 250)
+      val batch = docs.filter(col("doc_id") < 250)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"), col("source"))
       val evalDocs = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
         .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
       val t = servedTableName("graft_crel_c04_", d)
