@@ -69,6 +69,65 @@ class PlanScopeSpec extends SparkTestBase {
     assert(fromOtherThread.isEmpty)
   }
 
+  test("a mutating entry fails loudly while another thread's NO-OP scope is in flight") {
+    // the two-phase reader guard: a no-op scope (values already hold)
+    // stays concurrent with other no-op scopes, but a MUTATING entry —
+    // whose restore would change the values mid-body — must collide
+    // loudly with it instead of interleaving silently. Dedicated key so
+    // suite ordering can't make the "mutating" arm a no-op.
+    val KeyB = "spark.sql.cbo.enabled"
+    // the no-op check compares EXPLICIT values (get(k, null)) — set one
+    // so the reader's entry is genuinely a no-op
+    val cur = spark.conf.get(KeyB)
+    spark.conf.set(KeyB, cur)
+    val flipped = if (cur == "true") "false" else "true"
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val reader = new Thread(() =>
+      PlanScope.withConf(spark, KeyB -> cur) { // values hold → no-op path
+        entered.countDown(); release.await()
+      })
+    reader.start()
+    entered.await()
+    try {
+      val e = intercept[IllegalStateException] {
+        PlanScope.withConf(spark, KeyB -> flipped) { fail("must not enter") }
+      }
+      assert(e.getMessage.contains("no-op scope"))
+    } finally { release.countDown(); reader.join() }
+    // reader gone → mutation enters fine, and restores
+    PlanScope.withConf(spark, KeyB -> flipped) {
+      assert(spark.conf.get(KeyB) === flipped)
+    }
+    assert(spark.conf.get(KeyB) === cur)
+    spark.conf.unset(KeyB)
+  }
+
+  test("same-thread nesting: a mutating scope inside an own no-op scope still works") {
+    val KeyB = "spark.sql.cbo.enabled"
+    val cur = spark.conf.get(KeyB)
+    spark.conf.set(KeyB, cur) // explicit, so the outer is a true no-op
+    val flipped = if (cur == "true") "false" else "true"
+    try PlanScope.withConf(spark, KeyB -> cur) { // no-op outer
+      PlanScope.withConf(spark, KeyB -> flipped) { // mutating inner, same thread
+        assert(spark.conf.get(KeyB) === flipped)
+      }
+      assert(spark.conf.get(KeyB) === cur)
+    } finally spark.conf.unset(KeyB)
+  }
+
+  test("loopPartitions rounds up to a power of two below the session cap") {
+    import graft.operators.Graphs.loopPartitions
+    assert(loopPartitions(32, nEdges = 1L, nNodes = 1L) === 1)
+    // 3 size units → 4 (pow2 round-up), capped by the session value
+    assert(loopPartitions(32, nEdges = 3L << 22, nNodes = 1L) === 4)
+    assert(loopPartitions(32, nEdges = 100L << 22, nNodes = 1L) === 32)
+    assert(loopPartitions(3, nEdges = 3L << 22, nNodes = 1L) === 3) // cap wins
+    // the reachable values are {1,2,4,...} ∪ {sessionSp} — bounded pool
+    val vals = (1L to 40L).map(f => loopPartitions(32, f << 22, 1L)).toSet
+    assert(vals.subsetOf(Set(1, 2, 4, 8, 16, 32)))
+  }
+
   test("isolated scope: the caller's session keeps AQE mid-scope") {
     val df = spark.range(100).toDF("x")
     PlanScope.isolatedStatic(spark) { clone =>
