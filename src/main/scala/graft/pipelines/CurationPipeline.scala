@@ -297,7 +297,11 @@ object CurationPipeline {
     val packed = Packing.packChunks(sharded, "shard", packBudget,
       TextFunctions.tokenCount(col("text")).cast("long"))
 
-    // Cache contract: the returned plan references the pinned `comps`
+    // Cache contract: (and scope note — the un-detached return is a plan
+    // bound to the static scope clone, so it EXECUTES statically when
+    // consumed: right for the known pipeline shape, and the detachBound
+    // handover below is the path that hands a caller-conf frame back)
+    // — the returned plan references the pinned `comps`
     // frame (releasing it pre-return would recompute the LSH fixpoint on
     // consumption), so by default the PIN OUTLIVES the call and belongs
     // to the caller's consuming action — at corpus scale you write the
