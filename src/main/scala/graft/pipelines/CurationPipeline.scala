@@ -385,6 +385,36 @@ object CurationPipeline {
         .agg(sum(col("n_tokens")).as("base_tokens")).persist(lvl))
   }
 
+  /** Release-to-release DIFF — the churn audit a release cadence
+    * publishes next to every cut: which documents were ADDED, DROPPED,
+    * or CHANGED between two releases (unchanged docs — the overwhelming
+    * majority — are omitted, so the report scales with churn, not
+    * corpus). The number that gates a release ship ("why did 4% of the
+    * corpus churn?") and the input to incremental re-training
+    * decisions.
+    *
+    * Shape: each side reduced to (id, md5(text)) at the scan — the join
+    * carries two longs + a digest per row, never the text — then ONE
+    * full-outer equi-join on the id. Nothing quadratic, no window; at
+    * 100 TB this is a co-partitionable hash join on the id.
+    *
+    * @return (doc_id: long, status: added | dropped | changed)
+    */
+  def releaseDiff(oldRelease: DataFrame, newRelease: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val o = oldRelease.select(col(idCol).cast("long").as("doc_id"),
+      md5(col(textCol)).as("__old"))
+    val n = newRelease.select(col(idCol).cast("long").as("doc_id"),
+      md5(col(textCol)).as("__new"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("__old").isNull, lit("added"))
+          .when(col("__new").isNull, lit("dropped"))
+          .when(col("__old") =!= col("__new"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(col("doc_id"), col("status"))
+  }
+
   /** [[curateDelta]] against a prebuilt [[Release]] — the steady-state
     * serving entry point (artifact plumbing done once, per-batch calls
     * stay one line). */

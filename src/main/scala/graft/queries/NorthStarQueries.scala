@@ -800,6 +800,20 @@ object NorthStarQueries {
           col("split"), col("shard"), col("n_tokens"), col("token_offset"),
           col("chunk_id"), md5(col("text")).as("text_md5"))
     }),
+    "c05_release_diff" -> ((s, d) => {
+      // Release-to-release churn audit: two simulated corpus releases —
+      // the old cut drops every 11th doc, the new cut drops every 7th
+      // and rewrites every 13th — diffed to (doc_id, added|dropped|
+      // changed). Each side reduces to (id, md5) at the scan, one
+      // full-outer equi-join; the report scales with churn, not corpus.
+      val docs = Tables.documents(s, d)
+      val oldRel = docs.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+      val newRel = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(13)) === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      graft.pipelines.CurationPipeline.releaseDiff(oldRel, newRel)
+    }),
     "c01_curation_e2e" -> ((s, d) => {
       // The END-TO-END curation pipeline as one oracle-checked query —
       // the product story: near-dup dedup (keep-longest) → shingle
@@ -2078,6 +2092,18 @@ object NorthStarQueries {
     // the served posture produces the identical admission (artifacts ≡
     // derived, spec-pinned) — one replay covers both
     "c04_curation_delta_served" -> c03OracleSql,
+    "c05_release_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 11 <> 0),
+        |n AS (SELECT doc_id,
+        |        md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END) AS h
+        |      FROM documents WHERE doc_id % 7 <> 0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |       CASE WHEN o.doc_id IS NULL THEN 'added'
+        |            WHEN n.doc_id IS NULL THEN 'dropped'
+        |            WHEN o.h <> n.h THEN 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |WHERE (o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h)
+        |ORDER BY doc_id""".stripMargin,
     // the full-stage composition: span scrub + semantic fence added to
     // c01's chain, one statement, heavy CTEs MATERIALIZED
     "c02_curation_full" -> c02OracleSql,

@@ -257,6 +257,16 @@ class CurationPipelineSpec extends SparkTestBase {
     } finally { rel.unpersist(); () }
   }
 
+  test("releaseDiff: added/dropped/changed only, unchanged omitted") {
+    val oldRel = Seq((1L, "same"), (2L, "was this"), (3L, "gone")).toDF("doc_id", "text")
+    val newRel = Seq((1L, "same"), (2L, "now this"), (4L, "fresh")).toDF("doc_id", "text")
+    val got = CurationPipeline.releaseDiff(oldRel, newRel)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(2L -> "changed", 3L -> "dropped", 4L -> "added"))
+    // identical releases → empty report
+    assert(CurationPipeline.releaseDiff(oldRel, oldRel).count() === 0L)
+  }
+
   test("curateDelta semantic fence: paraphrase leakage the n-gram gate misses is dropped") {
     // doc 11 shares NO shingle with the eval release (different words)
     // but its embedding is nearly parallel to an eval vector — only the
