@@ -306,6 +306,15 @@ object Dedup {
     * recompute from the previous round on loss — fine locally, compounding
     * on a 1000-executor cluster where some loss per hour is the baseline;
     * flip this on for production runs.
+    *
+    * Scope note: the returned frame is a LAZY plan (final-round labels ∪
+    * singleton anti-join) bound to the fixpoint's static scope clone —
+    * its own consumption plans statically, which is right for the
+    * |pairs|-sized label frame. A caller composing it into a further
+    * corpus-scale adaptive plan should persist + re-root it on its own
+    * session first (`spark.createDataFrame(df.rdd, df.schema)` — what
+    * [[graft.pipelines.CurationPipeline]] effectively does by persisting
+    * and consuming it inside its own scope).
     */
   def components(
       docs0: DataFrame,
