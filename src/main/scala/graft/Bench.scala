@@ -311,37 +311,57 @@ object Bench {
         jobCounter.incrementAndGet(); ()
       }
     })
+    // One-job dispatch probe, run OUTSIDE every timed span: a per-rep cal
+    // sample costs ~1 job of wall (not reported in any median) and makes a
+    // host-poisoned board SELF-IDENTIFYING — the r11 board published 309 s
+    // with no in-board evidence that the floor had degraded 73→390 ms
+    // through the run; the judge had to reconstruct it from builder logs.
+    def calProbe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(16).count()
+      (System.nanoTime() - t0) / 1e6
+    }
     def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-        tag: String): (Double, Long) = {
+        tag: String): (Double, Long, Double) = {
       val gc0 = gcMillis()
       val jobs0 = jobCounter.get()
-      val times = (1 to reps).map { _ =>
+      val timesAndCals = (1 to reps).map { _ =>
+        val cal = calProbe()
         val t0 = System.nanoTime()
         // noop sink materializes every output column (a bare count() would
         // let Catalyst prune the projections and under-report)
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
+        ((System.nanoTime() - t0) / 1e9, cal)
+      }
+      val times = timesAndCals.map(_._1).sorted
+      val cals = timesAndCals.map(_._2).sorted
       val leaked = sweepLeaks()
       val median = times(times.length / 2)
+      val calMed = cals(cals.length / 2)
       val jobs = (jobCounter.get() - jobs0) / reps
       System.err.println(f"[bench] $tag $name%-28s median=$median%7.3f " +
-        f"jobs=$jobs%3d leaked_rdds=$leaked%3d gc_ms=${gcMillis() - gc0}%5d")
-      (median, jobs)
+        f"jobs=$jobs%3d cal=$calMed%6.1f leaked_rdds=$leaked%3d gc_ms=${gcMillis() - gc0}%5d")
+      (median, jobs, calMed)
     }
     val measured = selected.map { case (name, fn) => name -> measure(name, fn, "board") }
-    val results = measured.map { case (k, (m, _)) => k -> m }
-    val jobsPer = measured.map { case (k, (_, j)) => k -> j }
+    val results = measured.map { case (k, (m, _, _)) => k -> m }
+    val jobsPer = measured.map { case (k, (_, j, _)) => k -> j }
+    val calPer = measured.map { case (k, (_, _, c)) => k -> c }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val jobsJson = jobsPer.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val calJson = calPer.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     // dispatch-normalized per-query time: median minus the dispatch floor
-    // this host charged for the query's job count (board-start cal) —
-    // round-over-round diffs of THIS field separate code from environment
+    // this host charged for the query's job count, at the floor measured
+    // NEXT TO that query's own reps (cal_q) — round-over-round diffs of
+    // THIS field separate code from environment even when the floor drifts
+    // mid-board
     val qsNorm = results.map { case (k, v) =>
-      val norm = math.max(0.0, v - jobsPer.getOrElse(k, 0L) * calStart / 1000.0)
+      val calK = calPer.getOrElse(k, calStart)
+      val norm = math.max(0.0, v - jobsPer.getOrElse(k, 0L) * calK / 1000.0)
       s"\"" + k + "\":" + norm
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
@@ -371,7 +391,7 @@ object Bench {
       var stable = false
       while (!stable && attempts.length < 3) {
         val cal = calMs()
-        val (fixed, _) = measure(name, selected(name), "fixed")
+        val (fixed, _, _) = measure(name, selected(name), "fixed")
         attempts ::= ((fixed, cal))
         stable = attempts.length >= 2 && {
           val a = attempts.head._1; val b = attempts(1)._1
@@ -389,7 +409,13 @@ object Bench {
       s""""$n":{"in_board":$inb,"fixed_class":$fx,"cal_ms":$c,"attempts":$att,"stable":$st,"env_suspect":$sus}"""
     }.mkString("{", ",", "}")
     val calEnd = calMs()
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_norm":$qsNorm,"jobs":$jobsJson,"sf":"$sfDir","cal_job_ms":$calEnd,"cal_board_start_ms":$calStart,"adjudicated":$adjJson}"""
+    // board-wide floor summary from the per-rep probes: a healthy board has
+    // cal_q_max within ~2x cal_q_median; a poisoned one self-identifies here
+    val calVals = calPer.values.toSeq.sorted
+    val calSummary = if (calVals.nonEmpty)
+      s""","cal_q_median_ms":${calVals(calVals.length / 2)},"cal_q_max_ms":${calVals.last}"""
+    else ""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_norm":$qsNorm,"jobs":$jobsJson,"cal_q":$calJson,"sf":"$sfDir","cal_job_ms":$calEnd,"cal_board_start_ms":$calStart$calSummary,"adjudicated":$adjJson}"""
     println(line)
     // also persist the line verbatim: the driver keeps only a truncated log
     // tail, which cut r4's total — a file survives any tail length

@@ -12,13 +12,31 @@ object Tables {
     * per call); the data scan itself stays lazy. A board of ~170 queries
     * averaging 3 table loads × 3 bench reps was paying ~40% of its total
     * driver-job dispatch on re-inferring the same static schemas — on a
-    * busy cluster scheduler the same dispatch floor applies. The cache
-    * keys on the resolved path; passing the schema explicitly skips the
-    * inference job while leaving pushdown/pruning untouched (the reader
-    * still reconciles per-file footers at scan time, so a genuinely
-    * changed file fails loudly rather than mis-reading). */
+    * busy cluster scheduler the same dispatch floor applies. Passing the
+    * schema explicitly skips the inference job while leaving pushdown/
+    * pruning untouched.
+    *
+    * The cache keys on (path, modification fingerprint): a parquet file
+    * REGENERATED in the same JVM (bench/scale-curve tooling rewrites
+    * test data) gets a fresh inference rather than a stale schema —
+    * Spark fills columns absent from the footer with nulls when the
+    * schema is user-specified, so a stale hit would mis-read silently,
+    * not fail loudly. The fingerprint is one local stat (file: mtime ×
+    * length; directory: max child mtime × child count — parquet dirs
+    * replace part files on rewrite); a non-local URI stats as 0 and
+    * degrades to path-only keying, the acceptable trade on an immutable
+    * object store. */
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.sql.types.StructType]()
+    (String, Long), org.apache.spark.sql.types.StructType]()
+  private def modFingerprint(path: String): Long = {
+    val f = new java.io.File(path)
+    if (f.isDirectory) {
+      // sorted so directory-listing order can't fake a modification
+      val kids = Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+      kids.foldLeft(kids.length.toLong)((a, k) => a * 1000003L + k.lastModified())
+    } else if (f.isFile) f.lastModified() * 1000003L + f.length()
+    else 0L
+  }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // The driver's parquet has shifted formats across rounds: TIMESTAMP(NANOS)
@@ -32,7 +50,7 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val path = s"$sfDir/$name.parquet"
-    val schema = schemaCache.computeIfAbsent(path,
+    val schema = schemaCache.computeIfAbsent((path, modFingerprint(path)),
       _ => spark.read.parquet(path).schema)
     spark.read.schema(schema).parquet(path)
   }

@@ -47,8 +47,56 @@ object EntityResolution {
     * ≤ maxDist-away neighbors), so the fence engages only on
     * pathological key mass — near-identical string clusters, which
     * [[fuzzyHotBuckets]] audits and exact dedup (d01) removes upstream.
-    * `maxBucket = 0` restores the exact (unfenced) operator. */
+    * `maxBucket = 0` restores the exact (unfenced) operator.
+    *
+    * MIGRATION NOTE (the default flipped from 0 to 64): this is a
+    * semantic change, not just a plan change — callers that relied on
+    * the exact default get bounded recall loss on near-identical
+    * clusters. Oracle-pinned exactness tests must pass `maxBucket = 0`
+    * explicitly (d14/d22 do). When the fence actually drops buckets at
+    * run time, a one-line warning is logged via a zero-job observed
+    * metric (see [[fenceObserved]]), so the recall trade is visible
+    * without the caller thinking to run the audit. */
   val DefaultMaxBucket = 64
+
+  /** Attach a zero-cost observed metric to the hot-bucket frame and log a
+    * one-line warning when the fence DROPS anything: `observe` piggybacks
+    * an accumulator on the fence aggregate (no extra job, unlike a
+    * `count()`), and a once-per-session QueryExecutionListener reads it
+    * after each action. Names carry a serial — Spark requires observation
+    * names unique within a query, and [[fuzzyLink]] fences two sides. */
+  private val fenceSerial = new java.util.concurrent.atomic.AtomicLong(0)
+  // weak keys: registration must not pin pooled/cloned sessions in memory
+  private val fenceListenerSessions = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]()))
+  private def fenceObserved(hot: DataFrame, maxBucket: Int): DataFrame = {
+    val spark = hot.sparkSession
+    if (fenceListenerSessions.add(spark)) {
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("graft_fuzzy_fence_") && row.getLong(0) > 0L) {
+              // name format: graft_fuzzy_fence_<maxBucket>_<serial>
+              val cap = name.split('_').lift(3).getOrElse("?")
+              System.err.println(s"[graft] WARN fuzzy-ER fence dropped " +
+                s"${row.getLong(0)} hot bucket(s) at maxBucket=$cap " +
+                s"(bounded recall loss) — audit with " +
+                s"EntityResolution.fuzzyHotBuckets, or dedup exact copies " +
+                s"upstream (d01)")
+            }
+          }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
+    }
+    hot.observe(
+      s"graft_fuzzy_fence_${maxBucket}_${fenceSerial.incrementAndGet()}",
+      count(lit(1)).as("dropped_buckets"))
+  }
 
   /** All distinct strings reachable from `s` by at most `maxDist`
     * character deletions (including `s` itself) — one codegen'd kernel
@@ -88,8 +136,10 @@ object EntityResolution {
         // one grouped count (map-side partials), broadcast-joined back is
         // wrong at scale (the key set is O(corpus)); an equi-join on k
         // keeps it shuffle-aligned with the candidate join that follows
-        val hot = keyed0.groupBy(col("k")).agg(count(lit(1)).as("n"))
-          .filter(col("n") > maxBucket).select(col("k"))
+        val hot = fenceObserved(
+          keyed0.groupBy(col("k")).agg(count(lit(1)).as("n"))
+            .filter(col("n") > maxBucket).select(col("k")),
+          maxBucket)
         keyed0.join(hot, Seq("k"), "left_anti")
       }
     // Candidates stay (id, id) longs through the join + distinct — the
@@ -150,8 +200,10 @@ object EntityResolution {
     def fence(k: DataFrame): DataFrame =
       if (maxBucket <= 0) k
       else k.join(
-        k.groupBy(col("k")).agg(count(lit(1)).as("n"))
-          .filter(col("n") > maxBucket).select(col("k")),
+        fenceObserved(
+          k.groupBy(col("k")).agg(count(lit(1)).as("n"))
+            .filter(col("n") > maxBucket).select(col("k")),
+          maxBucket),
         Seq("k"), "left_anti")
     val lk = fence(keyed(lb)).select(col("k"), col("id").as("left_id"))
     val rk = fence(keyed(rb)).select(col("k"), col("id").as("right_id"))

@@ -518,8 +518,15 @@ object CurationPipeline {
       shardBase: Option[DataFrame] = None,
       detachBound: Option[Int] = None,
       staticPlan: Boolean = true): DataFrame = {
-    require(minQualityBucket >= 0 && minQualityBucket <= qualityBreakpoints.size,
-      s"minQualityBucket must be in [0, ${qualityBreakpoints.size}], got $minQualityBucket")
+    // Validate against the EFFECTIVE fit length: when a released fit is
+    // supplied (qualityBreakValues — e.g. via curateDeltaWith), its size is
+    // the bucket count and `qualityBreakpoints` is ignored entirely, so a
+    // release cut with 3 breakpoints must accept minQualityBucket up to 3
+    // even though the unused default Seq(250) has length 1.
+    val effectiveBuckets =
+      qualityBreakValues.map(_.size).getOrElse(qualityBreakpoints.size)
+    require(minQualityBucket >= 0 && minQualityBucket <= effectiveBuckets,
+      s"minQualityBucket must be in [0, $effectiveBuckets], got $minQualityBucket")
     require(docEmb.isDefined == evalEmb.isDefined,
       "semantic decontamination needs BOTH docEmb and evalEmb — or neither")
     val caller = newDocs.sparkSession

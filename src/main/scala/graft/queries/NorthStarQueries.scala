@@ -871,7 +871,10 @@ object NorthStarQueries {
       // distance-2 miss that must NOT match at maxDist=1 — plus exact
       // copies). Symmetric-delete blocking across BOTH deletion indexes,
       // banded-Levenshtein verify; the oracle is deliberately all-pairs
-      // so a recall bug in the cross-index blocking cannot hide.
+      // so a recall bug in the cross-index blocking cannot hide —
+      // maxBucket = 0 pins the exact operator for the same reason as
+      // d14 (the fence's bounded recall loss would break the all-pairs
+      // pin once a bucket crosses the cap at larger scale factors).
       val cust = Tables.customer(s, d)
       val right = cust.select((col("c_custkey") + 5000000L).as("rid"),
         when(pmod(col("c_custkey"), lit(5)) === 0,
@@ -882,7 +885,8 @@ object NorthStarQueries {
           .when(pmod(col("c_custkey"), lit(5)) === 3, concat(col("c_name"), lit("xy")))
           .otherwise(col("c_name")).as("rname"))
       graft.operators.EntityResolution.fuzzyLink(
-        cust, "c_custkey", "c_name", right, "rid", "rname", maxDist = 1)
+        cust, "c_custkey", "c_name", right, "rid", "rname", maxDist = 1,
+        maxBucket = 0)
     }),
     "d01_exact_dedup" -> ((s, d) => {
       // Exact dedup over a corpus with manufactured exact copies.
@@ -1169,9 +1173,15 @@ object NorthStarQueries {
       // Levenshtein verify. The oracle is blocking-agnostic (all-pairs
       // lev <= 1 in DuckDB), so a hash-green run proves the deletion
       // index loses no true pair — SymSpell's completeness guarantee,
-      // checked end-to-end.
+      // checked end-to-end. maxBucket = 0 pins the EXACT operator: this
+      // query exists to prove completeness, so it must opt out of the
+      // production hot-bucket fence (whose bounded recall loss would
+      // hash-mismatch the all-pairs oracle the moment a bucket crosses
+      // the cap at a larger scale factor — benign buckets were already
+      // at 58/64 at sf0.1). Fenced production entry points keep the
+      // default; d14_fuzzy_er_skew in ScaleCurve carries the hazard row.
       EntityResolution.fuzzyPairs(Tables.customer(s, d), "c_custkey", "c_name",
-        maxDist = 1)
+        maxDist = 1, maxBucket = 0)
     }),
     "s07_bm25_search" -> ((s, d) => {
       // Lexical retrieval, ad-hoc shape: BM25 top-10 per query — one

@@ -633,6 +633,48 @@ object StreamingOps {
           redactPii = redactPii, shardBase = shardBase), batchId)
       }
 
+  /** The SERVED posture of [[curateDeltaSink]] — steady-state ingestion
+    * against one frozen
+    * [[graft.pipelines.CurationPipeline.Release]]: the release artifacts
+    * (digest/band frames, quality fit, shard totals) are built ONCE at
+    * release cut ([[graft.pipelines.CurationPipeline.releaseArtifacts]])
+    * and every micro-batch probes the same persisted frames — the c04
+    * shape under a stream. Each trigger's body IS
+    * [[graft.pipelines.CurationPipeline.curateDeltaWith]], so N
+    * micro-batches against one Release equal N batch calls exactly
+    * (spec-pinned: two triggers ≡ two `curateDeltaWith` calls,
+    * hash-identical). Persisted frames cost their materialization on the
+    * first trigger only; later triggers are pure admission probes.
+    *
+    * Same replay contract as [[curateDeltaSink]]: `sink(curated,
+    * batchId)` must be an idempotent per-batch upsert, and duplicates
+    * ACROSS batches are the release cadence's concern — fold accepted
+    * batches into the next release cut. */
+  def curateDeltaServedSink(
+      newDocs: DataFrame, // streaming: doc_id (long), text, source
+      release: graft.pipelines.CurationPipeline.Release,
+      corpus: DataFrame,
+      evalDocs: DataFrame,
+      checkpointDir: String,
+      contaminationPermille: Int = 500,
+      minQualityBucket: Int = 1,
+      splits: Seq[(String, Int)] = Seq("train" -> 900, "val" -> 50, "test" -> 50),
+      salt: String = "",
+      packBudget: Long = 2048,
+      redactPii: Boolean = true)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newDocs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.pipelines.CurationPipeline.curateDeltaWith(
+          release, corpus, batch.toDF(), evalDocs,
+          contaminationPermille = contaminationPermille,
+          minQualityBucket = minQualityBucket,
+          splits = splits, salt = salt, packBudget = packBudget,
+          redactPii = redactPii), batchId)
+      }
+
   /** Streaming hybrid retrieval — the serving face of the s16 shape: each
     * micro-batch of user queries `(query_id, text, embedding)` runs the
     * lexical leg against a prebuilt [[graft.operators.TextSearch.TextIndex]]

@@ -257,6 +257,40 @@ class CurationPipelineSpec extends SparkTestBase {
     } finally { rel.unpersist(); () }
   }
 
+  test("curateDelta validates minQualityBucket against the RELEASED fit length") {
+    import graft.operators.Sketches
+    val corpus = docs.filter($"doc_id" < 100)
+    val batch = docs.filter($"doc_id" >= 100 && $"doc_id" < 120)
+    val ev = docs.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 2000000L).as("doc_id"), $"text")
+    // a 3-breakpoint fit (4 buckets): minQualityBucket up to 3 is valid
+    // even though the ignored default qualityBreakpoints has length 1 —
+    // the spurious require on the unused default was the bug
+    val fit = Sketches.quantileFit(corpus.withColumn("quality",
+      graft.functions.TextFunctions.qualityScore($"text")),
+      "quality", Seq(250, 500, 750))
+    assert(fit.size === 3)
+    val out = CurationPipeline.curateDelta(corpus, batch, ev,
+      qualityBreakValues = Some(fit), minQualityBucket = 3,
+      redactPii = false, detachBound = Some(1 << 20))
+    out.collect() // plans and runs; admitted set may be small, must not throw
+    // beyond the effective fit is still rejected
+    intercept[IllegalArgumentException] {
+      CurationPipeline.curateDelta(corpus, batch, ev,
+        qualityBreakValues = Some(fit), minQualityBucket = 4)
+    }
+    // and the packaged serving entry point accepts the same range
+    val curated = CurationPipeline.curate(corpus, ev,
+      redactPii = false, intraDocDedup = false, detachBound = Some(1 << 20))
+    val rel = CurationPipeline.releaseArtifacts(
+      corpus.select($"doc_id", $"text"), curated,
+      qualityBreakpoints = Seq(250, 500, 750))
+    try CurationPipeline.curateDeltaWith(rel, corpus, batch, ev,
+      minQualityBucket = 2, redactPii = false,
+      detachBound = Some(1 << 20)).collect()
+    finally { rel.unpersist(); () }
+  }
+
   test("releaseDiff: added/dropped/changed only, unchanged omitted") {
     val oldRel = Seq((1L, "same"), (2L, "was this"), (3L, "gone")).toDF("doc_id", "text")
     val newRel = Seq((1L, "same"), (2L, "now this"), (4L, "fresh")).toDF("doc_id", "text")

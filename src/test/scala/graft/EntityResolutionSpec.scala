@@ -110,4 +110,34 @@ class EntityResolutionSpec extends SparkTestBase {
     assert(EntityResolution.fuzzyHotBuckets(
       Seq((1L, "pale"), (2L, "pales")).toDF("id", "name"), "id", "name").count() === 0L)
   }
+
+  test("fence firing is observable at run time: dropped-bucket metric piggybacks, zero extra jobs") {
+    // the fence's observe() hook reports drops through QueryExecution's
+    // observed metrics — an accumulator on the fence aggregate, no
+    // count() job — so production runs see the recall trade without
+    // asking for the audit. Capture with our own listener.
+    val seen = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("graft_fuzzy_fence_")) seen.set(row.getLong(0))
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val rows = (1L to 100L).map(i => (i, "hotname")) :+ (200L, "pale") :+ (201L, "pales")
+      EntityResolution.fuzzyPairs(rows.toDF("id", "name"), "id", "name").count()
+      // execution listeners post asynchronously; poll briefly
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (seen.get() < 0 && System.nanoTime() < deadline) Thread.sleep(50)
+      // "hotname" (7 chars) indexes under 8 deletion variants, every one
+      // a 100-row bucket above the default fence of 64
+      assert(seen.get() === 8L, s"observed dropped_buckets = ${seen.get()}")
+    } finally spark.listenerManager.unregister(listener)
+  }
 }

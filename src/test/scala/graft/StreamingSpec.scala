@@ -519,6 +519,64 @@ class StreamingSpec extends SparkTestBase {
     digests.unpersist(); bands.unpersist()
   }
 
+  test("served streaming curation: two micro-batches against one persisted Release ≡ two curateDeltaWith calls") {
+    import graft.pipelines.CurationPipeline
+    val long = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 30).map(i => s"zzz$i").mkString(" ")
+    val evalText = (1 to 30).map(i => s"evl$i").mkString(" ")
+    val corpus = Seq((1L, long, "web"), (2L, other, "web"))
+      .toDF("doc_id", "text", "source")
+    val ev = Seq((900L, evalText)).toDF("doc_id", "text")
+    // the release cut: artifacts built ONCE (digests/bands/fit/shard
+    // totals persisted); every trigger below probes these same frames —
+    // the c04 shape under a stream. The released packed layout already
+    // holds 7 tokens in one shard, so delta appends must start past it.
+    val rel = CurationPipeline.releaseArtifacts(
+      corpus.select($"doc_id", $"text"),
+      Seq(("web-train-000", 7L)).toDF("shard", "n_tokens"))
+    val batchA = Seq(
+      (10L, long, "web"), // exact dup of released doc 1 → rejected
+      (12L, evalText, "web"), // eval leak → quarantined
+      (13L, "novel " + (1 to 20).map(i => s"new$i").mkString(" "), "web"))
+    val batchB = Seq(
+      (20L, other, "web"), // dup of released doc 2 → rejected in trigger 2 too
+      (21L, "novel " + (1 to 20).map(i => s"nw$i").mkString(" "), "crawl"))
+    def key(df: DataFrame) = df.select("doc_id", "shard", "token_offset")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val got = scala.collection.concurrent.TrieMap[Long, Set[(Long, String, Long)]]()
+    val in = MemoryStream[(Long, String, String)](spark)
+    val q = StreamingOps.curateDeltaServedSink(
+      in.toDF().toDF("doc_id", "text", "source"), rel, corpus, ev,
+      Files.createTempDirectory("ck-cdserved").toString,
+      minQualityBucket = 0, redactPii = false) { (curated, id) =>
+        got(id) = key(curated)
+      }.start()
+    try {
+      in.addData(batchA: _*); q.processAllAvailable()
+      in.addData(batchB: _*); q.processAllAvailable()
+    } finally q.stop()
+    // steady state proven in the mode it runs: trigger N ≡ the N-th
+    // batch-mode curateDeltaWith call against the SAME Release, exactly
+    val bA = key(CurationPipeline.curateDeltaWith(rel, corpus,
+      batchA.toDF("doc_id", "text", "source"), ev,
+      minQualityBucket = 0, redactPii = false))
+    val bB = key(CurationPipeline.curateDeltaWith(rel, corpus,
+      batchB.toDF("doc_id", "text", "source"), ev,
+      minQualityBucket = 0, redactPii = false))
+    assert(got.size === 2)
+    assert(got(0L) === bA, s"trigger 0 ${got(0L)} != batch $bA")
+    assert(got(1L) === bB, s"trigger 1 ${got(1L)} != batch $bB")
+    // the gauntlet held per trigger: dups and the leak gone, novels in
+    assert(got(0L).map(_._1) === Set(13L))
+    assert(got(1L).map(_._1) === Set(21L))
+    // and appends land at or past the released shard total in BOTH modes
+    val base = rel.shardBase.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (got(0L) ++ got(1L)).foreach { case (_, shard, off) =>
+      assert(off >= base.getOrElse(shard, 0L), s"offset $off below released total in $shard")
+    }
+    rel.unpersist()
+  }
+
   test("streaming LSH near-dup flags band collisions with the canonical doc") {
     val in = MemoryStream[StreamDocFixture](spark)
     val hits = StreamingOps.streamingLshNearDup(
