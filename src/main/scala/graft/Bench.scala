@@ -339,7 +339,10 @@ object Bench {
       val leaked = sweepLeaks()
       val median = times(times.length / 2)
       val calMed = cals(cals.length / 2)
-      val jobs = (jobCounter.get() - jobs0) / reps
+      // the cal probe dispatches one job per rep OUTSIDE the timed span —
+      // exclude it so `jobs` counts only what the query itself dispatches
+      // (norm would otherwise over-subtract one cal per query)
+      val jobs = (jobCounter.get() - jobs0 - reps) / reps
       System.err.println(f"[bench] $tag $name%-28s median=$median%7.3f " +
         f"jobs=$jobs%3d cal=$calMed%6.1f leaked_rdds=$leaked%3d gc_ms=${gcMillis() - gc0}%5d")
       (median, jobs, calMed)

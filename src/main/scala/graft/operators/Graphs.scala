@@ -328,6 +328,10 @@ object Graphs {
     * counts by construction, but Σ deg(v)² wedge fan-out — quadratic in
     * the hub degree, the wrong default for a 100 TB link graph).
     *
+    * Returns a persisted, materialized frame — same release contract as
+    * [[pageRank]] (`result.unpersist()` once consumed, or
+    * [[detachSmall]] for bounded reports).
+    *
     * @param edges (src, dst) long-castable; orientation ignored
     * @return (node: long, n_triangles: long)
     */
@@ -381,12 +385,39 @@ object Graphs {
     * @param edges (src, dst) long-castable; orientation ignored
     * @return (node: long, n_triangles: long)
     */
-  def trianglesDegreeOrdered(edges: DataFrame): DataFrame = {
-    val und = edges
-      .select(col("src").cast("long").as("s"), col("dst").cast("long").as("d"))
+  def trianglesDegreeOrdered(edges: DataFrame,
+      deriveAdaptive: Boolean = true): DataFrame = {
+    val caller = edges.sparkSession
+    val sessionSp = sessionShufflePartitions(edges)
+    // two-phase like the iterative loops: the edge DERIVE is corpus-scale
+    // ad-hoc (keep the caller's adaptive conf on it), while the wedge
+    // chain is a FIXED shape whose skew is already bounded by the
+    // orientation itself — max out-degree O(√|E|) by construction — so
+    // AQE's skew-split insurance buys nothing there and its per-exchange
+    // stage jobs were the only thing the chain dispatched (board census:
+    // 14 of q69's 15 jobs). Static scope, partitions sized from the
+    // measured |E|, broadcasts off (the closing-edge probe joins two
+    // |E|-sized sides; degree frames shuffle-join against the same
+    // partitioning).
+    val (und, nE) = deriveEdges(edges, _.select(
+        col("src").cast("long").as("s"), col("dst").cast("long").as("d"))
       .filter(col("s") =!= col("d"))
       .select(least(col("s"), col("d")).as("a"), greatest(col("s"), col("d")).as("b"))
-      .distinct()
+      .distinct(), deriveAdaptive)
+    val nPart = loopPartitions(sessionSp, nE, nE)
+    PlanScope.isolated(caller, loopConfs(nPart): _*) { scoped =>
+      val undS = PlanScope.rebindRows(und, scoped) // cached-block hop
+      // handoff executes the (one-action) chain and lands the result
+      // caller-bound + persisted; release und only after that run
+      val bound = handoff(trianglesDegreeOrderedChain(undS), caller)
+      und.unpersist(blocking = false)
+      bound
+    }
+  }
+
+  /** The wedge chain on an already-derived canonical edge frame —
+    * see [[trianglesDegreeOrdered]] for the plan rationale. */
+  private def trianglesDegreeOrderedChain(und: DataFrame): DataFrame = {
     val deg = und.select(explode(array(col("a"), col("b"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("dg"))
     // hang both endpoint degrees, orient by (degree, id): src = the

@@ -61,8 +61,14 @@ object Hierarchy {
     var remaining = 1L // sentinel — round 1's count materializes the frontier
     while (remaining > 0) {
       levels :+= frontier.select(col("node"), col("cur").as("anc"))
+      // shuffle_hash pinned: the cached parentMap's partitioning already
+      // satisfies the join (no exchange on the map side), so each round
+      // shuffles ONLY the frontier — which is also the only plan that
+      // exists at scale (the map is too big to broadcast there), and it
+      // drops the per-round broadcast-build driver job a small map would
+      // otherwise pay (census: that job doubled the climb's dispatch)
       val next = frontier
-        .join(parentMap, frontier("cur") === col("__cid"))
+        .join(parentMap.hint("shuffle_hash"), frontier("cur") === col("__cid"))
         .filter(col("__pp").isNotNull)
         .select(col("node"), col("__pp").as("cur"))
         .persist(StorageLevel.MEMORY_AND_DISK)

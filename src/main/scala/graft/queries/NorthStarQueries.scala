@@ -903,14 +903,19 @@ object NorthStarQueries {
       // other", the report that decides source-level dedup ordering and
       // crawl budgets. One source-lookup join per pair side over the
       // already-bounded pair set (candidates only, never the corpus²),
-      // then a grouped count.
-      val docs = Tables.documents(s, d)
-      val src = docs.select(col("doc_id"), col("source"))
-      Dedup.minhashLshPairs(docs)
-        .join(src.select(col("doc_id").as("doc_a"), col("source").as("source_a")), "doc_a")
-        .join(src.select(col("doc_id").as("doc_b"), col("source").as("source_b")), "doc_b")
-        .groupBy(col("source_a"), col("source_b"))
-        .agg(count(lit(1)).as("n_pairs"))
+      // then a grouped count. Fixed report shape with a bounded pair
+      // frame in the middle → static scope (census: all AQE dispatch,
+      // norm ~0; the LSH banding inside shuffles map-side-reduced band
+      // keys, which a sized static exchange handles without AQE).
+      graft.ops.PlanScope.isolatedStaticFor(Tables.documents(s, d)) { scoped =>
+        val docs = Tables.documents(scoped, d)
+        val src = docs.select(col("doc_id"), col("source"))
+        Dedup.minhashLshPairs(docs)
+          .join(src.select(col("doc_id").as("doc_a"), col("source").as("source_a")), "doc_a")
+          .join(src.select(col("doc_id").as("doc_b"), col("source").as("source_b")), "doc_b")
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+      }
     }),
     "d03_simhash" -> ((s, d) => {
       Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 3)
@@ -1204,7 +1209,12 @@ object NorthStarQueries {
           TextSearch.buildTextIndex(Tables.documents(s, d), "doc_id", "text"),
           table, numBuckets = 8)
       }
-      TextSearch.bm25TopKWith(TextSearch.loadTextIndex(s, table), Bm25Queries, k = 10)
+      // probe static, same rationale as s05: fixed serving plan over the
+      // term-bucketed postings table, AQE contributed only stage jobs
+      graft.ops.PlanScope.isolatedStaticFor(Tables.documents(s, d)) { scoped =>
+        TextSearch.bm25TopKWith(TextSearch.loadTextIndex(scoped, table),
+          Bm25Queries, k = 10)
+      }
     }),
     "t29_lm_score" -> ((s, d) => {
       // CCNet-style LM quality signal: every doc scored under the
@@ -1225,9 +1235,13 @@ object NorthStarQueries {
       // property — no rescan), intersection by inclusion-exclusion.
       // Exact counts ride along as the audit columns; a real deployment
       // drops them (they are the expensive part — the sketch path never
-      // shuffles a (source, token) pair).
+      // shuffles a (source, token) pair). Fixed report shape over one
+      // input with every aggregate map-side-partial → conf-isolated
+      // static scope (board census: 7 of its 8 jobs were pure AQE
+      // exchange dispatch, norm ~0 — the s18 treatment).
       import graft.operators.Sketches
-      val toks = Tables.documents(s, d)
+      graft.ops.PlanScope.isolatedStaticFor(Tables.documents(s, d)) { scoped =>
+      val toks = Tables.documents(scoped, d)
         .select(col("source"), explode(tokens(col("text"))).as("tok"))
       val sk = toks
         .groupBy(col("source"))
@@ -1255,6 +1269,7 @@ object NorthStarQueries {
           col("est_a"), col("est_b"), col("est_union"), col("est_inter"),
           (col("nda") + col("ndb") - col("exact_inter")).as("exact_union"),
           col("exact_inter"))
+      }
     }),
     "t32_token_budget" -> ((s, d) => {
       // Budget-constrained final cut: best documents by the t03 quality
@@ -1313,16 +1328,21 @@ object NorthStarQueries {
       // by reciprocal-rank fusion — rank-only combination, no score
       // calibration between micro-log BM25 and micro-unit cosine. Each
       // query is its fixture text on the lexical leg and its id-aligned
-      // embedding on the dense leg.
-      val emb = Tables.embeddings(s, d)
-      val lex = graft.operators.TextSearch.bm25TopK(
-        Tables.documents(s, d), "doc_id", "text", Bm25Queries, k = 10)
-      val dense = Similarity.ivfKnn(
-          emb, emb.filter(col("vec_id") < Bm25Queries.length),
-          k = 10, nCells = 16, nprobe = 4)
-        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
-      graft.operators.TextSearch.rrfFuse(
-        Seq(lex.select(col("query_id"), col("doc_id"), col("rank")), dense), k = 10)
+      // embedding on the dense leg. Both legs are fixed serving shapes
+      // (the dense leg already runs scoped inside ivfKnn) → run the
+      // whole fusion under one static scope (census: norm ~0, jobs all
+      // AQE exchange dispatch).
+      graft.ops.PlanScope.isolatedStaticFor(Tables.documents(s, d)) { scoped =>
+        val emb = Tables.embeddings(scoped, d)
+        val lex = graft.operators.TextSearch.bm25TopK(
+          Tables.documents(scoped, d), "doc_id", "text", Bm25Queries, k = 10)
+        val dense = Similarity.ivfKnn(
+            emb, emb.filter(col("vec_id") < Bm25Queries.length),
+            k = 10, nCells = 16, nprobe = 4)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+        graft.operators.TextSearch.rrfFuse(
+          Seq(lex.select(col("query_id"), col("doc_id"), col("rank")), dense), k = 10)
+      }
     }),
     "s17_bitext_margin" -> ((s, d) => {
       // Margin-based bitext mining over a two-"language" split of the
@@ -1982,8 +2002,15 @@ object NorthStarQueries {
         Similarity.saveIvf(Similarity.buildIvf(emb, nCells = 16), table,
           numBuckets = 8)
       }
-      Similarity.ivfKnnWith(Similarity.loadIvf(s, table),
-        emb.filter(col("vec_id") < 20), k = 5, nprobe = 2)
+      // the probe is the steady-state serving shape: a fixed plan over
+      // the bucketed table (no corpus exchange by construction), so it
+      // runs static — AQE's per-exchange stage jobs were the only thing
+      // it dispatched beyond the probe itself (census: norm ~0)
+      graft.ops.PlanScope.isolatedStaticFor(emb) { scoped =>
+        Similarity.ivfKnnWith(Similarity.loadIvf(scoped, table),
+          Tables.embeddings(scoped, d).filter(col("vec_id") < 20),
+          k = 5, nprobe = 2)
+      }
     }),
     "s04_knn_quantized" -> ((s, d) => {
       // int8 two-stage ANN: coarse integer-dot top-20 over quantized

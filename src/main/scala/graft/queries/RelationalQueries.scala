@@ -497,7 +497,9 @@ object RelationalQueries {
         .select(col("s_nationkey").cast("long").as("src"),
           col("c_nationkey").cast("long").as("dst"))
         .filter(col("src") =!= col("dst"))
-      graft.operators.Graphs.triangles(edges)
+      // nation-sized result: detachSmall releases the operator's
+      // persisted frame (same contract as the iterative graph queries)
+      graft.operators.Graphs.detachSmall(graft.operators.Graphs.triangles(edges))
         .join(Tables.nation(s, d), col("node") === col("n_nationkey"))
         .select(col("n_name"), col("n_triangles"))
     }),
