@@ -752,17 +752,38 @@ object Graphs {
       var converged = false
       while (round < maxRounds && !converged) {
         round += 1
-        val cut = deg.filter(col("deg") >= k).persist(StorageLevel.MEMORY_AND_DISK)
-        val nAlive = cut.count()
-        prevCut.foreach(_.unpersist(blocking = false))
-        prevCut = Some(cut)
-        if (nAlive == prevAlive) {
-          // the filter removed nothing and deg was computed over exactly
-          // this survivor set — cut is the k-core with its core degrees
-          converged = true
+        // STRIDE-2 convergence checks: the alive set shrinks
+        // monotonically, so count-equality across a two-round stride
+        // still implies the fixpoint (nothing was removed in either
+        // round) and the final set is identical — detection may land one
+        // round later, costing one cheap peel over an already-converged
+        // frame, while deep peels halve their driver count jobs. The
+        // bound round always checks so maxRounds semantics (and the
+        // bounded-round oracle) are untouched.
+        val checkNow = round % 2 == 0 || round == maxRounds
+        if (checkNow) {
+          val cut = deg.filter(col("deg") >= k).persist(StorageLevel.MEMORY_AND_DISK)
+          val nAlive = cut.count()
+          prevCut.foreach(_.unpersist(blocking = false))
+          prevCut = Some(cut)
+          if (nAlive == prevAlive) {
+            // the filter removed nothing and deg was computed over exactly
+            // this survivor set — cut is the k-core with its core degrees
+            converged = true
+          } else {
+            prevAlive = nAlive
+            val alive = flatView(cut).select(col("node"))
+            deg = dir
+              .join(alive, Seq("node"), "left_semi")
+              .join(alive.select(col("node").as("other")), Seq("other"), "left_semi")
+              .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+          }
         } else {
-          prevAlive = nAlive
-          val alive = flatView(cut).select(col("node"))
+          // un-counted stride round: peel lazily — the filter chains into
+          // the next counted round's job (plan depth ≤ 2 between
+          // materializations; the duplicated alive subtree's exchange is
+          // deduped by ReuseExchange)
+          val alive = deg.filter(col("deg") >= k).select(col("node"))
           deg = dir
             .join(alive, Seq("node"), "left_semi")
             .join(alive.select(col("node").as("other")), Seq("other"), "left_semi")
