@@ -127,7 +127,13 @@ object Graphs {
   private def handoff(out: DataFrame, caller: SparkSession): DataFrame = {
     val bound = PlanScope.rebindRows(out, caller)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    bound.count()
+    // materialize through the InternalRow RDD: ONE driver job that fills
+    // the cache, vs `count()` whose SQL agg pays 2-3 AQE stage jobs
+    // under the caller's adaptive conf (the cache-population count has
+    // no result anybody reads, so the agg plan was pure dispatch).
+    // Safe because nothing has forced this frame's query execution yet —
+    // the lazy planning sees the persist() entry.
+    bound.queryExecution.toRdd.count()
     out.unpersist(blocking = false)
     bound
   }

@@ -76,7 +76,13 @@ object Similarity {
 
   /** Brute-force cosine top-k: each query vector (small set, broadcast)
     * ranked against all others by (cosine desc, vec_id asc). */
-  def bruteForceKnn(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def bruteForceKnn(emb0: DataFrame, queries0: DataFrame, k: Int): DataFrame =
+    // fixed serving shape (broadcast queries + one corpus scan + bounded
+    // heap) re-executed per call: conf-isolated static scope, same
+    // rationale as ivfKnn — AQE's stage jobs were its only extra dispatch
+    graft.ops.PlanScope.isolatedStaticFor(emb0) { scoped =>
+    val emb = graft.ops.PlanScope.rebind(emb0, scoped)
+    val queries = graft.ops.PlanScope.rebind(queries0, scoped)
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
       norm(col("embedding")).as("qn"))
     val c = spread(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
@@ -84,7 +90,7 @@ object Similarity {
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_e6", cosE6From(col("qv"), col("nv"), col("qn"), col("nn")))
     topKNeighbors(scored, k)
-  }
+    }
 
   /** Hard-negative mining for contrastive training: for each query, the
     * top-k most-similar vectors with a DIFFERENT label whose cosine lies in
@@ -101,9 +107,13 @@ object Similarity {
     * corpus swap the candidate scan for an IVF probe ([[ivfKnnWith]]'s
     * cell equi-join) and keep the same band filter + heap tail — the
     * filter/heap composition is scan-agnostic. */
-  def hardNegatives(emb: DataFrame, queries: DataFrame, k: Int,
+  def hardNegatives(emb0: DataFrame, queries0: DataFrame, k: Int,
       loE6: Long, hiE6: Long): DataFrame = {
     require(loE6 <= hiE6, s"empty band [$loE6, $hiE6]")
+    // fixed serving shape — static scope, see bruteForceKnn
+    graft.ops.PlanScope.isolatedStaticFor(emb0) { scoped =>
+    val emb = graft.ops.PlanScope.rebind(emb0, scoped)
+    val queries = graft.ops.PlanScope.rebind(queries0, scoped)
     val q = queries.select(col("vec_id").as("query_id"), col("label").as("q_label"),
       col("embedding").as("qv"), norm(col("embedding")).as("qn"))
     val c = spread(emb.select(col("vec_id").as("neighbor_id"), col("label").as("n_label"),
@@ -113,6 +123,7 @@ object Similarity {
       .withColumn("cos_e6", cosE6From(col("qv"), col("nv"), col("qn"), col("nn")))
       .filter(col("cos_e6").between(loE6, hiE6))
     topKNeighbors(scored, k)
+    }
   }
 
   /** Label-noise / anomaly mining: for every label, the top-`k` vectors
@@ -141,7 +152,10 @@ object Similarity {
     * @return (label, rank, vec_id, d2_e12) — rank 1 = farthest, ties by
     *         lower vec_id; squared distance in (micro-unit)² = 1e-12 units
     */
-  def labelOutliers(emb: DataFrame, k: Int): DataFrame = {
+  def labelOutliers(emb0: DataFrame, k: Int): DataFrame =
+    // fixed report shape — static scope, see bruteForceKnn
+    graft.ops.PlanScope.isolatedStaticFor(emb0) { scoped =>
+    val emb = graft.ops.PlanScope.rebind(emb0, scoped)
     val microArr = transform(col("embedding"),
       x => round(x.cast("double") * lit(1e6)).cast("long"))
     val e = emb.select(col("vec_id"), col("label"), microArr.as("m"))
@@ -170,7 +184,7 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rank"),
         col("o.id").as("vec_id"),
         col("o.score").cast("long").as("d2_e12"))
-  }
+    }
 
   /** Per-dimension max-abs int8 quantization scales — index-build state,
     * O(d) doubles on the driver (same class as the IVF centroid fetch,
@@ -1007,11 +1021,17 @@ object Similarity {
     * orthogonalized driver-side (O(d) floats collected — the standard
     * index-build pattern, not a data collect).
     */
-  def embeddingNearDupPairs(emb: DataFrame, minCosE6: Long): DataFrame = {
+  def embeddingNearDupPairs(emb0: DataFrame, minCosE6: Long): DataFrame = {
     // round(cos*1e6) ≥ minCosE6 admits cos down to (minCosE6 - 0.5)/1e6;
     // take a hair more slack so float noise can never cost recall.
     val t = (minCosE6.toDouble - 1.0) / 1e6
     val eps = math.sqrt(math.max(2.0 - 2.0 * t, 1e-9))
+    // NOT static-scoped (measured 6.5× slower under a scan-sized static
+    // scope): the 9-offset candidate join explodes far past the scan
+    // estimate, so AQE's runtime re-sizing is load-bearing here — the
+    // one Similarity shape where the scope rule's "corpus-scale ad-hoc
+    // keeps AQE" branch applies
+    val emb = emb0
 
     def unit(a: Array[Double]): Option[Array[Double]] = {
       val n = math.sqrt(a.map(x => x * x).sum)
@@ -1155,11 +1175,15 @@ object Similarity {
     * Scale shape: the cell assignment is the IVF build's own broadcast
     * pass; the per-cell pick exchanges O(partitions × nCells × k) rows.
     * Output: `(cell, rank 1-based, vec_id)`. */
-  def diversitySample(emb: DataFrame, kPerCell: Int, nCells: Int,
+  def diversitySample(emb0: DataFrame, kPerCell: Int, nCells: Int,
       iters: Int = 2, sampleMod: Int = 7, salt: String = ""): DataFrame =
-    Mixture.stratifiedSample(
-      ivfAssign(emb, nCells, iters, sampleMod).select(col("vec_id"), col("cell")),
-      "vec_id", "cell", kPerCell, salt)
+    // fit + assignment + stratified pick on one static scope, see bruteForceKnn
+    graft.ops.PlanScope.isolatedStaticFor(emb0) { scoped =>
+      Mixture.stratifiedSample(
+        ivfAssign(graft.ops.PlanScope.rebind(emb0, scoped), nCells, iters, sampleMod)
+          .select(col("vec_id"), col("cell")),
+        "vec_id", "cell", kPerCell, salt)
+    }
 
   /** Deterministic signed random projection (Achlioptas 2003 / the SimHash
     * projection family, kept as VALUES rather than sign bits): reduce
@@ -1198,8 +1222,11 @@ object Similarity {
       VectorExpressions.signedProject(col(vecCol), signs, outDims).as("proj"))
   }
 
-  def semanticNearDupPairs(emb: DataFrame, nCells: Int, minCosE6: Long,
+  def semanticNearDupPairs(emb0: DataFrame, nCells: Int, minCosE6: Long,
       iters: Int = 2, sampleMod: Int = 7): DataFrame = {
+    // fit + within-cell pair scan on one static scope, see bruteForceKnn
+    graft.ops.PlanScope.isolatedStaticFor(emb0) { scoped =>
+    val emb = graft.ops.PlanScope.rebind(emb0, scoped)
     val idx = buildIvf(emb, nCells, iters, sampleMod)
     val a = idx.assigned.select(col("cell"), col("vec_id").as("doc_a"),
       col("embedding").as("va"), col("nn").as("na"))
@@ -1209,5 +1236,6 @@ object Similarity {
       .withColumn("cos_e6", cosE6From(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cos_e6") >= minCosE6)
       .select(col("doc_a"), col("doc_b"), col("cell"), col("cos_e6"))
+    }
   }
 }

@@ -944,10 +944,14 @@ object NorthStarQueries {
       // nation-sized result: detachSmall copies the materialized 25 rows
       // into a LocalRelation and releases every cached block immediately
       // (the release contract — leaked_rdds stays 0 in the bench census)
-      graft.operators.Graphs.detachSmall(
-          graft.operators.Graphs.labelPropagate(edges, seeds, rounds = 2))
-        .join(Tables.nation(s, d), col("node") === col("n_nationkey"))
-        .select(col("n_name"), col("label"))
+      // tiny-frame tail (LocalRelation ⋈ nation) runs static: the
+      // caller-AQE stage jobs were its only dispatch
+      graft.ops.PlanScope.isolatedStaticFor(Tables.nation(s, d)) { scoped =>
+        graft.ops.PlanScope.rebind(graft.operators.Graphs.detachSmall(
+            graft.operators.Graphs.labelPropagate(edges, seeds, rounds = 2)), scoped)
+          .join(Tables.nation(scoped, d), col("node") === col("n_nationkey"))
+          .select(col("n_name"), col("label"))
+      }
     }),
     "d19_weighted_pagerank" -> ((s, d) => {
       // d18's graph with edge weights = lineitem counts per nation pair:
@@ -966,11 +970,14 @@ object NorthStarQueries {
           col("c_nationkey").cast("long").as("dst"))
         .filter(col("src") =!= col("dst"))
         .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
-      // nation-sized result → detachSmall (zero blocks left registered)
-      graft.operators.Graphs.detachSmall(
-          graft.operators.Graphs.pageRankWeighted(edges, iters = 3))
-        .join(Tables.nation(s, d), col("node") === col("n_nationkey"))
-        .select(col("n_name"), col("rank_e6"))
+      // nation-sized result → detachSmall (zero blocks left registered);
+      // the tiny tail join runs static (see d20)
+      graft.ops.PlanScope.isolatedStaticFor(Tables.nation(s, d)) { scoped =>
+        graft.ops.PlanScope.rebind(graft.operators.Graphs.detachSmall(
+            graft.operators.Graphs.pageRankWeighted(edges, iters = 3)), scoped)
+          .join(Tables.nation(scoped, d), col("node") === col("n_nationkey"))
+          .select(col("n_name"), col("rank_e6"))
+      }
     }),
     "d18_trade_pagerank" -> ((s, d) => {
       // PageRank over the supplier-nation → customer-nation trade graph
@@ -991,11 +998,14 @@ object NorthStarQueries {
         .select(col("s_nationkey").cast("long").as("src"),
           col("c_nationkey").cast("long").as("dst"))
         .filter(col("src") =!= col("dst"))
-      // nation-sized result → detachSmall (zero blocks left registered)
-      graft.operators.Graphs.detachSmall(
-          graft.operators.Graphs.pageRank(edges, iters = 3))
-        .join(Tables.nation(s, d), col("node") === col("n_nationkey"))
-        .select(col("n_name"), col("rank_e6"))
+      // nation-sized result → detachSmall (zero blocks left registered);
+      // the tiny tail join runs static (see d20)
+      graft.ops.PlanScope.isolatedStaticFor(Tables.nation(s, d)) { scoped =>
+        graft.ops.PlanScope.rebind(graft.operators.Graphs.detachSmall(
+            graft.operators.Graphs.pageRank(edges, iters = 3)), scoped)
+          .join(Tables.nation(scoped, d), col("node") === col("n_nationkey"))
+          .select(col("n_name"), col("rank_e6"))
+      }
     }),
     "t42_k_anonymity" -> ((s, d) => {
       // k-anonymity release gate: group count over the quasi-identifier

@@ -473,11 +473,15 @@ object RelationalQueries {
         .filter(col("src") =!= col("dst"))
       val seeds = Tables.nation(s, d).filter(col("n_regionkey") === 2)
         .select(col("n_nationkey").cast("long").as("node"))
-      // nation-sized result → detachSmall (zero blocks left registered)
-      graft.operators.Graphs.detachSmall(
-          graft.operators.Graphs.bfsHops(edges, seeds, maxRounds = 3))
-        .join(Tables.nation(s, d), col("node") === col("n_nationkey"))
-        .select(col("n_name"), col("dist"))
+      // nation-sized result → detachSmall (zero blocks left registered);
+      // the tiny tail join runs static (caller-AQE stage jobs were its
+      // only dispatch)
+      graft.ops.PlanScope.isolatedStaticFor(Tables.nation(s, d)) { scoped =>
+        graft.ops.PlanScope.rebind(graft.operators.Graphs.detachSmall(
+            graft.operators.Graphs.bfsHops(edges, seeds, maxRounds = 3)), scoped)
+          .join(Tables.nation(scoped, d), col("node") === col("n_nationkey"))
+          .select(col("n_name"), col("dist"))
+      }
     }),
     "q69_triangle_count" -> ((s, d) => {
       // Per-nation triangle participation in the undirected trade graph —
@@ -498,10 +502,14 @@ object RelationalQueries {
           col("c_nationkey").cast("long").as("dst"))
         .filter(col("src") =!= col("dst"))
       // nation-sized result: detachSmall releases the operator's
-      // persisted frame (same contract as the iterative graph queries)
-      graft.operators.Graphs.detachSmall(graft.operators.Graphs.triangles(edges))
-        .join(Tables.nation(s, d), col("node") === col("n_nationkey"))
-        .select(col("n_name"), col("n_triangles"))
+      // persisted frame (same contract as the iterative graph queries);
+      // the tiny tail join runs static (see q60)
+      graft.ops.PlanScope.isolatedStaticFor(Tables.nation(s, d)) { scoped =>
+        graft.ops.PlanScope.rebind(graft.operators.Graphs.detachSmall(
+            graft.operators.Graphs.triangles(edges)), scoped)
+          .join(Tables.nation(scoped, d), col("node") === col("n_nationkey"))
+          .select(col("n_name"), col("n_triangles"))
+      }
     }),
     "q72_triangle_degree" -> ((s, d) => {
       // q69's triangle count through the RAW-ID orientation — the
@@ -522,7 +530,7 @@ object RelationalQueries {
         .filter(col("src") =!= col("dst"))
       graft.operators.Graphs.trianglesRawOriented(edges)
         .join(Tables.nation(s, d), col("node") === col("n_nationkey"))
-        .select(col("n_name"), col("n_triangles"))
+        .select(col("n_name"), col("n_triangles")) // stays fully adaptive: the cross-check plan
     }),
     "q59_running_distinct" -> ((s, d) => {
       // Cumulative distinct users per day — COUNT(DISTINCT) OVER, which
@@ -957,11 +965,14 @@ object RelationalQueries {
           floor(lit(1000) / col("n")).cast("long").as("w"))
       val seeds = Tables.nation(s, d).filter(col("n_regionkey") === 2)
         .select(col("n_nationkey").cast("long").as("node"))
-      // nation-sized result → detachSmall (zero blocks left registered)
-      graft.operators.Graphs.detachSmall(
-          graft.operators.Graphs.ssspBounded(edges, seeds, rounds = 3))
-        .join(Tables.nation(s, d), col("node") === col("n_nationkey"))
-        .select(col("n_name"), col("dist"))
+      // nation-sized result → detachSmall (zero blocks left registered);
+      // the tiny tail join runs static (see q60)
+      graft.ops.PlanScope.isolatedStaticFor(Tables.nation(s, d)) { scoped =>
+        graft.ops.PlanScope.rebind(graft.operators.Graphs.detachSmall(
+            graft.operators.Graphs.ssspBounded(edges, seeds, rounds = 3)), scoped)
+          .join(Tables.nation(scoped, d), col("node") === col("n_nationkey"))
+          .select(col("n_name"), col("dist"))
+      }
     }),
     "q70_kcore" -> ((s, d) => {
       // 2-core of the co-purchase graph (part pairs supported by >= 2
