@@ -341,7 +341,8 @@ object Graphs {
     * @param edges (src, dst) long-castable; orientation ignored
     * @return (node: long, n_triangles: long)
     */
-  def triangles(edges: DataFrame): DataFrame = trianglesDegreeOrdered(edges)
+  def triangles(edges: DataFrame, deriveAdaptive: Boolean = true): DataFrame =
+    trianglesDegreeOrdered(edges, deriveAdaptive)
 
   /** Raw-id-oriented wedge join, each triangle counted exactly once:
     * edges canonicalize to `a < b`, wedges `x < y < z` form by joining

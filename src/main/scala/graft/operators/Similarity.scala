@@ -689,7 +689,19 @@ object Similarity {
       graft.ops.PlanScope.isolatedStaticFor(emb0) { scoped =>
     val emb = graft.ops.PlanScope.rebind(emb0, scoped)
     val queries = graft.ops.PlanScope.rebind(queries0, scoped)
-    val approx = ivfKnn(emb, queries, k, nCells, nprobe, iters, sampleMod)
+    recallAtKWith(buildIvf(emb, nCells, iters, sampleMod), emb, queries, k, nprobe)
+  }
+
+  /** [[recallAtK]] with the index SUPPLIED (served/prebuilt) instead of
+    * fit in-call — the evaluation a serving deployment actually runs:
+    * measure the index you ship, not a fresh fit of its parameters
+    * (identical results here because the fit is deterministic). The
+    * ground truth stays one brute-force pass over `emb`. Unscoped like
+    * [[ivfKnnWith]]: the caller owns the planning conf, and all three
+    * frames must be bound to the same session. */
+  def recallAtKWith(index: IvfIndex, emb: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val approx = ivfKnnWith(index, queries, k, nprobe)
       .select(col("query_id"), col("neighbor_id"))
     val truth = bruteForceKnn(emb, queries, k)
       .select(col("query_id").as("tq"), col("neighbor_id").as("tn"))
@@ -849,9 +861,23 @@ object Similarity {
     // whole sweep on a conf-isolated static scope (see ivfKnn) — the
     // returned |levels|-row LocalRelation is plan-free anyway
     graft.ops.PlanScope.isolatedStaticFor(emb0) { scoped =>
-    val emb = graft.ops.PlanScope.rebind(emb0, scoped)
-    val queries = graft.ops.PlanScope.rebind(queries0, scoped)
-    val index = buildIvf(emb, nCells, iters, sampleMod)
+      val emb = graft.ops.PlanScope.rebind(emb0, scoped)
+      val queries = graft.ops.PlanScope.rebind(queries0, scoped)
+      recallSweepWith(buildIvf(emb, nCells, iters, sampleMod), emb, queries, k, nprobes)
+    }
+  }
+
+  /** [[recallSweep]] with the index SUPPLIED (served/prebuilt) instead of
+    * fit in-call — see [[recallAtKWith]] for why a deployment evaluates
+    * the shipped artifact. Unscoped: the caller owns the planning conf;
+    * `emb` feeds the brute ground truth only when `max(nprobes)` probes
+    * fewer than every cell (the full-probe level IS exact search). */
+  def recallSweepWith(index: IvfIndex, emb: DataFrame, queries: DataFrame,
+      k: Int, nprobes: Seq[Int]): DataFrame = {
+    require(nprobes.nonEmpty, "nprobes must be non-empty")
+    require(nprobes.forall(np => np > 0 && np <= index.nCells),
+      s"every nprobe must be in [1, nCells=${index.nCells}], got $nprobes")
+    val nCells = index.nCells
     val maxNp = nprobes.max
     val probes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -914,7 +940,6 @@ object Similarity {
     truth.unpersist(blocking = false)
     scored.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), out.schema)
-    }
   }
 
   /** Margin-based bitext mining (the Artetxe & Schwenk ratio-margin rule

