@@ -15,19 +15,25 @@ object JobCensus {
       master = Some("local[32]"), shufflePartitions = Some(32))
     spark.sparkContext.setLogLevel("ERROR")
 
-    val log = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val log = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val started = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val ended = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     @volatile var record = false
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         if (record) {
+          started.put(j.jobId, System.nanoTime())
           // the result stage (last) carries the action's callsite in its name;
           // details has the long form — first graft frame is the source
           val result = j.stageInfos.maxBy(_.stageId)
           val graftFrame = result.details.linesIterator
             .find(l => l.contains("graft.") && !l.contains("JobCensus"))
             .getOrElse("").trim
-          log.add(f"  job ${j.jobId}%4d stages=${j.stageInfos.size}%2d  ${result.name}%-40s $graftFrame")
+          log.put(j.jobId,
+            f"stages=${j.stageInfos.size}%2d  ${result.name}%-40s $graftFrame")
         }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        if (record) ended.put(j.jobId, System.nanoTime())
     })
 
     val qs = SparkEntry.queries
@@ -36,14 +42,21 @@ object JobCensus {
       qs(n)(spark, sfDir).write.mode("overwrite").format("noop").save()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      log.clear(); record = true
+      log.clear(); started.clear(); ended.clear(); record = true
       val t0 = System.nanoTime()
       qs(n)(spark, sfDir).write.mode("overwrite").format("noop").save()
       val dt = (System.nanoTime() - t0) / 1e9
       record = false
       Thread.sleep(300) // let listener drain
       println(f"=== $n  t=$dt%.2f s  jobs=${log.size} ===")
-      log.forEach(println(_))
+      import scala.jdk.CollectionConverters._
+      log.asScala.toSeq.sortBy(_._1).foreach { case (id, line) =>
+        val dur = (Option(ended.get(id)), Option(started.get(id))) match {
+          case (Some(e), Some(s)) => f"${(e - s) / 1e9}%6.2f s"
+          case _ => "   ?   "
+        }
+        println(f"  job $id%4d $dur $line")
+      }
       spark.sparkContext.getPersistentRDDs.foreach { case (id, r) =>
         println(s"  LEAKED rdd=$id name=${r.name} ${r.toString.take(120)}")
       }

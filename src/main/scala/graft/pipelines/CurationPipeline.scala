@@ -276,10 +276,21 @@ object CurationPipeline {
       cleanNgram.join(flaggedSem, Seq("doc_id"), "left_anti")
     }
 
-    // 3. quality floor: quantile-bucket the quality score, keep the top
-    val scored = Sketches.quantileBuckets(
-      clean.withColumn("quality", TextFunctions.qualityScore(col("text"))),
-      "quality", qualityBreakpoints)
+    // 3. quality floor: quantile-bucket the quality score, keep the top.
+    // The survivor frame is consumed TWICE — the quantile fit's collect
+    // and the bucket-apply-plus-packing tail — and its plan carries both
+    // decontamination anti-join legs; unpinned, the whole
+    // contamination/semantic subtree re-executes per consumer (measured
+    // in the c02 job census: the fit job replayed 19 stages the final
+    // collect then replayed again). Pin LAZILY: the fit's collect is the
+    // first action and populates the cache, the tail reads it — no extra
+    // driver job. Same stage-boundary policy as the span-scrub pin;
+    // released in the detachBound handover, otherwise the pin rides the
+    // returned plan under the caller's cache contract (see below).
+    val scoredIn = clean
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scored = Sketches.quantileBuckets(scoredIn, "quality", qualityBreakpoints)
     val good = scored.filter(col("bucket") >= minQualityBucket)
 
     // 3b. redact PII — after quality (scored on what a reader saw),
@@ -301,9 +312,10 @@ object CurationPipeline {
     // bound to the static scope clone, so it EXECUTES statically when
     // consumed: right for the known pipeline shape, and the detachBound
     // handover below is the path that hands a caller-conf frame back)
-    // — the returned plan references the pinned `comps`
-    // frame (releasing it pre-return would recompute the LSH fixpoint on
-    // consumption), so by default the PIN OUTLIVES the call and belongs
+    // — the returned plan references the pinned `comps`,
+    // span-scrub, and `scoredIn` survivor frames (releasing them
+    // pre-return would recompute the LSH fixpoint / decontamination legs
+    // on consumption), so by default the PINS OUTLIVE the call and belong
     // to the caller's consuming action — at corpus scale you write the
     // result and move on, and a long-lived session clears its cache
     // between curation runs. `detachBound` opts into the bounded-result
@@ -324,6 +336,7 @@ object CurationPipeline {
                           // componentsWithRelease) — with it, "zero
                           // blocks left registered" holds exactly
       docsSPin.foreach(_.unpersist(blocking = false))
+      scoredIn.unpersist(blocking = false)
       // LocalRelation built on the CALLER's session: anything composed
       // on the detached result downstream plans under the caller's own
       // conf, not the (static) scope clone's
