@@ -344,6 +344,32 @@ object Graphs {
   def triangles(edges: DataFrame, deriveAdaptive: Boolean = true): DataFrame =
     trianglesDegreeOrdered(edges, deriveAdaptive)
 
+  /** Extend an additive edge-weight artifact with a delta batch's pair
+    * counts: union + one re-aggregate on the pair key. EXACT because the
+    * weight is a sum over disjoint fact slices —
+    * `mergeEdgeCounts(counts(base), counts(delta)) ≡ counts(base ∪ delta)`
+    * — the graph-family analogue of `TextSearch.extendTextIndex` /
+    * `Similarity.extendIvf`: a link-graph release artifact stays fresh
+    * under new crawl batches without a fact-table rescan (oracle-checked
+    * by d23_link_extend against a full rebuild; the streaming face is
+    * `StreamingOps.linkGraphSink`).
+    *
+    * Scale shape: the base side is the already-reduced |pairs|-sized
+    * artifact, the delta side scans only the new facts; one exchange on
+    * (src, dst) with map-side partials. Against a bucketed artifact
+    * table (`Serving.tradePairCounts`'s layout) the base side reads
+    * straight from its buckets.
+    *
+    * @param base  (src, dst, `weightCol`) — the released artifact
+    * @param delta (src, dst, `weightCol`) — the new batch, same reduction
+    */
+  def mergeEdgeCounts(base: DataFrame, delta: DataFrame,
+      weightCol: String = "n"): DataFrame =
+    base.select(col("src"), col("dst"), col(weightCol))
+      .unionByName(delta.select(col("src"), col("dst"), col(weightCol)))
+      .groupBy(col("src"), col("dst"))
+      .agg(sum(col(weightCol)).as(weightCol))
+
   /** Raw-id-oriented wedge join, each triangle counted exactly once:
     * edges canonicalize to `a < b`, wedges `x < y < z` form by joining
     * on the middle vertex, and a left-semi probe against the canonical

@@ -945,6 +945,35 @@ object NorthStarQueries {
           .select(col("n_name"), col("rank_e6"))
       }
     }),
+    "d23_link_extend" -> ((s, d) => {
+      // Link-graph artifact maintenance: pair counts over the base facts
+      // (every order except the %10 == 9 slice) EXTENDED with the newly
+      // arrived slice's counts (Graphs.mergeEdgeCounts) — hash-equality
+      // with the full-corpus rebuild (the oracle) proves
+      // extend ≡ rebuild, the freshness contract a released link graph
+      // serves under between release cuts (the s11/s18 property for the
+      // graph family; streaming face: StreamingOps.linkGraphSink). The
+      // delta leg scans only the new facts; in production the base leg
+      // is the already-reduced artifact (Serving.tradePairCounts's
+      // layout), re-derived here so the oracle replay is self-contained.
+      def pairCounts(slice: org.apache.spark.sql.Column) = {
+        val ord = Tables.orders(s, d)
+        val cust = Tables.customer(s, d)
+        val sup = Tables.supplier(s, d)
+        Tables.lineitem(s, d).filter(slice)
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_nationkey").cast("long").as("src"),
+            col("c_nationkey").cast("long").as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+      }
+      graft.operators.Graphs.mergeEdgeCounts(
+          pairCounts(pmod(col("l_orderkey"), lit(10)) =!= 9),
+          pairCounts(pmod(col("l_orderkey"), lit(10)) === 9))
+        .orderBy(col("src"), col("dst"))
+    }),
     "d18_trade_pagerank" -> ((s, d) => {
       // PageRank over the supplier-nation → customer-nation trade graph
       // (3 exact-integer iterations) — the authority signal a web-scale
@@ -2261,6 +2290,18 @@ object NorthStarQueries {
         |       GROUP BY n.node)
         |SELECT n_name, r AS rank_e6
         |FROM r3 JOIN nation ON node = n_nationkey""".stripMargin,
+    // the full-corpus rebuild: hash-equality against the Spark side's
+    // base+delta extend IS the extend ≡ rebuild proof
+    "d23_link_extend" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS src,
+        |  CAST(c_nationkey AS BIGINT) AS dst, COUNT(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_nationkey <> c_nationkey
+        |GROUP BY 1, 2
+        |ORDER BY src, dst""".stripMargin,
     "t45_bpe_train" -> BpeOracleSql,
     "t46_bpe_fertility" -> BpeFertilityOracleSql,
     "t44_changepoint" ->

@@ -584,6 +584,35 @@ object StreamingOps {
           batch.toDF(), shingleN, numHashes, rowsPerBand, minJaccardPermille), batchId)
       }
 
+  /** Streaming link-graph artifact maintenance — the serving face of
+    * [[graft.operators.Graphs.mergeEdgeCounts]]: each micro-batch of
+    * arriving edges is reduced to `(src, dst, n)` pair counts (one
+    * grouped aggregate, map-side partial — self-loops dropped, matching
+    * the batch derivation) and handed to `merge(batchCounts, batchId)`,
+    * where the caller folds it into the released artifact with
+    * `mergeEdgeCounts` — an idempotent per-batch upsert, same replay
+    * contract as [[changelogUpsertSink]]. Stream ≡ batch by
+    * construction: count-merge is associative over disjoint batches, so
+    * N triggers folded in order equal one batch derivation over the
+    * concatenated edges exactly (spec-pinned). Per batch nothing
+    * corpus-sized moves — the batch reduces before it ever meets the
+    * |pairs|-sized artifact. */
+  def linkGraphSink(
+      edges: DataFrame, // columns: src (long), dst (long), streaming
+      checkpointDir: String)(
+      merge: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    edges.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        merge(batch.toDF()
+          .select(col("src").cast("long").as("src"),
+            col("dst").cast("long").as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .groupBy(col("src"), col("dst"))
+          .agg(count(lit(1)).as("n")), batchId)
+      }
+
   /** Streaming INCREMENTAL CURATION against a frozen corpus release —
     * the serving face of
     * [[graft.pipelines.CurationPipeline.curateDelta]]: each micro-batch

@@ -291,4 +291,28 @@ class GraphsSpec extends SparkTestBase {
     assert(cores(Graphs.detachSmall(kc)) === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
     assert(registered() === 0, "detachSmall must release every block")
   }
+
+  test("mergeEdgeCounts: extend over disjoint fact slices ≡ full rebuild") {
+    val facts = Seq((1L, 2L), (1L, 2L), (2L, 3L), (3L, 1L), (1L, 2L), (2L, 3L))
+      .zipWithIndex.map { case ((s, d), i) => (s, d, i.toLong) }
+      .toDF("src", "dst", "fact_id")
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"src", $"dst").agg(count(lit(1)).as("n"))
+    val merged = Graphs.mergeEdgeCounts(
+      counts(facts.filter($"fact_id" % 2 === 0)),
+      counts(facts.filter($"fact_id" % 2 === 1)))
+    val rebuilt = counts(facts)
+    assert(merged.collect().map(_.toSeq).toSet ===
+      rebuilt.collect().map(_.toSeq).toSet)
+    // a pair present in only one slice survives with its exact count
+    assert(merged.filter($"src" === 3 && $"dst" === 1).head().getLong(2) === 1L)
+  }
+
+  test("mergeEdgeCounts honours a custom weight column") {
+    val base = Seq((1L, 2L, 10L), (2L, 3L, 5L)).toDF("src", "dst", "w")
+    val delta = Seq((1L, 2L, 7L), (4L, 5L, 1L)).toDF("src", "dst", "w")
+    val out = Graphs.mergeEdgeCounts(base, delta, weightCol = "w")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map((1L, 2L) -> 17L, (2L, 3L) -> 5L, (4L, 5L) -> 1L))
+  }
 }

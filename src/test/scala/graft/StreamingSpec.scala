@@ -21,6 +21,7 @@ case class Scd2Fix(key: Long, ts: Timestamp, seq: Long, value: String)
 case class FunnelFix(key: Long, ts: Timestamp, seq: Long, etype: String)
 case class HybridQueryFix(query_id: Long, text: String, embedding: Seq[Float])
 case class BitextQueryFix(vec_id: Long, embedding: Seq[Float])
+case class EdgeFix(src: Long, dst: Long)
 
 /** Streaming semantics mirrored from the reference's TopologyTestDriver
   * tests (CallsEnrichedAppTest.java) on MemoryStream micro-batches:
@@ -1498,6 +1499,35 @@ class StreamingSpec extends SparkTestBase {
     val top = got(0L).map(r => r(2).asInstanceOf[Long])
     assert(top.contains(1L) && top.contains(3L))
     ivf.unpersist()
+  }
+
+  test("linkGraphSink: N triggers folded via mergeEdgeCounts ≡ one batch derivation") {
+    import graft.operators.Graphs
+    // duplicate pairs within AND across batches, plus a self-loop that
+    // must drop — the associativity claim does real work here
+    val batchA = Seq(EdgeFix(1, 2), EdgeFix(1, 2), EdgeFix(2, 3), EdgeFix(4, 4))
+    val batchB = Seq(EdgeFix(1, 2), EdgeFix(3, 1), EdgeFix(2, 3))
+    val in = MemoryStream[EdgeFix](spark)
+    // the caller-held artifact, folded per trigger exactly as a release
+    // cadence would fold accepted batches
+    var artifact = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "n")
+    val q = StreamingOps.linkGraphSink(in.toDF(),
+      Files.createTempDirectory("ck-linkgraph").toString) { (counts, _) =>
+        artifact = Graphs.mergeEdgeCounts(artifact, counts)
+          .localCheckpoint() // sever per-trigger lineage like a real upsert
+      }.start()
+    try {
+      in.addData(batchA); q.processAllAvailable()
+      in.addData(batchB); q.processAllAvailable()
+    } finally q.stop()
+    val batchMode = (batchA ++ batchB).toDF("src", "dst")
+      .filter($"src" =!= $"dst")
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("n"))
+    assert(artifact.collect().map(_.toSeq).toSet ===
+      batchMode.collect().map(_.toSeq).toSet)
+    // and the fold really accumulated across triggers: (1,2) counts 3
+    assert(artifact.filter($"src" === 1 && $"dst" === 2)
+      .head().getLong(2) === 3L)
   }
 
   test("bitextMineSink: per-batch mined pairs ≡ bitextMarginMineWith on the same indexes") {
