@@ -251,6 +251,9 @@ object Bench {
       // tokenizer artifact (t46 encodes through it; t45 keeps the train
       // measured): the 6-rule fit is a release-cut cost
       graft.queries.Serving.bpeMergeRules(spark, sfDir)
+      // per-direction bitext indexes (s17's mining probes; s02 keeps the
+      // in-call IVF fit measured)
+      graft.queries.Serving.bitextIndexTables(spark, sfDir)
       tinyDocs.unpersist(blocking = true); tinyEmb.unpersist(blocking = true)
       tinyEv.unpersist(blocking = true)
     } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }

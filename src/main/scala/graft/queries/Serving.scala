@@ -106,6 +106,34 @@ object Serving {
     table
   }
 
+  /** Per-direction served IVF indexes for bitext mining (s17): the
+    * even-id "source" half and odd-id "target" half of the embedding
+    * corpus, each fit and saved with the [[ivfIndexTable]] layout. A
+    * mining deployment maintains one index per language and amortizes
+    * the fits across mining batches — `bitextMarginMineWith` is the
+    * probe face, and the streaming `bitextMineSink` already rides
+    * prebuilt indexes; s02 keeps the in-call IVF fit measured. The fits
+    * are deterministic, so probing the served tables is bit-identical
+    * to the in-call `bitextMarginMine` and the fit-replaying oracle
+    * stays exact. Returns (srcTable, tgtTable) for `loadIvf`. */
+  def bitextIndexTables(s: SparkSession, d: String): (String, String) = {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(s, d)
+    val st = servedTableName("graft_ivf_bitext_src_", d)
+    val tt = servedTableName("graft_ivf_bitext_tgt_", d)
+    ensureServedTable(s, st, Seq(s"${st}_centroids")) {
+      Similarity.saveIvf(Similarity.buildIvf(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 0), nCells = 16),
+        st, numBuckets = 8)
+    }
+    ensureServedTable(s, tt, Seq(s"${tt}_centroids")) {
+      Similarity.saveIvf(Similarity.buildIvf(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 1), nCells = 16),
+        tt, numBuckets = 8)
+    }
+    (st, tt)
+  }
+
   /** The session's served tokenizer artifact: 6 BPE merge rules trained
     * on the every-3rd-doc sample (t46's fit/transform split), stored as
     * a (step, rule) table. t45 keeps the full-corpus train measured
