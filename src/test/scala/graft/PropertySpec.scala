@@ -552,4 +552,29 @@ class PropertySpec extends SparkTestBase {
       corpus = corpus.unionByName(accepted)
     }
   }
+
+  // random edge multisets (with self-loops and duplicates) split into
+  // random slice assignments
+  private val edgeSlicesGen: Gen[List[(Long, Long, Int)]] =
+    Gen.nonEmptyListOf(for {
+      s <- Gen.choose(1L, 6L)
+      d <- Gen.choose(1L, 6L)
+      slice <- Gen.choose(0, 2)
+    } yield (s, d, slice))
+
+  test("mergeEdgeCounts: any slicing of the fact stream rebuilds the same artifact") {
+    import graft.operators.Graphs
+    forSamples(edgeSlicesGen, 15) { edges =>
+      val df = edges.toDF("src", "dst", "slice")
+      def counts(sl: org.apache.spark.sql.DataFrame) =
+        sl.groupBy($"src", $"dst").agg(count(lit(1)).as("n"))
+      // fold the three random slices in order, exactly as linkGraphSink's
+      // caller would fold triggers
+      val folded = (0 to 2).map(i => counts(df.filter($"slice" === i)))
+        .reduce((acc, c) => Graphs.mergeEdgeCounts(acc, c))
+      val rebuilt = counts(df)
+      assert(folded.collect().map(_.toSeq).toSet ===
+        rebuilt.collect().map(_.toSeq).toSet)
+    }
+  }
 }
