@@ -1199,12 +1199,10 @@ object NorthStarQueries {
       // bucket-pruned postings read, zero corpus scans. Same counts,
       // same formula, so s07's oracle covers it verbatim.
       import graft.operators.TextSearch
-      val table = servedTableName("graft_text_s08_", d)
-      ensureServedTable(s, table, Seq(s"${table}_stats")) {
-        TextSearch.saveTextIndex(
-          TextSearch.buildTextIndex(Tables.documents(s, d), "doc_id", "text"),
-          table, numBuckets = 8)
-      }
+      // the build (buildTextIndex + saveTextIndex) lives in
+      // Serving.textIndexTable — one artifact probed here and by s16's
+      // lexical leg
+      val table = Serving.textIndexTable(s, d)
       // probe static, same rationale as s05: fixed serving plan over the
       // term-bucketed postings table, AQE contributed only stage jobs
       graft.ops.PlanScope.isolatedStaticFor(Tables.documents(s, d)) { scoped =>
@@ -1332,21 +1330,24 @@ object NorthStarQueries {
       }
     }),
     "s16_hybrid_rrf" -> ((s, d) => {
-      // Hybrid retrieval: BM25 lexical top-10 fused with IVF dense top-10
-      // by reciprocal-rank fusion — rank-only combination, no score
+      // Hybrid retrieval over SERVED indexes — the shape a retrieval
+      // deployment actually runs: BM25 lexical top-10 probed from the
+      // persisted postings (the s08 artifact) fused with IVF dense
+      // top-10 probed from the persisted buckets (the s05 artifact) by
+      // reciprocal-rank fusion — rank-only combination, no score
       // calibration between micro-log BM25 and micro-unit cosine. Each
       // query is its fixture text on the lexical leg and its id-aligned
-      // embedding on the dense leg. Both legs are fixed serving shapes
-      // (the dense leg already runs scoped inside ivfKnn) → run the
-      // whole fusion under one static scope (census: norm ~0, jobs all
-      // AQE exchange dispatch).
+      // embedding on the dense leg. s07/s02 keep the ad-hoc scan/fit
+      // postures measured; deterministic builds keep the oracle exact.
+      val tIdx = Serving.textIndexTable(s, d)
+      val vIdx = Serving.ivfIndexTable(s, d)
       graft.ops.PlanScope.isolatedStaticFor(Tables.documents(s, d)) { scoped =>
+        val lex = graft.operators.TextSearch.bm25TopKWith(
+          graft.operators.TextSearch.loadTextIndex(scoped, tIdx),
+          Bm25Queries, k = 10)
         val emb = Tables.embeddings(scoped, d)
-        val lex = graft.operators.TextSearch.bm25TopK(
-          Tables.documents(scoped, d), "doc_id", "text", Bm25Queries, k = 10)
-        val dense = Similarity.ivfKnn(
-            emb, emb.filter(col("vec_id") < Bm25Queries.length),
-            k = 10, nCells = 16, nprobe = 4)
+        val dense = Similarity.ivfKnnWith(Similarity.loadIvf(scoped, vIdx),
+            emb.filter(col("vec_id") < Bm25Queries.length), k = 10, nprobe = 4)
           .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
         graft.operators.TextSearch.rrfFuse(
           Seq(lex.select(col("query_id"), col("doc_id"), col("rank")), dense), k = 10)

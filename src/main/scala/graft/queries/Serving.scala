@@ -106,6 +106,24 @@ object Serving {
     table
   }
 
+  /** The session's served BM25 inverted index over `documents`
+    * (term-bucketed postings + corpus-stats side table — see
+    * TextSearch.saveTextIndex for the layout story). Probed by s08 (the
+    * serving path) and by s16's lexical leg (hybrid retrieval fuses the
+    * indexes a deployment actually serves); s07 keeps the ad-hoc corpus
+    * scan measured, and the deterministic build keeps the shared oracle
+    * exact. Returns the table name; load with TextSearch.loadTextIndex. */
+  def textIndexTable(s: SparkSession, d: String): String = {
+    import graft.operators.TextSearch
+    val table = servedTableName("graft_text_s08_", d)
+    ensureServedTable(s, table, Seq(s"${table}_stats")) {
+      TextSearch.saveTextIndex(
+        TextSearch.buildTextIndex(Tables.documents(s, d), "doc_id", "text"),
+        table, numBuckets = 8)
+    }
+    table
+  }
+
   /** Per-direction served IVF indexes for bitext mining (s17): the
     * even-id "source" half and odd-id "target" half of the embedding
     * corpus, each fit and saved with the [[ivfIndexTable]] layout. A
