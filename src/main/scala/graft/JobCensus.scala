@@ -32,8 +32,11 @@ object JobCensus {
           log.put(j.jobId,
             f"stages=${j.stageInfos.size}%2d  ${result.name}%-40s $graftFrame")
         }
+      // NOT gated on `record`: the bus drains asynchronously, so the last
+      // jobs' end events often arrive after the main thread flips record
+      // off — membership in `started` already scopes what we keep
       override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
-        if (record) ended.put(j.jobId, System.nanoTime())
+        if (started.containsKey(j.jobId)) ended.put(j.jobId, System.nanoTime())
     })
 
     val qs = SparkEntry.queries

@@ -80,6 +80,11 @@ object Serving {
           col("c_nationkey").cast("long").as("dst"))
         .filter(col("src") =!= col("dst"))
         .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+        // one task per bucket before the write: Spark emits one file per
+        // (task, bucket), so writing straight off the shuffle-partition
+        // fan-out fragments the artifact into partitions×8 files (the
+        // same reason Layout.writeBucketed repartitions first)
+        .repartition(8, col("src"))
         .write.format("parquet")
         .bucketBy(8, "src").sortBy("src", "dst")
         .saveAsTable(table)
@@ -184,6 +189,7 @@ object Serving {
       val b = op.select(col("l_orderkey").as("__ok"), col("l_partkey").as("dst"))
       a.join(b, col("l_orderkey") === col("__ok") && col("src") < col("dst"))
         .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_orders"))
+        .repartition(8, col("src")) // see tradePairCounts: one task per bucket
         .write.format("parquet")
         .bucketBy(8, "src").sortBy("src", "dst")
         .saveAsTable(table)

@@ -590,13 +590,20 @@ object StreamingOps {
     * grouped aggregate, map-side partial — self-loops dropped, matching
     * the batch derivation) and handed to `merge(batchCounts, batchId)`,
     * where the caller folds it into the released artifact with
-    * `mergeEdgeCounts` — an idempotent per-batch upsert, same replay
-    * contract as [[changelogUpsertSink]]. Stream ≡ batch by
-    * construction: count-merge is associative over disjoint batches, so
-    * N triggers folded in order equal one batch derivation over the
-    * concatenated edges exactly (spec-pinned). Per batch nothing
-    * corpus-sized moves — the batch reduces before it ever meets the
-    * |pairs|-sized artifact. */
+    * `mergeEdgeCounts`. Stream ≡ batch by construction: count-merge is
+    * associative over disjoint batches, so N triggers folded in order
+    * equal one batch derivation over the concatenated edges exactly
+    * (spec-pinned). Per batch nothing corpus-sized moves — the batch
+    * reduces before it ever meets the |pairs|-sized artifact.
+    *
+    * REPLAY CONTRACT — additive, NOT idempotent: unlike
+    * [[changelogUpsertSink]]'s overwrite-by-key sinks, folding the same
+    * batch twice double-counts its edges. foreachBatch re-delivers the
+    * last uncommitted batchId after a restart, so `merge` MUST be a
+    * transactional "fold counts AND record batchId" (skip any batchId
+    * at-or-below the artifact's recorded high-water mark) — the same
+    * exactly-once recipe Spark's docs prescribe for any non-idempotent
+    * foreachBatch body; the spec models the guard. */
   def linkGraphSink(
       edges: DataFrame, // columns: src (long), dst (long), streaming
       checkpointDir: String)(

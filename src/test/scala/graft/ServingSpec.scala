@@ -57,13 +57,25 @@ class ServingSpec extends SparkTestBase {
   }
 
   test("second call is a catalog hit — same table, no rebuild") {
+    // self-sufficient: build (or catalog-hit) once first, so the test
+    // does not depend on suite ordering
+    Serving.tradePairCounts(spark, dir).count()
     val t = Serving.servedTableName("graft_trade_pairs_", dir)
     assert(spark.catalog.tableExists(t))
-    // a rebuild would fail on the existing non-empty location unless
-    // ensureServedTable's clear ran; a catalog hit must not clear — prove
-    // it by checking the second call returns the same row count without
-    // touching the table's files
-    val before = spark.table(t).count()
-    assert(Serving.tradePairCounts(spark, dir).count() === before)
+    // a rebuild rewrites the warehouse files; a catalog hit must not
+    // touch them — pin via file modification times, which a same-content
+    // rebuild would still bump
+    def fileStamps(): Map[String, Long] = {
+      val wh = java.net.URI.create(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath
+      val root = new java.io.File(wh, t)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(root).map(f => f.getAbsolutePath -> f.lastModified()).toMap
+    }
+    val before = fileStamps()
+    assert(before.nonEmpty)
+    assert(Serving.tradePairCounts(spark, dir).count() > 0)
+    assert(fileStamps() === before, "second call must not rewrite the artifact")
   }
 }

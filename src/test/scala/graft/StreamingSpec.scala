@@ -1509,12 +1509,19 @@ class StreamingSpec extends SparkTestBase {
     val batchB = Seq(EdgeFix(1, 2), EdgeFix(3, 1), EdgeFix(2, 3))
     val in = MemoryStream[EdgeFix](spark)
     // the caller-held artifact, folded per trigger exactly as a release
-    // cadence would fold accepted batches
+    // cadence would fold accepted batches — WITH the batchId high-water
+    // guard the sink's replay contract requires (the fold is additive,
+    // not idempotent: a re-delivered batch must be skipped, not
+    // re-merged)
     var artifact = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "n")
+    var mergedThrough = -1L
     val q = StreamingOps.linkGraphSink(in.toDF(),
-      Files.createTempDirectory("ck-linkgraph").toString) { (counts, _) =>
-        artifact = Graphs.mergeEdgeCounts(artifact, counts)
-          .localCheckpoint() // sever per-trigger lineage like a real upsert
+      Files.createTempDirectory("ck-linkgraph").toString) { (counts, batchId) =>
+        if (batchId > mergedThrough) {
+          artifact = Graphs.mergeEdgeCounts(artifact, counts)
+            .localCheckpoint() // sever per-trigger lineage like a real upsert
+          mergedThrough = batchId
+        }
       }.start()
     try {
       in.addData(batchA); q.processAllAvailable()
