@@ -656,8 +656,16 @@ object Dedup {
     // (assert_true over the 1-row aggregate pair) instead of paying its
     // own driver job — it still fires inside THIS call, before any
     // result is exposed, whether or not any duplicate was rejected.
-    val idGuard = corpus.agg(max(col("doc_id")).as("__mx"))
-      .crossJoin(newDocs.agg(min(col("doc_id")).as("__mn")))
+    // one union-aggregate instead of agg × agg crossJoin: the 1-row × 1-row
+    // join planned a broadcast exchange whose build is a driver job per
+    // batch; the union arm scans exactly the same columns and folds both
+    // extrema in a single shuffle-free global aggregate
+    val idGuard = corpus.select(col("doc_id").cast("long").as("__id"),
+        lit(0).as("__side"))
+      .unionByName(newDocs.select(col("doc_id").cast("long").as("__id"),
+        lit(1).as("__side")))
+      .agg(max(when(col("__side") === 0, col("__id"))).as("__mx"),
+        min(when(col("__side") === 1, col("__id"))).as("__mn"))
       .select(assert_true(col("__mx").isNull || col("__mn").isNull ||
           col("__mx") < col("__mn"),
         concat(lit("dedupDelta id contract violated: max(corpus.doc_id)="),
@@ -668,8 +676,13 @@ object Dedup {
     val exactVsCorpus = fpNew
       .join(digests.select(col("fp").as("__fp")), Seq("__fp"), "left_semi")
       .select(col("doc_id"))
-    val exactWithin = fpNew.as("f")
-      .join(fpNew.groupBy(col("__fp")).agg(min(col("doc_id")).as("__keep")), Seq("__fp"))
+    // min-over-window instead of self-join against the per-digest argmin:
+    // the join's aggregated side planned a broadcast build (one driver job
+    // per batch); the window pays the same single exchange on the digest
+    // and nothing else — partitions are per-digest dup groups, bounded
+    val exactWithin = fpNew
+      .withColumn("__keep", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))))
       .filter(col("doc_id") =!= col("__keep"))
       .select(col("doc_id"))
     val bNew = bandFrame(newDocs, shingleN, numHashes, rowsPerBand)

@@ -124,7 +124,8 @@ object Graphs {
     * driver job), then release the scope-side pin. The returned frame
     * both PLANS under the caller's conf downstream and satisfies the
     * `result.unpersist()` release contract. */
-  private def handoff(out: DataFrame, caller: SparkSession): DataFrame = {
+  private def handoff(out: DataFrame, caller: SparkSession,
+      releaseAfter: Seq[DataFrame] = Nil): DataFrame = {
     val bound = PlanScope.rebindRows(out, caller)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // materialize through the InternalRow RDD: ONE driver job that fills
@@ -133,8 +134,16 @@ object Graphs {
     // no result anybody reads, so the agg plan was pure dispatch).
     // Safe because nothing has forced this frame's query execution yet —
     // the lazy planning sees the persist() entry.
+    //
+    // FUSED EXIT: `out` may arrive LAZY (at most CutEvery-1 rounds of
+    // plan over the last lineage cut) — this count is then the loop's
+    // final materialization too, one driver job instead of the former
+    // count-then-copy pair. `releaseAfter` takes the loop's scaffolding
+    // pins (edge cache, node cache, last cut): they feed this count's
+    // execution, so they release only after it.
     bound.queryExecution.toRdd.count()
     out.unpersist(blocking = false)
+    releaseAfter.foreach(_.unpersist(blocking = false))
     bound
   }
 
@@ -300,7 +309,7 @@ object Graphs {
             (lit(teleport) +
               expr(s"($dampE2 * coalesce(in_c, CAST(0 AS BIGINT))) div 100"))
               .as("rank_e6"))
-        ranks = if (r % CutEvery == 0 || r == iters) {
+        ranks = if (r % CutEvery == 0 && r != iters) {
           val cut = next.persist(StorageLevel.MEMORY_AND_DISK)
           cut.count()
           prevCut.foreach(_.unpersist(blocking = false))
@@ -308,16 +317,11 @@ object Graphs {
           flatView(cut)
         } else next
       }
-      // iters=0 → materialize the cheap projection over nodes so consumers
-      // still read a cached |V|-sized result. Return the PERSISTED frame
-      // itself (not a flat view over it) so the caller's unpersist()
-      // actually releases the pin — see the [[detachSmall]] contract.
-      val out = prevCut.getOrElse {
-        val o = ranks.persist(StorageLevel.MEMORY_AND_DISK); o.count(); o
-      }
-      eod.unpersist(blocking = false)
-      nodes.unpersist(blocking = false)
-      handoff(out, caller)
+      // the final rounds stay LAZY (≤ CutEvery-1 deep over the last cut);
+      // handoff's caller-bound count is the single exit materialization —
+      // the former cut-then-copy pair was two driver jobs for one result
+      handoff(ranks, caller,
+        releaseAfter = Seq(eod, nodes) ++ prevCut.toSeq)
     }
   }
 
@@ -360,15 +364,24 @@ object Graphs {
     * table (`Serving.tradePairCounts`'s layout) the base side reads
     * straight from its buckets.
     *
-    * @param base  (src, dst, `weightCol`) — the released artifact
-    * @param delta (src, dst, `weightCol`) — the new batch, same reduction
+    * @param base   (`srcCol`, `dstCol`, `weightCol`) — the released artifact
+    * @param delta  (`srcCol`, `dstCol`, `weightCol`) — the new batch, same reduction
+    * @param srcCol / dstCol endpoint key columns (both frames must carry them)
     */
   def mergeEdgeCounts(base: DataFrame, delta: DataFrame,
-      weightCol: String = "n"): DataFrame =
-    base.select(col("src"), col("dst"), col(weightCol))
-      .unionByName(delta.select(col("src"), col("dst"), col(weightCol)))
-      .groupBy(col("src"), col("dst"))
+      weightCol: String = "n",
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    Seq("base" -> base, "delta" -> delta).foreach { case (side, df) =>
+      val missing = Seq(srcCol, dstCol, weightCol).filterNot(df.columns.contains)
+      require(missing.isEmpty,
+        s"mergeEdgeCounts: $side side lacks column(s) ${missing.mkString(",")} " +
+          s"— pass srcCol/dstCol/weightCol matching the artifact's schema")
+    }
+    base.select(col(srcCol), col(dstCol), col(weightCol))
+      .unionByName(delta.select(col(srcCol), col(dstCol), col(weightCol)))
+      .groupBy(col(srcCol), col(dstCol))
       .agg(sum(col(weightCol)).as(weightCol))
+  }
 
   /** Raw-id-oriented wedge join, each triangle counted exactly once:
     * edges canonicalize to `a < b`, wedges `x < y < z` form by joining
@@ -533,15 +546,26 @@ object Graphs {
       var settled = frontier
       var spent = Vector(frontier)
       var round = 1
-      var frontierSize = 1L // sentinel — round 1's count materializes the seeds
+      var frontierSize = 1L // sentinel — the first counted round materializes it
       while (round <= maxRounds && frontierSize > 0) {
         val reached = e.join(frontier, e("src") === frontier("node"))
           .select(col("dst").as("node")).distinct()
-        val fresh = reached.join(settled.select(col("node").as("__s")),
+        val fresh0 = reached.join(settled.select(col("node").as("__s")),
             reached("node") === col("__s"), "left_anti")
           .select(col("node"), lit(round).as("dist"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        frontierSize = fresh.count()
+        // STRIDE-2 drain checks (the kCore discipline): an empty frontier
+        // stays empty, so counting every second round (and the bound
+        // round) still detects the drain — at worst one lazy expansion
+        // over an already-empty frontier — while halving the search's
+        // driver-job count. Odd rounds stay LAZY at plan depth ≤ 2 over
+        // the last counted frontier; CutEvery (4) is even, so every
+        // flat-re-rooted frame is a counted, persisted one.
+        val fresh = if (round % 2 == 0 || round == maxRounds) {
+          val p = fresh0.persist(StorageLevel.MEMORY_AND_DISK)
+          frontierSize = p.count()
+          spent :+= p
+          p
+        } else fresh0
         // flat re-root at the CutEvery cadence: settled stays a union of
         // bounded-depth scans over the cached frontiers instead of nesting
         // every round's adaptive plan inside the next (the exponential AQE
@@ -549,12 +573,12 @@ object Graphs {
         // hop entirely
         val freshFlat = if (round % CutEvery == 0) flatView(fresh) else fresh
         settled = settled.unionByName(freshFlat)
-        spent :+= fresh
         frontier = freshFlat
         round += 1
       }
-      // node universe from the loop-cached edge frame + seeds — lazily
-      // persisted; the out materialization below is its only driver job
+      // node universe from the loop-cached edge frame + seeds — the whole
+      // exit stays LAZY over the cached frontiers; handoff's caller-bound
+      // count is the single exit materialization
       val nodes = e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node")))
         .union(seedNodes)
@@ -563,10 +587,7 @@ object Graphs {
         .join(settled.select(col("node").as("__n"), col("dist")),
           nodes("node") === col("__n"), "left")
         .select(col("node"), col("dist"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      out.count()
-      (spent :+ e).foreach(_.unpersist(blocking = false))
-      handoff(out, caller)
+      handoff(out, caller, releaseAfter = spent :+ e)
     }
   }
 
@@ -632,7 +653,7 @@ object Graphs {
         val next = nodes.join(seed, Seq("node"), "left")
           .join(win, nodes("node") === win("dst"), "left")
           .select(col("node"), coalesce(col("__seed"), col("__win")).as("label"))
-        lab = if (r % CutEvery == 0 || r == rounds) {
+        lab = if (r % CutEvery == 0 && r != rounds) {
           val cut = next.persist(StorageLevel.MEMORY_AND_DISK)
           cut.count()
           prevCut.foreach(_.unpersist(blocking = false))
@@ -640,14 +661,9 @@ object Graphs {
           flatView(cut)
         } else next
       }
-      // return the persisted frame itself — caller-releasable (detachSmall)
-      val out = prevCut.getOrElse {
-        val o = lab.persist(StorageLevel.MEMORY_AND_DISK); o.count(); o
-      }
-      e.unpersist(blocking = false)
-      nodes.unpersist(blocking = false)
-      seed.unpersist(blocking = false)
-      handoff(out, caller)
+      // fused exit — see handoff: the final rounds stay lazy, one job
+      handoff(lab, caller,
+        releaseAfter = Seq(e, nodes, seed) ++ prevCut.toSeq)
     }
   }
 
@@ -701,7 +717,7 @@ object Graphs {
           .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
         val next = dist.unionByName(relaxed)
           .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        dist = if (r % CutEvery == 0 || r == rounds) {
+        dist = if (r % CutEvery == 0 && r != rounds) {
           val cut = next.persist(StorageLevel.MEMORY_AND_DISK)
           cut.count()
           prevCut.foreach(_.unpersist(blocking = false))
@@ -709,8 +725,9 @@ object Graphs {
           flatView(cut)
         } else next
       }
-      // node universe from the loop-cached edge frame + seeds — lazy, the
-      // out materialization is its only driver job
+      // node universe from the loop-cached edge frame + seeds — the exit
+      // stays lazy (≤ CutEvery-1 relax rounds over the last cut); handoff's
+      // caller-bound count is the single exit materialization
       val nodes = e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node")))
         .union(seedNodes)
@@ -719,11 +736,7 @@ object Graphs {
         .join(dist.select(col("node").as("__n"), col("dist")),
           nodes("node") === col("__n"), "left")
         .select(col("node"), col("dist"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      out.count()
-      prevCut.foreach(_.unpersist(blocking = false))
-      e.unpersist(blocking = false)
-      handoff(out, caller)
+      handoff(out, caller, releaseAfter = Seq(e) ++ prevCut.toSeq)
     }
   }
 
@@ -823,16 +836,14 @@ object Graphs {
             .groupBy(col("node")).agg(count(lit(1)).as("deg"))
         }
       }
-      val out = if (converged) prevCut.get else {
-        // maxRounds exhausted: one more filter over the last recompute,
-        // matching the oracle's final ≥ k cut
-        val o = deg.filter(col("deg") >= k).persist(StorageLevel.MEMORY_AND_DISK)
-        o.count()
-        prevCut.foreach(_.unpersist(blocking = false))
-        o
-      }
-      dir.unpersist(blocking = false)
-      handoff(out, caller)
+      if (converged)
+        handoff(prevCut.get, caller, releaseAfter = Seq(dir))
+      else
+        // maxRounds exhausted: one more LAZY filter over the last
+        // recompute, matching the oracle's final ≥ k cut — handoff's
+        // caller-bound count materializes it (fused exit, one job)
+        handoff(deg.filter(col("deg") >= k), caller,
+          releaseAfter = Seq(dir) ++ prevCut.toSeq)
     }
   }
 }

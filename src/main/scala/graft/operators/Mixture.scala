@@ -146,15 +146,37 @@ object Mixture {
     budgetSelectImpl(df, idCol, scoreCol, costCol, total => total * num / den)
   }
 
+  /** Driver-side fence on [[budgetSelectImpl]]'s per-class walk: the fit
+    * holds one row per DISTINCT score value, which is bounded by contract
+    * (permille-like quality classes) but nothing used to stop a caller
+    * passing a continuous score — an O(#docs) silent driver collect. The
+    * cap is far above any bucketed-score domain and far below corpus
+    * cardinality; the fetch is `limit(cap+1)`, so an over-cap fit
+    * transfers cap+1 rows and fails loudly, never the full domain. */
+  private[graft] val MaxScoreClasses = 1 << 20
+
   private def budgetSelectImpl(df: DataFrame, idCol: String, scoreCol: String,
       costCol: String, budgetOf: Long => Long): DataFrame = {
     val score = col(scoreCol).cast("long")
     val cost = col(costCol).cast("long")
     val rows = df.filter(score.isNotNull && cost.isNotNull)
-    val totals = rows
+    val totalsDf = rows
       .groupBy(score.as("__s"))
       .agg(sum(cost).as("__c"), min(cost).as("__cmin"))
-      .collect()
+    // limit at full initial width: the incremental limit-collect (1
+    // partition, ×4 per retry) would pay ~4 driver jobs re-reading the
+    // fit when, as always in the in-contract case, total classes < cap
+    val fetched = graft.ops.PlanScope.isolated(df.sparkSession,
+      "spark.sql.limit.initialNumPartitions" -> "100000") { scoped =>
+      graft.ops.PlanScope.rebind(totalsDf, scoped)
+        .limit(MaxScoreClasses + 1).collect()
+    }
+    require(fetched.length <= MaxScoreClasses,
+      s"budgetSelect: $scoreCol has more than $MaxScoreClasses distinct values — " +
+        "the per-class fit assumes a bounded score domain (permille-like " +
+        "classes); bucket the score first (e.g. quantileBuckets / a cast to " +
+        "a coarser grain) and select on the bucket")
+    val totals = fetched
       .map { r => (r.getLong(0), r.getLong(1), r.getLong(2)) }
       .sortBy { case (s, _, _) => -s }
     val budget = budgetOf(totals.map(_._2).sum)

@@ -58,8 +58,10 @@ object Hierarchy {
       .select(col("id").as("node"), col("parent").as("cur"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var spent = Vector(frontier)
-    var remaining = 1L // sentinel — round 1's count materializes the frontier
+    var remaining = 1L // sentinel — the first counted round materializes it
+    var round = 0
     while (remaining > 0) {
+      round += 1
       levels :+= frontier.select(col("node"), col("cur").as("anc"))
       // shuffle_hash pinned: the cached parentMap's partitioning already
       // satisfies the join (no exchange on the map side), so each round
@@ -71,10 +73,19 @@ object Hierarchy {
         .join(parentMap.hint("shuffle_hash"), frontier("cur") === col("__cid"))
         .filter(col("__pp").isNotNull)
         .select(col("node"), col("__pp").as("cur"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      remaining = next.count()
-      frontier = next
-      spent :+= next
+      // STRIDE-2 drain checks (the kCore discipline): the frontier only
+      // SHRINKS as nodes reach their roots, and an empty frontier stays
+      // empty — counting every second level still detects the drain, at
+      // worst one lazy join over an already-empty frontier late, while
+      // halving the climb's driver-job count. Odd levels stay LAZY (plan
+      // depth ≤ 2 over the last counted frontier); appending an empty
+      // level to the closure is a no-op rows-wise either way.
+      if (round % 2 == 0) {
+        val p = next.persist(StorageLevel.MEMORY_AND_DISK)
+        remaining = p.count()
+        frontier = p
+        spent :+= p
+      } else frontier = next
     }
     (levels, spent :+ parentMap)
   }

@@ -249,10 +249,9 @@ object CurationPipeline {
       Seq("doc_id"))
 
     // 2. decontaminate: drop anything that leaks an eval document
-    val flagged = Dedup.contaminationPairs(kept, evalDocs,
+    val flaggedNgram = Dedup.contaminationPairs(kept, evalDocs,
         minPermille = contaminationPermille, maxTrainDf = maxTrainDf)
-      .select(col("train_id").as("doc_id")).distinct()
-    val cleanNgram = kept.join(flagged, Seq("doc_id"), "left_anti")
+      .select(col("train_id").as("doc_id"))
 
     // 2b. SEMANTIC decontamination (opt-in via docEmb + evalEmb): drop
     // survivors whose embedding sits within cosine semanticMinCosE6/1e6
@@ -262,19 +261,21 @@ object CurationPipeline {
     // train corpus is scanned once — never train×train). Docs without an
     // embedding row pass through unflagged: only the n-gram fence covers
     // them, the honest semantics for a partially-embedded corpus.
-    val clean = docEmb.fold(cleanNgram) { de =>
-      // flag over the FULL embedding table, not the survivors: the
-      // anti-join below ignores flags on already-dropped ids, so the set
-      // is identical — while a survivor semi-join would duplicate the
-      // whole dedup subtree inside the flag leg's plan (measured: the
-      // composed query re-executed the chain twice). The grid join is
-      // one pass over the embedding table either way.
+    // Flags computed over the FULL embedding table, not the survivors:
+    // the anti-join below ignores flags on already-dropped ids, so the
+    // set is identical — while a survivor semi-join would duplicate the
+    // whole dedup subtree inside the flag leg's plan (measured: the
+    // composed query re-executed the chain twice). Both fences' flag
+    // sets UNION into ONE anti-join (sequential anti-joins ≡ one anti
+    // vs the union): one broadcast build per batch instead of two.
+    val flaggedAll = docEmb.fold(flaggedNgram) { de =>
       val trainEmb = de.select(col("doc_id").as("vec_id"), col("embedding"))
-      val flaggedSem = graft.operators.Similarity.semanticContamination(
-          trainEmb, evalEmb.get, semanticMinCosE6)
-        .select(col("train_id").as("doc_id")).distinct()
-      cleanNgram.join(flaggedSem, Seq("doc_id"), "left_anti")
+      flaggedNgram.unionByName(
+        graft.operators.Similarity.semanticContamination(
+            trainEmb, evalEmb.get, semanticMinCosE6)
+          .select(col("train_id").as("doc_id")))
     }
+    val clean = kept.join(flaggedAll.distinct(), Seq("doc_id"), "left_anti")
 
     // 3. quality floor: quantile-bucket the quality score, keep the top.
     // The survivor frame is consumed TWICE — the quantile fit's collect
@@ -555,17 +556,19 @@ object CurationPipeline {
           Dedup.corpusBands(corpusS, shingleN, numHashes, rowsPerBand)),
         batchS, shingleN, numHashes, rowsPerBand, minJaccardPermille)
       // 2. decontamination (n-gram, then the optional semantic fence)
-      val flagged = Dedup.contaminationPairs(admitted, in(evalDocs),
+      // both fences' flag sets union into ONE anti-join (≡ sequential
+      // anti-joins) — one broadcast build per admission batch, not two
+      val flaggedNgram = Dedup.contaminationPairs(admitted, in(evalDocs),
           minPermille = contaminationPermille, maxTrainDf = maxTrainDf)
-        .select(col("train_id").as("doc_id")).distinct()
-      val cleanNgram = admitted.join(flagged, Seq("doc_id"), "left_anti")
-      val clean = docEmb.fold(cleanNgram) { de =>
+        .select(col("train_id").as("doc_id"))
+      val flaggedAll = docEmb.fold(flaggedNgram) { de =>
         val batchEmb = in(de).select(col("doc_id").as("vec_id"), col("embedding"))
-        val flaggedSem = graft.operators.Similarity.semanticContamination(
-            batchEmb, in(evalEmb.get), semanticMinCosE6)
-          .select(col("train_id").as("doc_id")).distinct()
-        cleanNgram.join(flaggedSem, Seq("doc_id"), "left_anti")
+        flaggedNgram.unionByName(
+          graft.operators.Similarity.semanticContamination(
+              batchEmb, in(evalEmb.get), semanticMinCosE6)
+            .select(col("train_id").as("doc_id")))
       }
+      val clean = admitted.join(flaggedAll.distinct(), Seq("doc_id"), "left_anti")
       // 3. quality gate under the released fit
       val fit = qualityBreakValues.getOrElse(Sketches.quantileFit(
         corpusS.withColumn("quality", TextFunctions.qualityScore(col("text"))),

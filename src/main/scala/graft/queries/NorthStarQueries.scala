@@ -762,8 +762,12 @@ object NorthStarQueries {
             .toDF("rank", "bp").write.saveAsTable(s"${t}_fit")
         }
       }
-      val fit = s.table(s"${t}_fit").orderBy(col("rank"))
-        .collect().map(_.getLong(1)).toSeq
+      // frozen fit held driver-side across probes (Serving.cachedArtifact):
+      // one collect at first admission, zero per-batch fit jobs after
+      val fit = Serving.cachedArtifact(s"${t}_fit") {
+        s.table(s"${t}_fit").orderBy(col("rank"))
+          .collect().map(_.getLong(1)).toSeq
+      }
       graft.pipelines.CurationPipeline.curateDelta(
           corpus, batch, evalDocs,
           corpusDigests = Some(s.table(t)),

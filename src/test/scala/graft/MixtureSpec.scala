@@ -183,6 +183,27 @@ class MixtureSpec extends SparkTestBase {
     }
   }
 
+  test("budgetSelect: continuous score (unbounded class count) is rejected loudly") {
+    // the per-class fit collects one row per DISTINCT score value — fine
+    // for the bounded permille-like classes the operator contracts for,
+    // but a continuous score would silently walk O(#docs) rows onto the
+    // driver; the fence caps the fetch at MaxScoreClasses+1 rows and
+    // fails with bucketing guidance instead
+    val continuous = spark.range(Mixture.MaxScoreClasses + 2L)
+      .select($"id", $"id".as("score"), lit(1L).as("cost"))
+    val e = intercept[IllegalArgumentException] {
+      Mixture.budgetSelect(continuous, "id", "score", "cost", 10L)
+    }
+    assert(e.getMessage.contains("distinct values") &&
+      e.getMessage.contains("bucket the score"))
+    // the in-contract path is untouched: a bounded class domain over the
+    // same cardinality of ROWS selects normally
+    val bounded = spark.range(1000L)
+      .select($"id", ($"id" % 4L).as("score"), lit(1L).as("cost"))
+    assert(Mixture.budgetSelect(bounded, "id", "score", "cost", 250L)
+      .count() === 250L)
+  }
+
   test("budgetSelect: null evidence is excluded, negative costs fail loudly") {
     val toy = Seq(
       (1L, Some(5L), Some(10L)), (2L, None, Some(10L)), (3L, Some(5L), None)

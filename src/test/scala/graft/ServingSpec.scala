@@ -78,4 +78,53 @@ class ServingSpec extends SparkTestBase {
     assert(Serving.tradePairCounts(spark, dir).count() > 0)
     assert(fileStamps() === before, "second call must not rewrite the artifact")
   }
+
+  test("cold-session recovery: a fresh JVM re-serves the release hash-identically") {
+    // Restart survival of the WHOLE artifact lifecycle, end to end: the
+    // warm session cuts every served artifact (release digest/band/fit
+    // frames for c04, the s05 IVF buckets, the s08 BM25 postings, both
+    // legs of s16's hybrid fusion) and hashes the served results; then a
+    // SECOND, fully isolated JVM — fresh in-memory catalog, nothing but
+    // the warehouse directory on disk, the crashed-ingestion-driver
+    // scenario — runs the same queries. ensureServedTable must walk its
+    // stale-directory path (the dead JVM's files are on disk but absent
+    // from the new catalog), rebuild deterministically, and serve
+    // byte-identical results. One hash mismatch = the release a restarted
+    // server ships differs from the one the dead server was serving.
+    val sf = "/root/testdata/sf0.01"
+    val names = Seq("c04_curation_delta_served", "s05_knn_ivf_served",
+      "s08_bm25_served", "s16_hybrid_rrf")
+    val warm = names.map { n =>
+      n -> ColdServe.resultHash(SparkEntry.queries(n)(spark, sf))
+    }.toMap
+    assert(warm.values.toSet.size === names.size, "warm hashes must be distinct")
+    val warehouse = java.net.URI.create(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx2g", "-cp", System.getProperty("java.class.path"),
+      "graft.ColdServe", sf, warehouse, names.mkString(","))).toArray
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val out = scala.io.Source.fromInputStream(proc.getInputStream).mkString
+    val exit = proc.waitFor()
+    assert(exit === 0, s"cold JVM failed (exit $exit):\n${out.takeRight(4000)}")
+    val cold = out.linesIterator.collect {
+      case l if l.startsWith("COLDSERVE ") =>
+        val Array(_, n, h) = l.trim.split(' '); n -> h
+    }.toMap
+    names.foreach { n =>
+      assert(cold.get(n).contains(warm(n)),
+        s"$n: cold-session hash ${cold.get(n)} != warm ${warm(n)}")
+    }
+  }
 }
