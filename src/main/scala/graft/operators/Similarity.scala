@@ -464,21 +464,40 @@ object Similarity {
     val ck = if (coarseK > 0) coarseK else 4 * k
     require(ck >= k, s"coarseK ($ck) must be >= k ($k)")
     require(nprobe >= 1 && nprobe <= nCells, s"need 1 <= nprobe <= nCells, got $nprobe/$nCells")
-    require(nSub > 0 && dims % nSub == 0,
-      s"dims ($dims) must split evenly into nSub ($nSub) subspaces")
-    import org.apache.spark.sql.expressions.Window
     // fused fit + probed ADC scan + rescore on one conf-isolated static
     // scope (see ivfKnn)
     graft.ops.PlanScope.isolatedStaticFor(emb0) { scoped =>
-    val emb = graft.ops.PlanScope.rebind(emb0, scoped)
-    val queries = graft.ops.PlanScope.rebind(queries0, scoped)
-    val spark = scoped
-    import spark.implicits._
+      val emb = graft.ops.PlanScope.rebind(emb0, scoped)
+      val queries = graft.ops.PlanScope.rebind(queries0, scoped)
+      val index = buildIvfPq(emb, nCells, dims, nSub, nCodes, iters, sampleMod)
+      // spread: the in-call codes frame derives from one parquet split —
+      // the served path's bucketed table scan must NOT be re-spread
+      ivfPqProbe(spread(index.codes), emb, index.cent, index.model,
+        queries, k, nprobe, ck)
+    }
+  }
+
+  /** A built IVF-PQ index: the coded corpus (`codes`: vec_id, cell,
+    * code0..code{nSub-1}) plus the driver-side fitted artifacts — coarse
+    * centroids and subspace codebooks. Build once, probe many
+    * ([[ivfPqKnnWith]]); persist/load via [[saveIvfPq]]/[[loadIvfPq]] —
+    * the serving layout where probes read CODES from cell buckets and
+    * touch full vectors only for the coarseK rescore. */
+  final case class IvfPqIndex(codes: DataFrame,
+      cent: Seq[(Int, Array[Double])], model: PqModel)
+
+  /** Fit + encode an [[IvfPqIndex]] over `emb` — the release-cut build
+    * behind [[ivfPqKnn]] (which fits in-call) and [[saveIvfPq]] (which
+    * freezes the artifact). One fused [[fitBooks]] run fits the coarse
+    * centroids AND every subspace codebook (shared init collect + one
+    * driver job per Lloyd round); the encode is a shuffle-free per-row
+    * map ([[encodePq]]'s discipline, plus the full-space cell assign). */
+  def buildIvfPq(emb: DataFrame, nCells: Int = 16, dims: Int = 64,
+      nSub: Int = 4, nCodes: Int = 16, iters: Int = 2,
+      sampleMod: Int = 7): IvfPqIndex = {
+    require(nSub > 0 && dims % nSub == 0,
+      s"dims ($dims) must split evenly into nSub ($nSub) subspaces")
     val sd = dims / nSub
-    // ONE fused fit for the centroids AND every subspace codebook —
-    // each an independent k-means problem by the same rule, so they
-    // share the init collect and the per-round job instead of doubling
-    // the driver round-trips (the fit, not the scan, dominates)
     val all = fitBooks(emb,
       SubFit(0, dims, nCells) +: (0 until nSub).map(j => SubFit(j * sd, sd, nCodes)),
       iters, sampleMod)
@@ -486,15 +505,34 @@ object Similarity {
       .map { case (cid, m) => cid -> m.map(_.toDouble / 1e6) }
     val model = PqModel(dims, nSub, nCodes,
       all.tail.map(_.map { case (cid, m) => cid -> m.map(_.toDouble / 1e6) }.toSeq).toSeq)
-    if (cent.isEmpty) topKNeighbors(
-      emb.limit(0).select(col("vec_id").as("query_id"), lit(0L).as("cos_e6"),
-        col("vec_id").as("neighbor_id")), k)
-    else {
-    val corpus = spread(emb.select(
-      col("vec_id") +:
-        VectorExpressions.pqAssign(col("embedding"), cent.map(_._2), off = 0).as("cell") +:
-        (0 until nSub).map(j => VectorExpressions.pqAssign(col("embedding"),
-          model.books(j).map(_._2), off = j * sd).as(s"code$j")): _*))
+    val codes =
+      if (cent.isEmpty) // no usable vectors: empty coded corpus, same schema
+        emb.limit(0).select(
+          col("vec_id") +: lit(0).as("cell") +:
+            (0 until nSub).map(j => lit(0).as(s"code$j")): _*)
+      else emb.select(
+        col("vec_id") +:
+          VectorExpressions.pqAssign(col("embedding"), cent.map(_._2), off = 0).as("cell") +:
+          (0 until nSub).map(j => VectorExpressions.pqAssign(col("embedding"),
+            model.books(j).map(_._2), off = j * sd).as(s"code$j")): _*)
+    IvfPqIndex(codes, cent, model)
+  }
+
+  /** The shared IVF-PQ probe: coarse cell ranking per query, ADC scan of
+    * the probed cells' CODES, exact cosine rescore of the top `ck`.
+    * `vectors` supplies full embeddings for the rescore only. */
+  private def ivfPqProbe(codes: DataFrame, vectors: DataFrame,
+      cent: Seq[(Int, Array[Double])], model: PqModel, queries: DataFrame,
+      k: Int, nprobe: Int, ck: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = queries.sparkSession
+    import spark.implicits._
+    if (cent.isEmpty)
+      return topKNeighbors(
+        vectors.limit(0).select(col("vec_id").as("query_id"), lit(0L).as("cos_e6"),
+          col("vec_id").as("neighbor_id")), k)
+    val nSub = model.nSub
+    val sd = model.subDim
     val centDf = cent.toDF("cid", "cv")
       .select(col("cid"), col("cv"),
         sqrt(VectorExpressions.dotWiden(col("cv"), col("cv"))).as("cn"))
@@ -516,7 +554,7 @@ object Similarity {
     val adc = (0 until nSub)
       .map(j => element_at(col(s"t$j"), col(s"code$j") + 1))
       .reduce(_ + _)
-    val cand = corpus
+    val cand = codes
       .join(broadcast(probeTabs), Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("adc", adc)
@@ -527,13 +565,67 @@ object Similarity {
     val qv = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("qv"), norm(col("embedding")).as("qn"))
     val scored = broadcast(cand)
-      .join(emb.select(col("vec_id").as("neighbor_id"),
+      .join(vectors.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("nv"), norm(col("embedding")).as("nn")), "neighbor_id")
       .join(broadcast(qv), "query_id")
       .withColumn("cos_e6", cosE6From(col("qv"), col("nv"), col("qn"), col("nn")))
     topKNeighbors(scored, k)
+  }
+
+  /** Persist an [[IvfPqIndex]] as its serving layout: the coded corpus
+    * written as a catalog table BUCKETED BY `cell` (the probe's equi-join
+    * key — against the bucketed table the corpus side reads straight from
+    * its buckets with no exchange, the [[saveIvf]] story at 1/16th the
+    * bytes: nSub ints per row instead of `dims` floats), the coarse
+    * centroids as `<table>_centroids` and the subspace codebooks as
+    * `<table>_books` (both tiny driver-readable side tables). */
+  def saveIvfPq(index: IvfPqIndex, table: String, numBuckets: Int,
+      mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.ErrorIfExists): Unit = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    graft.ops.Layout.writeBucketed(index.codes, table, Seq("cell"), numBuckets, mode = mode)
+    index.cent.map { case (cid, v) => (cid, v.toSeq) }.toDF("cid", "cv")
+      .write.mode(mode).saveAsTable(s"${table}_centroids")
+    index.model.books.zipWithIndex
+      .flatMap { case (book, j) => book.map { case (cid, v) => (j, cid, v.toSeq) } }
+      .toDF("sub", "cid", "v")
+      .write.mode(mode).saveAsTable(s"${table}_books")
+  }
+
+  /** Load a persisted IVF-PQ index ([[saveIvfPq]]'s inverse). The coded
+    * corpus stays a (bucketed) table scan; centroids and codebooks are
+    * tiny driver reads — cache them per process for steady-state serving
+    * (the fit is deterministic, so a reload can never drift). */
+  def loadIvfPq(spark: org.apache.spark.sql.SparkSession, table: String): IvfPqIndex = {
+    val cent = spark.table(s"${table}_centroids").orderBy(col("cid")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toSeq
+    val bookRows = spark.table(s"${table}_books").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val nSub = if (bookRows.isEmpty) 0 else bookRows.map(_._1).max + 1
+    val books = (0 until nSub).map { j =>
+      bookRows.filter(_._1 == j).sortBy(_._2).map { case (_, cid, v) => cid -> v }.toSeq
     }
-    }
+    val dims = cent.headOption.map(_._2.length).getOrElse(0)
+    val model =
+      if (nSub == 0) PqModel(dims, 1, 0, Seq(Seq.empty))
+      else PqModel(dims, nSub, books.head.size, books)
+    IvfPqIndex(spark.table(table), cent, model)
+  }
+
+  /** Probe a pre-built [[IvfPqIndex]] — the serving path that amortizes
+    * the fit + encode across query batches ([[ivfPqKnn]] rebuilds both
+    * per call; the deterministic fit makes the two hash-identical over
+    * the same corpus, which is what lets the in-call oracle cover the
+    * served query verbatim). `vectors` is the full-vector source for the
+    * coarseK rescore — the index itself never stores vectors. Unscoped
+    * like [[ivfKnnWith]]: the caller owns the planning conf. */
+  def ivfPqKnnWith(index: IvfPqIndex, vectors: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int, coarseK: Int = 0): DataFrame = {
+    val ck = if (coarseK > 0) coarseK else 4 * k
+    require(ck >= k, s"coarseK ($ck) must be >= k ($k)")
+    require(index.cent.isEmpty || (nprobe >= 1 && nprobe <= index.cent.size),
+      s"nprobe must be in [1, nCells=${index.cent.size}], got $nprobe")
+    ivfPqProbe(index.codes, vectors, index.cent, index.model, queries, k, nprobe, ck)
   }
 
   /** Deterministic sampled k-means centroids for the IVF index —

@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -2046,6 +2048,29 @@ object NorthStarQueries {
       Similarity.ivfPqKnn(emb, emb.filter(col("vec_id") < 20),
         k = 5, nCells = 16, nprobe = 2, coarseK = 20)
     }),
+    "s19_knn_ivfpq_served" -> ((s, d) => {
+      // The SERVING path of s14 (the s05 pattern one compression level
+      // down): probe a PERSISTED cell-bucketed CODES table + frozen
+      // centroid/codebook artifacts (saveIvfPq/loadIvfPq) instead of
+      // fitting and encoding per call. The build is paid once per
+      // session (Serving.ivfPqIndexTable); the driver-side fitted
+      // artifacts are held in memory across probes (cachedArtifact), so
+      // the median rep measures the pure two-level probe: cell rank →
+      // ADC over 4 ints/row from the probed buckets → exact rescore.
+      // Deterministic fit ⇒ results identical to s14 ⇒ its
+      // fit-replaying oracle covers this query verbatim.
+      val table = Serving.ivfPqIndexTable(s, d)
+      val (cent, model) = Serving.cachedArtifact(s"${table}__driver") {
+        val ix = Similarity.loadIvfPq(s, table)
+        (ix.cent, ix.model)
+      }
+      graft.ops.PlanScope.isolatedStaticFor(Tables.embeddings(s, d)) { scoped =>
+        val emb = Tables.embeddings(scoped, d)
+        Similarity.ivfPqKnnWith(
+          Similarity.IvfPqIndex(scoped.table(table), cent, model),
+          emb, emb.filter(col("vec_id") < 20), k = 5, nprobe = 2, coarseK = 20)
+      }
+    }),
     "s13_knn_pq" -> ((s, d) => {
       // Product-quantization ANN (ADC): 4 subspace codebooks of 16 codes,
       // corpus scanned as 4 ints/row against broadcast per-query lookup
@@ -3799,4 +3824,9 @@ object NorthStarQueries {
         |       CAST(unnest(range(0, n_frames, 5)) AS INT) AS frame_idx
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
   )
+    // the served IVF-PQ probe is hash-identical to s14's in-call
+    // fit+encode (deterministic fit over the same corpus and params),
+    // so the fit-replaying oracle covers it verbatim — the same
+    // two-postures-one-replay framing as c04 riding c03's oracle
+    .pipe(m => m + ("s19_knn_ivfpq_served" -> m("s14_knn_ivfpq")))
 }

@@ -141,6 +141,27 @@ object Serving {
     table
   }
 
+  /** The session's served IVF-PQ index over `embeddings` (nCells = 16,
+    * PQ 4×16, same deterministic fit parameters as s14's in-call build,
+    * cell-bucketed codes — see Similarity.saveIvfPq for the layout
+    * story). The two-level serving artifact for corpora where even a
+    * full-vector IVF bucket is too many bytes to scan per probe: the
+    * probe reads 4 ints per candidate row from its cell buckets, and
+    * full vectors only for the rescore. s14 keeps the in-call fit+encode
+    * measured; the deterministic fit makes the served probe
+    * hash-identical, so s14's fit-replaying oracle covers the served
+    * query verbatim. Returns the table name; load with
+    * Similarity.loadIvfPq. */
+  def ivfPqIndexTable(s: SparkSession, d: String): String = {
+    import graft.operators.Similarity
+    val table = servedTableName("graft_ivfpq_s19_", d)
+    ensureServedTable(s, table, Seq(s"${table}_centroids", s"${table}_books")) {
+      Similarity.saveIvfPq(Similarity.buildIvfPq(Tables.embeddings(s, d),
+        nCells = 16), table, numBuckets = 8)
+    }
+    table
+  }
+
   /** The session's served BM25 inverted index over `documents`
     * (term-bucketed postings + corpus-stats side table — see
     * TextSearch.saveTextIndex for the layout story). Probed by s08 (the

@@ -50,6 +50,20 @@ class ServingSpec extends SparkTestBase {
     assert(served.toSeq === adhoc.toSeq)
   }
 
+  test("served IVF-PQ probe equals the in-call fit+encode") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < 5)
+    val t = Serving.ivfPqIndexTable(spark, dir)
+    val served = Similarity.ivfPqKnnWith(Similarity.loadIvfPq(spark, t),
+      emb, q, k = 3, nprobe = 2, coarseK = 10)
+      .orderBy(col("query_id"), col("rank")).collect()
+    val adhoc = Similarity.ivfPqKnn(emb, q, k = 3, nCells = 16,
+      nprobe = 2, coarseK = 10)
+      .orderBy(col("query_id"), col("rank")).collect()
+    assert(served.nonEmpty && served.toSeq === adhoc.toSeq)
+  }
+
   test("bpeMergeRules is stable across calls and non-empty") {
     val r1 = Serving.bpeMergeRules(spark, dir)
     val r2 = Serving.bpeMergeRules(spark, dir)
