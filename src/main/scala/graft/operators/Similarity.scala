@@ -612,6 +612,29 @@ object Similarity {
     IvfPqIndex(spark.table(table), cent, model)
   }
 
+  /** Incremental IVF-PQ maintenance — [[extendIvf]]'s analogue for the
+    * coded layout: encode the delta against the FROZEN centroids and
+    * codebooks and append. Old codes never move (the artifacts are
+    * immutable inputs), so the extended index equals an encode of
+    * base∪delta under the SAME frozen artifacts — the property
+    * ServingSpec pins. NOTE the deliberate asymmetry with a full
+    * rebuild: [[buildIvfPq]] over base∪delta would REFIT the codebooks
+    * on the union (a different, generally better quantizer), so
+    * extension trades recall drift for a one-pass delta encode — the
+    * standard add-without-retrain contract of a served PQ index;
+    * periodic refits remain a release-cadence policy. */
+  def extendIvfPq(index: IvfPqIndex, newEmb: DataFrame): IvfPqIndex = {
+    val sd = index.model.subDim
+    val codes =
+      if (index.cent.isEmpty) index.codes // nothing fitted: nothing to encode against
+      else index.codes.unionByName(newEmb.select(
+        col("vec_id") +:
+          VectorExpressions.pqAssign(col("embedding"), index.cent.map(_._2), off = 0).as("cell") +:
+          (0 until index.model.nSub).map(j => VectorExpressions.pqAssign(col("embedding"),
+            index.model.books(j).map(_._2), off = j * sd).as(s"code$j")): _*))
+    IvfPqIndex(codes, index.cent, index.model)
+  }
+
   /** Probe a pre-built [[IvfPqIndex]] — the serving path that amortizes
     * the fit + encode across query batches ([[ivfPqKnn]] rebuilds both
     * per call; the deterministic fit makes the two hash-identical over

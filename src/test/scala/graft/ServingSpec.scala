@@ -64,6 +64,28 @@ class ServingSpec extends SparkTestBase {
     assert(served.nonEmpty && served.toSeq === adhoc.toSeq)
   }
 
+  test("extendIvfPq equals encoding the union under the frozen artifacts") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, dir)
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    val delta = emb.filter(col("vec_id") % 3 === 0)
+    val baseIx = Similarity.buildIvfPq(base, nCells = 8)
+    val extended = Similarity.extendIvfPq(baseIx, delta)
+    // the frozen-artifact contract: extension == one encode pass of the
+    // union against the BASE fit (never a refit — that asymmetry is the
+    // documented add-without-retrain trade)
+    val frozenUnion = Similarity.extendIvfPq(
+      Similarity.IvfPqIndex(baseIx.codes.limit(0), baseIx.cent, baseIx.model),
+      base.unionByName(delta)).codes
+    assert(extended.codes.exceptAll(frozenUnion).isEmpty &&
+      frozenUnion.exceptAll(extended.codes).isEmpty)
+    // and probing the extended index still returns exact ranks over the
+    // union's coded corpus
+    val q = emb.filter(col("vec_id") < 3)
+    assert(Similarity.ivfPqKnnWith(extended, emb, q,
+      k = 3, nprobe = 2, coarseK = 10).count() > 0)
+  }
+
   test("bpeMergeRules is stable across calls and non-empty") {
     val r1 = Serving.bpeMergeRules(spark, dir)
     val r2 = Serving.bpeMergeRules(spark, dir)
