@@ -22,12 +22,14 @@ object Bench {
     * `static`) before trusting it; it is a bench-harness posture, never
     * a library default. */
   private val AdaptivePlanned: Set[String] = Set(
-    "c03_curation_delta", "c04_curation_delta_served",
-    "d05_embedding_neardup", "d16_lsh_eval",
-    "d18_trade_pagerank", "d20_label_propagation",
-    "q31_asof_join", "q70_kcore",
-    "s15_recall_sweep", "s17_bitext_margin",
-    "t17_tfidf_keywords", "t46_bpe_fertility")
+    // re-pinned after the fused-loop-exit work landed (the original
+    // twelve-query set's loop entries lost their adaptive edge once the
+    // exits stopped double-materializing): only the REPRODUCIBLE wins
+    // stay — d05's structural 2.4 s gap plus five shapes that won both
+    // A/B rounds by a small consistent margin
+    "c04_curation_delta_served", "d05_embedding_neardup",
+    "d20_label_propagation", "q31_asof_join",
+    "s15_recall_sweep", "s17_bitext_margin")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
