@@ -29,7 +29,12 @@ object Bench {
     // A/B rounds by a small consistent margin
     "c04_curation_delta_served", "d05_embedding_neardup",
     "d20_label_propagation", "q31_asof_join",
-    "s15_recall_sweep", "s17_bitext_margin")
+    "s15_recall_sweep", "s17_bitext_margin",
+    // r14 re-pin of the q34 wall drift the r13 tail-gate missed: 10-rep
+    // fixed-class A/B reads adaptive 0.68 norm / 4 jobs (score 1.05) vs
+    // static 1.04 / 3 (score 1.32) — the salted shuffle join is real
+    // corpus compute where AQE's exchange sizing carries its weight
+    "q34_salted_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -47,10 +52,12 @@ object Bench {
     // load-bearing) keep AQE — the curated [[AdaptivePlanned]] set, pinned
     // by a measured A/B of both postures (r13) and disclosed verbatim in
     // the board JSON. Ad-hoc exploration keeps AQE everywhere —
-    // GraftSession (the library's session builder) is unchanged, and the
-    // correctness gate (Verify) runs under its own adaptive session, so
-    // every measured plan is hash-pinned against the oracle under BOTH
-    // postures.
+    // GraftSession (the library's session builder) is unchanged. The
+    // correctness gate (Verify) runs adaptive by default, and
+    // SPARK_GRAFT_VERIFY_PLAN=static re-runs the whole dump under THIS
+    // posture — the r14 static selfcheck (SURVEY §"posture invariance")
+    // pinned every oracle hash identical under both, so the routing
+    // choice here is measurement-only, never semantics.
     val planPosture = sys.env.getOrElse("SPARK_GRAFT_BENCH_PLAN", "hybrid") match {
       case p @ ("hybrid" | "adaptive" | "static") => p
       case other => sys.error(s"SPARK_GRAFT_BENCH_PLAN must be hybrid|adaptive|static, got '$other'")
@@ -112,6 +119,12 @@ object Bench {
       Similarity.pqKnn(tinyEmb, tinyEmb.limit(3), k = 2, nCodes = 2, coarseK = 4).count()
       Similarity.ivfPqKnn(tinyEmb, tinyEmb.limit(3), k = 2, nCells = 2,
         nprobe = 1, nCodes = 2, coarseK = 4).count()
+      // r14: the frozen-artifact delta encode + codes union (s20) —
+      // base = the (non-empty) tiny slice itself so the build can never
+      // fit empty and abort the rest of the warmup
+      Similarity.extendIvfPq(
+        Similarity.buildIvfPq(tinyEmb, nCells = 2, nCodes = 2),
+        tinyEmb.limit(5)).codes.count()
       tinyDocs.select(
         graft.functions.TextFunctions.ngramRepetition(org.apache.spark.sql.functions.col("text"), 1),
         graft.functions.TextFunctions.ngramRepetition(org.apache.spark.sql.functions.col("text"), 3)).count()
@@ -313,6 +326,7 @@ object Bench {
       // it so measured reps are pure loop/probe work (q72 and q61 keep
       // the in-call ad-hoc derives measured)
       graft.queries.Serving.tradePairCounts(spark, sfDir).count()
+      graft.queries.Serving.tradePairCountsBase(spark, sfDir).count()
       graft.queries.Serving.copurchasePairCounts(spark, sfDir).count()
       // tokenizer artifact (t46 encodes through it; t45 keeps the train
       // measured): the 6-rule fit is a release-cut cost
@@ -337,6 +351,7 @@ object Bench {
       "c04_curation_delta_served", "s05_knn_ivf_served", "s08_bm25_served",
       "s19_knn_ivfpq_served",
       "d18_trade_pagerank", "d19_weighted_pagerank", "d20_label_propagation",
+      "d23_link_extend",
       "q60_bfs_hops", "q69_triangle_count", "q70_kcore", "q71_sssp",
       "t46_bpe_fertility", "s17_bitext_margin", "s12_ann_recall",
       "s15_recall_sweep", "s16_hybrid_rrf", "s18_bm25_delta")
@@ -345,6 +360,7 @@ object Bench {
       val c04 = servedTableName("graft_crel_c04_", sfDir)
       val expectTables = Seq(
         servedTableName("graft_trade_pairs_", sfDir),
+        servedTableName("graft_trade_base_", sfDir),
         servedTableName("graft_copurchase_", sfDir),
         servedTableName("graft_ivf_s05_", sfDir),
         servedTableName("graft_ivfpq_s19_", sfDir),
@@ -581,33 +597,55 @@ object Bench {
     * JSON, flag regressions on stderr (so a slowdown surfaces during the
     * round instead of at judging), and RETURN the flagged names — the
     * main loop feeds them to the fixed-class self-adjudication pass.
-    * Reads SPARK_GRAFT_BENCH_PREV if set, else
-    * the numerically-latest BENCH_r*.json in the working directory —
-    * excluding the current round's own file when SPARK_GRAFT_BENCH_ROUND
-    * names it (a re-run after the driver snapshots round N would otherwise
-    * diff against its own output and report a clean gate). Purely
-    * advisory — never fails the run.
+    * Baseline preference: SPARK_GRAFT_BENCH_PREV if set, else the
+    * numerically-latest BENCH_detail_r*.json (the FULL committed board —
+    * the driver's BENCH_r*.json keeps only a truncated log tail whose
+    * ~15 surviving entries let real per-query drift sail past the gate;
+    * r13 shipped 1.5–2.1× wall regressions unflagged that way), else the
+    * latest BENCH_r*.json tail as the last resort — always excluding the
+    * current round's own files when SPARK_GRAFT_BENCH_ROUND names it
+    * (a re-run after the driver snapshots round N would otherwise diff
+    * against its own output and report a clean gate). Purely advisory —
+    * never fails the run.
     */
   private def regressionFlagged(results: Map[String, Double]): Set[String] = try {
     val currentRound = sys.env.get("SPARK_GRAFT_BENCH_ROUND").flatMap(_.toIntOption)
-    val prevFile = sys.env.get("SPARK_GRAFT_BENCH_PREV").map(new java.io.File(_))
-      .orElse(Option(new java.io.File(".").listFiles()).flatMap(
+    def latest(pattern: String): Option[java.io.File] =
+      Option(new java.io.File(".").listFiles()).flatMap(
         // numeric round sort — lexicographic would pick r9 over r10 forever
-        _.filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
+        _.filter(f => f.getName.matches(pattern))
           .filter(f => !currentRound.contains(f.getName.replaceAll("\\D", "").toInt))
-          .sortBy(f => f.getName.replaceAll("\\D", "").toInt).lastOption))
+          .sortBy(f => f.getName.replaceAll("\\D", "").toInt).lastOption)
+    val prevFile = sys.env.get("SPARK_GRAFT_BENCH_PREV").map(new java.io.File(_))
+      .orElse(latest("BENCH_detail_r\\d+\\.json"))
+      .orElse(latest("BENCH_r\\d+\\.json"))
       .filter(_.isFile)
     prevFile.map { f =>
       val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      // the driver wraps the bench line in a log tail, so quotes may arrive
-      // escaped — match both "name":1.23 and \"name\":1.23
-      // exponent part included: a near-instant query's median serializes as
-      // e.g. 5.1E-4, and capturing only the "5.1" would inflate its baseline
-      // ~4 orders of magnitude, permanently masking real regressions on it
+      // A full board line repeats every query name across FOUR maps
+      // (queries / queries_norm / jobs / cal_q) — a whole-text scan would
+      // let a later map's value (cal_q ms, job counts) overwrite the
+      // wall-seconds baseline. Scope the parse to the "queries":{...}
+      // object when it survives in the file; a truncated tail that lost
+      // the object header falls back to the whole-text scan, keeping the
+      // FIRST occurrence per name (the queries map serializes first).
+      // Quotes may arrive escaped inside a log tail — match both forms.
+      // Exponent part included: a near-instant query's median serializes
+      // as e.g. 5.1E-4, and capturing only the "5.1" would inflate its
+      // baseline ~4 orders of magnitude, permanently masking regressions
       val pair = """\\?"([a-z0-9_]+)\\?":([0-9]+\.[0-9]+(?:[eE][+-]?[0-9]+)?)""".r
-      val prev = pair.findAllMatchIn(text)
+      val queriesObj = """\\?"queries\\?":\{([^}]*)\}""".r
+        .findFirstMatchIn(text).map(_.group(1))
+      val scanText = queriesObj.getOrElse(text)
+      val prev = pair.findAllMatchIn(scanText)
         .map(m => m.group(1) -> m.group(2).toDouble)
-        .filter { case (k, _) => results.contains(k) }.toMap
+        .filter { case (k, _) => results.contains(k) }
+        .foldLeft(Map.empty[String, Double]) { case (acc, (k, v)) =>
+          if (acc.contains(k)) acc else acc + (k -> v) // first occurrence wins
+        }
+      System.err.println(s"[bench] regression gate baseline ${f.getName}: " +
+        s"${prev.size}/${results.size} queries covered" +
+        (if (queriesObj.isDefined) " (queries-object parse)" else " (tail parse)"))
       val flagged = results.toSeq.sortBy(-_._2).flatMap { case (name, now) =>
         prev.get(name).collect {
           case was if was > 0.2 && now > was * 1.5 =>

@@ -24,7 +24,11 @@ object ColdServe {
   /** Order-insensitive content hash of a result: column names sorted,
     * every cell rendered to a string, rows sorted, md5 over the whole
     * block. Mirrors the driver's oracle-compare framing (sort columns by
-    * name, then hash values) closely enough for an equality pin. */
+    * name, then hash values) closely enough for an equality pin.
+    * Cells join on \\u0001 and each row feeds the digest with a trailing
+    * LF — without the row delimiter, the same cell bytes split at
+    * different row boundaries would collide and the restart pin could
+    * false-pass on a real drift. */
   def resultHash(df: DataFrame): String = {
     val cols = df.columns.sorted
     val rows = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
@@ -32,7 +36,7 @@ object ColdServe {
       .map(r => (0 until r.length).map(i => String.valueOf(r.get(i))).mkString(""))
       .sorted
     val md = java.security.MessageDigest.getInstance("MD5")
-    rows.foreach(r => md.update(r.getBytes("UTF-8")))
+    rows.foreach(r => md.update((r + "\n").getBytes("UTF-8")))
     md.digest().map("%02x".format(_)).mkString
   }
 

@@ -29,8 +29,17 @@ object JobCensus {
           val graftFrame = result.details.linesIterator
             .find(l => l.contains("graft.") && !l.contains("JobCensus"))
             .getOrElse("").trim
+          // broadcast-build jobs carry no graft frame in their result
+          // stage (they run on the exchange thread pool) — fish every
+          // stage's details for graft frames so the census can attribute
+          // WHICH operator's broadcast this was
+          val anyFrames =
+            if (graftFrame.nonEmpty) ""
+            else j.stageInfos.flatMap(_.details.linesIterator
+                .filter(l => l.contains("graft.") && !l.contains("JobCensus"))
+                .take(1)).distinct.take(2).mkString(" | ")
           log.put(j.jobId,
-            f"stages=${j.stageInfos.size}%2d  ${result.name}%-40s $graftFrame")
+            f"stages=${j.stageInfos.size}%2d  ${result.name}%-40s $graftFrame$anyFrames")
         }
       // NOT gated on `record`: the bus drains asynchronously, so the last
       // jobs' end events often arrive after the main thread flips record

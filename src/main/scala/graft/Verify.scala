@@ -9,10 +9,20 @@ object Verify {
     // dump to those queries (local triage); the driver always passes two.
     val Array(sfDir, outDir, only @ _*) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_VERIFY_PLAN=static runs the WHOLE dump with AQE off —
+    // the bench's static measurement posture — so a selfcheck pass under
+    // it pins that every oracle hash is plan-posture-independent (the
+    // default adaptive dump is the driver's contract run; the static one
+    // is the posture-invariance audit the bench's routing relies on).
+    val planPosture = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PLAN", "adaptive") match {
+      case p @ ("adaptive" | "static") => p
+      case other => sys.error(s"SPARK_GRAFT_VERIFY_PLAN must be adaptive|static, got '$other'")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", (planPosture == "adaptive").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -245,6 +245,63 @@ object VectorKernels {
     bestCode
   }
 
+  /** Top-`nprobe` cell ids of a query vector against the coarse
+    * codebook, by the SAME score rule as [[pqAssign]]
+    * (`dot/(|v|·cn_c)`, every sum the sequential widened loop) and the
+    * SAME ordering as the former windowed probe (`row_number` over
+    * (score desc, cid asc)): repeated strict-`>` selection keeps the
+    * lowest cid on ties, and NaN scores map to +Inf so they rank first
+    * exactly as Spark's descending double sort places NaN. Replaces the
+    * broadcast-centroid crossJoin + window rank — the probe side's cell
+    * choice is a pure projection, zero exchange, zero driver job. */
+  def pqTopCells(arr: ArrayData, book: Array[Double], cns: Array[Double],
+      nprobe: Int): ArrayData = {
+    val sd = if (cns.length == 0) 0 else book.length / cns.length
+    if (arr.numElements() < sd) throw new IllegalArgumentException(
+      s"pq_top_cells: vector has ${arr.numElements()} dims, need $sd")
+    val v = new Array[Double](sd)
+    var i = 0
+    var nvAcc = 0.0
+    while (i < sd) {
+      val x = arr.getFloat(i).toDouble
+      v(i) = x
+      nvAcc += x * x
+      i += 1
+    }
+    val nv = math.sqrt(nvAcc)
+    val nCodes = cns.length
+    val scores = new Array[Double](nCodes)
+    var c = 0
+    while (c < nCodes) {
+      var dot = 0.0
+      val base = c * sd
+      var k = 0
+      while (k < sd) { dot += v(k) * book(base + k); k += 1 }
+      val sc = dot / (nv * cns(c))
+      scores(c) = if (java.lang.Double.isNaN(sc)) Double.PositiveInfinity else sc
+      c += 1
+    }
+    val n = math.min(nprobe, nCodes)
+    val out = new Array[Int](n)
+    val taken = new Array[Boolean](nCodes)
+    var r = 0
+    while (r < n) {
+      var best = Double.NegativeInfinity
+      var bestCode = -1
+      var c2 = 0
+      while (c2 < nCodes) {
+        if (!taken(c2) && (bestCode < 0 || scores(c2) > best)) {
+          best = scores(c2); bestCode = c2
+        }
+        c2 += 1
+      }
+      taken(bestCode) = true
+      out(r) = bestCode
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** PQ ADC lookup table for one subspace of a query vector:
     * `t[c] = round(1e6·dot(q_sub, codeword_c))` as exact longs — the
     * micro-round replicates Spark `round()` (BigDecimal HALF_UP), each
@@ -290,6 +347,28 @@ case class PqAssignExpr(child: Expression, book: Array[Double],
     val cnsRef = ctx.addReferenceObj("cns", cns, "double[]")
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.expressions.VectorKernels.pqAssign($c, $bookRef, $cnsRef, $off, $sd);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Top-nprobe coarse-cell pick for a query `array<float>` — see
+  * [[VectorKernels.pqTopCells]]. */
+case class PqTopCellsExpr(child: Expression, book: Array[Double],
+    cns: Array[Double], nprobe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"pq_top_cells expects array<float>, got $t")
+  }
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.pqTopCells(a.asInstanceOf[ArrayData], book, cns, nprobe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bookRef = ctx.addReferenceObj("book", book, "double[]")
+    val cnsRef = ctx.addReferenceObj("cns", cns, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.VectorKernels.pqTopCells($c, $bookRef, $cnsRef, $nprobe);")
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -411,6 +490,23 @@ object VectorExpressions {
     }.toArray
     GraftColumnShim.column(PqAssignExpr(
       GraftColumnShim.expression(a), book.flatten.toArray, cns, off, sd))
+  }
+
+  /** Column wrapper for PqTopCellsExpr: codebook rows flattened, norms
+    * precomputed with the kernel's own sequential loop (the pqAssign
+    * discipline — the values must match what the fit's replaying oracles
+    * compute bit-for-bit). */
+  def topCells(a: Column, book: Seq[Array[Double]], nprobe: Int): Column = {
+    require(book.nonEmpty, "pq_top_cells needs a non-empty codebook")
+    val sd = book.head.length
+    require(book.forall(_.length == sd), "pq_top_cells codewords must share one width")
+    val cns = book.map { cw =>
+      var s = 0.0; var i = 0
+      while (i < cw.length) { s += cw(i) * cw(i); i += 1 }
+      math.sqrt(s)
+    }.toArray
+    GraftColumnShim.column(PqTopCellsExpr(
+      GraftColumnShim.expression(a), book.flatten.toArray, cns, nprobe))
   }
 
   /** Column wrapper for PqAdcTableExpr. */

@@ -660,18 +660,28 @@ object Dedup {
     // join planned a broadcast exchange whose build is a driver job per
     // batch; the union arm scans exactly the same columns and folds both
     // extrema in a single shuffle-free global aggregate
+    // __uncastable closes the guard's own escape hatch: a NON-NUMERIC
+    // doc_id type casts to NULL, and a null extremum would otherwise ride
+    // the isNull escape and silently PASS the very check it defeats —
+    // count rows whose original id was non-null but whose long cast
+    // nulled out, and fail on any
     val idGuard = corpus.select(col("doc_id").cast("long").as("__id"),
-        lit(0).as("__side"))
+        col("doc_id").isNotNull.as("__nn"), lit(0).as("__side"))
       .unionByName(newDocs.select(col("doc_id").cast("long").as("__id"),
-        lit(1).as("__side")))
+        col("doc_id").isNotNull.as("__nn"), lit(1).as("__side")))
       .agg(max(when(col("__side") === 0, col("__id"))).as("__mx"),
-        min(when(col("__side") === 1, col("__id"))).as("__mn"))
-      .select(assert_true(col("__mx").isNull || col("__mn").isNull ||
-          col("__mx") < col("__mn"),
+        min(when(col("__side") === 1, col("__id"))).as("__mn"),
+        sum(when(col("__nn") && col("__id").isNull, 1L).otherwise(0L))
+          .as("__uncastable"))
+      .select(assert_true(
+        coalesce(col("__uncastable"), lit(0L)) === 0L &&
+          (col("__mx").isNull || col("__mn").isNull ||
+            col("__mx") < col("__mn")),
         concat(lit("dedupDelta id contract violated: max(corpus.doc_id)="),
           col("__mx"), lit(" >= min(newDocs.doc_id)="), col("__mn"),
-          lit(" — batch ids must sit strictly above corpus ids " +
-            "(monotonic ingestion layout)"))).as("__guard"))
+          lit(", non-castable ids="), coalesce(col("__uncastable"), lit(0L)),
+          lit(" — batch ids must be castable to long and sit strictly " +
+            "above corpus ids (monotonic ingestion layout)"))).as("__guard"))
     val fpNew = newDocs.select(col("doc_id"), md5(col("text")).as("__fp"))
     val exactVsCorpus = fpNew
       .join(digests.select(col("fp").as("__fp")), Seq("__fp"), "left_semi")

@@ -135,8 +135,10 @@ object Graphs {
     // Safe because nothing has forced this frame's query execution yet —
     // the lazy planning sees the persist() entry.
     //
-    // FUSED EXIT: `out` may arrive LAZY (at most CutEvery-1 rounds of
-    // plan over the last lineage cut) — this count is then the loop's
+    // FUSED EXIT: `out` may arrive LAZY (at most CutEvery rounds of
+    // plan over the last lineage cut — the cut skips at r == iters, so an
+    // iters that is a multiple of CutEvery leaves the full-cadence
+    // suffix lazy) — this count is then the loop's
     // final materialization too, one driver job instead of the former
     // count-then-copy pair. `releaseAfter` takes the loop's scaffolding
     // pins (edge cache, node cache, last cut): they feed this count's
@@ -317,7 +319,10 @@ object Graphs {
           flatView(cut)
         } else next
       }
-      // the final rounds stay LAZY (≤ CutEvery-1 deep over the last cut);
+      // the final rounds stay LAZY (≤ CutEvery deep over the last cut —
+      // an iters that is itself a multiple of CutEvery skips the cut at
+      // r == iters, leaving the full CutEvery-round suffix lazy; still
+      // far below the AQE-nesting onset, and loops run AQE-off);
       // handoff's caller-bound count is the single exit materialization —
       // the former cut-then-copy pair was two driver jobs for one result
       handoff(ranks, caller,
@@ -532,8 +537,12 @@ object Graphs {
       val e = PlanScope.rebindRows(e0, scoped) // cached-block hop, see pageRankWeighted
         .repartition(nPart, col("src"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      e.count()
-      e0.unpersist(blocking = false)
+      // e's cache population RIDES the first counted round (round 2's
+      // drain count is the loop's first action and fills it) instead of
+      // paying its own driver job; e0's upstream cache releases right
+      // after that first count (flag below), so the two edge caches
+      // overlap for at most two rounds — not the whole loop
+      var e0Released = false
       val seedNodes = PlanScope.rebind(seeds, scoped)
         .select(col("node").cast("long").as("node"))
       // settled is a lazy union of the per-round PERSISTED frontiers: the
@@ -563,6 +572,7 @@ object Graphs {
         val fresh = if (round % 2 == 0 || round == maxRounds) {
           val p = fresh0.persist(StorageLevel.MEMORY_AND_DISK)
           frontierSize = p.count()
+          if (!e0Released) { e0.unpersist(blocking = false); e0Released = true }
           spent :+= p
           p
         } else fresh0
@@ -587,7 +597,8 @@ object Graphs {
         .join(settled.select(col("node").as("__n"), col("dist")),
           nodes("node") === col("__n"), "left")
         .select(col("node"), col("dist"))
-      handoff(out, caller, releaseAfter = spent :+ e)
+      handoff(out, caller,
+        releaseAfter = (spent :+ e) ++ (if (e0Released) Nil else Seq(e0)))
     }
   }
 
@@ -726,7 +737,8 @@ object Graphs {
         } else next
       }
       // node universe from the loop-cached edge frame + seeds — the exit
-      // stays lazy (≤ CutEvery-1 relax rounds over the last cut); handoff's
+      // stays lazy (≤ CutEvery relax rounds over the last cut — see the
+      // handoff note on the rounds-multiple-of-CutEvery case); handoff's
       // caller-bound count is the single exit materialization
       val nodes = e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node")))
@@ -789,8 +801,10 @@ object Graphs {
         .unionByName(undS.select(col("b").as("node"), col("a").as("other")))
         .repartition(nPart, col("node"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      dir.count()
-      und.unpersist(blocking = false)
+      // dir's cache population rides the first convergence count (the
+      // loop's first action — see bfsHops); und releases right after it,
+      // bounding the two edge caches' overlap to the first two rounds
+      var undReleased = false
       var deg = dir.groupBy(col("node")).agg(count(lit(1)).as("deg"))
       var prevCut: Option[DataFrame] = None
       var prevAlive = -1L
@@ -810,6 +824,7 @@ object Graphs {
         if (checkNow) {
           val cut = deg.filter(col("deg") >= k).persist(StorageLevel.MEMORY_AND_DISK)
           val nAlive = cut.count()
+          if (!undReleased) { und.unpersist(blocking = false); undReleased = true }
           prevCut.foreach(_.unpersist(blocking = false))
           prevCut = Some(cut)
           if (nAlive == prevAlive) {
@@ -836,14 +851,15 @@ object Graphs {
             .groupBy(col("node")).agg(count(lit(1)).as("deg"))
         }
       }
+      val undTail = if (undReleased) Nil else Seq(und)
       if (converged)
-        handoff(prevCut.get, caller, releaseAfter = Seq(dir))
+        handoff(prevCut.get, caller, releaseAfter = Seq(dir) ++ undTail)
       else
         // maxRounds exhausted: one more LAZY filter over the last
         // recompute, matching the oracle's final ≥ k cut — handoff's
         // caller-bound count materializes it (fused exit, one job)
         handoff(deg.filter(col("deg") >= k), caller,
-          releaseAfter = Seq(dir) ++ prevCut.toSeq)
+          releaseAfter = Seq(dir) ++ prevCut.toSeq ++ undTail)
     }
   }
 }

@@ -156,7 +156,16 @@ object Mixture {
   private[graft] val MaxScoreClasses = 1 << 20
 
   private def budgetSelectImpl(df: DataFrame, idCol: String, scoreCol: String,
-      costCol: String, budgetOf: Long => Long): DataFrame = {
+      costCol: String, budgetOf: Long => Long): DataFrame =
+    budgetSelectImpl(df, idCol, scoreCol, costCol, budgetOf, MaxScoreClasses)
+
+  /** The fetch cap rides as a parameter so the spec can drive the
+    * localized path on a tiny fixture (forcing >2^20 real classes in a
+    * unit test would be its own corpus); production entry points always
+    * pass [[MaxScoreClasses]]. */
+  private[graft] def budgetSelectImpl(df: DataFrame, idCol: String,
+      scoreCol: String, costCol: String, budgetOf: Long => Long,
+      fetchCap: Int): DataFrame = {
     val score = col(scoreCol).cast("long")
     val cost = col(costCol).cast("long")
     val rows = df.filter(score.isNotNull && cost.isNotNull)
@@ -169,30 +178,37 @@ object Mixture {
     val fetched = graft.ops.PlanScope.isolated(df.sparkSession,
       "spark.sql.limit.initialNumPartitions" -> "100000") { scoped =>
       graft.ops.PlanScope.rebind(totalsDf, scoped)
-        .limit(MaxScoreClasses + 1).collect()
+        .limit(fetchCap + 1).collect()
     }
-    require(fetched.length <= MaxScoreClasses,
-      s"budgetSelect: $scoreCol has more than $MaxScoreClasses distinct values — " +
-        "the per-class fit assumes a bounded score domain (permille-like " +
-        "classes); bucket the score first (e.g. quantileBuckets / a cast to " +
-        "a coarser grain) and select on the bucket")
-    val totals = fetched
-      .map { r => (r.getLong(0), r.getLong(1), r.getLong(2)) }
-      .sortBy { case (s, _, _) => -s }
-    val budget = budgetOf(totals.map(_._2).sum)
-    totals.foreach { case (s, _, cmin) =>
-      require(cmin >= 0, s"budgetSelect: negative $costCol in score class $s")
-    }
-    // walk classes best-first: find the first class whose inclusive
-    // cumulative total overflows the budget (= the boundary class)
-    var cum = 0L
-    var boundary: Option[(Long, Long)] = None // (score, budget left at class start)
-    totals.foreach { case (s, c, _) =>
-      if (boundary.isEmpty) {
-        if (cum + c > budget) boundary = Some((s, budget - cum))
-        else cum += c
-      }
-    }
+    // (score, budget left at the class's start) of the boundary class —
+    // None = everything fits
+    val boundary: Option[(Long, Long)] =
+      if (fetched.length <= fetchCap) {
+        // in-contract path (bounded score domain): one fetch, driver walk
+        val totals = fetched
+          .map { r => (r.getLong(0), r.getLong(1), r.getLong(2)) }
+          .sortBy { case (s, _, _) => -s }
+        val budget = budgetOf(totals.map(_._2).sum)
+        totals.foreach { case (s, _, cmin) =>
+          require(cmin >= 0, s"budgetSelect: negative $costCol in score class $s")
+        }
+        // walk classes best-first: find the first class whose inclusive
+        // cumulative total overflows the budget (= the boundary class)
+        var cum = 0L
+        var b: Option[(Long, Long)] = None
+        totals.foreach { case (s, c, _) =>
+          if (b.isEmpty) {
+            if (cum + c > budget) b = Some((s, budget - cum))
+            else cum += c
+          }
+        }
+        b
+      } else
+        // continuous / unbounded score domain: AUTO-LOCALIZE instead of
+        // rejecting (the former 2^20-class cliff) — recursive range
+        // bucketing finds the boundary class with one bounded collect
+        // per level, never a driver fetch over the full domain
+        localizedBoundary(totalsDf, scoreCol, costCol, budgetOf, fetchCap)
     boundary match {
       case None => rows // everything fits
       case Some((bScore, remaining)) =>
@@ -206,6 +222,86 @@ object Mixture {
           .drop("__cum")
         whole.unionByName(partial)
     }
+  }
+
+  /** Boundary-class search for score domains wider than the driver fetch
+    * cap — the [[graft.operators.Sketches.exactQuantilesBucketed]] trick
+    * applied to the budget walk. Each level coarsens the live score range
+    * into ≤ `LocalizeBuckets` ordered intervals (`(__s - lo) DIV w` —
+    * the shift makes truncating division a true floor, so buckets are
+    * ordered), collects one bounded row per bucket (cost sum + class
+    * count), walks them best-first on the driver, and recurses into the
+    * single bucket whose inclusive total overflows the remaining budget.
+    * The recursion bottoms out when the live range's class count fits
+    * the fetch cap, where the exact per-class walk of the direct path
+    * runs on just that sliver. Depth is logarithmic in the score RANGE
+    * (range shrinks ×`LocalizeBuckets` per level: ≤ 4 levels past 2^63);
+    * driver state per level is ≤ `LocalizeBuckets` + at the base
+    * ≤ `fetchCap` rows. The class fit is persisted for the walk — it is
+    * re-read once per level — and released before returning. */
+  private[graft] val LocalizeBuckets = 4096L
+
+  private def localizedBoundary(totalsDf: DataFrame, scoreCol: String,
+      costCol: String, budgetOf: Long => Long, fetchCap: Int): Option[(Long, Long)] = {
+    val t = totalsDf.persist()
+    try {
+      val g = t.agg(sum(col("__c")).as("total"), min(col("__cmin")).as("cmin"),
+        min(col("__s")).as("lo"), max(col("__s")).as("hi")).collect()(0)
+      require(g.getLong(1) >= 0,
+        s"budgetSelect: negative $costCol (min ${g.getLong(1)}) — a negative " +
+          "cost makes the running total non-monotone and the prefix rule " +
+          "meaningless")
+      var lo = g.getLong(2)
+      var hi = g.getLong(3)
+      require(BigInt(hi) - BigInt(lo) < BigInt(Long.MaxValue),
+        s"budgetSelect: $scoreCol spans more than 2^63 distinct values " +
+          s"($lo .. $hi) — the range arithmetic of the localized walk " +
+          "would overflow; rescale the score first")
+      var remaining = budgetOf(g.getLong(0))
+      // classes alive in [lo, hi]; parent levels hand the exact count down
+      var liveClasses = Long.MaxValue
+      var result: Option[Option[(Long, Long)]] = None // Some(None) = all fits
+      while (result.isEmpty) {
+        if (liveClasses <= fetchCap) {
+          // base: exact per-class walk over the localized sliver
+          val cls = t.filter(col("__s") >= lo && col("__s") <= hi)
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+            .sortBy { case (s, _) => -s }
+          var b: Option[(Long, Long)] = None
+          cls.foreach { case (s, c) =>
+            if (b.isEmpty) {
+              if (c > remaining) b = Some((s, remaining))
+              else remaining -= c
+            }
+          }
+          result = Some(b)
+        } else {
+          val w = math.max(1L, (hi - lo) / LocalizeBuckets + 1)
+          val bks = t.filter(col("__s") >= lo && col("__s") <= hi)
+            .groupBy(expr(s"(__s - ${lo}L) DIV ${w}L").as("__b"))
+            .agg(sum(col("__c")).as("__bc"), count(lit(1)).as("__ncls"))
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+            .sortBy { case (b, _, _) => -b }
+          var descended = false
+          bks.foreach { case (b, bc, ncls) =>
+            if (!descended) {
+              if (bc > remaining) {
+                // the boundary class lives in THIS bucket — narrow to it
+                val bLo = lo + b * w
+                hi = math.min(hi, bLo + w - 1)
+                lo = bLo
+                liveClasses = ncls
+                descended = true
+              } else remaining -= bc
+            }
+          }
+          if (!descended) result = Some(None) // every class fits
+        }
+      }
+      result.get
+    } finally { t.unpersist(blocking = false); () }
   }
 
   /** Deterministic stratified sample: the `kPerGroup` rows of each group

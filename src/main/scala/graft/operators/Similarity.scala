@@ -359,6 +359,27 @@ object Similarity {
     }
   }
 
+  /** [[VectorExpressions.pqAssign]] returns the POSITION of the winning
+    * codeword within the book (books are cid-ascending). For a fit whose
+    * init ids are contiguous 0..n-1 — every full-corpus fit — position
+    * == cid and this is the identity (NO extra expression in the plan:
+    * the served/probe paths keep their exact current shape). A fit over
+    * a FILTERED corpus (a delta-maintenance base whose filter removes an
+    * init id, e.g. s20's vec_id % 10 != 9 dropping id 9) skips ids, and
+    * the coded frame must carry the TRUE cids or the saved centroid/book
+    * side tables — and the fit-replaying oracles — would disagree with
+    * it. */
+  private def posToId(pos: Column, ids: Seq[Int]): Column =
+    if (ids.zipWithIndex.forall { case (cid, i) => cid == i }) pos
+    else element_at(typedLit(ids), pos + 1)
+
+  /** Inverse of [[posToId]] for the ADC table lookup (1-based
+    * element_at position). Identity+1 for contiguous fits. */
+  private def idToAdcPos(id: Column, ids: Seq[Int]): Column =
+    if (ids.zipWithIndex.forall { case (cid, i) => cid == i }) id + 1
+    else element_at(
+      typedLit(ids.zipWithIndex.map { case (c, i) => (c, i + 1) }.toMap), id)
+
   /** Encode the corpus against a [[PqModel]]: per subspace the vector's
     * nearest codeword by the assignment rule of the IVF index (cosine,
     * ties → lowest code id), computed as a PURE PER-ROW map — the
@@ -375,8 +396,9 @@ object Similarity {
     val sd = model.subDim
     val codeCols = (0 until model.nSub).map { j =>
       if (model.books(j).isEmpty) lit(null).cast("int").as(s"code$j")
-      else VectorExpressions.pqAssign(col("embedding"),
-        model.books(j).map(_._2), off = j * sd).as(s"code$j")
+      else posToId(VectorExpressions.pqAssign(col("embedding"),
+        model.books(j).map(_._2), off = j * sd),
+        model.books(j).map(_._1)).as(s"code$j")
     }
     emb.select(col("vec_id") +: codeCols: _*)
   }
@@ -420,7 +442,8 @@ object Similarity {
     }
     val qtab = queries.select(col("vec_id").as("query_id") +: tabCols: _*)
     val adc = (0 until model.nSub)
-      .map(j => element_at(col(s"t$j"), col(s"code$j") + 1))
+      .map(j => element_at(col(s"t$j"),
+        idToAdcPos(col(s"code$j"), model.books(j).map(_._1))))
       .reduce(_ + _)
     val cand = codes
       .join(broadcast(qtab), col("query_id") =!= col("vec_id"))
@@ -512,9 +535,11 @@ object Similarity {
             (0 until nSub).map(j => lit(0).as(s"code$j")): _*)
       else emb.select(
         col("vec_id") +:
-          VectorExpressions.pqAssign(col("embedding"), cent.map(_._2), off = 0).as("cell") +:
-          (0 until nSub).map(j => VectorExpressions.pqAssign(col("embedding"),
-            model.books(j).map(_._2), off = j * sd).as(s"code$j")): _*)
+          posToId(VectorExpressions.pqAssign(col("embedding"), cent.map(_._2), off = 0),
+            cent.map(_._1)).as("cell") +:
+          (0 until nSub).map(j => posToId(VectorExpressions.pqAssign(col("embedding"),
+            model.books(j).map(_._2), off = j * sd),
+            model.books(j).map(_._1)).as(s"code$j")): _*)
     IvfPqIndex(codes, cent, model)
   }
 
@@ -533,26 +558,28 @@ object Similarity {
           col("vec_id").as("neighbor_id")), k)
     val nSub = model.nSub
     val sd = model.subDim
-    val centDf = cent.toDF("cid", "cv")
-      .select(col("cid"), col("cv"),
-        sqrt(VectorExpressions.dotWiden(col("cv"), col("cv"))).as("cn"))
-    val probes = queries.select(col("vec_id").as("query_id"), col("embedding"))
-      .crossJoin(broadcast(centDf))
-      .withColumn("pc",
-        VectorExpressions.dotWiden(col("embedding"), col("cv")) /
-          (norm(col("embedding")) * col("cn")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("pc").desc, col("cid"))))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("cid").as("cell"))
+    // Probe-side cell choice + ADC tables in ONE projection over the
+    // query frame: the coarse centroids are driver-held fit artifacts,
+    // so the top-nprobe pick rides in as a literal-codebook expression
+    // ([[graft.expressions.VectorKernels.pqTopCells]] — same score
+    // arithmetic and tie order as the former broadcast-centroid
+    // crossJoin + window rank, which cost two broadcast-build driver
+    // jobs per probe batch plus a window exchange on the query side;
+    // the kernel's selection is the row_number rule verbatim, so the
+    // candidate set — and with it every downstream hash — is unchanged).
     val tabCols = (0 until nSub).map { j =>
       VectorExpressions.pqAdcTable(col("embedding"),
         model.books(j).map(_._2), off = j * sd).as(s"t$j")
     }
-    val qtab = queries.select(col("vec_id").as("query_id") +: tabCols: _*)
-    val probeTabs = probes.join(qtab, "query_id")
+    val probeTabs = queries.select(
+      (col("vec_id").as("query_id") +: tabCols) :+
+        explode(VectorExpressions.topCells(col("embedding"),
+          cent.map(_._2), nprobe)).as("__pos"): _*)
+      .withColumn("cell", posToId(col("__pos"), cent.map(_._1)))
+      .drop("__pos")
     val adc = (0 until nSub)
-      .map(j => element_at(col(s"t$j"), col(s"code$j") + 1))
+      .map(j => element_at(col(s"t$j"),
+        idToAdcPos(col(s"code$j"), model.books(j).map(_._1))))
       .reduce(_ + _)
     val cand = codes
       .join(broadcast(probeTabs), Seq("cell"))
@@ -624,14 +651,22 @@ object Similarity {
     * standard add-without-retrain contract of a served PQ index;
     * periodic refits remain a release-cadence policy. */
   def extendIvfPq(index: IvfPqIndex, newEmb: DataFrame): IvfPqIndex = {
+    // an unfitted index (empty corpus at build time) has nothing to encode
+    // the delta against — silently returning the base codes would DROP
+    // newEmb from the served index; fail loudly and point at the remedy
+    require(index.cent.nonEmpty,
+      "extendIvfPq: index has no fitted centroids (built over an empty " +
+        "corpus) — the delta cannot be encoded and would be silently " +
+        "dropped; rebuild with buildIvfPq over the union instead")
     val sd = index.model.subDim
     val codes =
-      if (index.cent.isEmpty) index.codes // nothing fitted: nothing to encode against
-      else index.codes.unionByName(newEmb.select(
+      index.codes.unionByName(newEmb.select(
         col("vec_id") +:
-          VectorExpressions.pqAssign(col("embedding"), index.cent.map(_._2), off = 0).as("cell") +:
-          (0 until index.model.nSub).map(j => VectorExpressions.pqAssign(col("embedding"),
-            index.model.books(j).map(_._2), off = j * sd).as(s"code$j")): _*))
+          posToId(VectorExpressions.pqAssign(col("embedding"), index.cent.map(_._2), off = 0),
+            index.cent.map(_._1)).as("cell") +:
+          (0 until index.model.nSub).map(j => posToId(VectorExpressions.pqAssign(col("embedding"),
+            index.model.books(j).map(_._2), off = j * sd),
+            index.model.books(j).map(_._1)).as(s"code$j")): _*))
     IvfPqIndex(codes, index.cent, index.model)
   }
 
@@ -863,10 +898,21 @@ object Similarity {
 
   /** Load a persisted IVF index ([[saveIvf]]'s inverse). The returned
     * index probes with zero exchange on the corpus side — see [[saveIvf]].
-    * nCells is the centroid count (one row per cell, tiny driver read). */
+    * nCells is the centroid count (one row per cell, tiny driver read) —
+    * CACHED per table name for the life of the process: a served index
+    * is immutable for the life of its table (the Serving.cachedArtifact
+    * contract — rebuilds are deterministic, deletions recreate the same
+    * content), so re-counting the centroid rows on every probe batch was
+    * one driver job per call for a constant (s17 paid it twice per rep).
+    * A test that overwrites one table name with a DIFFERENT cell count
+    * in the same JVM must pick a fresh name. */
+  private val loadedCellCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
   def loadIvf(spark: org.apache.spark.sql.SparkSession, table: String): IvfIndex = {
     val cent = spark.table(s"${table}_centroids")
-    IvfIndex(spark.table(table), cent, cent.count().toInt)
+    val n = loadedCellCounts.computeIfAbsent(table, _ => Int.box(cent.count().toInt))
+    IvfIndex(spark.table(table), cent, n)
   }
 
   /** IVF-probed approximate top-k: each query probes its `nprobe` closest
@@ -1248,16 +1294,25 @@ object Similarity {
     }
     val evBase = eval.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     val nonZero = evBase.filter(col("nrm") > 0)
-    val a0 = nonZero.orderBy(col("vec_id")).select(col("embedding")).head(1)
-      .headOption.map(_.getSeq[Float](0).toArray.map(_.toDouble)).flatMap(unit)
-    val anchors: Seq[Array[Double]] = a0 match {
+    // ONE bounded anchor fetch instead of the former two sequential
+    // head() driver jobs (u0, then a full-eval argmin-|cos| scan for
+    // u1): the first 256 nonzero vectors by id arrive in one job; u0 is
+    // the first, u1 the most-orthogonal of the rest (ties -> lowest id,
+    // stable sort over the id-ordered pool), Gram-Schmidt'd. Anchor
+    // choice NEVER affects the output — any fixed anchors keep the
+    // adjacent-cell guarantee and every candidate is exactly verified
+    // (the d17 oracle is a pure threshold join) — it only shapes cell
+    // occupancy, for which the pool argmin spreads as well as the full
+    // scan did.
+    val pool = nonZero.orderBy(col("vec_id"))
+      .select(col("embedding")).limit(256).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val anchors: Seq[Array[Double]] = pool.headOption.flatMap(unit) match {
       case None => Nil
       case Some(u0) =>
-        val u0Lit = typedLit(u0.map(_.toFloat))
-        val a1 = nonZero
-          .withColumn("ac", abs(dot(col("embedding"), u0Lit) / col("nrm")))
-          .orderBy(col("ac"), col("vec_id")).select(col("embedding")).head(1)
-          .headOption.map(_.getSeq[Float](0).toArray.map(_.toDouble)).flatMap(unit)
+        val a1 = pool.drop(1).flatMap(unit)
+          .sortBy(v => math.abs(v.zip(u0).map { case (x, y) => x * y }.sum))
+          .headOption
         val u1 = a1.flatMap { v =>
           val proj = v.zip(u0).map { case (x, y) => x * y }.sum
           unit(v.zip(u0).map { case (x, y) => x - proj * y })

@@ -183,19 +183,38 @@ class MixtureSpec extends SparkTestBase {
     }
   }
 
-  test("budgetSelect: continuous score (unbounded class count) is rejected loudly") {
-    // the per-class fit collects one row per DISTINCT score value — fine
-    // for the bounded permille-like classes the operator contracts for,
-    // but a continuous score would silently walk O(#docs) rows onto the
-    // driver; the fence caps the fetch at MaxScoreClasses+1 rows and
-    // fails with bucketing guidance instead
-    val continuous = spark.range(Mixture.MaxScoreClasses + 2L)
-      .select($"id", $"id".as("score"), lit(1L).as("cost"))
-    val e = intercept[IllegalArgumentException] {
-      Mixture.budgetSelect(continuous, "id", "score", "cost", 10L)
+  test("budgetSelect: continuous score auto-localizes past the fetch cap") {
+    // past the driver fetch cap the walk switches to the recursive
+    // range-bucketed localization (the former loud reject — the 2^20
+    // cliff — is gone): drive it with a tiny cap so the recursion and
+    // its base case both run on a unit fixture, and pin equality with
+    // the global prefix window rule
+    import org.apache.spark.sql.expressions.Window
+    val toy = spark.range(200L).select($"id",
+      ($"id" * 7L % 191L).as("score"), (($"id" % 5L) + 1L).as("cost"))
+    val budget = 120L
+    val got = Mixture.budgetSelectImpl(toy, "id", "score", "cost",
+        _ => budget, fetchCap = 8)
+      .select($"id").as[Long].collect().toSet
+    val ref = toy.withColumn("cum", sum($"cost").over(
+        Window.orderBy($"score".desc, $"id")))
+      .filter($"cum" <= budget).select($"id").as[Long].collect().toSet
+    assert(got === ref && ref.nonEmpty)
+    // everything-fits resolves through the localized walk too
+    assert(Mixture.budgetSelectImpl(toy, "id", "score", "cost",
+      _ => 1000000L, fetchCap = 8).count() === 200L)
+    // negative costs still fail loudly on the localized path
+    val neg = spark.range(50L).select($"id", $"id".as("score"),
+      (lit(1L) - ($"id" % 2L) * 2L).as("cost"))
+    val e = intercept[Exception] {
+      Mixture.budgetSelectImpl(neg, "id", "score", "cost",
+        _ => 10L, fetchCap = 4).count()
     }
-    assert(e.getMessage.contains("distinct values") &&
-      e.getMessage.contains("bucket the score"))
+    assert(e.getMessage.contains("negative"))
+    // the production cap walks the direct path on the same frame,
+    // selecting the identical set
+    assert(Mixture.budgetSelect(toy, "id", "score", "cost", budget)
+      .select($"id").as[Long].collect().toSet === ref)
     // the in-contract path is untouched: a bounded class domain over the
     // same cardinality of ROWS selects normally
     val bounded = spark.range(1000L)
