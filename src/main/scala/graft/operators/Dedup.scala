@@ -128,10 +128,21 @@ object Dedup {
     val cand = lshCandidatePairs(docs, shingleN, numHashes, rowsPerBand)
     val truth = ngramJaccardPairs(docs, shingleN, minJaccardPermille)
       .select(col("doc_a"), col("doc_b"))
-    val hits = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
-    cand.agg(count(lit(1)).as("n_candidates"))
-      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
-      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+    // ONE union-aggregate over the two (already-distinct) pair sets
+    // instead of the former three 1-row aggregates crossJoined: each
+    // crossJoin was a broadcast-build driver job, and cand/truth each
+    // re-executed per consuming aggregate (the board census read 8 jobs
+    // with the band join run twice). Tag the side, collapse per pair,
+    // sum the flags — candidate count, truth count, and the
+    // intersection in one pass over each subtree.
+    cand.select(col("doc_a"), col("doc_b"), lit(1L).as("__c"), lit(0L).as("__t"))
+      .unionByName(truth.select(col("doc_a"), col("doc_b"),
+        lit(0L).as("__c"), lit(1L).as("__t")))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("__c")).as("__ic"), max(col("__t")).as("__it"))
+      .agg(coalesce(sum(col("__ic")), lit(0L)).as("n_candidates"),
+        coalesce(sum(col("__it")), lit(0L)).as("n_truth"),
+        coalesce(sum(col("__ic") * col("__it")), lit(0L)).as("n_hits"))
       .select(col("n_candidates"), col("n_truth"), col("n_hits"),
         when(col("n_candidates") > 0,
           expr("CAST((1000 * n_hits) DIV n_candidates AS BIGINT)"))

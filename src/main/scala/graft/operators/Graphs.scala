@@ -801,10 +801,15 @@ object Graphs {
         .unionByName(undS.select(col("b").as("node"), col("a").as("other")))
         .repartition(nPart, col("node"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // dir's cache population rides the first convergence count (the
-      // loop's first action — see bfsHops); und releases right after it,
-      // bounding the two edge caches' overlap to the first two rounds
-      var undReleased = false
+      // dir stays EAGERLY populated (unlike bfsHops' ride-the-first-count
+      // fusion): the peel's first counted plan references dir THREE times
+      // (the degree aggregate and both alive semi-joins), and an uncached
+      // InMemoryRelation recomputes per reference within that first job —
+      // measured +0.3 s of duplicated pipeline at sf0.1 against the one
+      // dispatch saved. One single-scan population job is the better
+      // trade exactly when the loop body fans out over the cache.
+      dir.count()
+      und.unpersist(blocking = false)
       var deg = dir.groupBy(col("node")).agg(count(lit(1)).as("deg"))
       var prevCut: Option[DataFrame] = None
       var prevAlive = -1L
@@ -824,7 +829,6 @@ object Graphs {
         if (checkNow) {
           val cut = deg.filter(col("deg") >= k).persist(StorageLevel.MEMORY_AND_DISK)
           val nAlive = cut.count()
-          if (!undReleased) { und.unpersist(blocking = false); undReleased = true }
           prevCut.foreach(_.unpersist(blocking = false))
           prevCut = Some(cut)
           if (nAlive == prevAlive) {
@@ -851,15 +855,14 @@ object Graphs {
             .groupBy(col("node")).agg(count(lit(1)).as("deg"))
         }
       }
-      val undTail = if (undReleased) Nil else Seq(und)
       if (converged)
-        handoff(prevCut.get, caller, releaseAfter = Seq(dir) ++ undTail)
+        handoff(prevCut.get, caller, releaseAfter = Seq(dir))
       else
         // maxRounds exhausted: one more LAZY filter over the last
         // recompute, matching the oracle's final ≥ k cut — handoff's
         // caller-bound count materializes it (fused exit, one job)
         handoff(deg.filter(col("deg") >= k), caller,
-          releaseAfter = Seq(dir) ++ prevCut.toSeq ++ undTail)
+          releaseAfter = Seq(dir) ++ prevCut.toSeq)
     }
   }
 }

@@ -854,12 +854,21 @@ object Similarity {
     val approx = ivfKnnWith(index, queries, k, nprobe)
       .select(col("query_id"), col("neighbor_id"))
     val truth = bruteForceKnn(emb, queries, k)
-      .select(col("query_id").as("tq"), col("neighbor_id").as("tn"))
-    val hits = approx.join(truth,
-      col("query_id") === col("tq") && col("neighbor_id") === col("tn"))
-    truth
-      .agg(count_distinct(col("tq")).as("n_queries"), count(lit(1)).as("n_truth"))
-      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .select(col("query_id"), col("neighbor_id"))
+    // ONE union-aggregate over the two (distinct) top-k pair sets (the
+    // lshEvalReport discipline): the former truth-agg × hits-agg
+    // crossJoin re-executed the brute-force truth pass per consuming
+    // aggregate and paid a broadcast-build driver job for the 1-row
+    // join; tagging the side and summing flags reads each subtree once.
+    truth.select(col("query_id"), col("neighbor_id"),
+        lit(1L).as("__t"), lit(0L).as("__a"))
+      .unionByName(approx.select(col("query_id"), col("neighbor_id"),
+        lit(0L).as("__t"), lit(1L).as("__a")))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("__t")).as("__it"), max(col("__a")).as("__ia"))
+      .agg(count_distinct(when(col("__it") === 1L, col("query_id"))).as("n_queries"),
+        coalesce(sum(col("__it")), lit(0L)).as("n_truth"),
+        coalesce(sum(col("__it") * col("__ia")), lit(0L)).as("n_hits"))
       .select(col("n_queries"), col("n_truth"), col("n_hits"),
         expr("CAST(IF(n_truth = 0, NULL, (1000 * n_hits) DIV n_truth) AS BIGINT)").as("recall_permille"))
   }
