@@ -882,12 +882,21 @@ object Similarity {
     * remain a policy decision (rebuild + [[saveIvf]]); between them this
     * keeps freshness at the cost of one broadcast assignment pass over
     * the delta only. */
-  def extendIvf(index: IvfIndex, newEmb: DataFrame): IvfIndex =
+  def extendIvf(index: IvfIndex, newEmb: DataFrame): IvfIndex = {
+    // an unfitted index (empty corpus at build time) would assign the
+    // delta against zero centroids — an empty join that silently DROPS
+    // every new vector (the extendIvfPq hazard, caught free here because
+    // nCells is already driver-side)
+    require(index.nCells > 0,
+      "extendIvf: index has no fitted centroids (built over an empty " +
+        "corpus) — the delta cannot be assigned and would be silently " +
+        "dropped; rebuild with buildIvf over the union instead")
     IvfIndex(
       index.assigned.unionByName(
         assignToCells(newEmb, index.centroids)
           .withColumn("nn", norm(col("embedding")))),
       index.centroids, index.nCells)
+  }
 
   /** Persist an [[IvfIndex]] as its serving layout: `assigned` (vectors +
     * precomputed norms + cell ids) written as a catalog table BUCKETED BY
