@@ -564,18 +564,25 @@ object Graphs {
           .select(col("node"), lit(round).as("dist"))
         // STRIDE-2 drain checks (the kCore discipline): an empty frontier
         // stays empty, so counting every second round (and the bound
-        // round) still detects the drain — at worst one lazy expansion
-        // over an already-empty frontier — while halving the search's
-        // driver-job count. Odd rounds stay LAZY at plan depth ≤ 2 over
-        // the last counted frontier; CutEvery (4) is even, so every
-        // flat-re-rooted frame is a counted, persisted one.
-        val fresh = if (round % 2 == 0 || round == maxRounds) {
+        // round) still detects the drain — halving the search's
+        // driver-job count. Unlike kCore's peel, every bfs frontier has
+        // TWO-PLUS consumers (the next round's relaxation join AND the
+        // settled union the exit scans), so an uncounted round must still
+        // PERSIST: the persist itself is free of driver jobs — the next
+        // counted round's join materializes the cache as a side effect —
+        // while a lazy odd frame re-executed its whole relaxation subtree
+        // per consumer (measured +0.65 s norm on the sf0.1 board, erasing
+        // the 2-job saving three times over). CutEvery (4) is even, so
+        // every flat-re-rooted frame is a counted one.
+        val fresh = {
           val p = fresh0.persist(StorageLevel.MEMORY_AND_DISK)
-          frontierSize = p.count()
-          if (!e0Released) { e0.unpersist(blocking = false); e0Released = true }
           spent :+= p
+          if (round % 2 == 0 || round == maxRounds) {
+            frontierSize = p.count()
+            if (!e0Released) { e0.unpersist(blocking = false); e0Released = true }
+          }
           p
-        } else fresh0
+        }
         // flat re-root at the CutEvery cadence: settled stays a union of
         // bounded-depth scans over the cached frontiers instead of nesting
         // every round's adaptive plan inside the next (the exponential AQE
