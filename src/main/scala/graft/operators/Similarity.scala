@@ -224,20 +224,24 @@ object Similarity {
     val queries = graft.ops.PlanScope.rebind(queries0, scoped)
     val scales = scalesIn.getOrElse(quantizationScales(emb))
     def qz = VectorExpressions.quantizeI8(col("embedding"), scales)
-    val q = queries.select(col("vec_id").as("query_id"), qz.as("q8"))
+    // the query frame carries its float vector + norm alongside the
+    // quantized probe, and first() re-emits them from the top-k aggregate
+    // (identical across the group — they ride in keyed by query_id), so
+    // the rescore needs NO second query-side join: one broadcast build
+    // per call instead of two, same rows, same cosine
+    val q = queries.select(col("vec_id").as("query_id"), qz.as("q8"),
+      col("embedding").as("qv"), norm(col("embedding")).as("qn"))
     val c = spread(emb.select(col("vec_id").as("neighbor_id"), qz.as("n8")))
     val coarse = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("qd", VectorExpressions.dotI8(col("q8"), col("n8")))
     val cand = coarse.groupBy(col("query_id"))
-      .agg(TopKByScore.topK(col("qd").cast("double"), col("neighbor_id"), ck).as("top"))
-      .select(col("query_id"), explode(col("top")).as("nb"))
-      .select(col("query_id"), col("nb.id").as("neighbor_id"))
-    val qv = queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("qv"), norm(col("embedding")).as("qn"))
+      .agg(TopKByScore.topK(col("qd").cast("double"), col("neighbor_id"), ck).as("top"),
+        first(col("qv")).as("qv"), first(col("qn")).as("qn"))
+      .select(col("query_id"), col("qv"), col("qn"), explode(col("top")).as("nb"))
+      .select(col("query_id"), col("qv"), col("qn"), col("nb.id").as("neighbor_id"))
     val scored = broadcast(cand)
       .join(emb.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("nv"), norm(col("embedding")).as("nn")), "neighbor_id")
-      .join(broadcast(qv), "query_id")
       .withColumn("cos_e6", cosE6From(col("qv"), col("nv"), col("qn"), col("nn")))
     topKNeighbors(scored, k)
     }
@@ -440,7 +444,12 @@ object Similarity {
       VectorExpressions.pqAdcTable(col("embedding"),
         model.books(j).map(_._2), off = j * sd).as(s"t$j")
     }
-    val qtab = queries.select(col("vec_id").as("query_id") +: tabCols: _*)
+    // query vector + norm ride the ADC-table broadcast and come back out
+    // of the top-k aggregate via first() (identical across the group), so
+    // the exact rescore skips the second query-side broadcast join — one
+    // broadcast build per call instead of two, same rows, same cosine
+    val qtab = queries.select(col("vec_id").as("query_id") +: tabCols :+
+      col("embedding").as("qv") :+ norm(col("embedding")).as("qn"): _*)
     val adc = (0 until model.nSub)
       .map(j => element_at(col(s"t$j"),
         idToAdcPos(col(s"code$j"), model.books(j).map(_._1))))
@@ -449,15 +458,13 @@ object Similarity {
       .join(broadcast(qtab), col("query_id") =!= col("vec_id"))
       .withColumn("adc", adc)
       .groupBy(col("query_id"))
-      .agg(TopKByScore.topK(col("adc").cast("double"), col("vec_id"), ck).as("top"))
-      .select(col("query_id"), explode(col("top")).as("nb"))
-      .select(col("query_id"), col("nb.id").as("neighbor_id"))
-    val qv = queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("qv"), norm(col("embedding")).as("qn"))
+      .agg(TopKByScore.topK(col("adc").cast("double"), col("vec_id"), ck).as("top"),
+        first(col("qv")).as("qv"), first(col("qn")).as("qn"))
+      .select(col("query_id"), col("qv"), col("qn"), explode(col("top")).as("nb"))
+      .select(col("query_id"), col("qv"), col("qn"), col("nb.id").as("neighbor_id"))
     val scored = broadcast(cand)
       .join(emb.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("nv"), norm(col("embedding")).as("nn")), "neighbor_id")
-      .join(broadcast(qv), "query_id")
       .withColumn("cos_e6", cosE6From(col("qv"), col("nv"), col("qn"), col("nn")))
     topKNeighbors(scored, k)
     }
@@ -571,8 +578,14 @@ object Similarity {
       VectorExpressions.pqAdcTable(col("embedding"),
         model.books(j).map(_._2), off = j * sd).as(s"t$j")
     }
+    // query vector + norm ride the probe broadcast (one copy per probed
+    // cell — nprobe small by contract) and come back out of the top-k
+    // aggregate via first() (identical across the group), so the exact
+    // rescore skips the second query-side broadcast join — one broadcast
+    // build per probe batch instead of two, same rows, same cosine
     val probeTabs = queries.select(
-      (col("vec_id").as("query_id") +: tabCols) :+
+      ((col("vec_id").as("query_id") +: tabCols) :+
+        col("embedding").as("qv") :+ norm(col("embedding")).as("qn")) :+
         explode(VectorExpressions.topCells(col("embedding"),
           cent.map(_._2), nprobe)).as("__pos"): _*)
       .withColumn("cell", posToId(col("__pos"), cent.map(_._1)))
@@ -586,15 +599,13 @@ object Similarity {
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("adc", adc)
       .groupBy(col("query_id"))
-      .agg(TopKByScore.topK(col("adc").cast("double"), col("vec_id"), ck).as("top"))
-      .select(col("query_id"), explode(col("top")).as("nb"))
-      .select(col("query_id"), col("nb.id").as("neighbor_id"))
-    val qv = queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("qv"), norm(col("embedding")).as("qn"))
+      .agg(TopKByScore.topK(col("adc").cast("double"), col("vec_id"), ck).as("top"),
+        first(col("qv")).as("qv"), first(col("qn")).as("qn"))
+      .select(col("query_id"), col("qv"), col("qn"), explode(col("top")).as("nb"))
+      .select(col("query_id"), col("qv"), col("qn"), col("nb.id").as("neighbor_id"))
     val scored = broadcast(cand)
       .join(vectors.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("nv"), norm(col("embedding")).as("nn")), "neighbor_id")
-      .join(broadcast(qv), "query_id")
       .withColumn("cos_e6", cosE6From(col("qv"), col("nv"), col("qn"), col("nn")))
     topKNeighbors(scored, k)
   }
@@ -708,7 +719,17 @@ object Similarity {
     * never decays. Returns `(cid int, cv array<double>)`.
     */
   def kmeansCentroids(emb: DataFrame, nCells: Int, iters: Int = 2,
-      sampleMod: Int = 7): DataFrame = {
+      sampleMod: Int = 7): DataFrame =
+    centroidFrame(emb.sparkSession, kmeansFit(emb, nCells, iters, sampleMod))
+
+  /** [[kmeansCentroids]]'s fit with the driver-held micro-long centroids
+    * exposed: the FITTED cell count (≤ the requested `nCells` whenever
+    * the init scan finds fewer distinct `vec_id < nCells` rows — filtered
+    * corpora, tiny corpora, empty corpora) is knowable for free here,
+    * and [[buildIvf]] records it so downstream bound checks and the
+    * unfitted-index guard ([[extendIvf]]) see the real capacity. */
+  private def kmeansFit(emb: DataFrame, nCells: Int, iters: Int,
+      sampleMod: Int): Seq[(Int, Array[Long])] = {
     require(nCells > 0 && iters >= 0 && sampleMod > 0,
       s"need nCells > 0, iters >= 0, sampleMod > 0; got ($nCells, $iters, $sampleMod)")
     val spark = emb.sparkSession
@@ -751,7 +772,7 @@ object Similarity {
         }
       } finally sample.unpersist(blocking = false)
     }
-    centroidFrame(spark, cents)
+    cents
     }
   }
 
@@ -819,8 +840,15 @@ object Similarity {
   /** Build the IVF index for [[ivfKnnWith]]. */
   def buildIvf(emb: DataFrame, nCells: Int, iters: Int = 2,
       sampleMod: Int = 7): IvfIndex = {
-    val cent = kmeansCentroids(emb, nCells, iters, sampleMod)
-    IvfIndex(assignToCells(emb, cent).withColumn("nn", norm(col("embedding"))), cent, nCells)
+    // record the FITTED cell count, not the requested one — a filtered or
+    // tiny corpus inits fewer centroids than asked for ([[kmeansFit]]),
+    // and an empty corpus fits none at all. loadIvf already counts the
+    // real centroid rows, so this keeps the two constructors' nCells
+    // semantics identical and makes extendIvf's unfitted-index guard
+    // actually fire (requested-count semantics read 8 on an empty fit).
+    val cents = kmeansFit(emb, nCells, iters, sampleMod)
+    val cent = centroidFrame(emb.sparkSession, cents)
+    IvfIndex(assignToCells(emb, cent).withColumn("nn", norm(col("embedding"))), cent, cents.size)
   }
 
   /** ANN quality evaluation — recall@k of the IVF probe against the
@@ -886,7 +914,9 @@ object Similarity {
     // an unfitted index (empty corpus at build time) would assign the
     // delta against zero centroids — an empty join that silently DROPS
     // every new vector (the extendIvfPq hazard, caught free here because
-    // nCells is already driver-side)
+    // nCells is already driver-side and both constructors record the
+    // FITTED count: buildIvf from the k-means fit, loadIvf from the
+    // centroid-table row count)
     require(index.nCells > 0,
       "extendIvf: index has no fitted centroids (built over an empty " +
         "corpus) — the delta cannot be assigned and would be silently " +
@@ -960,8 +990,14 @@ object Similarity {
     * exactly the rows being mined. */
   def ivfKnnWith(index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int,
       excludeSelf: Boolean = true): DataFrame = {
-    require(nprobe > 0 && nprobe <= index.nCells,
-      s"nprobe must be in [1, nCells=${index.nCells}], got $nprobe")
+    // no upper bound on nprobe: the cell pick is a top-nprobe heap over
+    // the centroid frame, so probing more cells than the index FITTED
+    // (nCells is the fitted count — a filtered/tiny corpus inits fewer
+    // than requested) naturally degrades to probing every cell, i.e.
+    // exhaustive search — the FAISS nprobe-clamp semantics. Callers size
+    // nprobe off the REQUESTED cell count, which may legitimately exceed
+    // the fit.
+    require(nprobe > 0, s"nprobe must be >= 1, got $nprobe")
     val assigned = index.assigned
     val cent = index.centroids
     val probes = queries
@@ -1054,8 +1090,10 @@ object Similarity {
   def recallSweepWith(index: IvfIndex, emb: DataFrame, queries: DataFrame,
       k: Int, nprobes: Seq[Int]): DataFrame = {
     require(nprobes.nonEmpty, "nprobes must be non-empty")
-    require(nprobes.forall(np => np > 0 && np <= index.nCells),
-      s"every nprobe must be in [1, nCells=${index.nCells}], got $nprobes")
+    // upper levels may exceed the FITTED cell count (see ivfKnnWith) —
+    // they clamp to probing every cell, and the ≥-test below still
+    // derives ground truth from the exhaustive level
+    require(nprobes.forall(_ > 0), s"every nprobe must be >= 1, got $nprobes")
     val nCells = index.nCells
     val maxNp = nprobes.max
     val probes = queries
@@ -1074,7 +1112,7 @@ object Similarity {
       .withColumn("cos_e6", cosE6From(col("qv"), col("embedding"), col("qn"), col("nn")))
       .select(col("query_id"), col("neighbor_id"), col("cos_e6"), col("cell_rank"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val truth = (if (maxNp == nCells) topKNeighbors(scored, k)
+    val truth = (if (maxNp >= nCells) topKNeighbors(scored, k)
         else bruteForceKnn(emb, queries, k))
       .select(col("query_id").as("tq"), col("neighbor_id").as("tn"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -86,6 +86,26 @@ class ServingSpec extends SparkTestBase {
       k = 3, nprobe = 2, coarseK = 10).count() > 0)
   }
 
+  test("extending an unfitted index fails loudly instead of dropping the delta") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, dir)
+    val none = emb.limit(0)
+    val delta = emb.filter(col("vec_id") < 5)
+    // an index cut from an empty corpus has no centroids/codebooks: the
+    // delta can neither be assigned nor encoded, and a silent
+    // return-the-base would serve an index missing every new vector
+    val ivf = Similarity.buildIvf(none, nCells = 8)
+    val exIvf = intercept[IllegalArgumentException] {
+      Similarity.extendIvf(ivf, delta)
+    }
+    assert(exIvf.getMessage.contains("no fitted centroids"))
+    val ivfPq = Similarity.buildIvfPq(none, nCells = 8)
+    val exPq = intercept[IllegalArgumentException] {
+      Similarity.extendIvfPq(ivfPq, delta)
+    }
+    assert(exPq.getMessage.contains("no fitted centroids"))
+  }
+
   test("bpeMergeRules is stable across calls and non-empty") {
     val r1 = Serving.bpeMergeRules(spark, dir)
     val r2 = Serving.bpeMergeRules(spark, dir)
