@@ -139,7 +139,8 @@ class ServingSpec extends SparkTestBase {
     // Restart survival of the WHOLE artifact lifecycle, end to end: the
     // warm session cuts every served artifact (release digest/band/fit
     // frames for c04, the s05 IVF buckets, the s08 BM25 postings, both
-    // legs of s16's hybrid fusion) and hashes the served results; then a
+    // legs of s16's hybrid fusion, the s19 IVF-PQ coded corpus +
+    // centroid/codebook side tables) and hashes the served results; then a
     // SECOND, fully isolated JVM — fresh in-memory catalog, nothing but
     // the warehouse directory on disk, the crashed-ingestion-driver
     // scenario — runs the same queries. ensureServedTable must walk its
@@ -149,7 +150,7 @@ class ServingSpec extends SparkTestBase {
     // server ships differs from the one the dead server was serving.
     val sf = "/root/testdata/sf0.01"
     val names = Seq("c04_curation_delta_served", "s05_knn_ivf_served",
-      "s08_bm25_served", "s16_hybrid_rrf")
+      "s08_bm25_served", "s16_hybrid_rrf", "s19_knn_ivfpq_served")
     val warm = names.map { n =>
       n -> ColdServe.resultHash(SparkEntry.queries(n)(spark, sf))
     }.toMap
