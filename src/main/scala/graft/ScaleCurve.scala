@@ -325,6 +325,41 @@ object ScaleCurve {
           .select(col("src"), col("dst"))
         graft.operators.Graphs.detachSmall(
           graft.operators.Graphs.kCore(edges, k = 2, maxRounds = 8))
+      }),
+      // the other two iterative-loop shapes over the SAME growing
+      // co-purchase graph (the board's d18/q60 run on the nation-level
+      // trade graph, whose 25-node reduction cannot grow with the
+      // corpus — these rows put the loop ENGINES on a graph whose node
+      // space scales with the fact table; q61 above is the shared
+      // generator baseline, so the marginal exponents isolate the loops).
+      // Per-replica disjointness makes true output exactly linear; the
+      // round budgets are the board configurations. No detachSmall: the
+      // |V|-sized result exceeds its bounded-collect contract and the
+      // harness clears caches after each rep anyway.
+      "d18_pagerank" -> (() => {
+        val op = li.select(col("l_orderkey"), col("l_partkey")).distinct()
+        val edges = op.select(col("l_orderkey"), col("l_partkey").as("src"))
+          .join(op.select(col("l_orderkey").as("__ok"), col("l_partkey").as("dst")),
+            col("l_orderkey") === col("__ok") && col("src") < col("dst"))
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_orders"))
+          .filter(col("n_orders") >= 2)
+          .select(col("src"), col("dst"))
+        graft.operators.Graphs.pageRank(edges, iters = 3, deriveAdaptive = false)
+      }),
+      "q60_bfs" -> (() => {
+        val op = li.select(col("l_orderkey"), col("l_partkey")).distinct()
+        val edges = op.select(col("l_orderkey"), col("l_partkey").as("src"))
+          .join(op.select(col("l_orderkey").as("__ok"), col("l_partkey").as("dst")),
+            col("l_orderkey") === col("__ok") && col("src") < col("dst"))
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_orders"))
+          .filter(col("n_orders") >= 2)
+          .select(col("src"), col("dst"))
+        // seed stripe present in EVERY replica: Shift is a multiple of
+        // 1000, so (partkey + i*Shift) % 1000 == partkey % 1000
+        val seeds = edges.select(col("src").as("node"))
+          .filter(pmod(col("node"), lit(1000)) === 0).distinct()
+        graft.operators.Graphs.bfsHops(edges, seeds, maxRounds = 3,
+          deriveAdaptive = false)
       }))
 
     // per-op driver-job count (per-rep average): the c-tier decade pins
