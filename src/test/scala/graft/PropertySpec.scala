@@ -524,6 +524,33 @@ class PropertySpec extends SparkTestBase {
     assert(a.keySet.size.toLong === emb.count())
   }
 
+  test("nprobe clamps at the fitted cell count: over-probing ≡ exhaustive") {
+    // IvfIndex.nCells is the FITTED count (a filtered corpus inits fewer
+    // centroids than requested), and callers legitimately size nprobe off
+    // the REQUESTED count — the probe's top-nprobe heap over the centroid
+    // frame must therefore degrade to probing every cell (FAISS clamp
+    // semantics), never change results past the fitted count, and stay
+    // equal to brute-force ranks (exhaustive probe scores every vector).
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // filtered base: init ids {1,2,3,5,6,7} of vec_id < 8 → 6 fitted < 8
+    val base = emb.filter(pmod($"vec_id", lit(4)) =!= 0)
+    val idx = Similarity.buildIvf(base, nCells = 8)
+    assert(idx.nCells > 0 && idx.nCells < 8, s"expected a partial fit, got ${idx.nCells}")
+    val q = base.filter($"vec_id" < 10)
+    def ranks(np: Int) =
+      Similarity.ivfKnnWith(idx, q, k = 3, nprobe = np)
+        .select($"query_id", $"rank", $"neighbor_id")
+        .collect().map(_.toSeq).toSet
+    val exhaustive = ranks(idx.nCells)
+    assert(ranks(idx.nCells + 5) === exhaustive, "over-probe must clamp")
+    assert(ranks(1000) === exhaustive, "any over-probe must clamp")
+    val brute = Similarity.bruteForceKnn(base, q, k = 3)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .collect().map(_.toSeq).toSet
+    assert(exhaustive === brute, "exhaustive probe must equal brute force")
+  }
+
   test("serving extension is associative: chained delta-dedup ≡ per-step rebuild") {
     // Three ingestion batches against a growing corpus: serving with
     // UNIONED corpus-side frames (digests/bands extended by each step's
