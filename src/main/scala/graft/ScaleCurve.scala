@@ -25,6 +25,28 @@ import org.apache.spark.sql.functions._
   * a fitted-exponent summary table.
   */
 object ScaleCurve {
+  /** THE co-purchase pair rule, in one place: distinct (order, part)
+    * self-joined within the order, canonical a<b orientation, pair
+    * support counted. q61 measures this generator; the three graph-loop
+    * rows ([[copurchaseEdges]]) build on it — one definition keeps the
+    * "marginal exponents isolate the loops" comparison honest (three
+    * drifting copies would silently measure three different graphs). */
+  private def copurchasePairs(li: DataFrame): DataFrame = {
+    val op = li.select(col("l_orderkey"), col("l_partkey")).distinct()
+    op.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(op.select(col("l_orderkey").as("__ok"), col("l_partkey").as("part_b")),
+        col("l_orderkey") === col("__ok") && col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b")).agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** [[copurchasePairs]] reduced to the loop rows' edge list: support
+    * >= 2 co-orders, (src, dst) columns — the board's q70/d18/q60 graph. */
+  private def copurchaseEdges(li: DataFrame): DataFrame =
+    copurchasePairs(li)
+      .withColumnRenamed("part_a", "src").withColumnRenamed("part_b", "dst")
+      .filter(col("n_orders") >= 2)
+      .select(col("src"), col("dst"))
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -308,24 +330,10 @@ object ScaleCurve {
           .agg(sum(col("l_quantity")).as("sum_qty"),
             count(lit(1)).as("n"),
             sum(graft.ops.RelationalOps.cents(col("l_extendedprice"))).as("rev_cents"))),
-      "q61_copurchase" -> (() => {
-        val op = li.select(col("l_orderkey"), col("l_partkey")).distinct()
-        op.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-          .join(op.select(col("l_orderkey").as("__ok"), col("l_partkey").as("part_b")),
-            col("l_orderkey") === col("__ok") && col("part_a") < col("part_b"))
-          .groupBy(col("part_a"), col("part_b")).agg(count(lit(1)).as("n_orders"))
-      }),
-      "q70_kcore" -> (() => {
-        val op = li.select(col("l_orderkey"), col("l_partkey")).distinct()
-        val edges = op.select(col("l_orderkey"), col("l_partkey").as("src"))
-          .join(op.select(col("l_orderkey").as("__ok"), col("l_partkey").as("dst")),
-            col("l_orderkey") === col("__ok") && col("src") < col("dst"))
-          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_orders"))
-          .filter(col("n_orders") >= 2)
-          .select(col("src"), col("dst"))
+      "q61_copurchase" -> (() => copurchasePairs(li)),
+      "q70_kcore" -> (() =>
         graft.operators.Graphs.detachSmall(
-          graft.operators.Graphs.kCore(edges, k = 2, maxRounds = 8))
-      }),
+          graft.operators.Graphs.kCore(copurchaseEdges(li), k = 2, maxRounds = 8))),
       // the other two iterative-loop shapes over the SAME growing
       // co-purchase graph (the board's d18/q60 run on the nation-level
       // trade graph, whose 25-node reduction cannot grow with the
@@ -336,24 +344,11 @@ object ScaleCurve {
       // round budgets are the board configurations. No detachSmall: the
       // |V|-sized result exceeds its bounded-collect contract and the
       // harness clears caches after each rep anyway.
-      "d18_pagerank" -> (() => {
-        val op = li.select(col("l_orderkey"), col("l_partkey")).distinct()
-        val edges = op.select(col("l_orderkey"), col("l_partkey").as("src"))
-          .join(op.select(col("l_orderkey").as("__ok"), col("l_partkey").as("dst")),
-            col("l_orderkey") === col("__ok") && col("src") < col("dst"))
-          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_orders"))
-          .filter(col("n_orders") >= 2)
-          .select(col("src"), col("dst"))
-        graft.operators.Graphs.pageRank(edges, iters = 3, deriveAdaptive = false)
-      }),
+      "d18_pagerank" -> (() =>
+        graft.operators.Graphs.pageRank(copurchaseEdges(li), iters = 3,
+          deriveAdaptive = false)),
       "q60_bfs" -> (() => {
-        val op = li.select(col("l_orderkey"), col("l_partkey")).distinct()
-        val edges = op.select(col("l_orderkey"), col("l_partkey").as("src"))
-          .join(op.select(col("l_orderkey").as("__ok"), col("l_partkey").as("dst")),
-            col("l_orderkey") === col("__ok") && col("src") < col("dst"))
-          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_orders"))
-          .filter(col("n_orders") >= 2)
-          .select(col("src"), col("dst"))
+        val edges = copurchaseEdges(li)
         // seed stripe present in EVERY replica: Shift is a multiple of
         // 1000, so (partkey + i*Shift) % 1000 == partkey % 1000
         val seeds = edges.select(col("src").as("node"))

@@ -676,9 +676,15 @@ object Dedup {
     // the isNull escape and silently PASS the very check it defeats —
     // count rows whose original id was non-null but whose long cast
     // nulled out, and fail on any
-    val idGuard = corpus.select(col("doc_id").cast("long").as("__id"),
+    // try_cast, not cast: under ANSI (the session default) a plain cast
+    // of a malformed id THROWS a generic CAST_INVALID_INPUT before the
+    // __uncastable accounting below ever runs — try_cast nulls instead,
+    // so the guard itself gets to raise the crafted diagnostic
+    val idGuard = corpus.select(
+        expr("try_cast(doc_id AS long)").as("__id"),
         col("doc_id").isNotNull.as("__nn"), lit(0).as("__side"))
-      .unionByName(newDocs.select(col("doc_id").cast("long").as("__id"),
+      .unionByName(newDocs.select(
+        expr("try_cast(doc_id AS long)").as("__id"),
         col("doc_id").isNotNull.as("__nn"), lit(1).as("__side")))
       .agg(max(when(col("__side") === 0, col("__id"))).as("__mx"),
         min(when(col("__side") === 1, col("__id"))).as("__mn"),
@@ -688,8 +694,13 @@ object Dedup {
         coalesce(col("__uncastable"), lit(0L)) === 0L &&
           (col("__mx").isNull || col("__mn").isNull ||
             col("__mx") < col("__mn")),
+        // concat is null-propagating: a null extremum (all-uncastable
+        // side) would null the WHOLE diagnostic and the job would fail
+        // with a bare "null" — coalesce each to the literal text instead
         concat(lit("dedupDelta id contract violated: max(corpus.doc_id)="),
-          col("__mx"), lit(" >= min(newDocs.doc_id)="), col("__mn"),
+          coalesce(col("__mx").cast("string"), lit("null")),
+          lit(" >= min(newDocs.doc_id)="),
+          coalesce(col("__mn").cast("string"), lit("null")),
           lit(", non-castable ids="), coalesce(col("__uncastable"), lit(0L)),
           lit(" — batch ids must be castable to long and sit strictly " +
             "above corpus ids (monotonic ingestion layout)"))).as("__guard"))

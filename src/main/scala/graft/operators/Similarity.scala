@@ -533,6 +533,14 @@ object Similarity {
       iters, sampleMod)
     val cent = all.head.toSeq
       .map { case (cid, m) => cid -> m.map(_.toDouble / 1e6) }
+    // same silent-drop hazard as buildIvf: an empty fit over a NON-empty
+    // corpus would code nothing and every vector would vanish from the
+    // served index (the empty-schema branch below is for genuinely empty
+    // corpora only — the EmptyInputSpec contract)
+    require(cent.nonEmpty || !hasAnyRow(emb),
+      s"buildIvfPq fitted 0 of $nCells cells over a non-empty corpus — " +
+        "k-means init takes vectors with vec_id < nCells and found " +
+        "none; remap vec_ids to a dense 0-based range or raise nCells")
     val model = PqModel(dims, nSub, nCodes,
       all.tail.map(_.map { case (cid, m) => cid -> m.map(_.toDouble / 1e6) }.toSeq).toSeq)
     val codes =
@@ -847,9 +855,23 @@ object Similarity {
     // semantics identical and makes extendIvf's unfitted-index guard
     // actually fire (requested-count semantics read 8 on an empty fit).
     val cents = kmeansFit(emb, nCells, iters, sampleMod)
+    // 0 fitted cells over a NON-empty corpus is silent data loss — the
+    // assignment join below would drop every vector (init takes vectors
+    // with vec_id < nCells and found none). The existence probe is one
+    // bounded 1-row job on the degenerate path only; an empty corpus
+    // legitimately fits an empty index (EmptyInputSpec contract).
+    require(cents.nonEmpty || !hasAnyRow(emb),
+      s"buildIvf fitted 0 of $nCells cells over a non-empty corpus — " +
+        "k-means init takes vectors with vec_id < nCells and found " +
+        "none; remap vec_ids to a dense 0-based range or raise nCells")
     val cent = centroidFrame(emb.sparkSession, cents)
     IvfIndex(assignToCells(emb, cent).withColumn("nn", norm(col("embedding"))), cent, cents.size)
   }
+
+  /** Bounded 1-row existence probe — used only on degenerate paths
+    * (an empty k-means fit), never per hot call. */
+  private def hasAnyRow(df: DataFrame): Boolean =
+    df.select(lit(1).as("__one")).limit(1).collect().nonEmpty
 
   /** ANN quality evaluation — recall@k of the IVF probe against the
     * brute-force ground truth on a (sampled) query set: the number every
@@ -942,6 +964,12 @@ object Similarity {
       mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.ErrorIfExists): Unit = {
     graft.ops.Layout.writeBucketed(index.assigned, table, Seq("cell"), numBuckets, mode = mode)
     index.centroids.write.mode(mode).saveAsTable(s"${table}_centroids")
+    // evict the cached cell count: a same-JVM rebuild under the same name
+    // with a DIFFERENT cell count must serve the rebuilt capacity — a
+    // stale nCells would let recallSweepWith take its exhaustive-truth
+    // shortcut on a non-exhaustive probe and silently inflate recall
+    loadedCellCounts.remove(
+      cellCountKey(index.centroids.sparkSession, table))
   }
 
   /** Load a persisted IVF index ([[saveIvf]]'s inverse). The returned
@@ -952,14 +980,20 @@ object Similarity {
     * contract — rebuilds are deterministic, deletions recreate the same
     * content), so re-counting the centroid rows on every probe batch was
     * one driver job per call for a constant (s17 paid it twice per rep).
-    * A test that overwrites one table name with a DIFFERENT cell count
-    * in the same JVM must pick a fresh name. */
+    * The cache keys on (warehouse dir, table) and [[saveIvf]] evicts its
+    * key, so neither a rebuild under the same name nor a second session
+    * with a different warehouse can be served a stale count. */
   private val loadedCellCounts =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
+  private def cellCountKey(spark: org.apache.spark.sql.SparkSession,
+      table: String): String =
+    spark.conf.get("spark.sql.warehouse.dir", "") + "\u0001" + table
+
   def loadIvf(spark: org.apache.spark.sql.SparkSession, table: String): IvfIndex = {
     val cent = spark.table(s"${table}_centroids")
-    val n = loadedCellCounts.computeIfAbsent(table, _ => Int.box(cent.count().toInt))
+    val n = loadedCellCounts.computeIfAbsent(cellCountKey(spark, table),
+      _ => Int.box(cent.count().toInt))
     IvfIndex(spark.table(table), cent, n)
   }
 

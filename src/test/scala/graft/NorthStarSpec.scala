@@ -184,6 +184,21 @@ class NorthStarSpec extends SparkTestBase {
       s"expected the id-contract message, got: ${msgs(ex).take(300)}")
   }
 
+  test("dedupDelta non-castable-id failure keeps its diagnostic (concat must not null out)") {
+    import spark.implicits._
+    // all-string ids cast to NULL: both extrema are null, and a
+    // null-propagating concat would reduce the whole crafted message to
+    // a bare "null" — the coalesce must keep the count + remediation text
+    val corpus = Seq(("a", "alpha text one"), ("b", "beta text two"))
+      .toDF("doc_id", "text")
+    val batch = Seq(("c", "gamma text three")).toDF("doc_id", "text")
+    val ex = intercept[Exception] { Dedup.dedupDelta(corpus, batch) }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    assert(msgs(ex).contains("non-castable ids=3"),
+      s"expected the non-castable diagnostic, got: ${msgs(ex).take(300)}")
+  }
+
   test("dedupLines drops corpus-hot lines, keeps order, empties fully-boilerplate docs") {
     // "ad" appears 3× corpus-wide (> max 2) → dropped everywhere;
     // "body one/two/three" unique → kept; doc 4 is ALL boilerplate → "".

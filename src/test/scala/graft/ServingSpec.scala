@@ -106,6 +106,39 @@ class ServingSpec extends SparkTestBase {
     assert(exPq.getMessage.contains("no fitted centroids"))
   }
 
+  test("building over a non-empty corpus that fits zero cells fails loudly") {
+    import graft.operators.Similarity
+    // k-means init takes vectors with vec_id < nCells; a corpus whose ids
+    // all sit above that fits NOTHING, and the assignment join would then
+    // silently drop every vector from the index — the build must reject
+    val high = Tables.embeddings(spark, dir).filter(col("vec_id") >= 8)
+    val exIvf = intercept[IllegalArgumentException] {
+      Similarity.buildIvf(high, nCells = 4)
+    }
+    assert(exIvf.getMessage.contains("fitted 0 of 4 cells"))
+    val exPq = intercept[IllegalArgumentException] {
+      Similarity.buildIvfPq(high, nCells = 4)
+    }
+    assert(exPq.getMessage.contains("fitted 0 of 4 cells"))
+  }
+
+  test("saveIvf evicts the cached cell count — a same-name rebuild serves the new capacity") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.SaveMode
+    val emb = Tables.embeddings(spark, dir).filter(col("vec_id") < 16)
+    val t = "graft_ivf_evict_spec"
+    Similarity.saveIvf(Similarity.buildIvf(emb, nCells = 4), t,
+      numBuckets = 2, mode = SaveMode.Overwrite)
+    assert(Similarity.loadIvf(spark, t).nCells === 4)
+    // rebuild under the SAME name with a different cell count: loadIvf
+    // must serve the rebuilt capacity, not the stale cached one (a stale
+    // count lets recallSweepWith derive "exhaustive" truth from a
+    // non-exhaustive probe)
+    Similarity.saveIvf(Similarity.buildIvf(emb, nCells = 2), t,
+      numBuckets = 2, mode = SaveMode.Overwrite)
+    assert(Similarity.loadIvf(spark, t).nCells === 2)
+  }
+
   test("bpeMergeRules is stable across calls and non-empty") {
     val r1 = Serving.bpeMergeRules(spark, dir)
     val r2 = Serving.bpeMergeRules(spark, dir)
