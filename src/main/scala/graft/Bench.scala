@@ -219,10 +219,10 @@ object Bench {
       // bigram-LM fit/score joins (t29), and the zip_with distance +
       // per-label heap (d15) each compile their own generated classes
       graft.operators.TextSearch.bm25TopK(tinyDocs, "doc_id", "text",
-        Seq(0 -> "the data"), k = 2).count()
+        Seq(0L -> "the data"), k = 2).count()
       graft.operators.TextSearch.bm25TopKWith(
         graft.operators.TextSearch.buildTextIndex(tinyDocs, "doc_id", "text"),
-        Seq(0 -> "the data"), k = 2).count()
+        Seq(0L -> "the data"), k = 2).count()
       graft.operators.LanguageModel.bigramLogProb(tinyDocs, "doc_id", "text").count()
       Similarity.labelOutliers(tinyEmb, k = 2).count()
       // the kmv-mins array aggregate + union-estimator expressions (t31)

@@ -319,7 +319,7 @@ object ScaleCurve {
         }
         () => graft.ops.PlanScope.isolatedStaticFor(docs) { scoped =>
           TextSearch.bm25TopKWith(TextSearch.loadTextIndex(scoped, table),
-            Seq(0 -> "the data", 1 -> "quality measure", 2 -> "sample text"), k = 10)
+            Seq(0L -> "the data", 1L -> "quality measure", 2L -> "sample text"), k = 10)
         }
       },
       // relational family: pure-scan grouped agg (the linear floor every

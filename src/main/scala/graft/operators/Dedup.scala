@@ -188,10 +188,11 @@ object Dedup {
   }
 
   /** LSH band structs over MinHash signature columns `mh0..mh{n-1}`: band
-    * id + md5 of the comma-joined rows. The single source of the bucketing
-    * scheme, shared by the batch (minhashLshPairs) and streaming
-    * (StreamingOps.streamingLshNearDup) operators so they can never
-    * drift apart. */
+    * id + md5 of the comma-joined rows — the column-level statement of
+    * the bucketing rule. Both production paths (batch bandFrame and
+    * streaming streamingLshNearDup) now run the one-call
+    * TextExpressions.minhashBands kernel; this form remains as the
+    * independent reference BandRuleSpec locksteps the kernel against. */
   private[graft] def bandStructs(numBands: Int, rowsPerBand: Int): Seq[Column] =
     (0 until numBands).map { b =>
       val rows = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i").cast("string"))

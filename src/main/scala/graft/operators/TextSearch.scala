@@ -117,7 +117,7 @@ object TextSearch {
       docs0: DataFrame,
       idCol: String,
       textCol: String,
-      queries: Seq[(Int, String)],
+      queries: Seq[(Long, String)],
       k: Int,
       k1: Double = 1.5,
       b: Double = 0.75): DataFrame =
@@ -186,7 +186,7 @@ object TextSearch {
     * over the same corpus by construction (same counts, same formula). */
   def bm25TopKWith(
       index: TextIndex,
-      queries: Seq[(Int, String)],
+      queries: Seq[(Long, String)],
       k: Int,
       k1: Double = 1.5,
       b: Double = 0.75): DataFrame = {
@@ -199,11 +199,15 @@ object TextSearch {
   /** (query_id, term) frame + distinct term list from literal queries. */
   private def queryTerms(
       spark: SparkSession,
-      queries: Seq[(Int, String)]): (DataFrame, Seq[String]) = {
+      queries: Seq[(Long, String)]): (DataFrame, Seq[String]) = {
     import spark.implicits._
-    val qTerms: Seq[(Int, String)] = queries.flatMap { case (qid, text) =>
-      text.split(' ').filter(_.nonEmpty).distinct.map(qid -> _)
-    }
+    // distinct over the WHOLE pair set, not just per entry: a repeated
+    // query id across entries (e.g. an at-least-once stream re-delivery
+    // reaching hybridSearchSink) would otherwise duplicate (qid, term)
+    // rows and double-count that term's contribution in scoreAndRank
+    val qTerms: Seq[(Long, String)] = queries.flatMap { case (qid, text) =>
+      text.split(' ').filter(_.nonEmpty).map(qid -> _)
+    }.distinct
     require(qTerms.nonEmpty, "BM25: query set has no terms")
     (qTerms.toDF("query_id", "term"), qTerms.map(_._2).distinct)
   }

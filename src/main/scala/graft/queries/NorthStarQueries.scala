@@ -138,14 +138,15 @@ object NorthStarQueries {
 
   /** s07's ad-hoc query workload — ONE definition feeding both the Spark
     * query and the oracle's VALUES list, so the two sides cannot drift. */
-  private val Bm25Queries: Seq[(Int, String)] = Seq(
-    0 -> "hash join merge",
-    1 -> "dup scan filter",
-    2 -> "customer order data window")
+  private val Bm25Queries: Seq[(Long, String)] = Seq(
+    0L -> "hash join merge",
+    1L -> "dup scan filter",
+    2L -> "customer order data window")
 
   private def bm25QtValuesSql: String =
     Bm25Queries.flatMap { case (q, t) =>
-      t.split(' ').filter(_.nonEmpty).distinct.map(w => s"($q, '$w')")
+      t.split(' ').filter(_.nonEmpty).distinct.map(w =>
+        s"(CAST($q AS BIGINT), '$w')")
     }.mkString(", ")
 
   /** Full BM25 replay (k1=1.5, b=0.75, k=10): same tokenizer, same

@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.functions.TextFunctions.{hash60, wordShingles}
 
 /** One (doc, LSH band) row of the streaming near-dup pipeline. `ts` is the
   * original event-time column: it must flow into the stateful operator
@@ -365,13 +364,16 @@ object StreamingOps {
     * probe the static posting lists, and each event-time window closes
     * with a per-query top-k leaderboard.
     *
-    * Two chained stateful aggregations on the SAME event-time window
-    * (supported append-mode shape): (window, query, doc) contribution
-    * sums first — so a query whose events (or term batches) split across
-    * micro-batches still scores as one query — then the bounded
-    * [[graft.expressions.TopKByScore]] heap per (window, query). All
-    * per-term contributions are micro-rounded longs BEFORE the first sum
-    * (the library-wide *_e6 convention), so stream ≡ batch bit-for-bit.
+    * Three chained stateful aggregations on the SAME event-time window
+    * (supported append-mode shape): (window, query, doc, term) max first
+    * — the idempotency level that makes a re-delivered or cross-event
+    * repeated term count once, like batch queryTerms' distinct term set —
+    * then (window, query, doc) contribution sums — so a query whose
+    * events (or term batches) split across micro-batches still scores as
+    * one query — then the bounded [[graft.expressions.TopKByScore]] heap
+    * per (window, query). All per-term contributions are micro-rounded
+    * longs BEFORE the sum (the library-wide *_e6 convention), so
+    * stream ≡ batch bit-for-bit.
     *
     * Corpus stats are read once at build time (1-row driver fetch, the
     * same class as the IVF centroid fetch) and embedded as literals with
@@ -399,7 +401,13 @@ object StreamingOps {
     require(nDocs > 0, "streamingBm25: empty index")
     // same IEEE value as the batch tail's sum_dl.cast(double)/n_docs
     val avgdl = sumDl.toDouble / nDocs
+    // persisted: the static side of a stream-static join is re-resolved
+    // and RE-EXECUTED every micro-batch, so unpinned this full-postings
+    // aggregation would rerun per trigger just to rederive constant df
+    // values. The cache lives as long as the serving stream — the same
+    // serving-artifact lifetime as the index itself.
     val dfByTerm = index.postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val contrib = queries
       .withWatermark(tsCol, watermark)
       .select(col(tsCol).as("__ts"), col(queryIdCol).as("query_id"),
@@ -414,7 +422,16 @@ object StreamingOps {
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
           .cast("long"))
     contrib
-      .groupBy(window(col("__ts"), width).as("window"), col("query_id"), col("doc_id"))
+      // idempotency level: a (window, query, term) delivered twice — an
+      // at-least-once re-delivery, or one term repeated across a query's
+      // split event batches — must count ONCE, as batch queryTerms'
+      // distinct term set does. contrib_e6 is deterministic per
+      // (term, doc), so max ≡ the single value; without this level the
+      // per-(query, doc) sum below double-counts and stream ≢ batch.
+      .groupBy(window(col("__ts"), width).as("window"), col("query_id"),
+        col("doc_id"), col("term"))
+      .agg(max(col("contrib_e6")).as("contrib_e6"))
+      .groupBy(col("window"), col("query_id"), col("doc_id"))
       .agg(sum(col("contrib_e6")).as("score_e6"))
       .groupBy(col("window"), col("query_id"))
       .agg(graft.expressions.TopKByScore.topK(
@@ -509,14 +526,20 @@ object StreamingOps {
       rightTs: String,
       bound: String,
       watermark: String,
-      joinType: String = "inner"): DataFrame =
-    left.withWatermark(leftTs, watermark)
-      .join(
-        right.withWatermark(rightTs, watermark),
-        expr(s"""$leftKey = $rightKey AND
-                |$rightTs BETWEEN $leftTs - INTERVAL $bound AND $leftTs + INTERVAL $bound
-                |""".stripMargin),
-        joinType)
+      joinType: String = "inner"): DataFrame = {
+    // dataset aliases, not raw-name expr: two streams of the same schema
+    // (the natural self-join shape — clicks vs views both keyed user_id/
+    // ts) would make a name-based condition ambiguous and fail at
+    // analysis; qualified refs resolve each side unambiguously
+    val l = left.withWatermark(leftTs, watermark).alias("__l")
+    val r = right.withWatermark(rightTs, watermark).alias("__r")
+    l.join(r,
+      col(s"__l.$leftKey") === col(s"__r.$rightKey") &&
+        col(s"__r.$rightTs").between(
+          col(s"__l.$leftTs") - expr(s"INTERVAL $bound"),
+          col(s"__l.$leftTs") + expr(s"INTERVAL $bound")),
+      joinType)
+  }
 
   /** Streaming exact dedup: first record per key wins, later duplicates
     * dropped for as long as they can still arrive (the watermark delay) —
@@ -742,12 +765,17 @@ object StreamingOps {
         val b = batch.toDF().persist()
         try {
           val qText = b.select(col("query_id").cast("long"), col("text"))
-            .collect().map(r => r.getLong(0).toInt -> r.getString(1)).toSeq
+            .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
           if (qText.nonEmpty) {
             val lex = graft.operators.TextSearch.bm25TopKWith(textIndex, qText, k)
               .select(col("query_id"), col("doc_id"), col("rank"))
+            // excludeSelf = false: query ids are USER query ids, not
+            // corpus vec_ids — an id collision is coincidence, and the
+            // default self-exclusion would silently drop that corpus doc
+            // from the dense leg (the bitextMarginMineWith rule)
             val dense = graft.operators.Similarity.ivfKnnWith(ivf,
-                b.select(col("query_id").as("vec_id"), col("embedding")), k, nprobe)
+                b.select(col("query_id").as("vec_id"), col("embedding")), k, nprobe,
+                excludeSelf = false)
               .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
             sink(graft.operators.TextSearch.rrfFuse(Seq(lex, dense), k, rrfK), batchId)
           }
@@ -816,23 +844,20 @@ object StreamingOps {
       rowsPerBand: Int = 3): Dataset[NearDupHit] = {
     require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
     import docs.sparkSession.implicits._
-    val numBands = numHashes / rowsPerBand
-    // per-row MinHash: mh_i = min over the doc's shingles of hash60(i:sh).
-    // (The batch path computes the same values via explode + min-aggregates
-    // for map-side combining; per-row HOFs are the right shape when each
-    // record must be decided on arrival.)
-    val mh = (0 until numHashes).map { i =>
-      array_min(transform(wordShingles(col("text"), shingleN),
-        sh => hash60(concat(lit(i.toString), lit(":"), sh)))).as(s"mh$i")
-    }
+    // ONE kernel call per row (MinhashBandsExpr) — the same single-source
+    // banding the batch bandFrame uses (BandRuleSpec pins the kernel ≡
+    // the exploded agg + bandStructs rule), so batch and stream can never
+    // drift. The former per-row HOF form re-walked the shingle array once
+    // per hash with hash60 interpreted inside the lambda — the exact
+    // per-column re-evaluation the kernel was built to remove (the s09
+    // lesson, Dedup.scala bandFrame note). Shingle-less docs return an
+    // empty array → no band rows, same as the old mh0-null filter.
     val bands = docs
       .withWatermark(tsCol, watermark)
-      .select(Seq(col("doc_id"), col(tsCol).as("ts")) ++ mh: _*)
-      .filter(col("mh0").isNotNull) // shingle-less docs have no signature (as in batch)
-      .select(col("doc_id"), col("ts"),
-        // the batch operator's banding, verbatim — single source in Dedup
-        explode(array(graft.operators.Dedup.bandStructs(numBands, rowsPerBand): _*)).as("bb"))
-      .select(col("doc_id"), col("ts"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .select(col("doc_id"), col(tsCol).as("ts"),
+        posexplode(graft.expressions.TextExpressions.minhashBands(
+          col("text"), shingleN, numHashes, rowsPerBand)).as(Seq("band", "bh")))
+      .select(col("doc_id"), col("ts"), col("band").cast("long").as("band"), col("bh"))
       .as[BandRow]
     val delayMs = watermarkDelayMs(watermark)
     bands
@@ -958,15 +983,24 @@ object StreamingOps {
             state.getOption.foreach(s =>
               acc ++= s.vecs.filter { case (_, _, t) => t + delayMs >= wm })
             val hits = scala.collection.mutable.ArrayBuffer.empty[SemanticHit]
+            // first delivery wins: a re-delivered vec_id (at-least-once
+            // upstream, or repeated in one batch) must not append a second
+            // state copy — that would re-emit every one of its pairs and
+            // double the quadratic per-arrival scan until the horizon
+            // pruned the copies
+            val seen = scala.collection.mutable.HashSet.empty[Long]
+            acc.foreach { case (id, _, _) => seen += id }
             rs.foreach { r =>
-              acc.foreach { case (id, e, _) =>
-                if (id != r.vec_id) {
-                  val c = cosE6Jvm(r.emb, e)
-                  if (c >= minCosE6)
-                    hits += SemanticHit(math.min(id, r.vec_id), math.max(id, r.vec_id), cell, c)
+              if (seen.add(r.vec_id)) {
+                acc.foreach { case (id, e, _) =>
+                  if (id != r.vec_id) {
+                    val c = cosE6Jvm(r.emb, e)
+                    if (c >= minCosE6)
+                      hits += SemanticHit(math.min(id, r.vec_id), math.max(id, r.vec_id), cell, c)
+                  }
                 }
+                acc += ((r.vec_id, r.emb, r.ts.getTime))
               }
-              acc += ((r.vec_id, r.emb, r.ts.getTime))
             }
             val maxTs = (state.getOption.map(_.maxTsMillis).toSeq ++
               rs.map(_.ts.getTime)).max
@@ -1257,8 +1291,15 @@ object StreamingOps {
       .select(col("doc_id"), col(tsCol).as("__ts"),
         explode(graft.expressions.TextExpressions.shingleHashes(col("text"), shingleN)).as("sh"))
     sh.join(evalIndex, "sh") // stream-static inner join, index re-resolved per micro-batch
-      .groupBy(window(col("__ts"), windowDuration),
-        col("doc_id"), col("eval_id"), col("n_ev"))
+      // idempotency level (the streamingBm25 pattern): a re-delivered doc
+      // event re-joins every one of its shingles, and a plain count would
+      // double inter_cnt (containment could read > 1000‰) — collapsing to
+      // the distinct (window, doc, eval, shingle) grain first makes the
+      // count a true intersection size under at-least-once delivery
+      .groupBy(window(col("__ts"), windowDuration).as("window"),
+        col("doc_id"), col("eval_id"), col("n_ev"), col("sh"))
+      .agg(first(lit(1)).as("__one"))
+      .groupBy(col("window"), col("doc_id"), col("eval_id"), col("n_ev"))
       .agg(count(lit(1)).as("inter_cnt"))
       .withColumn("containment_permille",
         expr("CAST((1000 * inter_cnt) DIV n_ev AS BIGINT)"))

@@ -495,7 +495,7 @@ class PropertySpec extends SparkTestBase {
         rebuilt.postings.collect().map(_.toSeq).toSet)
       assert(chained.stats.collect().map(_.toSeq).toSeq ===
         rebuilt.stats.collect().map(_.toSeq).toSeq)
-      val q = Seq(0 -> "quick data", 1 -> "fox")
+      val q = Seq(0L -> "quick data", 1L -> "fox")
       assert(TextSearch.bm25TopKWith(chained, q, k = 3).collect().map(_.toSeq).toSet ===
         TextSearch.bm25TopKWith(rebuilt, q, k = 3).collect().map(_.toSeq).toSet)
     }

@@ -25,7 +25,7 @@ class RetrievalSpec extends SparkTestBase {
     assert(ext.stats.collect().map(_.toSeq).toSeq ===
       full.stats.collect().map(_.toSeq).toSeq)
     // and the probe path scores identically through either index
-    val q = Seq(0 -> "quick fox")
+    val q = Seq(0L -> "quick fox")
     assert(graft.operators.TextSearch.bm25TopKWith(ext, q, k = 3)
       .collect().map(_.toSeq).toSet ===
       graft.operators.TextSearch.bm25TopKWith(full, q, k = 3)
@@ -55,10 +55,10 @@ class RetrievalSpec extends SparkTestBase {
     * the reference the distributed operator must reproduce exactly. */
   private def bm25Reference(
       corpus: Seq[(Long, String)],
-      queries: Seq[(Int, String)],
+      queries: Seq[(Long, String)],
       k: Int,
       k1: Double = 1.5,
-      b: Double = 0.75): Seq[(Int, Int, Long, Long)] = {
+      b: Double = 0.75): Seq[(Long, Int, Long, Long)] = {
     val toks = corpus.map { case (id, t) => id -> t.split(' ').filter(_.nonEmpty).toSeq }
     val n = toks.size.toLong
     val sumDl = toks.map(_._2.size.toLong).sum
@@ -90,18 +90,18 @@ class RetrievalSpec extends SparkTestBase {
     2L -> "a c",
     3L -> "c c c c",
     4L -> "z z z")
-  private val queries = Seq(0 -> "a", 1 -> "b c")
+  private val queries = Seq(0L -> "a", 1L -> "b c")
 
   test("bm25TopK reproduces the in-memory reference exactly") {
     val got = TextSearch.bm25TopK(docs(corpus: _*), "doc_id", "text", queries, k = 10)
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
       .sortBy(t => (t._1, t._2))
     assert(got.toSeq === bm25Reference(corpus, queries, k = 10))
   }
 
   test("bm25TopK: docs without any query term never appear; k caps each query") {
     val got = TextSearch.bm25TopK(docs(corpus: _*), "doc_id", "text", queries, k = 1)
-      .collect().map(r => (r.getInt(0), r.getLong(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     // doc 4 matches neither query; k=1 keeps only the best per query
     assert(!got.exists(_._2 == 4L))
     assert(got.size === 2)
@@ -109,17 +109,17 @@ class RetrievalSpec extends SparkTestBase {
 
   test("bm25TopKWith over a built index ≡ the ad-hoc scan, exactly") {
     val adhoc = TextSearch.bm25TopK(docs(corpus: _*), "doc_id", "text", queries, k = 10)
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).sortBy(t => (t._1, t._2))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).sortBy(t => (t._1, t._2))
     val index = TextSearch.buildTextIndex(docs(corpus: _*), "doc_id", "text")
     val served = TextSearch.bm25TopKWith(index, queries, k = 10)
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).sortBy(t => (t._1, t._2))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).sortBy(t => (t._1, t._2))
     assert(served.toSeq === adhoc.toSeq)
   }
 
   test("bm25TopK breaks score ties by lower doc_id") {
     // identical docs tie exactly on every term contribution
     val tied = Seq(7L -> "t u v", 5L -> "t u v", 9L -> "other words here")
-    val got = TextSearch.bm25TopK(docs(tied: _*), "doc_id", "text", Seq(0 -> "t"), k = 2)
+    val got = TextSearch.bm25TopK(docs(tied: _*), "doc_id", "text", Seq(0L -> "t"), k = 2)
       .orderBy("rank").collect().map(_.getLong(2))
     assert(got.toSeq === Seq(5L, 7L))
   }

@@ -16,7 +16,7 @@ case class StreamDocFixture(doc_id: Long, text: String, ts: Timestamp)
 case class StreamVecFixture(vec_id: Long, embedding: Seq[Float], ts: Timestamp)
 case class AsofLeftFix(key: Long, id: Long, ts: Timestamp, value: Double)
 case class AsofRightFix(key: Long, ts: Timestamp, value: Double)
-case class QueryEvent(ts: Timestamp, query_id: Int, text: String)
+case class QueryEvent(ts: Timestamp, query_id: Long, text: String)
 case class Scd2Fix(key: Long, ts: Timestamp, seq: Long, value: String)
 case class FunnelFix(key: Long, ts: Timestamp, seq: Long, etype: String)
 case class HybridQueryFix(query_id: Long, text: String, embedding: Seq[Float])
@@ -179,6 +179,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
     val rows = spark.table("ivj").select("l_key", "l_v", "r_v").collect().map(_.toSeq)
     assert(rows.toSeq === Seq(Seq(1L, 100L, 111L)))
+  }
+
+  test("interval join works when both streams share one schema (no pre-renaming required)") {
+    // the natural self-join shape — two streams of the same event type —
+    // used to fail at analysis with AMBIGUOUS_REFERENCE because the join
+    // condition was built from raw column names; dataset aliases fixed it
+    val calls = MemoryStream[CallEvent](spark)
+    val acks = MemoryStream[CallEvent](spark)
+    val joined = StreamingOps.intervalJoin(
+      calls.toDF(), acks.toDF(),
+      leftKey = "user_id", rightKey = "user_id",
+      leftTs = "ts", rightTs = "ts",
+      bound = "10 MINUTES", watermark = "1 hour")
+    val q = joined.writeStream
+      .format("memory").queryName("ivj_same").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ck-ivj-same").toString)
+      .start()
+    try {
+      calls.addData(CallEvent(ts("10:00"), 1L, 100))
+      acks.addData(
+        CallEvent(ts("10:05"), 1L, 111), // within bound → joins
+        CallEvent(ts("10:30"), 1L, 222)) // outside bound → dropped
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ivj_same").collect()
+    assert(rows.length === 1)
+    // left value then right value, both sides' columns present
+    assert(rows.head.toSeq.count(_ == 100L) === 1 && rows.head.toSeq.count(_ == 111L) === 1)
   }
 
   test("left-outer interval join emits unmatched rows with nulls once the watermark certifies them") {
@@ -412,10 +440,16 @@ class StreamingSpec extends SparkTestBase {
       val (a, b) = rows.splitAt(rows.length / 2)
       in.addData(a.toIndexedSeq); q.processAllAvailable()
       in.addData(b.toIndexedSeq); q.processAllAvailable()
+      // at-least-once re-delivery: the same vectors again, inside the
+      // horizon — first delivery wins, so no new state copy and no
+      // re-emitted pair rows (the row-count assert below pins it)
+      in.addData(a.take(3).toIndexedSeq); q.processAllAvailable()
     } finally q.stop()
     val got = spark.table("sem_hits")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
     assert(got === batch && got.nonEmpty, s"stream ${got.size} vs batch ${batch.size}")
+    // every pair appears exactly once even under re-delivery
+    assert(spark.table("sem_hits").count() === batch.size.toLong)
   }
 
   test("streaming semantic near-dup prunes expired vectors in a continuously ACTIVE cell") {
@@ -992,6 +1026,12 @@ class StreamingSpec extends SparkTestBase {
     try {
       in.addData(fixture.take(3))
       q.processAllAvailable()
+      // at-least-once re-delivery of the verbatim leak, inside the
+      // watermark: the distinct-shingle level must keep inter_cnt a true
+      // intersection size (the rows === batch assert below pins it —
+      // a double-counted doc 1 would read 2000 permille)
+      in.addData(Seq(fixture.head))
+      q.processAllAvailable()
       in.addData(fixture.drop(3)) // advances the watermark past 11:00
       q.processAllAvailable()
     } finally q.stop()
@@ -1393,7 +1433,10 @@ class StreamingSpec extends SparkTestBase {
     // arrives whole in batch 2
     val t0 = Timestamp.valueOf("2024-03-01 10:05:00")
     val batch1 = Seq(QueryEvent(t0, 0, "a"), QueryEvent(t0, 0, "b"))
-    val batch2 = Seq(QueryEvent(t0, 1, "c"))
+    // batch 2 RE-DELIVERS (0, "a") — the (window, query, doc, term) max
+    // level must count it once, or q0's 'a' contributions double and
+    // stream ≢ batch
+    val batch2 = Seq(QueryEvent(t0, 1, "c"), QueryEvent(t0, 0, "a"))
     // flush far past window end + watermark so append mode closes the window
     val flush = Seq(QueryEvent(Timestamp.valueOf("2024-03-02 12:00:00"), 9, "a"))
 
@@ -1414,10 +1457,10 @@ class StreamingSpec extends SparkTestBase {
     val streamed = spark.table("stream_bm25")
       .filter($"window_start" === Timestamp.valueOf("2024-03-01 10:00:00"))
       .select($"query_id", $"rank", $"doc_id", $"score_e6")
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
     // batch reference: the same merged query set against the same index
-    val batch = TextSearch.bm25TopKWith(index, Seq(0 -> "a b", 1 -> "c"), k = 10)
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = TextSearch.bm25TopKWith(index, Seq(0L -> "a b", 1L -> "c"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
     assert(streamed.nonEmpty)
     assert(streamed === batch)
   }
@@ -1484,11 +1527,14 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
     def batchMode(qs: Seq[HybridQueryFix]) = {
       val lex = TextSearch.bm25TopKWith(tIdx,
-          qs.map(h => h.query_id.toInt -> h.text), k = 3)
+          qs.map(h => h.query_id -> h.text), k = 3)
         .select($"query_id", $"doc_id", $"rank")
+      // excludeSelf = false on BOTH sides: user query ids are not corpus
+      // vec_ids, so a coincidental id match (query 1 vs doc 1 here) must
+      // stay in the dense leg — the sink applies the same rule
       val dense = Similarity.ivfKnnWith(ivf,
           qs.map(h => (h.query_id, h.embedding)).toDF("vec_id", "embedding"),
-          k = 3, nprobe = 2)
+          k = 3, nprobe = 2, excludeSelf = false)
         .select($"query_id", $"neighbor_id".as("doc_id"), $"rank")
       TextSearch.rrfFuse(Seq(lex, dense), k = 3).collect().map(_.toSeq).toSet
     }
