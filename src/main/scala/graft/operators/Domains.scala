@@ -42,11 +42,18 @@ object Domains {
       domainOfExpr(org.apache.spark.sql.GraftColumnShim.expression(url)))
 
   /** The same normalization as a Catalyst tree — the `graft_domain_of`
-    * SQL registration builds here, so SQL and Scala cannot drift. */
+    * SQL registration builds here, so SQL and Scala cannot drift.
+    * NULL input coalesces to "" so the documented "empty = no
+    * extractable host" contract holds for null URLs too — otherwise a
+    * null url is neither "" (the caller's quarantine/bypass branch) nor
+    * a real domain, and rows silently vanish from BOTH forks of a
+    * domain-hygiene stage (the curate maxPerDomain bug class). */
   def domainOfExpr(url: org.apache.spark.sql.catalyst.expressions.Expression)
       : org.apache.spark.sql.catalyst.expressions.Expression = {
-    import org.apache.spark.sql.catalyst.expressions.{Literal, Lower, RegExpExtract, StringTrim}
-    RegExpExtract(Lower(StringTrim(url)), Literal(HostPattern), Literal(1))
+    import org.apache.spark.sql.catalyst.expressions.{Coalesce, Literal, Lower, RegExpExtract, StringTrim}
+    Coalesce(Seq(
+      RegExpExtract(Lower(StringTrim(url)), Literal(HostPattern), Literal(1)),
+      Literal("")))
   }
 
   /** Drop rows whose domain is on a literal blocklist. The NOT-isin

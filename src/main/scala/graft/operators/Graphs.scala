@@ -222,15 +222,12 @@ object Graphs {
     * iterative loop should re-root it themselves
     * (`createDataFrame(df.rdd, df.schema)`) to keep AQE plan nesting at
     * depth 1. */
-  def detachSmall(df: DataFrame, maxRows: Int = 1 << 20): DataFrame = {
-    val rows = df.limit(maxRows + 1).collect()
-    require(rows.length <= maxRows,
+  def detachSmall(df: DataFrame, maxRows: Int = 1 << 20): DataFrame =
+    graft.ops.Detach.toLocal(df, maxRows, df.sparkSession,
       s"detachSmall: result exceeds $maxRows rows — keep the persisted frame " +
-        "and release with unpersist() after consumption instead")
-    df.unpersist(blocking = false)
-    df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(rows: _*), df.schema)
-  }
+        "and release with unpersist() after consumption instead") {
+      df.unpersist(blocking = false); ()
+    }
 
   /** [[pageRank]] with per-edge weights: node u spreads its rank in
     * proportion to edge weight, `contribution(u→v) = (r(u)·w_uv) div sw(u)`

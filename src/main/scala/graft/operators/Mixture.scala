@@ -78,7 +78,11 @@ object Mixture {
       tauHalves: Int = 1): Map[String, Int] = {
     require(tauHalves >= 0 && tauHalves <= 2,
       s"tauHalves must be 0 (uniform), 1 (sqrt) or 2 (natural), got $tauHalves")
-    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+    // cast the source key to string driver-side: sampleByRates accepts
+    // any source type (its match is ===), so the fit half of the flow
+    // must not ClassCastException on an int source id
+    val counts = df.groupBy(col(sourceCol).cast("string").as("__s"))
+      .agg(count(lit(1)).as("__n"))
       .collect().map { r =>
         require(r.get(0) != null,
           "temperatureRates: null source — filter or fill before fitting the mixture")
@@ -99,6 +103,15 @@ object Mixture {
       require(rate <= Int.MaxValue,
         s"temperatureRates: source '$s' ($n rows) would be upsampled to $rate permille — " +
           "raise tauHalves toward the natural mixture or pre-filter degenerate sources")
+      // the symmetric floor guard: a dominant source over MANY sources
+      // can floor to 0 permille (e.g. uniform over 2000 sources with one
+      // holding 90% of rows), and sampleByRates drops 0-rate sources
+      // entirely — silently deleting most of the corpus is as much a
+      // data-shape problem as the overflow above
+      require(rate >= 1,
+        s"temperatureRates: source '$s' ($n rows) would be downsampled to 0 permille " +
+          "(dropped entirely) — raise tauHalves toward the natural mixture or " +
+          "consolidate the source space")
       s -> rate.toInt
     }
   }
@@ -187,7 +200,9 @@ object Mixture {
         // in-contract path (bounded score domain): one fetch, driver walk
         val totals = fetched
           .map { r => (r.getLong(0), r.getLong(1), r.getLong(2)) }
-          .sortBy { case (s, _, _) => -s }
+          // reverse ordering, not negation: -Long.MinValue overflows to
+          // itself and would walk the WORST class first
+          .sortBy(_._1)(Ordering[Long].reverse)
         val budget = budgetOf(totals.map(_._2).sum)
         totals.foreach { case (s, _, cmin) =>
           require(cmin >= 0, s"budgetSelect: negative $costCol in score class $s")
@@ -267,7 +282,7 @@ object Mixture {
           val cls = t.filter(col("__s") >= lo && col("__s") <= hi)
             .collect()
             .map(r => (r.getLong(0), r.getLong(1)))
-            .sortBy { case (s, _) => -s }
+            .sortBy(_._1)(Ordering[Long].reverse) // not -s: Long.MinValue
           var b: Option[(Long, Long)] = None
           cls.foreach { case (s, c) =>
             if (b.isEmpty) {
@@ -283,7 +298,7 @@ object Mixture {
             .agg(sum(col("__c")).as("__bc"), count(lit(1)).as("__ncls"))
             .collect()
             .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-            .sortBy { case (b, _, _) => -b }
+            .sortBy(_._1)(Ordering[Long].reverse) // bucket ids >= 0; uniform style
           var descended = false
           bks.foreach { case (b, bc, ncls) =>
             if (!descended) {
@@ -331,6 +346,11 @@ object Mixture {
     val keyType = df.schema(keyCol).dataType
     require(Seq("byte", "short", "integer", "long").contains(keyType.typeName),
       s"stratifiedSample needs an integral key column (TopKByScore ids are long); '$keyCol' is $keyType")
+    // same clash policy as sampleByRates/AsofJoin/Packing: withColumn
+    // silently replaces an existing column, so a caller's own __h48
+    // must be rejected loudly, not overwritten
+    require(!df.columns.contains("__h48"),
+      "column __h48 collides with stratifiedSample's working name; rename first")
     val h48 = shiftright(
       graft.functions.TextFunctions.hash60(Splits.saltedKey(col(keyCol), salt)), 12)
     df.withColumn("__h48", h48)

@@ -3,7 +3,7 @@ package graft.pipelines
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Domains, Mixture, Packing, Sketches, Splits}
+import graft.operators.{Dedup, Domains, Packing, Sketches, Splits}
 import graft.functions.TextFunctions
 
 /** The end-to-end curation flow a pretraining data pipeline runs, composed
@@ -189,10 +189,15 @@ object CurationPipeline {
     // output more than once (the rejoin below plus dedupLines' two scans),
     // pin it so the cap aggregate + join don't re-execute per consumer
     // — same persist policy as the components labels in step 1.
+    // the pin is surfaced (not a local) so the detachBound handover can
+    // release it — it was the one cache the "zero blocks left registered"
+    // contract missed
+    val docsIPin =
+      if (maxLineOccurrences.isDefined && domainStageActive)
+        Some(docsI.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else None
     val docsL = maxLineOccurrences.fold(docsI) { cap =>
-      val d0 =
-        if (!domainStageActive) docsI
-        else docsI.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val d0 = docsIPin.getOrElse(docsI)
       d0.drop("text")
         .join(Dedup.dedupLines(d0, "doc_id", "text", cap)
           .filter(col("n_kept") > 0)
@@ -328,21 +333,18 @@ object CurationPipeline {
       // single pass straight to the driver (persisting the text-heavy
       // frame first would pay an extra materialization for nothing —
       // the rows are leaving the cluster either way)
-      val rows = packed.limit(cap + 1).collect()
-      require(rows.length <= cap,
+      graft.ops.Detach.toLocal(packed, cap, caller,
         s"curate detachBound: result exceeds $cap rows — drop detachBound " +
-          "and write the returned frame instead")
-      comps.unpersist(blocking = false)
-      releaseComponents() // the fixpoint's final-round cache (see
-                          // componentsWithRelease) — with it, "zero
-                          // blocks left registered" holds exactly
-      docsSPin.foreach(_.unpersist(blocking = false))
-      scoredIn.unpersist(blocking = false)
-      // LocalRelation built on the CALLER's session: anything composed
-      // on the detached result downstream plans under the caller's own
-      // conf, not the (static) scope clone's
-      caller.createDataFrame(
-        java.util.Arrays.asList(rows: _*), packed.schema)
+          "and write the returned frame instead") {
+        comps.unpersist(blocking = false)
+        releaseComponents() // the fixpoint's final-round cache (see
+                            // componentsWithRelease) — with it, "zero
+                            // blocks left registered" holds exactly
+        docsIPin.foreach(_.unpersist(blocking = false))
+        docsSPin.foreach(_.unpersist(blocking = false))
+        scoredIn.unpersist(blocking = false)
+        ()
+      }
     }
   }
 
@@ -416,15 +418,19 @@ object CurationPipeline {
     */
   def releaseDiff(oldRelease: DataFrame, newRelease: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // presence flags, not digest nullness (the oracle's o.doc_id IS NULL
+    // rule): md5(null text) is null, so digest-null presence would report
+    // a present-but-null-text row as added/dropped; the null-safe <=>
+    // keeps a null↔non-null text flip classified as changed
     val o = oldRelease.select(col(idCol).cast("long").as("doc_id"),
-      md5(col(textCol)).as("__old"))
+      md5(col(textCol)).as("__old"), lit(true).as("__in_old"))
     val n = newRelease.select(col(idCol).cast("long").as("doc_id"),
-      md5(col(textCol)).as("__new"))
+      md5(col(textCol)).as("__new"), lit(true).as("__in_new"))
     o.join(n, Seq("doc_id"), "full_outer")
       .withColumn("status",
-        when(col("__old").isNull, lit("added"))
-          .when(col("__new").isNull, lit("dropped"))
-          .when(col("__old") =!= col("__new"), lit("changed")))
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("dropped"))
+          .when(!(col("__old") <=> col("__new")), lit("changed")))
       .filter(col("status").isNotNull)
       .select(col("doc_id"), col("status"))
   }
@@ -606,16 +612,13 @@ object CurationPipeline {
         "spark.sql.limit.initialNumPartitions" -> "100000")(chain)
       else chain(caller)
     detachBound.fold(packed) { cap =>
-      val rows = packed.limit(cap + 1).collect()
-      require(rows.length <= cap,
-        s"curateDelta detachBound: result exceeds $cap rows — drop detachBound " +
-          "and write the returned frame instead")
       // nothing stays in the CacheManager: dedupDeltaWith already
       // released its candidate pin and its localCheckpoint blocks are
       // RDD-level, reclaimed by the ContextCleaner once the returned
       // frame is unreferenced
-      caller.createDataFrame(
-        java.util.Arrays.asList(rows: _*), packed.schema)
+      graft.ops.Detach.toLocal(packed, cap, caller,
+        s"curateDelta detachBound: result exceeds $cap rows — drop detachBound " +
+          "and write the returned frame instead")(())
     }
   }
 }

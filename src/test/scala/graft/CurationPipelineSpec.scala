@@ -153,6 +153,37 @@ class CurationPipelineSpec extends SparkTestBase {
     } finally { out.unpersist(); () }
   }
 
+  test("null-url docs take the no-host bypass and survive the domain stage") {
+    // url IS NULL is routine crawl data; domainOf(null) = "" routes these
+    // rows into the bypass fork — before the coalesce they matched
+    // NEITHER fork and vanished silently
+    val withUrls = docs.withColumn("url",
+      when(pmod($"doc_id", lit(2)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("https://one.example.com/p/"), $"doc_id")))
+    val out = CurationPipeline.curate(withUrls, evalDocs,
+      urlCol = Some("url"), maxPerDomain = Some(2)).cache()
+    try {
+      assert(out.filter($"url".isNull).count() > 2L,
+        "null-url docs were dropped (or capped as one domain) by the domain stage")
+    } finally { out.unpersist(); () }
+  }
+
+  test("detachBound handover leaves zero persistent blocks, all stages active") {
+    // the full flag set — domain hygiene + line dedup (the docsI pin),
+    // span scrub, quality fit — then the detach handover: every internal
+    // cache must be released (getPersistentRDDs returns to the baseline)
+    val withUrls = docs.withColumn("url",
+      concat(lit("https://d"), pmod($"doc_id", lit(3)), lit(".example.com/p/"), $"doc_id"))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = CurationPipeline.curate(withUrls, evalDocs,
+      urlCol = Some("url"), maxPerDomain = Some(50),
+      maxLineOccurrences = Some(50), spanScrubWindow = Some(8),
+      detachBound = Some(10000))
+    assert(out.count() > 0)
+    assert(spark.sparkContext.getPersistentRDDs.size === before,
+      "curate's detachBound handover left cached blocks registered")
+  }
+
   test("curate runs the components fixpoint exactly once") {
     // the fixpoint is eager and the pipeline's dominant stage at scale;
     // both consumers (dedup argmax + leakage-safe split) must share ONE
@@ -299,6 +330,20 @@ class CurationPipelineSpec extends SparkTestBase {
     assert(got === Map(2L -> "changed", 3L -> "dropped", 4L -> "added"))
     // identical releases → empty report
     assert(CurationPipeline.releaseDiff(oldRel, oldRel).count() === 0L)
+  }
+
+  test("releaseDiff classifies by row presence, not digest nullness") {
+    // md5(null text) is null: presence must come from the row, or a
+    // present-but-null-text doc reads as added/dropped
+    val oldRel = Seq((5L, Option.empty[String]), (6L, Option.empty[String]),
+      (7L, Some("x"))).toDF("doc_id", "text")
+    val newRel = Seq((6L, Option.empty[String]), (7L, Option.empty[String]),
+      (8L, Some("y"))).toDF("doc_id", "text")
+    val got = CurationPipeline.releaseDiff(oldRel, newRel)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 5 dropped (was present, null text); 6 unchanged (null on both
+    // sides, omitted); 7 changed (text -> null); 8 added
+    assert(got === Map(5L -> "dropped", 7L -> "changed", 8L -> "added"))
   }
 
   test("curateDelta semantic fence: paraphrase leakage the n-gram gate misses is dropped") {

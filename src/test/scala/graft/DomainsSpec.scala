@@ -21,6 +21,16 @@ class DomainsSpec extends SparkTestBase {
       "example.com", "example.com", "wwwx.example.com"))
   }
 
+  test("domainOf of a NULL url is the empty string, not null") {
+    // the documented "empty = no extractable host" contract must cover
+    // null urls too: a null domain is neither "" (the quarantine/bypass
+    // fork) nor a real domain, so null-url rows would silently vanish
+    // from BOTH forks of a domain-hygiene stage
+    val got = Seq((1L, Option.empty[String]), (2L, Some("https://a.example.com/x")))
+      .toDF("id", "url").select(Domains.domainOf(col("url"))).as[String].collect().toSeq
+    assert(got === Seq("", "a.example.com"))
+  }
+
   test("filterBlocklist: literal list and broadcast table agree") {
     val df = Seq((1L, "a.com"), (2L, "b.com"), (3L, "c.com"), (4L, "b.com"))
       .toDF("id", "domain")

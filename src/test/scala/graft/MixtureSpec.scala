@@ -65,6 +65,42 @@ class MixtureSpec extends SparkTestBase {
     }
   }
 
+  test("temperatureRates: downsample-to-zero fails loudly, int sources fit") {
+    // 1999 singleton sources + one hot source of 2001 rows, uniform τ:
+    // rate_hot = 1000·4000/(2000·2001) = 0.999… → floor 0 — sampleByRates
+    // would DROP the hot source (half the corpus) silently; the fit must
+    // reject instead, symmetric to the upsample-overflow guard
+    val hot = spark.range(2001).select(lit(0L).as("src"), $"id".as("doc_id"))
+    val singletons = spark.range(1, 2000)
+      .select($"id".as("src"), ($"id" + 10000L).as("doc_id"))
+    val ex = intercept[IllegalArgumentException] {
+      Mixture.temperatureRates(hot.unionByName(singletons), "src", tauHalves = 0)
+    }
+    assert(ex.getMessage.contains("0 permille"))
+    // and the fit half accepts the same non-string source column the
+    // sampling half does (no ClassCastException on int source ids)
+    val intSrc = Seq((1L, 0), (2L, 0), (3L, 1)).toDF("doc_id", "src")
+    assert(Mixture.temperatureRates(intSrc, "src", tauHalves = 2) ===
+      Map("0" -> 1000, "1" -> 1000))
+  }
+
+  test("budgetSelect: a Long.MinValue score class ranks worst, not first") {
+    // -Long.MinValue overflows to itself, so a negation-based sort would
+    // walk the WORST class first and spend the budget on it
+    val rows = Seq((1L, 10L, 5L), (2L, Long.MinValue, 5L))
+      .toDF("id", "score", "cost")
+    val kept = Mixture.budgetSelect(rows, "id", "score", "cost", budget = 5L)
+      .select($"id").as[Long].collect().toSet
+    assert(kept === Set(1L))
+  }
+
+  test("stratifiedSample rejects a caller-owned __h48 instead of overwriting it") {
+    intercept[IllegalArgumentException] {
+      Mixture.stratifiedSample(docs.withColumn("__h48", lit(1L)),
+        "doc_id", "source", kPerGroup = 2)
+    }
+  }
+
   test("mixture is deterministic and salt-decorrelated") {
     val a = Mixture.sampleByRates(docs, "doc_id", "source", Map.empty,
       defaultPermille = 500, salt = "s1").select($"doc_id").as[Long].collect().toSet
