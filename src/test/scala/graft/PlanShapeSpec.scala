@@ -161,16 +161,28 @@ class PlanShapeSpec extends SparkTestBase {
     r.unpersist(blocking = true)
   }
 
-  test("s16 RRF fusion: bounded heap aggregate, no window, no cartesian") {
+  test("s16 RRF fusion: bounded heap aggregate, term-only window, no cartesian") {
     val p = plan(SparkEntry.queries("s16_hybrid_rrf")(spark, sf))
     // fused top-k rides the TopKByScore heap (two-phase aggregate), not a
     // rank window over the union; no all-pairs product anywhere. (The
     // BM25 leg's 1-row stats broadcast legitimately plans as a
     // BroadcastNestedLoopJoin — the bounded stat-frame pattern — so only
-    // a true CartesianProduct is forbidden.)
-    assert(!p.contains("Window"), s"RRF dragged a window over the fused set:\n$p")
+    // a true CartesianProduct is forbidden.) The lex leg's df count is
+    // the one allowed window, partitioned on `term` (bucket-aligned,
+    // bounded groups) — a window over query_id/doc_id would be the
+    // single-task rank funnel this pin exists to forbid.
+    assertOnlyTermWindows(p)
     assert(!p.contains("CartesianProduct"), s"cartesian in the fusion plan:\n$p")
     assert(p.contains("top_k_by_score"), s"fused top-k is not the bounded heap:\n$p")
+  }
+
+  /** Every window in the plan must partition on `term` (the BM25 df
+    * count) — any other window spec is a rank funnel regression. */
+  private def assertOnlyTermWindows(p: String): Unit = {
+    val specs = "(?i)windowspecdefinition\\(([A-Za-z0-9_]+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.forall(_ == "term"),
+      s"non-term window spec(s) ${specs.filterNot(_ == "term").distinct} in plan:\n$p")
   }
 
   test("s17 bitext margin: no cartesian; the top-1 pick is a rank-limited window") {
@@ -353,11 +365,14 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), s"t25 probe shuffles:\n$p")
   }
 
-  test("bm25: bounded heap tail, broadcast stats/df joins, no window, no sort-merge") {
+  test("bm25: bounded heap tail, term-only window for df, no sort-merge") {
     val p = plan(SparkEntry.queries("s07_bm25_search")(spark, sf))
     assert(p.contains("top_k_by_score"), s"s07 lost the bounded top-k heap:\n$p")
-    assert(!p.toLowerCase.contains("windowspecdefinition"),
-      s"s07 ranks through a window (single-task funnel per query):\n$p")
+    // df rides a window over `term` (replacing the grouped-agg broadcast
+    // that re-scanned the corpus to build the df frame — measured 5→4
+    // jobs, 0.42→0.36 s); ranking must still ride the heap, so any
+    // window partitioned on something other than term is a regression
+    assertOnlyTermWindows(p)
     assert(!p.contains("SortMergeJoin"),
       s"s07 shuffles the tiny df/query/stats tables into a sort-merge join:\n$p")
     // term counting is the codegen'd termFreqs kernel — the HOF spelling
