@@ -174,11 +174,17 @@ object Dedup {
     // splits; a SMALL corpus arriving as one split would serialize the
     // hashing in one task, so only then is the input round-robined
     // first (the Similarity.spread rationale — never an unconditional
-    // exchange of the full text at 100 TB).
+    // exchange of the full text at 100 TB). The smallness test reads the
+    // optimizer's SIZE ESTIMATE, never `.rdd`: materializing the RDD of
+    // an ADAPTIVE plan executes every upstream stage just to read a
+    // partition count, silently running an unscoped caller's subtree
+    // twice (AQE is on by default outside PlanScope).
+    val conf = docs.sparkSession.sessionState.conf
+    val estBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
     val src =
-      if (docs.rdd.getNumPartitions <
-          docs.sparkSession.sessionState.conf.numShufflePartitions)
-        docs.repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      if (estBytes < BigInt(conf.numShufflePartitions.toLong) *
+          conf.filesMaxPartitionBytes)
+        docs.repartition(conf.numShufflePartitions)
       else docs
     src
       .select(col("doc_id"), posexplode(
@@ -212,6 +218,12 @@ object Dedup {
     * Docs with zero tokens have no simhash and are excluded.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // 0 <= maxHamming <= 15: negative dies in a bare /-by-zero below, and
+    // 16+ leaves chunks of <= 1 bit whose near-constant values degenerate
+    // the banded equi-join toward the all-pairs product the file's header
+    // promises never to materialize (at 32+ every mask is 0 = full n^2)
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15], got $maxHamming")
     val nChunks = maxHamming + 1
     val bitsPerChunk = 32 / nChunks
     val voteCols = (0 until 32).map(j =>
@@ -370,7 +382,7 @@ object Dedup {
     def cut(df: DataFrame): DataFrame =
       if (reliableCheckpoint) df.checkpoint(true)
       else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // hash edges by src before checkpointing, at the session's shuffle
+    // hash edges by dst (the per-round join key) before checkpointing, at the session's shuffle
     // partitioning — the caller sized that for the corpus; a small pair
     // graph just runs light tasks per round (cheaper than the per-round
     // AQE coalesce jobs the old adaptive layout paid)
@@ -426,6 +438,14 @@ object Dedup {
       if (round % 4 == 0 && !reliableCheckpoint)
         labels = labels.sparkSession.createDataFrame(labels.rdd, labels.schema)
     }
+    // truncated fixpoint = WRONG labels = silently under-deduped corpus
+    // (a chain of diameter > maxRounds keeps several "canonical" docs in
+    // one duplicate cluster, and the caller cannot tell a converged
+    // labeling from a cut-off one) — fail loudly with the remedy instead
+    require(converged,
+      s"components did not converge within maxRounds=$maxRounds — the pair " +
+        "graph has a min-label chain longer than the round budget; raise " +
+        "maxRounds (rounds scale with component diameter, not corpus size)")
     // the edge set is dead after convergence (every propagation round is
     // materialized); only the FINAL round's cache stays pinned for the
     // caller's consuming action — losing it recomputes from the pair

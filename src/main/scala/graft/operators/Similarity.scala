@@ -44,13 +44,25 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** cosine from precomputed norms, scaled to exact micro-units. */
+  /** cosine from precomputed norms, scaled to exact micro-units.
+    * NULL when either norm is zero: cosine is undefined there, 0/0 = NaN,
+    * and under ANSI (the Spark 4 session default) `round(NaN).cast(long)`
+    * would crash the whole job on ONE degenerate row. Null flows benignly
+    * everywhere — threshold filters (`cos_e6 >= min`) drop it, and the
+    * TopKByScore heap skips null scores — so a zero-norm vector is simply
+    * no one's neighbor, which is the only defensible semantics. */
   private def cosE6From(a: Column, b: Column, na: Column, nb: Column): Column =
-    round(dot(a, b) / (na * nb) * 1e6).cast("long")
+    when(na > lit(0.0) && nb > lit(0.0),
+      round(dot(a, b) / (na * nb) * 1e6).cast("long"))
 
-  /** cosine scaled to exact micro-units for hash-stable output. */
-  def cosineE6(a: Column, b: Column): Column =
-    round(cosine(a, b) * 1e6).cast("long")
+  /** cosine scaled to exact micro-units for hash-stable output; NULL on
+    * a zero-norm side (see [[cosE6From]]). */
+  def cosineE6(a: Column, b: Column): Column = {
+    val na = norm(a)
+    val nb = norm(b)
+    when(na > lit(0.0) && nb > lit(0.0),
+      round(dot(a, b) / (na * nb) * 1e6).cast("long"))
+  }
 
   /** Spread a pair-generating (non-equi/cross) join's stream side across
     * the session's shuffle parallelism. A small parquet corpus arrives as
@@ -192,14 +204,26 @@ object Similarity {
     * stays total. One pass: posexplode + grouped max with map-side
     * partials; the exchange carries ≤ d rows per partition. */
   def quantizationScales(emb: DataFrame): Array[Double] = {
+    val out = quantizationScalesOpt(emb)
+    require(out.isDefined, "cannot fit quantization scales on an empty corpus")
+    out.get
+  }
+
+  /** [[quantizationScales]] with the empty corpus surfaced as None — the
+    * in-call fit path ([[quantizedKnn]]) maps it to an empty result
+    * (EmptyInputSpec contract) instead of the direct-caller's loud fit
+    * error. */
+  private def quantizationScalesOpt(emb: DataFrame): Option[Array[Double]] = {
     val rows = emb
       .select(posexplode(col("embedding")).as(Seq("j", "v")))
       .groupBy(col("j")).agg(max(abs(col("v").cast("double"))).as("m"))
       .collect()
-    require(rows.nonEmpty, "cannot fit quantization scales on an empty corpus")
-    val out = Array.fill(rows.map(_.getInt(0)).max + 1)(1.0)
-    rows.foreach(r => out(r.getInt(0)) = if (r.getDouble(1) == 0.0) 1.0 else r.getDouble(1))
-    out
+    if (rows.isEmpty) None
+    else {
+      val out = Array.fill(rows.map(_.getInt(0)).max + 1)(1.0)
+      rows.foreach(r => out(r.getInt(0)) = if (r.getDouble(1) == 0.0) 1.0 else r.getDouble(1))
+      Some(out)
+    }
   }
 
   /** int8-quantized two-stage kNN: coarse top-`coarseK` by integer dot
@@ -222,7 +246,11 @@ object Similarity {
     graft.ops.PlanScope.isolatedStaticFor(emb0) { scoped =>
     val emb = graft.ops.PlanScope.rebind(emb0, scoped)
     val queries = graft.ops.PlanScope.rebind(queries0, scoped)
-    val scales = scalesIn.getOrElse(quantizationScales(emb))
+    scalesIn.orElse(quantizationScalesOpt(emb)) match {
+      case None => // empty corpus: no scales to fit, no neighbors
+        topKNeighbors(emb.limit(0).select(col("vec_id").as("query_id"),
+          lit(0L).as("cos_e6"), col("vec_id").as("neighbor_id")), k)
+      case Some(scales) =>
     def qz = VectorExpressions.quantizeI8(col("embedding"), scales)
     // the query frame carries its float vector + norm alongside the
     // quantized probe, and first() re-emits them from the top-k aggregate
@@ -244,6 +272,7 @@ object Similarity {
         col("embedding").as("nv"), norm(col("embedding")).as("nn")), "neighbor_id")
       .withColumn("cos_e6", cosE6From(col("qv"), col("nv"), col("qn"), col("nn")))
     topKNeighbors(scored, k)
+    }
     }
   }
 
@@ -543,6 +572,15 @@ object Similarity {
         "none; remap vec_ids to a dense 0-based range or raise nCells")
     val model = PqModel(dims, nSub, nCodes,
       all.tail.map(_.map { case (cid, m) => cid -> m.map(_.toDouble / 1e6) }.toSeq).toSeq)
+    // the per-subspace twin: a coarse fit can succeed (ids < nCells
+    // exist) while a CODEBOOK fits nothing (no id < nCodes) — the inline
+    // encode below would then die in pqAssign's bare non-empty-codebook
+    // require instead of this actionable diagnostic
+    require(cent.isEmpty || model.books.forall(_.nonEmpty),
+      s"buildIvfPq fitted 0 of $nCodes codewords in a subspace over a " +
+        "non-empty corpus — codebook init takes vectors with vec_id < " +
+        "nCodes and found none; remap vec_ids to a dense 0-based range " +
+        "or raise nCodes")
     val codes =
       if (cent.isEmpty) // no usable vectors: empty coded corpus, same schema
         emb.limit(0).select(
@@ -564,9 +602,6 @@ object Similarity {
   private def ivfPqProbe(codes: DataFrame, vectors: DataFrame,
       cent: Seq[(Int, Array[Double])], model: PqModel, queries: DataFrame,
       k: Int, nprobe: Int, ck: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spark = queries.sparkSession
-    import spark.implicits._
     if (cent.isEmpty)
       return topKNeighbors(
         vectors.limit(0).select(col("vec_id").as("query_id"), lit(0L).as("cos_e6"),
@@ -677,6 +712,11 @@ object Similarity {
       "extendIvfPq: index has no fitted centroids (built over an empty " +
         "corpus) — the delta cannot be encoded and would be silently " +
         "dropped; rebuild with buildIvfPq over the union instead")
+    // buildIvfPq guards this at fit time, but IvfPqIndex is a public
+    // constructor — keep the delta-encode path loud too
+    require(index.model.books.forall(_.nonEmpty),
+      "extendIvfPq: index has an empty subspace codebook — the delta " +
+        "cannot be encoded; rebuild with buildIvfPq over the union instead")
     val sd = index.model.subDim
     val codes =
       index.codes.unionByName(newEmb.select(
@@ -1336,7 +1376,11 @@ object Similarity {
         floor(dot(col("embedding"), typedLit(anchors(i).map(_.toFloat))) / col("nrm") / lit(eps))
           .cast("long")
       else lit(0L)
-    val cells = base.withColumn("c0", cellCol(0)).withColumn("c1", cellCol(1))
+    // bucket the NON-zero rows only: a zero-norm vector has no defined
+    // cosine to anything (it can never satisfy the threshold), and the
+    // projection divides by nrm — under ANSI the degenerate row would
+    // kill the whole run with DIVIDE_BY_ZERO
+    val cells = nonZero.withColumn("c0", cellCol(0)).withColumn("c1", cellCol(1))
 
     val offs: Seq[(Int, Int)] = for { i <- -1 to 1; j <- -1 to 1 } yield (i, j)
     val aSide = cells
@@ -1415,7 +1459,10 @@ object Similarity {
           .cast("long")
       else lit(0L)
     val offs: Seq[(Int, Int)] = for { i <- -1 to 1; j <- -1 to 1 } yield (i, j)
-    val evalSide = evBase
+    // zero-norm rows are excluded on BOTH sides: their cosine to anything
+    // is undefined (they can never breach the fence), and the projection
+    // divides by nrm — ANSI would kill the run on one degenerate row
+    val evalSide = nonZero
       .withColumn("c0", cellCol(0)).withColumn("c1", cellCol(1))
       .select(col("vec_id").as("eval_id"), col("embedding").as("ve"), col("nrm").as("ne"),
         col("c0"), col("c1"))
@@ -1424,6 +1471,7 @@ object Similarity {
         (col("c0") + col("off._1")).as("p0"), (col("c1") + col("off._2")).as("p1"))
     val trainSide = train
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
       .withColumn("c0", cellCol(0)).withColumn("c1", cellCol(1))
       .select(col("vec_id").as("train_id"), col("embedding").as("vt"), col("nrm").as("nt"),
         col("c0").as("b0"), col("c1").as("b1"))

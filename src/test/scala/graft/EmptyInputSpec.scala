@@ -37,6 +37,26 @@ class EmptyInputSpec extends SparkTestBase {
     assert(Similarity.bruteForceKnn(noEmb, noEmb, k = 3).count() === 0L)
     assert(Similarity.ivfKnn(noEmb, noEmb, k = 3, nCells = 4, nprobe = 2).count() === 0L)
     assert(Similarity.embeddingNearDupPairs(noEmb, 400000L).count() === 0L)
+    // the one quantized-family member that used to throw here (its scale
+    // fit required a non-empty corpus; the in-call path now maps the
+    // empty fit to an empty result like its pq/ivfpq siblings)
+    assert(Similarity.quantizedKnn(noEmb, noEmb, k = 3).count() === 0L)
+  }
+
+  test("zero-norm embeddings never crash and are never anyone's neighbor") {
+    // one all-zero vector in a real corpus: cosine against it is 0/0 =
+    // NaN, and under ANSI round(NaN).cast(long) would kill the whole job
+    // — cosE6From nulls instead, filters drop it, the heap skips it
+    import org.apache.spark.sql.functions.col
+    val emb = Seq(
+      (0L, Seq(1f, 0f), "a"), (1L, Seq(0.9f, 0.1f), "a"),
+      (2L, Seq(0f, 0f), "a") // the degenerate row
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") === 0L), k = 3)
+      .select(col("neighbor_id")).as[Long].collect().toSet
+    assert(got === Set(1L), s"zero-norm vector leaked into the top-k: $got")
+    assert(Similarity.embeddingNearDupPairs(emb, 400000L)
+      .filter(col("id_a") === 2L || col("id_b") === 2L).count() === 0L)
   }
 
   test("round-8 retrieval/mining operators survive empty inputs") {

@@ -343,6 +343,26 @@ class PropertySpec extends SparkTestBase {
     val got = graft.operators.Dedup.components(docs, pairs, maxRounds = 40)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === (1 to n).map(i => i.toLong -> 1L).toMap)
+    // a round budget SMALLER than the chain diameter must fail loudly:
+    // truncated labels are silently under-deduped output (several
+    // "canonical" docs per duplicate cluster), indistinguishable from a
+    // converged run by the caller
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.components(docs, pairs, maxRounds = 3).count()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("simhashPairs rejects out-of-range maxHamming instead of degenerating") {
+    val docs = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    // negative: used to die in a bare divide-by-zero; 16+: chunk masks
+    // thin toward 0 bits and the banded join degenerates to all-pairs
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.simhashPairs(docs, maxHamming = -1)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.simhashPairs(docs, maxHamming = 32)
+    }
   }
 
   test("hierarchy rollup conserves value: root subtrees partition the forest total") {

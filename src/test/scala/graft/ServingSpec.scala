@@ -120,6 +120,16 @@ class ServingSpec extends SparkTestBase {
       Similarity.buildIvfPq(high, nCells = 4)
     }
     assert(exPq.getMessage.contains("fitted 0 of 4 cells"))
+    // the per-subspace twin: coarse fit succeeds (ids < nCells exist)
+    // while a codebook fits nothing (no id < nCodes) — must be the
+    // crafted diagnostic, not pqAssign's bare non-empty-codebook require
+    val mid = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") >= 4 && col("vec_id") < 16)
+    val exBook = intercept[IllegalArgumentException] {
+      Similarity.buildIvfPq(mid, nCells = 16, nCodes = 4)
+    }
+    assert(exBook.getMessage.contains("codewords in a subspace"),
+      s"wrong diagnostic: ${exBook.getMessage.take(160)}")
   }
 
   test("saveIvf evicts the cached cell count — a same-name rebuild serves the new capacity") {
