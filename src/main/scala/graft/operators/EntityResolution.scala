@@ -120,9 +120,22 @@ object EntityResolution {
     * [[fuzzyHotBuckets]] for the dropped-bucket audit). Null strings
     * are dropped (no match semantics).
     */
+  /** Pairs travel as longs (minimum-width candidate shuffle), so the id
+    * column must be integral: a plain cast would CRASH on non-numeric ids
+    * under ANSI (the session default) or, ANSI off, null them out and
+    * silently drop those rows from the pair set — and distinct strings
+    * casting to one long ('01' vs '1') would silently merge entities. */
+  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
+    val t = df.schema(idCol).dataType.typeName
+    require(Seq("byte", "short", "integer", "long").contains(t),
+      s"$op needs an integral id column; '$idCol' is $t — map string/uuid " +
+        "ids to a dense long surrogate first")
+  }
+
   def fuzzyPairs(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int = 1, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(maxDist == 1 || maxDist == 2, s"maxDist must be 1 or 2, got $maxDist")
+    requireIntegralId(df, idCol, "fuzzyPairs")
     val base = df
       .select(col(idCol).cast("long").as("id"), col(strCol).cast("string").as("s"))
       .filter(col("s").isNotNull)
@@ -130,18 +143,7 @@ object EntityResolution {
       .select(col("id"), col("s"), explode(deletionKeys(maxDist)).as("v"))
       .select(col("id"), col("s"),
         graft.functions.TextFunctions.hash60(col("v")).as("k"))
-    val keyed =
-      if (maxBucket <= 0) keyed0
-      else {
-        // one grouped count (map-side partials), broadcast-joined back is
-        // wrong at scale (the key set is O(corpus)); an equi-join on k
-        // keeps it shuffle-aligned with the candidate join that follows
-        val hot = fenceObserved(
-          keyed0.groupBy(col("k")).agg(count(lit(1)).as("n"))
-            .filter(col("n") > maxBucket).select(col("k")),
-          maxBucket)
-        keyed0.join(hot, Seq("k"), "left_anti")
-      }
+    val keyed = fenceHotKeys(keyed0, maxBucket)
     // Candidates stay (id, id) longs through the join + distinct — the
     // candidate shuffle is the dominant exchange, so it runs at minimum
     // row width, and the distinct both collapses multi-key collisions
@@ -189,6 +191,8 @@ object EntityResolution {
       right: DataFrame, rightId: String, rightStr: String,
       maxDist: Int = 1, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(maxDist == 1 || maxDist == 2, s"maxDist must be 1 or 2, got $maxDist")
+    requireIntegralId(left, leftId, "fuzzyLink")
+    requireIntegralId(right, rightId, "fuzzyLink")
     def prep(df: DataFrame, id: String, s: String) = df
       .select(col(id).cast("long").as("id"), col(s).cast("string").as("s"))
       .filter(col("s").isNotNull)
@@ -197,16 +201,8 @@ object EntityResolution {
       .select(col("id"), graft.functions.TextFunctions.hash60(col("v")).as("k"))
     val lb = prep(left, leftId, leftStr)
     val rb = prep(right, rightId, rightStr)
-    def fence(k: DataFrame): DataFrame =
-      if (maxBucket <= 0) k
-      else k.join(
-        fenceObserved(
-          k.groupBy(col("k")).agg(count(lit(1)).as("n"))
-            .filter(col("n") > maxBucket).select(col("k")),
-          maxBucket),
-        Seq("k"), "left_anti")
-    val lk = fence(keyed(lb)).select(col("k"), col("id").as("left_id"))
-    val rk = fence(keyed(rb)).select(col("k"), col("id").as("right_id"))
+    val lk = fenceHotKeys(keyed(lb), maxBucket).select(col("k"), col("id").as("left_id"))
+    val rk = fenceHotKeys(keyed(rb), maxBucket).select(col("k"), col("id").as("right_id"))
     val cand = lk.join(rk, Seq("k"))
       .select(col("left_id"), col("right_id")).distinct()
     cand
@@ -216,6 +212,23 @@ object EntityResolution {
       .filter(col("dist") >= 0)
       .select(col("left_id"), col("right_id"), col("dist"))
   }
+
+  /** THE hot-key fence, shared by [[fuzzyPairs]] and [[fuzzyLink]]:
+    * drop rows whose deletion-index key `k` indexes more than `maxBucket`
+    * rows in THIS keyed frame. One grouped count (map-side partials);
+    * an equi-anti-join on k keeps it shuffle-aligned with the candidate
+    * join that follows (broadcasting the hot set back is wrong at scale
+    * — the key set is O(corpus)). No-op at maxBucket <= 0 (exact mode).
+    * One definition so the pair and link operators' recall behavior can
+    * never silently diverge. */
+  private def fenceHotKeys(keyed: DataFrame, maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) keyed
+    else keyed.join(
+      fenceObserved(
+        keyed.groupBy(col("k")).agg(count(lit(1)).as("n"))
+          .filter(col("n") > maxBucket).select(col("k")),
+        maxBucket),
+      Seq("k"), "left_anti")
 
   /** Dropped-hot-bucket AUDIT for the default fence (the d16 pattern:
     * every silent cap ships its census): the deletion-index keys
@@ -232,11 +245,11 @@ object EntityResolution {
     *         example_b: string) — examples are the bucket's min/max
     *         strings (equal when one string dominates the bucket)
     */
-  def fuzzyHotBuckets(df: DataFrame, idCol: String, strCol: String,
+  def fuzzyHotBuckets(df: DataFrame, strCol: String,
       maxDist: Int = 1, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(maxDist == 1 || maxDist == 2, s"maxDist must be 1 or 2, got $maxDist")
     require(maxBucket > 0, s"maxBucket must be > 0 to audit a fence, got $maxBucket")
-    df.select(col(idCol).cast("long").as("id"), col(strCol).cast("string").as("s"))
+    df.select(col(strCol).cast("string").as("s"))
       .filter(col("s").isNotNull)
       .select(col("s"), explode(deletionKeys(maxDist)).as("v"))
       .select(col("s"), graft.functions.TextFunctions.hash60(col("v")).as("k"))

@@ -52,7 +52,16 @@ object Packing {
     }
     val w = Window.partitionBy(col(groupCol)).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs.withColumn("n_tokens", tokenCount.cast("long"))
+    // a null count would contribute 0 to every successor's offset while
+    // its own row carries null n_tokens, and a negative count shifts
+    // offsets backwards — both silently corrupt the exact token-stream
+    // layout this operator exists to produce; raise with the doc_id
+    val guarded = when(tokenCount.cast("long") >= 0L, tokenCount.cast("long"))
+      .otherwise(raise_error(concat(
+        lit("packChunks: null or negative token count for doc_id="),
+        coalesce(col("doc_id").cast("string"), lit("null")),
+        lit(" — the count expression must be non-null and >= 0 for every row"))))
+    docs.withColumn("n_tokens", guarded)
       .withColumn("token_offset",
         coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("chunk_id", expr(s"token_offset DIV $budget"))

@@ -17,6 +17,18 @@ import graft.expressions.KmvSketch
   */
 object Sketches {
 
+  /** The exact-quantile family computes on `valueCol.cast(long)`: a
+    * fractional column would TRUNCATE before the rank math (every score
+    * in [0,1) collapsing to 0 — all-zero quantiles, MAD 0, garbage
+    * outlier tags) with no error anywhere. Reject it loudly; callers
+    * pre-scale to integers (micro-units, cents, token counts). */
+  private def requireIntegralValue(df: DataFrame, valueCol: String, op: String): Unit = {
+    val t = df.schema(valueCol).dataType.typeName
+    require(Seq("byte", "short", "integer", "long").contains(t),
+      s"$op computes on integral values; '$valueCol' is $t — pre-scale " +
+        "fractional scores to integers (e.g. micro-units) first")
+  }
+
   /** Exact discrete quantiles per group, computed over the VALUE HISTOGRAM
     * rather than the rows.
     *
@@ -46,6 +58,7 @@ object Sketches {
     quantiles.foreach { case (nm, p) =>
       require(p >= 0 && p <= 1000, s"quantile $nm permille must be in [0,1000], got $p")
     }
+    requireIntegralValue(df, valueCol, "exactQuantiles")
     val g = groupCols.map(col)
     val v = col(valueCol).cast("long")
     // Null values are dropped up front (SQL-aggregate semantics: quantiles
@@ -108,6 +121,7 @@ object Sketches {
     quantiles.foreach { case (nm, p) =>
       require(p >= 0 && p <= 1000, s"quantile $nm permille must be in [0,1000], got $p")
     }
+    requireIntegralValue(df, valueCol, "exactQuantilesBucketed")
     val g = groupCols.map(col)
     val v = col(valueCol).cast("long")
     val hist = df
@@ -204,18 +218,24 @@ object Sketches {
   def kmvUnionEstimate(a: Column, b: Column, k: Int, bits: Int): Column =
     estimateSortedMins(slice(array_sort(array_union(a, b)), 1, k), k, bits)
 
-  /** Shared estimator over a sorted ≤k-element min array. Integer division
-    * is computed as `(num - num mod hk) / hk` — both operands and the
-    * quotient stay exact (< 2^53), so the double division is the exact
-    * integer DuckDB's `//` produces. */
+  /** Shared estimator over a sorted ≤k-element min array. True BIGINT
+    * integral division (Catalyst IntegralDivide ≡ SQL `DIV` ≡ DuckDB
+    * `//`): the former `(num - num mod hk) / hk` double division was only
+    * exact while the dividend stayed under 2^53 — at bits = 48 any
+    * k > 33 pushes (k-1)·2^bits past that, and the rounded double could
+    * truncate to one below the true quotient, silently diverging from
+    * the struct-form [[kmvEstimate]] and the oracle. */
   private def estimateSortedMins(m: Column, k: Int, bits: Int): Column = {
     require(bits >= 1 && bits <= 48, s"bits must be in [1,48], got $bits")
     require(k >= 2, s"k must be >= 2 for the (k-1) estimator, got $k")
     val numerator = (k - 1).toLong * (1L << bits)
     require(numerator / (1L << bits) == (k - 1).toLong, s"(k-1)*2^$bits overflows long")
     val hk = element_at(m, k)
-    when(size(m) < k, size(m).cast("long"))
-      .otherwise(((lit(numerator) - pmod(lit(numerator), hk)) / hk).cast("long"))
+    val quot = org.apache.spark.sql.GraftColumnShim.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftColumnShim.expression(lit(numerator)),
+        org.apache.spark.sql.GraftColumnShim.expression(hk)))
+    when(size(m) < k, size(m).cast("long")).otherwise(quot.cast("long"))
   }
 
   /** HyperLogLog register aggregate over a pre-hashed column (hash60
@@ -277,28 +297,6 @@ object Sketches {
     if (reads.length == 1) reads.head else least(reads: _*)
   }
 
-  /** Quantile-bucket assignment — the curation move that composes the
-    * quantile machinery: fit global breakpoints of `valueCol` at the given
-    * permilles (ONE [[graft.expressions.QuantileHistogram]] aggregate; the
-    * driver holds |permilles| longs — index-build state, not a data
-    * collect), then tag every row with `bucket` = the number of
-    * breakpoints STRICTLY below its value, in [0, |permilles|]. Rows equal
-    * to a breakpoint land in the lower bucket, so bucket edges follow the
-    * same definitional rank rule as q28/q30 and the assignment is a pure
-    * per-row map — no shuffle, reproducible on any engine.
-    *
-    * Both the fit and the tag see `valueCol` CAST TO LONG — the histogram
-    * aggregate takes long input, and tagging raw fractional values against
-    * long-truncated breakpoints would silently misbucket (e.g. every 0.x
-    * value landing above a breakpoint of 0). Null values are skipped by
-    * the fit and tagged with a NULL bucket, never bucket 0 — a null score
-    * is "unknown quality", not "lowest quality".
-    *
-    * The canonical use: score documents (quality, length, toxicity), cut
-    * at p25/p50/p75, then mix or filter by bucket (curriculum data
-    * ordering, low-quality drops) — all downstream of one aggregate over
-    * the corpus (ONE driver action; the empty/all-null case falls out of
-    * the same aggregate returning null, no extra isEmpty job). */
   /** Robust outlier tagging by median absolute deviation — the
     * length/score anomaly gate that, unlike mean±k·σ, a few giant
     * outliers cannot drag: `outlier ⇔ |x − median| · 1000 > kMilli · MAD`
@@ -319,6 +317,10 @@ object Sketches {
     * fallback. Empty/all-null input returns all-null tags. */
   def madOutliers(df: DataFrame, valueCol: String, kMilli: Long = 3000L): DataFrame = {
     require(kMilli >= 0, s"kMilli must be >= 0, got $kMilli")
+    requireIntegralValue(df, valueCol, "madOutliers")
+    val reserved = Seq("deviation", "is_outlier").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"madOutliers reserves column names: ${reserved.mkString(", ")}")
     val v = col(valueCol).cast("long")
     def p50(frame: DataFrame, c: Column): Option[Long] = {
       val fit = frame
@@ -381,6 +383,28 @@ object Sketches {
       .drop("__lo", "__hi")
   }
 
+  /** Quantile-bucket assignment — the curation move that composes the
+    * quantile machinery: fit global breakpoints of `valueCol` at the given
+    * permilles (ONE [[graft.expressions.QuantileHistogram]] aggregate; the
+    * driver holds |permilles| longs — index-build state, not a data
+    * collect), then tag every row with `bucket` = the number of
+    * breakpoints STRICTLY below its value, in [0, |permilles|]. Rows equal
+    * to a breakpoint land in the lower bucket, so bucket edges follow the
+    * same definitional rank rule as q28/q30 and the assignment is a pure
+    * per-row map — no shuffle, reproducible on any engine.
+    *
+    * Both the fit and the tag see `valueCol` CAST TO LONG — the histogram
+    * aggregate takes long input, and tagging raw fractional values against
+    * long-truncated breakpoints would silently misbucket (e.g. every 0.x
+    * value landing above a breakpoint of 0). Null values are skipped by
+    * the fit and tagged with a NULL bucket, never bucket 0 — a null score
+    * is "unknown quality", not "lowest quality".
+    *
+    * The canonical use: score documents (quality, length, toxicity), cut
+    * at p25/p50/p75, then mix or filter by bucket (curriculum data
+    * ordering, low-quality drops) — all downstream of one aggregate over
+    * the corpus (ONE driver action; the empty/all-null case falls out of
+    * the same aggregate returning null, no extra isEmpty job). */
   def quantileBuckets(df: DataFrame, valueCol: String, permilles: Seq[Int]): DataFrame =
     applyQuantileBuckets(df, valueCol, quantileFit(df, valueCol, permilles))
 
@@ -408,6 +432,9 @@ object Sketches {
     * [[quantileBuckets]]' degenerate case. */
   def applyQuantileBuckets(df: DataFrame, valueCol: String,
       breakValues: Seq[Long]): DataFrame = {
+    require(!df.columns.contains("bucket"),
+      "applyQuantileBuckets writes column 'bucket', which already exists in the input; rename first")
+    requireIntegralValue(df, valueCol, "applyQuantileBuckets")
     val v = col(valueCol).cast("long")
     val bucket = breakValues.foldLeft(lit(0L)) { (acc, bp) =>
       acc + when(v > bp, lit(1L)).otherwise(lit(0L))

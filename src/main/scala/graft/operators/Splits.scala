@@ -75,8 +75,11 @@ object Splits {
   /** Hash-split the frame on `keyCol`: adds a `split` column. Rows sharing
     * a key always co-locate in one split. */
   def hashSplit(df: DataFrame, keyCol: String,
-      splits: Seq[(String, Int)], salt: String = ""): DataFrame =
+      splits: Seq[(String, Int)], salt: String = ""): DataFrame = {
+    require(!df.columns.contains("split"),
+      "hashSplit writes column 'split', which already exists in the input; rename first")
     df.withColumn("split", splitColumn(col(keyCol), splits, salt))
+  }
 
   /** Leakage-safe split: assigns every document the split of its near-dup
     * component representative, so a near-duplicate can never straddle the
@@ -98,10 +101,19 @@ object Splits {
     * already-materialized components table — the split itself stays a
     * per-row map. */
   def leakageSafeSplit(docs: DataFrame, components: DataFrame,
-      splits: Seq[(String, Int)], salt: String = ""): DataFrame =
-    docs.join(components, Seq("doc_id"), "left")
+      splits: Seq[(String, Int)], salt: String = ""): DataFrame = {
+    // same clash policy as trainingOrder/packChunks: a docs-side
+    // 'component' makes the coalesce ambiguous (AnalysisException deep in
+    // the plan), and a docs-side 'split' would be silently overwritten;
+    // the components frame is projected to its two contract columns so
+    // extra columns can't leak into the output
+    val clash = Seq("component", "split").filter(docs.columns.contains)
+    require(clash.isEmpty,
+      s"leakageSafeSplit writes column(s) ${clash.mkString(", ")} that already exist on docs; rename first")
+    docs.join(components.select(col("doc_id"), col("component")), Seq("doc_id"), "left")
       .withColumn("component", coalesce(col("component"), col("doc_id")))
       .withColumn("split", splitColumn(col("component"), splits, salt))
+  }
 
   /** Deterministic training order: a `shard` assignment and a dense
     * 0-based `pos` within each shard — the "global shuffle" that fixes a

@@ -102,13 +102,13 @@ class EntityResolutionSpec extends SparkTestBase {
     assert(lost.forall(p => p._1 <= 100L && p._2 <= 100L))
     assert(lost.size === 100 * 99 / 2)
     // the audit names every dropped bucket: size + example members
-    val audit = EntityResolution.fuzzyHotBuckets(df, "id", "name")
+    val audit = EntityResolution.fuzzyHotBuckets(df, "name")
       .collect().map(r => (r.getLong(1), r.getString(2), r.getString(3)))
     assert(audit.nonEmpty &&
       audit.forall { case (n, a, b) => n == 100L && a == "hotname" && b == "hotname" })
     // nothing to audit on a benign catalog
     assert(EntityResolution.fuzzyHotBuckets(
-      Seq((1L, "pale"), (2L, "pales")).toDF("id", "name"), "id", "name").count() === 0L)
+      Seq((1L, "pale"), (2L, "pales")).toDF("id", "name"), "name").count() === 0L)
   }
 
   test("fence firing is observable at run time: dropped-bucket metric piggybacks, zero extra jobs") {

@@ -11,6 +11,26 @@ class PackingSpec extends SparkTestBase {
   private def doc(id: Long, nTokens: Int) =
     (id, (1 to nTokens).map(i => s"w$i").mkString(" "))
 
+  test("packChunks fails loudly on a null or negative token count") {
+    // a null count used to contribute 0 to every successor's offset while
+    // its own row carried null n_tokens — silent layout corruption
+    import org.apache.spark.sql.functions.{col, when, lit}
+    val docs = Seq((1L, "s", 5L), (2L, "s", -1L)).toDF("doc_id", "shard", "cnt")
+    val ex = intercept[Exception] {
+      Packing.packChunks(docs, "shard", budget = 10L, tokenCount = col("cnt")).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    assert(msgs(ex).contains("null or negative token count"))
+    val nulls = Seq((1L, "s", Some(5L)), (2L, "s", Option.empty[Long]))
+      .toDF("doc_id", "shard", "cnt")
+    val ex2 = intercept[Exception] {
+      Packing.packChunks(nulls, "shard", budget = 10L,
+        tokenCount = col("cnt")).collect()
+    }
+    assert(msgs(ex2).contains("null or negative token count"))
+  }
+
   test("chunkByTokens: stride windows, shared overlap, short last chunk") {
     // 10 tokens, maxTokens=4, overlap=1 → stride 3, starts 0,3,6 — the
     // window at 9 would be just "w10", already the tail of chunk 2, and

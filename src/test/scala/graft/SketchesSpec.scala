@@ -57,6 +57,22 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("kmvEstimateFromMins stays exact past 2^53 (true BIGINT DIV, not double)") {
+    // k=64, bits=48: numerator 63·2^48 ≈ 2^54 — at hk=127 the former
+    // double-division form rounded the dividend and truncated one below
+    // the true quotient (…679 read …678); the IntegralDivide form must
+    // match Long `/` exactly
+    val k = 64
+    val num = 63L * (1L << 48)
+    for (hk <- Seq(127L, 255L, 505L)) {
+      val mins = (1L to (k - 1).toLong) :+ hk
+      val got = Seq(mins).toDF("m")
+        .select(Sketches.kmvEstimateFromMins(col("m"), k, 48).as("est"))
+        .head().getLong(0)
+      assert(got === num / hk, s"hk=$hk")
+    }
+  }
+
   test("kmvUnionEstimate ≡ a single sketch over the concatenated stream (closure)") {
     forSamples(Gen.zip(hashesGen, hashesGen), 10) { case (as, bs) =>
       val k = 8

@@ -12,6 +12,22 @@ class SplitsSpec extends SparkTestBase {
   private val sf = "/root/testdata/sf0.001"
   private val w955 = Seq("train" -> 900, "val" -> 50, "test" -> 50)
 
+  test("split operators reject caller-owned output columns; extra components columns cannot leak") {
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Splits.hashSplit(docs.withColumn("split", lit("train")), "doc_id",
+        Seq("train" -> 1000))
+    }
+    intercept[IllegalArgumentException] {
+      Splits.leakageSafeSplit(docs.withColumn("component", lit(9L)),
+        Seq((1L, 1L)).toDF("doc_id", "component"), Seq("train" -> 1000))
+    }
+    // a components frame carrying extra columns must not leak them out
+    val comps = Seq((1L, 1L, "junk")).toDF("doc_id", "component", "extra")
+    val out = Splits.leakageSafeSplit(docs, comps, Seq("train" -> 1000))
+    assert(!out.columns.contains("extra"))
+  }
+
   test("hashSplit is deterministic, total, and lands near its fences") {
     val docs = Tables.documents(spark, sf)
     val a = Splits.hashSplit(docs, "doc_id", w955)
