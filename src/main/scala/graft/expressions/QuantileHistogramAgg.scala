@@ -7,7 +7,8 @@ import scala.collection.mutable
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnShim
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -38,16 +39,27 @@ case class QuantileHistogram(
     permilles: Seq[Int],
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[mutable.LongMap[Long]]
-    with ImplicitCastInputTypes {
+    extends TypedImperativeAggregate[mutable.LongMap[Long]] {
 
   require(permilles.nonEmpty, "need at least one quantile")
   permilles.foreach(p =>
     require(p >= 0 && p <= 1000, s"permille must be in [0,1000], got $p"))
 
-  // declared input type ⇒ the analyzer widens narrower integers instead of
-  // update() dying on a ClassCastException when called from SQL
-  override def inputTypes = Seq(LongType)
+  // integral inputs ONLY, checked — the former ImplicitCastInputTypes
+  // (LongType) let the analyzer insert a silent double→long cast, so
+  // `quantile_histogram(score_double, 500)` truncated every fractional
+  // value toward zero and returned healthy-looking garbage, while the
+  // documented-identical Sketches.exactQuantiles rejects the same input
+  // loudly. Narrower integers widen in update(), fractional types fail
+  // analysis with the remedy.
+  override def checkInputDataTypes(): TypeCheckResult =
+    value.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"quantile_histogram computes on integral values; got ${t.simpleString} — " +
+          "pre-scale fractional scores to integers (micro-units) and CAST explicitly")
+    }
 
   override def createAggregationBuffer(): mutable.LongMap[Long] =
     mutable.LongMap.empty[Long]
@@ -56,7 +68,13 @@ case class QuantileHistogram(
       buf: mutable.LongMap[Long], input: InternalRow): mutable.LongMap[Long] = {
     val v = value.eval(input)
     if (v != null) {
-      val x = v.asInstanceOf[Long]
+      val x = v match {
+        case l: java.lang.Long => l.longValue
+        case i: java.lang.Integer => i.longValue
+        case sh: java.lang.Short => sh.longValue
+        case b: java.lang.Byte => b.longValue
+        case other => other.asInstanceOf[Long]
+      }
       buf.update(x, buf.getOrElse(x, 0L) + 1L)
     }
     buf

@@ -27,13 +27,18 @@ object Layout {
     * buckets (the no-sort merge path). */
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
       numBuckets: Int, sorted: Boolean = true,
-      mode: SaveMode = SaveMode.ErrorIfExists): Unit = {
+      mode: SaveMode = SaveMode.ErrorIfExists,
+      extraSortCols: Seq[String] = Nil): Unit = {
     require(keys.nonEmpty, "need at least one bucket key")
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    require(extraSortCols.isEmpty || sorted,
+      "extraSortCols need sorted = true (they extend the bucket sort order)")
     val cols = keys.map(org.apache.spark.sql.functions.col)
+    val sortKeys = keys ++ extraSortCols
     val w = df.repartition(numBuckets, cols: _*)
       .write.mode(mode).bucketBy(numBuckets, keys.head, keys.drop(1): _*)
-    (if (sorted) w.sortBy(keys.head, keys.drop(1): _*) else w).saveAsTable(table)
+    (if (sorted) w.sortBy(sortKeys.head, sortKeys.drop(1): _*) else w)
+      .saveAsTable(table)
   }
 
   /** Read a bucketed table back (plain catalog read — the bucketing
@@ -81,6 +86,9 @@ object Layout {
   def writeDayPartitioned(df: DataFrame, tsCol: String, dir: String,
       maxFilesPerDay: Int = 1): Unit = {
     require(maxFilesPerDay > 0, s"maxFilesPerDay must be positive, got $maxFilesPerDay")
+    require(!df.columns.contains("day"),
+      "writeDayPartitioned derives a 'day' partition column; the input already " +
+        "has one — rename it first (silently overwriting would destroy it in the layout)")
     import org.apache.spark.sql.functions._
     df.withColumn("day", date_format(col(tsCol), "yyyy-MM-dd"))
       .repartition(col("day"), pmod(spark_partition_id(), lit(maxFilesPerDay)))

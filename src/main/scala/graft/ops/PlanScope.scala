@@ -70,9 +70,12 @@ object PlanScope {
     // Scope reuse: when `spark` already holds every requested conf (an
     // operator composed inside another operator's scope — e.g. the IVF
     // fit inside a probe wrapper), it IS a suitable scope — run there.
-    // rebind() against the same session is the identity hop.
+    // rebind() against the same session is the identity hop. Routed
+    // through withConf so the body registers as a no-op READER: a bare
+    // f(spark) here would let a concurrent mutating withConf flip the
+    // very confs this scope just verified, mid-body.
     if (confs.forall { case (k, v) => spark.conf.get(k, null) == v })
-      return f(spark)
+      return withConf(spark, confs: _*)(f(spark))
     val seed = spark.conf.getAll.filter { case (k, _) => spark.conf.isModifiable(k) }
     val eff = seed ++ confs // overrides win
     val fp = eff.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("\u0000")
@@ -188,7 +191,7 @@ object PlanScope {
     * is impossible; the cost is a loud abort in a window that current
     * call sites (no-op scopes on immutable pooled clones) never hit. */
   private val noopReaders = new java.util.concurrent.ConcurrentHashMap[
-    SparkSession, java.util.concurrent.atomic.AtomicInteger]()
+    SparkSession, Integer]()
 
   /** This thread's own in-flight no-op registrations (per session) —
     * subtracted in the mutating path's reader check so same-thread
@@ -222,9 +225,12 @@ object PlanScope {
     if (effective.isEmpty) {
       val cur0 = owners.get(spark)
       if (cur0 != null && (cur0._1 eq me)) return f
-      val readers = noopReaders.computeIfAbsent(spark,
-        _ => new java.util.concurrent.atomic.AtomicInteger(0))
-      readers.incrementAndGet()
+      // merge/compute keep the count atomic per key AND remove the entry
+      // at zero — an AtomicInteger value could only be removed racily
+      // (another thread may still hold the orphaned counter), and a
+      // never-removed entry strongly pins dead sessions (plus their
+      // whole clone sub-pools) for the life of the process
+      noopReaders.merge(spark, 1, (a, b) => a + b)
       ownNoops.get.merge(spark, 1, (a, b) => a + b)
       try {
         val cur = owners.get(spark)
@@ -234,7 +240,8 @@ object PlanScope {
             "operators or use PlanScope.isolated")
         return f
       } finally {
-        readers.decrementAndGet()
+        noopReaders.compute(spark,
+          (_, a) => if (a == null || a <= 1) null else a - 1)
         ownNoops.get.merge(spark, -1, (a, b) =>
           if (a + b <= 0) null else a + b)
       }
@@ -251,7 +258,7 @@ object PlanScope {
     // registered before our compute() above must finish before any
     // mutation — abort (and release the just-acquired slot) while any
     // are in flight; this thread's own nested no-op scopes don't count
-    val inFlight = Option(noopReaders.get(spark)).map(_.get()).getOrElse(0) -
+    val inFlight = Option(noopReaders.get(spark)).map(_.intValue).getOrElse(0) -
       Option(ownNoops.get.get(spark)).map(_.intValue).getOrElse(0)
     if (inFlight > 0) {
       owners.compute(spark, (_, cur) => cur match {
@@ -266,13 +273,18 @@ object PlanScope {
     try {
       // None = key had no explicit value (session default) → restore by
       // unset, not by pinning the resolved default. getAll lists the
-      // explicitly-set entries only.
+      // explicitly-set entries only. The SETS run inside the restoring
+      // try: a set() that throws mid-sequence (non-modifiable key, value
+      // validator) must not leave the keys already set pinned on the
+      // session forever.
       val explicit = spark.conf.getAll
       val prev = effective.map { case (k, _) =>
         k -> (if (explicit.contains(k)) Some(spark.conf.get(k)) else None)
       }
-      effective.foreach { case (k, v) => spark.conf.set(k, v) }
-      try f finally prev.foreach {
+      try {
+        effective.foreach { case (k, v) => spark.conf.set(k, v) }
+        f
+      } finally prev.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)
         case (k, None) => spark.conf.unset(k)
       }

@@ -48,7 +48,11 @@ object Serving {
 
   private def ensureServedTableLocked(s: SparkSession, table: String,
       sideTables: Seq[String])(build: => Unit): Unit = {
-    if (!s.catalog.tableExists(table)) {
+    // existence = ALL of (table, sides): a build that died between the
+    // main write and a side-table write must not poison the fast path
+    // for the rest of the JVM (loadIvf would then throw table-not-found
+    // on the side table on every call, with no retry ever healing it)
+    if (!(table +: sideTables).forall(s.catalog.tableExists(_))) {
       (table +: sideTables).foreach { t =>
         s.sql(s"DROP TABLE IF EXISTS $t")
         val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath
@@ -60,7 +64,15 @@ object Serving {
           paths.sortBy((p: Path) => -p.getNameCount).foreach(Files.delete)
         }
       }
-      build
+      try build
+      catch {
+        case e: Throwable =>
+          // drop whatever the failed build committed, so the next call
+          // retries from clean instead of serving a half-built artifact
+          try (table +: sideTables).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+          catch { case _: Throwable => () }
+          throw e
+      }
     }
   }
 
@@ -78,10 +90,15 @@ object Serving {
     driverArtifactCache.computeIfAbsent(table,
       _ => read.asInstanceOf[AnyRef]).asInstanceOf[T]
 
-  /** Served-table name, deterministic per sf directory. */
-  def servedTableName(prefix: String, d: String): String =
-    (prefix + java.lang.Integer.toHexString(d.hashCode))
-      .replaceAll("[^A-Za-z0-9_]", "_")
+  /** Served-table name, deterministic per sf directory. The fingerprint
+    * is a 48-bit md5 prefix of the dir string — String.hashCode is 32
+    * bits and a collision would silently serve one corpus's artifact
+    * for another (tableExists sees the first build and skips). */
+  def servedTableName(prefix: String, d: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    (prefix + hex).replaceAll("[^A-Za-z0-9_]", "_")
+  }
 
   /** The nation-level trade multigraph, reduced at the scan to
     * `(src, dst, n)` distinct-pair counts — the materialized link graph
@@ -118,7 +135,7 @@ object Serving {
       val ord = Tables.orders(s, d)
       val cust = Tables.customer(s, d)
       val sup = Tables.supplier(s, d)
-      slice.foldLeft(Tables.lineitem(s, d))((li, c) => li.filter(c))
+      val pairs = slice.foldLeft(Tables.lineitem(s, d))((li, c) => li.filter(c))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
         .join(sup, col("l_suppkey") === col("s_suppkey"))
@@ -126,14 +143,10 @@ object Serving {
           col("c_nationkey").cast("long").as("dst"))
         .filter(col("src") =!= col("dst"))
         .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
-        // one task per bucket before the write: Spark emits one file per
-        // (task, bucket), so writing straight off the shuffle-partition
-        // fan-out fragments the artifact into partitions×8 files (the
-        // same reason Layout.writeBucketed repartitions first)
-        .repartition(8, col("src"))
-        .write.format("parquet")
-        .bucketBy(8, "src").sortBy("src", "dst")
-        .saveAsTable(table)
+      // one canonical bucketed-write recipe — Layout.writeBucketed owns
+      // the one-task-per-bucket rationale; dst extends the bucket sort
+      graft.ops.Layout.writeBucketed(pairs, table, Seq("src"),
+        numBuckets = 8, extraSortCols = Seq("dst"))
     }
     s.table(table)
   }
@@ -256,12 +269,11 @@ object Serving {
         .select(col("l_orderkey"), col("l_partkey")).distinct()
       val a = op.select(col("l_orderkey"), col("l_partkey").as("src"))
       val b = op.select(col("l_orderkey").as("__ok"), col("l_partkey").as("dst"))
-      a.join(b, col("l_orderkey") === col("__ok") && col("src") < col("dst"))
+      val pairs = a
+        .join(b, col("l_orderkey") === col("__ok") && col("src") < col("dst"))
         .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_orders"))
-        .repartition(8, col("src")) // see tradePairCounts: one task per bucket
-        .write.format("parquet")
-        .bucketBy(8, "src").sortBy("src", "dst")
-        .saveAsTable(table)
+      graft.ops.Layout.writeBucketed(pairs, table, Seq("src"),
+        numBuckets = 8, extraSortCols = Seq("dst"))
     }
     s.table(table)
   }

@@ -112,6 +112,23 @@ class GraftExtensionsSpec extends SparkTestBase {
     new GraftExtensions() // constructible for spark.sql.extensions
   }
 
+  test("graft_quantiles rejects fractional input instead of silently truncating") {
+    import spark.implicits._
+    // the former implicit double->long cast made the median of
+    // [0.2, 0.4, 0.9] read 0 with no error; integral inputs still widen
+    import org.apache.spark.sql.functions.col
+    Seq(0.2, 0.4, 0.9).toDF("v").createOrReplaceTempView("qh_frac")
+    val ex = intercept[Exception] {
+      spark.sql("SELECT graft_quantiles(v, 500) FROM qh_frac").collect()
+    }
+    assert(ex.getMessage.contains("integral"),
+      s"expected the integral-input diagnostic, got: ${ex.getMessage.take(200)}")
+    Seq(1, 2, 9).toDF("v").createOrReplaceTempView("qh_int")
+    val got = spark.sql("SELECT graft_quantiles(v, 500).qs[0] FROM qh_int")
+      .head().getLong(0)
+    assert(got === 2L)
+  }
+
   test("graft_bloom build + probe from SQL match the Column API") {
     import org.apache.spark.sql.functions._
     val df = s.range(1, 100).toDF("k")

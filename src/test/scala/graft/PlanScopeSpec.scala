@@ -28,6 +28,21 @@ class PlanScopeSpec extends SparkTestBase {
     assert(spark.conf.get(Key) === before)
   }
 
+  test("confs restore when a SET itself throws mid-sequence") {
+    // the second key is non-modifiable: its set() throws AFTER the first
+    // key was already applied — the first key must not stay pinned on
+    // the session forever (the restore has to cover the sets, not just
+    // the body)
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    intercept[Exception] {
+      PlanScope.withConf(spark,
+        "spark.sql.shuffle.partitions" -> (before.toInt + 1).toString,
+        "spark.sql.warehouse.dir" -> "/definitely/not/applied") { () }
+    }
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === before,
+      "a failed set sequence left an earlier key pinned")
+  }
+
   test("nested scopes unwind in order (fixpoints inside pipelines)") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     PlanScope.withConf(spark, "spark.sql.shuffle.partitions" -> "7") {

@@ -149,6 +149,31 @@ class ServingSpec extends SparkTestBase {
     assert(Similarity.loadIvf(spark, t).nCells === 2)
   }
 
+  test("a failed build does not poison the served-table fast path") {
+    import spark.implicits._
+    // build dies AFTER committing the main table: the next call must see
+    // an incomplete artifact (side table missing), clean up, and rebuild
+    // — not serve the half-built one for the rest of the JVM
+    import org.apache.spark.sql.SaveMode
+    val t = "graft_halfbuild_spec"
+    intercept[RuntimeException] {
+      Serving.ensureServedTable(spark, t, Seq(s"${t}_side")) {
+        Seq((1L, "x")).toDF("id", "v").write
+          .mode(SaveMode.Overwrite).saveAsTable(t)
+        throw new RuntimeException("simulated mid-build crash")
+      }
+    }
+    // retry with a complete build: both tables come up
+    Serving.ensureServedTable(spark, t, Seq(s"${t}_side")) {
+      Seq((1L, "x")).toDF("id", "v").write
+        .mode(SaveMode.Overwrite).saveAsTable(t)
+      Seq((2L, "y")).toDF("id", "v").write
+        .mode(SaveMode.Overwrite).saveAsTable(s"${t}_side")
+    }
+    assert(spark.catalog.tableExists(t) && spark.catalog.tableExists(s"${t}_side"))
+    assert(spark.table(s"${t}_side").count() === 1L)
+  }
+
   test("bpeMergeRules is stable across calls and non-empty") {
     val r1 = Serving.bpeMergeRules(spark, dir)
     val r2 = Serving.bpeMergeRules(spark, dir)
