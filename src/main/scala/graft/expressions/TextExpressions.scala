@@ -50,6 +50,7 @@ case class TokensExpr(child: Expression) extends KernelCall with StringInput {
 
 /** Distinct word n-gram shingles. */
 case class WordShinglesExpr(child: Expression, n: Int) extends KernelCall with StringInput {
+  require(n >= 1, s"shingle n must be >= 1, got $n")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(s: Any): Any = TextKernels.shingles(s.asInstanceOf[UTF8String], n)
   override def kernelCall(ctx: CodegenContext, c: String): String =
@@ -60,6 +61,7 @@ case class WordShinglesExpr(child: Expression, n: Int) extends KernelCall with S
 /** [total, distinct, max-count] n-gram repetition stats (Gopher signals). */
 case class NgramRepetitionExpr(child: Expression, n: Int)
     extends KernelCall with StringInput {
+  require(n >= 1, s"ngram n must be >= 1, got $n")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(s: Any): Any =
     TextKernels.ngramRepetition(s.asInstanceOf[UTF8String], n)
@@ -70,6 +72,7 @@ case class NgramRepetitionExpr(child: Expression, n: Int)
 
 /** Distinct word n-gram shingles as a sorted array of hash60 values. */
 case class ShingleHashesExpr(child: Expression, n: Int) extends KernelCall with StringInput {
+  require(n >= 1, s"shingle n must be >= 1, got $n")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(s: Any): Any =
     TextKernels.shingleHashes(s.asInstanceOf[UTF8String], n)
@@ -82,6 +85,8 @@ case class ShingleHashesExpr(child: Expression, n: Int) extends KernelCall with 
   * shuffle-free signature build behind LSH banding. */
 case class MinhashSigExpr(child: Expression, n: Int, numHashes: Int)
     extends KernelCall with StringInput {
+  require(n >= 1 && numHashes >= 1,
+    s"need shingle n >= 1 and numHashes >= 1, got ($n, $numHashes)")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(s: Any): Any =
     TextKernels.minhashSig(s.asInstanceOf[UTF8String], n, numHashes)
@@ -93,6 +98,11 @@ case class MinhashSigExpr(child: Expression, n: Int, numHashes: Int)
 /** Per-row LSH band hashes (minhash signature → per-band md5 hex). */
 case class MinhashBandsExpr(child: Expression, n: Int, numHashes: Int, rowsPerBand: Int)
     extends KernelCall with StringInput {
+  // plan-time fence (the nBuckets/maxDist convention): a bad parameter
+  // must fail at construction, not per-row inside codegen at scale
+  require(n >= 1 && numHashes >= 1 && rowsPerBand >= 1 && numHashes % rowsPerBand == 0,
+    s"need n >= 1, numHashes >= 1, rowsPerBand >= 1 dividing numHashes, " +
+      s"got ($n, $numHashes, $rowsPerBand)")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(s: Any): Any =
     TextKernels.minhashBands(s.asInstanceOf[UTF8String], n, numHashes, rowsPerBand)
@@ -225,6 +235,7 @@ case class DeflateLenExpr(child: Expression) extends KernelCall with StringInput
 
 /** ALL word n-grams in order, repeats kept (counting form of shingles). */
 case class NgramListExpr(child: Expression, n: Int) extends KernelCall with StringInput {
+  require(n >= 1, s"ngram n must be >= 1, got $n")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(s: Any): Any =
     TextKernels.ngramList(s.asInstanceOf[UTF8String], n)

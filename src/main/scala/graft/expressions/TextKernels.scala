@@ -210,7 +210,6 @@ object TextKernels {
     c
   }
 
-  /** Count of array elements equal to any word in `words` (small linear set). */
   /** Per-word occurrence counts of a fixed word list in a token array —
     * one pass over the tokens, result aligned with `words`. The BM25
     * term-frequency primitive: the HOF spelling (one `filter` lambda per
@@ -231,6 +230,7 @@ object TextKernels {
     new GenericArrayData(counts)
   }
 
+  /** Count of array elements equal to any word in `words` (small linear set). */
   def countInSet(arr: ArrayData, words: Array[UTF8String]): Int = {
     var c = 0
     var i = 0
@@ -623,7 +623,7 @@ object TextKernels {
     * pipeline: Unicode NFC composition (decomposed `e`+U+0301 ≡ composed
     * `é` — without it, visually-identical docs evade exact dedup), then
     * ROOT-locale lowercase, then runs of ASCII whitespace
-    * `[ \t\n\f\r]` collapsed to one space with ends trimmed.
+    * `[ \t\n\v\f\r]` collapsed to one space with ends trimmed.
     * EXACTLY this whitespace set (not Character.isWhitespace, which would
     * pull in U+2000-class spaces the SQL replay's `\s` does not match) —
     * the oracle is `trim(regexp_replace(lower(nfc_normalize(s)),

@@ -34,7 +34,12 @@ case class DotProductFF(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // dimension mismatch throws (the quantizeI8/dotI8 rule): a silent
+    // prefix dot product between a stale index and a re-embedded corpus
+    // would rank on garbage cosines with nothing to detect it
+    if (x.numElements() != y.numElements()) throw new IllegalArgumentException(
+      s"dot_ff: dimension mismatch (${x.numElements()} vs ${y.numElements()})")
+    val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -50,7 +55,10 @@ case class DotProductFF(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements())
+         |  throw new IllegalArgumentException(
+         |    "dot_ff: dimension mismatch (" + $a.numElements() + " vs " + $b.numElements() + ")");
+         |int $n = $a.numElements();
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
@@ -95,7 +103,9 @@ case class DotProductWiden(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val (lf, rf) = (isFloat(left), isFloat(right))
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) throw new IllegalArgumentException(
+      s"dot_widen: dimension mismatch (${x.numElements()} vs ${y.numElements()})")
+    val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -115,7 +125,10 @@ case class DotProductWiden(left: Expression, right: Expression)
       def acc(arr: String, fl: Boolean) =
         if (fl) s"((double) $arr.getFloat($i))" else s"$arr.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements())
+         |  throw new IllegalArgumentException(
+         |    "dot_widen: dimension mismatch (" + $a.numElements() + " vs " + $b.numElements() + ")");
+         |int $n = $a.numElements();
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += ${acc(a, isFloat(left))} * ${acc(b, isFloat(right))};
@@ -238,7 +251,14 @@ object VectorKernels {
       val base = c * sd
       var k = 0
       while (k < sd) { dot += v(k) * book(base + k); k += 1 }
-      val score = dot / (nv * cns(c))
+      val score0 = dot / (nv * cns(c))
+      // NaN (a zero-norm side) maps to +Inf — the SAME rule as
+      // [[pqTopCells]] and as Spark's descending double order (struct
+      // argmax / greatest place NaN first). Strict `>` skipping NaN
+      // would make assignment and probe ranking disagree on degenerate
+      // cells: probes would rank a NaN cell first while nothing was
+      // ever assigned to it — zero candidates at nprobe=1.
+      val score = if (java.lang.Double.isNaN(score0)) Double.PositiveInfinity else score0
       if (score > best) { best = score; bestCode = c }
       c += 1
     }
@@ -479,15 +499,21 @@ object VectorExpressions {
 
   /** Column wrapper for PqAssignExpr: codebook rows flattened, codeword
     * norms precomputed with the kernel's own sequential loop. */
+  /** THE codeword norm, in one place: left-to-right sequential sum of
+    * squares then sqrt — bit-compat-critical (the fit's replaying
+    * oracles compute the identical association), so every caller must
+    * use this one definition, never a local copy. */
+  private[graft] def normOf(cw: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < cw.length) { s += cw(i) * cw(i); i += 1 }
+    math.sqrt(s)
+  }
+
   def pqAssign(a: Column, book: Seq[Array[Double]], off: Int): Column = {
     require(book.nonEmpty, "pq_assign needs a non-empty codebook")
     val sd = book.head.length
     require(book.forall(_.length == sd), "pq_assign codewords must share one width")
-    val cns = book.map { cw =>
-      var s = 0.0; var i = 0
-      while (i < cw.length) { s += cw(i) * cw(i); i += 1 }
-      math.sqrt(s)
-    }.toArray
+    val cns = book.map(normOf).toArray
     GraftColumnShim.column(PqAssignExpr(
       GraftColumnShim.expression(a), book.flatten.toArray, cns, off, sd))
   }
@@ -500,11 +526,7 @@ object VectorExpressions {
     require(book.nonEmpty, "pq_top_cells needs a non-empty codebook")
     val sd = book.head.length
     require(book.forall(_.length == sd), "pq_top_cells codewords must share one width")
-    val cns = book.map { cw =>
-      var s = 0.0; var i = 0
-      while (i < cw.length) { s += cw(i) * cw(i); i += 1 }
-      math.sqrt(s)
-    }.toArray
+    val cns = book.map(normOf).toArray
     GraftColumnShim.column(PqTopCellsExpr(
       GraftColumnShim.expression(a), book.flatten.toArray, cns, nprobe))
   }

@@ -53,10 +53,18 @@ object Bpe {
     var corpus = docs
       .select(array_join(graft.functions.TextFunctions.tokens(col("text")), "  ").as("s"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var spent = Vector(corpus)
+    // cache discipline: at most TWO generations pinned at once — the one
+    // being counted and its parent (released as soon as this round's
+    // collect materializes the child; a lost block recomputes through
+    // the replace lineage, correct just slower). Holding every
+    // generation (the former `spent` vector) pinned k corpus copies
+    // simultaneously, and a mid-training failure leaked them all —
+    // the try/finally releases whatever is still pinned on ANY exit.
+    var prevGen: Option[org.apache.spark.sql.DataFrame] = None
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     var step = 1
     var dry = false
+    try {
     while (step <= k && !dry) {
       // Pair counting rides the codegen'd ngramList kernel (single-space
       // joined bigrams over the whitespace-run-split state — the double
@@ -73,6 +81,9 @@ object Bpe {
         .orderBy(col("c").desc, col("pair").asc)
         .limit(1)
         .collect()
+      // this round's collect materialized `corpus` — its parent is dead
+      prevGen.foreach(_.unpersist(blocking = false))
+      prevGen = None
       if (best.isEmpty || best(0).getLong(1) < 2L) {
         // no pair occurs twice: merging is pointless; stop early (the
         // reference trainers' stopping rule) rather than learn noise
@@ -84,12 +95,15 @@ object Bpe {
         val next = corpus
           .select(replace(col("s"), lit(pair), lit(pair.replace("  ", Sep))).as("s"))
           .persist(StorageLevel.MEMORY_AND_DISK)
+        prevGen = Some(corpus)
         corpus = next
-        spent :+= next
         step += 1
       }
     }
-    spent.foreach(_.unpersist(blocking = false))
+    } finally {
+      prevGen.foreach(_.unpersist(blocking = false))
+      corpus.unpersist(blocking = false)
+    }
     import spark.implicits._
     learned.toSeq.toDF("step", "pair", "n_occurrences")
     }

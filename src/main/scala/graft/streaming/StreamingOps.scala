@@ -943,10 +943,9 @@ object StreamingOps {
     val cents = centroids.select(col("cid"), col("cv")).collect()
       .map { r =>
         val cv = r.getSeq[Double](1).toArray
-        // left-to-right sum ≡ the batch withCentNorm dotWiden order
-        var s = 0.0; var i = 0
-        while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
-        (r.getInt(0), cv, math.sqrt(s))
+        // the ONE codeword-norm definition (bit-compat with the batch
+        // withCentNorm dotWiden order and the fit's replaying oracles)
+        (r.getInt(0), cv, graft.expressions.VectorExpressions.normOf(cv))
       }.sortBy(_._1)
     require(cents.nonEmpty, "streamingSemanticNearDup needs a non-empty centroid table")
     val v = col("embedding")

@@ -311,4 +311,34 @@ class TextExprSpec extends SparkTestBase {
     assert(rows(4L) === Some(""))
     assert(rows(5L) === None)
   }
+
+  test("kernel parameter fences fail at plan time, not per-row in codegen") {
+    import graft.expressions.TextExpressions
+    import org.apache.spark.sql.functions.col
+    // a bad n/rowsPerBand used to surface as IndexOutOfBounds or
+    // divide-by-zero inside a codegen'd stage at scale
+    intercept[IllegalArgumentException] { TextExpressions.shingleHashes(col("t"), 0) }
+    intercept[IllegalArgumentException] { TextExpressions.minhashBands(col("t"), 3, 12, 0) }
+    intercept[IllegalArgumentException] { TextExpressions.minhashBands(col("t"), 3, 12, 5) }
+    intercept[IllegalArgumentException] { TextExpressions.ngramList(col("t"), 0) }
+  }
+
+  test("dot kernels reject dimension mismatch instead of a silent prefix product") {
+    import graft.expressions.VectorExpressions
+    import org.apache.spark.sql.functions.col
+    // a stale 512-dim index meeting a re-embedded 768-dim corpus must
+    // fail loudly — a prefix dot product ranks on garbage cosines with
+    // nothing to detect it (the quantizeI8/dotI8 rule)
+    val df = Seq((Seq(1f, 2f), Seq(1f, 2f, 3f))).toDF("a", "b")
+    val ex = intercept[Exception] {
+      df.select(VectorExpressions.dotFF(col("a"), col("b"))).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    assert(msgs(ex).contains("dimension mismatch"))
+    // equal dims still work, bit-for-bit
+    val ok = Seq((Seq(1.5f, 2f), Seq(2f, 0.5f))).toDF("a", "b")
+      .select(VectorExpressions.dotFF(col("a"), col("b"))).head().getDouble(0)
+    assert(ok === 4.0)
+  }
 }
