@@ -646,9 +646,15 @@ object Bench {
       System.err.println(s"[bench] regression gate baseline ${f.getName}: " +
         s"${prev.size}/${results.size} queries covered" +
         (if (queriesObj.isDefined) " (queries-object parse)" else " (tail parse)"))
+      // trigger: >= 1.5x vs the previous round's detail AND >= 0.2 s
+      // absolute growth (r14 close: s15 drifted to EXACTLY 1.50x with
+      // +0.24 s and the old strict-ratio-on-a-0.2s-baseline form let it
+      // through unadjudicated — the judge had to flag it by hand; the
+      // absolute-delta leg keeps sub-50ms queries from churning the
+      // adjudication pass on floor noise)
       val flagged = results.toSeq.sortBy(-_._2).flatMap { case (name, now) =>
         prev.get(name).collect {
-          case was if was > 0.2 && now > was * 1.5 =>
+          case was if now - was >= 0.2 && now >= was * 1.5 =>
             System.err.println(
               f"[bench] REGRESSION $name: $was%.2fs -> $now%.2fs (${now / was}%.1fx) vs ${f.getName}")
             name

@@ -179,11 +179,17 @@ object Dedup {
     // an ADAPTIVE plan executes every upstream stage just to read a
     // partition count, silently running an unscoped caller's subtree
     // twice (AQE is on by default outside PlanScope).
+    // The threshold is a FEW file splits, not shufflePartitions × split
+    // (≈25 GB at defaults): only an input small enough to arrive in ~4
+    // splits is genuinely under-split for a 32-core kernel stage; a
+    // mid-size corpus already fans out with its file splits and must not
+    // pay a full-text exchange just to round-robin. Unknown-stats plans
+    // (huge default estimate) skip the spread — acceptable: they are
+    // mid-pipeline frames whose upstream shuffle already spread them.
     val conf = docs.sparkSession.sessionState.conf
     val estBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
     val src =
-      if (estBytes < BigInt(conf.numShufflePartitions.toLong) *
-          conf.filesMaxPartitionBytes)
+      if (estBytes < BigInt(4L) * conf.filesMaxPartitionBytes)
         docs.repartition(conf.numShufflePartitions)
       else docs
     src
@@ -442,10 +448,20 @@ object Dedup {
     // (a chain of diameter > maxRounds keeps several "canonical" docs in
     // one duplicate cluster, and the caller cannot tell a converged
     // labeling from a cut-off one) — fail loudly with the remedy instead
-    require(converged,
-      s"components did not converge within maxRounds=$maxRounds — the pair " +
-        "graph has a min-label chain longer than the round budget; raise " +
-        "maxRounds (rounds scale with component diameter, not corpus size)")
+    if (!converged) {
+      // release the pinned blocks BEFORE the loud diagnostic: a long-lived
+      // session recovering from this throw must not keep the dead edge
+      // cache and final-round labels resident (reliable checkpoints are
+      // managed by the checkpoint dir, nothing to unpersist)
+      if (!reliableCheckpoint) {
+        edgesChk.unpersist(blocking = false)
+        prevRound.foreach(_.unpersist(blocking = false))
+      }
+      throw new IllegalArgumentException(
+        s"requirement failed: components did not converge within maxRounds=$maxRounds — " +
+          "the pair graph has a min-label chain longer than the round budget; raise " +
+          "maxRounds (rounds scale with component diameter, not corpus size)")
+    }
     // the edge set is dead after convergence (every propagation round is
     // materialized); only the FINAL round's cache stays pinned for the
     // caller's consuming action — losing it recomputes from the pair

@@ -75,15 +75,43 @@ object Mixture {
     * permille Int fails loudly: upsampling one row by millions of copies
     * is a data-shape problem no mixture should silently encode. */
   def temperatureRates(df: DataFrame, sourceCol: String,
-      tauHalves: Int = 1): Map[String, Int] = {
+      tauHalves: Int = 1): Map[String, Int] =
+    temperatureRatesImpl(df, sourceCol, tauHalves, MaxMixtureSources)
+
+  /** Driver-side fence on the [[temperatureRates]] fit: one row per
+    * DISTINCT source — bounded by contract (mixture domains are tens to
+    * thousands of sources) but nothing used to stop a caller passing a
+    * per-document column as the source, an O(#docs) silent driver
+    * collect. The fetch is `limit(cap+1)`, so an over-cap fit transfers
+    * cap+1 rows and fails loudly, never the full domain. */
+  private[graft] val MaxMixtureSources = 1 << 16
+
+  /** The fetch cap rides as a parameter so the spec can drive the
+    * over-cap path on a tiny fixture; production entry points always
+    * pass [[MaxMixtureSources]]. */
+  private[graft] def temperatureRatesImpl(df: DataFrame, sourceCol: String,
+      tauHalves: Int, fetchCap: Int): Map[String, Int] = {
     require(tauHalves >= 0 && tauHalves <= 2,
       s"tauHalves must be 0 (uniform), 1 (sqrt) or 2 (natural), got $tauHalves")
     // cast the source key to string driver-side: sampleByRates accepts
     // any source type (its match is ===), so the fit half of the flow
     // must not ClassCastException on an int source id
-    val counts = df.groupBy(col(sourceCol).cast("string").as("__s"))
+    val countsDf = df.groupBy(col(sourceCol).cast("string").as("__s"))
       .agg(count(lit(1)).as("__n"))
-      .collect().map { r =>
+    // limit at full initial width, like budgetSelect's fit fetch: the
+    // incremental limit-collect (1 partition, ×4 per retry) would pay
+    // extra driver jobs re-reading the fit when, as always in the
+    // in-contract case, the source domain is far under the cap
+    val fetched = graft.ops.PlanScope.isolated(df.sparkSession,
+      "spark.sql.limit.initialNumPartitions" -> "100000") { scoped =>
+      graft.ops.PlanScope.rebind(countsDf, scoped)
+        .limit(fetchCap + 1).collect()
+    }
+    require(fetched.length <= fetchCap,
+      s"temperatureRates: more than $fetchCap distinct values in '$sourceCol' — " +
+        "that is a per-document column, not a mixture source domain; " +
+        "bucket or map it to a bounded source space before fitting")
+    val counts = fetched.map { r =>
         require(r.get(0) != null,
           "temperatureRates: null source — filter or fill before fitting the mixture")
         r.getString(0) -> r.getLong(1)

@@ -23,9 +23,21 @@ object Sketches {
     * outlier tags) with no error anywhere. Reject it loudly; callers
     * pre-scale to integers (micro-units, cents, token counts). */
   private def requireIntegralValue(df: DataFrame, valueCol: String, op: String): Unit = {
-    val t = df.schema(valueCol).dataType.typeName
-    require(Seq("byte", "short", "integer", "long").contains(t),
-      s"$op computes on integral values; '$valueCol' is $t — pre-scale " +
+    val t = df.schema(valueCol).dataType
+    val integral = t match {
+      // scale-0 decimals (money in cents, exact counts) are integral by
+      // construction and cast to long losslessly up to precision 18 —
+      // they computed exactly here before this fence existed, so keep
+      // accepting them; fractional-scale decimals would truncate like
+      // doubles and stay rejected
+      // (values beyond long range still fail loudly at the cast: the
+      // engine runs ANSI, so an overflowing decimal→long errors rather
+      // than wrapping)
+      case d: org.apache.spark.sql.types.DecimalType => d.scale == 0
+      case _ => Seq("byte", "short", "integer", "long").contains(t.typeName)
+    }
+    require(integral,
+      s"$op computes on integral values; '$valueCol' is ${t.typeName} — pre-scale " +
         "fractional scores to integers (e.g. micro-units) first")
   }
 

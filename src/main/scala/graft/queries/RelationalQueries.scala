@@ -443,14 +443,14 @@ object RelationalQueries {
       // capped upstream in a real pipeline), linear in orders; the
       // support count partial-aggregates and top-k is a bounded
       // TakeOrdered. Duplicate parts within an order collapse first so
-      // support counts orders, not lineitems.
-      val op = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val a = op.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      val b = op.select(col("l_orderkey").as("__ok"), col("l_partkey").as("part_b"))
-      a.join(b, col("l_orderkey") === col("__ok") && col("part_a") < col("part_b"))
-        .groupBy(col("part_a"), col("part_b"))
-        .agg(count(lit(1)).as("n_orders"))
+      // support counts orders, not lineitems. The board query mines
+      // every basket (cap off — the oracle replays the full pair set);
+      // production callers pass maxBasketSize to make the bound
+      // enforceable in-plan (see Baskets.copurchasePairs).
+      graft.operators.Baskets.copurchasePairs(
+          Tables.lineitem(s, d), "l_orderkey", "l_partkey")
+        .select(col("item_a").as("part_a"), col("item_b").as("part_b"),
+          col("n_baskets").as("n_orders"))
         .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
         .limit(20)
     }),

@@ -53,7 +53,12 @@ object Serving {
     // for the rest of the JVM (loadIvf would then throw table-not-found
     // on the side table on every call, with no retry ever healing it)
     if (!(table +: sideTables).forall(s.catalog.tableExists(_))) {
-      (table +: sideTables).foreach { t =>
+      // sweep each table's pre-md5 legacy sibling too: an upgraded
+      // warehouse otherwise keeps the hashCode-named orphan on disk
+      // forever (it is never read again — see legacyServedTableName)
+      val sweep = (table +: sideTables).flatMap(t =>
+        t +: Option(legacySiblings.get(t)).toList).distinct
+      sweep.foreach { t =>
         s.sql(s"DROP TABLE IF EXISTS $t")
         val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath
         val stale = new java.io.File(wh, t)
@@ -97,8 +102,23 @@ object Serving {
   def servedTableName(prefix: String, d: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-    (prefix + hex).replaceAll("[^A-Za-z0-9_]", "_")
+    val name = (prefix + hex).replaceAll("[^A-Za-z0-9_]", "_")
+    // remember the pre-md5 name this table SUPERSEDED, so the build path
+    // can sweep the orphan a pre-upgrade JVM left in the same warehouse
+    legacySiblings.putIfAbsent(name, legacyServedTableName(prefix, d))
+    name
   }
+
+  /** The naming rule before the md5 fingerprint (32-bit String.hashCode).
+    * An upgraded warehouse still holds artifacts under these names —
+    * never read (collision-unsafe), only swept when their md5-named
+    * successor is (re)built. */
+  private[graft] def legacyServedTableName(prefix: String, d: String): String =
+    (prefix + java.lang.Integer.toHexString(d.hashCode))
+      .replaceAll("[^A-Za-z0-9_]", "_")
+
+  private val legacySiblings =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** The nation-level trade multigraph, reduced at the scan to
     * `(src, dst, n)` distinct-pair counts — the materialized link graph
@@ -265,13 +285,10 @@ object Serving {
   def copurchasePairCounts(s: SparkSession, d: String): DataFrame = {
     val table = servedTableName("graft_copurchase_", d)
     ensureServedTable(s, table, Nil) {
-      val op = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val a = op.select(col("l_orderkey"), col("l_partkey").as("src"))
-      val b = op.select(col("l_orderkey").as("__ok"), col("l_partkey").as("dst"))
-      val pairs = a
-        .join(b, col("l_orderkey") === col("__ok") && col("src") < col("dst"))
-        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_orders"))
+      val pairs = graft.operators.Baskets.copurchasePairs(
+          Tables.lineitem(s, d), "l_orderkey", "l_partkey")
+        .select(col("item_a").as("src"), col("item_b").as("dst"),
+          col("n_baskets").as("n_orders"))
       graft.ops.Layout.writeBucketed(pairs, table, Seq("src"),
         numBuckets = 8, extraSortCols = Seq("dst"))
     }

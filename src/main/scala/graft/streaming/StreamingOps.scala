@@ -393,7 +393,29 @@ object StreamingOps {
       k1: Double = 1.5,
       b: Double = 0.75,
       width: String = "1 hour",
-      watermark: String = "24 hours"): DataFrame = {
+      watermark: String = "24 hours"): DataFrame =
+    streamingBm25WithRelease(queries, tsCol, queryIdCol, textCol, index, k,
+      k1, b, width, watermark)._1
+
+  /** [[streamingBm25]] plus the release handle for its pinned df cache.
+    * The df-by-term persist must outlive the SERVING STREAM, not the JVM:
+    * a caller that rebuilds the stream (restart, test suite, several
+    * indexes over one session) should invoke the handle after stopping
+    * the query, or each build pins another cache entry for the process
+    * lifetime. The plain entry point keeps the old signature for the
+    * one-stream-per-process serving deployment where index lifetime ==
+    * JVM lifetime. */
+  def streamingBm25WithRelease(
+      queries: DataFrame,
+      tsCol: String,
+      queryIdCol: String,
+      textCol: String,
+      index: graft.operators.TextSearch.TextIndex,
+      k: Int,
+      k1: Double = 1.5,
+      b: Double = 0.75,
+      width: String = "1 hour",
+      watermark: String = "24 hours"): (DataFrame, () => Unit) = {
     val statsRow = index.stats.select(
       col("n_docs").cast("long"), col("sum_dl").cast("long")).head()
     val nDocs = statsRow.getLong(0)
@@ -421,7 +443,7 @@ object StreamingOps {
           (col("tf") * lit(k1 + 1)) /
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
           .cast("long"))
-    contrib
+    val leaderboard = contrib
       // idempotency level: a (window, query, term) delivered twice — an
       // at-least-once re-delivery, or one term repeated across a query's
       // split event batches — must count ONCE, as batch queryTerms'
@@ -442,6 +464,7 @@ object StreamingOps {
         (col("__pos") + 1).cast("int").as("rank"),
         col("__e.id").as("doc_id"),
         col("__e.score").cast("long").as("score_e6"))
+    (leaderboard, () => dfByTerm.unpersist(blocking = false))
   }
 
   /** Watermarked per-key SESSION-window exact quantiles — the sketch

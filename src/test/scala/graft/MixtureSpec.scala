@@ -84,6 +84,21 @@ class MixtureSpec extends SparkTestBase {
       Map("0" -> 1000, "1" -> 1000))
   }
 
+  test("temperatureRates: over-cap source domain fails loudly, fetches cap+1 not the corpus") {
+    // a caller fitting on a PER-DOCUMENT column (every doc its own
+    // source) must hit the fence, not silently collect the corpus; the
+    // cap rides as a parameter so the over-cap path drives on 8 rows
+    val perDoc = spark.range(8).select($"id".as("doc_id"), $"id".as("src"))
+    val ex = intercept[IllegalArgumentException] {
+      Mixture.temperatureRatesImpl(perDoc, "src", tauHalves = 1, fetchCap = 4)
+    }
+    assert(ex.getMessage.contains("distinct values"))
+    // at exactly the cap the fit still runs (boundary inclusive)
+    val atCap = spark.range(4).select($"id".as("doc_id"), $"id".as("src"))
+    assert(Mixture.temperatureRatesImpl(atCap, "src", tauHalves = 0, fetchCap = 4)
+      .values.toSet === Set(1000))
+  }
+
   test("budgetSelect: a Long.MinValue score class ranks worst, not first") {
     // -Long.MinValue overflows to itself, so a negation-based sort would
     // walk the WORST class first and spend the budget on it

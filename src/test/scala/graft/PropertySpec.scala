@@ -347,10 +347,16 @@ class PropertySpec extends SparkTestBase {
     // truncated labels are silently under-deduped output (several
     // "canonical" docs per duplicate cluster), indistinguishable from a
     // converged run by the caller
+    // the failure path must also RELEASE its pinned blocks (edge cache +
+    // final round) before throwing — a long-lived session recovering from
+    // the diagnostic must not accumulate dead fixpoint caches
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.size
     val ex = intercept[IllegalArgumentException] {
       graft.operators.Dedup.components(docs, pairs, maxRounds = 3).count()
     }
     assert(ex.getMessage.contains("did not converge"))
+    assert(spark.sparkContext.getPersistentRDDs.size === pinnedBefore,
+      "non-convergence throw leaked pinned blocks")
   }
 
   test("simhashPairs rejects out-of-range maxHamming instead of degenerating") {

@@ -39,6 +39,28 @@ class ServingSpec extends SparkTestBase {
     assert(served.exceptAll(adhoc).isEmpty && adhoc.exceptAll(served).isEmpty)
   }
 
+  test("rebuild sweeps the pre-md5 legacy artifact out of the warehouse") {
+    import spark.implicits._
+    // the md5 rename orphaned every artifact the old 32-bit-hashCode
+    // naming left on disk; a (re)build of the successor must drop the
+    // legacy sibling instead of leaking it forever
+    val d = "/tmp/graft-legacy-sweep-probe"
+    val prefix = "graft_test_legacy_"
+    val legacy = Serving.legacyServedTableName(prefix, d)
+    val name = Serving.servedTableName(prefix, d)
+    assert(name !== legacy)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    Seq((1L, 2L)).toDF("a", "b").write.mode("overwrite").saveAsTable(legacy)
+    assert(spark.catalog.tableExists(legacy))
+    Serving.ensureServedTable(spark, name, Nil) {
+      Seq((1L, 1L)).toDF("x", "y").write.saveAsTable(name)
+    }
+    assert(spark.catalog.tableExists(name))
+    assert(!spark.catalog.tableExists(legacy),
+      "legacy hashCode-named orphan survived the successor's build")
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
   test("recallAtKWith over the served IVF index equals the in-call fit") {
     import graft.operators.Similarity
     val emb = Tables.embeddings(spark, dir)

@@ -450,4 +450,25 @@ class SketchesSpec extends SparkTestBase {
       Sketches.winsorize(df.withColumn("clipped", lit(1)), Seq("g"), "v", 1, 2)
     }
   }
+
+  test("integral fence: scale-0 decimals compute exactly, fractional decimals stay rejected") {
+    // money stored as DECIMAL(10,0) cents is integral by construction and
+    // casts to long losslessly — it computed exactly before the fence
+    // existed and must keep doing so (the fence exists to catch silent
+    // fractional truncation, not exact decimals)
+    val qs = Seq("p0" -> 0, "p50" -> 500, "p100" -> 1000)
+    val longForm = Seq((1, 10L), (1, 20L), (1, 30L), (2, 5L)).toDF("g", "v")
+    val decForm = longForm.withColumn("v", $"v".cast("decimal(10,0)"))
+    val want = Sketches.exactQuantiles(longForm, Seq("g"), "v", qs)
+      .collect().map(_.toSeq).toSet
+    assert(Sketches.exactQuantiles(decForm, Seq("g"), "v", qs)
+      .collect().map(_.toSeq).toSet === want)
+    // fractional scale would truncate before the rank math — still loud
+    val ex = intercept[IllegalArgumentException] {
+      Sketches.exactQuantiles(
+        longForm.withColumn("v", ($"v" / 10.0).cast("decimal(10,2)")),
+        Seq("g"), "v", qs)
+    }
+    assert(ex.getMessage.contains("integral"))
+  }
 }

@@ -1465,6 +1465,33 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed === batch)
   }
 
+  test("streamingBm25WithRelease: the pinned df cache is released by the handle") {
+    import graft.operators.TextSearch
+    val corpus = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val index = TextSearch.buildTextIndex(corpus, "doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val in = MemoryStream[QueryEvent](spark)
+    val (out, release) = StreamingOps.streamingBm25WithRelease(
+      in.toDF(), "ts", "query_id", "text", index, k = 5,
+      width = "1 hour", watermark = "10 minutes")
+    val q = out.writeStream
+      .format("memory").queryName("stream_bm25_rel").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("ck-sbm25rel").toString)
+      .start()
+    try {
+      in.addData(QueryEvent(Timestamp.valueOf("2024-03-01 10:05:00"), 0, "a"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the serving cache is pinned while the stream lives (that is the
+    // point — the static side re-executes per micro-batch), and gone
+    // once the caller releases it after stopping the query
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "df-by-term cache was never materialized — the fixture went stale")
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.size === before,
+      "release handle left the df cache pinned")
+  }
+
   test("flagship stream ≡ batch: same events, identical enriched output") {
     // The strongest cheap guarantee the two surfaces can't drift: feed the
     // full sf0.001 events table through CallsStreamPipeline (aggregate +
