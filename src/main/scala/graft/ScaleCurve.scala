@@ -31,13 +31,10 @@ object ScaleCurve {
     * rows ([[copurchaseEdges]]) build on it — one definition keeps the
     * "marginal exponents isolate the loops" comparison honest (three
     * drifting copies would silently measure three different graphs). */
-  private def copurchasePairs(li: DataFrame): DataFrame = {
-    val op = li.select(col("l_orderkey"), col("l_partkey")).distinct()
-    op.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      .join(op.select(col("l_orderkey").as("__ok"), col("l_partkey").as("part_b")),
-        col("l_orderkey") === col("__ok") && col("part_a") < col("part_b"))
-      .groupBy(col("part_a"), col("part_b")).agg(count(lit(1)).as("n_orders"))
-  }
+  private def copurchasePairs(li: DataFrame): DataFrame =
+    graft.operators.Baskets.copurchasePairs(li, "l_orderkey", "l_partkey")
+      .select(col("item_a").as("part_a"), col("item_b").as("part_b"),
+        col("n_baskets").as("n_orders"))
 
   /** [[copurchasePairs]] reduced to the loop rows' edge list: support
     * >= 2 co-orders, (src, dst) columns — the board's q70/d18/q60 graph. */
@@ -63,7 +60,7 @@ object ScaleCurve {
     // queries whose marginal exponent was the open scale risk) — the rest
     // of the family stops at 10x, where its ~linear fit is already pinned
     val deepOps = Set("d14_fuzzy_er", "d14_fuzzy_er_skew",
-      "d14_fuzzy_er_skew_capped", "q61_copurchase")
+      "d14_fuzzy_er_skew_capped", "q61_copurchase", "d21_source_dup")
     val base = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale_curve"))
     base.mkdirs()
@@ -146,6 +143,21 @@ object ScaleCurve {
         queries: DataFrame, li: DataFrame, custSkew: DataFrame,
         f: Int): Seq[(String, () => DataFrame)] = Seq(
       "d02_minhash_lsh" -> (() => Dedup.minhashLshPairs(docs)),
+      // the OTHER pair-matrix consumer (q61's sibling in the r14 verdict):
+      // LSH pairs + two source-lookup joins + a bounded rollup. Source is
+      // synthesized from the pre-blowup doc id (16 labels), so every
+      // replica carries the same source mix and the true matrix stays
+      // constant-size while pairs grow linearly — any super-linear drift
+      // is the join/rollup machinery, the thing this row exists to watch
+      "d21_source_dup" -> (() => {
+        val src = docs.select(col("doc_id"),
+          pmod(col("doc_id") % lit(Shift), lit(16)).as("source"))
+        Dedup.minhashLshPairs(docs)
+          .join(src.select(col("doc_id").as("doc_a"), col("source").as("source_a")), "doc_a")
+          .join(src.select(col("doc_id").as("doc_b"), col("source").as("source_b")), "doc_b")
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+      }),
       "d04_ngram_jaccard" -> (() => Dedup.ngramJaccardPairs(docs)),
       "d14_fuzzy_er" -> (() =>
         EntityResolution.fuzzyPairs(cust, "c_custkey", "c_name", maxDist = 1)),

@@ -105,7 +105,19 @@ object TextSearch {
     * query vocabulary come from the codegen'd `termFreqs` kernel (one pass
     * over the token array producing the aligned count vector), followed by
     * a posexplode of that ≤|terms| array. Non-query tokens are never
-    * materialized, and nothing is indexed or persisted.
+    * materialized, and nothing is indexed.
+    *
+    * The tokenized corpus IS persisted for the duration of the call's
+    * consuming action (see [[bm25TopKWithRelease]] for the release
+    * handle): the stats leg and the tf leg both consume it, and without
+    * the pin the plan executes the scan + tokenize kernel twice — the
+    * A/B at sf0.1, 10 reps each, read 0.408 s (two-subtree), 0.44–0.50 s
+    * (stats fetched driver-side: the head() serializes a blocking job
+    * the broadcast build used to overlap), 0.331 s (this pin). Like
+    * [[graft.operators.Dedup.components]]' final-round cache, losing the
+    * pin recomputes correctly, just slower; one-shot callers who don't
+    * release leave one cache entry per call, which is why repeat probes
+    * over a big corpus belong on the served index ([[bm25TopKWith]]).
     *
     * @param docs    corpus with `idCol` (long) and `textCol` (string)
     * @param queries literal (query_id, query text) pairs; query text is
@@ -121,6 +133,19 @@ object TextSearch {
       k: Int,
       k1: Double = 1.5,
       b: Double = 0.75): DataFrame =
+    bm25TopKWithRelease(docs0, idCol, textCol, queries, k, k1, b)._1
+
+  /** [[bm25TopK]] plus the release handle for its tokenized-corpus pin —
+    * long-lived sessions issuing many ad-hoc probe batches should call
+    * it after consuming each result, or switch to the served index. */
+  def bm25TopKWithRelease(
+      docs0: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: Seq[(Long, String)],
+      k: Int,
+      k1: Double = 1.5,
+      b: Double = 0.75): (DataFrame, () => Unit) =
     // Ad-hoc scan + score is a known plan shape re-executed per call: run
     // it on a conf-isolated static scope (one driver job per action, no
     // AQE per-exchange dispatch; concurrent caller queries keep AQE).
@@ -130,10 +155,18 @@ object TextSearch {
     graft.ops.PlanScope.isolatedStaticFor(docs0) { scoped =>
     val docs = graft.ops.PlanScope.rebind(docs0, scoped)
     val (qt, terms) = queryTerms(docs.sparkSession, queries)
+    // pinned: both the stats leg and the tf leg read this frame within
+    // ONE action (the broadcast-stats build fills the cache, the main
+    // leg hits it) — the pin halves corpus scans per probe batch. At
+    // corpus scale MEMORY_AND_DISK trades the second scan + tokenize
+    // for a one-pass spill of (id, tokens, dl); executor storage
+    // pressure is the cost, which is exactly when the served index is
+    // the right tool instead.
     val toks = docs.select(
       col(idCol).as("doc_id"),
       TextFunctions.tokens(col(textCol)).as("w"))
       .withColumn("dl", size(col("w")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val termArr = array(terms.map(lit): _*)
     val tf = toks.select(
       col("doc_id"), col("dl"),
@@ -142,7 +175,8 @@ object TextSearch {
       .select(col("doc_id"), col("dl"),
         element_at(termArr, col("ti") + 1).as("term"), col("tf"))
     val stats = toks.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    scoreAndRank(tf, stats, qt, k, k1, b)
+    (scoreAndRank(tf, stats, qt, k, k1, b),
+      () => toks.unpersist(blocking = false))
     }
 
   /** Reciprocal-rank fusion (Cormack et al. 2009) of any number of ranked

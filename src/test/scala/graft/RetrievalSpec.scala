@@ -116,6 +116,26 @@ class RetrievalSpec extends SparkTestBase {
     assert(served.toSeq === adhoc.toSeq)
   }
 
+  test("bm25TopKWithRelease: result matches, and the handle frees the corpus pin") {
+    // earlier bm25TopK calls in this suite pinned the SAME tiny-corpus
+    // plan (CacheManager dedupes canonicalized matches), which would mask
+    // both the pin and the release — start from a clean cache
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val (df, release) = TextSearch.bm25TopKWithRelease(
+      docs(corpus: _*), "doc_id", "text", queries, k = 10)
+    val got = df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq === bm25Reference(corpus, queries, k = 10))
+    // the tokenized-corpus pin is live after the consuming action...
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "tokenized corpus was never pinned — the one-pass shape went stale")
+    release()
+    // ...and gone once the caller releases it
+    assert(spark.sparkContext.getPersistentRDDs.size === before,
+      "release handle left the tokenized corpus pinned")
+  }
+
   test("bm25TopK breaks score ties by lower doc_id") {
     // identical docs tie exactly on every term contribution
     val tied = Seq(7L -> "t u v", 5L -> "t u v", 9L -> "other words here")
