@@ -383,9 +383,10 @@ object ScaleCurve {
     val jobsAt = scala.collection.mutable.Map[(String, Int), Long]()
     factors.foreach { f =>
       val deepOnly = f > 10
-      // the 30x decade touches only the deep ops' tables — the doc/emb
-      // blowups would dominate the probe's own runtime for nothing
-      val docs = if (deepOnly) null else materialize("documents", f, blowDocs(f))
+      // the 30x decade touches only the deep ops' tables — the emb blowup
+      // would dominate the probe's own runtime for nothing. Docs now ride
+      // to 30x too: d21_source_dup (a deep op since r15) consumes them
+      val docs = materialize("documents", f, blowDocs(f))
       val emb = if (deepOnly) null else materialize("embeddings", f, blowEmb(f))
       val cust = materialize("customer", f, blowCust(f))
       val custSkew = materialize("customer_skew", f, blowCustSkew(f))

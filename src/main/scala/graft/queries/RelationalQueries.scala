@@ -454,6 +454,23 @@ object RelationalQueries {
         .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
         .limit(20)
     }),
+    "q73_copurchase_capped" -> ((s, d) => {
+      // The CAPPED face of q61: identical pair mining with the
+      // count-and-reject basket fence ON (maxBasketSize = 5) — the
+      // production posture Baskets.copurchasePairs documents. The cap is
+      // SQL-expressible (a HAVING on per-basket distinct items), so the
+      // fenced operator is oracle-checked end-to-end, not just spec'd:
+      // hash-green here proves oversized baskets are excluded WHOLE and
+      // surviving supports are untouched. sf0.1 baskets span the cap
+      // (~7 avg), so both sides of the fence are populated.
+      graft.operators.Baskets.copurchasePairs(
+          Tables.lineitem(s, d), "l_orderkey", "l_partkey",
+          maxBasketSize = Some(5))
+        .select(col("item_a").as("part_a"), col("item_b").as("part_b"),
+          col("n_baskets").as("n_orders"))
+        .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+        .limit(20)
+    }),
     "q60_bfs_hops" -> ((s, d) => {
       // Multi-source BFS: trade-hops from any ASIA nation (distance 0 at
       // the seeds, null = unreachable within 3 rounds) — the
@@ -1472,6 +1489,21 @@ object RelationalQueries {
         |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
         |       COUNT(*) AS n_orders
         |FROM op a JOIN op b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY part_a, part_b
+        |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
+    // the fence replayed relationally: baskets keep <= 5 DISTINCT parts,
+    // then the identical pair rule — a support drift or a partially
+    // dropped basket hash-mismatches immediately
+    "q73_copurchase_capped" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |kept AS (SELECT l_orderkey FROM op
+        |         GROUP BY l_orderkey HAVING COUNT(*) <= 5),
+        |bop AS (SELECT op.l_orderkey, op.l_partkey
+        |        FROM op JOIN kept ON op.l_orderkey = kept.l_orderkey)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |       COUNT(*) AS n_orders
+        |FROM bop a JOIN bop b
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |GROUP BY part_a, part_b
         |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
