@@ -18,6 +18,11 @@ object JobCensus {
     val log = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     val started = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     val ended = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    // per-stage wall + aggregate task time, keyed by stageId — printed
+    // under each query when SPARK_GRAFT_CENSUS_STAGES=1, so a heavy job
+    // can be attributed to its dominant stage without the (disabled) UI
+    val stageInfo = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val wantStages = sys.env.get("SPARK_GRAFT_CENSUS_STAGES").contains("1")
     @volatile var record = false
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
@@ -46,6 +51,20 @@ object JobCensus {
       // off — membership in `started` already scopes what we keep
       override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
         if (started.containsKey(j.jobId)) ended.put(j.jobId, System.nanoTime())
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        if (record && wantStages) {
+          val si = sc.stageInfo
+          val wallMs = (for {s <- si.submissionTime; e <- si.completionTime}
+            yield e - s).getOrElse(-1L)
+          val runMs = si.taskMetrics.executorRunTime
+          val graftFrame = si.details.linesIterator
+            .find(l => l.contains("graft.") && !l.contains("JobCensus"))
+            .getOrElse("").trim
+          stageInfo.put(si.stageId,
+            f"  stage ${si.stageId}%4d wall=${wallMs}%5d ms taskSum=${runMs}%6d ms " +
+              f"tasks=${si.numTasks}%3d  ${si.name.take(70)}%-70s $graftFrame")
+        }
     })
 
     val qs = SparkEntry.queries
@@ -54,7 +73,7 @@ object JobCensus {
       qs(n)(spark, sfDir).write.mode("overwrite").format("noop").save()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      log.clear(); started.clear(); ended.clear(); record = true
+      log.clear(); started.clear(); ended.clear(); stageInfo.clear(); record = true
       val t0 = System.nanoTime()
       qs(n)(spark, sfDir).write.mode("overwrite").format("noop").save()
       val dt = (System.nanoTime() - t0) / 1e9
@@ -69,6 +88,8 @@ object JobCensus {
         }
         println(f"  job $id%4d $dur $line")
       }
+      if (wantStages)
+        stageInfo.asScala.toSeq.sortBy(_._1).foreach { case (_, l) => println(l) }
       spark.sparkContext.getPersistentRDDs.foreach { case (id, r) =>
         println(s"  LEAKED rdd=$id name=${r.name} ${r.toString.take(120)}")
       }

@@ -120,6 +120,37 @@ object PlanScope {
     }
   }
 
+  /** Spread a provably SMALL input across the session's cores before a
+    * kernel-heavy chain. The driver's tables are single-row-group parquet
+    * files, so a scan is ONE task no matter the split config — every
+    * narrow kernel stage over it (minhash banding, shingling, quality
+    * scoring, heavy partial aggregation) serializes on one core while 31
+    * idle. One deterministic hash exchange on the row key spreads it; a
+    * big or unknown-size input returns untouched — this must never become
+    * an unconditional full-text exchange at 100 TB, where the scan
+    * already fans out with its file splits. The smallness test is the
+    * optimizer SIZE ESTIMATE (the Dedup.bandFrame rule: under ~4 file
+    * splits is genuinely under-split for a 32-core kernel stage), never
+    * `.rdd` — materializing an adaptive plan's RDD executes upstream
+    * stages just to read a partition count. Hash-partitioning on the
+    * unique row key (not round-robin): deterministic row placement under
+    * task retry (SPARK-38388), no round-robin pre-shuffle local sort,
+    * and downstream equi-joins on the same key can REUSE the exchange.
+    * Callers must not route the spread claim into both branches of a
+    * union that later co-partition-joins (reproduced SMJ zip failure in
+    * the curation domain stage — the spread there sits after the union). */
+  def spreadIfSmall(df: DataFrame, keyCol: String): DataFrame = {
+    val conf = df.sparkSession.sessionState.conf
+    val est = scala.util.Try(
+      df.queryExecution.optimizedPlan.stats.sizeInBytes).toOption
+    est match {
+      case Some(b) if b < BigInt(4L) * conf.filesMaxPartitionBytes =>
+        df.repartition(conf.numShufflePartitions,
+          org.apache.spark.sql.functions.col(keyCol))
+      case _ => df
+    }
+  }
+
   /** The static scope most operators want: AQE off AND shuffle
     * partitions sized to the dominant input frame (see
     * [[sizedPartitions]]). */

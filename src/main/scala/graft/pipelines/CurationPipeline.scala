@@ -173,14 +173,32 @@ object CurationPipeline {
       }
     }
 
+    val domainStageActive = docs0 ne docs
+
+    // ENTRY SPREAD: the whole chain from here on is narrow kernel maps
+    // over the corpus (minhash banding, shingling, quality scoring). A
+    // small corpus arrives as one parquet split — single-row-group files
+    // cannot split further — so without this every kernel stage up to the
+    // first exchange runs in ONE task (measured on the c02 board shape:
+    // 700 ms banding + 305 ms quality single-task stages with 31 cores
+    // idle). Conditional on the optimizer size estimate
+    // (PlanScope.spreadIfSmall): at 100 TB the scan fans out with its
+    // file splits and no exchange is added. Placed AFTER the domain stage
+    // — its cap branch unions two legs, and a spread partitioning claim
+    // flowing into both union branches fed downstream co-partition reuse
+    // a wrong partition count (reproduced SMJ zip failure) — and done
+    // ONCE so every stage and pin downstream inherits the parallelism;
+    // the per-operator spreads (bandFrame) skip unknown-stats
+    // mid-pipeline frames by design and cannot see this.
+    val docsSp = graft.ops.PlanScope.spreadIfSmall(docs0, "doc_id")
+
     // 0a. intra-document repeated-line removal — a pure narrow map, so it
     // adds no shuffle and needs no persist; runs before the corpus-wide
     // frequency count so internal repeats can't inflate a line's corpus df
-    val domainStageActive = docs0 ne docs
     val docsI =
       if (intraDocDedup)
-        docs0.withColumn("text", TextFunctions.dedupLinesInDoc(col("text")))
-      else docs0
+        docsSp.withColumn("text", TextFunctions.dedupLinesInDoc(col("text")))
+      else docsSp
 
     // 0b. line-level boilerplate removal; docs reduced to nothing exit
     // here (an empty doc would otherwise survive as a trivial near-dup
@@ -552,6 +570,13 @@ object CurationPipeline {
     val caller = newDocs.sparkSession
     def chain(scoped: org.apache.spark.sql.SparkSession): DataFrame = {
       def in(df: DataFrame) = graft.ops.PlanScope.rebind(df, scoped)
+      // NO entry spread here, deliberately (unlike curateChain): an A/B
+      // at matched floor read c03 4.5 → 9.5 s with a 15 s GC storm when
+      // the corpus leg was spread — the delta path consumes the corpus
+      // through dedupDeltaWith's digest/band/text-sliver legs, where the
+      // added exchange re-executes per consuming job and defeats the
+      // band-join build-side choices. The fit leg's single-task quality
+      // pass is ~90 ms here (batch-sized admission, not corpus curation).
       val corpusS = in(corpus)
       val batchS = in(newDocs)
       // 1. delta dedup against the release artifacts (derived here when
