@@ -46,8 +46,19 @@ object Baskets {
       maxBasketSize: Option[Int] = None): DataFrame = {
     maxBasketSize.foreach(cap => require(cap >= 2,
       s"maxBasketSize must be >= 2 (a 1-item basket yields no pairs), got $cap"))
-    val op = items
-      .select(col(basketCol).as("__basket"), col(itemCol).as("__item"))
+    // entry spread keyed on the BASKET (PlanScope.spreadIfSmall): a
+    // one-split input (single-row-group parquet) runs the distinct's
+    // map-side partial — a corpus-sized hash build — in ONE task.
+    // Hash-partitioning by basket makes the exchange load-bearing, not
+    // extra: HashPartitioning(__basket) satisfies the distinct's
+    // (__basket, __item) clustering AND the self-join's basket key, so
+    // the distinct, the optional cap window, the pair join, and the
+    // support count's partial all run on this single exchange — one
+    // fewer shuffle than the unspread plan, every stage parallel.
+    // No-op at scale (estimate large; the scan fans out with its splits).
+    val op = graft.ops.PlanScope.spreadIfSmall(
+        items.select(col(basketCol).as("__basket"), col(itemCol).as("__item")),
+        "__basket")
       .distinct()
     val bounded = maxBasketSize match {
       case Some(cap) =>

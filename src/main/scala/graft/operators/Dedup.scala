@@ -234,7 +234,10 @@ object Dedup {
     val bitsPerChunk = 32 / nChunks
     val voteCols = (0 until 32).map(j =>
       sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$j"))
-    val sh = docs
+    // entry spread (PlanScope.spreadIfSmall): tokenize + explode + the 32
+    // map-side vote partials all run in the scan stage — ONE task on a
+    // one-split input. No-op at scale.
+    val sh = graft.ops.PlanScope.spreadIfSmall(docs, "doc_id")
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .withColumn("h", hash60(col("t")))
       .groupBy(col("doc_id"))
@@ -278,7 +281,12 @@ object Dedup {
     // prefix length negative (a runtime crash) instead of an empty result
     require(minPermille > 0 && minPermille <= 1000,
       s"minPermille must be in (0, 1000], got $minPermille")
-    val ex = hashedShingleSets(docs, shingleN)
+    // entry spread (PlanScope.spreadIfSmall): the shingle-set kernel runs
+    // per row on BOTH legs (prefix build here, verify fetch below); a
+    // one-split input would serialize each kernel pass in one task.
+    // No-op at scale.
+    val docsSp = graft.ops.PlanScope.spreadIfSmall(docs, "doc_id")
+    val ex = hashedShingleSets(docsSp, shingleN)
       .select(col("doc_id"), explode(col("s")).as("sh"))
     val dfreq = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     // rank each doc's shingles by global rarity IN-ROW: one grouped
@@ -315,7 +323,7 @@ object Dedup {
             lit(minPermille) * (col("x.n_sh") + col("y.n_sh")))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cand, hashedShingleSets(docs, shingleN), minPermille)
+    verifyJaccard(cand, hashedShingleSets(docsSp, shingleN), minPermille)
   }
 
   /** Connected components over near-dup pairs: every doc labeled with the

@@ -136,9 +136,14 @@ object EntityResolution {
       maxDist: Int = 1, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(maxDist == 1 || maxDist == 2, s"maxDist must be 1 or 2, got $maxDist")
     requireIntegralId(df, idCol, "fuzzyPairs")
-    val base = df
+    // entry spread (PlanScope.spreadIfSmall): the deletion-variant explode
+    // is O(len·maxDist) kernel work per row and runs in ONE task when the
+    // input arrives as a single parquet split — spread the projected
+    // (id, s) rows first; no-op at scale. The fetch joins below re-read
+    // `base` cheaply either way.
+    val base = graft.ops.PlanScope.spreadIfSmall(df
       .select(col(idCol).cast("long").as("id"), col(strCol).cast("string").as("s"))
-      .filter(col("s").isNotNull)
+      .filter(col("s").isNotNull), "id")
     val keyed0 = base
       .select(col("id"), col("s"), explode(deletionKeys(maxDist)).as("v"))
       .select(col("id"), col("s"),
@@ -193,9 +198,12 @@ object EntityResolution {
     require(maxDist == 1 || maxDist == 2, s"maxDist must be 1 or 2, got $maxDist")
     requireIntegralId(left, leftId, "fuzzyLink")
     requireIntegralId(right, rightId, "fuzzyLink")
-    def prep(df: DataFrame, id: String, s: String) = df
-      .select(col(id).cast("long").as("id"), col(s).cast("string").as("s"))
-      .filter(col("s").isNotNull)
+    // same entry spread as fuzzyPairs: the deletion-variant explode over
+    // a one-split input would otherwise run single-task
+    def prep(df: DataFrame, id: String, s: String) =
+      graft.ops.PlanScope.spreadIfSmall(df
+        .select(col(id).cast("long").as("id"), col(s).cast("string").as("s"))
+        .filter(col("s").isNotNull), "id")
     def keyed(base: DataFrame) = base
       .select(col("id"), explode(deletionKeys(maxDist)).as("v"))
       .select(col("id"), graft.functions.TextFunctions.hash60(col("v")).as("k"))
