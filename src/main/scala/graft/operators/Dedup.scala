@@ -575,7 +575,12 @@ object Dedup {
     require(minPermille >= 1 && minPermille <= 1000,
       s"minPermille must be in [1,1000], got $minPermille")
     maxTrainDf.foreach(c => require(c > 0, s"maxTrainDf must be positive, got $c"))
-    val tAll = hashedShingleSets(train, shingleN)
+    // entry spread on the TRAIN side only (the corpus-sized leg; the eval
+    // side is a small release): the shingle-set kernel + explode run in
+    // the scan stage — single-task on a one-split input, no-op at scale
+    // and on the curation chains' already-spread mid-pipeline frames
+    val tAll = hashedShingleSets(
+        graft.ops.PlanScope.spreadIfSmall(train, "doc_id"), shingleN)
       .select(col("doc_id").as("train_id"), explode(col("s")).as("sh"))
     val t = maxTrainDf.fold(tAll) { cap =>
       val hot = tAll.groupBy(col("sh"))
@@ -916,7 +921,11 @@ object Dedup {
     require(windowTokens > 0, s"windowTokens must be positive, got $windowTokens")
     require(minOccurrences >= 2L,
       s"minOccurrences below 2 would flag every window, got $minOccurrences")
-    val wins = docs
+    // entry spread (PlanScope.spreadIfSmall): the window-hash explode is
+    // the heavy per-row kernel here — single-task on a one-split input,
+    // no-op at scale (and on the curation pipeline's already-spread
+    // unknown-stats frames)
+    val wins = graft.ops.PlanScope.spreadIfSmall(docs, "doc_id")
       .select(col("doc_id"),
         posexplode(ngramList(col("text"), windowTokens)).as(Seq("pos", "__g")))
       .select(col("doc_id"), col("pos"), hash60(col("__g")).as("__wh"))
@@ -965,7 +974,9 @@ object Dedup {
     val spans = duplicatedSpans(docs, windowTokens, minOccurrences)
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
-    docs
+    // the scrub's own tokenize + index-aware filter HOF is per-row kernel
+    // work too — spread this leg like duplicatedSpans' (no-op at scale)
+    graft.ops.PlanScope.spreadIfSmall(docs, "doc_id")
       .join(spans, Seq("doc_id"), "left")
       .select(col("doc_id"),
         TextExpressions.tokens(col("text")).as("__toks"),

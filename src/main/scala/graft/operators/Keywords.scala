@@ -33,7 +33,10 @@ object Keywords {
     * tokens emit nothing. */
   def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k > 0, s"tfidfTopK needs k > 0, got $k")
-    val tf = docs
+    // entry spread (PlanScope.spreadIfSmall): tokenize + explode + the
+    // (doc, token) partial count all run in the scan stage — ONE task on
+    // a one-split input (single-row-group parquet). No-op at scale.
+    val tf = graft.ops.PlanScope.spreadIfSmall(docs, idCol)
       .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
@@ -81,6 +84,10 @@ object Keywords {
       minCount: Long = 5L, k: Int = 30): DataFrame = {
     require(k > 0, s"collocationsTopK needs k > 0, got $k")
     require(minCount >= 1, s"collocationsTopK needs minCount >= 1, got $minCount")
+    // NO entry spread here, deliberately: a round-robin spread of the
+    // text projection A/B'd 0.41 -> 0.70 s on the t34 board shape — the
+    // vocabulary joins after the counts dominate, and the extra exchange
+    // plus its local sort cost more than the parallelized tokenize saved.
     val uni = docs.select(explode(tokens(col(textCol))).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("c"))
     val big = docs

@@ -151,6 +151,22 @@ object PlanScope {
     }
   }
 
+  /** [[spreadIfSmall]] for frames WITHOUT a usable row key (a bare text
+    * projection): round-robin instead of hash-by-key. The pre-shuffle
+    * local sort (SPARK-23207, on by default) keeps row placement
+    * deterministic under task retry; the sort itself is bounded because
+    * the spread only fires on provably small inputs. */
+  def spreadIfSmall(df: DataFrame): DataFrame = {
+    val conf = df.sparkSession.sessionState.conf
+    val est = scala.util.Try(
+      df.queryExecution.optimizedPlan.stats.sizeInBytes).toOption
+    est match {
+      case Some(b) if b < BigInt(4L) * conf.filesMaxPartitionBytes =>
+        df.repartition(conf.numShufflePartitions)
+      case _ => df
+    }
+  }
+
   /** The static scope most operators want: AQE off AND shuffle
     * partitions sized to the dominant input frame (see
     * [[sizedPartitions]]). */

@@ -889,10 +889,14 @@ object NorthStarQueries {
       // crawl budgets. One source-lookup join per pair side over the
       // already-bounded pair set (candidates only, never the corpus²),
       // then a grouped count. Fixed report shape with a bounded pair
-      // frame in the middle → static scope (census: all AQE dispatch,
-      // norm ~0; the LSH banding inside shuffles map-side-reduced band
-      // keys, which a sized static exchange handles without AQE).
-      graft.ops.PlanScope.isolatedStaticFor(Tables.documents(s, d)) { scoped =>
+      // frame in the middle → static scope at SESSION width, not
+      // estimate-sized: sizedPartitions reads the corpus at 594 KB →
+      // 1 partition, which serialized the minhash/shingle KERNEL stages
+      // in one task (stage census: 2×550 ms single-task). Kernel-heavy
+      // text stages are CPU-bound per row, not shuffle-byte-bound — the
+      // session width is the right parallelism for them (the same
+      // session-width-kept rationale as CurationPipeline's scope).
+      graft.ops.PlanScope.isolatedStatic(s) { scoped =>
         val docs = Tables.documents(scoped, d)
         val src = docs.select(col("doc_id"), col("source"))
         Dedup.minhashLshPairs(docs)
@@ -1245,6 +1249,11 @@ object NorthStarQueries {
       // static scope (board census: 7 of its 8 jobs were pure AQE
       // exchange dispatch, norm ~0 — the s18 treatment).
       import graft.operators.Sketches
+      // estimate-sized static scope KEPT (unlike d21): an A/B with a
+      // session-width scope + entry spread read 0.50 -> 0.85 s — this
+      // query's weight is the exact-intersection self-join over
+      // (source, token) pairs, where the sized 1-partition exchanges
+      // beat 32 near-empty tasks; the serialized tokenize is minor here
       graft.ops.PlanScope.isolatedStaticFor(Tables.documents(s, d)) { scoped =>
       val toks = Tables.documents(scoped, d)
         .select(col("source"), explode(tokens(col("text"))).as("tok"))
@@ -1283,7 +1292,9 @@ object NorthStarQueries {
       // total, so the half-budget costs no extra corpus pass), a pushdown
       // filter for the classes that fit wholesale, and a cumulative window
       // over the single boundary class only.
-      val docs = Tables.documents(s, d)
+      // entry spread: the quality + token-count kernels run per row in
+      // the scan stage — single-task on the one-split corpus
+      val docs = graft.ops.PlanScope.spreadIfSmall(Tables.documents(s, d), "doc_id")
         .select(col("doc_id"), qualityScore(col("text")).as("quality"),
           tokenCount(col("text")).cast("long").as("n_tokens"))
       graft.operators.Mixture.budgetSelectFraction(
@@ -1422,7 +1433,9 @@ object NorthStarQueries {
       // arithmetic; small sources exercise linear counting. Exact counts
       // ride along as the audit column.
       import graft.operators.Sketches
-      Tables.documents(s, d)
+      // entry spread: tokenize/explode + HLL partials run in the scan
+      // stage — single-task on the one-split corpus (no-op at scale)
+      graft.ops.PlanScope.spreadIfSmall(Tables.documents(s, d), "doc_id")
         .select(col("source"), explode(tokens(col("text"))).as("tok"))
         .groupBy(col("source"))
         .agg(Sketches.hll(TextFunctions.hash60(col("tok")), 8).as("sk"),
@@ -1695,7 +1708,10 @@ object NorthStarQueries {
       // exact top-20 tokens. est >= exact always; the gap is the
       // collision mass the width bound controls.
       import graft.operators.Sketches
-      val toks = Tables.documents(s, d)
+      // entry spread: both the CMS pass and the exact-count pass tokenize
+      // in the scan stage — single-task on the one-split corpus
+      val toks = graft.ops.PlanScope.spreadIfSmall(
+          Tables.documents(s, d), "doc_id")
         .select(explode(tokens(col("text"))).as("token"))
       val sketch = toks.agg(Sketches.cms(col("token"), 4, 512).as("__cms"))
       val probes = toks.groupBy(col("token"))
@@ -1788,7 +1804,8 @@ object NorthStarQueries {
       // exercised, not just exact-under-capacity (q29 covers both
       // regimes globally).
       import graft.operators.Sketches
-      Tables.documents(s, d)
+      // entry spread: same single-task scan-stage rationale as t36
+      graft.ops.PlanScope.spreadIfSmall(Tables.documents(s, d), "doc_id")
         .select(col("source"), explode(tokens(col("text"))).as("tok"))
         .groupBy(col("source"))
         .agg(

@@ -424,7 +424,10 @@ object RelationalQueries {
       // log-analytics reality: schema-on-read with the parse fused into
       // the scan projection, malformed JSON → null field, never a task
       // failure.
-      Tables.events(s, d)
+      // entry spread: the JSON parse is per-row kernel work fused into
+      // the scan projection — single-task on the one-split events table
+      graft.ops.PlanScope.spreadIfSmall(
+          Tables.events(s, d).select(col("event_type"), col("props")), "props")
         .select(col("event_type"),
           from_json(col("props"),
             org.apache.spark.sql.types.StructType.fromDDL("k INT"))
