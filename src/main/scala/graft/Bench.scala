@@ -413,7 +413,33 @@ object Bench {
     // round VMs, vs ~10 ms typical) inflates multi-job queries 3-9× with
     // zero code change. Publishing the floor next to the per-query
     // numbers makes environment drift legible in round-over-round diffs.
+    // MEASUREMENT FIX (r15): the probe must be exactly ONE driver job.
+    // The former `spark.range(16).count()` plans partial-agg → exchange →
+    // final-agg, and under the main session's AQE that materializes the
+    // shuffle stage as its own job — TWO dispatches per probe. Every
+    // query's reported `jobs` was +1 inflated (the formula subtracts one
+    // probe job per rep) and `cal` read ~2× the true per-job floor; both
+    // biases were round-over-round stable, so prior boards stay
+    // comparable to each other, but from this round the fields are TRUE:
+    // an RDD count over one pre-made partition is a single job under any
+    // SQL posture. Disclosed in OPTIMIZATION_r15.md; the pre-fix r15
+    // datum is kept at .bench_board_r15_datum_open.json.
+    val calRdd = spark.sparkContext.parallelize(1 to 16, 1)
     def calMs(): Double = {
+      val t = (1 to 11).map { _ =>
+        val t0 = System.nanoTime()
+        calRdd.count()
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      t(t.length / 2)
+    }
+    // SQL-path probe (the former cal, kept board-level for environment
+    // legibility): planning + AQE stage + final dispatch of a trivial SQL
+    // count — tracks the driver's Catalyst/codegen latency, which every
+    // query's wall includes but the pure-dispatch cal above cannot see.
+    // Published once at board start and end (cal_sql_*), never subtracted
+    // from any per-query number.
+    def calSqlMs(): Double = {
       val t = (1 to 11).map { _ =>
         val t0 = System.nanoTime()
         spark.range(16).count()
@@ -442,6 +468,7 @@ object Bench {
         .asScala.map(_.getCollectionTime).sum
     }
     val calStart = calMs()
+    val calSqlStart = calSqlMs()
     // Per-query JOB COUNT (driver-blocking Spark jobs): queries differ
     // 1-20x in how many jobs they dispatch, and dispatch latency is the
     // environment variable that poisons round-over-round diffs. Counting
@@ -462,7 +489,7 @@ object Bench {
     // through the run; the judge had to reconstruct it from builder logs.
     def calProbe(): Double = {
       val t0 = System.nanoTime()
-      spark.range(16).count()
+      calRdd.count() // one job exactly — see the calMs measurement fix
       (System.nanoTime() - t0) / 1e6
     }
     def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
@@ -567,6 +594,7 @@ object Bench {
       s""""$n":{"in_board":$inb,"fixed_class":$fx,"cal_ms":$c,"attempts":$att,"stable":$st,"env_suspect":$sus}"""
     }.mkString("{", ",", "}")
     val calEnd = calMs()
+    val calSqlEnd = calSqlMs()
     // board-wide floor summary from the per-rep probes: a healthy board has
     // cal_q_max within ~2x cal_q_median; a poisoned one self-identifies here
     val calVals = calPer.values.toSeq.sorted
@@ -579,7 +607,7 @@ object Bench {
       case "static" => Seq.empty[String]
       case _ => selected.keys.filter(AdaptivePlanned).toSeq
     }).sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_norm":$qsNorm,"jobs":$jobsJson,"cal_q":$calJson,"sf":"$sfDir","cal_job_ms":$calEnd,"cal_board_start_ms":$calStart$calSummary,"board_plan":"$planPosture","adaptive_planned":$adaptiveJson,"warmup_ok":$warmupOk,"warmup_prepaid":$prepaidJson,"adjudicated":$adjJson}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_norm":$qsNorm,"jobs":$jobsJson,"cal_q":$calJson,"sf":"$sfDir","cal_job_ms":$calEnd,"cal_board_start_ms":$calStart,"cal_sql_start_ms":$calSqlStart,"cal_sql_end_ms":$calSqlEnd$calSummary,"board_plan":"$planPosture","adaptive_planned":$adaptiveJson,"warmup_ok":$warmupOk,"warmup_prepaid":$prepaidJson,"adjudicated":$adjJson}"""
     println(line)
     // also persist the line verbatim: the driver keeps only a truncated log
     // tail, which cut r4's total — a file survives any tail length.
