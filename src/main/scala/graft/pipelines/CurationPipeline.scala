@@ -314,7 +314,18 @@ object CurationPipeline {
     val scoredIn = clean
       .withColumn("quality", TextFunctions.qualityScore(col("text")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val scored = Sketches.quantileBuckets(scoredIn, "quality", qualityBreakpoints)
+    // fit first (its collect is the action that fills the pin), then FLAT
+    // RE-ROOT the survivor frame for the tail: without this every
+    // post-fit action (the detach collect, a caller's write) re-ANALYZES
+    // the whole dedup + decontamination logical subtree just to have the
+    // CacheManager replace it at physical planning — pure Catalyst walk
+    // time on a >100-node plan, measured as a real slice of c01/c02's
+    // wall. The RDD keeps its lineage (block loss recomputes through the
+    // chain); same discipline as the span-scrub pin above.
+    val fitVals = Sketches.quantileFit(scoredIn, "quality", qualityBreakpoints)
+    val scoredFlat = scoredIn.sparkSession.createDataFrame(
+      scoredIn.rdd, scoredIn.schema)
+    val scored = Sketches.applyQuantileBuckets(scoredFlat, "quality", fitVals)
     val good = scored.filter(col("bucket") >= minQualityBucket)
 
     // 3b. redact PII — after quality (scored on what a reader saw),
@@ -324,6 +335,10 @@ object CurationPipeline {
       else good
 
     // 4. leakage-safe split on the SAME components the dedup used
+    // comps stays UN-flattened here, deliberately: a LogicalRDD face has
+    // no stats, which demoted the split's comps broadcast to a sort-merge
+    // join (A/B: c02 4.72 -> 5.39 s, c01 3.15 -> 3.58 despite one fewer
+    // broadcast job) — the cached frame's accurate stats are load-bearing
     val split = Splits.leakageSafeSplit(redacted, comps, splits, salt)
 
     // 5. pack into token-budget chunks per (split, source) shard
