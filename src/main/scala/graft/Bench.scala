@@ -623,6 +623,20 @@ object Bench {
         java.nio.file.Paths.get(f), (line + "\n").getBytes("UTF-8"))
       catch { case e: Throwable => System.err.println(s"[bench] $f write skipped: ${e.getMessage}") }
     }
+    // COMPACT SUMMARY as the FINAL stdout line (r16 measurement-accounting
+    // fix, disclosed in OPTIMIZATION_r16.md): the driver keeps only a
+    // ~2000-byte log tail, and the full board line above is ~21 KB at 173
+    // queries — its head is truncated away, so the driver's JSON parse has
+    // failed in EVERY round (all BENCH_r01..r15 files carry parsed:null and
+    // every PERF_r*.json per-query/scaling block is empty). This line is
+    // additions-only: the full board line still prints first (the contract
+    // line) and is persisted verbatim to bench_out.json +
+    // BENCH_detail_r{N}.json; nothing timed changes. Fields are
+    // board-level only — per-query data lives in the detail file, named
+    // here so a reader of the tail can find it.
+    val jobsTotal = jobsPer.values.sum
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"jobs_total":$jobsTotal,"cal_job_ms":$calEnd,"cal_board_start_ms":$calStart$calSummary,"board_plan":"$planPosture","warmup_ok":$warmupOk,"detail_file":"${outFiles.lastOption.getOrElse("bench_out.json")}"}"""
+    println(compact)
     spark.stop()
   }
 

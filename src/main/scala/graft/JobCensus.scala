@@ -22,12 +22,18 @@ object JobCensus {
     // under each query when SPARK_GRAFT_CENSUS_STAGES=1, so a heavy job
     // can be attributed to its dominant stage without the (disabled) UI
     val stageInfo = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    // stage ids belonging to censused jobs (from SparkListenerJobStart's
+    // stageInfos) — onStageCompleted scopes on membership here, like
+    // onJobEnd scopes via `started`, so stages from non-census jobs racing
+    // the record flag can never be printed (r15 advice item)
+    val censusStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     val wantStages = sys.env.get("SPARK_GRAFT_CENSUS_STAGES").contains("1")
     @volatile var record = false
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         if (record) {
           started.put(j.jobId, System.nanoTime())
+          if (wantStages) j.stageInfos.foreach(si => censusStages.add(si.stageId))
           // the result stage (last) carries the action's callsite in its name;
           // details has the long form — first graft frame is the source
           val result = j.stageInfos.maxBy(_.stageId)
@@ -51,13 +57,18 @@ object JobCensus {
       // off — membership in `started` already scopes what we keep
       override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
         if (started.containsKey(j.jobId)) ended.put(j.jobId, System.nanoTime())
+      // scoped by censusStages membership (not the record flag — the bus
+      // drains asynchronously, and a non-census job racing the flag must
+      // not leak its stages into the census)
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-        if (record && wantStages) {
+        if (wantStages && censusStages.contains(sc.stageInfo.stageId)) {
           val si = sc.stageInfo
           val wallMs = (for {s <- si.submissionTime; e <- si.completionTime}
             yield e - s).getOrElse(-1L)
-          val runMs = si.taskMetrics.executorRunTime
+          // taskMetrics can be null for skipped/unsubmitted stages — a
+          // listener NPE is swallowed by the bus and silently drops the line
+          val runMs = Option(si.taskMetrics).map(_.executorRunTime).getOrElse(-1L)
           val graftFrame = si.details.linesIterator
             .find(l => l.contains("graft.") && !l.contains("JobCensus"))
             .getOrElse("").trim
@@ -73,7 +84,8 @@ object JobCensus {
       qs(n)(spark, sfDir).write.mode("overwrite").format("noop").save()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      log.clear(); started.clear(); ended.clear(); stageInfo.clear(); record = true
+      log.clear(); started.clear(); ended.clear(); stageInfo.clear()
+      censusStages.clear(); record = true
       val t0 = System.nanoTime()
       qs(n)(spark, sfDir).write.mode("overwrite").format("noop").save()
       val dt = (System.nanoTime() - t0) / 1e9

@@ -21,37 +21,18 @@ object PlanDump {
     // pre-detach pipeline plan instead (same args as the board query,
     // detachBound = None) so the committed plan evidence shows the real
     // operators. Pure driver tooling — the board queries are untouched.
-    import org.apache.spark.sql.functions._
+    // The faces call the SAME builder the board entries call, with only
+    // detachBound flipped to None (r16 advice item: the former hand-copied
+    // simplified constructions could silently diverge from what the bench
+    // actually ran if the board queries changed).
     val chainFaces: Map[String, (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame] = Map(
-      "c01_curation_e2e__chain" -> ((s, d) => {
-        val planted = Tables.documents(s, d).withColumn("text", concat(
-          col("text"),
-          when(pmod(col("doc_id"), lit(7)) === 0,
-            concat(lit(" user"), col("doc_id").cast("string"), lit("@example.com")))
-            .otherwise(lit(""))))
-        val evalDocs = planted.filter(pmod(col("doc_id"), lit(10)) === 0)
-          .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
-        graft.pipelines.CurationPipeline.curate(planted, evalDocs,
-          contaminationPermille = 500, qualityBreakpoints = Seq(250),
-          minQualityBucket = 1, packBudget = 2048, redactPii = true,
-          detachBound = None)
-      }),
-      "c02_curation_full__chain" -> ((s, d) => {
-        val planted = Tables.documents(s, d).withColumn("text",
-          when(pmod(col("doc_id"), lit(4)) === 0,
-            concat(col("text"), lit(" licensed sample"))).otherwise(col("text")))
-        val evalDocs = planted.filter(pmod(col("doc_id"), lit(10)) === 0)
-          .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
-        val emb = Tables.embeddings(s, d)
-        graft.pipelines.CurationPipeline.curate(planted, evalDocs,
-          contaminationPermille = 500, qualityBreakpoints = Seq(250),
-          minQualityBucket = 1, packBudget = 2048, redactPii = false,
-          intraDocDedup = false, spanScrubWindow = Some(8),
-          docEmb = Some(emb.select(col("vec_id").as("doc_id"), col("embedding"))),
-          evalEmb = Some(emb.filter(pmod(col("vec_id"), lit(10)) === 0)),
-          semanticMinCosE6 = 400000L, detachBound = None)
-      }))
+      "c01_curation_e2e__chain" -> ((s, d) =>
+        graft.queries.NorthStarQueries.c01Curation(s, d, detachBound = None)),
+      "c02_curation_full__chain" -> ((s, d) =>
+        graft.queries.NorthStarQueries.c02Curation(s, d, detachBound = None)),
+      "c03_curation_delta__chain" -> ((s, d) =>
+        graft.queries.NorthStarQueries.c03Curation(s, d, detachBound = None)))
     names.foreach { n =>
       val df = chainFaces.getOrElse(n, SparkEntry.queries(n))(spark, sfDir)
       val txt = df.queryExecution.explainString(

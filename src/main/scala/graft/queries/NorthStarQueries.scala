@@ -657,80 +657,143 @@ object NorthStarQueries {
 
   // ---- queries ----
 
+  /** The c01 board query, parameterized only on `detachBound` — the ONE
+    * builder both the board entry and PlanDump's `c01_curation_e2e__chain`
+    * plan-evidence face call (r16 advice item: the face previously
+    * hand-duplicated a simplified construction, so a board-query edit
+    * could silently diverge the committed plan evidence).
+    *
+    * The END-TO-END curation pipeline as one oracle-checked query —
+    * the product story: near-dup dedup (keep-longest) → shingle
+    * decontamination vs a held-out eval slice → quality-quantile floor
+    * → PII redaction → leakage-safe component-keyed split → per-shard
+    * token packing, all composed by CurationPipeline.curate with each
+    * stage consuming the previous stage's survivors. PII specimens are
+    * PLANTED (t13's doc_id arithmetic) so the redaction stage provably
+    * does work in composition; eval docs are the %10 slice re-id'd
+    * +2e6 (d08's fixture), so decontamination drops real rows. Output
+    * carries every stage's evidence: component (dedup), quality +
+    * bucket (filter), split (leakage fence), shard/n_tokens/
+    * token_offset/chunk_id (packing), md5(text) (redaction). */
+  private[graft] def c01Curation(s: SparkSession, d: String,
+      detachBound: Option[Int]): DataFrame = {
+    val planted = Tables.documents(s, d).withColumn("text", concat(
+      col("text"),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(lit(" user"), col("doc_id").cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit(" 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+          lit("."), pmod(col("doc_id"), lit(100)).cast("string")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit(" +34-91-555-01"), pmod(col("doc_id"), lit(10)).cast("string")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(11)) === 0,
+        lit(" bad@@example.com 300.1.2.3 12-34")).otherwise(lit(""))))
+    val evalDocs = planted.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    graft.pipelines.CurationPipeline.curate(
+        planted, evalDocs,
+        contaminationPermille = 500,
+        qualityBreakpoints = Seq(250),
+        minQualityBucket = 1,
+        packBudget = 2048,
+        intraDocDedup = false, // t19 proves the stage standalone; off here
+                               // so the oracle replays the planted text verbatim
+        detachBound = detachBound) // board: bounded-survivor handover —
+                                   // zero cached blocks left after the query
+      .select(col("doc_id"), col("component"), col("quality"), col("bucket"),
+        col("split"), col("shard"), col("n_tokens"), col("token_offset"),
+        col("chunk_id"), md5(col("text")).as("text_md5"))
+  }
+
+  /** The c02 board query, parameterized only on `detachBound` (shared
+    * with PlanDump's `__chain` face — see [[c01Curation]]).
+    *
+    * c01's composed pipeline plus the two remaining curation stages,
+    * still replayed by ONE DuckDB statement: corpus-wide
+    * duplicated-SPAN scrub (the Lee-et-al substring stage, run before
+    * near-dup detection so the planted licence boilerplate cannot
+    * vouch for an LSH pair between otherwise-unique docs) and
+    * SEMANTIC decontamination (d17's exact-cosine paraphrase fence
+    * over the embedding table, vec_id ≡ doc_id; docs without an
+    * embedding pass through to the n-gram fence only). Span specimens
+    * are PLANTED — every 4th doc gains the same licence sentence — so
+    * the scrub provably does work in composition; PII redaction is
+    * off here (c01 proves it) so the oracle replays the scrubbed
+    * text verbatim. */
+  private[graft] def c02Curation(s: SparkSession, d: String,
+      detachBound: Option[Int]): DataFrame = {
+    val planted = Tables.documents(s, d).withColumn("text",
+      when(pmod(col("doc_id"), lit(4)) === 0,
+        concat(col("text"), lit(" this work is licensed for research " +
+          "evaluation use only under the sample terms")))
+        .otherwise(col("text")))
+    val evalDocs = planted.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    val emb = Tables.embeddings(s, d)
+    graft.pipelines.CurationPipeline.curate(
+        planted, evalDocs,
+        contaminationPermille = 500,
+        qualityBreakpoints = Seq(250),
+        minQualityBucket = 1,
+        packBudget = 2048,
+        redactPii = false,
+        intraDocDedup = false,
+        spanScrubWindow = Some(8),
+        docEmb = Some(emb.select(col("vec_id").as("doc_id"), col("embedding"))),
+        evalEmb = Some(emb.filter(pmod(col("vec_id"), lit(10)) === 0)),
+        semanticMinCosE6 = 400000L,
+        detachBound = detachBound)
+      .select(col("doc_id"), col("component"), col("quality"), col("bucket"),
+        col("split"), col("shard"), col("n_tokens"), col("token_offset"),
+        col("chunk_id"), md5(col("text")).as("text_md5"))
+  }
+
+  /** The c03 board query, parameterized only on `detachBound` (shared
+    * with PlanDump's `__chain` face — see [[c01Curation]]).
+    *
+    * INCREMENTAL curation — the serving face of c01, at the REAL
+    * serving ratio (corpus ≫ batch): docs with id < 250 arrive as a
+    * new crawl snapshot (re-id'd +1e7, above every corpus id — the
+    * monotonic-ingestion contract) against the id >= 250 released
+    * corpus, and the batch runs the full delta-admission gauntlet
+    * WITHOUT recomputing the release: delta dedup (d12's set-based
+    * admission vs the corpus digest + band artifacts; the natural
+    * cross-boundary dup structure provides the rejected specimens),
+    * n-gram decontamination vs the eval release (whose %10 slice
+    * overlaps the batch texts, so the fence provably drops rows),
+    * the RELEASED quality-quantile fit (Sketches.quantileFit on the
+    * corpus, applied — never re-fit — to the batch), own-id
+    * leakage-safe split (admitted docs near-dup nothing, so each is
+    * its own component by construction), and per-shard packing.
+    * PII redaction off (c01 proves it) so the oracle replays raw
+    * text; the one DuckDB statement replays the whole admission. */
+  private[graft] def c03Curation(s: SparkSession, d: String,
+      detachBound: Option[Int]): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(col("doc_id") >= 250)
+    val batch = docs.filter(col("doc_id") < 250)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"), col("source"))
+    val evalDocs = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    graft.pipelines.CurationPipeline.curateDelta(
+        corpus, batch, evalDocs,
+        contaminationPermille = 500,
+        qualityBreakpoints = Seq(250),
+        minQualityBucket = 1,
+        packBudget = 2048,
+        redactPii = false,
+        detachBound = detachBound)
+      .select(col("doc_id"), col("component"), col("quality"), col("bucket"),
+        col("split"), col("shard"), col("n_tokens"), col("token_offset"),
+        col("chunk_id"), md5(col("text")).as("text_md5"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "c02_curation_full" -> ((s, d) => {
-      // c01's composed pipeline plus the two remaining curation stages,
-      // still replayed by ONE DuckDB statement: corpus-wide
-      // duplicated-SPAN scrub (the Lee-et-al substring stage, run before
-      // near-dup detection so the planted licence boilerplate cannot
-      // vouch for an LSH pair between otherwise-unique docs) and
-      // SEMANTIC decontamination (d17's exact-cosine paraphrase fence
-      // over the embedding table, vec_id ≡ doc_id; docs without an
-      // embedding pass through to the n-gram fence only). Span specimens
-      // are PLANTED — every 4th doc gains the same licence sentence — so
-      // the scrub provably does work in composition; PII redaction is
-      // off here (c01 proves it) so the oracle replays the scrubbed
-      // text verbatim.
-      val planted = Tables.documents(s, d).withColumn("text",
-        when(pmod(col("doc_id"), lit(4)) === 0,
-          concat(col("text"), lit(" this work is licensed for research " +
-            "evaluation use only under the sample terms")))
-          .otherwise(col("text")))
-      val evalDocs = planted.filter(pmod(col("doc_id"), lit(10)) === 0)
-        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
-      val emb = Tables.embeddings(s, d)
-      graft.pipelines.CurationPipeline.curate(
-          planted, evalDocs,
-          contaminationPermille = 500,
-          qualityBreakpoints = Seq(250),
-          minQualityBucket = 1,
-          packBudget = 2048,
-          redactPii = false,
-          intraDocDedup = false,
-          spanScrubWindow = Some(8),
-          docEmb = Some(emb.select(col("vec_id").as("doc_id"), col("embedding"))),
-          evalEmb = Some(emb.filter(pmod(col("vec_id"), lit(10)) === 0)),
-          semanticMinCosE6 = 400000L,
-          detachBound = Some(1 << 21))
-        .select(col("doc_id"), col("component"), col("quality"), col("bucket"),
-          col("split"), col("shard"), col("n_tokens"), col("token_offset"),
-          col("chunk_id"), md5(col("text")).as("text_md5"))
-    }),
-    "c03_curation_delta" -> ((s, d) => {
-      // INCREMENTAL curation — the serving face of c01, at the REAL
-      // serving ratio (corpus ≫ batch): docs with id < 250 arrive as a
-      // new crawl snapshot (re-id'd +1e7, above every corpus id — the
-      // monotonic-ingestion contract) against the id >= 250 released
-      // corpus, and the batch runs the full delta-admission gauntlet
-      // WITHOUT recomputing the release: delta dedup (d12's set-based
-      // admission vs the corpus digest + band artifacts; the natural
-      // cross-boundary dup structure provides the rejected specimens),
-      // n-gram decontamination vs the eval release (whose %10 slice
-      // overlaps the batch texts, so the fence provably drops rows),
-      // the RELEASED quality-quantile fit (Sketches.quantileFit on the
-      // corpus, applied — never re-fit — to the batch), own-id
-      // leakage-safe split (admitted docs near-dup nothing, so each is
-      // its own component by construction), and per-shard packing.
-      // PII redaction off (c01 proves it) so the oracle replays raw
-      // text; the one DuckDB statement replays the whole admission.
-      val docs = Tables.documents(s, d)
-      val corpus = docs.filter(col("doc_id") >= 250)
-      val batch = docs.filter(col("doc_id") < 250)
-        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"), col("source"))
-      val evalDocs = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
-      graft.pipelines.CurationPipeline.curateDelta(
-          corpus, batch, evalDocs,
-          contaminationPermille = 500,
-          qualityBreakpoints = Seq(250),
-          minQualityBucket = 1,
-          packBudget = 2048,
-          redactPii = false,
-          detachBound = Some(1 << 21))
-        .select(col("doc_id"), col("component"), col("quality"), col("bucket"),
-          col("split"), col("shard"), col("n_tokens"), col("token_offset"),
-          col("chunk_id"), md5(col("text")).as("text_md5"))
-    }),
+    "c02_curation_full" -> ((s, d) => c02Curation(s, d, Some(1 << 21))),
+    "c03_curation_delta" -> ((s, d) => c03Curation(s, d, Some(1 << 21))),
     "c04_curation_delta_served" -> ((s, d) => {
       // The SERVING shape of c03: the same small batch is admitted
       // against a PERSISTED release — digest + band tables and the
@@ -799,49 +862,7 @@ object NorthStarQueries {
             .otherwise(col("text")))
       graft.pipelines.CurationPipeline.releaseDiff(oldRel, newRel)
     }),
-    "c01_curation_e2e" -> ((s, d) => {
-      // The END-TO-END curation pipeline as one oracle-checked query —
-      // the product story: near-dup dedup (keep-longest) → shingle
-      // decontamination vs a held-out eval slice → quality-quantile floor
-      // → PII redaction → leakage-safe component-keyed split → per-shard
-      // token packing, all composed by CurationPipeline.curate with each
-      // stage consuming the previous stage's survivors. PII specimens are
-      // PLANTED (t13's doc_id arithmetic) so the redaction stage provably
-      // does work in composition; eval docs are the %10 slice re-id'd
-      // +2e6 (d08's fixture), so decontamination drops real rows. Output
-      // carries every stage's evidence: component (dedup), quality +
-      // bucket (filter), split (leakage fence), shard/n_tokens/
-      // token_offset/chunk_id (packing), md5(text) (redaction).
-      val planted = Tables.documents(s, d).withColumn("text", concat(
-        col("text"),
-        when(pmod(col("doc_id"), lit(7)) === 0,
-          concat(lit(" user"), col("doc_id").cast("string"), lit("@example.com")))
-          .otherwise(lit("")),
-        when(pmod(col("doc_id"), lit(5)) === 0,
-          concat(lit(" 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
-            lit("."), pmod(col("doc_id"), lit(100)).cast("string")))
-          .otherwise(lit("")),
-        when(pmod(col("doc_id"), lit(3)) === 0,
-          concat(lit(" +34-91-555-01"), pmod(col("doc_id"), lit(10)).cast("string")))
-          .otherwise(lit("")),
-        when(pmod(col("doc_id"), lit(11)) === 0,
-          lit(" bad@@example.com 300.1.2.3 12-34")).otherwise(lit(""))))
-      val evalDocs = planted.filter(pmod(col("doc_id"), lit(10)) === 0)
-        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
-      graft.pipelines.CurationPipeline.curate(
-          planted, evalDocs,
-          contaminationPermille = 500,
-          qualityBreakpoints = Seq(250),
-          minQualityBucket = 1,
-          packBudget = 2048,
-          intraDocDedup = false, // t19 proves the stage standalone; off here
-                                 // so the oracle replays the planted text verbatim
-          detachBound = Some(1 << 21)) // bounded-survivor handover: zero
-                                       // cached blocks left after the query
-        .select(col("doc_id"), col("component"), col("quality"), col("bucket"),
-          col("split"), col("shard"), col("n_tokens"), col("token_offset"),
-          col("chunk_id"), md5(col("text")).as("text_md5"))
-    }),
+    "c01_curation_e2e" -> ((s, d) => c01Curation(s, d, Some(1 << 21))),
     "t47_source_kl" -> ((s, d) => {
       // Mixture-drift monitor: KL(source ‖ corpus) over unigram
       // distributions in micro-nats, each term micro-rounded before the

@@ -245,15 +245,22 @@ object RelationalQueries {
       // distribution profile a curation pass reads before choosing cut
       // thresholds. Histogram-based: the running sum ranks distinct VALUES
       // (domain-bounded), never rows; see Sketches.exactQuantiles.
-      // Measured at sf0.1: the single-pass form beats the two-stage
-      // exactQuantilesBucketed here (1.6 vs 1.8 s — the per-flag window
-      // is not the local bottleneck); the bucketed variant is the escape
-      // hatch for domains wide enough to serialize that window, and is
-      // spec-asserted result-identical.
+      // RE-MEASURED r16 (stage census at the healthy ~9 ms floor): the
+      // single-pass form's per-flag window had become the bottleneck —
+      // ONE task per flag (3 tasks, 1.1 s wall) sorting ~198k distinct
+      // cents each while 29 cores idled. The two-stage bucketed form
+      // (≈√domain width: domain ~10.4M cents → 4096) bounds stage 1 to
+      // ~2.5k bucket rows per flag and fans stage 2 across ~7.6k
+      // (flag, bucket) groups — 10-rep fixed-class A/B 1.66 → ~1.0 s.
+      // (The opposite r2-era verdict — 1.6 vs 1.8 — was measured at an
+      // ~80 ms dispatch floor where the extra stages dominated.)
+      // Spec-asserted result-identical to exactQuantiles; q30 keeps the
+      // independent one-operator plan against the same oracle.
       val li = Tables.lineitem(s, d)
         .select(col("l_returnflag").as("flag"), cents(col("l_extendedprice")).as("cents"))
-      graft.operators.Sketches.exactQuantiles(li, Seq("flag"), "cents",
-        Seq("p25_cents" -> 250, "p50_cents" -> 500, "p75_cents" -> 750, "p95_cents" -> 950))
+      graft.operators.Sketches.exactQuantilesBucketed(li, Seq("flag"), "cents",
+        Seq("p25_cents" -> 250, "p50_cents" -> 500, "p75_cents" -> 750, "p95_cents" -> 950),
+        bucketWidth = 4096L)
     }),
     "q30_quantile_agg" -> ((s, d) => {
       // Same quantile profile as q28, through the ONE-OPERATOR
@@ -425,9 +432,13 @@ object RelationalQueries {
       // the scan projection, malformed JSON → null field, never a task
       // failure.
       // entry spread: the JSON parse is per-row kernel work fused into
-      // the scan projection — single-task on the one-split events table
+      // the scan projection — single-task on the one-split events table.
+      // KEYLESS round-robin (r16, advice item): the former hash spread on
+      // `props` keyed on a ~100-distinct-value column — a lumpy ~2×-skewed
+      // spread across 32 partitions — and nothing downstream reuses a
+      // props partitioning (the next exchange keys on event_type).
       graft.ops.PlanScope.spreadIfSmall(
-          Tables.events(s, d).select(col("event_type"), col("props")), "props")
+          Tables.events(s, d).select(col("event_type"), col("props")))
         .select(col("event_type"),
           from_json(col("props"),
             org.apache.spark.sql.types.StructType.fromDDL("k INT"))
