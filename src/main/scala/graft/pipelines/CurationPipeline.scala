@@ -271,8 +271,23 @@ object CurationPipeline {
         .select(col("kept_doc_id").as("doc_id")),
       Seq("doc_id"))
 
-    // 2. decontaminate: drop anything that leaks an eval document
-    val flaggedNgram = Dedup.contaminationPairs(kept, evalDocs,
+    // 2. decontaminate: drop anything that leaks an eval document.
+    // FLAGS OVER THE PRE-DEDUP CORPUS, not the survivors (r16, guide §2
+    // "don't compute things you throw away" applied to the PLAN): with no
+    // train-df cap, containment is a pure per-(train, eval)-pair function,
+    // so flags computed over docsS restricted to kept ≡ flags computed
+    // over kept — the anti-join below ignores flags on already-dropped
+    // ids. Training the fence on `kept` embedded the WHOLE dedup chain
+    // (band join + components argmax + re-join) inside the flag leg's
+    // plan, which re-executed it once per flag-side materialization (the
+    // c01 stage census read a 1.1 s broadcast-build job replaying the
+    // dedup argmax; c02's fit job replayed the contamination join at
+    // 26.7 s of task time). Same rationale as the semantic fence below,
+    // which always computed flags over the FULL embedding table. With
+    // `maxTrainDf` set the hot-shingle cap depends on the train-side df
+    // census, which must count survivors — that path keeps `kept`.
+    val flagTrain = if (maxTrainDf.isEmpty) docsS else kept
+    val flaggedNgram = Dedup.contaminationPairs(flagTrain, evalDocs,
         minPermille = contaminationPermille, maxTrainDf = maxTrainDf)
       .select(col("train_id").as("doc_id"))
 
@@ -593,6 +608,13 @@ object CurationPipeline {
       // band-join build-side choices. The fit leg's single-task quality
       // pass is ~90 ms here (batch-sized admission, not corpus curation).
       val corpusS = in(corpus)
+      // NO batch-side entry spread either (r16, measured and rejected
+      // like r15's corpus-leg spread): 10-rep A/B at a healthy ~9 ms
+      // floor read c03 2.53 → 3.55 s / c04 2.30 → 2.62 s with the batch
+      // spread on — the added exchange re-executes in every job that
+      // consumes the batch (digest legs, band frame, verify union,
+      // admission anti-join, flag leg) and costs more than the 32×
+      // kernel parallelism buys on a serving-sized batch.
       val batchS = in(newDocs)
       // 1. delta dedup against the release artifacts (derived here when
       // not supplied — dedupDeltaWith's build-over-the-exact-set contract)
@@ -603,8 +625,19 @@ object CurationPipeline {
         batchS, shingleN, numHashes, rowsPerBand, minJaccardPermille)
       // 2. decontamination (n-gram, then the optional semantic fence)
       // both fences' flag sets union into ONE anti-join (≡ sequential
-      // anti-joins) — one broadcast build per admission batch, not two
-      val flaggedNgram = Dedup.contaminationPairs(admitted, in(evalDocs),
+      // anti-joins) — one broadcast build per admission batch, not two.
+      // FLAGS OVER THE RAW BATCH, not the admitted survivors (r16, same
+      // argument as curateChain's flagTrain): containment without a
+      // train-df cap is per-pair, and the anti-join ignores flags on
+      // rejected ids — while training the fence on `admitted` embedded
+      // the whole delta-dedup admission (band joins + verify + anti-join)
+      // inside the flag leg AND lost the entry spread (admitted is a
+      // mid-pipeline frame with unknown stats, so the shingle kernel ran
+      // single-task over the one-split batch; batchS has scan stats and
+      // spreads). maxTrainDf set → the df census must count survivors —
+      // that path keeps `admitted`.
+      val flaggedNgram = Dedup.contaminationPairs(
+          if (maxTrainDf.isEmpty) batchS else admitted, in(evalDocs),
           minPermille = contaminationPermille, maxTrainDf = maxTrainDf)
         .select(col("train_id").as("doc_id"))
       val flaggedAll = docEmb.fold(flaggedNgram) { de =>
@@ -628,10 +661,22 @@ object CurationPipeline {
         if (redactPii) good.withColumn("text", TextFunctions.scrubPii(col("text")))
         else good
       // 4. split — own-id components (see the scaladoc: guaranteed by
-      // stage 1), through the same split path as the batch pipeline
-      val split = Splits.leakageSafeSplit(redacted,
-        redacted.select(col("doc_id"), col("doc_id").as("component")),
-        splits, salt)
+      // stage 1). DIRECT per-row map (r16): the former
+      // `leakageSafeSplit(redacted, redacted.select(doc_id, doc_id as
+      // component))` self-joined the frame with its own projection — a
+      // left join that matches every row exactly once (ids unique), so
+      // `coalesce(component, doc_id) ≡ doc_id` and the join is the
+      // identity. The join's build side re-executed the WHOLE
+      // post-admission chain (admission anti-join + quality + redaction)
+      // as its own single-task broadcast job per consuming action (the
+      // c03 census read two ~0.6 s single-task broadcast stages plus a
+      // 12 s-taskSum rebuild). Same column order (component, split
+      // appended), same splitColumn rule — bit-identical output,
+      // spec-pinned by the c03/c04 oracles and CurationPipelineSpec.
+      val split = redacted
+        .withColumn("component", col("doc_id"))
+        .withColumn("split",
+          Splits.splitColumn(col("component"), splits, salt))
       // 5. pack the batch; rebase onto the released layout when given
       val sharded = split.withColumn("shard",
         concat_ws("/", col("split"), col("source")))
