@@ -78,8 +78,16 @@ object Sketches {
     // nulls would inflate the ranks yet never be selectable by the
     // min(when(...)) pick, silently sliding boundary quantiles to the
     // smallest non-null value.
-    val hist = df
-      .filter(col(valueCol).isNotNull)
+    // entry spread on the HISTOGRAM KEY (r16, guide §2): a small input
+    // arrives in a few row-group splits, and the (group, value) partial
+    // aggregate — which barely reduces when values are near-distinct —
+    // ran on those 3-ish tasks while the rest of the session idled
+    // (q28 stage census: 1.1 s in a 3-task scan+partial stage). Keyed on
+    // exactly the histogram's grouping, the added exchange IS the one
+    // the aggregate needed — same exchange count, full parallelism.
+    // No-op at scale (estimate gate) and on unknown-stats frames.
+    val hist = graft.ops.PlanScope.spreadIfSmall(
+        df.filter(col(valueCol).isNotNull), g :+ v)
       .groupBy((g :+ v.as(valueCol)): _*)
       .agg(count(lit(1)).as("__cnt"))
     val cum = hist.withColumn("__cum",
@@ -136,8 +144,9 @@ object Sketches {
     requireIntegralValue(df, valueCol, "exactQuantilesBucketed")
     val g = groupCols.map(col)
     val v = col(valueCol).cast("long")
-    val hist = df
-      .filter(col(valueCol).isNotNull)
+    // same keyed entry spread as exactQuantiles (r16) — see that comment
+    val hist = graft.ops.PlanScope.spreadIfSmall(
+        df.filter(col(valueCol).isNotNull), g :+ v)
       .groupBy((g :+ v.as(valueCol)): _*)
       .agg(count(lit(1)).as("__cnt"))
       .withColumn("__bkt", expr(s"`$valueCol` DIV $bucketWidth"))

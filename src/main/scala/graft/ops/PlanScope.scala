@@ -151,6 +151,27 @@ object PlanScope {
     }
   }
 
+  /** [[spreadIfSmall]] keyed on a MULTI-column key — for spreading
+    * straight into a downstream `groupBy(cols…)`: the hash exchange this
+    * adds already satisfies the aggregation's distribution requirement,
+    * so the spread costs no extra exchange, it just moves the one the
+    * aggregate would have paid BELOW the heavy partial-aggregation work
+    * (the r16 q28 case: a (group, value) histogram whose partial agg
+    * barely reduces ran on the scan's 3 row-group tasks; spread first,
+    * the whole aggregate runs at session width and the plan's exchange
+    * count is unchanged). Same estimate gate and determinism rationale
+    * as the single-key overload; no-op at scale. */
+  def spreadIfSmall(df: DataFrame, keyCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val conf = df.sparkSession.sessionState.conf
+    val est = scala.util.Try(
+      df.queryExecution.optimizedPlan.stats.sizeInBytes).toOption
+    est match {
+      case Some(b) if b < BigInt(4L) * conf.filesMaxPartitionBytes =>
+        df.repartition(conf.numShufflePartitions, keyCols: _*)
+      case _ => df
+    }
+  }
+
   /** [[spreadIfSmall]] for frames WITHOUT a usable row key (a bare text
     * projection): round-robin instead of hash-by-key. The pre-shuffle
     * local sort (SPARK-23207, on by default) keeps row placement
