@@ -50,8 +50,24 @@ object Bpe {
     // rationale): static scope halves the per-rule driver jobs; the
     // learned rules are conf-independent
     graft.ops.PlanScope.staticBatch(spark) {
-    var corpus = docs
+    // NARROW entry spread (r16): the corpus state of a small input is ONE
+    // cached partition, so every round's pair-explode kernel ran a
+    // ~100-150 ms single task (6 rounds = most of t45's wall). The r15
+    // session-width spread was measured WORSE (1.19 -> 1.95 s: 32
+    // near-empty cache-read tasks per round out-cost the parallel
+    // kernel); a FEW-way spread amortizes the kernel without paying the
+    // width. Width sweep (10-rep medians, t45 at the ~9 ms floor):
+    // 1 -> 1.01 s, 2 -> 0.96, 4 -> 0.79/0.88, 8 -> 0.87, 32 -> 1.95 —
+    // 4 sits where kernel_ms/width crosses the per-task cache-read
+    // floor. Estimate-gated like every spread site: no-op at scale,
+    // where the scan fans out with its file splits.
+    val conf = docs.sparkSession.sessionState.conf
+    val small = scala.util.Try(docs.queryExecution.optimizedPlan.stats.sizeInBytes)
+      .toOption.exists(_ < BigInt(4L) * conf.filesMaxPartitionBytes)
+    val corpus0 = docs
       .select(array_join(graft.functions.TextFunctions.tokens(col("text")), "  ").as("s"))
+    var corpus = (if (small) corpus0.repartition(math.min(4, conf.numShufflePartitions))
+      else corpus0)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // cache discipline: at most TWO generations pinned at once — the one
     // being counted and its parent (released as soon as this round's

@@ -827,6 +827,12 @@ object Dedup {
       .unionByName(rejectedNear).unionByName(guardBranch).distinct()
       .localCheckpoint()
     cand.unpersist()
+    // NOT broadcast(rejected): measured r16 — hinting the O(batch)
+    // checkpointed frame into a BroadcastHashJoin anti added a broadcast-
+    // build job per batch and read WORSE at the healthy floor (10-rep
+    // BENCH_ONLY: d12 1.72 -> 2.08 s, d09/d11 +1 job each). The SMJ's
+    // sort over two batch-sized localCheckpoint scans is cheaper than the
+    // extra dispatch; at scale AQE converts it when the stats justify it.
     newDocs.join(rejected, Seq("doc_id"), "left_anti")
   }
 
