@@ -102,8 +102,19 @@ object ScaleOps {
       .map(f => col(f.name))
     require(hashable.nonEmpty,
       "saltedJoin needs at least one non-map column to derive the salt from")
-    val l = left.withColumn("__salt",
+    val l0 = left.withColumn("__salt",
       pmod(xxhash64(hashable.toIndexedSeq: _*), lit(nSalts.toLong)))
+    // Spread a provably SMALL probe side on exactly the salted join key
+    // (r16, guide §2): the fixture's single-row-group parquet scans as
+    // ~1 busy task, and when the replicated right side BROADCASTS there
+    // is no exchange anywhere — probe + partial aggregate serialize on
+    // the scan task (q34 census: one 3-task stage, 580 ms wall ≈
+    // taskSum). The (key, __salt) hash exchange IS the salted
+    // distribution this operator exists to create; under SMJ it is the
+    // join's own required exchange (no extra shuffle). Estimate-gated:
+    // no-op at scale, where the scan fans out with its file splits and
+    // the join exchange does the spreading.
+    val l = graft.ops.PlanScope.spreadIfSmall(l0, Seq(col(key), col("__salt")))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(nSalts.toLong - 1L))))
     l.join(r, Seq(key, "__salt"), if (jt == "left") "left_outer" else "inner")
