@@ -286,8 +286,21 @@ object Dedup {
     // one-split input would serialize each kernel pass in one task.
     // No-op at scale.
     val docsSp = graft.ops.PlanScope.spreadIfSmall(docs, "doc_id")
+    // explode_OUTER, not explode (r16, guide §4 expensive-expression
+    // double-eval): plain explode lets Catalyst infer
+    // `size(shingleHashes(text))>0 AND isnotnull(shingleHashes(text))`
+    // from the Generate and push it BELOW the spread exchange — the
+    // shingle kernel then runs per-row in the 1-task scan stage (the
+    // exact serialization the spread exists to avoid) and AGAIN above
+    // it, and the inferred filter makes this exchange canonically
+    // different from the verify legs' (no AQE stage reuse; measured:
+    // two ~330-400 ms single-task stages on the d04 census). Outer
+    // explode infers nothing: the kernel runs once, post-spread, at
+    // session width, and all legs share ONE exchange. Result-identical:
+    // an empty shingle set yields sh=null, dropped by the inner
+    // ex⋈dfreq join exactly as plain explode dropped the row.
     val ex = hashedShingleSets(docsSp, shingleN)
-      .select(col("doc_id"), explode(col("s")).as("sh"))
+      .select(col("doc_id"), explode_outer(col("s")).as("sh"))
     val dfreq = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     // rank each doc's shingles by global rarity IN-ROW: one grouped
     // collect (map-side partial) + per-row sort of ≤|doc| structs, instead
@@ -579,9 +592,16 @@ object Dedup {
     // side is a small release): the shingle-set kernel + explode run in
     // the scan stage — single-task on a one-split input, no-op at scale
     // and on the curation chains' already-spread mid-pipeline frames
+    // explode_OUTER for the same reason as ngramJaccardPairs (r16, guide
+    // §4): plain explode's inferred `size(shingleHashes(text))>0` filter
+    // pushes the shingle kernel BELOW the spread exchange onto the
+    // 1-task scan side (d08 census: the kernel ran per-row in the scan
+    // filter AND again in the post-spread project). Null sh rows (empty
+    // sets) die in the inner t⋈e join — and survive the maxTrainDf
+    // anti-join like any non-hot shingle — so results are identical.
     val tAll = hashedShingleSets(
         graft.ops.PlanScope.spreadIfSmall(train, "doc_id"), shingleN)
-      .select(col("doc_id").as("train_id"), explode(col("s")).as("sh"))
+      .select(col("doc_id").as("train_id"), explode_outer(col("s")).as("sh"))
     val t = maxTrainDf.fold(tAll) { cap =>
       val hot = tAll.groupBy(col("sh"))
         .agg(count(lit(1)).as("__df")).filter(col("__df") > cap).select(col("sh"))
@@ -621,10 +641,19 @@ object Dedup {
   def evalShingleIndex(evalDocs: DataFrame, shingleN: Int = 3,
       maxEvalDf: Option[Long] = None): DataFrame = {
     maxEvalDf.foreach(c => require(c > 0, s"maxEvalDf must be positive, got $c"))
+    // explode_OUTER + post-explode null filter instead of explode +
+    // pre-explode `size(s) > 0` (r16, guide §4): the size filter (plus
+    // explode's inferred non-null/non-empty predicates) substitutes the
+    // shingle kernel into a pushed-down scan filter — measured on the
+    // d08 plan, `shingleHashes(text)` evaluated 3× in the scan Filter
+    // and again in the Project. The outer explode infers nothing and
+    // emits sh=null exactly for the shingle-less docs the size filter
+    // excluded, so `sh IS NOT NULL` above the Generate keeps the index
+    // identical while the kernel runs once, in the Project.
     val ex = hashedShingleSets(evalDocs, shingleN)
-      .filter(size(col("s")) > 0)
       .select(col("doc_id").as("eval_id"), size(col("s")).cast("long").as("n_ev"),
-        explode(col("s")).as("sh"))
+        explode_outer(col("s")).as("sh"))
+      .filter(col("sh").isNotNull)
     maxEvalDf.fold(ex) { cap =>
       val hot = ex.groupBy(col("sh"))
         .agg(count(lit(1)).as("__df")).filter(col("__df") > cap).select(col("sh"))
