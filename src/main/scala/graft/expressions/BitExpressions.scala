@@ -42,6 +42,8 @@ case class ZOrder2Expr(left: Expression, right: Expression, bits: Int)
   require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
 
   override def dataType: DataType = LongType
+  // nullSafeEval contract: null in -> null out (see TextExpressions.KernelCall)
+  override def nullIntolerant: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess

@@ -23,6 +23,16 @@ private[expressions] trait KernelCall extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = ${kernelCall(ctx, c)};")
+
+  // Every kernel is null-in -> null-out (the nullSafeEval contract), so
+  // tell the optimizer (r16, guide §4): without this, a join/aggregate
+  // key derived from a kernel column infers `isnotnull(kernel(text))`
+  // and pushes the KERNEL into the scan filter — the expensive hash ran
+  // per-row in the filter and again in the project (measured on the s02
+  // plan for the PQ twin of this trait). Null-intolerant lets Catalyst
+  // reason `isnotnull(kernel(x)) <=> isnotnull(x)` at the constraint
+  // level instead of shipping the kernel into the predicate.
+  override def nullIntolerant: Boolean = true
 }
 
 private[expressions] trait StringInput extends UnaryExpression {
@@ -285,6 +295,8 @@ case class SortedIntersectCountExpr(
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
   override def dataType: DataType = LongType
+  // nullSafeEval contract: null in -> null out (see KernelCall)
+  override def nullIntolerant: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess

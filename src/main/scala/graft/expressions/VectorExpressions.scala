@@ -24,6 +24,8 @@ case class DotProductFF(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  // nullSafeEval contract: null in -> null out (see TextExpressions.KernelCall)
+  override def nullIntolerant: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
@@ -83,6 +85,8 @@ case class DotProductWiden(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  // nullSafeEval contract: null in -> null out (see TextExpressions.KernelCall)
+  override def nullIntolerant: Boolean = true
 
   private def elemOk(dt: DataType): Boolean = dt match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
@@ -356,6 +360,8 @@ case class PqAssignExpr(child: Expression, book: Array[Double],
     cns: Array[Double], off: Int, sd: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  // nullSafeEval contract: null in -> null out (see TextExpressions.KernelCall)
+  override def nullIntolerant: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"pq_assign expects array<float>, got $t")
@@ -378,6 +384,8 @@ case class PqTopCellsExpr(child: Expression, book: Array[Double],
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  // nullSafeEval contract: null in -> null out (see TextExpressions.KernelCall)
+  override def nullIntolerant: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"pq_top_cells expects array<float>, got $t")
@@ -399,6 +407,8 @@ case class PqAdcTableExpr(child: Expression, book: Array[Double],
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  // nullSafeEval contract: null in -> null out (see TextExpressions.KernelCall)
+  override def nullIntolerant: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"pq_adc_table expects array<float>, got $t")
@@ -419,6 +429,8 @@ case class PqAdcTableExpr(child: Expression, book: Array[Double],
 case class QuantizeI8(child: Expression, scales: Array[Double])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def dataType: DataType = ArrayType(org.apache.spark.sql.types.ByteType, containsNull = false)
+  // nullSafeEval contract: null in -> null out (see TextExpressions.KernelCall)
+  override def nullIntolerant: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"quantize_i8 expects array<float>, got $t")
@@ -440,6 +452,8 @@ case class SignedProjectExpr(child: Expression, signs: Array[Long], outDims: Int
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  // nullSafeEval contract: null in -> null out (see TextExpressions.KernelCall)
+  override def nullIntolerant: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"signed_project expects array<float>, got $t")
@@ -457,6 +471,8 @@ case class SignedProjectExpr(child: Expression, signs: Array[Long], outDims: Int
 /** Integer dot product over two `array<byte>` int8 vectors. */
 case class DotI8(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.LongType
+  // nullSafeEval contract: null in -> null out (see TextExpressions.KernelCall)
+  override def nullIntolerant: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(org.apache.spark.sql.types.ByteType, _),
           ArrayType(org.apache.spark.sql.types.ByteType, _)) => TypeCheckResult.TypeCheckSuccess

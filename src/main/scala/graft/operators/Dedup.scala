@@ -650,8 +650,15 @@ object Dedup {
     // emits sh=null exactly for the shingle-less docs the size filter
     // excluded, so `sh IS NOT NULL` above the Generate keeps the index
     // identical while the kernel runs once, in the Project.
+    // coalesce(-1) makes n_ev NON-NULLABLE: downstream containment math
+    // references it, and a nullable n_ev makes Catalyst infer
+    // `isnotnull(size(shingleHashes(text)))` into the scan filter — one
+    // more kernel eval per row. Value-identical: n_ev is null iff `s` is
+    // null, and those rows die at the sh filter below (null s explodes
+    // to the one sh=null row).
     val ex = hashedShingleSets(evalDocs, shingleN)
-      .select(col("doc_id").as("eval_id"), size(col("s")).cast("long").as("n_ev"),
+      .select(col("doc_id").as("eval_id"),
+        coalesce(size(col("s")).cast("long"), lit(-1L)).as("n_ev"),
         explode_outer(col("s")).as("sh"))
       .filter(col("sh").isNotNull)
     maxEvalDf.fold(ex) { cap =>

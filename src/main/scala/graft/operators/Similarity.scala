@@ -588,8 +588,11 @@ object Similarity {
             (0 until nSub).map(j => lit(0).as(s"code$j")): _*)
       else emb.select(
         col("vec_id") +:
-          posToId(VectorExpressions.pqAssign(col("embedding"), cent.map(_._2), off = 0),
-            cent.map(_._1)).as("cell") +:
+          // non-nullable cell key — same isnotnull-inference rationale
+          // as assignToCells (the ADC probe equi-joins on cell)
+          coalesce(posToId(
+              VectorExpressions.pqAssign(col("embedding"), cent.map(_._2), off = 0),
+              cent.map(_._1)), lit(-1)).as("cell") +:
           (0 until nSub).map(j => posToId(VectorExpressions.pqAssign(col("embedding"),
             model.books(j).map(_._2), off = j * sd),
             model.books(j).map(_._1)).as(s"code$j")): _*)
@@ -868,7 +871,16 @@ object Similarity {
     val cellCol =
       if (book.map(_._1).zipWithIndex.forall { case (c, i) => c == i }) assign
       else element_at(typedLit(book.map(_._1).toSeq), assign + 1)
-    emb.select(col("vec_id"), col("embedding"), cellCol.as("cell"))
+    // coalesce(-1) makes `cell` NON-NULLABLE (r16, guide §4): probes
+    // equi-join on cell, and a nullable key makes Catalyst infer
+    // `isnotnull(cell)` — which substitutes the WHOLE pqAssign kernel
+    // into the scan filter, encoding every corpus row twice (measured on
+    // the s02 plan). With a non-nullable key no constraint is generated.
+    // Value-identical: cell is null iff embedding is null, and both the
+    // old null and the new -1 match no real cid (cids are >= 0) — the
+    // row drops at the probe join either way.
+    emb.select(col("vec_id"), col("embedding"),
+      coalesce(cellCol, lit(-1)).as("cell"))
   }
 
   /** A built IVF index: cell-assigned vectors (with precomputed norms) and

@@ -59,8 +59,16 @@ object TextSearch {
       col(idCol).as("doc_id"),
       TextFunctions.tokens(col(textCol)).as("w"))
       .withColumn("dl", size(col("w")).cast("long"))
+    // explode_OUTER + post-explode null filter, not plain explode (r16,
+    // guide §4): explode over the projected `w` attribute lets Catalyst
+    // infer `size(tokens(text))>0 AND isnotnull(tokens(text))` and push
+    // it into the SCAN filter — the tokenizer kernel ran 2-3x per doc in
+    // the s18 plan (scan Filter + Project). Outer explode infers
+    // nothing; a token-less doc yields term=null, dropped here exactly
+    // as plain explode dropped it, so postings are bit-identical.
     val postings = toks
-      .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .select(col("doc_id"), col("dl"), explode_outer(col("w")).as("term"))
+      .filter(col("term").isNotNull)
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
     val stats = toks.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
